@@ -1,0 +1,73 @@
+"""Parquet scan/sink operators with the reference's write semantics.
+
+Covers SURVEY §2.1 S2-S4 and S7:
+- overwrite-mode parquet sink (``jobs/csv_to_parquet.py:79`` et al.)
+- output-file sizing via ``maxRecordsPerFile`` (``jobs/final_fact_load.py:149``)
+- the write→clearCache→re-read barrier the reference uses before
+  exporting a freshly overwritten table (``jobs/final_dim_load.py:453-456``),
+  formalized here as :func:`overwrite_with_barrier` using a temp-path swap
+  so the read-overwrite-same-path hazard (reading a half-overwritten
+  input) cannot occur.
+
+Scale notes:
+- ``maxRecordsPerFile`` bounds file sizes under AQE-coalesced writes.
+- ``partition_by`` exposes hive-style partitioned layout for partition
+  pruning on 100 TB tables (e.g. fact tables by date).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Lazy parquet scan (filters/projections push into the scan)."""
+    return spark.read.parquet(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink with optional file sizing and hive partitioning."""
+    writer = df.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def overwrite_with_barrier(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int | None = None,
+) -> DataFrame:
+    """Safely overwrite ``path`` even when ``df``'s lineage READS ``path``.
+
+    The reference reads an existing dimension, transforms it, and
+    overwrites the same location (``jobs/final_dim_load.py:95,208``) —
+    which only works because Spark materializes before deleting, and it
+    still needs a manual ``clearCache`` + re-read (``:453-456``). We make
+    the barrier explicit: write to a temp sibling path (full
+    materialization), atomically swap directories, then return a fresh
+    scan of the final path (new lineage, no stale cache).
+
+    On a real deployment this is the job of a table format (Delta/Iceberg
+    snapshot isolation); the temp-swap is the format-free equivalent.
+    """
+    spark = df.sparkSession
+    tmp = f"{path.rstrip('/')}__tmp_{uuid.uuid4().hex[:8]}"
+    write_parquet(df, tmp, mode="overwrite", max_records_per_file=max_records_per_file)
+    spark.catalog.clearCache()
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+    return spark.read.parquet(path)

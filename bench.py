@@ -1,0 +1,80 @@
+"""Benchmark harness: run headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is executed end-to-end with a ``noop`` sink (full plan runs on
+the executors, nothing is collected to the driver) — so the timing
+measures scan + shuffle + compute, not driver materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from airbnb_pyspark_jobs_spark.plans import QUERIES  # noqa: E402
+from airbnb_pyspark_jobs_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the scan/join/agg/window queries that dominate runtime.
+# Generator-only and tiny-dim queries are excluded from the benchmark
+# clock but still covered by correctness.
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q05_revenue_by_region",
+    "q10_top_customers",
+    "q04_priority_semijoin",
+    "q11_top_orders_per_customer",
+    "q13_events_json",
+]
+
+
+def _sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def run_query(spark, name: str) -> float:
+    fn = QUERIES[name]
+    t0 = time.perf_counter()
+    df = fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench", profile="local")
+    spark.sparkContext.setLogLevel("ERROR")
+    bench = [q for q in BENCH_QUERIES if q in QUERIES]
+    # Warm the JVM/scan path once with the cheapest query so JIT/class
+    # loading doesn't dominate the first measured query.
+    run_query(spark, bench[0])
+    times: dict[str, float] = {}
+    for name in bench:
+        times[name] = round(run_query(spark, name), 3)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
