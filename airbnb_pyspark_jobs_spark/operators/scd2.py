@@ -1,0 +1,186 @@
+"""SCD Type-2 dimension maintenance — ONE parameterized operator.
+
+The reference implements SCD2 twice as ~90%-identical inline blocks
+(``jobs/final_dim_load.py:94-215`` for dim_host, ``:261-462`` for
+dim_listing in /root/reference); this module is the single generic
+operator SURVEY §7.0 calls for. Semantics preserved:
+
+- change detection: inner join current-valid rows on the natural key,
+  keep rows whose row-hash differs (``:125-129``);
+- brand-new keys: left_anti against current keys (``:131-135``);
+- expiry: current versions of changed keys get ``end_dt=as_of``,
+  ``is_valid=False`` (``:138-144``);
+- reassembly: unchanged-history ∪ expired ∪ new-versions ∪ brand-new
+  via ``unionByName`` (``:166``);
+- cold start: explicit ``scd2_initial`` instead of the reference's
+  error-message string matching (``:168-180``);
+- schema gate: required-column validation raising ``ValueError``
+  (``:97-101``).
+
+Scale-out design changes (SURVEY §7.2):
+- **Surrogate keys are content-addressed** (``xxhash64(natural_key,
+  start_dt)`` or portable md5) — the reference's global un-partitioned
+  ``row_number().over(Window.orderBy(k))`` + ``max(id)`` + ``count()``
+  offsets (``:152-164``) collapse to one partition and force extra
+  actions; hash keys need no global sort, no driver round-trip, and are
+  stable across re-runs.
+- **Hash-diff is delimiter-safe**: ``xxhash64(struct(cols))`` rather than
+  ``md5(concat(...))`` which conflates ("ab","c")/("a","bc") (``:117``).
+- One shuffle on the natural key serves the change-detection join; the
+  anti-joins reuse the same partitioning. With AQE the snapshot side is
+  broadcast automatically when small.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from airbnb_pyspark_jobs_spark.functions.hashing import (
+    md5_hex_key,
+    row_hash,
+    row_hash_md5,
+)
+
+SCD_COLS = ("is_valid", "start_dt", "end_dt")
+
+
+@dataclass(frozen=True)
+class Scd2Spec:
+    """Declarative description of an SCD2 dimension.
+
+    ``natural_key``: source natural-key column(s).
+    ``tracked_cols``: attribute columns whose change triggers a new version.
+    ``surrogate_key``: output key column name.
+    ``portable_hash``: use md5 (cross-engine reproducible) instead of
+    xxhash64 for both row-hash and surrogate key.
+    """
+
+    natural_key: Sequence[str]
+    tracked_cols: Sequence[str]
+    surrogate_key: str = "dim_key"
+    portable_hash: bool = False
+    audit_col: str | None = "ta_insert_dt"
+    extra_cols: Sequence[str] = field(default_factory=tuple)
+
+    @property
+    def all_source_cols(self) -> list[str]:
+        return [*self.natural_key, *self.tracked_cols, *self.extra_cols]
+
+    def _row_hash(self) -> Column:
+        fn = row_hash_md5 if self.portable_hash else row_hash
+        return fn(*self.tracked_cols)
+
+    def _surrogate(self, version: Column) -> Column:
+        if self.portable_hash:
+            return md5_hex_key(*self.natural_key, version=version)
+        from airbnb_pyspark_jobs_spark.functions.hashing import surrogate_key_hash
+
+        return surrogate_key_hash(*self.natural_key, version=version)
+
+
+def validate_scd2_schema(dim: DataFrame, spec: Scd2Spec) -> None:
+    """Reference's runtime schema gate (jobs/final_dim_load.py:97-101)."""
+    required = {spec.surrogate_key, *spec.natural_key, *SCD_COLS}
+    missing = required - set(dim.columns)
+    if missing:
+        raise ValueError(f"Existing dimension missing SCD columns: {sorted(missing)}")
+
+
+def _stamp_new_version(snapshot: DataFrame, spec: Scd2Spec, as_of: Column) -> DataFrame:
+    cols = [
+        spec._surrogate(as_of).alias(spec.surrogate_key),
+        *[F.col(c) for c in spec.all_source_cols],
+        F.lit(True).alias("is_valid"),
+        as_of.alias("start_dt"),
+        F.lit(None).cast("timestamp").alias("end_dt"),
+    ]
+    if spec.audit_col:
+        cols.append(F.current_timestamp().alias(spec.audit_col))
+    return snapshot.select(*cols)
+
+
+def scd2_initial(snapshot: DataFrame, spec: Scd2Spec, as_of: Column | str) -> DataFrame:
+    """Cold-start load: every snapshot row becomes the current version.
+
+    The reference reaches this path by matching 'Path does not exist' in
+    an exception message (jobs/final_dim_load.py:168-180); callers here
+    branch explicitly on whether an existing dimension is available.
+    """
+    as_of_c = F.lit(as_of).cast("timestamp") if isinstance(as_of, str) else as_of
+    deduped = snapshot.select(*spec.all_source_cols).dropDuplicates(list(spec.natural_key))
+    return _stamp_new_version(deduped, spec, as_of_c)
+
+
+def scd2_merge(
+    existing: DataFrame,
+    snapshot: DataFrame,
+    spec: Scd2Spec,
+    as_of: Column | str,
+) -> DataFrame:
+    """Incremental SCD2 merge of a new snapshot into an existing dimension.
+
+    Returns the full new dimension (history preserved). Plan shape:
+    one equi-join partitioning on the natural key feeds change-detection,
+    expiry and both anti-joins; no global windows, no mid-plan actions.
+    """
+    validate_scd2_schema(existing, spec)
+    as_of_c = F.lit(as_of).cast("timestamp") if isinstance(as_of, str) else as_of
+    key = list(spec.natural_key)
+
+    snap = snapshot.select(*spec.all_source_cols).dropDuplicates(key)
+    snap_hashed = snap.withColumn("__row_hash", spec._row_hash())
+
+    current = existing.filter(F.col("is_valid"))
+    current_hashed = current.withColumn("__row_hash", spec._row_hash())
+
+    # Changed: natural key exists and tracked attributes differ.
+    changed_new = (
+        snap_hashed.alias("new")
+        .join(
+            current_hashed.select(*key, "__row_hash").alias("curr"),
+            on=key,
+            how="inner",
+        )
+        .filter(F.col("new.__row_hash") != F.col("curr.__row_hash"))
+        .select("new.*")
+        .drop("__row_hash")
+    )
+
+    # Brand-new: natural key absent from current versions.
+    brand_new = snap.join(current.select(*key), on=key, how="left_anti")
+
+    # Expire current versions whose key changed.
+    changed_keys = changed_new.select(*key)
+    expired = (
+        current.join(changed_keys, on=key, how="left_semi")
+        .withColumn("end_dt", as_of_c)
+        .withColumn("is_valid", F.lit(False))
+    )
+
+    # Keep: every existing row EXCEPT the current versions of changed
+    # keys (those are re-emitted as `expired`). A history row of a
+    # changed key (is_valid=False) is kept as-is.
+    kept = (
+        existing.join(
+            changed_keys.withColumn("__changed", F.lit(True)), on=key, how="left"
+        )
+        .filter(~(F.col("is_valid") & F.col("__changed").isNotNull()))
+        .drop("__changed")
+    )
+
+    new_versions = _stamp_new_version(changed_new.unionByName(brand_new), spec, as_of_c)
+
+    out = kept.unionByName(expired, allowMissingColumns=True).unionByName(
+        new_versions, allowMissingColumns=True
+    )
+    result_cols = [
+        spec.surrogate_key,
+        *spec.all_source_cols,
+        *SCD_COLS,
+        *([spec.audit_col] if spec.audit_col and spec.audit_col in out.columns else []),
+    ]
+    return out.select(*result_cols)

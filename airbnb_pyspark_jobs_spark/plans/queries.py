@@ -32,6 +32,8 @@ from pyspark.sql.window import Window
 
 from airbnb_pyspark_jobs_spark.functions.hashing import md5_hex_key
 from airbnb_pyspark_jobs_spark.operators.dims import date_dimension
+from airbnb_pyspark_jobs_spark.operators.facts import DimJoin, build_fact
+from airbnb_pyspark_jobs_spark.operators.scd2 import Scd2Spec, scd2_initial, scd2_merge
 from airbnb_pyspark_jobs_spark.sources.registry import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -386,4 +388,122 @@ def q21_scd2_initial_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_valid"),
         F.lit("2026-01-01 00:00:00").cast("timestamp").alias("start_dt"),
         F.lit(None).cast("timestamp").alias("end_dt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 SCD2 incremental merge (operators/scd2.scd2_merge): initial load at T0,
+# then a snapshot where customers with acctbal > 5000 move to segment
+# 'UPGRADED' — merged at T1. The oracle reconstructs the exact expected
+# dimension (kept-current ∪ expired ∪ new-versions) including the portable
+# md5 surrogate keys, exercising change-detection, expiry and re-versioning.
+# Scale: one natural-key shuffle feeds change detection + expiry + both
+# anti-joins; surrogate keys are content-hashes (no global window).
+# ---------------------------------------------------------------------------
+_SCD2_T0 = "2026-01-01 00:00:00"
+_SCD2_T1 = "2026-02-01 00:00:00"
+
+_CUSTOMER_SPEC = Scd2Spec(
+    natural_key=("c_custkey",),
+    tracked_cols=("c_name", "c_acctbal", "c_mktsegment"),
+    surrogate_key="customer_key",
+    portable_hash=True,
+    audit_col=None,
+    extra_cols=("c_nationkey",),
+)
+
+
+@query(
+    "q22_scd2_merge_customer",
+    oracle=f"""
+    WITH base AS (SELECT * FROM customer)
+    SELECT
+      md5(CAST(c_custkey AS VARCHAR) || chr(31) || '{_SCD2_T0}') AS customer_key,
+      c_custkey, c_name, c_acctbal, c_mktsegment, c_nationkey,
+      TRUE AS is_valid,
+      TIMESTAMP '{_SCD2_T0}' AS start_dt,
+      CAST(NULL AS TIMESTAMP) AS end_dt
+    FROM base WHERE c_acctbal <= 5000
+    UNION ALL
+    SELECT
+      md5(CAST(c_custkey AS VARCHAR) || chr(31) || '{_SCD2_T0}') AS customer_key,
+      c_custkey, c_name, c_acctbal, c_mktsegment, c_nationkey,
+      FALSE AS is_valid,
+      TIMESTAMP '{_SCD2_T0}' AS start_dt,
+      TIMESTAMP '{_SCD2_T1}' AS end_dt
+    FROM base WHERE c_acctbal > 5000
+    UNION ALL
+    SELECT
+      md5(CAST(c_custkey AS VARCHAR) || chr(31) || '{_SCD2_T1}') AS customer_key,
+      c_custkey, c_name, c_acctbal, 'UPGRADED' AS c_mktsegment, c_nationkey,
+      TRUE AS is_valid,
+      TIMESTAMP '{_SCD2_T1}' AS start_dt,
+      CAST(NULL AS TIMESTAMP) AS end_dt
+    FROM base WHERE c_acctbal > 5000
+    """,
+)
+def q22_scd2_merge_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    dim0 = scd2_initial(cust, _CUSTOMER_SPEC, _SCD2_T0)
+    snapshot = cust.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") > 5000, F.lit("UPGRADED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    return scd2_merge(dim0, snapshot, _CUSTOMER_SPEC, _SCD2_T1)
+
+
+# ---------------------------------------------------------------------------
+# q30 declarative fact build (operators/facts.build_fact): lineitem base,
+# three dimension joins (orders -> customer chain + part), content-hashed
+# fact id on the declared grain, derived categorical measures — the
+# reference's fact pattern (jobs/final_fact_load.py) re-expressed.
+# Scale: part/customer broadcast (small dims); orders join left to AQE
+# (sort-merge at 100 TB, broadcast at small SF); no monotonically_
+# increasing_id (non-reproducible) — grain hash instead.
+# ---------------------------------------------------------------------------
+@query(
+    "q30_fact_lineitem",
+    oracle="""
+    SELECT
+      md5(CAST(l.l_orderkey AS VARCHAR) || chr(31) || CAST(l.l_linenumber AS VARCHAR)) AS fact_id,
+      l.l_orderkey, l.l_linenumber, l.l_quantity,
+      o.o_custkey, c.c_mktsegment, p.p_brand,
+      CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+      CASE WHEN l.l_quantity <= 10 THEN 'SMALL'
+           WHEN l.l_quantity <= 30 THEN 'MEDIUM'
+           ELSE 'LARGE' END AS qty_band,
+      l.l_discount > 0.05 AS high_discount
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    """,
+)
+def q30_fact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    return build_fact(
+        base=li,
+        dims=[
+            DimJoin(dim=orders, on={"l_orderkey": "o_orderkey"}, take=("o_custkey",), broadcast=False),
+            DimJoin(dim=cust, on={"o_custkey": "c_custkey"}, take=("c_mktsegment",)),
+            DimJoin(dim=part, on={"l_partkey": "p_partkey"}, take=("p_brand",)),
+        ],
+        grain=("l_orderkey", "l_linenumber"),
+        derived={
+            "revenue": F.round(
+                _dec("l_extendedprice", 12) * (F.lit(1) - _dec("l_discount", 4)), 2
+            ).cast("double"),
+            "qty_band": F.when(F.col("l_quantity") <= 10, "SMALL")
+            .when(F.col("l_quantity") <= 30, "MEDIUM")
+            .otherwise("LARGE"),
+            "high_discount": F.col("l_discount") > 0.05,
+        },
+        keep=("l_orderkey", "l_linenumber", "l_quantity"),
+        portable_hash=True,
     )

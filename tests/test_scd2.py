@@ -1,0 +1,110 @@
+"""SCD2 invariants (SURVEY §5.3): one current version per key, validity
+intervals partition time, unchanged re-run is a no-op, changes expire +
+re-version, brand-new keys insert."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airbnb_pyspark_jobs_spark.operators.scd2 import (
+    Scd2Spec,
+    scd2_initial,
+    scd2_merge,
+    validate_scd2_schema,
+)
+
+SPEC = Scd2Spec(
+    natural_key=("host_src_id",),
+    tracked_cols=("host_name", "response_rate"),
+    surrogate_key="host_key",
+    audit_col=None,
+)
+
+T0, T1, T2 = "2025-01-01 00:00:00", "2025-02-01 00:00:00", "2025-03-01 00:00:00"
+
+
+def _snapshot(spark, rows):
+    return spark.createDataFrame(rows, "host_src_id long, host_name string, response_rate long")
+
+
+def test_initial_load(spark):
+    snap = _snapshot(spark, [(1, "alice", 90), (2, "bob", 80), (2, "bob", 80)])
+    dim = scd2_initial(snap, SPEC, T0)
+    rows = {r.host_src_id: r for r in dim.collect()}
+    assert len(rows) == 2  # dedup on natural key
+    assert all(r.is_valid for r in rows.values())
+    assert all(r.end_dt is None for r in rows.values())
+    assert rows[1].host_key != rows[2].host_key
+
+
+def test_merge_change_expire_and_new(spark):
+    dim0 = scd2_initial(_snapshot(spark, [(1, "alice", 90), (2, "bob", 80)]), SPEC, T0)
+    # alice changes, bob unchanged, carol new
+    snap1 = _snapshot(spark, [(1, "alice", 95), (2, "bob", 80), (3, "carol", 70)])
+    dim1 = scd2_merge(dim0, snap1, SPEC, T1)
+
+    rows = dim1.collect()
+    assert len(rows) == 4  # bob current, alice old+new, carol new
+
+    current = {r.host_src_id: r for r in rows if r.is_valid}
+    assert set(current) == {1, 2, 3}
+    assert current[1].response_rate == 95
+    assert current[1].start_dt.isoformat().startswith("2025-02-01")
+
+    expired = [r for r in rows if not r.is_valid]
+    assert len(expired) == 1
+    assert expired[0].host_src_id == 1
+    assert expired[0].response_rate == 90
+    assert expired[0].end_dt.isoformat().startswith("2025-02-01")
+
+    # surrogate keys: new alice version differs from old alice version
+    keys = [r.host_key for r in rows]
+    assert len(set(keys)) == 4
+
+
+def test_merge_noop_when_unchanged(spark):
+    snap = _snapshot(spark, [(1, "alice", 90), (2, "bob", 80)])
+    dim0 = scd2_initial(snap, SPEC, T0)
+    dim1 = scd2_merge(dim0, snap, SPEC, T1)
+    assert sorted(map(tuple, dim0.collect())) == sorted(map(tuple, dim1.collect()))
+
+
+def test_second_change_keeps_full_history(spark):
+    dim0 = scd2_initial(_snapshot(spark, [(1, "alice", 90)]), SPEC, T0)
+    dim1 = scd2_merge(dim0, _snapshot(spark, [(1, "alice", 95)]), SPEC, T1)
+    dim2 = scd2_merge(dim1, _snapshot(spark, [(1, "alice", 99)]), SPEC, T2)
+    rows = sorted(dim2.collect(), key=lambda r: r.start_dt)
+    assert [r.response_rate for r in rows] == [90, 95, 99]
+    assert [r.is_valid for r in rows] == [False, False, True]
+    # validity intervals partition time: end_dt of v(i) == start_dt of v(i+1)
+    assert rows[0].end_dt == rows[1].start_dt
+    assert rows[1].end_dt == rows[2].start_dt
+    assert rows[2].end_dt is None
+
+
+def test_schema_gate(spark):
+    bad = _snapshot(spark, [(1, "alice", 90)])
+    try:
+        validate_scd2_schema(bad, SPEC)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "missing SCD columns" in str(e)
+
+
+def test_portable_hash_matches_duckdb_semantics(spark):
+    """portable_hash=True produces md5-hex keys (oracle-reproducible)."""
+    spec = Scd2Spec(
+        natural_key=("host_src_id",),
+        tracked_cols=("host_name",),
+        surrogate_key="k",
+        portable_hash=True,
+        audit_col=None,
+    )
+    dim = scd2_initial(
+        spark.createDataFrame([(7, "x")], "host_src_id long, host_name string"), spec, T0
+    )
+    k = dim.select("k").first()[0]
+    import hashlib
+
+    expected = hashlib.md5(f"7\x1f{T0}".encode()).hexdigest()
+    assert k == expected
