@@ -1,0 +1,134 @@
+"""Text-analysis column builders for LLM-data pipelines (north-star scope).
+
+All pure Catalyst expressions (split/regexp/array functions) — no Python
+UDFs — so they run JVM-side inside whole-stage codegen and scale to
+100 TB document tables. Where an operator must be reproducible in the
+DuckDB oracle, the hash primitive is md5 (portable) rather than
+xxhash64.
+
+Operators:
+- :func:`tokens` / :func:`token_count` — whitespace tokenization.
+- :func:`bpe_ish_token_count` — regex token count approximating a BPE
+  pre-tokenizer (letter runs / digit runs / single punctuation), the
+  standard cheap proxy for LLM token budgeting.
+- :func:`stopword_ratio`, :func:`quality_score` — heuristic document
+  quality signals (length, punctuation density, stopword share).
+- :func:`lang_guess` — stopword-hit language heuristic.
+- :func:`fingerprint` — md5 of whitespace-normalized lowercased text
+  (exact-dedup key).
+- :func:`word_shingles` — distinct n-gram shingle array (dedup input).
+- :func:`portable_hash_int` — first-8-hex-digits of md5 as a BIGINT;
+  identical in DuckDB via ``CAST('0x' || substr(md5(x),1,8) AS BIGINT)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small multilingual stopword sets for the lang heuristic. Public-domain
+# common function words.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr": ("le", "la", "de", "et", "un", "est", "pour", "que", "dans", "sur"),
+}
+
+_WS = r"\s+"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of trimmed text (empty string → [''])."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(text), _WS)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+# Letter runs, digit runs, or single non-space-non-alnum — a cheap
+# BPE-pre-tokenizer proxy. Kept to syntax valid in both Java regex and
+# RE2 (no lookaround) so the DuckDB oracle can use the same pattern.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN)).cast("bigint")
+
+
+def stopword_count(text: Column | str, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    return F.size(
+        F.filter(tokens(text), lambda t: F.lower(t).isin(*words))
+    ).cast("bigint")
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    return stopword_count(text, lang).cast("double") / token_count(text).cast("double")
+
+
+def lang_guess(text: Column | str, langs: tuple[str, ...] = ("en", "de", "es", "fr")) -> Column:
+    """Pick the language whose stopword set hits most (ties → first listed,
+    zero hits everywhere → 'und' i.e. undetermined)."""
+    text = F.col(text) if isinstance(text, str) else text
+    counts = [stopword_count(text, lg) for lg in langs]
+    best = F.greatest(*counts) if len(counts) > 1 else counts[0]
+    expr = F.lit("und")
+    # reverse order so earlier langs win ties
+    for lg, cnt in reversed(list(zip(langs, counts))):
+        expr = F.when((cnt == best) & (best > 0), F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def punct_ratio(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    n_punct = F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]")).cast("double")
+    return n_punct / F.length(text).cast("double")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic quality in [0,1]: rewards mid-length docs and prose-like
+    stopword share, penalizes punctuation soup. Deterministic double
+    arithmetic (reproducible in the oracle)."""
+    text = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(text).cast("double")
+    length_part = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop_part = F.least(stopword_ratio(text) * F.lit(4.0), F.lit(1.0))
+    punct_part = F.greatest(F.lit(1.0) - punct_ratio(text) * F.lit(5.0), F.lit(0.0))
+    return (length_part + stop_part + punct_part) / F.lit(3.0)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Exact-dedup key: md5 of lowercased, whitespace-collapsed text."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), _WS, " "))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """DISTINCT word n-gram shingles as an array<string> (space-joined).
+
+    Built with transform over a token-index range — JVM-side, no UDF.
+    Documents shorter than ``n`` tokens yield their full token string as
+    a single shingle.
+    """
+    toks = tokens(text)
+    count = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(sh)
+
+
+def portable_hash_int(c: Column | str, seed: str = "") -> Column:
+    """BIGINT hash reproducible in DuckDB:
+    Spark  : conv(substr(md5(seed || x), 1, 8), 16, 10)
+    DuckDB : CAST('0x' || substr(md5(seed || x), 1, 8) AS BIGINT)
+    32-bit range (fits bigint, no sign issues)."""
+    c = F.col(c) if isinstance(c, str) else c
+    seeded = F.concat(F.lit(seed), c) if seed else c
+    return F.conv(F.substring(F.md5(seeded), 1, 8), 16, 10).cast("bigint")

@@ -1,0 +1,241 @@
+"""Document deduplication operators for LLM-data pipelines.
+
+Four families, all expressed as DataFrame compositions (no UDFs, no
+driver-side loops), designed so the whole pipeline — including MinHash —
+is reproducible in the DuckDB oracle (md5-based hashing):
+
+- :func:`exact_dedup_keepers` — hash-groupBy exact dedup on a
+  normalized-text fingerprint.
+- :func:`ngram_jaccard_pairs` — EXACT n-gram Jaccard similar pairs via
+  shingle-explode + self-join (the ground truth LSH approximates).
+- :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash
+  signatures (k lexicographic-min md5 hashes over shingles), banded LSH
+  candidate generation, exact-Jaccard verification of candidates.
+- :func:`simhash_signatures` — 16-bit portable SimHash over distinct
+  tokens.
+
+Scale notes (100 TB corpora):
+- the shingle self-join in :func:`ngram_jaccard_pairs` is quadratic in
+  per-shingle document frequency — ``max_shingle_df`` caps it (standard
+  practice: a shingle shared by thousands of docs carries no similarity
+  signal but produces df² join rows);
+- MinHash-LSH replaces the all-pairs join with a per-band equality join
+  on band hashes: shuffle is O(docs × bands) and candidate verification
+  touches only colliding pairs — this is THE scale path;
+- signatures are computed in ONE groupBy over exploded shingles (k min()
+  aggregates in a single shuffle), not k passes;
+- all hashes are md5-derived: deterministic across engines, runs and
+  partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from airbnb_pyspark_jobs_spark.functions.text import fingerprint, tokens, word_shingles
+
+
+def exact_dedup_keepers(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact (normalized) dedup: one keeper (min id) per fingerprint.
+
+    Returns ``fingerprint, keeper_id, n_copies``. Single hash-groupBy
+    shuffle; at 100 TB the fingerprint is computed scan-side and the
+    shuffle carries (hash, id) pairs only.
+    """
+    return (
+        docs.select(fingerprint(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).cast("bigint").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) pairs — distinct word n-grams per document."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, n)).alias("s"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs with similarity >= threshold.
+
+    ``jaccard = |A∩B| / (|A| + |B| - |A∩B|)`` over distinct shingle
+    sets. ``max_shingle_df`` drops shingles occurring in more than that
+    many documents before pairing (both sizes and intersections are then
+    computed over the filtered sets — consistent semantics).
+    """
+    sh = shingle_table(docs, id_col, text_col, n)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("s")
+        )
+        sh = sh.join(rare, "s", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), on=[F.col("a.s") == F.col("b.s"), F.col("a.doc_id") < F.col("b.doc_id")])
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_id_a", "n_sh": "n_a"}), "doc_id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_id_b", "n_sh": "n_b"}), "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def _minhash_aggs(num_hashes: int) -> list[Column]:
+    """k MinHash aggregates: lexicographic min of seeded md5 over shingles.
+
+    Lexicographic min of md5 hex strings is a valid uniform MinHash (the
+    hex alphabet ordering is a total order on the hash space) and is
+    reproducible verbatim in any engine with md5.
+    """
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"h{j}")
+        for j in range(1, num_hashes + 1)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Per-document MinHash signature (h1..hk) + shingle count, computed
+    in one groupBy over the exploded shingle table."""
+    sh = shingle_table(docs, id_col, text_col, n)
+    return sh.groupBy("doc_id").agg(
+        *_minhash_aggs(num_hashes), F.count(F.lit(1)).alias("n_sh")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
+
+    banding: ``num_hashes`` minhashes split into ``bands`` equal bands;
+    a pair is a candidate iff some band's hashes all agree (band hash
+    equality). Candidates are then verified with the exact Jaccard over
+    shingles and filtered at ``threshold`` — so LSH affects recall only,
+    never precision, and the output is deterministic.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must divide evenly into bands")
+    rows_per_band = num_hashes // bands
+
+    sh = shingle_table(docs, id_col, text_col, n)
+    sig = sh.groupBy("doc_id").agg(*_minhash_aggs(num_hashes), F.count(F.lit(1)).alias("n_sh"))
+
+    band_cols = []
+    for b in range(bands):
+        hs = [F.col(f"h{b * rows_per_band + j}") for j in range(1, rows_per_band + 1)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *hs)).alias("band_hash"))
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+
+    candidates = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        candidates.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_id_a"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.doc_id") == F.col("doc_id_b")) & (F.col("sb.s") == F.col("sa.s")),
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_id_a", "n_sh": "n_a"}), "doc_id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_id_b", "n_sh": "n_b"}), "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Portable 16-bit SimHash over DISTINCT tokens.
+
+    Token hash = first 8 md5 hex digits as int; bit b of the signature is
+    1 iff sum over tokens of (+1 if bit b of token-hash set else -1) > 0.
+    Everything is integer arithmetic on md5 — engine-independent.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("t"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("bigint")
+    tok = tok.select("doc_id", h.alias("th"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_aggs)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = term if sim is None else (sim + term)
+    return agg.select("doc_id", sim.cast("bigint").alias("simhash"))

@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- :func:`knn_bruteforce` — exact top-k cosine neighbors for a (small)
+  query set against the full corpus. The query side is broadcast, so the
+  corpus is scanned ONCE with no shuffle for the similarity computation;
+  the only shuffle is the per-query top-k (window over query_id — k rows
+  per query survive). This is the correctness baseline and is already
+  the right physical plan for "few queries × huge corpus" at 100 TB.
+- :func:`lsh_bucket_ann` — approximate variant: random-hyperplane LSH
+  buckets (signs of dot products against deterministic ±1 hyperplanes
+  derived from md5 parity, computed driver-side — data-independent).
+  Corpus and queries are bucketed; similarity is computed only within a
+  bucket. At scale the bucket join replaces the all-pairs scan:
+  shuffle keys are (bucket), candidate sets shrink by ~2^planes.
+
+Determinism: hyperplanes are pure functions of (plane index, dim index)
+via md5 parity → reproducible across engines/runs; similarities are
+computed in float64 in array order and rounded before ranking, with id
+tie-breaks, so top-k output is stable cross-engine (used by the DuckDB
+oracle).
+
+For very wide vectors a Pandas-UDF path (:func:`cosine_pandas_scores`)
+computes scores in NumPy over Arrow batches — same semantics, better
+constant factor; gated behind the same rounded output contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from airbnb_pyspark_jobs_spark.functions.vectors import cosine, dot, to_double_array
+
+
+def hyperplane(plane_idx: int, dims: int) -> list[int]:
+    """Deterministic ±1 hyperplane: parity of md5(f"{plane_idx}:{dim}")."""
+    return [
+        1 if int(hashlib.md5(f"{plane_idx}:{d}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1
+        for d in range(dims)
+    ]
+
+
+def _bucket_expr(vec: Column, planes: list[list[int]]) -> Column:
+    """LSH bucket id: bit j = 1 iff dot(vec, plane_j) > 0."""
+    bucket = F.lit(0).cast("bigint")
+    for j, plane in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(float(s)) for s in plane]))
+        bucket = bucket + F.when(d > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return bucket
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (query set broadcast).
+
+    Returns ``query_id, neighbor_id, cos_sim, rn``. Ranking is on the
+    ROUNDED similarity with neighbor-id tie-break → deterministic.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__qv")
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def lsh_bucket_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    num_planes: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: cosine ranking within the query's LSH bucket.
+
+    Recall < 1 by construction (bucket-boundary neighbors are missed);
+    at 100 TB this turns an O(|Q|·|C|) scan into a bucket-equality join.
+    Returns ``query_id, neighbor_id, cos_sim, rn``.
+    """
+    planes = [hyperplane(j, dims) for j in range(num_planes)]
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__cv")
+    ).withColumn("__bucket", _bucket_expr(F.col("__cv"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__qv")
+    ).withColumn("__bucket", _bucket_expr(F.col("__qv"), planes))
+
+    sims = (
+        c.join(F.broadcast(q), on="__bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def cosine_pandas_scores(
+    corpus: DataFrame,
+    queries_pd,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Vectorized (NumPy over Arrow batches) cosine scores of every corpus
+    row against a driver-provided query matrix — the wide-vector fast
+    path. ``queries_pd`` is a pandas DataFrame with ``vec_id`` and
+    ``embedding`` (list) columns; it is closure-broadcast to executors.
+
+    Returns ``query_id, neighbor_id, cos_sim`` (unranked)."""
+    import numpy as np
+    import pandas as pd
+
+    q_ids = queries_pd[id_col].to_numpy()
+    q_mat = np.stack(queries_pd[vec_col].to_numpy()).astype("float64")
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            norms = np.linalg.norm(mat, axis=1)
+            sims = (mat @ q_mat.T) / np.outer(norms, q_norm)
+            n, m = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n),
+                    "neighbor_id": np.tile(ids, m),
+                    "cos_sim": np.round(sims.T.ravel(), round_digits),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)

@@ -1,0 +1,91 @@
+"""Similarity-search queries over `embeddings` with DuckDB oracles.
+
+Cosine similarities are computed in float64 (elements cast up from
+float32 first in BOTH engines), rounded to 4 digits, and ranked with
+neighbor-id tie-breaks — making exact top-k reproducible cross-engine.
+The LSH variant's hyperplanes are md5-parity ±1 vectors generated
+driver-side and inlined into the oracle SQL as literals, so even the
+approximate path is value-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airbnb_pyspark_jobs_spark.operators import similarity as SIM
+from airbnb_pyspark_jobs_spark.plans.queries import query
+from airbnb_pyspark_jobs_spark.sources.registry import load_table
+
+_K, _NQ = 5, 10  # top-5 neighbors for query vectors vec_id < 10
+
+_Q50_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {_NQ}
+),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+sims AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cos_sim
+  FROM q, c WHERE query_id != neighbor_id
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rn
+  FROM sims
+)
+SELECT query_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= {_K}
+"""
+
+
+@query("q50_knn_bruteforce", oracle=_Q50_ORACLE)
+def q50_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.knn_bruteforce(emb, emb.filter(F.col("vec_id") < _NQ), k=_K)
+
+
+_PLANES, _DIMS, _K_ANN = 4, 64, 3
+
+
+def _duck_plane(plane: list[int]) -> str:
+    return "[" + ", ".join(f"{float(s)}" for s in plane) + "]::DOUBLE[]"
+
+
+def _q51_oracle() -> str:
+    planes = [SIM.hyperplane(j, _DIMS) for j in range(_PLANES)]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_duck_plane(p)}) > 0 THEN {2**j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < {_NQ}),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b),
+sims AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cos_sim
+  FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rn
+  FROM sims
+)
+SELECT query_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= {_K_ANN}
+"""
+
+
+@query("q51_ann_lsh_bucket", oracle=_q51_oracle())
+def q51_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.lsh_bucket_ann(
+        emb,
+        emb.filter(F.col("vec_id") < _NQ),
+        k=_K_ANN,
+        num_planes=_PLANES,
+        dims=_DIMS,
+    )

@@ -1,0 +1,240 @@
+"""LLM-data-pipeline queries over `documents`: text analysis + dedup.
+
+Every operator here — including the full MinHash-LSH pipeline — has a
+value-level DuckDB oracle: the hash primitive is md5 (portable), so
+signatures, band hashes and verified pairs are reproducible verbatim in
+SQL. Cross-engine expression equivalences used below:
+
+Spark                                | DuckDB
+------------------------------------ | -----------------------------------
+split(trim(t), '\\s+')               | string_split_regex(trim(t), '\\s+')
+regexp_count(t, P)                   | len(regexp_extract_all(t, P))
+conv(substr(md5(x),1,8),16,10)       | CAST('0x'||substr(md5(x),1,8) AS BIGINT)
+concat_ws('|', a, b)                 | a || '|' || b
+F.min(md5-string)                    | min(varchar)  (same ASCII ordering)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airbnb_pyspark_jobs_spark.functions import text as TX
+from airbnb_pyspark_jobs_spark.operators import dedupe as DD
+from airbnb_pyspark_jobs_spark.plans.queries import query
+from airbnb_pyspark_jobs_spark.sources.registry import load_table
+
+# DuckDB equivalents of the token/shingle expressions (see functions/text.py)
+_D_TOKENS = r"string_split_regex(trim(text), '\s+')"
+_D_SHINGLES = rf"""
+  tok AS (SELECT doc_id, {_D_TOKENS} AS ts FROM documents),
+  sh AS (
+    SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+    FROM tok, UNNEST(range(1, len(ts) - 1)) AS u(i)
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# q40 text stats: token counts (whitespace + BPE-ish), stopword ratio,
+# punctuation ratio, quality score, language guess — all JVM-side
+# expressions, one scan, no shuffle (per-row derivations).
+# ---------------------------------------------------------------------------
+def _duck_stop_count(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang])
+    return f"len(list_filter({_D_TOKENS}, x -> lower(x) IN ({words})))"
+
+
+_Q40_ORACLE = f"""
+WITH s AS (
+  SELECT
+    doc_id,
+    lang AS labeled_lang,
+    len({_D_TOKENS}) AS n_tokens,
+    len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+    {_duck_stop_count("en")} AS sw_en,
+    {_duck_stop_count("de")} AS sw_de,
+    {_duck_stop_count("es")} AS sw_es,
+    {_duck_stop_count("fr")} AS sw_fr,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+    length(text) AS n_chars
+  FROM documents
+)
+SELECT
+  doc_id,
+  labeled_lang,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+  CAST(sw_en AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+  (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+   + least(CAST(sw_en AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 4.0, 1.0)
+   + greatest(1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) * 5.0, 0.0)
+  ) / 3.0 AS quality,
+  CASE
+    WHEN sw_en = greatest(sw_en, sw_de, sw_es, sw_fr) AND greatest(sw_en, sw_de, sw_es, sw_fr) > 0 THEN 'en'
+    WHEN sw_de = greatest(sw_en, sw_de, sw_es, sw_fr) AND greatest(sw_en, sw_de, sw_es, sw_fr) > 0 THEN 'de'
+    WHEN sw_es = greatest(sw_en, sw_de, sw_es, sw_fr) AND greatest(sw_en, sw_de, sw_es, sw_fr) > 0 THEN 'es'
+    WHEN sw_fr = greatest(sw_en, sw_de, sw_es, sw_fr) AND greatest(sw_en, sw_de, sw_es, sw_fr) > 0 THEN 'fr'
+    ELSE 'und'
+  END AS lang_guess
+FROM s
+"""
+
+
+@query("q40_text_stats", oracle=_Q40_ORACLE)
+def q40_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TX.token_count("text").alias("n_tokens"),
+        TX.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        TX.stopword_ratio("text").alias("stopword_ratio"),
+        TX.quality_score("text").alias("quality"),
+        TX.lang_guess("text").alias("lang_guess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41 exact dedup via normalized fingerprint (hash-groupBy).
+# ---------------------------------------------------------------------------
+@query(
+    "q41_exact_dedup",
+    oracle=r"""
+    SELECT
+      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+      COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q41_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup_keepers(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q44 exact n-gram Jaccard near-dup pairs (shingle self-join).
+# max_shingle_df=50 caps join fan-out (df² guard) — mirrored in the oracle.
+# ---------------------------------------------------------------------------
+_Q44_ORACLE = f"""
+WITH {_D_SHINGLES},
+rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
+  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b,
+       CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN cnt ca ON doc_id_a = ca.doc_id
+JOIN cnt cb ON doc_id_b = cb.doc_id
+WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.5
+"""
+
+
+@query("q44_ngram_jaccard_pairs", oracle=_Q44_ORACLE)
+def q44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(
+        load_table(spark, "documents", sf_dir), threshold=0.5, max_shingle_df=50
+    )
+
+
+# ---------------------------------------------------------------------------
+# q45 MinHash-LSH near-dup pairs, exact-verified. 8 hashes × 2 bands.
+# The oracle reproduces the ENTIRE pipeline (signatures, banding,
+# candidates, verification) — not just the final answer.
+# ---------------------------------------------------------------------------
+_NH, _BANDS, _RPB = 8, 2, 4
+_mins = ",\n    ".join(
+    f"min(md5('{j}|' || s)) AS h{j}" for j in range(1, _NH + 1)
+)
+_band_exprs = ",\n    ".join(
+    "md5(" + " || '|' || ".join(f"h{b * _RPB + j}" for j in range(1, _RPB + 1)) + f") AS b{b}"
+    for b in range(_BANDS)
+)
+_band_union = "\n  UNION ALL\n  ".join(
+    f"SELECT doc_id, {b} AS band_idx, b{b} AS band_hash FROM bands" for b in range(_BANDS)
+)
+
+_Q45_ORACLE = f"""
+WITH {_D_SHINGLES},
+sig AS (
+  SELECT doc_id,
+    {_mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+    {_band_exprs}
+  FROM sig
+),
+bl AS (
+  {_band_union}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bl a JOIN bl b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_id_a
+  JOIN sh sb ON sb.doc_id = c.doc_id_b AND sb.s = sa.s
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b,
+       CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN cnt ca ON doc_id_a = ca.doc_id
+JOIN cnt cb ON doc_id_b = cb.doc_id
+WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.5
+"""
+
+
+@query("q45_minhash_lsh_pairs", oracle=_Q45_ORACLE)
+def q45_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir),
+        num_hashes=_NH,
+        bands=_BANDS,
+        threshold=0.5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q46 SimHash signatures (16-bit, portable integer arithmetic on md5).
+# ---------------------------------------------------------------------------
+_bit_sums = ",\n    ".join(
+    f"CAST(SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s{b}"
+    for b in range(DD.SIMHASH_BITS)
+)
+_sim_expr = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(DD.SIMHASH_BITS)
+)
+
+_Q46_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t
+  FROM (SELECT doc_id, UNNEST({_D_TOKENS}) AS t FROM documents)
+),
+th AS (
+  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS th FROM tok
+),
+bits AS (
+  SELECT doc_id,
+    {_bit_sums}
+  FROM th GROUP BY doc_id
+)
+SELECT doc_id, CAST({_sim_expr} AS BIGINT) AS simhash FROM bits
+"""
+
+
+@query("q46_simhash", oracle=_Q46_ORACLE)
+def q46_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_signatures(load_table(spark, "documents", sf_dir))
