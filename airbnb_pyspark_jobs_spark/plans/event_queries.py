@@ -1,0 +1,85 @@
+"""Event-time analytics queries over `events` (batch), with oracles.
+
+The tumbling-window query uses the SAME ``tumbling_agg`` operator the
+streaming module runs under ``readStream`` — batch/stream parity is
+asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airbnb_pyspark_jobs_spark.operators.windows import (
+    session_stats,
+    sessionize,
+    tumbling_agg,
+)
+from airbnb_pyspark_jobs_spark.plans.queries import query, _dec, _money
+from airbnb_pyspark_jobs_spark.sources.registry import load_table
+
+
+# ---------------------------------------------------------------------------
+# q60 tumbling 1-hour windows per event_type. Spark's epoch-aligned
+# window(ts, '1 hour').start == date_trunc('hour', ts).
+# ---------------------------------------------------------------------------
+@query(
+    "q60_events_tumbling_1h",
+    oracle="""
+    SELECT
+      date_trunc('hour', ts) AS window_start,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q60_events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    out = tumbling_agg(
+        events.withColumn("value_dec", _dec("value", 12)),
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            _money(F.sum("value_dec"), "total_value"),
+        ],
+    )
+    return out.select("window_start", "event_type", "n_events", "total_value")
+
+
+# ---------------------------------------------------------------------------
+# q61 gap-based sessionization (30-minute inactivity) + per-session stats.
+# Integer-microsecond durations keep the oracle exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q61_user_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL THEN 1
+             WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1
+             ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts,
+        CAST(SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+)
+def q61_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return session_stats(sessionize(events, gap="30 minutes"))

@@ -1,0 +1,102 @@
+"""Structured Streaming operators for the events table.
+
+The reference is batch-only (SURVEY §2.9); this module adds the
+streaming surface the north star asks for, built ENTIRELY on native
+Structured Streaming primitives (no custom state stores):
+
+- :func:`read_event_stream` — file-source stream with explicit schema
+  (file streams cannot infer), rate-limited via ``maxFilesPerTrigger``;
+- :func:`streaming_tumbling_agg` — watermarked tumbling windows,
+  REUSING the batch ``tumbling_agg`` operator (batch/stream parity is
+  a test invariant);
+- :func:`streaming_dedupe` — ``dropDuplicatesWithinWatermark`` keyed
+  dedup (state auto-expires past the watermark — bounded memory at
+  100 TB/day event volumes);
+- :func:`streaming_session_agg` — native ``session_window`` gap
+  sessions.
+
+Scale notes: state size is bounded by (watermark horizon × key
+cardinality); shuffle partitioning of stateful ops is fixed at the
+first run by ``spark.sql.shuffle.partitions`` — size it to the
+expected executor count before the first checkpoint is written.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENT_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source event stream (parquet directory) with explicit schema."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def streaming_tumbling_agg(
+    stream: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: list[str] | None = None,
+    aggs: list[Column] | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (append-mode eligible)."""
+    from airbnb_pyspark_jobs_spark.operators.windows import tumbling_agg
+
+    group_cols = group_cols if group_cols is not None else ["event_type"]
+    aggs = aggs if aggs is not None else [F.count(F.lit(1)).alias("n_events")]
+    return tumbling_agg(
+        stream.withWatermark(ts_col, watermark), duration, group_cols, aggs, ts_col
+    )
+
+
+def streaming_dedupe(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Keyed dedup with watermark-bounded state."""
+    keys = keys if keys is not None else ["event_id"]
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_session_agg(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Native session windows (gap-based) per user."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

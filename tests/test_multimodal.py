@@ -1,0 +1,74 @@
+"""Multimodal plumbing tests: schema, Arrow batch path, frame sampling,
+payload-pruned stats — with the deterministic fake decoder."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from airbnb_pyspark_jobs_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+    media_stats,
+    repartition_by_bytes,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        Row(
+            media_id=i,
+            payload=bytes([i % 251] * (100 + i * 10)),
+            meta=Row(
+                modality="video" if i % 3 == 0 else "image",
+                mime="video/mp4" if i % 3 == 0 else "image/png",
+                width=64,
+                height=64,
+                n_frames=25 if i % 3 == 0 else 1,
+                sample_rate=None,
+            ),
+        )
+        for i in range(12)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_batch_path(media):
+    out = extract_features(media, feature_dims=8).collect()
+    assert len(out) == 12
+    by_id = {r.media_id: r for r in out}
+    assert by_id[0].n_bytes == 100
+    assert len(by_id[0].feature) == 8
+    # deterministic fake: constant payload byte -> constant feature
+    assert all(abs(v - 0 / 255.0) < 1e-12 for v in by_id[0].feature)
+    assert by_id[5].feature[0] == pytest.approx(5 / 255.0)
+    assert all(r.decoder == "fake" for r in out)
+
+
+def test_extract_features_deterministic_rerun(media):
+    a = sorted(map(tuple, extract_features(media).collect()))
+    b = sorted(map(tuple, extract_features(media).collect()))
+    assert a == b
+
+
+def test_sample_frames(media):
+    frames = sample_frames(media, every_nth=10).collect()
+    # videos are ids 0,3,6,9 with 25 frames -> indices 0,10,20
+    got = sorted((r.media_id, r.frame_idx) for r in frames)
+    assert got == [(i, f) for i in (0, 3, 6, 9) for f in (0, 10, 20)]
+
+
+def test_media_stats_prunes_payload(media):
+    stats = {r.modality: r for r in media_stats(media).collect()}
+    assert stats["video"].n_items == 4
+    assert stats["image"].n_items == 8
+    # payload-length sums are exact
+    assert stats["video"].total_bytes == sum(100 + i * 10 for i in (0, 3, 6, 9))
+
+
+def test_repartition_by_bytes(media):
+    out = repartition_by_bytes(media, target_bytes_per_partition=500)
+    assert out.rdd.getNumPartitions() >= 2
+    assert out.count() == 12
