@@ -113,13 +113,27 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     Built with transform over a token-index range — JVM-side, no UDF.
     Documents shorter than ``n`` tokens yield their full token string as
     a single shingle.
+
+    PERF: pass a column that ALREADY holds the token array (see
+    :func:`shingles_from_tokens`) when building shingle tables — if the
+    split expression is inlined here, the lambda re-evaluates the regex
+    split once per shingle element (measured ~10× slowdown).
     """
-    toks = tokens(text)
+    return shingles_from_tokens(tokens(text), n)
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Shingle array from a pre-computed token-array column.
+
+    ``F.get`` (0-based) returns NULL past the array end (no ANSI
+    out-of-bounds error; concat_ws skips nulls), handling docs shorter
+    than ``n`` tokens.
+    """
     count = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
     sh = F.transform(
         idx,
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
     )
     return F.array_distinct(sh)
 

@@ -33,7 +33,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from airbnb_pyspark_jobs_spark.functions.text import fingerprint, tokens, word_shingles
+from airbnb_pyspark_jobs_spark.functions.text import (
+    fingerprint,
+    shingles_from_tokens,
+    tokens,
+)
 
 
 def exact_dedup_keepers(
@@ -58,10 +62,14 @@ def exact_dedup_keepers(
 def shingle_table(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) pairs — distinct word n-grams per document."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, n)).alias("s"),
+    """(id, shingle) pairs — distinct word n-grams per document.
+
+    Two-step projection on purpose: tokenizing into a column FIRST keeps
+    the regex split at one evaluation per row; inlining it into the
+    shingle lambda re-runs the split per shingle (measured ~10×)."""
+    tok = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks"))
+    return tok.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("s")
     )
 
 
@@ -80,15 +88,22 @@ def ngram_jaccard_pairs(
     many documents before pairing (both sizes and intersections are then
     computed over the filtered sets — consistent semantics).
     """
-    sh = shingle_table(docs, id_col, text_col, n)
+    # The shingle table feeds sizes + both self-join sides: persist it so
+    # tokenize/shingle runs once (at cluster scale: cache to MEMORY_AND_DISK
+    # or checkpoint; same principle as the reference caching its dims,
+    # jobs/final_fact_load.py:20-22).
+    sh = shingle_table(docs, id_col, text_col, n).persist()
     if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("s")
+        # document frequency as a window count over s: the shuffle that
+        # partitions by s is REUSED by the self-join below (same key) —
+        # cheaper than a groupBy+semi-join which adds two extra shuffles.
+        from pyspark.sql.window import Window
+
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+            .filter(F.col("__df") <= max_shingle_df)
+            .drop("__df")
         )
-        sh = sh.join(rare, "s", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     inter = (
@@ -159,7 +174,8 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must divide evenly into bands")
     rows_per_band = num_hashes // bands
 
-    sh = shingle_table(docs, id_col, text_col, n)
+    # persisted: feeds signatures, candidate verification (×2) and sizes
+    sh = shingle_table(docs, id_col, text_col, n).persist()
     sig = sh.groupBy("doc_id").agg(*_minhash_aggs(num_hashes), F.count(F.lit(1)).alias("n_sh"))
 
     band_cols = []

@@ -1,0 +1,233 @@
+"""Broader analytics surface: set ops, rollup, pivot, outer joins,
+window frames, correlated-style subqueries — each with a DuckDB oracle.
+
+These go beyond the reference's operator inventory (SURVEY §2.7 notes it
+uses ONLY unionByName; no outer joins, no set ops, no frames) — they
+complete the analytics surface a warehouse engine needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from airbnb_pyspark_jobs_spark.plans.queries import query, _dec, _money
+from airbnb_pyspark_jobs_spark.sources.registry import load_table
+
+
+# ---------------------------------------------------------------------------
+# q14 set ops: customers with orders ∩/∖ customers in BUILDING segment.
+# intersect/except are rewritten by Catalyst into semi/anti joins —
+# no sort-based set op at scale.
+# ---------------------------------------------------------------------------
+@query(
+    "q14_set_ops",
+    oracle="""
+    SELECT 'both' AS bucket, COUNT(*) AS n FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'building_no_orders' AS bucket, COUNT(*) AS n FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders
+    )
+    """,
+)
+def q14_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey")
+    )
+    with_orders = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    both = building.intersect(with_orders).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("bucket"), "n"
+    )
+    no_orders = building.exceptAll(with_orders).distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("building_no_orders").alias("bucket"), "n")
+    return both.unionByName(no_orders)
+
+
+# ---------------------------------------------------------------------------
+# q15 rollup: revenue by (region, nation) with subtotals + grand total.
+# Catalyst expands rollup into a single Expand+Aggregate — one shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "q15_rollup_revenue",
+    oracle="""
+    SELECT
+      COALESCE(r.r_name, 'ALL') AS region,
+      CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END AS nation,
+      CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q15_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            _money(F.sum(_dec("o_totalprice", 12)), "revenue"),
+            # grouping() is only resolvable inside the rollup aggregate
+            F.grouping("n_name").alias("__g_nation"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.when(F.col("__g_nation") == 1, F.lit("ALL"))
+            .otherwise(F.col("n_name"))
+            .alias("nation"),
+            "revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 pivot: event value totals, event_type → columns. Fixed pivot value
+# list (required at scale: without it Spark runs an extra distinct scan).
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q16_pivot_events",
+    oracle=f"""
+    SELECT
+      user_id % 10 AS user_bucket,
+      {", ".join(
+        f"CAST(ROUND(COALESCE(SUM(CAST(value AS DECIMAL(12,2))) FILTER (WHERE event_type = '{t}'), 0), 2) AS DOUBLE) AS {t}"
+        for t in _EVENT_TYPES
+      )}
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q16_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    out = (
+        events.select(
+            (F.col("user_id") % 10).alias("user_bucket"),
+            "event_type",
+            _dec("value", 12).alias("v"),
+        )
+        .groupBy("user_bucket")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum("v"))
+    )
+    return out.select(
+        "user_bucket",
+        *[
+            F.round(F.coalesce(F.col(t), F.lit(0)), 2).cast("double").alias(t)
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 outer join: every customer with order stats, including the
+# order-less (left join + null-safe aggregates).
+# ---------------------------------------------------------------------------
+@query(
+    "q17_customer_order_stats",
+    oracle="""
+    SELECT
+      c.c_custkey,
+      COUNT(o.o_orderkey) AS n_orders,
+      CAST(ROUND(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 0), 2) AS DOUBLE) AS total_spend,
+      COUNT(o.o_orderkey) = 0 AS is_inactive
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q17_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    n_orders = F.count(F.col("o_orderkey"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            n_orders.alias("n_orders"),
+            F.round(F.coalesce(F.sum(_dec("o_totalprice", 12)), F.lit(0)), 2)
+            .cast("double")
+            .alias("total_spend"),
+            (n_orders == 0).alias("is_inactive"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 window frames: running revenue per customer over order date
+# (rows between unbounded preceding and current row, deterministic
+# tie-break on orderkey).
+# ---------------------------------------------------------------------------
+@query(
+    "q18_running_revenue",
+    oracle="""
+    SELECT
+      o_custkey, o_orderkey, o_orderdate,
+      CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend,
+      CAST(ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+    FROM orders
+    """,
+)
+def q18_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum(_dec("o_totalprice", 12)).over(run), 2)
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 per-group argmin via window (correlated-subquery shape): cheapest
+# part per brand. Window + filter beats a self-join-on-min at scale.
+# ---------------------------------------------------------------------------
+@query(
+    "q19_cheapest_part_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name, p_retailprice FROM (
+      SELECT p_brand, p_partkey, p_name, p_retailprice,
+        ROW_NUMBER() OVER (
+          PARTITION BY p_brand ORDER BY p_retailprice ASC, p_partkey ASC) AS rn
+      FROM part
+    ) WHERE rn = 1
+    """,
+)
+def q19_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").asc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    )

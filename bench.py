@@ -35,6 +35,14 @@ BENCH_QUERIES = [
     "q04_priority_semijoin",
     "q11_top_orders_per_customer",
     "q13_events_json",
+    "q22_scd2_merge_customer",
+    "q30_fact_lineitem",
+    "q41_exact_dedup",
+    "q44_ngram_jaccard_pairs",
+    "q45_minhash_lsh_pairs",
+    "q50_knn_bruteforce",
+    "q60_events_tumbling_1h",
+    "q61_user_sessions",
 ]
 
 
