@@ -1,0 +1,102 @@
+"""Data-quality gates — the reference's runtime defensive checks as
+first-class operators.
+
+Reference has three ad-hoc guards (SURVEY §5): SCD-column presence
+(``jobs/final_dim_load.py:97-101``), key-overlap ``exit(1)``
+(``jobs/final_fact_load.py:56-58``; ours is facts.check_key_overlap),
+and non-empty output (``:145``). Generalized here:
+
+- :func:`validate_schema` — column presence + exact type check against
+  an expected ``StructType`` (driver-side, free: no job runs);
+- :func:`expect` — declarative row-level rules (not-null, unique key,
+  accepted values, ranges) evaluated in ONE pass over the data,
+  returning per-rule violation counts; :func:`assert_expectations`
+  raises if any rule fails.
+
+Scale: all rules are fused into a single aggregate (one scan, one
+reduce) rather than one action per rule — at 100 TB, N separate
+``count()`` guards would each rescan the table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class SchemaValidationError(ValueError):
+    pass
+
+
+class ExpectationError(ValueError):
+    pass
+
+
+def validate_schema(
+    df: DataFrame, expected: T.StructType, allow_extra: bool = True
+) -> None:
+    """Check column presence and exact Spark types; raises with the full
+    list of problems (not just the first)."""
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    problems: list[str] = []
+    for f in expected.fields:
+        if f.name not in actual:
+            problems.append(f"missing column: {f.name} ({f.dataType.simpleString()})")
+        elif actual[f.name] != f.dataType:
+            problems.append(
+                f"type mismatch for {f.name}: expected "
+                f"{f.dataType.simpleString()}, got {actual[f.name].simpleString()}"
+            )
+    if not allow_extra:
+        extra = set(actual) - {f.name for f in expected.fields}
+        problems.extend(f"unexpected column: {c}" for c in sorted(extra))
+    if problems:
+        raise SchemaValidationError("; ".join(problems))
+
+
+def expect(
+    df: DataFrame,
+    not_null: Sequence[str] = (),
+    unique_key: Sequence[str] | None = None,
+    accepted_values: dict[str, Sequence] | None = None,
+    ranges: dict[str, tuple[float | None, float | None]] | None = None,
+) -> dict[str, int]:
+    """Evaluate all rules in one pass; returns rule -> violation count.
+
+    ``unique_key`` needs its own aggregation (count distinct over the
+    key) — still a single extra job, not one per column.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__total")]
+    for c in not_null:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"not_null:{c}"))
+    for c, vals in (accepted_values or {}).items():
+        bad = ~F.col(c).isin(*list(vals)) | F.col(c).isNull()
+        aggs.append(F.sum(bad.cast("long")).alias(f"accepted_values:{c}"))
+    for c, (lo, hi) in (ranges or {}).items():
+        cond = F.lit(False)
+        if lo is not None:
+            cond = cond | (F.col(c) < lo)
+        if hi is not None:
+            cond = cond | (F.col(c) > hi)
+        aggs.append(F.sum(cond.cast("long")).alias(f"range:{c}"))
+
+    row = df.agg(*aggs).first().asDict()
+    total = row.pop("__total")
+    result = {k: int(v or 0) for k, v in row.items()}
+
+    if unique_key:
+        n_keys = df.select(*unique_key).distinct().count()
+        result[f"unique_key:{','.join(unique_key)}"] = total - n_keys
+    return result
+
+
+def assert_expectations(df: DataFrame, **rules) -> None:
+    """Raise ExpectationError listing every failed rule."""
+    violations = {k: v for k, v in expect(df, **rules).items() if v > 0}
+    if violations:
+        raise ExpectationError(
+            "; ".join(f"{k}: {v} violating rows" for k, v in sorted(violations.items()))
+        )

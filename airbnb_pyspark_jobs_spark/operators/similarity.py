@@ -132,6 +132,51 @@ def lsh_bucket_ann(
     )
 
 
+def cosine_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    use_lsh: bool = False,
+    num_planes: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
+
+    Exact mode is an all-pairs self-join — the ground truth, O(n²), fine
+    for verification SFs. ``use_lsh=True`` restricts pairs to the same
+    random-hyperplane bucket first (the 100 TB path: candidate volume
+    drops ~2^planes). CAVEAT: single-bucket LSH recall is
+    ``(1 - θ/π)^num_planes`` — near 1 only for genuinely near-duplicate
+    pairs (cos_sim ≳ 0.9). For low thresholds (≲0.6) recall collapses
+    (measured 0/14 at t=0.45 with 4 planes on the test corpus); use
+    multi-probe/multi-table banding or the exact mode there.
+    """
+    e = corpus.select(
+        F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+    )
+    if use_lsh:
+        planes = [hyperplane(j, dims) for j in range(num_planes)]
+        e = e.withColumn("__bucket", _bucket_expr(F.col("v"), planes))
+        join_on = [
+            F.col("a.__bucket") == F.col("b.__bucket"),
+            F.col("a.id") < F.col("b.id"),
+        ]
+    else:
+        join_on = [F.col("a.id") < F.col("b.id")]
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), on=join_on)
+        .select(
+            F.col("a.id").alias("vec_id_a"),
+            F.col("b.id").alias("vec_id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), round_digits).alias("cos_sim"),
+        )
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold)
+
+
 def cosine_pandas_scores(
     corpus: DataFrame,
     queries_pd,

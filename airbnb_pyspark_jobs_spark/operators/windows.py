@@ -28,10 +28,22 @@ def tumbling_agg(
     group_cols: list[str],
     aggs: list[Column],
     ts_col: str = "ts",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Fixed-window aggregation; emits ``window_start``/``window_end``."""
+    """Fixed-window aggregation; emits ``window_start``/``window_end``.
+
+    With ``slide`` < ``duration`` this becomes a sliding (hopping)
+    window: each event lands in duration/slide windows (Spark expands
+    this row-side before the aggregation — shuffle volume scales by the
+    overlap factor; keep duration/slide small at scale).
+    """
+    w = (
+        F.window(F.col(ts_col), duration, slide)
+        if slide
+        else F.window(F.col(ts_col), duration)
+    )
     return (
-        events.groupBy(F.window(F.col(ts_col), duration).alias("w"), *group_cols)
+        events.groupBy(w.alias("w"), *group_cols)
         .agg(*aggs)
         .withColumn("window_start", F.col("w.start"))
         .withColumn("window_end", F.col("w.end"))

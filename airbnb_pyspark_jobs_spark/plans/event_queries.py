@@ -83,3 +83,34 @@ def q60_events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q61_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
     return session_stats(sessionize(events, gap="30 minutes"))
+
+
+# ---------------------------------------------------------------------------
+# q62 sliding (hopping) windows: 1-hour windows every 30 minutes — each
+# event contributes to exactly 2 windows. The oracle expands the overlap
+# explicitly (UNION ALL of the two epoch-aligned 30-min offsets).
+# ---------------------------------------------------------------------------
+@query(
+    "q62_events_sliding_1h_30m",
+    oracle="""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type
+      FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q62_events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    out = tumbling_agg(
+        events,
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n_events")],
+        slide="30 minutes",
+    )
+    return out.select("window_start", "event_type", "n_events")

@@ -89,3 +89,29 @@ def q51_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_planes=_PLANES,
         dims=_DIMS,
     )
+
+
+# ---------------------------------------------------------------------------
+# q52 embedding-cosine near-dup pairs (exact all-pairs ground truth).
+# Threshold 0.45 sits inside this corpus's cosine range (max ≈ 0.51) so
+# the check is non-vacuous; production near-dup thresholds (0.9+) yield
+# the empty set here.
+# ---------------------------------------------------------------------------
+_DUP_T = 0.45
+
+_Q52_ORACLE = f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT a.id AS vec_id_a, b.id AS vec_id_b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+  FROM e a JOIN e b ON a.id < b.id
+)
+SELECT vec_id_a, vec_id_b, cos_sim FROM p WHERE cos_sim >= {_DUP_T}
+"""
+
+
+@query("q52_embedding_near_dup", oracle=_Q52_ORACLE)
+def q52_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.cosine_dup_pairs(emb, threshold=_DUP_T)

@@ -1,0 +1,73 @@
+"""Quality-gate operator tests (single-pass rule evaluation)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from airbnb_pyspark_jobs_spark.operators.quality import (
+    ExpectationError,
+    SchemaValidationError,
+    assert_expectations,
+    expect,
+    validate_schema,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", -5.0), (3, None, 200.0), (3, "a", 50.0)],
+        "id long, cat string, score double",
+    )
+
+
+def test_validate_schema_ok(df):
+    validate_schema(
+        df,
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("cat", T.StringType()),
+            ]
+        ),
+    )
+
+
+def test_validate_schema_reports_all_problems(df):
+    exp = T.StructType(
+        [
+            T.StructField("id", T.StringType()),  # wrong type
+            T.StructField("missing", T.LongType()),  # absent
+        ]
+    )
+    with pytest.raises(SchemaValidationError) as e:
+        validate_schema(df, exp)
+    assert "type mismatch for id" in str(e.value)
+    assert "missing column: missing" in str(e.value)
+
+
+def test_expect_single_pass_rules(df):
+    v = expect(
+        df,
+        not_null=["cat"],
+        unique_key=["id"],
+        accepted_values={"cat": ["a", "b"]},
+        ranges={"score": (0, 100)},
+    )
+    assert v["not_null:cat"] == 1
+    assert v["unique_key:id"] == 1  # id=3 twice
+    assert v["accepted_values:cat"] == 1  # the null
+    assert v["range:score"] == 2  # -5 and 200
+
+
+def test_assert_expectations_raises_with_all_failures(df):
+    with pytest.raises(ExpectationError) as e:
+        assert_expectations(df, not_null=["cat"], ranges={"score": (0, 100)})
+    assert "not_null:cat: 1" in str(e.value)
+    assert "range:score: 2" in str(e.value)
+
+
+def test_assert_expectations_passes_clean(spark):
+    clean = spark.createDataFrame([(1, "a")], "id long, cat string")
+    assert_expectations(clean, not_null=["id", "cat"], unique_key=["id"])
