@@ -231,3 +231,175 @@ def q19_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("p_brand", "p_partkey", "p_name", "p_retailprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# q03 shipping priority (TPC-H Q3 shape): selective date predicates on both
+# join sides (pushed into both scans), 3-way join, agg, deterministic top-k.
+# ---------------------------------------------------------------------------
+@query(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l_orderkey, revenue, o_orderdate FROM (
+      SELECT
+        l.l_orderkey,
+        CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+        SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS rev_exact,
+        o.o_orderdate
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-03-15'
+        AND l.l_shipdate > TIMESTAMP '1998-03-15'
+      GROUP BY l.l_orderkey, o.o_orderdate
+      ORDER BY rev_exact DESC, l_orderkey ASC
+      LIMIT 10
+    )
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    rev = _dec("l_extendedprice", 12) * (F.lit(1) - _dec("l_discount", 4))
+    agg = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("rev_exact"))
+    )
+    return (
+        agg.orderBy(F.col("rev_exact").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", _money(F.col("rev_exact"), "revenue"), "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06 forecast revenue change (TPC-H Q6 shape): pure selective-filter
+# aggregate — the predicate-pushdown/row-group-pruning showcase: the plan
+# must be FileScan(with PushedFilters) -> partial agg -> final agg.
+# ---------------------------------------------------------------------------
+@query(
+    "q06_forecast_revenue",
+    oracle="""
+    SELECT
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue_delta,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _money(F.sum(_dec("l_extendedprice", 12) * _dec("l_discount", 4)), "revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 nation-to-nation trade flows (TPC-H Q7 shape): the SAME dimension
+# (nation) joined twice under different aliases — supplier nation ×
+# customer nation — plus a year extraction. Exercises supplier.
+# ---------------------------------------------------------------------------
+@query(
+    "q07_nation_trade_flows",
+    oracle="""
+    SELECT
+      sn.n_name AS supp_nation,
+      cn.n_name AS cust_nation,
+      CAST(year(l.l_shipdate) AS INT) AS ship_year,
+      CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    WHERE sn.n_name IN ('FRANCE', 'GERMANY') AND cn.n_name IN ('FRANCE', 'GERMANY')
+      AND sn.n_name <> cn.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def q07_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("FRANCE", "GERMANY"))
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("FRANCE", "GERMANY"))
+    rev = _dec("l_extendedprice", 12) * (F.lit(1) - _dec("l_discount", 4))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(_money(F.sum(rev), "volume"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q08 array aggregation: per customer segment, the SORTED set of order
+# priorities used (collect_set → sort_array for deterministic arrays).
+# ---------------------------------------------------------------------------
+@query(
+    "q08_priority_sets",
+    oracle="""
+    SELECT
+      c.c_mktsegment,
+      array_to_string(list_sort(list(DISTINCT o.o_orderpriority)), '|') AS priorities,
+      COUNT(DISTINCT o.o_orderpriority) AS n_priorities
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def q08_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            # the sorted set is built as an ARRAY (collect_set+sort_array)
+            # and serialized to a string only for the cross-engine compare
+            # (array/list dtypes round-trip differently through pandas)
+            F.concat_ws("|", F.sort_array(F.collect_set("o_orderpriority"))).alias(
+                "priorities"
+            ),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+    )

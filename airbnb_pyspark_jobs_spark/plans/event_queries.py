@@ -114,3 +114,37 @@ def q62_events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         slide="30 minutes",
     )
     return out.select("window_start", "event_type", "n_events")
+
+
+# ---------------------------------------------------------------------------
+# q63 schema-on-read JSON: from_json with an explicit struct schema (vs
+# q13's path extraction) — typed semi-structured decoding, JVM-side.
+# ---------------------------------------------------------------------------
+@query(
+    "q63_props_from_json",
+    oracle="""
+    SELECT
+      event_type,
+      CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+        / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
+      COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q63_props_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    events = load_table(spark, "events", sf_dir)
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = events.select(
+        "event_type", F.from_json("props", schema).alias("p")
+    ).select("event_type", F.col("p.k").alias("k"))
+    return parsed.groupBy("event_type").agg(
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+        F.sum(F.col("k").isNull().cast("long")).alias("n_missing"),
+    )

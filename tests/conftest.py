@@ -21,7 +21,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="tests", profile="local", shuffle_partitions=8)
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="spark_wh_")
+    spark = get_spark(
+        app_name="tests",
+        profile="local",
+        shuffle_partitions=8,
+        extra_conf={
+            # keep saveAsTable/derby artifacts out of the repo
+            "spark.sql.warehouse.dir": wh,
+            "spark.driver.extraJavaOptions": f"-Dderby.system.home={wh}",
+        },
+    )
     yield spark
 
 

@@ -1,0 +1,50 @@
+"""applyInPandasWithState: per-user running totals must accumulate ACROSS
+micro-batches (two files, one per trigger) and converge to the batch
+ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_pyspark_jobs_spark.sources.registry import load_table
+from airbnb_pyspark_jobs_spark.streaming.events import read_event_stream
+from airbnb_pyspark_jobs_spark.streaming.stateful import running_user_totals
+from tests.conftest import SF_DIR
+
+
+def test_running_totals_accumulate_across_batches(spark, tmp_path):
+    events = load_table(spark, "events", SF_DIR)
+    src = str(tmp_path / "events_2files")
+    # exactly 2 files -> 2 micro-batches with maxFilesPerTrigger=1
+    events.repartition(2).write.mode("overwrite").parquet(src)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    out = running_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batches = spark.sql("SELECT * FROM running").collect()
+
+    # ground truth from batch
+    want = {
+        r.user_id: (r.n, round(r.total, 2))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    # the LAST emission per user must equal the full batch totals
+    last: dict[int, tuple] = {}
+    for r in batches:  # memory sink appends update-mode emissions in order
+        last[r.user_id] = (r.n_events, r.total_value)
+    assert set(last) == set(want)
+    off = [u for u in want if abs(last[u][1] - want[u][1]) > 0.01 or last[u][0] != want[u][0]]
+    assert not off, f"users with wrong final totals: {off[:5]}"
+    # state REALLY crossed batches: some user must have been emitted twice
+    assert len(batches) > len(want), "expected multiple emissions for some users"
