@@ -132,6 +132,80 @@ def lsh_bucket_ann(
     )
 
 
+def ivf_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: inverted lists by nearest centroid.
+
+    Centroids here are the first ``n_centroids`` corpus vectors by id —
+    a deterministic, training-free stand-in for k-means (at scale:
+    sample + k-means|| on the driver or MLlib, then broadcast). Corpus
+    vectors are assigned to their nearest centroid's list (1 assignment
+    each); queries probe their ``n_probe`` nearest lists; similarity is
+    computed only against those lists' members.
+
+    Scale: the corpus-side assignment is a broadcast crossJoin against
+    n_centroids rows + a partitioned argmin window; the search join is
+    an equi-join on list id — candidates shrink ~n_probe/n_centroids.
+    Recall depends on list boundary effects, measured in tests vs
+    knn_bruteforce.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__qv")
+    )
+    cent = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), to_double_array(vec_col).alias("__cenv")
+    )
+
+    def assign(df: DataFrame, vcol: str, idcol: str, keep_n: int) -> DataFrame:
+        sims = (
+            df.crossJoin(F.broadcast(cent))
+            .select(
+                idcol,
+                vcol,
+                "cid",
+                F.round(cosine(F.col(vcol), F.col("__cenv")), round_digits).alias("__csim"),
+            )
+        )
+        w = Window.partitionBy(idcol).orderBy(F.col("__csim").desc(), F.col("cid").asc())
+        return (
+            sims.withColumn("__crn", F.row_number().over(w))
+            .filter(F.col("__crn") <= keep_n)
+            .drop("__csim", "__crn")
+        )
+
+    c_assigned = assign(c, "__cv", "neighbor_id", 1)
+    q_probes = assign(q, "__qv", "query_id", n_probe)
+
+    sims = (
+        c_assigned.join(F.broadcast(q_probes), on="cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits).alias("cos_sim"),
+        )
+        # no dedup needed: each corpus vector lives in exactly ONE list,
+        # so a (query, neighbor) pair can arise from at most one probe
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return sims.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rn") <= k
+    )
+
+
 def cosine_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,

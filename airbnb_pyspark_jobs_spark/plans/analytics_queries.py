@@ -234,6 +234,31 @@ def q19_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q09 exact percentiles: median/p90 order value per priority. Spark's
+# exact `percentile` uses the same linear interpolation as DuckDB's
+# quantile_cont — verified bitwise-identical on this data.
+# ---------------------------------------------------------------------------
+@query(
+    "q09_order_value_percentiles",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      quantile_cont(o_totalprice, 0.5) AS p50,
+      quantile_cont(o_totalprice, 0.9) AS p90,
+      COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def q09_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q03 shipping priority (TPC-H Q3 shape): selective date predicates on both
 # join sides (pushed into both scans), 3-way join, agg, deterministic top-k.
 # ---------------------------------------------------------------------------

@@ -115,3 +115,62 @@ SELECT vec_id_a, vec_id_b, cos_sim FROM p WHERE cos_sim >= {_DUP_T}
 def q52_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return SIM.cosine_dup_pairs(emb, threshold=_DUP_T)
+
+
+# ---------------------------------------------------------------------------
+# q53 IVF ANN: inverted lists by nearest (training-free) centroid,
+# n_probe nearest lists searched per query. The oracle reproduces
+# centroid assignment, probing and in-list top-k exactly.
+# ---------------------------------------------------------------------------
+_NCENT, _NPROBE, _K_IVF = 8, 2, 3
+
+_Q53_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cenv FROM e WHERE vec_id < {_NCENT}),
+c_assign AS (
+  SELECT vec_id AS neighbor_id, v AS cv, cid FROM (
+    SELECT e.vec_id, e.v, cent.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        round(list_dot_product(e.v, cent.cenv)
+              / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cenv, cent.cenv))), 4) DESC,
+        cent.cid ASC) AS crn
+    FROM e, cent
+  ) WHERE crn = 1
+),
+q_probe AS (
+  SELECT vec_id AS query_id, v AS qv, cid FROM (
+    SELECT e.vec_id, e.v, cent.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        round(list_dot_product(e.v, cent.cenv)
+              / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cenv, cent.cenv))), 4) DESC,
+        cent.cid ASC) AS crn
+    FROM e, cent
+    WHERE e.vec_id < {_NQ}
+  ) WHERE crn <= {_NPROBE}
+),
+sims AS (
+  SELECT q.query_id, c.neighbor_id,
+    round(list_dot_product(q.qv, c.cv)
+          / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 4) AS cos_sim
+  FROM q_probe q JOIN c_assign c USING (cid)
+  WHERE q.query_id != c.neighbor_id
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rn
+  FROM sims
+)
+SELECT query_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= {_K_IVF}
+"""
+
+
+@query("q53_ann_ivf", oracle=_Q53_ORACLE)
+def q53_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.ivf_ann(
+        emb,
+        emb.filter(F.col("vec_id") < _NQ),
+        k=_K_IVF,
+        n_centroids=_NCENT,
+        n_probe=_NPROBE,
+    )
