@@ -65,22 +65,28 @@ def main() -> None:
     bench = [q for q in BENCH_QUERIES if q in QUERIES]
     # Warm the JVM/scan path once with the cheapest query so JIT/class
     # loading doesn't dominate the first measured query.
-    run_query(spark, bench[0])
+    try:
+        run_query(spark, bench[0])
+    except Exception:
+        pass
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in bench:
-        times[name] = round(run_query(spark, name), 3)
+        try:
+            times[name] = round(run_query(spark, name), 3)
+        except Exception as e:  # a broken query must not sink the whole bench
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

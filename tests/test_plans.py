@@ -1,0 +1,99 @@
+"""Physical-plan property tests: the plan shapes that make these queries
+scale must survive refactors.
+
+Each assertion encodes a scale invariant from README/SURVEY §7:
+filters reach the parquet scan, constant-size dims broadcast, aggregates
+partial-aggregate map-side, top-k never global-sorts, windows are
+partitioned, hive partitioning prunes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_pyspark_jobs_spark.plans import QUERIES
+from airbnb_pyspark_jobs_spark.sources.registry import load_table
+from tests.conftest import SF_DIR
+
+
+def _executed_plan(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q06_filters_pushed_to_scan(spark):
+    """Selective predicates must appear as PushedFilters in the scan."""
+    df = QUERIES["q06_forecast_revenue"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "PushedFilters: [" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan or col in plan.split("PushedFilters")[1][:400]
+
+
+def test_q06_column_pruning(spark):
+    """The scan must read only the needed columns, not all 11."""
+    df = QUERIES["q06_forecast_revenue"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema and "l_discount" in read_schema
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_q05_broadcasts_dims_and_partial_aggregates(spark):
+    df = QUERIES["q05_revenue_by_region"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # nation+region at minimum
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert "SortMergeJoin" not in plan or plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q10_topk_uses_heap_not_global_sort(spark):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a full Sort of the aggregate output."""
+    df = QUERIES["q10_top_customers"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [revenue_exact" not in plan
+
+
+def test_q11_window_is_partitioned(spark):
+    """The rank window must hash-partition by customer — no global
+    single-partition window (the reference's W1 hazard)."""
+    df = QUERIES["q11_top_orders_per_customer"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "Window" in plan
+    assert "hashpartitioning(o_custkey" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_scd2_no_global_window_or_collect(spark):
+    """SCD2 merge plan: no Window at all (content-hash keys), and the
+    natural-key joins hash-partition."""
+    df = QUERIES["q22_scd2_merge_customer"](spark, SF_DIR)
+    plan = _optimized_plan(df)
+    assert "Window" not in plan
+    assert "monotonically_increasing_id" not in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned parquet + a partition predicate → the scan must
+    list only matching partitions (PartitionFilters, pruned count)."""
+    events = load_table(spark, "events", SF_DIR).withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    events.write.partitionBy("day").mode("overwrite").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("day") == "2024-01-05")
+    plan = _executed_plan(df)
+    # the partition predicate must be a PartitionFilter (metadata-level,
+    # zero data read for other days), not a post-scan Filter
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "day" in pf
+    want = events.filter(F.col("day") == "2024-01-05").count()
+    assert df.count() == want > 0
