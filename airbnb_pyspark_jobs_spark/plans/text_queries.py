@@ -149,8 +149,10 @@ def q44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidates, verification) — not just the final answer.
 # ---------------------------------------------------------------------------
 _NH, _BANDS, _RPB = 8, 2, 4
+# sliced MinHash: hash j = min over shingles of md5(s)[4(j-1)+1 : +4]
+# (must mirror operators/dedupe._minhash_aggs exactly)
 _mins = ",\n    ".join(
-    f"min(md5('{j}|' || s)) AS h{j}" for j in range(1, _NH + 1)
+    f"min(substr(md5(s), {1 + 4 * (j - 1)}, 4)) AS h{j}" for j in range(1, _NH + 1)
 )
 _band_exprs = ",\n    ".join(
     "md5(" + " || '|' || ".join(f"h{b * _RPB + j}" for j in range(1, _RPB + 1)) + f") AS b{b}"

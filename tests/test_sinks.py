@@ -1,0 +1,36 @@
+"""Warehouse sink tests: parquet layout + BigQuery fail-fast."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from airbnb_pyspark_jobs_spark.sources.sinks import (
+    BigQueryWarehouseSink,
+    ParquetWarehouseSink,
+)
+
+
+def test_parquet_warehouse_layout(spark, tmp_path):
+    sink = ParquetWarehouseSink(root=str(tmp_path / "wh"))
+    df = spark.range(10).withColumnRenamed("id", "k")
+    sink.write(df, "dim_demo")
+    out = spark.read.parquet(str(tmp_path / "wh" / "dim_demo"))
+    assert out.count() == 10
+
+
+def test_parquet_warehouse_partitioned(spark, tmp_path):
+    sink = ParquetWarehouseSink(root=str(tmp_path / "wh"), partition_by=("p",))
+    df = spark.range(20).selectExpr("id AS k", "CAST(id % 2 AS INT) AS p")
+    sink.write(df, "fact_demo")
+    base = str(tmp_path / "wh" / "fact_demo")
+    assert sorted(d for d in os.listdir(base) if d.startswith("p=")) == ["p=0", "p=1"]
+
+
+def test_bigquery_sink_fails_fast_without_connector(spark):
+    sink = BigQueryWarehouseSink(dataset="d", temporary_gcs_bucket="b")
+    df = spark.range(1)
+    with pytest.raises(Exception) as e:
+        sink.write(df, "t")
+    assert "bigquery" in str(e.value).lower() or "connector" in str(e.value).lower()
