@@ -138,6 +138,43 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     return F.array_distinct(sh)
 
 
+def kgram_hashes(text: Column | str, k: int = 8) -> Column:
+    """Character k-gram hash array of a (pre-normalized, pre-PROJECTED)
+    text column: element i = first-8-hex of md5 of chars [i, i+k)."""
+    t = F.col(text) if isinstance(text, str) else text
+    n = F.length(t)
+    gram_idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(
+        gram_idx,
+        lambda i: F.conv(F.substring(F.md5(t.substr(i, F.lit(k))), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+    )
+
+
+def window_minima(hashes: Column | str, w: int = 4) -> Column:
+    """Winnowing step: DISTINCT minima of sliding windows (size ``w``)
+    over a hash array (Schleimer/Wilkerson/Aiken). A shared substring of
+    length >= k+w-1 guarantees a shared fingerprint, so near-duplicate
+    fragments reduce to a fingerprint equality join.
+
+    CRITICAL PERF: ``hashes`` MUST be a projected column, never the
+    :func:`kgram_hashes` expression inlined — inlined, the whole k-gram
+    array is recomputed per window element (O(n²) md5 calls; measured
+    ~300× slowdown)."""
+    h = F.col(hashes) if isinstance(hashes, str) else hashes
+    m = F.size(h)
+    win_idx = F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1)))
+    minima = F.transform(win_idx, lambda j: F.array_min(F.slice(h, j, w)))
+    return F.array_distinct(minima)
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Lowercase + whitespace-collapse (the fingerprint normal form)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(text)), _WS, " ")
+
+
 def portable_hash_int(c: Column | str, seed: str = "") -> Column:
     """BIGINT hash reproducible in DuckDB:
     Spark  : conv(substr(md5(seed || x), 1, 8), 16, 10)

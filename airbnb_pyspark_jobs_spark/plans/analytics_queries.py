@@ -234,6 +234,40 @@ def q19_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q24 monthly revenue trend with month-over-month delta: date_trunc to
+# month + lag window. Division avoided in the delta (exact decimal sub).
+# ---------------------------------------------------------------------------
+@query(
+    "q24_monthly_revenue_trend",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT
+      month,
+      CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+      CAST(ROUND(rev - lag(rev) OVER (ORDER BY month), 2) AS DOUBLE) AS mom_delta
+    FROM m
+    """,
+)
+def q24_monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(_dec("o_totalprice", 12)).alias("rev")
+    )
+    # ~84 months total: a single-partition lag window over the AGGREGATED
+    # series is fine at any source scale (cardinality is months, not rows)
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+        F.round(F.col("rev") - F.lag("rev").over(w), 2).cast("double").alias("mom_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q09 exact percentiles: median/p90 order value per priority. Spark's
 # exact `percentile` uses the same linear interpolation as DuckDB's
 # quantile_cont — verified bitwise-identical on this data.

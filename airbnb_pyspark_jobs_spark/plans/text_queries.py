@@ -240,3 +240,50 @@ SELECT doc_id, CAST({_sim_expr} AS BIGINT) AS simhash FROM bits
 @query("q46_simhash", oracle=_Q46_ORACLE)
 def q46_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_signatures(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q47 winnowing fingerprints: distinct sliding-window minima over char
+# k-gram hashes (k=8, w=4) of normalized text — robust local
+# fingerprinting; shared substrings >= k+w-1 chars guarantee a shared
+# fingerprint. Exploded to (doc_id, fp) rows: near-dup fragments are then
+# a fingerprint equality JOIN, not an all-pairs scan.
+# ---------------------------------------------------------------------------
+_WK, _WW = 8, 4
+
+_Q47_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    list_transform(
+      range(1, greatest(length(t) - {_WK - 1}, 1) + 1),
+      i -> CAST('0x' || substr(md5(substr(t, i, {_WK})), 1, 8) AS BIGINT)
+    ) AS hs
+  FROM norm
+),
+mins AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(len(hs) - {_WW - 1}, 1) + 1),
+      j -> list_min(hs[j:j+{_WW - 1}])
+    )) AS fps
+  FROM h
+)
+SELECT doc_id, CAST(UNNEST(fps) AS BIGINT) AS fp FROM mins
+"""
+
+
+@query("q47_winnowing_fingerprints", oracle=_Q47_ORACLE)
+def q47_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    # three staged projections: normalize once, hash once, THEN window-min
+    # (each array referenced multiply downstream → CollapseProject keeps
+    # the stages; inlining would recompute the hash array per window)
+    norm = docs.select("doc_id", TX.normalize_text("text").alias("__t"))
+    hashed = norm.select("doc_id", TX.kgram_hashes("__t", k=_WK).alias("__h"))
+    return hashed.select(
+        "doc_id", F.explode(TX.window_minima("__h", w=_WW)).alias("fp")
+    )

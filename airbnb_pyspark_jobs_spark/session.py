@@ -50,8 +50,12 @@ PROFILES: dict[str, dict[str, str]] = {
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(50 * 1024 * 1024),
     },
-    # Local test/bench profile for this container.
+    # Local test/bench profile for this container (single JVM = driver;
+    # the container has 128 GiB, so size the JVM for real workloads —
+    # the 1g default GC-thrashes on multi-million-row broadcasts; 8g is
+    # noise-equivalent to 4g/16g on the bench but broadcast-safe).
     "local": {
+        "spark.driver.memory": "8g",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
