@@ -63,13 +63,21 @@ def clean_money(c: Column | str, precision: int = 10, scale: int = 2) -> Column:
 
 
 def clamp_non_negative(df: DataFrame, cols: Sequence[str]) -> DataFrame:
-    """Clamp negative values to 0 across ``cols`` (vectorized greatest).
+    """Clamp negative values to 0 across ``cols``, PRESERVING nulls
+    (null policy belongs to ``fill_defaults``, not the clamp — and the
+    reference's ``when(col<0, 0).otherwise(col)`` keeps nulls too;
+    ``greatest(col, 0)`` would silently coerce null→0).
 
     One ``withColumns`` call → a single Project node regardless of column
     count (the reference loops ``withColumn`` per column).
     """
     return df.withColumns(
-        {name: F.greatest(F.col(name), F.lit(0).cast(df.schema[name].dataType)) for name in cols}
+        {
+            name: F.when(F.col(name) < 0, F.lit(0).cast(df.schema[name].dataType)).otherwise(
+                F.col(name)
+            )
+            for name in cols
+        }
     )
 
 

@@ -174,3 +174,38 @@ def q53_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=_NCENT,
         n_probe=_NPROBE,
     )
+
+
+# ---------------------------------------------------------------------------
+# q54 grouped-map (applyInPandas): per-label centroid + per-vector L2
+# residual — a whole-group NumPy matrix op in one shuffle. The oracle
+# reproduces it relationally (unnest per dim → avg → rejoin), which is
+# exactly the two-shuffle plan applyInPandas avoids.
+# ---------------------------------------------------------------------------
+_Q54_ORACLE = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (
+  SELECT vec_id, label, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM e
+),
+cent AS (SELECT label, d, AVG(x) AS cx FROM ex GROUP BY label, d),
+res AS (
+  SELECT ex.vec_id, ex.label, sqrt(SUM((ex.x - cent.cx) * (ex.x - cent.cx))) AS r
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.d = cent.d
+  GROUP BY ex.vec_id, ex.label
+),
+sizes AS (SELECT label, COUNT(*) AS group_size FROM e GROUP BY label)
+SELECT
+  CAST(res.label AS INT) AS label,
+  res.vec_id,
+  round(res.r, 4) AS residual,
+  sizes.group_size
+FROM res JOIN sizes ON res.label = sizes.label
+"""
+
+
+@query("q54_label_residuals", oracle=_Q54_ORACLE)
+def q54_label_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.grouped import label_centroid_residuals
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return label_centroid_residuals(emb)

@@ -53,6 +53,10 @@ def _sf_from_dir(path: str) -> float:
 
 def run_query(spark, name: str) -> float:
     fn = QUERIES[name]
+    # each measured run is self-contained: operators that persist()
+    # intermediates (SCD2, dedup) must repopulate their own cache, so
+    # repeat runs measure real work, not a warm cache.
+    spark.catalog.clearCache()
     t0 = time.perf_counter()
     df = fn(spark, SF_DIR)
     df.write.format("noop").mode("overwrite").save()
@@ -69,11 +73,14 @@ def main() -> None:
         run_query(spark, bench[0])
     except Exception:
         pass
+    # best-of-2 per query: measures steady-state plan execution rather
+    # than first-run JIT/page-cache noise (run-to-run variance on this
+    # box is ±30%; the plan cost itself is stable).
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in bench:
         try:
-            times[name] = round(run_query(spark, name), 3)
+            times[name] = round(min(run_query(spark, name) for _ in range(2)), 3)
         except Exception as e:  # a broken query must not sink the whole bench
             errors[name] = f"{type(e).__name__}: {e}"[:200]
     total = round(sum(times.values()), 3)
