@@ -81,6 +81,42 @@ def streaming_dedupe(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a (small) static
+    dimension. The static side is broadcast per micro-batch — no
+    stateful join, no watermark needed; the canonical pattern for
+    dimension lookups in a pipeline (stream-STREAM joins need watermarks
+    on both sides instead)."""
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def write_stream_foreach_batch(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    mode: str = "append",
+):
+    """foreachBatch parquet sink: gives each micro-batch a deterministic
+    batch_id and full batch-level DataFrame API (dedup, merge, multi-
+    sink) — the escape hatch when the built-in file sink's append-only
+    contract isn't enough. Returns the started StreamingQuery."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode(mode).parquet(path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_session_agg(
     stream: DataFrame,
     gap: str = "30 minutes",
