@@ -45,6 +45,9 @@ from airbnb_pyspark_jobs_spark.sources.csv import read_csv_typed
 
 # --- staging cast maps (jobs/csv_to_parquet.py:29-77, :89-96, :108-112) ---
 
+# Complete staged-column inventory per jobs/csv_to_parquet.py:29-77
+# (types from FIXTURES.md §A1). Feeds that extract a column subset pass
+# strict=False.
 LISTINGS_CAST_MAP: dict[str, str] = {
     "id": "string",
     "host_id": "string",
@@ -63,14 +66,39 @@ LISTINGS_CAST_MAP: dict[str, str] = {
     "beds": "int",
     "minimum_nights": "int",
     "maximum_nights": "int",
+    "minimum_minimum_nights": "int",
+    "maximum_minimum_nights": "int",
+    "minimum_maximum_nights": "int",
+    "maximum_maximum_nights": "int",
+    "minimum_nights_avg_ntm": "decimal(10,2)",
+    "maximum_nights_avg_ntm": "decimal(10,2)",
+    "calendar_updated": "date",
     "has_availability": "bool",
+    "availability_30": "int",
+    "availability_60": "int",
+    "availability_90": "int",
     "availability_365": "int",
+    "calendar_last_scraped": "date",
     "number_of_reviews": "int",
-    "review_scores_rating": "double",
-    "instant_bookable": "bool",
-    "host_listings_count": "int",
+    "number_of_reviews_ltm": "int",
+    "number_of_reviews_l30d": "int",
     "first_review": "date",
     "last_review": "date",
+    "review_scores_rating": "double",
+    "review_scores_accuracy": "double",
+    "review_scores_cleanliness": "double",
+    "review_scores_checkin": "double",
+    "review_scores_communication": "double",
+    "review_scores_location": "double",
+    "review_scores_value": "double",
+    "instant_bookable": "bool",
+    "calculated_host_listings_count": "int",
+    "calculated_host_listings_count_entire_homes": "int",
+    "calculated_host_listings_count_private_rooms": "int",
+    "calculated_host_listings_count_shared_rooms": "int",
+    "reviews_per_month": "decimal(10,2)",
+    "host_listings_count": "int",
+    "host_total_listings_count": "int",
 }
 
 CALENDAR_CAST_MAP: dict[str, str] = {
@@ -92,15 +120,17 @@ REVIEWS_CAST_MAP: dict[str, str] = {
 
 
 def stage_listings(spark: SparkSession, path: str) -> DataFrame:
-    return read_csv_typed(spark, path, LISTINGS_CAST_MAP)
+    # strict=False: the cast map is the FULL reference inventory; real
+    # extracts sometimes carry a column subset.
+    return read_csv_typed(spark, path, LISTINGS_CAST_MAP, strict=False)
 
 
 def stage_calendar(spark: SparkSession, path: str) -> DataFrame:
-    return read_csv_typed(spark, path, CALENDAR_CAST_MAP)
+    return read_csv_typed(spark, path, CALENDAR_CAST_MAP, strict=False)
 
 
 def stage_reviews(spark: SparkSession, path: str) -> DataFrame:
-    return read_csv_typed(spark, path, REVIEWS_CAST_MAP)
+    return read_csv_typed(spark, path, REVIEWS_CAST_MAP, strict=False)
 
 
 # --- dimensions (jobs/final_dim_load.py) ---

@@ -53,6 +53,7 @@ def read_csv_typed(
     path: str,
     cast_map: Mapping[str, str | T.DataType],
     keep_untyped: bool = True,
+    strict: bool = True,
     header: bool = True,
     multi_line: bool = True,
     quote: str = '"',
@@ -65,6 +66,10 @@ def read_csv_typed(
     cleansing casts ``"bool"`` / ``"money"``. Columns not in ``cast_map``
     are kept as raw strings when ``keep_untyped`` (the reference keeps
     e.g. ``host_name`` untouched) or dropped otherwise.
+
+    ``strict=True`` raises when a cast_map column is absent from the CSV;
+    ``strict=False`` casts whatever subset is present (feeds that pass a
+    superset cast map for partial extracts).
     """
     raw = (
         spark.read.option("header", header)
@@ -80,6 +85,6 @@ def read_csv_typed(
         elif keep_untyped:
             cols.append(F.col(name))
     missing = set(cast_map) - set(raw.columns)
-    if missing:
+    if missing and strict:
         raise ValueError(f"cast_map columns absent from CSV {path}: {sorted(missing)}")
     return raw.select(*cols)
