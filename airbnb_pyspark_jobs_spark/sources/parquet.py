@@ -45,6 +45,34 @@ def write_parquet(
     writer.parquet(path)
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    max_records_per_file: int | None = None,
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the hive partitions
+    present in ``df``, leaving all others untouched.
+
+    This is the incremental-maintenance primitive for date-partitioned
+    fact tables at 100 TB: a daily backfill rewrites yesterday's
+    partition(s) instead of the whole table (the reference's
+    ``mode("overwrite")`` full-refresh would). Static overwrite mode
+    (Spark's default) would DELETE every other partition — the conf is
+    scoped to this write and restored after.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        writer = df.write.mode("overwrite")
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def overwrite_with_barrier(
     df: DataFrame,
     path: str,

@@ -14,6 +14,7 @@ from airbnb_pyspark_jobs_spark.sources import (
     read_csv_typed,
     write_parquet,
 )
+from airbnb_pyspark_jobs_spark.sources.parquet import overwrite_partitions
 
 
 def test_read_csv_typed_rejects_missing_columns(spark, tmp_path):
@@ -43,6 +44,24 @@ def test_write_parquet_max_records_per_file(spark, tmp_path):
     files = glob.glob(os.path.join(p, "*.parquet"))
     assert len(files) == 10
     assert spark.read.parquet(p).count() == 1000
+
+
+def test_overwrite_partitions_is_incremental(spark, tmp_path):
+    """Dynamic partition overwrite replaces only the partitions present
+    in the incoming frame — the daily-backfill primitive."""
+    p = str(tmp_path / "fact")
+    full = spark.createDataFrame(
+        [(1, "d1", 10), (2, "d1", 20), (3, "d2", 30), (4, "d3", 40)],
+        "id long, day string, v int",
+    )
+    overwrite_partitions(full, p, ["day"])
+    # backfill: replace ONLY day=d2 with corrected rows
+    fix = spark.createDataFrame([(3, "d2", 99), (5, "d2", 100)], "id long, day string, v int")
+    overwrite_partitions(fix, p, ["day"])
+    got = {(r.id, r.day): r.v for r in spark.read.parquet(p).collect()}
+    assert got == {(1, "d1"): 10, (2, "d1"): 20, (3, "d2"): 99, (5, "d2"): 100, (4, "d3"): 40}
+    # conf restored (scoped override)
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
 
 
 def test_overwrite_with_barrier_self_referencing_lineage(spark, tmp_path):
