@@ -134,6 +134,12 @@ def scd2_merge(
     Dimensions are small relative to facts, so MEMORY_AND_DISK caching
     is the right default even at warehouse scale; pass False to keep the
     plan fully lazy.
+
+    Deletion semantics (reference parity): a natural key PRESENT in the
+    dimension but ABSENT from the snapshot keeps its current version
+    valid — the reference never expires disappeared keys
+    (jobs/final_dim_load.py treats the snapshot as upsert-only). Handle
+    hard deletes upstream by feeding a tombstone row if needed.
     """
     validate_scd2_schema(existing, spec)
     as_of_c = F.lit(as_of).cast("timestamp") if isinstance(as_of, str) else as_of

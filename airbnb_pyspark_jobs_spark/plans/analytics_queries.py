@@ -268,6 +268,38 @@ def q24_monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q26 unpivot via stack(): the q16 pivot reversed back to long form —
+# (bucket, event_type, total) rows. Pivot + unpivot round-trip closes
+# the reshaping surface; stack is pure Project (no shuffle).
+# ---------------------------------------------------------------------------
+@query(
+    "q26_unpivot_events",
+    oracle="""
+    SELECT
+      user_id % 10 AS user_bucket,
+      event_type,
+      CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q26_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES as _Q
+
+    wide = _Q["q16_pivot_events"](spark, sf_dir)
+    stack_expr = "stack({n}, {args}) AS (event_type, total_value)".format(
+        n=len(_EVENT_TYPES),
+        args=", ".join(f"'{t}', {t}" for t in _EVENT_TYPES),
+    )
+    # pivot emitted 0.0 for absent combinations; drop those to match the
+    # long-form groupBy (which has no row for absent combinations)
+    return (
+        wide.selectExpr("user_bucket", stack_expr)
+        .filter(F.col("total_value") != 0.0)
+    )
+
+
+# ---------------------------------------------------------------------------
 # q09 exact percentiles: median/p90 order value per priority. Spark's
 # exact `percentile` uses the same linear interpolation as DuckDB's
 # quantile_cont — verified bitwise-identical on this data.
