@@ -268,6 +268,39 @@ def q24_monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q27 cube: order counts over ALL subsets of (orderstatus, orderpriority)
+# — 4 grouping sets in one Expand+Aggregate pass (one shuffle).
+# ---------------------------------------------------------------------------
+@query(
+    "q27_cube_order_counts",
+    oracle="""
+    SELECT
+      COALESCE(o_orderstatus, 'ALL') AS status,
+      CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+      COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q27_cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("o_orderpriority").alias("__g"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.when(F.col("__g") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("priority"),
+            "n_orders",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q26 unpivot via stack(): the q16 pivot reversed back to long form —
 # (bucket, event_type, total) rows. Pivot + unpivot round-trip closes
 # the reshaping surface; stack is pure Project (no shuffle).
