@@ -80,6 +80,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs with similarity >= threshold.
 
@@ -87,12 +88,19 @@ def ngram_jaccard_pairs(
     sets. ``max_shingle_df`` drops shingles occurring in more than that
     many documents before pairing (both sizes and intersections are then
     computed over the filtered sets — consistent semantics).
+
+    Cache lifecycle: the shingle table is persisted (it feeds sizes +
+    both self-join sides) and the CALLER owns cleanup — unpersist after
+    materializing the result (``spark.catalog.clearCache()`` or rebuild
+    the session), or pass ``persist_shingles=False`` for long-lived
+    sessions that would otherwise accumulate cached intermediates.
     """
-    # The shingle table feeds sizes + both self-join sides: persist it so
-    # tokenize/shingle runs once (at cluster scale: cache to MEMORY_AND_DISK
-    # or checkpoint; same principle as the reference caching its dims,
-    # jobs/final_fact_load.py:20-22).
-    sh = shingle_table(docs, id_col, text_col, n).persist()
+    # Persist so tokenize/shingle runs once (at cluster scale: cache to
+    # MEMORY_AND_DISK or checkpoint; same principle as the reference
+    # caching its dims, jobs/final_fact_load.py:20-22).
+    sh = shingle_table(docs, id_col, text_col, n)
+    if persist_shingles:
+        sh = sh.persist()
     if max_shingle_df is not None:
         # document frequency as a window count over s: the shuffle that
         # partitions by s is REUSED by the self-join below (same key) —
@@ -170,6 +178,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 2,
     threshold: float = 0.5,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -178,13 +187,19 @@ def minhash_lsh_pairs(
     equality). Candidates are then verified with the exact Jaccard over
     shingles and filtered at ``threshold`` — so LSH affects recall only,
     never precision, and the output is deterministic.
+
+    Cache lifecycle: the shingle table is persisted (it feeds
+    signatures, candidate verification ×2, and sizes) and the CALLER
+    owns cleanup after materializing the result; pass
+    ``persist_shingles=False`` to opt out in long-lived sessions.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must divide evenly into bands")
     rows_per_band = num_hashes // bands
 
-    # persisted: feeds signatures, candidate verification (×2) and sizes
-    sh = shingle_table(docs, id_col, text_col, n).persist()
+    sh = shingle_table(docs, id_col, text_col, n)
+    if persist_shingles:
+        sh = sh.persist()
     sig = sh.groupBy("doc_id").agg(*_minhash_aggs(num_hashes), F.count(F.lit(1)).alias("n_sh"))
 
     band_cols = []

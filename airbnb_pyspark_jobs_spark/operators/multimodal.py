@@ -79,32 +79,47 @@ def _fake_decode_feature(payload: bytes, dims: int = 8) -> list[float]:
     return [float(payload[i % len(payload)]) / 255.0 for i in range(dims)]
 
 
-def extract_features(df: DataFrame, feature_dims: int = 8) -> DataFrame:
+def _codec_decode_feature(payload: bytes, dims: int = 8) -> list[float]:
+    """Real-codec decode path (used when :data:`HAVE_CODECS`): decode the
+    payload with PIL and featurize to a fixed-width vector. Not runnable
+    in this container (no codec libraries) — kept import-inside so the
+    module loads regardless; tests exercise the dispatch by injecting a
+    stand-in for this function."""
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L").resize((dims, 1))
+    return [px / 255.0 for px in img.getdata()]
+
+
+def extract_features(
+    df: DataFrame, feature_dims: int = 8, decoder=None
+) -> DataFrame:
     """Decode + featurize media payloads via Arrow-batched mapInPandas.
 
-    With real codecs this is where PIL/librosa would run; without them
-    the deterministic fake keeps the distributed plumbing testable. The
-    batch iterator shape (pandas DataFrames in/out) is exactly what a
-    real decoder uses.
+    Decoder selection happens DRIVER-side (the chosen function is
+    captured in the task closure, so executors never consult module
+    state): an explicit ``decoder`` wins; otherwise the real codec path
+    when :data:`HAVE_CODECS`, else the deterministic fake that keeps the
+    distributed plumbing testable. The batch iterator shape (pandas
+    DataFrames in/out) is identical either way.
     """
+    if decoder is None:
+        decoder = _codec_decode_feature if HAVE_CODECS else _fake_decode_feature
+    decoder_name = "fake" if decoder is _fake_decode_feature else "real"
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            if HAVE_CODECS:  # pragma: no cover - container has no codecs
-                raise NotImplementedError(
-                    "real codec path: decode pdf['payload'] with PIL/librosa"
-                )
-            feats = [
-                _fake_decode_feature(p, feature_dims) for p in pdf["payload"]
-            ]
+            feats = [decoder(p, feature_dims) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
                     "feature": feats,
-                    "decoder": "fake" if not HAVE_CODECS else "real",
+                    "decoder": decoder_name,
                 }
             )
 

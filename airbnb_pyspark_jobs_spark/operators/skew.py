@@ -53,8 +53,16 @@ def salted_join(
     """Equi-join with the big side salted and the small side replicated.
 
     Semantically identical to ``big.join(small, on, how)`` for inner and
-    left joins (each big-side row matches exactly its salt's copy).
+    left joins ONLY (each big-side row matches exactly its salt's copy).
+    Right/full-outer would emit every unmatched small-side row once per
+    replicated salt copy — silently wrong — so those are rejected.
     """
+    if how.lower().replace("_", "") not in {"inner", "left", "leftouter"}:
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: "
+            "outer joins would duplicate unmatched small-side rows "
+            "salt_factor times"
+        )
     b = add_salt(big, salt_factor, stable_cols=stable_cols or on)
     s = explode_salt(small, salt_factor)
     out = b.join(s, on=[*on, SALT_COL], how=how)

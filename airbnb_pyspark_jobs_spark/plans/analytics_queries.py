@@ -317,18 +317,34 @@ def q27_cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q26_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES as _Q
-
-    wide = _Q["q16_pivot_events"](spark, sf_dir)
+    events = load_table(spark, "events", sf_dir)
+    # Pivot WITHOUT q16's zero-fill: absent (bucket, type) combinations
+    # stay NULL and are dropped after the stack, while genuine zero sums
+    # (possible with negative event values) survive — matching the
+    # long-form GROUP BY, which keeps a row for true zeros but has none
+    # for absent combinations.
+    wide = (
+        events.select(
+            (F.col("user_id") % 10).alias("user_bucket"),
+            "event_type",
+            _dec("value", 12).alias("v"),
+        )
+        .groupBy("user_bucket")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum("v"))
+    )
     stack_expr = "stack({n}, {args}) AS (event_type, total_value)".format(
         n=len(_EVENT_TYPES),
         args=", ".join(f"'{t}', {t}" for t in _EVENT_TYPES),
     )
-    # pivot emitted 0.0 for absent combinations; drop those to match the
-    # long-form groupBy (which has no row for absent combinations)
     return (
         wide.selectExpr("user_bucket", stack_expr)
-        .filter(F.col("total_value") != 0.0)
+        .filter(F.col("total_value").isNotNull())
+        .select(
+            "user_bucket",
+            "event_type",
+            F.round("total_value", 2).cast("double").alias("total_value"),
+        )
     )
 
 
@@ -464,7 +480,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
     JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
-    WHERE sn.n_name IN ('FRANCE', 'GERMANY') AND cn.n_name IN ('FRANCE', 'GERMANY')
+    WHERE sn.n_name IN ('NATION_9', 'NATION_11') AND cn.n_name IN ('NATION_9', 'NATION_11')
       AND sn.n_name <> cn.n_name
     GROUP BY 1, 2, 3
     """,
@@ -477,10 +493,10 @@ def q07_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, "nation", sf_dir)
     sn = nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
-    ).filter(F.col("supp_nation").isin("FRANCE", "GERMANY"))
+    ).filter(F.col("supp_nation").isin("NATION_9", "NATION_11"))
     cn = nation.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
-    ).filter(F.col("cust_nation").isin("FRANCE", "GERMANY"))
+    ).filter(F.col("cust_nation").isin("NATION_9", "NATION_11"))
     rev = _dec("l_extendedprice", 12) * (F.lit(1) - _dec("l_discount", 4))
     return (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)

@@ -72,3 +72,21 @@ def test_repartition_by_bytes(media):
     out = repartition_by_bytes(media, target_bytes_per_partition=500)
     assert out.rdd.getNumPartitions() >= 2
     assert out.count() == 12
+
+
+def test_codec_present_dispatches_real_decoder(media, monkeypatch):
+    """With HAVE_CODECS=True the real decoder runs (not a raise): inject
+    a PIL-free stand-in for _codec_decode_feature and check it is picked
+    up driver-side and labeled 'real'."""
+    from airbnb_pyspark_jobs_spark.operators import multimodal as MM
+
+    def stand_in(payload, dims=8):
+        return [float(len(payload) % 7)] * dims
+
+    monkeypatch.setattr(MM, "HAVE_CODECS", True)
+    monkeypatch.setattr(MM, "_codec_decode_feature", stand_in)
+    out = MM.extract_features(media, feature_dims=4).collect()
+    assert len(out) == 12
+    assert all(r.decoder == "real" for r in out)
+    by_id = {r.media_id: r for r in out}
+    assert by_id[0].feature == [float(100 % 7)] * 4

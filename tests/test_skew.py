@@ -44,3 +44,13 @@ def test_stable_salt_spreads_hot_key(spark):
     a = sorted(r["__salt"] for r in salted.collect())
     b = sorted(r["__salt"] for r in add_salt(hot, 8, stable_cols=["row_id"]).collect())
     assert a == b
+
+
+def test_outer_joins_rejected(spark):
+    import pytest
+
+    big = spark.createDataFrame([(1, "a")], "k long, v string")
+    small = spark.createDataFrame([(1, "x")], "k long, w string")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(big, small, on=["k"], salt_factor=4, how=how)
