@@ -111,8 +111,10 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     """DISTINCT word n-gram shingles as an array<string> (space-joined).
 
     Built with transform over a token-index range — JVM-side, no UDF.
-    Documents shorter than ``n`` tokens yield their full token string as
-    a single shingle.
+    Documents shorter than ``n`` tokens yield NO shingles (empty array):
+    sub-n docs carry no n-gram signal, and exact dedup already handles
+    identical short docs. This matches the DuckDB oracle CTE in
+    plans/text_queries.py on every corpus, including short/empty docs.
 
     PERF: pass a column that ALREADY holds the token array (see
     :func:`shingles_from_tokens`) when building shingle tables — if the
@@ -125,12 +127,16 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     """Shingle array from a pre-computed token-array column.
 
-    ``F.get`` (0-based) returns NULL past the array end (no ANSI
-    out-of-bounds error; concat_ws skips nulls), handling docs shorter
-    than ``n`` tokens.
+    Docs with fewer than ``n`` tokens produce an EMPTY array (the
+    when-branch guards the sequence, whose bounds must be ascending);
+    they contribute no rows once exploded, so shingle tables, signature
+    groupBys and Jaccard pairs all agree with the oracle SQL on short
+    docs.
     """
     count = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
+    idx = F.when(count >= n, F.sequence(F.lit(0), count - n)).otherwise(
+        F.array().cast("array<int>")
+    )
     sh = F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),

@@ -38,8 +38,12 @@ def test_fingerprint_normalizes(spark):
 
 
 def test_shingles_short_docs(spark):
-    out = _one(spark, "a b", TX.word_shingles("text", 3))
-    assert out == ["a b"]  # shorter than n -> single partial shingle
+    # shorter than n -> NO shingles (matches the oracle CTE semantics;
+    # sub-n docs carry no n-gram signal)
+    assert _one(spark, "", TX.word_shingles("text", 3)) == []
+    assert _one(spark, "a", TX.word_shingles("text", 3)) == []
+    assert _one(spark, "a b", TX.word_shingles("text", 3)) == []
+    assert _one(spark, "a b c", TX.word_shingles("text", 3)) == ["a b c"]
     out3 = _one(spark, "a b c d", TX.word_shingles("text", 3))
     assert out3 == ["a b c", "b c d"]
 
