@@ -59,28 +59,47 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     return F.regexp_count(text, F.lit(BPE_ISH_PATTERN)).cast("bigint")
 
 
-def stopword_count(text: Column | str, lang: str = "en") -> Column:
+def stopword_count_from_tokens(toks: Column, lang: str = "en") -> Column:
+    """Stopword hits over a PRE-PROJECTED token-array column — the fast
+    path: the regex split runs once per row, not once per consumer."""
     words = STOPWORDS[lang]
-    return F.size(
-        F.filter(tokens(text), lambda t: F.lower(t).isin(*words))
-    ).cast("bigint")
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*words))).cast("bigint")
+
+
+def stopword_count(text: Column | str, lang: str = "en") -> Column:
+    """Convenience wrapper that tokenizes inline. PERF: when several
+    stopword/quality/lang expressions share one text column, project
+    :func:`tokens` into a column first and use
+    :func:`stopword_count_from_tokens` — otherwise each consumer re-runs
+    the split (the SCALE_NOTES lambda-inlining trap)."""
+    return stopword_count_from_tokens(tokens(text), lang)
 
 
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
     return stopword_count(text, lang).cast("double") / token_count(text).cast("double")
 
 
-def lang_guess(text: Column | str, langs: tuple[str, ...] = ("en", "de", "es", "fr")) -> Column:
-    """Pick the language whose stopword set hits most (ties → first listed,
-    zero hits everywhere → 'und' i.e. undetermined)."""
-    text = F.col(text) if isinstance(text, str) else text
-    counts = [stopword_count(text, lg) for lg in langs]
-    best = F.greatest(*counts) if len(counts) > 1 else counts[0]
+def lang_guess_from_counts(counts: list[tuple[str, Column]]) -> Column:
+    """Language pick from pre-computed per-language stopword-count
+    COLUMNS (ties → first listed, zero hits everywhere → 'und'). Taking
+    scalar columns keeps each count evaluated once even though it
+    appears in greatest() and every when() branch."""
+    best = F.greatest(*[c for _, c in counts]) if len(counts) > 1 else counts[0][1]
     expr = F.lit("und")
     # reverse order so earlier langs win ties
-    for lg, cnt in reversed(list(zip(langs, counts))):
+    for lg, cnt in reversed(counts):
         expr = F.when((cnt == best) & (best > 0), F.lit(lg)).otherwise(expr)
     return expr
+
+
+def lang_guess(text: Column | str, langs: tuple[str, ...] = ("en", "de", "es", "fr")) -> Column:
+    """Pick the language whose stopword set hits most. Convenience
+    (inline-tokenizing) form — in hot paths project tokens + per-lang
+    counts into columns and use :func:`lang_guess_from_counts`."""
+    text = F.col(text) if isinstance(text, str) else text
+    toks = tokens(text)
+    counts = [(lg, stopword_count_from_tokens(toks, lg)) for lg in langs]
+    return lang_guess_from_counts(counts)
 
 
 def punct_ratio(text: Column | str) -> Column:
@@ -89,16 +108,33 @@ def punct_ratio(text: Column | str) -> Column:
     return n_punct / F.length(text).cast("double")
 
 
+def quality_score_from_counts(
+    n_tokens: Column, sw_en: Column, n_punct: Column, n_chars: Column
+) -> Column:
+    """Quality score from pre-projected scalar count columns (see
+    :func:`quality_score` for the formula)."""
+    n_tok = n_tokens.cast("double")
+    length_part = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop_part = F.least(sw_en.cast("double") / n_tok * F.lit(4.0), F.lit(1.0))
+    punct_part = F.greatest(
+        F.lit(1.0) - n_punct.cast("double") / n_chars.cast("double") * F.lit(5.0),
+        F.lit(0.0),
+    )
+    return (length_part + stop_part + punct_part) / F.lit(3.0)
+
+
 def quality_score(text: Column | str) -> Column:
     """Heuristic quality in [0,1]: rewards mid-length docs and prose-like
     stopword share, penalizes punctuation soup. Deterministic double
-    arithmetic (reproducible in the oracle)."""
+    arithmetic (reproducible in the oracle). Convenience form; hot paths
+    should pre-project counts and use :func:`quality_score_from_counts`."""
     text = F.col(text) if isinstance(text, str) else text
-    n_tok = token_count(text).cast("double")
-    length_part = F.least(n_tok / F.lit(100.0), F.lit(1.0))
-    stop_part = F.least(stopword_ratio(text) * F.lit(4.0), F.lit(1.0))
-    punct_part = F.greatest(F.lit(1.0) - punct_ratio(text) * F.lit(5.0), F.lit(0.0))
-    return (length_part + stop_part + punct_part) / F.lit(3.0)
+    return quality_score_from_counts(
+        token_count(text),
+        stopword_count(text, "en"),
+        F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]")).cast("bigint"),
+        F.length(text).cast("bigint"),
+    )
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -81,17 +81,54 @@ FROM s
 """
 
 
+_LANGS = ("en", "de", "es", "fr")
+
+
 @query("q40_text_stats", oracle=_Q40_ORACLE)
 def q40_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return docs.select(
+    # Tokenize-once staging (mirrors the oracle's `s` CTE): stage 1
+    # projects the token array + regex counts ONCE per row; stage 2
+    # derives scalar counts from it; stage 3 combines scalars. Inlining
+    # TX.stopword_ratio/quality_score/lang_guess("text") instead re-runs
+    # the whitespace split ~10× per row (each consumer re-tokenizes —
+    # the SCALE_NOTES lambda-inlining trap).
+    staged = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        TX.token_count("text").alias("n_tokens"),
+        TX.tokens("text").alias("__toks"),
         TX.bpe_ish_token_count("text").alias("n_bpe_tokens"),
-        TX.stopword_ratio("text").alias("stopword_ratio"),
-        TX.quality_score("text").alias("quality"),
-        TX.lang_guess("text").alias("lang_guess"),
+        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"))
+        .cast("bigint")
+        .alias("__n_punct"),
+        F.length("text").cast("bigint").alias("__n_chars"),
+    )
+    counted = staged.select(
+        "doc_id",
+        "labeled_lang",
+        "n_bpe_tokens",
+        "__n_punct",
+        "__n_chars",
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        *[
+            TX.stopword_count_from_tokens(F.col("__toks"), lg).alias(f"__sw_{lg}")
+            for lg in _LANGS
+        ],
+    )
+    return counted.select(
+        "doc_id",
+        "labeled_lang",
+        "n_tokens",
+        "n_bpe_tokens",
+        (F.col("__sw_en").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "stopword_ratio"
+        ),
+        TX.quality_score_from_counts(
+            F.col("n_tokens"), F.col("__sw_en"), F.col("__n_punct"), F.col("__n_chars")
+        ).alias("quality"),
+        TX.lang_guess_from_counts(
+            [(lg, F.col(f"__sw_{lg}")) for lg in _LANGS]
+        ).alias("lang_guess"),
     )
 
 

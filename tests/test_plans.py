@@ -97,3 +97,11 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "day" in pf
     want = events.filter(F.col("day") == "2024-01-05").count()
     assert df.count() == want > 0
+
+
+def test_q40_tokenizes_once(spark):
+    """q40 derives 7 token-dependent outputs; the regex split must appear
+    exactly once in the plan (tokenize-once staging — inlining the text
+    helpers re-runs the split per consumer, measured ~10x in SCALE_NOTES)."""
+    plan = _optimized_plan(QUERIES["q40_text_stats"](spark, SF_DIR))
+    assert plan.count("split(trim") == 1
