@@ -118,6 +118,66 @@ def q52_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q55 multi-table hyperplane-LSH near-dup pairs (the SCALE path q52
+# ground-truths): 16 tables × 4 planes, OR-of-ANDs candidates, exact
+# cosine verification. The oracle reproduces the ENTIRE pipeline —
+# all 64 hyperplanes inlined, per-table buckets, candidate dedup,
+# verification — not just the final answer. Measured recall vs q52's
+# exact pairs at t=0.45: 14/14 (sf0.01), 138/144 = 0.96 (sf0.1).
+# ---------------------------------------------------------------------------
+_NT, _PPT = 16, 4
+
+
+def _q55_oracle() -> str:
+    buckets = []
+    for t in range(_NT):
+        planes = [SIM.hyperplane(t * _PPT + j, _DIMS) for j in range(_PPT)]
+        expr = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {_duck_plane(p)}) > 0 THEN {2**j} ELSE 0 END)"
+            for j, p in enumerate(planes)
+        )
+        buckets.append(f"CAST({expr} AS BIGINT) AS k{t}")
+    bucket_cols = ",\n  ".join(buckets)
+    band_union = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {t} AS t, k{t} AS bkt FROM b" for t in range(_NT)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v,
+  {bucket_cols}
+  FROM e),
+bl AS (
+  {band_union}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+  FROM bl a JOIN bl b ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+),
+p AS (
+  SELECT c.vec_id_a, c.vec_id_b,
+         round(list_dot_product(ea.v, eb.v)
+               / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) AS cos_sim
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.vec_id_a
+  JOIN e eb ON eb.vec_id = c.vec_id_b
+)
+SELECT vec_id_a, vec_id_b, cos_sim FROM p WHERE cos_sim >= {_DUP_T}
+"""
+
+
+@query("q55_embedding_near_dup_lsh", oracle=_q55_oracle())
+def q55_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.cosine_dup_pairs_lsh(
+        emb,
+        threshold=_DUP_T,
+        num_tables=_NT,
+        planes_per_table=_PPT,
+        dims=_DIMS,
+    )
+
+
+# ---------------------------------------------------------------------------
 # q53 IVF ANN: inverted lists by nearest (training-free) centroid,
 # n_probe nearest lists searched per query. The oracle reproduces
 # centroid assignment, probing and in-list top-k exactly.
