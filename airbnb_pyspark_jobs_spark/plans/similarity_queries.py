@@ -178,40 +178,72 @@ def q55_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q53 IVF ANN: inverted lists by nearest (training-free) centroid,
-# n_probe nearest lists searched per query. The oracle reproduces
-# centroid assignment, probing and in-list top-k exactly.
+# q53 IVF ANN with TRAINED centroids: deterministic Lloyd k-means
+# (cosine assignment on round(·,4) with cid tie-breaks, per-dim means
+# rounded to 6 digits — rounding makes the float averages identical
+# across engines), then inverted lists + n_probe probing. The oracle
+# reproduces the ENTIRE pipeline — init from the k lowest-id vectors,
+# every training iteration unrolled as CTEs, assignment, probing and
+# in-list top-k — so even the trained path is value-checked end to end.
 # ---------------------------------------------------------------------------
-_NCENT, _NPROBE, _K_IVF = 8, 2, 3
+_NCENT, _NPROBE, _K_IVF, _ITERS = 8, 2, 3, 3
 
-_Q53_ORACLE = f"""
+_D_COS = (
+    "round(list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)"
+)
+
+
+def _q53_oracle() -> str:
+    cos_ec = _D_COS.format(a="e.v", b="c.cenv")
+    parts = [
+        f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cent AS (SELECT vec_id AS cid, v AS cenv FROM e WHERE vec_id < {_NCENT}),
+ca0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cenv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_NCENT})
+)"""
+    ]
+    for i in range(1, _ITERS + 1):
+        parts.append(
+            f""",
+asg{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY {cos_ec} DESC, c.cid ASC) AS rn
+    FROM e, ca{i - 1} c) WHERE rn = 1
+),
+m{i} AS (
+  SELECT cid, d, round(AVG(x), 6) AS cx
+  FROM (SELECT cid, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM asg{i})
+  GROUP BY cid, d
+),
+ca{i} AS (SELECT cid, list(cx ORDER BY d) AS cenv FROM m{i} GROUP BY cid)"""
+        )
+    cent = f"ca{_ITERS}"
+    parts.append(
+        f""",
 c_assign AS (
   SELECT vec_id AS neighbor_id, v AS cv, cid FROM (
-    SELECT e.vec_id, e.v, cent.cid,
-      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-        round(list_dot_product(e.v, cent.cenv)
-              / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cenv, cent.cenv))), 4) DESC,
-        cent.cid ASC) AS crn
-    FROM e, cent
+    SELECT e.vec_id, e.v, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY {cos_ec} DESC, c.cid ASC) AS crn
+    FROM e, {cent} c
   ) WHERE crn = 1
 ),
 q_probe AS (
   SELECT vec_id AS query_id, v AS qv, cid FROM (
-    SELECT e.vec_id, e.v, cent.cid,
-      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-        round(list_dot_product(e.v, cent.cenv)
-              / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cenv, cent.cenv))), 4) DESC,
-        cent.cid ASC) AS crn
-    FROM e, cent
+    SELECT e.vec_id, e.v, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY {cos_ec} DESC, c.cid ASC) AS crn
+    FROM e, {cent} c
     WHERE e.vec_id < {_NQ}
   ) WHERE crn <= {_NPROBE}
 ),
 sims AS (
   SELECT q.query_id, c.neighbor_id,
-    round(list_dot_product(q.qv, c.cv)
-          / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 4) AS cos_sim
+    {_D_COS.format(a="q.qv", b="c.cv")} AS cos_sim
   FROM q_probe q JOIN c_assign c USING (cid)
   WHERE q.query_id != c.neighbor_id
 ),
@@ -222,9 +254,11 @@ r AS (
 )
 SELECT query_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= {_K_IVF}
 """
+    )
+    return "".join(parts)
 
 
-@query("q53_ann_ivf", oracle=_Q53_ORACLE)
+@query("q53_ann_ivf", oracle=_q53_oracle())
 def q53_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return SIM.ivf_ann(
@@ -233,6 +267,7 @@ def q53_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_K_IVF,
         n_centroids=_NCENT,
         n_probe=_NPROBE,
+        train_iters=_ITERS,
     )
 
 

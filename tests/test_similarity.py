@@ -77,3 +77,24 @@ def test_moderate_threshold_recall(spark):
     # 138/144 sf0.1 — see SCALE_NOTES)
     floor = 0.9 if len(exact) >= 20 else 0.8
     assert len(lsh & exact) / len(exact) >= floor
+
+
+def test_kmeans_centroids_deterministic_and_trained_recall(spark):
+    emb = load_table(spark, "embeddings", SF_DIR)
+    a = SIM.kmeans_centroids(emb, k=4, iters=2)
+    b = SIM.kmeans_centroids(emb, k=4, iters=2)
+    assert a == b  # rounded means -> bit-identical across runs
+    assert all(len(vec) == 64 for _, vec in a)
+    # trained IVF must not regress below the brute-force recall floor
+    # measured for this corpus family (>= 0.8 recall@3)
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.knn_bruteforce(emb, queries, k=3).collect()
+        if r.rn <= 3
+    }
+    iv = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ivf_ann(emb, queries, k=3).collect()
+    }
+    assert len(bf & iv) / len(bf) >= 0.8
