@@ -29,6 +29,18 @@ Scale-out design changes (SURVEY §7.2):
 - One shuffle on the natural key serves the change-detection join; the
   anti-joins reuse the same partitioning. With AQE the snapshot side is
   broadcast automatically when small.
+- **INTENTIONAL FORMAT DEVIATION — current rows carry ``end_dt = NULL``**,
+  not the reference's ``2099-12-31`` sentinel
+  (``jobs/final_dim_load.py:29,155``): a sentinel is a magic value
+  consumers must know, and it breaks if the business outlives it. The
+  consequence: as-of range predicates must be written
+  ``start_dt <= t AND (end_dt IS NULL OR end_dt > t)`` — a bare
+  ``end_dt > t`` silently loses every current row. Consumers wanting
+  sentinel format can ``coalesce(end_dt, timestamp'2099-12-31')`` on
+  the way out.
+- **Hard deletes are opt-in** via ``scd2_merge(deleted_keys=...)``
+  (tombstoning — expiry with no replacement); the reference has no
+  delete flow at all (upsert-only).
 """
 
 from __future__ import annotations
@@ -121,6 +133,7 @@ def scd2_merge(
     spec: Scd2Spec,
     as_of: Column | str,
     persist_intermediates: bool = True,
+    deleted_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental SCD2 merge of a new snapshot into an existing dimension.
 
@@ -133,13 +146,18 @@ def scd2_merge(
     without caching the merge re-scans its inputs ~10× (measured).
     Dimensions are small relative to facts, so MEMORY_AND_DISK caching
     is the right default even at warehouse scale; pass False to keep the
-    plan fully lazy.
+    plan fully lazy. Caller owns unpersisting after materialization.
 
-    Deletion semantics (reference parity): a natural key PRESENT in the
-    dimension but ABSENT from the snapshot keeps its current version
-    valid — the reference never expires disappeared keys
-    (jobs/final_dim_load.py treats the snapshot as upsert-only). Handle
-    hard deletes upstream by feeding a tombstone row if needed.
+    Deletion semantics (reference parity by default): a natural key
+    PRESENT in the dimension but ABSENT from the snapshot keeps its
+    current version valid — the reference never expires disappeared keys
+    (jobs/final_dim_load.py treats the snapshot as upsert-only).
+    ``deleted_keys`` (a DataFrame holding natural-key columns) opts into
+    hard deletes: current versions of those keys are TOMBSTONED —
+    expired at ``as_of`` (``is_valid=False, end_dt=as_of``) with no
+    replacement version. A key both deleted AND present in the snapshot
+    is treated as alive (the snapshot wins; the delete is ignored), so
+    ambiguous upsert+delete feeds are safe.
     """
     validate_scd2_schema(existing, spec)
     as_of_c = F.lit(as_of).cast("timestamp") if isinstance(as_of, str) else as_of
@@ -178,12 +196,30 @@ def scd2_merge(
         .withColumn("is_valid", F.lit(False))
     )
 
-    # Keep: every existing row EXCEPT the current versions of changed
-    # keys (those are re-emitted as `expired`). A history row of a
-    # changed key (is_valid=False) is kept as-is.
+    # Tombstones: current versions of deleted keys (minus any key the
+    # snapshot still carries — snapshot wins) expire with no replacement.
+    if deleted_keys is not None:
+        del_keys = _p(
+            deleted_keys.select(*key)
+            .dropDuplicates(key)
+            .join(snap.select(*key), on=key, how="left_anti")
+        )
+        tombstoned = (
+            current.join(del_keys, on=key, how="left_semi")
+            .withColumn("end_dt", as_of_c)
+            .withColumn("is_valid", F.lit(False))
+        )
+        retire_keys = changed_keys.unionByName(del_keys)
+    else:
+        tombstoned = None
+        retire_keys = changed_keys
+
+    # Keep: every existing row EXCEPT the current versions of changed or
+    # deleted keys (re-emitted as `expired`/`tombstoned`). A history row
+    # of a changed key (is_valid=False) is kept as-is.
     kept = (
         existing.join(
-            changed_keys.withColumn("__changed", F.lit(True)), on=key, how="left"
+            retire_keys.withColumn("__changed", F.lit(True)), on=key, how="left"
         )
         .filter(~(F.col("is_valid") & F.col("__changed").isNotNull()))
         .drop("__changed")
@@ -194,6 +230,8 @@ def scd2_merge(
     out = kept.unionByName(expired, allowMissingColumns=True).unionByName(
         new_versions, allowMissingColumns=True
     )
+    if tombstoned is not None:
+        out = out.unionByName(tombstoned, allowMissingColumns=True)
     result_cols = [
         spec.surrogate_key,
         *spec.all_source_cols,

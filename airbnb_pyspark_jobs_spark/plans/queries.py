@@ -455,6 +455,65 @@ def q22_scd2_merge_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q23 SCD2 merge with HARD DELETES (tombstoning): initial load at T0;
+# at T1 the snapshot drops every BUILDING-segment customer (fed as
+# deleted_keys) and upgrades acctbal > 5000 among the survivors. The
+# oracle reconstructs the exact expected dimension: kept-current ∪
+# expired+re-versioned (changed) ∪ tombstoned (expired, NO replacement).
+# Exercises the deletion flow the reference lacks entirely.
+# ---------------------------------------------------------------------------
+@query(
+    "q23_scd2_merge_with_deletes",
+    oracle=f"""
+    WITH base AS (SELECT * FROM customer)
+    SELECT
+      md5(CAST(c_custkey AS VARCHAR) || chr(31) || '{_SCD2_T0}') AS customer_key,
+      c_custkey, c_name, c_acctbal, c_mktsegment, c_nationkey,
+      TRUE AS is_valid,
+      TIMESTAMP '{_SCD2_T0}' AS start_dt,
+      CAST(NULL AS TIMESTAMP) AS end_dt
+    FROM base WHERE c_mktsegment <> 'BUILDING' AND c_acctbal <= 5000
+    UNION ALL
+    SELECT
+      md5(CAST(c_custkey AS VARCHAR) || chr(31) || '{_SCD2_T0}') AS customer_key,
+      c_custkey, c_name, c_acctbal, c_mktsegment, c_nationkey,
+      FALSE AS is_valid,
+      TIMESTAMP '{_SCD2_T0}' AS start_dt,
+      TIMESTAMP '{_SCD2_T1}' AS end_dt
+    FROM base WHERE c_mktsegment <> 'BUILDING' AND c_acctbal > 5000
+    UNION ALL
+    SELECT
+      md5(CAST(c_custkey AS VARCHAR) || chr(31) || '{_SCD2_T1}') AS customer_key,
+      c_custkey, c_name, c_acctbal, 'UPGRADED' AS c_mktsegment, c_nationkey,
+      TRUE AS is_valid,
+      TIMESTAMP '{_SCD2_T1}' AS start_dt,
+      CAST(NULL AS TIMESTAMP) AS end_dt
+    FROM base WHERE c_mktsegment <> 'BUILDING' AND c_acctbal > 5000
+    UNION ALL
+    SELECT
+      md5(CAST(c_custkey AS VARCHAR) || chr(31) || '{_SCD2_T0}') AS customer_key,
+      c_custkey, c_name, c_acctbal, c_mktsegment, c_nationkey,
+      FALSE AS is_valid,
+      TIMESTAMP '{_SCD2_T0}' AS start_dt,
+      TIMESTAMP '{_SCD2_T1}' AS end_dt
+    FROM base WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def q23_scd2_merge_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    dim0 = scd2_initial(cust, _CUSTOMER_SPEC, _SCD2_T0)
+    survivors = cust.filter(F.col("c_mktsegment") != "BUILDING")
+    snapshot = survivors.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") > 5000, F.lit("UPGRADED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    deleted = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return scd2_merge(dim0, snapshot, _CUSTOMER_SPEC, _SCD2_T1, deleted_keys=deleted)
+
+
+# ---------------------------------------------------------------------------
 # q30 declarative fact build (operators/facts.build_fact): lineitem base,
 # three dimension joins (orders -> customer chain + part), content-hashed
 # fact id on the declared grain, derived categorical measures — the

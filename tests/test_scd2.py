@@ -108,3 +108,46 @@ def test_portable_hash_matches_duckdb_semantics(spark):
 
     expected = hashlib.md5(f"7\x1f{T0}".encode()).hexdigest()
     assert k == expected
+
+
+def test_merge_tombstones_deleted_keys(spark):
+    dim0 = scd2_initial(
+        _snapshot(spark, [(1, "alice", 90), (2, "bob", 80), (3, "carol", 70)]), SPEC, T0
+    )
+    # snapshot: alice changes, bob vanishes (deleted), carol unchanged
+    snap1 = _snapshot(spark, [(1, "alice", 95), (3, "carol", 70)])
+    deleted = spark.createDataFrame([(2,)], "host_src_id long")
+    dim1 = scd2_merge(dim0, snap1, SPEC, T1, deleted_keys=deleted)
+    rows = sorted(dim1.collect(), key=lambda r: (r.host_src_id, r.start_dt))
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.host_src_id, []).append(r)
+    # alice: expired T0 version + new T1 version
+    assert [(r.is_valid, r.end_dt is None) for r in by_key[1]] == [(False, False), (True, True)]
+    # bob: tombstoned — expired at T1, NO replacement
+    assert len(by_key[2]) == 1
+    assert (by_key[2][0].is_valid, str(by_key[2][0].end_dt)) == (False, "2025-02-01 00:00:00")
+    # carol untouched
+    assert [(r.is_valid, r.end_dt) for r in by_key[3]] == [(True, None)]
+
+
+def test_delete_ignored_when_key_in_snapshot(spark):
+    """Ambiguous upsert+delete: the snapshot wins, the key stays alive."""
+    dim0 = scd2_initial(_snapshot(spark, [(1, "alice", 90)]), SPEC, T0)
+    snap1 = _snapshot(spark, [(1, "alice", 90)])
+    deleted = spark.createDataFrame([(1,)], "host_src_id long")
+    dim1 = scd2_merge(dim0, snap1, SPEC, T1, deleted_keys=deleted)
+    rows = dim1.collect()
+    assert len(rows) == 1
+    assert rows[0].is_valid and rows[0].end_dt is None
+
+
+def test_tombstoned_key_can_return_later(spark):
+    """A deleted key reappearing in a later snapshot gets a fresh version."""
+    dim0 = scd2_initial(_snapshot(spark, [(1, "alice", 90)]), SPEC, T0)
+    deleted = spark.createDataFrame([(1,)], "host_src_id long")
+    dim1 = scd2_merge(dim0, _snapshot(spark, []), SPEC, T1, deleted_keys=deleted)
+    dim2 = scd2_merge(dim1, _snapshot(spark, [(1, "alice", 99)]), SPEC, T2)
+    rows = sorted(dim2.collect(), key=lambda r: r.start_dt)
+    assert [(r.is_valid, r.end_dt is None) for r in rows] == [(False, False), (True, True)]
+    assert str(rows[1].start_dt) == "2025-03-01 00:00:00"
