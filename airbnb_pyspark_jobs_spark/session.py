@@ -32,7 +32,11 @@ PROFILES: dict[str, dict[str, str]] = {
         "spark.sql.parquet.datetimeRebaseModeInWrite": "CORRECTED",
         "spark.sql.adaptive.enabled": "true",
     },
-    # Dimension loads (reference jobs/final_dim_load.py:8-22)
+    # Dimension loads (reference jobs/final_dim_load.py:8-22). The
+    # executor-sizing / cluster keys are submit-time settings — inert in
+    # local mode but carried for full parity with the reference's
+    # cluster profile (its sizes target a 2-executor Dataproc cluster;
+    # at 1000 executors, re-size and re-enable dynamicAllocation).
     "dim": {
         "spark.sql.shuffle.partitions": "50",
         "spark.sql.adaptive.enabled": "true",
@@ -40,8 +44,15 @@ PROFILES: dict[str, dict[str, str]] = {
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+        "spark.executor.memory": "3g",
+        "spark.driver.memory": "2g",
+        "spark.executor.instances": "2",
+        "spark.executor.cores": "2",
+        "spark.dynamicAllocation.enabled": "false",
+        "spark.network.timeout": "800s",
     },
-    # Fact build (reference jobs/final_fact_load.py:4-14)
+    # Fact build (reference jobs/final_fact_load.py:4-14): off-heap +
+    # memoryOverhead are its "memory optimized" knobs.
     "fact": {
         "spark.sql.shuffle.partitions": "100",
         "spark.sql.adaptive.enabled": "true",
@@ -49,6 +60,9 @@ PROFILES: dict[str, dict[str, str]] = {
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(50 * 1024 * 1024),
+        "spark.memory.offHeap.enabled": "true",
+        "spark.memory.offHeap.size": "1g",
+        "spark.executor.memoryOverhead": "512m",
     },
     # Local test/bench profile for this container (single JVM = driver;
     # the container has 128 GiB, so size the JVM for real workloads —
