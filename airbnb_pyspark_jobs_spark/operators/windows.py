@@ -95,3 +95,29 @@ def session_stats(
         F.count(F.lit(1)).alias("n_events"),
         (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))).alias("duration_us"),
     )
+
+
+def keyed_dedupe(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """Batch twin of streaming/events.streaming_dedupe: one row per key,
+    keeping the FIRST in ``order_by`` order (default event time).
+
+    ``dropDuplicatesWithinWatermark`` keeps the first-ARRIVED row per key
+    within the watermark horizon; replaying a bounded source through it
+    and running this over the same data converge on identical rows when
+    duplicates are exact replays, and on the earliest-by-event-time row
+    otherwise — the deterministic batch semantics an oracle can check
+    (plain dropDuplicates keeps an arbitrary row). Partitioned window,
+    one shuffle on the key — never a global sort.
+    """
+    keys = keys if keys is not None else ["event_id"]
+    order_by = order_by if order_by is not None else ["ts"]
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

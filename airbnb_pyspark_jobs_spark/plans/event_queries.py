@@ -148,3 +148,47 @@ def q63_props_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
         F.sum(F.col("k").isNull().cast("long")).alias("n_missing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q64 keyed event dedup (batch twin of streaming_dedupe): the source is
+# replayed with late +1-minute/value+1 duplicates, then deduped to one
+# row per event_id keeping the earliest by (ts, value) — the
+# deterministic batch semantics of dropDuplicatesWithinWatermark over a
+# bounded source (state horizon = the replay delay). The oracle rebuilds
+# the replay and the keep-first window; values prove the ORIGINAL rows
+# (not the replayed mutations) survive.
+# ---------------------------------------------------------------------------
+@query(
+    "q64_events_keyed_dedup",
+    oracle="""
+    WITH doubled AS (
+      SELECT event_id, ts, user_id, event_type, value FROM events
+      UNION ALL
+      SELECT event_id, ts + INTERVAL 1 MINUTE, user_id, event_type, value + 1.0
+      FROM events
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_id ORDER BY ts ASC, value ASC) AS rn
+      FROM doubled
+    )
+    SELECT event_id, ts, user_id, event_type, CAST(value AS DOUBLE) AS value
+    FROM r WHERE rn = 1
+    """,
+)
+def q64_events_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.windows import keyed_dedupe
+
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    replayed = events.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 MINUTE")).alias("ts"),
+        "user_id",
+        "event_type",
+        (F.col("value") + F.lit(1.0)).alias("value"),
+    )
+    doubled = events.unionByName(replayed)
+    return keyed_dedupe(doubled, keys=["event_id"], order_by=["ts", "value"])

@@ -67,16 +67,32 @@ def test_streaming_tumbling_matches_batch(spark, events_dir, tmp_path):
     assert len(got) >= len(want) * 0.9
 
 
-def test_streaming_dedupe_drops_replayed_events(spark, events_dir, tmp_path):
+def test_streaming_dedupe_matches_batch_keyed_dedupe(spark, events_dir, tmp_path):
+    from airbnb_pyspark_jobs_spark.operators.windows import keyed_dedupe
+
     stream = read_event_stream(spark, events_dir)
     # replay the same file content by unioning the stream with itself —
     # every event_id arrives (at least) twice within the watermark.
     doubled = stream.union(stream)
     dedup = streaming_dedupe(doubled, keys=["event_id"], watermark="10 minutes")
     _run_to_memory(dedup, "dedup", tmp_path, output_mode="append")
-    n = spark.sql("SELECT count(*) AS n FROM dedup").first().n
-    n_src = spark.read.parquet(events_dir).count()
-    assert n == n_src, f"dedup emitted {n}, source has {n_src}"
+    got = {
+        tuple(r) for r in spark.sql(
+            "SELECT event_id, ts, user_id, event_type, value FROM dedup"
+        ).collect()
+    }
+    # batch twin (q64's operator) over the same doubled input: with exact
+    # replays, first-arrived == first-by-event-time, so the FULL ROW SETS
+    # must be identical, not just the counts.
+    batch_src = spark.read.parquet(events_dir)
+    want = {
+        tuple(r)
+        for r in keyed_dedupe(
+            batch_src.union(batch_src), keys=["event_id"], order_by=["ts"]
+        ).select("event_id", "ts", "user_id", "event_type", "value").collect()
+    }
+    assert len(got) == batch_src.count()
+    assert got == want
 
 
 def test_streaming_session_window_runs(spark, events_dir, tmp_path):
