@@ -279,3 +279,35 @@ def simhash_signatures(
         term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
         sim = term if sim is None else (sim + term)
     return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+def minhash_banding_params(
+    threshold: float, target_recall: float = 0.9, num_hashes: int = 8
+) -> tuple[int, int]:
+    """(num_hashes, bands) reaching ``target_recall`` for pairs AT the
+    Jaccard threshold (higher-similarity pairs do strictly better).
+
+    A pair at Jaccard j agrees on one minhash with probability j, on a
+    whole r-row band with j**r, and on at least one of b bands with
+    ``1-(1-j**r)**b``. Larger r prunes background candidates harder
+    (false-candidate rate ~ b * bg**r) but collapses recall at low
+    thresholds — measured at j≈0.29 with 8 hashes: r=4 → 1/150, r=2 →
+    42/150, r=1 → 141/150 planted pairs (SCALE_NOTES). This picks the
+    LARGEST r whose banding still meets the target; callers needing
+    more pruning at low thresholds should widen num_hashes (slices of a
+    second seeded md5) instead of dropping recall.
+    """
+    best = None
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands != 0:
+            continue
+        r = num_hashes // bands
+        recall = 1.0 - (1.0 - threshold**r) ** bands
+        if recall >= target_recall and (best is None or r > best[0]):
+            best = (r, bands)
+    if best is None:
+        raise ValueError(
+            f"no ({num_hashes}-hash) banding reaches recall {target_recall} at "
+            f"threshold {threshold}; widen num_hashes"
+        )
+    return num_hashes, best[1]

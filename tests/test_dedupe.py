@@ -34,3 +34,48 @@ def test_minhash_drops_shingleless_docs_both_sides(spark):
     assert sorted(r.doc_id for r in sig) == [2, 3]
     pairs = DD.minhash_lsh_pairs(df, threshold=0.5, persist_shingles=False).collect()
     assert [(r.doc_id_a, r.doc_id_b, r.jaccard) for r in pairs] == [(2, 3, 1.0)]
+
+
+def test_minhash_banding_params():
+    from airbnb_pyspark_jobs_spark.operators.dedupe import minhash_banding_params
+
+    # the helper must pick a config meeting the target with the largest
+    # surviving rows-per-band (max pruning at the required recall)
+    nh, bands = minhash_banding_params(0.5, target_recall=0.9, num_hashes=8)
+    r = nh // bands
+    assert 1 - (1 - 0.5**r) ** bands >= 0.9
+    # at t=0.3 only 1-row bands survive with 8 hashes
+    assert minhash_banding_params(0.3, target_recall=0.9, num_hashes=8) == (8, 8)
+    import pytest
+
+    with pytest.raises(ValueError):
+        minhash_banding_params(0.05, target_recall=0.99, num_hashes=8)
+
+
+def test_low_threshold_recall_with_single_row_bands(spark):
+    """Planted ~0.3-Jaccard pairs: bands=8 (1 row/band) must recall
+    >= 0.85 where the q45 default (2 bands of 4) recalls ~0 — the
+    low-threshold regime measured in SCALE_NOTES."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        "SELECT doc_id, text FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    corpus, planted = [], []
+    for doc_id, text in rows:
+        toks = text.split()
+        corpus.append((doc_id, text))
+        if len(toks) >= 30 and len(planted) < 50:
+            k = int(2 + 0.4615 * (len(toks) - 2))
+            filler = [f"zz{doc_id}w{i}" for i in range(len(toks) - k)]
+            corpus.append((doc_id + 100000, " ".join(toks[:k] + filler)))
+            planted.append((doc_id, doc_id + 100000))
+    docs = _docs(spark, corpus)
+    lsh = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in DD.minhash_lsh_pairs(
+            docs, num_hashes=8, bands=8, threshold=0.25, persist_shingles=False
+        ).collect()
+    }
+    got = sum(1 for p in planted if p in lsh)
+    assert got / len(planted) >= 0.85, f"{got}/{len(planted)}"
