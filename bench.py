@@ -51,6 +51,23 @@ def _sf_from_dir(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def measure_floor(spark, runs: int = 3) -> float:
+    """Fixed per-query local overhead: job scheduling + a minimal
+    scan→noop pipeline (~0.16 s on this box; real queries add plan
+    compilation on top, so this is a CONSERVATIVE floor). Subtracted ×N
+    from the raw total so `value_adjusted` tracks plan cost across
+    rounds without the fixed local overhead drowning regressions."""
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).limit(1).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    return round(min(one() for _ in range(runs)), 3)
+
+
 def run_query(spark, name: str) -> float:
     fn = QUERIES[name]
     # each measured run is self-contained: operators that persist()
@@ -84,12 +101,19 @@ def main() -> None:
         except Exception as e:  # a broken query must not sink the whole bench
             errors[name] = f"{type(e).__name__}: {e}"[:200]
     total = round(sum(times.values()), 3)
+    floor = measure_floor(spark)
     payload = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": _sf_from_dir(SF_DIR),
+        # overhead attribution: `floor_sec_per_query` is the measured
+        # fixed cost of ANY scan→noop query in this environment;
+        # `value_adjusted` = value - floor×N estimates pure plan cost —
+        # compare THAT across rounds for regressions.
+        "floor_sec_per_query": floor,
+        "value_adjusted": round(max(0.0, total - floor * len(times)), 3),
     }
     if errors:
         payload["errors"] = errors
