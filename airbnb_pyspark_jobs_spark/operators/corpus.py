@@ -1,0 +1,116 @@
+"""Corpus-level text operators for LLM training-data pipelines:
+document chunking and TF-IDF term ranking.
+
+Both are pure DataFrame compositions (no UDFs) with md5/integer/rounded
+arithmetic so the DuckDB oracles reproduce them value-for-value.
+
+Scale notes:
+- :func:`chunk_documents` is scan-side (tokenize → chunk-index sequence
+  → explode): no shuffle at all; output rows ≈ docs × tokens/stride.
+- :func:`tfidf_top_terms` shuffles twice (per-doc term counts, per-term
+  document frequencies) plus a broadcast of the scalar corpus size; the
+  document-frequency join is an equi-join on the term — the natural
+  partitioning for 100 TB corpora. ``max_df_ratio`` drops
+  stopword-class terms BEFORE the rank window, the same df-cap
+  economics as dedupe's ``max_shingle_df``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from airbnb_pyspark_jobs_spark.functions.text import tokens
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard pre-tokenization step for context-window-bounded training.
+
+    Chunk k covers tokens ``[k*stride, k*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the last chunk index is
+    ``ceil((n - chunk_tokens) / stride)`` (never negative), so every
+    token is covered and short docs yield exactly one chunk. Returns
+    ``doc_id, chunk_idx, chunk_text, n_chunk_tokens``.
+
+    Tokenize-once staging: the token array is projected before the
+    chunk lambda references it (the SCALE_NOTES lambda-inlining trap).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    tok = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks"))
+    n = F.size("__toks")
+    last_idx = F.greatest(
+        F.floor((n - chunk_tokens + stride - 1) / F.lit(stride)).cast("int"), F.lit(0)
+    )
+    chunked = tok.select(
+        "doc_id",
+        "__toks",
+        F.explode(F.sequence(F.lit(0), last_idx)).alias("chunk_idx"),
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_tokens
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_k: int = 3,
+    max_df_ratio: float | None = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (lowercased whitespace tokens).
+
+    ``tfidf = tf * ln(N / df)`` with tf = in-doc term count, df =
+    number of docs containing the term, N = corpus size. Scores are
+    rounded to 6 digits before ranking with (term) tie-breaks, making
+    the top-k reproducible cross-engine despite float ln(). Terms in
+    more than ``max_df_ratio`` of docs are dropped before ranking
+    (stopword-class df cap). Returns
+    ``doc_id, term, tf, df, tfidf, rn``.
+    """
+    term_rows = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("t"),
+    ).select("doc_id", F.lower("t").alias("term"))
+
+    tf = term_rows.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("__n"))
+
+    scored = (
+        tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("__n").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    if max_df_ratio is not None:
+        scored = scored.filter(
+            F.col("df").cast("double") <= F.col("__n").cast("double") * max_df_ratio
+        )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= top_k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rn")
+    )

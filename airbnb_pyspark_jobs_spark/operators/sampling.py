@@ -1,0 +1,73 @@
+"""Deterministic sampling & dataset splitting for training pipelines.
+
+Hash-based, not rand()-based: the split of a row is a pure function of
+its key, so re-runs, retries, backfills and cross-engine replays all
+agree — the property a training/eval split MUST have (a rand() split
+silently leaks eval rows into training on every re-run).
+
+The hash is the portable md5-derived 32-bit int (same primitive as
+functions/text.portable_hash_int), so the DuckDB oracle reproduces
+splits verbatim. Production paths that don't need oracle parity can use
+xxhash64 for a wider/faster hash with the same structure.
+
+Scale: both operators are scan-side projections/filters — no shuffle,
+no driver actions; they compose with partition pruning and pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from airbnb_pyspark_jobs_spark.functions.text import portable_hash_int
+
+_BUCKETS = 10_000
+
+
+def split_bucket(key: Column | str, seed: str = "") -> Column:
+    """Stable bucket in [0, 10000) from the md5 of the key (+ seed).
+    Changing ``seed`` re-deals every row to a fresh, equally-stable
+    split — the knob for drawing independent splits."""
+    key = F.col(key) if isinstance(key, str) else key
+    return F.pmod(portable_hash_int(key.cast("string"), seed=seed), F.lit(_BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    seed: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by hash bucket.
+
+    ``fractions`` maps split name → fraction (must sum to 1.0); buckets
+    are allotted in insertion order, so ``{"train": .8, "val": .1,
+    "test": .1}`` puts buckets [0,8000) in train, [8000,9000) in val,
+    the rest in test. Membership depends only on (key, seed) — adding
+    or removing OTHER rows never moves a row between splits.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    bucket = split_bucket(key_col, seed)
+    expr = None
+    upper = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        upper += fractions[name]
+        cond = bucket < int(round(upper * _BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, expr)
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: str = ""
+) -> DataFrame:
+    """Stable ``fraction`` sample: keep rows whose bucket falls below
+    fraction·10000. Unlike ``df.sample()``, membership is reproducible
+    across runs, partitionings and engines."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.filter(split_bucket(key_col, seed) < int(round(fraction * _BUCKETS)))

@@ -324,3 +324,106 @@ def q47_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.select(
         "doc_id", F.explode(TX.window_minima("__h", w=_WW)).alias("fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# q42 document chunking: overlapping token windows (64 tokens, overlap
+# 8 -> stride 56) — the context-window-bounded pre-tokenization step.
+# Scan-side only (tokenize -> chunk-index sequence -> explode): zero
+# shuffles. The oracle rebuilds the same integer chunk math and list
+# slicing.
+# ---------------------------------------------------------------------------
+_CHUNK, _OVERLAP = 64, 8
+_STRIDE = _CHUNK - _OVERLAP
+
+
+@query(
+    "q42_chunk_documents",
+    oracle=rf"""
+    WITH tok AS (SELECT doc_id, {_D_TOKENS} AS ts FROM documents),
+    k AS (
+      SELECT doc_id, ts,
+             UNNEST(range(0, greatest((len(ts) - {_CHUNK} + {_STRIDE - 1}) // {_STRIDE}, 0) + 1)) AS ci
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(ci AS BIGINT) AS chunk_idx,
+           array_to_string(ts[ci * {_STRIDE} + 1 : ci * {_STRIDE} + {_CHUNK}], ' ') AS chunk_text,
+           CAST(len(ts[ci * {_STRIDE} + 1 : ci * {_STRIDE} + {_CHUNK}]) AS BIGINT) AS n_chunk_tokens
+    FROM k
+    """,
+)
+def q42_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import chunk_documents
+
+    docs = load_table(spark, "documents", sf_dir)
+    return chunk_documents(docs, chunk_tokens=_CHUNK, overlap=_OVERLAP)
+
+
+# ---------------------------------------------------------------------------
+# q43 deterministic train/val/test split (80/10/10 by md5 bucket of the
+# doc id): membership is a pure function of the key, so re-runs and
+# engines agree — scan-side projection, no shuffle, no rand().
+# ---------------------------------------------------------------------------
+@query(
+    "q43_hash_split",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN bucket < 8000 THEN 'train'
+           WHEN bucket < 9000 THEN 'val'
+           ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS bucket
+      FROM documents
+    )
+    """,
+)
+def q43_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    return hash_split(
+        docs.select("doc_id"), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+# ---------------------------------------------------------------------------
+# q48 TF-IDF top terms per document (tf * ln(N/df), scores rounded to 6
+# digits before ranking with term tie-breaks). No df cap here: the
+# synthetic corpus draws from a ~31-term vocabulary where every term
+# has df ~ 0.75N, so any stopword-class cap empties the result (the cap
+# itself is unit-tested); ranking the full vocabulary value-checks the
+# scoring. Two keyed shuffles + a broadcast scalar.
+# ---------------------------------------------------------------------------
+_TFIDF_K = 3
+
+
+@query(
+    "q48_tfidf_top_terms",
+    oracle=rf"""
+    WITH tr AS (
+      SELECT doc_id, lower(t) AS term
+      FROM (SELECT doc_id, UNNEST({_D_TOKENS}) AS t FROM documents)
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tr GROUP BY 1, 2),
+    dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+             round(tf.tf * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+      FROM tf JOIN dfc USING (term), n
+    ),
+    r AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf, rn FROM r WHERE rn <= {_TFIDF_K}
+    """,
+)
+def q48_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import tfidf_top_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    return tfidf_top_terms(docs, top_k=_TFIDF_K, max_df_ratio=None)

@@ -1,0 +1,94 @@
+"""Chunking, hash-split and TF-IDF operator edge cases (oracle parity
+is covered by q42/q43/q48 in the oracle suite)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_pyspark_jobs_spark.operators.corpus import chunk_documents, tfidf_top_terms
+from airbnb_pyspark_jobs_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunking_coverage_and_overlap(spark):
+    toks = [f"w{i}" for i in range(150)]
+    df = _docs(spark, [(1, " ".join(toks))])
+    chunks = sorted(
+        chunk_documents(df, chunk_tokens=64, overlap=8).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # stride 56: starts at 0, 56, 112 -> 3 chunks; last is the 38-token tail
+    assert [r.chunk_idx for r in chunks] == [0, 1, 2]
+    assert chunks[0].n_chunk_tokens == 64
+    assert chunks[1].chunk_text.split()[0] == "w56"  # overlap of 8
+    assert chunks[2].n_chunk_tokens == 150 - 112
+    # every token appears in some chunk
+    covered = {t for r in chunks for t in r.chunk_text.split()}
+    assert covered == set(toks)
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    df = _docs(spark, [(1, "a b c")])
+    chunks = chunk_documents(df, chunk_tokens=64, overlap=8).collect()
+    assert len(chunks) == 1
+    assert chunks[0].chunk_text == "a b c"
+    assert chunks[0].n_chunk_tokens == 3
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(_docs(spark, [(1, "a")]), chunk_tokens=8, overlap=8)
+
+
+def test_hash_split_stable_and_complete(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    out = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    # membership is per-key stable: dropping other rows never moves a row
+    sub = hash_split(df.filter(F.col("k") < 100), "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    full = {r.k: r.split for r in out.filter(F.col("k") < 100).collect()}
+    assert {r.k: r.split for r in sub.collect()} == full
+    # a different seed deals a different split
+    reseeded = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="s1")
+    moved = out.alias("a").join(reseeded.alias("b"), "k").filter(
+        F.col("a.split") != F.col("b.split")
+    )
+    assert moved.count() > 0
+
+
+def test_hash_split_rejects_bad_fractions(spark):
+    with pytest.raises(ValueError, match="sum"):
+        hash_split(spark.range(1), "id", {"a": 0.5, "b": 0.4})
+
+
+def test_deterministic_sample_reproducible_subset(spark):
+    df = spark.range(1000)
+    a = {r.id for r in deterministic_sample(df, "id", 0.2).collect()}
+    b = {r.id for r in deterministic_sample(df, "id", 0.2).collect()}
+    assert a == b
+    assert 100 < len(a) < 300
+    bigger = {r.id for r in deterministic_sample(df, "id", 0.5).collect()}
+    assert a <= bigger  # nested: smaller fractions are subsets
+
+
+def test_tfidf_df_cap_drops_ubiquitous_terms(spark):
+    df = _docs(
+        spark,
+        [(1, "common rare1 rare1"), (2, "common rare2"), (3, "common rare3")],
+    )
+    out = tfidf_top_terms(df, top_k=3, max_df_ratio=0.5).collect()
+    terms = {r.term for r in out}
+    assert "common" not in terms  # df=3/3 > 0.5 cap
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc[1][0].term == "rare1" and by_doc[1][0].tf == 2
