@@ -19,16 +19,22 @@ from airbnb_pyspark_jobs_spark.sources.registry import load_table
 
 _K, _NQ = 5, 10  # top-5 neighbors for query vectors vec_id < 10
 
+# Unit-normalize once, then cosine = one dot fold — mirrors the Spark
+# operators' unit_vectors staging (same per-element divide, same
+# in-order fold, so values match bit-for-bit).
+_D_UNIT = """
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+u AS (SELECT vec_id, list_transform(v, x -> x / n) AS vn FROM nrm)
+"""
+
 _Q50_ORACLE = f"""
-WITH q AS (
-  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id < {_NQ}
-),
-c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+WITH {_D_UNIT},
+q AS (SELECT vec_id AS query_id, vn AS qv FROM u WHERE vec_id < {_NQ}),
+c AS (SELECT vec_id AS neighbor_id, vn AS cv FROM u),
 sims AS (
   SELECT query_id, neighbor_id,
-         round(list_dot_product(qv, cv)
-               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cos_sim
+         round(list_dot_product(qv, cv), 4) AS cos_sim
   FROM q, c WHERE query_id != neighbor_id
 ),
 r AS (
@@ -100,12 +106,11 @@ def q51_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUP_T = 0.45
 
 _Q52_ORACLE = f"""
-WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH {_D_UNIT},
 p AS (
-  SELECT a.id AS vec_id_a, b.id AS vec_id_b,
-         round(list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
-  FROM e a JOIN e b ON a.id < b.id
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         round(list_dot_product(a.vn, b.vn), 4) AS cos_sim
+  FROM u a JOIN u b ON a.vec_id < b.vec_id
 )
 SELECT vec_id_a, vec_id_b, cos_sim FROM p WHERE cos_sim >= {_DUP_T}
 """
@@ -142,7 +147,7 @@ def _q55_oracle() -> str:
         f"SELECT vec_id, {t} AS t, k{t} AS bkt FROM b" for t in range(_NT)
     )
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH {_D_UNIT},
 b AS (SELECT vec_id, v,
   {bucket_cols}
   FROM e),
@@ -155,11 +160,10 @@ cand AS (
 ),
 p AS (
   SELECT c.vec_id_a, c.vec_id_b,
-         round(list_dot_product(ea.v, eb.v)
-               / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) AS cos_sim
+         round(list_dot_product(ua.vn, ub.vn), 4) AS cos_sim
   FROM cand c
-  JOIN e ea ON ea.vec_id = c.vec_id_a
-  JOIN e eb ON eb.vec_id = c.vec_id_b
+  JOIN u ua ON ua.vec_id = c.vec_id_a
+  JOIN u ub ON ub.vec_id = c.vec_id_b
 )
 SELECT vec_id_a, vec_id_b, cos_sim FROM p WHERE cos_sim >= {_DUP_T}
 """
