@@ -1,0 +1,79 @@
+"""ORC + JSON-lines round trips, explicit-schema JSON parsing, and the
+ORC pushdown/pruning invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airbnb_pyspark_jobs_spark.sources.formats import (
+    jsonl_to_parquet,
+    read_jsonl,
+    read_orc,
+    write_jsonl,
+    write_orc,
+)
+from airbnb_pyspark_jobs_spark.sources.registry import load_table
+from tests.conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_orc_round_trip_preserves_schema_and_rows(spark, tmp_path):
+    src = load_table(spark, "customer", SF_DIR)
+    path = str(tmp_path / "customer_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert _rows(back) == _rows(src)
+
+
+def test_orc_scan_pushes_filters_and_prunes_columns(spark, tmp_path):
+    path = str(tmp_path / "orders_orc")
+    write_orc(load_table(spark, "orders", SF_DIR), path)
+    df = read_orc(spark, path).filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_totalprice"
+    )
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderpriority" in plan.split("PushedFilters")[1][:200]
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "o_orderkey" in read_schema and "o_comment" not in read_schema
+
+
+def test_jsonl_round_trip_with_explicit_schema(spark, tmp_path):
+    src = load_table(spark, "nation", SF_DIR)
+    path = str(tmp_path / "nation_jsonl")
+    write_jsonl(src, path)
+    back = read_jsonl(spark, path, src.schema)
+    assert back.schema == src.schema
+    assert _rows(back) == _rows(src)
+
+
+def test_jsonl_failfast_on_corrupt_rows(spark, tmp_path):
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part-0.json").write_text('{"a": 1}\n{"a": "not-an-int"}\n')
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    with pytest.raises(Exception):
+        read_jsonl(spark, str(p), schema).collect()
+    # PERMISSIVE + corrupt-record column quarantines instead
+    qschema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("_corrupt_record", T.StringType())]
+    )
+    rows = read_jsonl(spark, str(p), qschema, mode="PERMISSIVE").collect()
+    assert len(rows) == 2
+    assert sum(1 for r in rows if r._corrupt_record is not None) == 1
+
+
+def test_jsonl_to_parquet_staging(spark, tmp_path):
+    src = load_table(spark, "region", SF_DIR)
+    jsrc = str(tmp_path / "region_jsonl")
+    dest = str(tmp_path / "region_parquet")
+    write_jsonl(src, jsrc)
+    jsonl_to_parquet(spark, jsrc, dest, src.schema)
+    back = spark.read.parquet(dest)
+    assert _rows(back) == _rows(src)
