@@ -114,3 +114,90 @@ def tfidf_top_terms(
         .filter(F.col("rn") <= top_k)
         .select("doc_id", "term", "tf", "df", "tfidf", "rn")
     )
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    max_tokens: int = 5000,
+    min_quality: float = 0.5,
+    max_top_token_ratio: float = 0.18,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style corpus quality gate: every document gets a ``keep``
+    verdict plus the FIRST failing rule as ``drop_reason`` (ordered:
+    lang → length → quality → repetition), so filtered corpora stay
+    auditable — you can count what each rule removed.
+
+    Signals reuse the tokenize-once staging from q40 (language guess,
+    quality score) plus a repetition signal: the share of the most
+    frequent lowercased token (`top_token_ratio`, the cheap Gopher
+    repetition rule). The repetition signal is the only shuffle (token
+    explode → per-doc counts → max/sum); everything else is scan-side.
+    Returns ``doc_id, n_tokens, quality, lang_guess, top_token_ratio,
+    keep, drop_reason``.
+    """
+    from airbnb_pyspark_jobs_spark.functions.text import (
+        lang_guess_from_counts,
+        quality_score_from_counts,
+        stopword_count_from_tokens,
+        tokens,
+    )
+
+    langs = ("en", "de", "es", "fr")
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(text_col).alias("__toks"),
+        F.regexp_count(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"))
+        .cast("bigint")
+        .alias("__n_punct"),
+        F.length(text_col).cast("bigint").alias("__n_chars"),
+    )
+    counted = staged.select(
+        "doc_id",
+        "__n_punct",
+        "__n_chars",
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        *[
+            stopword_count_from_tokens(F.col("__toks"), lg).alias(f"__sw_{lg}")
+            for lg in langs
+        ],
+    )
+    rep = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("t"))
+        .select("doc_id", F.lower("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+                "top_token_ratio"
+            )
+        )
+    )
+    sig = counted.join(rep, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        quality_score_from_counts(
+            F.col("n_tokens"), F.col("__sw_en"), F.col("__n_punct"), F.col("__n_chars")
+        ).alias("quality"),
+        lang_guess_from_counts([(lg, F.col(f"__sw_{lg}")) for lg in langs]).alias(
+            "lang_guess"
+        ),
+        "top_token_ratio",
+    )
+    reason = (
+        F.when(F.col("lang_guess") == "und", F.lit("lang"))
+        .when(
+            (F.col("n_tokens") < min_tokens) | (F.col("n_tokens") > max_tokens),
+            F.lit("length"),
+        )
+        .when(F.col("quality") < min_quality, F.lit("quality"))
+        .when(F.col("top_token_ratio") > max_top_token_ratio, F.lit("repetition"))
+    )
+    return sig.select(
+        "*",
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
+    )

@@ -427,3 +427,84 @@ def q48_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return tfidf_top_terms(docs, top_k=_TFIDF_K, max_df_ratio=None)
+
+
+# ---------------------------------------------------------------------------
+# q49 corpus quality gate (operators/corpus.quality_filter): every doc
+# gets keep + first-failing-rule drop_reason (lang -> length -> quality
+# -> repetition). Thresholds chosen to split this corpus non-vacuously:
+# the 'zh'-labeled docs trip the lang rule (no zh stopword set), ~20%
+# trip quality < 0.5, short docs trip length, and the top-token-ratio
+# tail trips repetition. The oracle reproduces every signal and the
+# rule cascade.
+# ---------------------------------------------------------------------------
+_QF_MIN_TOK, _QF_MAX_TOK, _QF_MIN_Q, _QF_MAX_REP = 20, 5000, 0.5, 0.18
+
+
+@query(
+    "q49_quality_filter",
+    oracle=rf"""
+    WITH tr AS (
+      SELECT doc_id, lower(t) AS term
+      FROM (SELECT doc_id, UNNEST({_D_TOKENS}) AS t FROM documents)
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_token_ratio
+      FROM tf GROUP BY doc_id
+    ),
+    s AS (
+      SELECT doc_id,
+        len({_D_TOKENS}) AS n_tokens,
+        {_duck_stop_count("en")} AS sw_en,
+        {_duck_stop_count("de")} AS sw_de,
+        {_duck_stop_count("es")} AS sw_es,
+        {_duck_stop_count("fr")} AS sw_fr,
+        len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+        length(text) AS n_chars
+      FROM documents
+    ),
+    sig AS (
+      SELECT s.doc_id,
+        CAST(s.n_tokens AS BIGINT) AS n_tokens,
+        (least(CAST(s.n_tokens AS DOUBLE) / 100.0, 1.0)
+         + least(CAST(s.sw_en AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) * 4.0, 1.0)
+         + greatest(1.0 - CAST(s.n_punct AS DOUBLE) / CAST(s.n_chars AS DOUBLE) * 5.0, 0.0)
+        ) / 3.0 AS quality,
+        CASE
+          WHEN sw_en = greatest(sw_en, sw_de, sw_es, sw_fr) AND greatest(sw_en, sw_de, sw_es, sw_fr) > 0 THEN 'en'
+          WHEN sw_de = greatest(sw_en, sw_de, sw_es, sw_fr) AND greatest(sw_en, sw_de, sw_es, sw_fr) > 0 THEN 'de'
+          WHEN sw_es = greatest(sw_en, sw_de, sw_es, sw_fr) AND greatest(sw_en, sw_de, sw_es, sw_fr) > 0 THEN 'es'
+          WHEN sw_fr = greatest(sw_en, sw_de, sw_es, sw_fr) AND greatest(sw_en, sw_de, sw_es, sw_fr) > 0 THEN 'fr'
+          ELSE 'und'
+        END AS lang_guess,
+        rep.top_token_ratio
+      FROM s JOIN rep ON s.doc_id = rep.doc_id
+    )
+    SELECT doc_id, n_tokens, quality, lang_guess, top_token_ratio,
+      (CASE
+         WHEN lang_guess = 'und' THEN 'lang'
+         WHEN n_tokens < {_QF_MIN_TOK} OR n_tokens > {_QF_MAX_TOK} THEN 'length'
+         WHEN quality < {_QF_MIN_Q} THEN 'quality'
+         WHEN top_token_ratio > {_QF_MAX_REP} THEN 'repetition'
+       END) IS NULL AS keep,
+      CASE
+        WHEN lang_guess = 'und' THEN 'lang'
+        WHEN n_tokens < {_QF_MIN_TOK} OR n_tokens > {_QF_MAX_TOK} THEN 'length'
+        WHEN quality < {_QF_MIN_Q} THEN 'quality'
+        WHEN top_token_ratio > {_QF_MAX_REP} THEN 'repetition'
+      END AS drop_reason
+    FROM sig
+    """,
+)
+def q49_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import quality_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    return quality_filter(
+        docs,
+        min_tokens=_QF_MIN_TOK,
+        max_tokens=_QF_MAX_TOK,
+        min_quality=_QF_MIN_Q,
+        max_top_token_ratio=_QF_MAX_REP,
+    )
