@@ -543,3 +543,50 @@ def q08_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderpriority").alias("n_priorities"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q25 ranking/navigation window showcase: lag, lead, ntile, rank,
+# dense_rank, percent_rank, cume_dist and a bounded-rows frame min/max
+# in ONE pass over one partitioned sort (priority × (price, orderkey) —
+# a total order, so peer groups are single rows and every function is
+# deterministic cross-engine). One shuffle, no global sort.
+# ---------------------------------------------------------------------------
+@query(
+    "q25_window_showcase",
+    oracle="""
+    SELECT
+      o_orderpriority, o_orderkey, o_totalprice,
+      lag(o_totalprice) OVER w AS prev_price,
+      lead(o_totalprice) OVER w AS next_price,
+      CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
+      CAST(rank() OVER w AS BIGINT) AS price_rank,
+      CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank,
+      percent_rank() OVER w AS price_pct_rank,
+      cume_dist() OVER w AS price_cume_dist,
+      min(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS min_last3,
+      max(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS max_last3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def q25_window_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    frame3 = w.rowsBetween(-2, Window.currentRow)
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).cast("bigint").alias("price_quartile"),
+        F.rank().over(w).cast("bigint").alias("price_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("price_dense_rank"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+        F.min("o_totalprice").over(frame3).alias("min_last3"),
+        F.max("o_totalprice").over(frame3).alias("max_last3"),
+    )
