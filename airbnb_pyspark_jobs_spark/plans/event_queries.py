@@ -192,3 +192,29 @@ def q64_events_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     doubled = events.unionByName(replayed)
     return keyed_dedupe(doubled, keys=["event_id"], order_by=["ts", "value"])
+
+
+# ---------------------------------------------------------------------------
+# q65 HLL distinct-user rollup: per-day DataSketches-HLL sketches of
+# user_id, merged via hll_union_agg into one estimate per event_type-
+# agnostic day bucket — the store-sketches / rollup-without-rescan
+# pattern for 100 TB distinct-count dashboards. NO value oracle by
+# design: the sketch estimates are Spark-internal (DataSketches HLL)
+# and not reproducible in DuckDB — the driver records the weaker
+# rows-only check; estimate-vs-exact accuracy (and sketch mergeability)
+# is asserted in tests/test_sketches.py instead.
+# ---------------------------------------------------------------------------
+@query("q65_hll_daily_users")
+def q65_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        hll_daily_sketches,
+        hll_merge_estimate,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    daily = hll_daily_sketches(events, "ts", "user_id")
+    # roll the per-day sketches up to ISO week WITHOUT touching events
+    weekly = hll_merge_estimate(
+        daily.withColumn("week", F.weekofyear("day")), group_cols=["week"]
+    )
+    return weekly.select("week", F.col("approx_distinct").cast("bigint").alias("approx_users"))

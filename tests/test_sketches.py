@@ -1,0 +1,72 @@
+"""Sketch accuracy vs exact answers (within the configured error) and
+the merge-without-rescan invariant for HLL sketches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airbnb_pyspark_jobs_spark.operators.sketches import (
+    approx_distinct_by,
+    approx_quantiles_by,
+    hll_daily_sketches,
+    hll_merge_estimate,
+)
+from airbnb_pyspark_jobs_spark.sources.registry import load_table
+from tests.conftest import SF_DIR
+
+
+def test_approx_distinct_within_rsd(spark):
+    events = load_table(spark, "events", SF_DIR)
+    approx = {
+        r.event_type: r.approx_distinct
+        for r in approx_distinct_by(events, ["event_type"], "user_id", rsd=0.05).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(3, 0.15 * exact[k]), (k, approx[k], exact[k])
+
+
+def test_hll_sketches_merge_matches_direct_estimate(spark):
+    events = load_table(spark, "events", SF_DIR)
+    daily = hll_daily_sketches(events, "ts", "user_id").persist()
+    merged = hll_merge_estimate(daily).first().approx_distinct
+    exact = events.select("user_id").distinct().count()
+    assert abs(merged - exact) <= max(3, 0.15 * exact)
+    # the pre-aggregate is genuinely mergeable: per-day sketches union to
+    # the SAME estimate as sketching the raw data in one pass
+    direct = (
+        events.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("n"))
+        .first()
+        .n
+    )
+    assert merged == direct
+    daily.unpersist()
+
+
+def test_approx_quantiles_within_rank_error(spark):
+    orders = load_table(spark, "orders", SF_DIR)
+    approx = {
+        r.o_orderpriority: r.approx_quantiles
+        for r in approx_quantiles_by(
+            orders, ["o_orderpriority"], "o_totalprice", [0.5, 0.9], accuracy=10_000
+        ).collect()
+    }
+    exact = {
+        r.o_orderpriority: (r.p50, r.p90)
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    for k, (p50, p90) in exact.items():
+        a50, a90 = approx[k]
+        assert abs(a50 - p50) / p50 < 0.05
+        assert abs(a90 - p90) / p90 < 0.05
