@@ -225,3 +225,43 @@ def portable_hash_int(c: Column | str, seed: str = "") -> Column:
     c = F.col(c) if isinstance(c, str) else c
     seeded = F.concat(F.lit(seed), c) if seed else c
     return F.conv(F.substring(F.md5(seeded), 1, 8), 16, 10).cast("bigint")
+
+
+# PII patterns — kept to syntax valid in BOTH Java regex and RE2 (no
+# lookaround, no backrefs) so the DuckDB oracle runs the same patterns.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+IPV4_PATTERN = r"\b(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)(\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}\b"
+
+_PII_RULES = (
+    ("<EMAIL>", EMAIL_PATTERN),
+    ("<IP>", IPV4_PATTERN),
+    ("<PHONE>", PHONE_PATTERN),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails, IPv4 addresses and phone-like digit runs with
+    typed placeholders. Rule ORDER matters and is part of the contract:
+    emails first (their local parts can contain digits), then IPs (dots
+    between digit groups would otherwise read as phone separators), then
+    phones — the oracle applies the same order."""
+    text = F.col(text) if isinstance(text, str) else text
+    out = text
+    for placeholder, pattern in _PII_RULES:
+        out = F.regexp_replace(out, pattern, placeholder)
+    return out
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-category PII match counts (emails/ips/phones), evaluated on
+    the SAME progressively-redacted text the replacement sees, so
+    overlapping matches are attributed to exactly one category."""
+    text = F.col(text) if isinstance(text, str) else text
+    counts: dict[str, Column] = {}
+    staged = text
+    for placeholder, pattern in _PII_RULES:
+        name = placeholder.strip("<>").lower()
+        counts[f"n_{name}s"] = F.regexp_count(staged, F.lit(pattern)).cast("bigint")
+        staged = F.regexp_replace(staged, pattern, placeholder)
+    return counts

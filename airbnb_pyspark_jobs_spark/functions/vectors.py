@@ -36,3 +36,35 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def abs_max(a: Column) -> Column:
+    """Per-vector max |x| — the symmetric int8 quantization scale."""
+    return F.array_max(F.transform(a, lambda x: F.abs(x)))
+
+
+def quantize_int8(a: Column, scale: Column) -> Column:
+    """Symmetric int8 quantization: round(x / scale * 127). ``scale``
+    MUST be a pre-projected column (lambda-inlining trap: an inlined
+    array_max would re-reduce the array once per element). Zero vectors
+    (scale = 0) quantize to all zeros."""
+    return F.transform(
+        a,
+        lambda x: F.when(scale == 0.0, F.lit(0))
+        .otherwise(F.round(x / scale * 127).cast("int"))
+        .cast("int"),
+    )
+
+
+def int8_reconstruction_error(a: Column, scale: Column) -> Column:
+    """Mean |x - dequantize(quantize(x))| per vector, computed
+    element-wise from the original values (no zip needed) and folded in
+    index order — reproducible cross-engine."""
+    err = F.transform(
+        a,
+        lambda x: F.when(scale == 0.0, F.lit(0.0)).otherwise(
+            F.abs(x - F.round(x / scale * 127) * scale / 127)
+        ),
+    )
+    total = F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x)
+    return total / F.size(a).cast("double")

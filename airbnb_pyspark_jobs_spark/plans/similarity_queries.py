@@ -308,3 +308,59 @@ def q54_label_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     return label_centroid_residuals(emb)
+
+
+# ---------------------------------------------------------------------------
+# q56 symmetric int8 embedding quantization: per-vector abs-max scale,
+# round(x/scale*127) codes, and the mean reconstruction error — the
+# 4x-storage-compression step for embedding tables. Scan-side only; the
+# scale is PROJECTED before the quantize lambda references it (inlined,
+# the abs-max would re-reduce the array once per element). The oracle
+# reproduces scale, code checksum and error bit-for-bit.
+# ---------------------------------------------------------------------------
+_Q56_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+q AS (
+  SELECT vec_id, scale, v,
+         list_transform(v, x -> CAST(round(x / scale * 127) AS INT)) AS codes
+  FROM s
+)
+SELECT vec_id,
+       scale,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       round(list_sum(list_transform(v, x -> abs(x - round(x / scale * 127) * scale / 127)))
+             / len(v), 6) AS recon_err
+FROM q
+"""
+
+
+@query("q56_embedding_quantize_int8", oracle=_Q56_ORACLE)
+def q56_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.vectors import (
+        abs_max,
+        int8_reconstruction_error,
+        quantize_int8,
+        to_double_array,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    staged = emb.select(
+        "vec_id", to_double_array("embedding").alias("__v")
+    ).select("vec_id", "__v", abs_max(F.col("__v")).alias("scale"))
+    q = staged.select(
+        "vec_id",
+        "scale",
+        "__v",
+        quantize_int8(F.col("__v"), F.col("scale")).alias("__codes"),
+    )
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            "__codes", F.lit(0).cast("bigint"), lambda acc, x: acc + x.cast("bigint")
+        ).alias("code_sum"),
+        F.round(
+            int8_reconstruction_error(F.col("__v"), F.col("scale")), 6
+        ).alias("recon_err"),
+    )

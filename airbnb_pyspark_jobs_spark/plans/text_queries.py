@@ -508,3 +508,79 @@ def q49_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_quality=_QF_MIN_Q,
         max_top_token_ratio=_QF_MAX_REP,
     )
+
+
+# ---------------------------------------------------------------------------
+# q57 PII redaction: emails, IPv4s and phone-like digit runs replaced
+# with typed placeholders, with per-category counts — the standard
+# pre-training scrub. The corpus has no organic PII, so deterministic
+# PII is appended per doc_id residue class (email+IP / phone / none)
+# before redaction: all three rules and the none-case are exercised and
+# the oracle rebuilds the augmentation, the rule ORDER (emails -> IPs
+# -> phones, each on the previously-redacted text) and the counts.
+# ---------------------------------------------------------------------------
+@query(
+    "q57_pii_redaction",
+    oracle=rf"""
+    WITH aug AS (
+      SELECT doc_id,
+        CASE
+          WHEN doc_id % 3 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                                   || '@example.com at 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+          WHEN doc_id % 3 = 1 THEN text || ' call +1 (555) 123-4567 now'
+          ELSE text
+        END AS t
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id, t,
+        len(regexp_extract_all(t, '{TX.EMAIL_PATTERN}')) AS n_emails,
+        regexp_replace(t, '{TX.EMAIL_PATTERN}', '<EMAIL>', 'g') AS t1
+      FROM aug
+    ),
+    s2 AS (
+      SELECT doc_id, n_emails,
+        len(regexp_extract_all(t1, '{TX.IPV4_PATTERN}')) AS n_ips,
+        regexp_replace(t1, '{TX.IPV4_PATTERN}', '<IP>', 'g') AS t2
+      FROM s1
+    ),
+    s3 AS (
+      SELECT doc_id, n_emails, n_ips,
+        len(regexp_extract_all(t2, '{TX.PHONE_PATTERN}')) AS n_phones,
+        regexp_replace(t2, '{TX.PHONE_PATTERN}', '<PHONE>', 'g') AS clean_text
+      FROM s2
+    )
+    SELECT doc_id, clean_text,
+      CAST(n_emails AS BIGINT) AS n_emails,
+      CAST(n_ips AS BIGINT) AS n_ips,
+      CAST(n_phones AS BIGINT) AS n_phones
+    FROM s3
+    """,
+)
+def q57_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com at 10.0.0."),
+                (F.col("doc_id") % 250).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.col("text"), F.lit(" call +1 (555) 123-4567 now")),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    counts = TX.pii_counts(F.col("t"))
+    return aug.select(
+        "doc_id",
+        TX.redact_pii(F.col("t")).alias("clean_text"),
+        *[c.alias(name) for name, c in counts.items()],
+    )

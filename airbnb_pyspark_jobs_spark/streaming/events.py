@@ -136,3 +136,46 @@ def streaming_session_agg(
             "n_events",
         )
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    within: str = "1 hour",
+    left_watermark: str = "2 hours",
+    right_watermark: str = "2 hours",
+    ts_col: str = "ts",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-STREAM equi-join with an event-time interval bound —
+    the missing half of the join surface next to stream_static_enrich.
+
+    Both sides are watermarked and the join condition carries a time
+    range (right.ts in [left.ts, left.ts + within]), which is what lets
+    Spark EXPIRE join state: without the interval, both sides' state
+    grows forever. State per side ≈ watermark horizon × arrival rate.
+    Columns are disambiguated with `l_`/`r_` prefixes (both sides carry
+    event columns). Inner joins emit as matches arrive; outer variants
+    emit nulls only after the watermark passes.
+    """
+    lp = left.select(
+        F.col(on).alias("__k"),
+        F.col(ts_col).alias("l_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in (on, ts_col)],
+    ).withWatermark("l_ts", left_watermark)
+    rp = right.select(
+        F.col(on).alias("__k2"),
+        F.col(ts_col).alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (on, ts_col)],
+    ).withWatermark("r_ts", right_watermark)
+    cond = (
+        (F.col("__k") == F.col("__k2"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return (
+        lp.join(rp, on=cond, how=how)
+        .withColumnRenamed("__k", on)
+        .drop("__k2")
+    )

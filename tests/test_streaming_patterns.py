@@ -55,3 +55,50 @@ def test_foreach_batch_sink(spark, events_dir, tmp_path):
     # micro-batch provenance captured
     n_batches = written.select("__batch_id").distinct().count()
     assert n_batches >= 1
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
+    """view->purchase correlation per user within 30 minutes: the
+    stream-stream interval join must produce exactly the batch join's
+    row set (bounded source, watermarks far past the data)."""
+    from airbnb_pyspark_jobs_spark.streaming.events import (
+        read_event_stream,
+        stream_stream_join,
+    )
+
+    views_s = read_event_stream(spark, events_dir).filter(F.col("event_type") == "view")
+    buys_s = read_event_stream(spark, events_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_stream_join(
+        views_s, buys_s, on="user_id", within="30 minutes"
+    ).select("user_id", "l_ts", "r_ts", "l_event_id", "r_event_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ssj").collect()}
+
+    batch = spark.read.parquet(events_dir)
+    v = batch.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_event_id")
+    )
+    b = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("r_ts"), F.col("event_id").alias("r_event_id")
+    )
+    want = {
+        tuple(r)
+        for r in v.join(
+            b,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 minutes")),
+        ).select("user_id", "l_ts", "r_ts", "l_event_id", "r_event_id").collect()
+    }
+    assert got, "stream-stream join emitted nothing"
+    assert got == want

@@ -62,3 +62,46 @@ def test_winnowing_shared_substring_guarantee(spark):
     a = {r.fp for r in fps.filter("doc_id = 1").collect()}
     b = {r.fp for r in fps.filter("doc_id = 2").collect()}
     assert a & b, "no shared fingerprint despite long shared substring"
+
+
+def test_redact_pii_all_categories(spark):
+    t = "mail a.b-c+x@foo-bar.org or 192.168.0.1 or +1 (555) 123-4567 end"
+    out = _one(spark, t, TX.redact_pii("text"))
+    assert out == "mail <EMAIL> or <IP> or <PHONE> end"
+
+
+def test_pii_counts_attribute_each_match_once(spark):
+    # the IP's dotted digits must NOT also count as a phone (counts run
+    # on the progressively-redacted text, like the replacement does)
+    t = "x 10.20.30.40 y 5551234567 z a@b.io"
+    counts = TX.pii_counts("text")
+    import pyspark.sql.functions as F
+
+    row = (
+        spark.createDataFrame([(t,)], "text string")
+        .select(*[c.alias(n) for n, c in counts.items()])
+        .first()
+    )
+    assert (row.n_emails, row.n_ips, row.n_phones) == (1, 1, 1)
+
+
+def test_quantize_int8_round_trip_error_bounded(spark):
+    import pyspark.sql.functions as F
+
+    from airbnb_pyspark_jobs_spark.functions import vectors as V
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "id long, v array<double>",
+    ).select("id", "v", V.abs_max(F.col("v")).alias("s"))
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            V.quantize_int8(F.col("v"), F.col("s")).alias("q"),
+            V.int8_reconstruction_error(F.col("v"), F.col("s")).alias("e"),
+        ).collect()
+    }
+    assert out[1].q == [64, -127, 32, 0]  # round(0.5*127)=64, exact -127
+    assert out[1].e <= 0.5 / 127  # max per-element error = scale/(2*127)
+    assert out[2].q == [0, 0, 0, 0] and out[2].e == 0.0  # zero vector safe
