@@ -311,3 +311,67 @@ def minhash_banding_params(
             f"threshold {threshold}; widen num_hashes"
         )
     return num_hashes, best[1]
+
+
+def dedup_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: every doc
+    gets ``component_id`` = the smallest doc id reachable through pair
+    edges (isolated docs map to themselves). THE keeper-selection step
+    after any pair-producing dedup (Jaccard/MinHash/SimHash/embedding):
+    keep ``doc_id == component_id``, drop the rest — without it,
+    transitive near-dup chains (A~B, B~C) keep redundant docs.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    graph-diameter rounds (near-dup clusters are shallow — single
+    digits). Each round is one join + one groupBy on the node key, with
+    an early-exit convergence ACTION (a count per round — this is an
+    iterative algorithm, bounded by ``max_iterations``, not a lazy
+    plan). Labels are checkpointed via persist each round so the plan
+    doesn't grow multiplicatively.
+    """
+    edges = (
+        pairs.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_id_b").alias("a"), F.col("doc_id_a").alias("b"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = docs.select(F.col(id_col).alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).persist()
+    labels.count()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("component_id")
+    )

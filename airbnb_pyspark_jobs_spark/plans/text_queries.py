@@ -584,3 +584,48 @@ def q57_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.redact_pii(F.col("t")).alias("clean_text"),
         *[c.alias(name) for name, c in counts.items()],
     )
+
+
+# ---------------------------------------------------------------------------
+# q58 dedup components: connected components over the exact Jaccard
+# pairs (q44's ground truth), component id = min reachable doc id; the
+# keeper-selection step (keep doc_id == component_id) that collapses
+# transitive near-dup chains. Spark runs iterative min-label
+# propagation (converges in cluster-diameter rounds); the oracle
+# computes the same fixpoint as a recursive transitive closure.
+# ---------------------------------------------------------------------------
+@query(
+    "q58_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_D_SHINGLES},
+    rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+    shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT doc_id_a, doc_id_b FROM inter
+      JOIN cnt ca ON doc_id_a = ca.doc_id
+      JOIN cnt cb ON doc_id_b = cb.doc_id
+      WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_id_a AS a, doc_id_b AS b FROM prs
+      UNION SELECT doc_id_b, doc_id_a FROM prs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, MIN(dst) AS component_id
+    FROM reach GROUP BY src
+    """,
+)
+def q58_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=50)
+    return DD.dedup_components(docs, pairs)

@@ -79,3 +79,16 @@ def test_low_threshold_recall_with_single_row_bands(spark):
     }
     got = sum(1 for p in planted if p in lsh)
     assert got / len(planted) >= 0.85, f"{got}/{len(planted)}"
+
+
+def test_dedup_components_collapse_transitive_chains(spark):
+    docs = _docs(spark, [(i, f"d{i}") for i in range(1, 8)])
+    # chain 1-2-3, pair 5-6, isolated 4 and 7
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_id_a long, doc_id_b long"
+    )
+    comp = {r.doc_id: r.component_id for r in DD.dedup_components(docs, pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+    # keeper selection: one survivor per near-dup cluster
+    keepers = {d for d, c in comp.items() if d == c}
+    assert keepers == {1, 4, 5, 7}
