@@ -218,3 +218,45 @@ def q65_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.withColumn("week", F.weekofyear("day")), group_cols=["week"]
     )
     return weekly.select("week", F.col("approx_distinct").cast("bigint").alias("approx_users"))
+
+
+# ---------------------------------------------------------------------------
+# q66 as-of join (operators/asof.asof_join): every purchase event gets
+# the user's latest view event at-or-before it — one union + one
+# partitioned window, ONE shuffle on the key (vs the O(n*m) range
+# self-join the naive encoding runs). Views are first deduped per
+# (user, ts) so the at-or-before pick is deterministic; the oracle uses
+# DuckDB's native ASOF LEFT JOIN over the same deduped input.
+# ---------------------------------------------------------------------------
+@query(
+    "q66_asof_view_before_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id FROM (
+        SELECT user_id, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        FROM events WHERE event_type = 'view'
+      ) WHERE rn = 1
+    ),
+    p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, p.event_id, p.ts, CAST(p.value AS DOUBLE) AS value,
+           v.ts AS ts_asof, v.event_id AS event_id_asof
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q66_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.asof import asof_join
+    from airbnb_pyspark_jobs_spark.operators.windows import keyed_dedupe
+
+    events = load_table(spark, "events", sf_dir)
+    views = keyed_dedupe(
+        events.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id"),
+        keys=["user_id", "ts"],
+        order_by=["event_id"],
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return asof_join(
+        purchases, views, on="user_id", right_cols=["event_id"]
+    )
