@@ -375,3 +375,72 @@ def dedup_components(
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("component_id")
     )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT SimHash near-dup pairs with hamming distance <= max_hamming.
+
+    Pigeonhole banding: the 16-bit signature splits into ``bands`` equal
+    bit-bands; pairs differing in at most ``bands - 1`` bits must agree
+    on at least one whole band, so a per-band equality join generates
+    ALL such pairs (this is exact, not probabilistic — unlike MinHash
+    banding) and a bit_count(xor) verification filters to the
+    threshold. Requires ``max_hamming < bands``. Candidate volume is
+    bands × per-band-collisions; at 100 TB widen SIMHASH_BITS and keep
+    bands > max_hamming. Returns ``doc_id_a, doc_id_b, hamming``.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole exactness needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    if SIMHASH_BITS % bands != 0:
+        raise ValueError("bands must divide SIMHASH_BITS")
+    band_bits = SIMHASH_BITS // bands
+    mask = (1 << band_bits) - 1
+
+    sig = simhash_signatures(docs, id_col, text_col)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_val"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bv")
+    ).select("doc_id", "simhash", F.col("bv.band_idx"), F.col("bv.band_val"))
+
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("bigint")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )

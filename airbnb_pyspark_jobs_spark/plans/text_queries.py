@@ -629,3 +629,55 @@ def q58_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     pairs = DD.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=50)
     return DD.dedup_components(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# q59 SimHash near-dup pairs — EXACT by pigeonhole: 16 bits in 4
+# bands; any pair within hamming distance 3 shares a whole band, so
+# the band-equality join generates every candidate and bit_count(xor)
+# verifies (max_hamming=1 here keeps this corpus's result moderate —
+# its ~31-word vocabulary collides signatures heavily, documented in
+# the operator's scale note). Completes the SimHash family: q46 builds
+# signatures, q59 pairs them.
+# ---------------------------------------------------------------------------
+_SH_BANDS, _SH_MAXHAM = 4, 1
+_sh_band_union = "\n      UNION ALL\n      ".join(
+    f"SELECT doc_id, simhash, {b} AS band_idx, (simhash >> {b * 4}) & 15 AS band_val FROM sig"
+    for b in range(_SH_BANDS)
+)
+
+_Q59_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t
+  FROM (SELECT doc_id, UNNEST({_D_TOKENS}) AS t FROM documents)
+),
+th AS (
+  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS th FROM tok
+),
+bits AS (
+  SELECT doc_id,
+    {_bit_sums}
+  FROM th GROUP BY doc_id
+),
+sig AS (SELECT doc_id, CAST({_sim_expr} AS BIGINT) AS simhash FROM bits),
+bl AS (
+      {_sh_band_union}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM bl a JOIN bl b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {_SH_MAXHAM}
+"""
+
+
+@query("q59_simhash_pairs", oracle=_Q59_ORACLE)
+def q59_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_pairs(
+        load_table(spark, "documents", sf_dir),
+        max_hamming=_SH_MAXHAM,
+        bands=_SH_BANDS,
+    )

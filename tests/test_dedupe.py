@@ -92,3 +92,30 @@ def test_dedup_components_collapse_transitive_chains(spark):
     # keeper selection: one survivor per near-dup cluster
     keepers = {d for d, c in comp.items() if d == c}
     assert keepers == {1, 4, 5, 7}
+
+
+def test_simhash_pairs_pigeonhole_exact(spark):
+    """Banding must find EVERY pair within the hamming bound (pigeonhole
+    guarantee), verified against a brute-force all-pairs check."""
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"w{j}" for j in range(i, i + 12))) for i in range(1, 30)],
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in DD.simhash_pairs(docs, max_hamming=3, bands=4).collect()
+    }
+    sigs = {r.doc_id: r.simhash for r in DD.simhash_signatures(docs).collect()}
+    ids = sorted(sigs)
+    want = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert got == want
+
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        DD.simhash_pairs(docs, max_hamming=4, bands=4)
