@@ -260,3 +260,109 @@ def q66_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     return asof_join(
         purchases, views, on="user_id", right_cols=["event_id"]
     )
+
+
+# ---------------------------------------------------------------------------
+# q67 ordered funnel: per user, the earliest view, the earliest click
+# AFTER that view, and the earliest purchase AFTER that click — the
+# strictly-ordered 3-step funnel with per-stage user counts. One
+# groupBy per stage on the user key (conditional min-aggregates), no
+# self-joins: stage timestamps chain through conditional aggregation
+# over the SAME user partitioning.
+# ---------------------------------------------------------------------------
+@query(
+    "q67_funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY 1
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_view,
+      CAST(COUNT(c.t_click) AS BIGINT) AS n_view_click,
+      CAST(COUNT(p.t_purchase) AS BIGINT) AS n_view_click_purchase
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def q67_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    v = events.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_view"),
+            F.count("t_click").alias("n_view_click"),
+            F.count("t_purchase").alias("n_view_click_purchase"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q68 retention cohorts: users grouped by their first-activity day
+# (cohort), counted by how many distinct days-since-cohort they were
+# active on — the day-N retention triangle. Two shuffles: first-day per
+# user, then (cohort_day, day_offset) counts.
+# ---------------------------------------------------------------------------
+@query(
+    "q68_retention_cohorts",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN first_day f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def q68_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    first_day = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = (
+        events.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+        F.col("day_offset").cast("bigint").alias("day_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
