@@ -264,11 +264,12 @@ def q66_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # ---------------------------------------------------------------------------
 # q67 ordered funnel: per user, the earliest view, the earliest click
-# AFTER that view, and the earliest purchase AFTER that click — the
-# strictly-ordered 3-step funnel with per-stage user counts. One
-# groupBy per stage on the user key (conditional min-aggregates), no
-# self-joins: stage timestamps chain through conditional aggregation
-# over the SAME user partitioning.
+# within 12 HOURS after that view, and the earliest purchase within
+# 12 hours after that click — the strictly-ordered, time-bounded 3-step
+# funnel (the bound makes stage counts genuinely shrink on this dense
+# corpus). One groupBy per stage on the user key (conditional
+# min-aggregates), no self-joins: stage timestamps chain through
+# conditional aggregation over the SAME user partitioning.
 # ---------------------------------------------------------------------------
 @query(
     "q67_funnel_view_click_purchase",
@@ -278,12 +279,14 @@ def q66_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT e.user_id, MIN(e.ts) AS t_click
       FROM events e JOIN v ON e.user_id = v.user_id
       WHERE e.event_type = 'click' AND e.ts > v.t_view
+        AND e.ts <= v.t_view + INTERVAL 12 HOUR
       GROUP BY 1
     ),
     p AS (
       SELECT e.user_id, MIN(e.ts) AS t_purchase
       FROM events e JOIN c ON e.user_id = c.user_id
       WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        AND e.ts <= c.t_click + INTERVAL 12 HOUR
       GROUP BY 1
     )
     SELECT
@@ -303,14 +306,20 @@ def q67_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFram
     c = (
         events.filter(F.col("event_type") == "click")
         .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 12 HOUR"))
+        )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
     )
     p = (
         events.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 12 HOUR"))
+        )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
