@@ -364,3 +364,56 @@ def q56_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             int8_reconstruction_error(F.col("__v"), F.col("scale")), 6
         ).alias("recon_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q28 collection-function showcase over the embedding arrays: slice,
+# filter, exists, transform, in-order aggregate folds, sort_array and
+# element_at — the higher-order-function surface, all JVM-side in one
+# Project (no shuffle). Outputs are scalars only: array columns don't
+# round-trip pandas/DuckDB comparisons (q08 note), and float-to-string
+# formatting differs between engines, so top-3 comes back as three
+# double columns.
+# ---------------------------------------------------------------------------
+_Q28_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         list_reverse_sort(v) AS vd
+  FROM e
+)
+SELECT vec_id,
+  round(list_sum(v[1:8]), 6) AS head8_sum,
+  CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+  len(list_filter(v, x -> abs(x) > 0.9)) > 0 AS has_big,
+  round(list_sum(list_transform(v, x -> abs(x))), 6) AS l1_norm,
+  vd[1] AS top1, vd[2] AS top2, vd[3] AS top3
+FROM s
+"""
+
+
+@query("q28_array_ops", oracle=_Q28_ORACLE)
+def q28_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.vectors import to_double_array
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    staged = emb.select(
+        "vec_id", to_double_array("embedding").alias("__v")
+    ).select("vec_id", "__v", F.sort_array("__v", asc=False).alias("__vd"))
+    return staged.select(
+        "vec_id",
+        F.round(
+            F.aggregate(F.slice("__v", 1, 8), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("head8_sum"),
+        F.size(F.filter("__v", lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.exists("__v", lambda x: F.abs(x) > 0.9).alias("has_big"),
+        F.round(
+            F.aggregate(
+                F.transform("__v", lambda x: F.abs(x)), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("l1_norm"),
+        F.element_at("__vd", 1).alias("top1"),
+        F.element_at("__vd", 2).alias("top2"),
+        F.element_at("__vd", 3).alias("top3"),
+    )
