@@ -153,3 +153,82 @@ def media_stats(df: DataFrame) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.avg("n_bytes").alias("avg_bytes"),
     )
+
+
+RESIZED_SCHEMA = "media_id long, width int, height int, thumb binary, decoder string"
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in resize: evenly subsample the payload bytes
+    into a width*height 'pixel' grid — keeps the batch plumbing and
+    output sizing real without codec libraries."""
+    n = width * height
+    if not payload:
+        return bytes(n)
+    return bytes(payload[(i * len(payload)) // n] for i in range(n))
+
+
+def _codec_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real-codec resize (PIL thumbnail to grayscale bytes); import kept
+    inside so the module loads without codecs. Injectable for tests."""
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L").resize((width, height))
+    return img.tobytes()
+
+
+def resize_images(
+    df: DataFrame, width: int = 16, height: int = 16, resizer=None
+) -> DataFrame:
+    """Thumbnail image payloads via Arrow-batched mapInPandas — same
+    driver-side decoder-dispatch pattern as :func:`extract_features`
+    (the chosen function is captured in the task closure). Non-image
+    rows are filtered BEFORE the Python stage so video/audio payloads
+    never cross the Arrow boundary."""
+    if resizer is None:
+        resizer = _codec_resize if HAVE_CODECS else _fake_resize
+    decoder_name = "fake" if resizer is _fake_resize else "real"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "thumb": [resizer(p, width, height) for p in pdf["payload"]],
+                    "decoder": decoder_name,
+                }
+            )
+
+    images = df.filter(F.col("meta.modality") == "image").select("media_id", "payload")
+    return images.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def audio_frame_windows(
+    df: DataFrame, frame_samples: int = 400, hop_samples: int = 160
+) -> DataFrame:
+    """STFT-style frame windows for audio payloads — pure Catalyst
+    (sequence + explode, no Python): window k covers samples
+    ``[k*hop, k*hop + frame)``; the last window starts at the largest
+    hop multiple that still fits a full frame (short clips yield one
+    window at 0). Payload length stands in for the sample count (1
+    byte/sample in the fake corpus); swap the expression for
+    ``meta.n_samples`` when real metadata carries it."""
+    n = F.length("payload")
+    last = F.greatest(
+        F.floor((n - frame_samples) / F.lit(hop_samples)).cast("int"), F.lit(0)
+    )
+    return (
+        df.filter(F.col("meta.modality") == "audio")
+        .select("media_id", F.explode(F.sequence(F.lit(0), last)).alias("win_idx"))
+        .select(
+            "media_id",
+            F.col("win_idx").cast("bigint").alias("win_idx"),
+            (F.col("win_idx") * hop_samples).cast("bigint").alias("start_sample"),
+        )
+    )

@@ -90,3 +90,65 @@ def test_codec_present_dispatches_real_decoder(media, monkeypatch):
     assert all(r.decoder == "real" for r in out)
     by_id = {r.media_id: r for r in out}
     assert by_id[0].feature == [float(100 % 7)] * 4
+
+
+def test_resize_images_fake_path(media, spark):
+    from airbnb_pyspark_jobs_spark.operators.multimodal import resize_images
+
+    out = resize_images(media, width=4, height=4).collect()
+    # fixture: ids not divisible by 3 are images (8 of 12)
+    assert len(out) == 8
+    assert all(len(r.thumb) == 16 for r in out)
+    assert all(r.decoder == "fake" for r in out)
+    # deterministic: constant payload byte -> constant thumb
+    by_id = {r.media_id: r for r in out}
+    assert set(by_id[1].thumb) == {1 % 251}
+
+
+def test_resize_dispatches_injected_real_resizer(media, monkeypatch):
+    from airbnb_pyspark_jobs_spark.operators import multimodal as MM
+
+    def stand_in(payload, width, height):
+        return bytes([7]) * (width * height)
+
+    monkeypatch.setattr(MM, "HAVE_CODECS", True)
+    monkeypatch.setattr(MM, "_codec_resize", stand_in)
+    out = MM.resize_images(media, width=2, height=2).collect()
+    assert all(r.decoder == "real" and r.thumb == bytes([7] * 4) for r in out)
+
+
+def test_audio_frame_windows(spark):
+    from pyspark.sql import Row
+
+    from airbnb_pyspark_jobs_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_frame_windows,
+    )
+
+    rows = [
+        Row(
+            media_id=i,
+            payload=bytes(n),
+            meta=Row(
+                modality="audio",
+                mime="audio/wav",
+                width=None,
+                height=None,
+                n_frames=None,
+                sample_rate=16000,
+            ),
+        )
+        for i, n in [(1, 1000), (2, 300), (3, 400)]
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sorted(
+        (r.media_id, r.win_idx, r.start_sample)
+        for r in audio_frame_windows(df, frame_samples=400, hop_samples=160).collect()
+    )
+    # 1000 samples: floor((1000-400)/160) = 3 -> windows 0..3, starts
+    # 0/160/320/480 (480+400 <= 1000 still a full frame)
+    assert [t for t in out if t[0] == 1] == [(1, i, i * 160) for i in range(4)]
+    # short clip (300 < frame): one window at 0
+    assert [t for t in out if t[0] == 2] == [(2, 0, 0)]
+    # exactly one frame
+    assert [t for t in out if t[0] == 3] == [(3, 0, 0)]
