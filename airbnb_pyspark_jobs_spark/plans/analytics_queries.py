@@ -590,3 +590,84 @@ def q25_window_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").over(frame3).alias("min_last3"),
         F.max("o_totalprice").over(frame3).alias("max_last3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q29 decorrelated scalar subquery: orders strictly above their own
+# customer's average order value. The correlated form (one subquery per
+# row) decorrelates into a join against a per-customer aggregate —
+# Catalyst's own rewrite, expressed explicitly. The average is an exact
+# decimal sum cast to double then divided by an exact count, so both
+# engines compare against the identical IEEE value — and is emitted
+# RAW: rounding a computed double is the one non-portable step (Spark
+# rounds via shortest-repr BigDecimal, DuckDB via scaled arithmetic;
+# they disagree on half-boundary ulps).
+# ---------------------------------------------------------------------------
+@query(
+    "q29_orders_above_customer_avg",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           a.avg_price AS cust_avg
+    FROM orders o JOIN a ON o.o_custkey = a.o_custkey
+    WHERE o.o_totalprice > a.avg_price
+    """,
+)
+def q29_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    avg = orders.groupBy("o_custkey").agg(
+        (F.sum(_dec("o_totalprice", 12)).cast("double") / F.count(F.lit(1))).alias(
+            "avg_price"
+        )
+    )
+    return (
+        orders.join(avg, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("avg_price").alias("cust_avg"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q31 SQL-authored query: the same engine driven entirely through
+# spark.sql over registered temp views — the SQL surface is first-class
+# next to the DataFrame API (identical Catalyst plan either way).
+# ---------------------------------------------------------------------------
+@query(
+    "q31_sql_surface",
+    oracle="""
+    SELECT
+      n.n_name AS nation,
+      COUNT(DISTINCT c.c_custkey) AS n_customers,
+      CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    HAVING COUNT(*) >= 10
+    """,
+)
+def q31_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(f"__q31_{t}")
+    return spark.sql(
+        """
+        SELECT
+          n.n_name AS nation,
+          COUNT(DISTINCT c.c_custkey) AS n_customers,
+          CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+        FROM __q31_orders o
+        JOIN __q31_customer c ON o.o_custkey = c.c_custkey
+        JOIN __q31_nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        HAVING COUNT(*) >= 10
+        """
+    )
