@@ -671,3 +671,39 @@ def q31_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING COUNT(*) >= 10
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q32 salted join under the oracle gate: the lineitem->orders join runs
+# through operators/skew.salted_join (deterministic md5-derived salt on
+# the join key, small side exploded 8x) and must produce EXACTLY the
+# plain join's aggregate — value-level proof that salting changes the
+# shuffle layout, never the result. At scale this is the fallback for
+# a hot key AQE can't split.
+# ---------------------------------------------------------------------------
+@query(
+    "q32_salted_join_parity",
+    oracle="""
+    SELECT
+      o.o_orderpriority,
+      COUNT(*) AS n_lines,
+      CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q32_salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.skew import salted_join
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(li, orders, on=["o_orderkey"], salt_factor=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        _money(F.sum(_dec("l_extendedprice", 12)), "revenue"),
+    )
