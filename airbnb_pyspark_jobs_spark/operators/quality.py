@@ -100,3 +100,25 @@ def assert_expectations(df: DataFrame, **rules) -> None:
         raise ExpectationError(
             "; ".join(f"{k}: {v} violating rows" for k, v in sorted(violations.items()))
         )
+
+
+def dq_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column data-quality profile as a DATAFRAME (composable /
+    sink-able, unlike :func:`expect`'s driver-side dict): row count,
+    null count and distinct count per column. All statistics come from
+    ONE aggregate over one scan (count_distinct fuses into the same
+    Aggregate), then a stack() to long form — no per-column jobs.
+    Counts only, no min/max: stringified extrema don't round-trip
+    engines (float formatting differs), counts always do."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__dist_{c}"))
+    wide = df.agg(*aggs)
+    stack_expr = "stack({n}, {args}) AS (column, n_nulls, n_distinct)".format(
+        n=len(cols),
+        args=", ".join(f"'{c}', __nulls_{c}, __dist_{c}" for c in cols),
+    )
+    return wide.selectExpr("__n AS n_rows", stack_expr).select(
+        "column", "n_rows", "n_nulls", "n_distinct"
+    )

@@ -707,3 +707,30 @@ def q32_salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         _money(F.sum(_dec("l_extendedprice", 12)), "revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q33 data-quality profile (operators/quality.dq_profile): per-column
+# row/null/distinct counts from ONE aggregate over one scan + stack to
+# long form — the DQ summary every ingest gate runs, without N
+# per-column jobs. Counts only (stringified extrema don't round-trip
+# engines).
+# ---------------------------------------------------------------------------
+_DQ_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+
+
+@query(
+    "q33_dq_profile_orders",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column, COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM orders"""
+        for c in _DQ_COLS
+    ),
+)
+def q33_dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.quality import dq_profile
+
+    return dq_profile(load_table(spark, "orders", sf_dir), _DQ_COLS)
