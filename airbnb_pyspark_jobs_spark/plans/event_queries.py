@@ -375,3 +375,68 @@ def q68_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cohort_day").cast("timestamp").alias("cohort_day"),
         F.col("day_offset").cast("bigint").alias("day_offset"),
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# q34 sparse-to-dense time series: per-user daily totals exploded onto
+# each user's own date spine (sequence between first and last active
+# day), absent days carried by a forward fill — last(value,
+# ignorenulls) over a partitioned unbounded-preceding frame. The dense,
+# gap-free series every downstream window/trend computation assumes.
+# One shuffle for the daily aggregate; the spine explode is scan-side
+# and the fill reuses the user partitioning.
+# ---------------------------------------------------------------------------
+@query(
+    "q34_forward_filled_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS day_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+    spine AS (
+      SELECT user_id, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    )
+    SELECT s.user_id,
+           CAST(s.d AS TIMESTAMP) AS day,
+           COALESCE(daily.n_events, 0) AS n_events,
+           last_value(daily.day_value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+    """,
+)
+def q34_forward_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _money(F.sum(_dec("value", 12)), "day_value"),
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            F.col("d").cast("timestamp").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
