@@ -90,14 +90,20 @@ def main() -> None:
         run_query(spark, bench[0])
     except Exception:
         pass
-    # best-of-2 per query: measures steady-state plan execution rather
-    # than first-run JIT/page-cache noise (run-to-run variance on this
-    # box is ±30%; the plan cost itself is stable).
+    # 3 runs per query: `value` stays best-of-N (comparable with prior
+    # rounds' best-of-2 — min over more runs only tightens), and the
+    # median is reported alongside because run-to-run variance on this
+    # box is ±30% while the plan cost itself is stable; a regression
+    # that moves BOTH min and median is real, one that moves only the
+    # median is machine noise.
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in bench:
         try:
-            times[name] = round(min(run_query(spark, name) for _ in range(2)), 3)
+            runs = sorted(run_query(spark, name) for _ in range(3))
+            times[name] = round(runs[0], 3)
+            medians[name] = round(runs[len(runs) // 2], 3)
         except Exception as e:  # a broken query must not sink the whole bench
             errors[name] = f"{type(e).__name__}: {e}"[:200]
     total = round(sum(times.values()), 3)
@@ -114,6 +120,9 @@ def main() -> None:
         # compare THAT across rounds for regressions.
         "floor_sec_per_query": floor,
         "value_adjusted": round(max(0.0, total - floor * len(times)), 3),
+        # medians: variance guard (see comment at the run loop).
+        "value_median": round(sum(medians.values()), 3),
+        "queries_median": medians,
     }
     if errors:
         payload["errors"] = errors
