@@ -142,17 +142,27 @@ def _minhash_aggs(num_hashes: int) -> list[Column]:
     250/256 at sf0.1, zero false positives — candidates are still
     exact-Jaccard verified). Hex-string ordering is a total order on the
     hash space, so the min is a valid uniform MinHash, reproducible
-    verbatim in any engine with md5/substr. Cap: 8 hashes × 4 hex digits
-    fills the 32-digit md5; for more hashes widen to 2 slices of a
-    second seeded md5.
+    verbatim in any engine with md5/substr.
+
+    Widening: 8 hashes × 4 hex digits fill one 32-digit md5, so hash
+    group ``g`` (0-based, 8 hashes each) slices ``md5(s)`` for g=0 —
+    byte-identical to the original 8-hash scheme — and the seeded
+    ``md5(s || '|g')`` for g>=1. Low-Jaccard corpora need the extra
+    hashes: at t≈0.3 only 2-row bands prune well, and reaching recall
+    0.9 with r=2 takes ~27 bands = 54 hashes (see SCALE_NOTES) — at ~7
+    md5 calls per shingle that is still far cheaper than k seeded md5s
+    per hash.
     """
-    if num_hashes * 4 > 32:
-        raise ValueError("sliced MinHash supports at most 8 hashes per md5")
-    md5c = F.md5(F.col("s"))
-    return [
-        F.min(F.substring(md5c, 1 + 4 * (j - 1), 4)).alias(f"h{j}")
-        for j in range(1, num_hashes + 1)
-    ]
+    aggs: list[Column] = []
+    for j in range(1, num_hashes + 1):
+        g, k = divmod(j - 1, 8)
+        md5c = (
+            F.md5(F.col("s"))
+            if g == 0
+            else F.md5(F.concat_ws("|", F.col("s"), F.lit(str(g))))
+        )
+        aggs.append(F.min(F.substring(md5c, 1 + 4 * k, 4)).alias(f"h{j}"))
+    return aggs
 
 
 def minhash_signatures(

@@ -46,10 +46,24 @@ def test_minhash_banding_params():
     assert 1 - (1 - 0.5**r) ** bands >= 0.9
     # at t=0.3 only 1-row bands survive with 8 hashes
     assert minhash_banding_params(0.3, target_recall=0.9, num_hashes=8) == (8, 8)
+    # widened to 56 hashes, 2-row bands reach the same recall with ~8x
+    # fewer background candidates (measured in SCALE_NOTES)
+    assert minhash_banding_params(0.3, target_recall=0.9, num_hashes=56) == (56, 28)
     import pytest
 
     with pytest.raises(ValueError):
         minhash_banding_params(0.05, target_recall=0.99, num_hashes=8)
+
+
+def test_widened_minhash_seeded_groups(spark):
+    """Hashes 1-8 slice md5(s) (byte-identical to the 8-hash scheme);
+    hashes 9+ slice seeded md5(s||'|g') so they are independent, not
+    repeats of the first group."""
+    df = _docs(spark, [(1, "p q r s t u v w")])
+    wide = DD.minhash_signatures(df, num_hashes=16).collect()[0]
+    narrow = DD.minhash_signatures(df, num_hashes=8).collect()[0]
+    assert [wide[f"h{j}"] for j in range(1, 9)] == [narrow[f"h{j}"] for j in range(1, 9)]
+    assert [wide[f"h{j}"] for j in range(9, 17)] != [wide[f"h{j}"] for j in range(1, 9)]
 
 
 def test_low_threshold_recall_with_single_row_bands(spark):
@@ -79,6 +93,16 @@ def test_low_threshold_recall_with_single_row_bands(spark):
     }
     got = sum(1 for p in planted if p in lsh)
     assert got / len(planted) >= 0.85, f"{got}/{len(planted)}"
+    # widened alternative: 56 hashes in 2-row bands hit the same recall
+    # with ~8x fewer background candidates (deterministic given md5)
+    wide = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in DD.minhash_lsh_pairs(
+            docs, num_hashes=56, bands=28, threshold=0.25, persist_shingles=False
+        ).collect()
+    }
+    got_w = sum(1 for p in planted if p in wide)
+    assert got_w / len(planted) >= 0.85, f"{got_w}/{len(planted)}"
 
 
 def test_dedup_components_collapse_transitive_chains(spark):
