@@ -24,7 +24,7 @@ same-ts row wins is tie-broken by the ordered right columns.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -79,3 +79,68 @@ def asof_join(
     out_cols.append(F.col("__match.__rts").alias(f"{right_ts}{suffix}"))
     out_cols.extend(F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in right_cols)
     return carried.select(*out_cols)
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+    extra_equi: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Point-in-interval join as a bucketed EQUI-join (the 100 TB plan
+    for range joins with no natural equality key).
+
+    Matches every ``points`` row to every ``intervals`` row with
+    ``start_ts <= point_ts < end_ts``. Declared naively, Spark plans a
+    pure range predicate as BroadcastNestedLoopJoin (or a cartesian
+    product) — O(|P|·|I|) and a scale-killer. Instead both sides are
+    assigned epoch-time buckets of ``bucket_seconds``: a point falls in
+    exactly ONE bucket, an interval is exploded to EVERY bucket it
+    overlaps, and the join becomes hash-equi on bucket id with the
+    exact range predicate evaluated inside the join condition. Each
+    (point, interval) match meets in precisely the point's bucket, so
+    no post-join dedup is needed.
+
+    Cost: one shuffle of each side on bucket id; interval explosion is
+    ``ceil(len/bucket)+1`` copies — pick ``bucket_seconds`` near the
+    typical interval length (~2 copies). Skewed hot buckets can reuse
+    ``operators.skew.salted_join`` semantics if needed.
+
+    ``how``: 'inner' or 'left' (left preserves all points — safe
+    because points are never replicated; interval-preserving outer
+    joins would duplicate unmatched exploded copies and are rejected).
+    ``extra_equi``: optional [(point_col, interval_col)] equality keys
+    ANDed into the join (e.g. user_id attribution).
+    Precondition: the two frames' column names are disjoint and
+    ``start_ts <= end_ts`` on every interval row.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"how={how!r}: only inner/left joins are point-safe")
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(f"column names must be disjoint; overlapping: {sorted(overlap)}")
+
+    w = int(bucket_seconds)
+
+    def _bucket(c: str) -> Column:
+        # cast to double = epoch seconds incl. fractional microseconds;
+        # only bucket ASSIGNMENT uses it — the exact predicate below
+        # compares raw timestamps, so no precision is lost.
+        return F.floor(F.col(c).cast("double") / F.lit(w)).cast("long")
+
+    p = points.withColumn("__pb", _bucket(point_ts))
+    iv = intervals.withColumn(
+        "__ib", F.explode(F.sequence(_bucket(start_ts), _bucket(end_ts)))
+    )
+    cond = (
+        (p["__pb"] == iv["__ib"])
+        & (p[point_ts] >= iv[start_ts])
+        & (p[point_ts] < iv[end_ts])
+    )
+    for pc, ic in extra_equi or []:
+        cond = cond & (p[pc] == iv[ic])
+    return p.join(iv, cond, how).drop("__pb", "__ib")

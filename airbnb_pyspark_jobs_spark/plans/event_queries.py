@@ -440,3 +440,52 @@ def q34_forward_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q69 pre-purchase attribution via a NO-equi-key range join: for each
+# purchase, the view events anywhere on the site in its preceding
+# 1-hour window. A pure range predicate would plan as
+# BroadcastNestedLoopJoin (O(|views|x|purchases|)); bucketed_range_join
+# rewrites it as a hash-equi join on epoch-hour buckets with the exact
+# predicate inside the join condition (asserted BNLJ-free in
+# tests/test_plans.py). Bucket width = interval length -> each interval
+# explodes to <= 2 bucket copies.
+# ---------------------------------------------------------------------------
+@query(
+    "q69_purchase_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id,
+             ts - INTERVAL 1 HOUR AS w_start, ts AS w_end
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT p.purchase_id,
+           CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(COUNT(DISTINCT v.user_id) AS BIGINT) AS n_viewers
+    FROM p JOIN v ON v.ts >= p.w_start AND v.ts < p.w_end
+    GROUP BY p.purchase_id
+    """,
+)
+def q69_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.asof import bucketed_range_join
+
+    events = load_table(spark, "events", sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("ts")
+    )
+    joined = bucketed_range_join(
+        views, purchases, "ts", "w_start", "w_end", bucket_seconds=3600
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.count_distinct("user_id").alias("n_viewers"),
+    )

@@ -52,3 +52,98 @@ def test_asof_plan_has_single_shuffle(spark):
     # per-side shuffles (hashpartitioning appears once)
     assert plan.count("Exchange hashpartitioning") == 1
     assert df.count() == 100
+
+
+def _mk_points(spark, rows):
+    return spark.createDataFrame(rows, "pid long, pts string").withColumn(
+        "pts", F.col("pts").cast("timestamp")
+    )
+
+
+def _mk_intervals(spark, rows):
+    df = spark.createDataFrame(rows, "iid long, s string, e string")
+    return df.withColumn("s", F.col("s").cast("timestamp")).withColumn(
+        "e", F.col("e").cast("timestamp")
+    )
+
+
+def test_range_join_matches_naive_cross_filter(spark):
+    from airbnb_pyspark_jobs_spark.operators.asof import bucketed_range_join
+
+    points = _mk_points(
+        spark,
+        [(i, f"2026-01-01 {h:02d}:{m:02d}:00") for i, (h, m) in enumerate(
+            [(0, 0), (0, 30), (1, 0), (1, 59), (2, 0), (5, 17), (23, 59)]
+        )],
+    )
+    intervals = _mk_intervals(
+        spark,
+        [
+            (1, "2026-01-01 00:00:00", "2026-01-01 01:00:00"),  # [0,1h)
+            (2, "2026-01-01 00:45:00", "2026-01-01 02:00:00"),  # crosses buckets
+            (3, "2026-01-01 05:00:00", "2026-01-01 06:00:00"),
+            (4, "2026-01-01 22:00:00", "2026-01-02 00:30:00"),  # multi-bucket
+        ],
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in bucketed_range_join(points, intervals, "pts", "s", "e").collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in points.crossJoin(intervals)
+        .filter((F.col("pts") >= F.col("s")) & (F.col("pts") < F.col("e")))
+        .collect()
+    }
+    assert got == naive
+    # boundary semantics baked in: start inclusive, end exclusive
+    assert (0, 1) in got and (2, 1) not in got and (2, 2) in got
+
+
+def test_range_join_left_keeps_unmatched_points_once(spark):
+    from airbnb_pyspark_jobs_spark.operators.asof import bucketed_range_join
+
+    points = _mk_points(spark, [(1, "2026-01-01 00:10:00"), (2, "2026-01-01 09:00:00")])
+    intervals = _mk_intervals(spark, [(7, "2026-01-01 00:00:00", "2026-01-01 01:00:00")])
+    rows = bucketed_range_join(points, intervals, "pts", "s", "e", how="left").collect()
+    assert sorted((r.pid, r.iid) for r in rows) == [(1, 7), (2, None)]
+
+
+def test_range_join_extra_equi_and_validation(spark):
+    import pytest
+
+    from airbnb_pyspark_jobs_spark.operators.asof import bucketed_range_join
+
+    points = spark.createDataFrame(
+        [(1, 10, "2026-01-01 00:10:00"), (2, 99, "2026-01-01 00:20:00")],
+        "pid long, pu long, pts string",
+    ).withColumn("pts", F.col("pts").cast("timestamp"))
+    intervals = spark.createDataFrame(
+        [(7, 10, "2026-01-01 00:00:00", "2026-01-01 01:00:00")],
+        "iid long, iu long, s string, e string",
+    ).withColumn("s", F.col("s").cast("timestamp")).withColumn("e", F.col("e").cast("timestamp"))
+    rows = bucketed_range_join(
+        points, intervals, "pts", "s", "e", extra_equi=[("pu", "iu")]
+    ).collect()
+    assert [(r.pid, r.iid) for r in rows] == [(1, 7)]
+    with pytest.raises(ValueError):
+        bucketed_range_join(points, intervals, "pts", "s", "e", how="full")
+    with pytest.raises(ValueError):
+        bucketed_range_join(points, points, "pts", "pts", "pts")  # overlapping cols
+
+
+def test_range_join_plan_is_equi_not_nested_loop(spark):
+    from airbnb_pyspark_jobs_spark.operators.asof import bucketed_range_join
+
+    points = spark.range(1000).select(
+        F.col("id").alias("pid"), F.timestamp_seconds(F.col("id") * 97).alias("pts")
+    )
+    intervals = spark.range(200).select(
+        F.col("id").alias("iid"),
+        F.timestamp_seconds(F.col("id") * 450).alias("s"),
+        F.timestamp_seconds(F.col("id") * 450 + 3600).alias("e"),
+    )
+    df = bucketed_range_join(points, intervals, "pts", "s", "e", bucket_seconds=3600)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
