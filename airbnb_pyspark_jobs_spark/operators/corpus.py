@@ -201,3 +201,52 @@ def quality_filter(
         reason.isNull().alias("keep"),
         reason.alias("drop_reason"),
     )
+
+
+def repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style bigram repetition signals per document: the share of
+    bigram instances taken by the single most frequent bigram
+    (``top_bigram_ratio``) and the share belonging to any bigram that
+    occurs more than once (``dup_bigram_ratio``). The unigram variant
+    lives in :func:`quality_filter` (``top_token_ratio``); bigram-level
+    shares are the standard next rung for catching boilerplate and
+    looping generations that unigram stats miss.
+
+    Plan: tokenize-once projection → bigram array via two shifted
+    ``slice``s zipped scan-side (no per-element recompute of the token
+    split) → explode → ONE (doc_id, bigram) count shuffle → ONE per-doc
+    aggregate. The bigram-instance total doubles as the denominator, so
+    no join back to the input is needed. Documents with fewer than two
+    tokens have no bigram instances and are absent from the output.
+
+    Ratios are single IEEE divisions of exact integer counts —
+    bit-identical across engines, emitted raw (never re-rounded).
+    """
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    )
+    n_bi = F.greatest(F.size("__toks") - 1, F.lit(0))
+    bg = staged.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("__toks", F.lit(1), n_bi),
+                F.slice("__toks", F.lit(2), n_bi),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    )
+    counts = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        total.cast("bigint").alias("n_bigrams"),
+        (F.max("c").cast("double") / total.cast("double")).alias("top_bigram_ratio"),
+        (
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).cast("double")
+            / total.cast("double")
+        ).alias("dup_bigram_ratio"),
+    )

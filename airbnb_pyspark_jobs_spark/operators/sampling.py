@@ -71,3 +71,37 @@ def deterministic_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
     return df.filter(split_bucket(key_col, seed) < int(round(fraction * _BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — ``df.sampleBy`` with
+    reproducible membership (hash of key, not rand()): the corpus
+    rebalancing step of a training pipeline (downsample over-represented
+    sources, keep rare ones whole).
+
+    ``fractions`` maps stratum value → keep fraction; strata not listed
+    get ``default_fraction``. A row is kept iff its stable bucket falls
+    below its stratum's threshold, so membership is a pure function of
+    (key, seed) — unaffected by other rows, partitioning, or engine.
+    Scan-side filter: no shuffle, composes with pushdown; the stratum
+    threshold is a literal CASE over ``strata_col``.
+    """
+    for name, f in {**fractions, "<default>": default_fraction}.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0,1], got {f}")
+    bucket = split_bucket(key_col, seed)
+    thr = None
+    for name, f in fractions.items():
+        cond = F.col(strata_col) == name
+        t = F.lit(int(round(f * _BUCKETS)))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    default = F.lit(int(round(default_fraction * _BUCKETS)))
+    thr = default if thr is None else thr.otherwise(default)
+    return df.filter(bucket < thr)

@@ -681,3 +681,68 @@ def q59_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=_SH_MAXHAM,
         bands=_SH_BANDS,
     )
+
+
+# ---------------------------------------------------------------------------
+# q39 bigram repetition signals (Gopher repetition family): top-bigram
+# share + duplicated-bigram share per document. One (doc_id, bigram)
+# count shuffle + one per-doc aggregate; the denominator is derived
+# from the counts themselves (no join back to documents). Ratios are
+# single IEEE divisions of exact integer counts — engine-identical raw.
+# ---------------------------------------------------------------------------
+@query(
+    "q39_repetition_signals",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_D_TOKENS} AS ts FROM documents),
+    bg AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg
+      FROM tok, UNNEST(range(1, len(ts))) AS u(i)
+    ),
+    c AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_ratio,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE) AS dup_bigram_ratio
+    FROM c GROUP BY doc_id
+    """,
+)
+def q39_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import repetition_signals
+
+    docs = load_table(spark, "documents", sf_dir)
+    return repetition_signals(docs)
+
+
+# ---------------------------------------------------------------------------
+# q37 stratified corpus rebalancing: keep src0-4 whole, halve src5-9,
+# 10% of the rest — per-stratum deterministic hash sampling (the
+# reproducible sampleBy). Scan-side filter, one count shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "q37_stratified_sample",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM (
+      SELECT source,
+             CAST('0x' || substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 10000 AS bucket
+      FROM documents
+    )
+    WHERE bucket < CASE
+      WHEN source IN ('src0','src1','src2','src3','src4') THEN 10000
+      WHEN source IN ('src5','src6','src7','src8','src9') THEN 5000
+      ELSE 1000 END
+    GROUP BY source
+    """,
+)
+def q37_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    fr = {f"src{i}": 1.0 for i in range(5)}
+    fr.update({f"src{i}": 0.5 for i in range(5, 10)})
+    sampled = stratified_sample(
+        docs, "source", fr, key_col="doc_id", seed="s1", default_fraction=0.1
+    )
+    return sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))

@@ -92,3 +92,46 @@ def test_tfidf_df_cap_drops_ubiquitous_terms(spark):
     for r in out:
         by_doc.setdefault(r.doc_id, []).append(r)
     assert by_doc[1][0].term == "rare1" and by_doc[1][0].tf == 2
+
+
+def test_repetition_signals_known_counts(spark):
+    from airbnb_pyspark_jobs_spark.operators.corpus import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # bigrams: ab ba ab ba -> top 2/4, dup 4/4
+            (2, "x y z"),       # bigrams: xy yz -> top 1/2, dup 0
+            (3, "solo"),        # no bigrams -> absent from output
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_bigrams == 4
+    assert out[1].top_bigram_ratio == 0.5
+    assert out[1].dup_bigram_ratio == 1.0
+    assert out[2].n_bigrams == 2
+    assert out[2].top_bigram_ratio == 0.5
+    assert out[2].dup_bigram_ratio == 0.0
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    from airbnb_pyspark_jobs_spark.operators.sampling import stratified_sample
+
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+    )
+    out = stratified_sample(df, "g", {"a": 0.5, "b": 1.0}, key_col="k")
+    counts = {r.g: r.c for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert counts["b"] == 2000  # fraction 1.0 keeps the whole stratum
+    assert 800 < counts["a"] < 1200  # ~half, hash-determined
+    # determinism: the exact same subset on a second evaluation
+    ids1 = sorted(r.k for r in out.collect())
+    ids2 = sorted(r.k for r in stratified_sample(df, "g", {"a": 0.5, "b": 1.0}, key_col="k").collect())
+    assert ids1 == ids2
+    # unlisted strata get default_fraction (0 -> dropped entirely)
+    df2 = df.withColumn("g", F.lit("zzz"))
+    assert stratified_sample(df2, "g", {"a": 0.5}, key_col="k").count() == 0
+    with pytest.raises(ValueError):
+        stratified_sample(df, "g", {"a": 1.5}, key_col="k")
