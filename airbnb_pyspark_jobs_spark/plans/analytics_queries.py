@@ -734,3 +734,52 @@ def q33_dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbnb_pyspark_jobs_spark.operators.quality import dq_profile
 
     return dq_profile(load_table(spark, "orders", sf_dir), _DQ_COLS)
+
+
+# ---------------------------------------------------------------------------
+# q35 GROUPING SETS via the native DataFrame API (Spark 4's
+# groupingSets): two disjoint one-dimension aggregates of orders in a
+# SINGLE Expand+Aggregate pass — one scan + one shuffle where separate
+# groupBys would scan twice and union. grouping() flags disambiguate
+# which set a row belongs to (a real NULL in a dim would otherwise be
+# indistinguishable from "aggregated over").
+# ---------------------------------------------------------------------------
+@query(
+    "q35_grouping_sets",
+    oracle="""
+    SELECT
+      CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END
+        AS priority,
+      CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END
+        AS status,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+)
+def q35_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"]],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money(F.sum(_dec("o_totalprice", 12)), "revenue"),
+            F.grouping("o_orderpriority").alias("__gp"),
+            F.grouping("o_orderstatus").alias("__gs"),
+        )
+        .select(
+            F.when(F.col("__gp") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("priority"),
+            F.when(F.col("__gs") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            "n_orders",
+            "revenue",
+        )
+    )
