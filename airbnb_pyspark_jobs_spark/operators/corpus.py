@@ -250,3 +250,97 @@ def repetition_signals(
             / total.cast("double")
         ).alias("dup_bigram_ratio"),
     )
+
+
+def vocabulary(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary / inverted-index build: one row per lowercased
+    term with document frequency ``df``, collection frequency ``cf``,
+    ``idf = round(ln(N/df), 6)`` and ``postings_md5`` — the md5 of the
+    comma-joined, lexicographically-sorted distinct doc-id list. The
+    digest value-checks the FULL postings list cross-engine without
+    shipping arrays around (array columns don't round-trip a pandas
+    compare; a hash does).
+
+    Plan: explode → one (term, doc) aggregate (collapses duplicate
+    occurrences while counting them for cf) → one per-term aggregate;
+    the corpus-size scalar joins in as a broadcast. Postings lists are
+    per-term aggregates — the natural term partitioning of a 100 TB
+    index build; a hot term's list is bounded by N docs, the same bound
+    any posting-list store accepts.
+    """
+    term_rows = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("t")
+    ).select(F.col("doc_id").cast("string").alias("doc_id"), F.lower("t").alias("term"))
+    per_doc = term_rows.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("__n"))
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.md5(F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))).alias(
+                "postings_md5"
+            ),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "df",
+            "cf",
+            F.round(
+                F.log(F.col("__n").cast("double") / F.col("df").cast("double")), 6
+            ).alias("idf"),
+            "postings_md5",
+        )
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    budget: int = 2048,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    order_col: str = "chunk_idx",
+    token_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Concat-style sequence packing: the step after chunking that fills
+    fixed token-budget training sequences. Within a shard, chunks are
+    concatenated in (doc, chunk) order and cut every ``budget`` tokens;
+    a chunk belongs to the pack containing its FIRST token (packs can
+    overflow by at most one chunk — the standard concat-and-split
+    packing, not bin-packing, which is inherently sequential).
+
+    Global greedy packing would serialize the corpus through one
+    ordering; sharding by doc-id hash makes packing embarrassingly
+    parallel — each shard is one window partition, so the whole
+    operator is ONE shuffle (the per-shard window sort) plus the final
+    pack aggregate, and determinism is a pure function of (doc ids,
+    chunk order, budget, shards).
+
+    Returns one row per pack: ``shard, pack_id, n_chunks, pack_tokens,
+    n_docs``.
+    """
+    from airbnb_pyspark_jobs_spark.functions.text import portable_hash_int
+
+    sharded = chunks.withColumn(
+        "shard", F.pmod(portable_hash_int(F.col(id_col).cast("string")), F.lit(shards))
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col), F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_excl = F.sum(token_col).over(w) - F.col(token_col)
+    packed = sharded.withColumn(
+        "pack_id",
+        F.floor(cum_excl.cast("double") / F.lit(float(budget))).cast("bigint"),
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(token_col).cast("bigint").alias("pack_tokens"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )

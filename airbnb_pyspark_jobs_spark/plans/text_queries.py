@@ -746,3 +746,85 @@ def q37_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "source", fr, key_col="doc_id", seed="s1", default_fraction=0.1
     )
     return sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# ---------------------------------------------------------------------------
+# q38 vocabulary / inverted-index build: per-term df, cf, idf and an
+# md5 digest of the sorted postings list (value-checks the whole list
+# cross-engine without array round-trip). Two keyed shuffles plus a
+# broadcast scalar.
+# ---------------------------------------------------------------------------
+@query(
+    "q38_vocabulary",
+    oracle=rf"""
+    WITH tr AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, lower(t) AS term
+      FROM (SELECT doc_id, UNNEST({_D_TOKENS}) AS t FROM documents)
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tr),
+    pd AS (SELECT term, doc_id, COUNT(*) AS tf FROM tr GROUP BY 1, 2)
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS cf,
+           ROUND(LN((SELECT n FROM n) / CAST(COUNT(*) AS DOUBLE)), 6) AS idf,
+           md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS postings_md5
+    FROM pd GROUP BY term
+    """,
+)
+def q38_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import vocabulary
+
+    docs = load_table(spark, "documents", sf_dir)
+    return vocabulary(docs)
+
+
+# ---------------------------------------------------------------------------
+# q36 sequence packing: chunks → fixed 512-token training sequences,
+# concat-and-split per doc-hash shard. One window shuffle + one pack
+# aggregate; sharding keeps packing parallel (see operators/corpus.py).
+# ---------------------------------------------------------------------------
+_PACK_BUDGET, _PACK_SHARDS = 512, 8
+
+
+@query(
+    "q36_pack_sequences",
+    oracle=rf"""
+    WITH tok AS (SELECT doc_id, {_D_TOKENS} AS ts FROM documents),
+    k AS (
+      SELECT doc_id, ts,
+             UNNEST(range(0, greatest((len(ts) - {_CHUNK} + {_STRIDE - 1}) // {_STRIDE}, 0) + 1)) AS ci
+      FROM tok
+    ),
+    ch AS (
+      SELECT doc_id, ci AS chunk_idx,
+             len(ts[ci * {_STRIDE} + 1 : ci * {_STRIDE} + {_CHUNK}]) AS n_chunk_tokens
+      FROM k
+    ),
+    sh AS (
+      SELECT *,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % {_PACK_SHARDS} AS shard
+      FROM ch
+    ),
+    c AS (
+      SELECT shard, doc_id, n_chunk_tokens,
+             SUM(n_chunk_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_chunk_tokens AS cum_excl
+      FROM sh
+    )
+    SELECT shard,
+           CAST(FLOOR(CAST(cum_excl AS DOUBLE) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_chunk_tokens) AS BIGINT) AS pack_tokens,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM c GROUP BY 1, 2
+    """,
+)
+def q36_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import chunk_documents, pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = chunk_documents(docs, chunk_tokens=_CHUNK, overlap=_OVERLAP)
+    return pack_sequences(chunks, budget=_PACK_BUDGET, shards=_PACK_SHARDS)

@@ -135,3 +135,45 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     assert stratified_sample(df2, "g", {"a": 0.5}, key_col="k").count() == 0
     with pytest.raises(ValueError):
         stratified_sample(df, "g", {"a": 1.5}, key_col="k")
+
+
+def test_vocabulary_counts_and_postings_digest(spark):
+    import hashlib
+
+    from airbnb_pyspark_jobs_spark.operators.corpus import vocabulary
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "c c c")], "doc_id long, text string"
+    )
+    out = {r.term: r for r in vocabulary(docs).collect()}
+    assert out["a"].df == 1 and out["a"].cf == 2
+    assert out["b"].df == 2 and out["b"].cf == 2
+    assert out["c"].df == 2 and out["c"].cf == 4
+    assert out["b"].postings_md5 == hashlib.md5(b"1,2").hexdigest()
+    assert out["c"].postings_md5 == hashlib.md5(b"2,3").hexdigest()
+    import math
+
+    assert out["a"].idf == round(math.log(3 / 1), 6)
+
+
+def test_pack_sequences_concat_split_semantics(spark):
+    from airbnb_pyspark_jobs_spark.operators.corpus import pack_sequences
+
+    # single shard (shards=1) so the packing order is fully determined:
+    # chunks of 60 tokens against budget 100 -> first-token packs
+    # 0,0,1,1,2,... (chunk 2 starts at token 60 < 100 -> pack 0, overflow)
+    chunks = spark.createDataFrame(
+        [(1, i, 60) for i in range(5)],
+        "doc_id long, chunk_idx long, n_chunk_tokens long",
+    )
+    out = {r.pack_id: r for r in pack_sequences(chunks, budget=100, shards=1).collect()}
+    assert [out[p].n_chunks for p in sorted(out)] == [2, 2, 1]
+    assert sum(r.pack_tokens for r in out.values()) == 300  # nothing lost
+    assert all(r.shard == 0 for r in out.values())
+    # chunks never split across shards: every doc's chunks share a shard
+    many = spark.createDataFrame(
+        [(d, i, 10) for d in range(20) for i in range(3)],
+        "doc_id long, chunk_idx long, n_chunk_tokens long",
+    )
+    packs = pack_sequences(many, budget=50, shards=4)
+    assert packs.agg(F.sum("pack_tokens")).collect()[0][0] == 600
