@@ -4,6 +4,8 @@ that sub-n docs produce NO shingles."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from airbnb_pyspark_jobs_spark.operators import dedupe as DD
 
 
@@ -143,3 +145,15 @@ def test_simhash_pairs_pigeonhole_exact(spark):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         DD.simhash_pairs(docs, max_hamming=4, bands=4)
+
+
+def test_dedup_components_deep_chain_converges_in_log_rounds(spark):
+    """A 60-hop path graph: neighbor-min alone needs 59 rounds (and the
+    per-round nested lineage used to overflow the JVM stack before
+    localCheckpoint); pointer jumping converges inside the default cap."""
+    docs = spark.range(60).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(59).select(
+        F.col("id").alias("doc_id_a"), (F.col("id") + 1).alias("doc_id_b")
+    )
+    out = DD.dedup_components(docs, pairs, max_iterations=20)
+    assert out.filter(F.col("component_id") == 0).count() == 60
