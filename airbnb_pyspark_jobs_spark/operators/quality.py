@@ -102,6 +102,41 @@ def assert_expectations(df: DataFrame, **rules) -> None:
         )
 
 
+def observe_quality(
+    df: DataFrame,
+    name: str = "dq",
+    not_null: Sequence[str] = (),
+    ranges: dict[str, tuple[float | None, float | None]] | None = None,
+):
+    """Attach :func:`expect`-style counters to the DataFrame itself via
+    ``df.observe()``: the metrics are computed DURING whatever action
+    the caller already runs (the write, the count) — ZERO extra scan,
+    unlike ``expect`` which runs its own aggregate job. This is how a
+    100 TB pipeline collects DQ counters on the hot path: guards that
+    rescan the table double its cost; observed metrics ride along in
+    the same whole-stage-codegen pass.
+
+    Returns ``(df, observation)`` — run an action on the returned df,
+    then read ``observation.get`` (a dict: ``n_rows`` plus one
+    violation counter per rule). Works identically under batch and
+    ``foreachBatch`` micro-batches.
+    """
+    from pyspark.sql import Observation
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in not_null:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"not_null:{c}"))
+    for c, (lo, hi) in (ranges or {}).items():
+        cond = F.lit(False)
+        if lo is not None:
+            cond = cond | (F.col(c) < lo)
+        if hi is not None:
+            cond = cond | (F.col(c) > hi)
+        aggs.append(F.sum(cond.cast("long")).alias(f"range:{c}"))
+    obs = Observation(name)
+    return df.observe(obs, *aggs), obs
+
+
 def dq_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Per-column data-quality profile as a DATAFRAME (composable /
     sink-able, unlike :func:`expect`'s driver-side dict): row count,

@@ -71,3 +71,25 @@ def test_assert_expectations_raises_with_all_failures(df):
 def test_assert_expectations_passes_clean(spark):
     clean = spark.createDataFrame([(1, "a")], "id long, cat string")
     assert_expectations(clean, not_null=["id", "cat"], unique_key=["id"])
+
+
+def test_observe_quality_rides_along_with_the_action(spark):
+    from airbnb_pyspark_jobs_spark.operators.quality import expect, observe_quality
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0), (None, 2.0)],
+        "k long, v double",
+    )
+    observed, obs = observe_quality(
+        df, not_null=["k", "v"], ranges={"v": (0.0, None)}
+    )
+    # metrics materialize during the caller's own action - no extra job
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_rows"] == 4
+    assert got["not_null:k"] == 1
+    assert got["not_null:v"] == 1
+    assert got["range:v"] == 1
+    # parity with the standalone expect() aggregate
+    want = expect(df, not_null=["k", "v"], ranges={"v": (0.0, None)})
+    assert {k: v for k, v in got.items() if k != "n_rows"} == want
