@@ -102,3 +102,61 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
     }
     assert got, "stream-stream join emitted nothing"
     assert got == want
+
+
+def test_scd2_stream_upsert_builds_versioned_dimension(spark, tmp_path):
+    """Two snapshot files processed as separate micro-batches: the
+    changed key gains a second version, the unchanged key keeps one
+    current row — same semantics as the batch scd2_merge (q22)."""
+    import os
+    import time
+
+    from airbnb_pyspark_jobs_spark.operators.scd2 import Scd2Spec
+    from airbnb_pyspark_jobs_spark.streaming.dimensions import scd2_stream_upsert
+
+    src = tmp_path / "snapshots"
+    src.mkdir()
+    schema = "c_custkey long, c_name string, c_acctbal double, ts timestamp"
+    raw_schema = "c_custkey long, c_name string, c_acctbal double, ts string"
+    snap1 = spark.createDataFrame(
+        [(1, "alice", 100.0, "2026-01-01 00:00:00"), (2, "bob", 50.0, "2026-01-01 00:00:00")],
+        raw_schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    snap1.coalesce(1).write.parquet(str(src / "f1"))
+    # second snapshot: alice's balance changes, bob unchanged; arrange
+    # mtimes so the file source orders f1 before f2
+    snap2 = spark.createDataFrame(
+        [(1, "alice", 175.0, "2026-01-02 00:00:00"), (2, "bob", 50.0, "2026-01-02 00:00:00")],
+        raw_schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    snap2.coalesce(1).write.parquet(str(src / "f2"))
+    now = time.time()
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            p = os.path.join(root, f)
+            os.utime(p, (now - 60, now - 60) if "f1" in root else (now, now))
+
+    spec = Scd2Spec(
+        natural_key=["c_custkey"],
+        tracked_cols=["c_name", "c_acctbal"],
+        portable_hash=True,
+        audit_col=None,
+    )
+    dim_path = str(tmp_path / "dim")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = scd2_stream_upsert(stream, dim_path, spec, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    dim = spark.read.parquet(dim_path)
+    rows = sorted(
+        (r.c_custkey, r.c_acctbal, r.is_valid) for r in dim.collect()
+    )
+    # alice: expired 100.0 + current 175.0; bob: single current version
+    assert rows == [(1, 100.0, False), (1, 175.0, True), (2, 50.0, True)]
+    cur = {r.c_custkey: r.c_acctbal for r in dim.filter("is_valid").collect()}
+    assert cur == {1: 175.0, 2: 50.0}
