@@ -76,3 +76,87 @@ def test_overwrite_with_barrier_self_referencing_lineage(spark, tmp_path):
     assert {r.v for r in result.collect()} == {2}
     # and the path really was replaced (fresh scan agrees)
     assert {r.v for r in spark.read.parquet(p).collect()} == {2}
+
+
+def test_range_clustered_layout_has_disjoint_file_ranges(spark, tmp_path):
+    """write_sorted_for_skipping must produce parquet files whose
+    footer min/max on the cluster column are tight and pairwise
+    disjoint (the property pushdown skipping depends on); a plain
+    shuffled write spans the whole domain in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from airbnb_pyspark_jobs_spark.sources.layout import write_sorted_for_skipping
+
+    df = spark.range(50_000).selectExpr(
+        "pmod(hash(id), 100000) AS k", "id AS payload"
+    )
+
+    def file_ranges(path):
+        out = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)  # k is written first
+                assert col.path_in_schema == "k"
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            out.append((min(mins), max(maxs)))
+        return out
+
+    clustered = str(tmp_path / "clustered")
+    write_sorted_for_skipping(df, clustered, ["k"], num_files=8)
+    ranges = sorted(file_ranges(clustered))
+    assert len(ranges) == 8
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
+
+    # control: hash-shuffled write -> every file spans ~the whole domain
+    plain = str(tmp_path / "plain")
+    df.repartition(8).write.parquet(plain)
+    full_lo = min(lo for lo, _ in file_ranges(plain))
+    full_hi = max(hi for _, hi in file_ranges(plain))
+    for lo, hi in file_ranges(plain):
+        assert (hi - lo) > 0.5 * (full_hi - full_lo)
+
+    # round-trip + a range predicate still returns exactly the right rows
+    got = spark.read.parquet(clustered).filter("k BETWEEN 1000 AND 2000").count()
+    want = df.filter("k BETWEEN 1000 AND 2000").count()
+    assert got == want
+
+
+def test_synthetic_docs_python_datasource(spark):
+    """Spark 4 Python Data Source: deterministic, partition-parallel,
+    schema-stable — and compatible with the dedup operator stack."""
+    from pyspark.sql import functions as F
+
+    from airbnb_pyspark_jobs_spark.sources.synthetic import register
+
+    register(spark)
+    df = spark.read.format("synthetic_docs").option("n", 200).option("partitions", 4).load()
+    assert df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert df.count() == 200
+    # generation is spread over the requested partitions
+    assert df.select(F.spark_partition_id()).distinct().count() == 4
+    # byte-deterministic across reads
+    a = sorted((r.doc_id, r.text) for r in df.collect())
+    b = sorted(
+        (r.doc_id, r.text)
+        for r in spark.read.format("synthetic_docs")
+        .option("n", 200).option("partitions", 7).load().collect()
+    )
+    assert a == b
+    # planted duplicates at the documented rate: doc 10 copies doc 9
+    texts = dict(a)
+    assert texts[10] == texts[9] and texts[20] == texts[19]
+    assert texts[11] != texts[10]
+    # n_chars is consistent with text
+    assert all(len(t) == dict((r.doc_id, r.n_chars) for r in df.collect())[i] for i, t in list(texts.items())[:5])
+    # the dedup stack runs directly on the source
+    from airbnb_pyspark_jobs_spark.operators.dedupe import exact_dedup_keepers
+
+    keepers = exact_dedup_keepers(df)
+    n_copies = {r.keeper_id: r.n_copies for r in keepers.collect()}
+    assert n_copies.get(9) == 2  # 9 and its planted copy 10
