@@ -1,0 +1,100 @@
+"""Synthetic corpus connector on Spark 4's Python Data Source API —
+the engine's custom-connector extension point, exercised end to end.
+
+``spark.read.format("synthetic_docs").option("n", 10**9)`` generates a
+deterministic document corpus IN the executors: generation is a pure
+function of (doc_id), partitioned into independent id ranges, so a
+terabyte-scale test corpus needs no storage, no driver memory, and no
+shuffle — each task streams its own range. This is also the reference
+pattern for wrapping any external system (REST pages, message queues,
+proprietary stores) as a first-class `spark.read` source when no JVM
+connector exists: implement `schema()` / `partitions()` / `read()`,
+register once, read anywhere.
+
+Determinism contract: every (n, dup_every) pair yields byte-identical
+corpora across runs, partition counts and engines — md5-seeded word
+choice, no RNG state shared across rows. Every ``dup_every``-th doc
+copies its predecessor's text, so dedup operators have planted exact
+duplicates at a known rate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_VOCAB = (
+    "key agg row scan slow fast table value part hash merge batch spark the a "
+    "line sort window order data column join small customer query big group "
+    "stream filter vector"
+).split()
+
+
+class _IdRange(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+def _doc_text(doc_id: int, vocab: Sequence[str]) -> str:
+    h = hashlib.md5(f"doc{doc_id}".encode()).digest()
+    n_words = 20 + h[0] % 30
+    words = []
+    seed = int.from_bytes(h[:8], "big")
+    for i in range(n_words):
+        seed = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        words.append(vocab[seed % len(vocab)])
+    return " ".join(words)
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.num_partitions = int(options.get("partitions", 8))
+        self.dup_every = int(options.get("dup_every", 10))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        step = max(1, math.ceil(self.n / self.num_partitions))
+        return [
+            _IdRange(start, min(start + step, self.n))
+            for start in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _IdRange) -> Iterator[tuple]:
+        for doc_id in range(partition.start, partition.end):
+            # planted exact duplicate of the predecessor at a known rate
+            src_id = doc_id - 1 if (
+                self.dup_every and doc_id % self.dup_every == 0 and doc_id > 0
+            ) else doc_id
+            text = _doc_text(src_id, _VOCAB)
+            yield (
+                doc_id,
+                text,
+                "en",
+                f"src{doc_id % 20}",
+                len(text),
+            )
+
+
+class SyntheticDocsDataSource(DataSource):
+    """format name: ``synthetic_docs``; options: ``n`` (row count),
+    ``partitions`` (parallelism), ``dup_every`` (0 disables planted
+    duplicates)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+    def reader(self, schema) -> SyntheticDocsReader:
+        return SyntheticDocsReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration: after this, any session code can
+    ``spark.read.format("synthetic_docs")``."""
+    spark.dataSource.register(SyntheticDocsDataSource)
