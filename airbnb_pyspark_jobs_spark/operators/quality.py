@@ -157,3 +157,47 @@ def dq_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return wide.selectExpr("__n AS n_rows", stack_expr).select(
         "column", "n_rows", "n_nulls", "n_distinct"
     )
+
+
+def exact_zscore_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    z: int = 3,
+) -> DataFrame:
+    """Per-group z-score outliers computed ENTIRELY in exact integer
+    arithmetic — no stddev(), no float division, no epsilon.
+
+    Float z-scores are engine-unstable at the margin (summation order
+    shifts the last ulp of stddev and flips boundary rows — the q29
+    lesson). For a 2-decimal value this is avoidable: with cents
+    ``x``, group count ``n``, sum ``s`` and sum of squares ``ss``,
+
+        (x - s/n)^2 > z^2 * (n*ss - s^2) / (n*(n-1))
+        <=> (n*x - s)^2 * (n-1) > z^2 * n * (n*ss - s^2)
+
+    — both sides integer-exact in DECIMAL(38,0) (HUGEINT on DuckDB),
+    so every engine flags the IDENTICAL row set at any scale. One
+    group aggregate (broadcast back over the group key) + one
+    scan-side filter; n<2 groups have no variance and emit nothing.
+    """
+    d38 = "decimal(38,0)"
+    cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast(d38)
+    enriched = df.withColumn("__c", cents)
+    stats = enriched.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast(d38).alias("__n"),
+        F.sum("__c").cast(d38).alias("__s"),
+        F.sum(F.col("__c") * F.col("__c")).cast(d38).alias("__ss"),
+    )
+    dev = F.col("__c") * F.col("__n") - F.col("__s")
+    lhs = dev * dev * (F.col("__n") - 1)
+    rhs = (
+        F.lit(z * z).cast(d38)
+        * F.col("__n")
+        * (F.col("__n") * F.col("__ss") - F.col("__s") * F.col("__s"))
+    )
+    return (
+        enriched.join(F.broadcast(stats), list(group_cols))
+        .filter((F.col("__n") >= 2) & (lhs > rhs))
+        .drop("__c", "__n", "__s", "__ss")
+    )

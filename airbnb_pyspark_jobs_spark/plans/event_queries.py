@@ -489,3 +489,48 @@ def q69_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_views"),
         F.count_distinct("user_id").alias("n_viewers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q71 per-type value outliers in EXACT integer arithmetic: the z-score
+# test cross-multiplied into DECIMAL(38,0)/HUGEINT so no float stddev
+# ever exists and both engines flag the identical row set (float
+# z-scores flip boundary rows on last-ulp summation differences). One
+# group aggregate broadcast back + a scan-side filter.
+# ---------------------------------------------------------------------------
+@query(
+    "q71_value_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT) AS c,
+             CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS v
+      FROM events
+    ),
+    st AS (
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(c) AS HUGEINT) AS s, CAST(SUM(c * c) AS HUGEINT) AS ss
+      FROM e GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.v AS value
+    FROM e JOIN st USING (event_type)
+    WHERE st.n >= 2
+      AND (e.c * st.n - st.s) * (e.c * st.n - st.s) * (st.n - 1)
+          > 9 * st.n * (st.n * ss - st.s * st.s)
+    """,
+)
+def q71_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.quality import exact_zscore_outliers
+
+    events = load_table(spark, "events", sf_dir)
+    flagged = exact_zscore_outliers(
+        events.select("event_id", "event_type", "value"),
+        group_cols=["event_type"],
+        value_col="value",
+        z=3,
+    )
+    return flagged.select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(12,2)").cast("double").alias("value"),
+    )

@@ -93,3 +93,18 @@ def test_observe_quality_rides_along_with_the_action(spark):
     # parity with the standalone expect() aggregate
     want = expect(df, not_null=["k", "v"], ranges={"v": (0.0, None)})
     assert {k: v for k, v in got.items() if k != "n_rows"} == want
+
+
+def test_exact_zscore_outliers_integer_exact(spark):
+    from airbnb_pyspark_jobs_spark.operators.quality import exact_zscore_outliers
+
+    rows = [("a", i, 10.0) for i in range(10)] + [("a", 99, 1000.0)]
+    rows += [("solo", 1, 5.0)]  # n=1 group: no variance, never flagged
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = exact_zscore_outliers(df, ["g"], "v", z=3).collect()
+    assert [(r.g, r.id) for r in out] == [("a", 99)]
+    # a tight cluster has no 3-sigma outliers
+    tight = spark.createDataFrame(
+        [("b", i, 10.0 + (i % 2)) for i in range(10)], "g string, id long, v double"
+    )
+    assert exact_zscore_outliers(tight, ["g"], "v", z=3).count() == 0
