@@ -828,3 +828,73 @@ def q36_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     chunks = chunk_documents(docs, chunk_tokens=_CHUNK, overlap=_OVERLAP)
     return pack_sequences(chunks, budget=_PACK_BUDGET, shards=_PACK_SHARDS)
+
+
+# ---------------------------------------------------------------------------
+# q72 the full dedup pipeline end to end: Jaccard pairs -> connected
+# components -> keep the most complete doc (longest, id tie-break) per
+# cluster. THE production near-dup flow; the oracle replays pairs + a
+# recursive transitive closure + the argmax window in SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "q72_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_D_SHINGLES},
+    rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+    shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT doc_id_a, doc_id_b FROM inter
+      JOIN cnt ca ON doc_id_a = ca.doc_id
+      JOIN cnt cb ON doc_id_b = cb.doc_id
+      WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_id_a AS a, doc_id_b AS b FROM prs
+      UNION SELECT doc_id_b, doc_id_a FROM prs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+      SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src
+    ),
+    ranked AS (
+      SELECT comp.component_id, comp.doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY comp.component_id
+               ORDER BY d.n_chars DESC, comp.doc_id ASC
+             ) AS rn
+      FROM comp JOIN documents d ON comp.doc_id = d.doc_id
+    )
+    SELECT component_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(CASE WHEN rn = 1 THEN doc_id END) AS keeper_id
+    FROM ranked GROUP BY component_id
+    """,
+)
+def q72_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=50)
+    comp = DD.dedup_components(docs, pairs)
+    joined = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper_id"),
+        )
+    )
