@@ -99,3 +99,28 @@ def overwrite_with_barrier(
         shutil.rmtree(path)
     os.replace(tmp, path)
     return spark.read.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_records_per_file: int = 1_000_000,
+) -> DataFrame:
+    """Small-file compaction — the maintenance pass every long-lived
+    parquet table needs: streaming sinks, per-batch upserts and
+    incremental loads accrete thousands of tiny files, and at 100 TB
+    the scan's task-scheduling + footer-read overhead starts to
+    dominate actual I/O. Rewrites ``path`` into
+    ``ceil(rows / target_records_per_file)`` files via the same
+    temp-path swap barrier the SCD2 overwrite uses (safe against
+    readers of the old listing; a table format's OPTIMIZE is the
+    transactional equivalent).
+
+    The row count is ONE metadata-only action (parquet footer counts —
+    no data scan); `coalesce` (not repartition) then avoids a shuffle:
+    tasks just concatenate input files into fewer outputs.
+    """
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_records_per_file))
+    return overwrite_with_barrier(df.coalesce(n_files), path)

@@ -34,3 +34,18 @@ def test_bigquery_sink_fails_fast_without_connector(spark):
     with pytest.raises(Exception) as e:
         sink.write(df, "t")
     assert "bigquery" in str(e.value).lower() or "connector" in str(e.value).lower()
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    import glob
+
+    from airbnb_pyspark_jobs_spark.sources.parquet import compact_parquet
+
+    path = str(tmp_path / "frag")
+    # 40 tiny files from a fragmented append history
+    spark.range(4000).repartition(40).write.parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) == 40
+    before = set(r.id for r in spark.read.parquet(path).collect())
+    out = compact_parquet(spark, path, target_records_per_file=2000)
+    assert len(glob.glob(f"{path}/*.parquet")) == 2
+    assert set(r.id for r in out.collect()) == before
