@@ -105,3 +105,37 @@ def test_q40_tokenizes_once(spark):
     helpers re-runs the split per consumer, measured ~10x in SCALE_NOTES)."""
     plan = _optimized_plan(QUERIES["q40_text_stats"](spark, SF_DIR))
     assert plan.count("split(trim") == 1
+
+
+def test_q36_packing_window_is_shard_partitioned(spark):
+    """Sequence packing must window over the doc-hash shard (parallel),
+    never a global single-partition sort."""
+    plan = _executed_plan(QUERIES["q36_pack_sequences"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_q37_stratified_sample_is_scan_side(spark):
+    """The per-stratum threshold filter must evaluate at the scan — no
+    join, no shuffle before the final count aggregate (one Exchange)."""
+    plan = _executed_plan(QUERIES["q37_stratified_sample"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q69_range_join_is_equi_partitioned(spark):
+    """The attribution range join must be a hash-equi join on buckets —
+    never BroadcastNestedLoopJoin/CartesianProduct (the naive plans for
+    pure range predicates)."""
+    plan = _executed_plan(QUERIES["q69_purchase_attribution"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q71_outlier_stats_broadcast_back(spark):
+    """Group stats must broadcast back over the fact (5-row stats table),
+    and the aggregate partial-aggregates map-side."""
+    plan = _executed_plan(QUERIES["q71_value_outliers"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "partial" in plan
