@@ -105,3 +105,26 @@ def stratified_sample(
     default = F.lit(int(round(default_fraction * _BUCKETS)))
     thr = default if thr is None else thr.otherwise(default)
     return df.filter(bucket < thr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with acceptance
+    probability = its weight in [0, 1] (quality score, importance
+    weight, resampling ratio), decided by the row's stable hash bucket
+    rather than rand() — the DSIR-style quality-weighted corpus
+    resampling step, reproducible across runs, partitionings and
+    engines.
+
+    A row is kept iff ``bucket(key, seed) < weight * 10000``; weights
+    outside [0, 1] are clamped. Scan-side filter — no shuffle; weights
+    computed identically in another engine (our quality scores are
+    bitwise cross-engine) make the kept set identical too.
+    """
+    bucket = split_bucket(key_col, seed)
+    w = F.least(F.greatest(F.col(weight_col), F.lit(0.0)), F.lit(1.0))
+    return df.filter(bucket.cast("double") < w * _BUCKETS)

@@ -898,3 +898,65 @@ def q72_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q73 quality-weighted corpus resampling (DSIR-style): keep each doc
+# with acceptance probability = its quality score, decided by the
+# doc's stable hash bucket — deterministic importance sampling, no
+# rand(). Valid cross-engine because the quality double is bitwise
+# identical in both engines (q40) and the acceptance test is a single
+# multiply + compare. Scan-side filter; one count shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "q73_weighted_sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+        len({_D_TOKENS}) AS n_tokens,
+        {_duck_stop_count("en")} AS sw_en,
+        len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+        length(text) AS n_chars
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+        (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         + least(CAST(sw_en AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 4.0, 1.0)
+         + greatest(1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) * 5.0, 0.0)
+        ) / 3.0 AS quality
+      FROM s
+    )
+    SELECT doc_id, quality
+    FROM q
+    WHERE CAST(CAST('0x' || substr(md5('w1' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 10000 AS DOUBLE)
+          < least(greatest(quality, 0.0), 1.0) * 10000
+    """,
+)
+def q73_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    staged = docs.select(
+        "doc_id",
+        TX.tokens("text").alias("__toks"),
+        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"))
+        .cast("bigint")
+        .alias("__n_punct"),
+        F.length("text").cast("bigint").alias("__n_chars"),
+    )
+    counted = staged.select(
+        "doc_id",
+        "__n_punct",
+        "__n_chars",
+        F.size("__toks").cast("bigint").alias("__n_tokens"),
+        TX.stopword_count_from_tokens(F.col("__toks"), "en").alias("__sw_en"),
+    )
+    scored = counted.select(
+        "doc_id",
+        TX.quality_score_from_counts(
+            F.col("__n_tokens"), F.col("__sw_en"), F.col("__n_punct"), F.col("__n_chars")
+        ).alias("quality"),
+    )
+    return weighted_sample(scored, "quality", key_col="doc_id", seed="w1")

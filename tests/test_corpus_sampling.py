@@ -177,3 +177,21 @@ def test_pack_sequences_concat_split_semantics(spark):
     )
     packs = pack_sequences(many, budget=50, shards=4)
     assert packs.agg(F.sum("pack_tokens")).collect()[0][0] == 600
+
+
+def test_weighted_sample_probability_boundaries(spark):
+    from airbnb_pyspark_jobs_spark.operators.sampling import weighted_sample
+
+    df = spark.range(2000).select(F.col("id").alias("k"), F.lit(1.0).alias("w"))
+    assert weighted_sample(df, "w", key_col="k").count() == 2000  # w=1 keeps all
+    df0 = df.withColumn("w", F.lit(0.0))
+    assert weighted_sample(df0, "w", key_col="k").count() == 0  # w=0 drops all
+    dfh = df.withColumn("w", F.lit(0.5))
+    n = weighted_sample(dfh, "w", key_col="k").count()
+    assert 850 < n < 1150  # ~half, hash-determined
+    # out-of-range weights clamp instead of misbehaving
+    dfx = df.withColumn("w", F.when(F.col("k") % 2 == 0, 7.0).otherwise(-3.0))
+    kept = {r.k for r in weighted_sample(dfx, "w", key_col="k").collect()}
+    assert kept == {k for k in range(2000) if k % 2 == 0}
+    # deterministic across evaluations
+    assert kept == {r.k for r in weighted_sample(dfx, "w", key_col="k").collect()}
