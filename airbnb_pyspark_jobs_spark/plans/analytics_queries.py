@@ -783,3 +783,74 @@ def q35_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q74 trailing 7-day revenue via a RANGE-interval window frame (the
+# time-based frame q25's ROWS frames don't cover): per-priority daily
+# totals, then a calendar-day range frame so gaps in the date series
+# are handled by the FRAME, not by spine densification. Spark orders by
+# integer epoch-day with rangeBetween(-6, 0) == DuckDB's RANGE BETWEEN
+# INTERVAL 6 DAYS PRECEDING. Decimal-exact within the frame, rounded
+# once at the end.
+# ---------------------------------------------------------------------------
+@query(
+    "q74_trailing_7d_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           CAST(d AS TIMESTAMP) AS day,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS day_revenue,
+           CAST(ROUND(SUM(rev) OVER (
+             PARTITION BY o_orderpriority ORDER BY d
+             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+           ), 2) AS DOUBLE) AS trailing_7d
+    FROM daily
+    """,
+)
+def q74_trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    daily = orders.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("d")
+    ).agg(F.sum(_dec("o_totalprice", 12)).alias("rev"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "o_orderpriority",
+        F.col("d").cast("timestamp").alias("day"),
+        _money(F.col("rev"), "day_revenue"),
+        _money(F.sum("rev").over(w), "trailing_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q75 fuzzy part-name matching (record linkage): first-token blocking
+# turns the O(n^2) levenshtein join into per-block equi-joins; exact
+# edit distance verifies candidates (precision 1.0, recall =
+# in-block pairs — the documented ER tradeoff). All JVM built-ins.
+# ---------------------------------------------------------------------------
+@query(
+    "q75_fuzzy_part_names",
+    oracle="""
+    WITH d AS (SELECT DISTINCT p_name AS name FROM part),
+    b AS (SELECT name, lower(string_split_regex(name, '\\s+')[1]) AS w FROM d)
+    SELECT a.name AS name_a, c.name AS name_b,
+           CAST(levenshtein(a.name, c.name) AS BIGINT) AS lev
+    FROM b a JOIN b c ON a.w = c.w AND a.name < c.name
+    WHERE levenshtein(a.name, c.name) <= 3
+    """,
+)
+def q75_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.linkage import blocked_fuzzy_pairs
+
+    part = load_table(spark, "part", sf_dir)
+    return blocked_fuzzy_pairs(part.select("p_name"), "p_name", max_distance=3)
