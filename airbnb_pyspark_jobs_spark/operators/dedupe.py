@@ -323,6 +323,34 @@ def minhash_banding_params(
     return num_hashes, best[1]
 
 
+def choose_minhash_config(
+    threshold: float,
+    target_recall: float = 0.9,
+    max_hashes: int = 64,
+    min_rows_per_band: int = 2,
+) -> tuple[int, int]:
+    """Pick (num_hashes, bands) for :func:`minhash_lsh_pairs`: the
+    SMALLEST widened signature whose banding meets ``target_recall`` at
+    the threshold with at least ``min_rows_per_band`` rows per band
+    (2-row bands prune background candidates ~8× better than 1-row
+    bands at equal recall — measured in SCALE_NOTES). Falls back to
+    1-row bands only if no affordable widening reaches the target.
+    """
+    for num_hashes in range(8, max_hashes + 1, 8):
+        best = None
+        for bands in range(1, num_hashes + 1):
+            if num_hashes % bands != 0:
+                continue
+            r = num_hashes // bands
+            if r < min_rows_per_band:
+                continue
+            if 1.0 - (1.0 - threshold**r) ** bands >= target_recall:
+                best = (num_hashes, bands) if best is None or r > num_hashes // best[1] else best
+        if best:
+            return best
+    return minhash_banding_params(threshold, target_recall, num_hashes=max_hashes)
+
+
 def dedup_components(
     docs: DataFrame,
     pairs: DataFrame,

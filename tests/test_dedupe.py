@@ -157,3 +157,17 @@ def test_dedup_components_deep_chain_converges_in_log_rounds(spark):
     )
     out = DD.dedup_components(docs, pairs, max_iterations=20)
     assert out.filter(F.col("component_id") == 0).count() == 60
+
+
+def test_choose_minhash_config_prefers_wide_two_row_bands():
+    # low threshold: widening reaches recall 0.9 while keeping 2-row
+    # pruning (8.4x fewer candidates than 1-row bands, SCALE_NOTES)
+    nh, b = DD.choose_minhash_config(0.3, target_recall=0.9)
+    assert (nh, b) == (56, 28) and nh // b == 2
+    nh, b = DD.choose_minhash_config(0.5, target_recall=0.9)
+    assert nh // b >= 2 and 1 - (1 - 0.5 ** (nh // b)) ** b >= 0.9
+    # impossible targets fall back to the 1-row-band chooser or raise
+    import pytest
+
+    with pytest.raises(ValueError):
+        DD.choose_minhash_config(0.02, target_recall=0.99, max_hashes=16)
