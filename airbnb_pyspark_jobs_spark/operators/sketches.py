@@ -72,3 +72,23 @@ def approx_quantiles_by(
     return df.groupBy(*group_cols).agg(
         F.percentile_approx(value_col, probs, F.lit(accuracy)).alias("approx_quantiles")
     )
+
+
+def frequent_items(
+    df: DataFrame,
+    cols: list[str],
+    support: float = 0.01,
+) -> dict[str, list]:
+    """Heavy hitters per column via Spark's `stat.freqItems`
+    (Karp/Misra-Gries family): one pass, bounded memory ~1/support per
+    column, mergeable across partitions — the sketch answer to "which
+    values dominate this 100 TB column" without a full groupBy.
+    False positives possible (items below support may appear), no
+    false negatives: every item above support is returned — callers
+    needing exact counts verify the shortlist with one cheap filtered
+    aggregate (shortlist-sized, not domain-sized).
+    Driver-side result (a dict) by design: the output is at most
+    ~1/support items per column.
+    """
+    row = df.stat.freqItems(cols, support).first()
+    return {c: sorted(row[f"{c}_freqItems"]) for c in cols}

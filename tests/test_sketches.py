@@ -70,3 +70,17 @@ def test_approx_quantiles_within_rank_error(spark):
         a50, a90 = approx[k]
         assert abs(a50 - p50) / p50 < 0.05
         assert abs(a90 - p90) / p90 < 0.05
+
+
+def test_frequent_items_finds_heavy_hitters(spark):
+    from airbnb_pyspark_jobs_spark.operators.sketches import frequent_items
+
+    import pyspark.sql.functions as F
+
+    # one value takes ~50% of rows, the rest are near-unique noise
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id")).alias("v")
+    )
+    out = frequent_items(df, ["v"], support=0.3)
+    assert 7 in out["v"]  # no false negatives above support
+    assert len(out["v"]) <= 5  # bounded shortlist, not the whole domain
