@@ -133,6 +133,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    eval_docs: DataFrame,
+    train_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+    persist_shingles: bool = True,
+) -> DataFrame:
+    """Train→eval contamination pairs via ASYMMETRIC n-gram containment.
+
+    ``containment = |shingles(eval) ∩ shingles(train)| / |shingles(eval)|``
+    — the benchmark-decontamination metric (an eval doc fully embedded
+    in a much larger train doc scores ~1.0 here but near 0 on Jaccard,
+    which :func:`ngram_jaccard_pairs` would miss). Returns
+    ``eval_id, train_id, containment`` for pairs ≥ ``threshold``.
+
+    Scale: eval sets (benchmarks) are small next to a 100 TB train
+    corpus, so the shingle equi-join is eval-shingles × matching train
+    shingles — linear in train matches, never all-pairs. The optional
+    ``max_shingle_df`` cap (df counted across BOTH sides) drops
+    stop-shingles whose df² join fan-out carries no containment signal;
+    sizes and intersections then use the filtered sets consistently.
+    Cache lifecycle: caller-owned, as in :func:`ngram_jaccard_pairs`.
+    """
+    sh_e = shingle_table(eval_docs, id_col, text_col, n)
+    sh_t = shingle_table(train_docs, id_col, text_col, n)
+    if persist_shingles:
+        sh_e = sh_e.persist()
+        sh_t = sh_t.persist()
+    if max_shingle_df is not None:
+        rare = (
+            sh_e.select("s")
+            .unionByName(sh_t.select("s"))
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("s")
+        )
+        sh_e = sh_e.join(rare, "s", "left_semi")
+        sh_t = sh_t.join(rare, "s", "left_semi")
+    sizes = sh_e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n_eval"))
+    inter = (
+        sh_e.alias("e")
+        .join(sh_t.alias("t"), "s")
+        .groupBy(
+            F.col("e.doc_id").alias("eval_id"), F.col("t.doc_id").alias("train_id")
+        )
+        .agg(F.count(F.lit(1)).alias("__n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "eval_id"), "eval_id")
+        .withColumn(
+            "containment",
+            F.col("__n_inter").cast("double") / F.col("__n_eval").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("eval_id", "train_id", "containment")
+    )
+
+
 def _minhash_aggs(num_hashes: int) -> list[Column]:
     """k MinHash aggregates from ONE md5 per shingle: hash j is the
     lexicographic min of hex digits [4j, 4j+4) of md5(shingle).

@@ -960,3 +960,51 @@ def q73_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("quality"),
     )
     return weighted_sample(scored, "quality", key_col="doc_id", seed="w1")
+
+
+# ---------------------------------------------------------------------------
+# q76 benchmark decontamination: asymmetric n-gram CONTAINMENT between the
+# eval split (q43's test buckets) and the train split. Catches eval docs
+# embedded in larger train docs that Jaccard (q44) scores near 0. df cap
+# 50 across both sides mirrors q44's stop-shingle guard; the oracle
+# rebuilds the whole pipeline (split, shingles, cap, intersection).
+# ---------------------------------------------------------------------------
+_Q76_ORACLE = f"""
+WITH {_D_SHINGLES},
+split AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS bucket
+  FROM documents
+),
+she AS (SELECT sh.doc_id, s FROM sh JOIN split USING(doc_id) WHERE bucket >= 9000),
+sht AS (SELECT sh.doc_id, s FROM sh JOIN split USING(doc_id) WHERE bucket < 8000),
+rare AS (
+  SELECT s FROM (SELECT s FROM she UNION ALL SELECT s FROM sht)
+  GROUP BY s HAVING COUNT(*) <= 50
+),
+shef AS (SELECT she.doc_id, she.s FROM she JOIN rare USING(s)),
+shtf AS (SELECT sht.doc_id, sht.s FROM sht JOIN rare USING(s)),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shef GROUP BY 1),
+inter AS (
+  SELECT e.doc_id AS eval_id, t.doc_id AS train_id, COUNT(*) AS i
+  FROM shef e JOIN shtf t ON e.s = t.s
+  GROUP BY 1, 2
+)
+SELECT eval_id, train_id, CAST(i AS DOUBLE) / CAST(n AS DOUBLE) AS containment
+FROM inter JOIN cnt ON eval_id = cnt.doc_id
+WHERE CAST(i AS DOUBLE) / CAST(n AS DOUBLE) >= 0.8
+"""
+
+
+@query("q76_contamination_containment", oracle=_Q76_ORACLE)
+def q76_contamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sampling import split_bucket
+
+    docs = load_table(spark, "documents", sf_dir)
+    bucketed = docs.withColumn("__bucket", split_bucket("doc_id"))
+    return DD.containment_pairs(
+        eval_docs=bucketed.filter(F.col("__bucket") >= 9000),
+        train_docs=bucketed.filter(F.col("__bucket") < 8000),
+        threshold=0.8,
+        max_shingle_df=50,
+    )

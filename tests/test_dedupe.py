@@ -171,3 +171,33 @@ def test_choose_minhash_config_prefers_wide_two_row_bands():
 
     with pytest.raises(ValueError):
         DD.choose_minhash_config(0.02, target_recall=0.99, max_hashes=16)
+
+
+def test_containment_asymmetric_vs_jaccard(spark):
+    # eval doc fully embedded in a 4x larger train doc: containment ~1,
+    # Jaccard ~0.25 — the case Jaccard-based dedup misses.
+    ev = _docs(spark, [(1, "a b c d e f")])
+    tr = _docs(
+        spark,
+        [(100, "a b c d e f " + " ".join(f"w{i}" for i in range(12)))],
+    )
+    out = DD.containment_pairs(ev, tr, threshold=0.9, persist_shingles=False).collect()
+    assert [(r.eval_id, r.train_id) for r in out] == [(1, 100)]
+    assert out[0].containment == 1.0
+    jac = DD.ngram_jaccard_pairs(
+        ev.unionByName(tr), threshold=0.9, persist_shingles=False
+    ).collect()
+    assert jac == []  # symmetric Jaccard scores the same pair ~0.25
+
+
+def test_containment_df_cap_filters_both_sides(spark):
+    # "x y z" appears in every doc -> df=3 > cap=2; with the cap the
+    # eval doc keeps only its rare shingle, shared with train doc 100.
+    ev = _docs(spark, [(1, "x y z q r s")])
+    tr = _docs(spark, [(100, "x y z q r s"), (101, "x y z o t h e r")])
+    out = DD.containment_pairs(
+        ev, tr, threshold=0.5, max_shingle_df=2, persist_shingles=False
+    ).collect()
+    pairs = {(r.eval_id, r.train_id): r.containment for r in out}
+    assert (1, 101) not in pairs  # only stop-shingles shared -> dropped
+    assert pairs[(1, 100)] == 1.0  # rare shingles all match
