@@ -854,3 +854,38 @@ def q75_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = load_table(spark, "part", sf_dir)
     return blocked_fuzzy_pairs(part.select("p_name"), "p_name", max_distance=3)
+
+
+# ---------------------------------------------------------------------------
+# q77 bloom-pruned semi-join: lineitems of URGENT orders. The bloom of
+# urgent o_orderkeys (128 KiB for 1M bits) prunes the fact scan BEFORE
+# the semi-join shuffle; the exact left_semi over survivors makes the
+# result identical to a plain semi-join (the oracle) for any bloom size.
+# This is the runtime-filter pattern for facts × medium dims whose key
+# set outgrows an exact broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "q77_bloom_semi_join",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def q77_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.bloom import bloom_semi_join
+
+    li = load_table(spark, "lineitem", sf_dir)
+    urgent = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    pruned = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _money(F.sum(_dec("l_quantity", 12)), "sum_qty"),
+    )
