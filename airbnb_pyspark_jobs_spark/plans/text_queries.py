@@ -1008,3 +1008,60 @@ def q76_contamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame
         threshold=0.8,
         max_shingle_df=50,
     )
+
+
+# ---------------------------------------------------------------------------
+# q78 leakage-free train/val/test split: hash-split by near-dup
+# COMPONENT id, not doc id. A per-doc split (q43) puts two near-dups on
+# opposite sides of the train/eval boundary — silent eval contamination
+# q76 then has to detect; splitting on the component representative
+# moves every dup cluster atomically. Composition: q44 pairs → q58
+# components → q43 hash split, oracle rebuilt end-to-end.
+# ---------------------------------------------------------------------------
+_Q78_ORACLE = f"""
+WITH RECURSIVE {_D_SHINGLES},
+rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
+  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT doc_id_a, doc_id_b FROM inter
+  JOIN cnt ca ON doc_id_a = ca.doc_id
+  JOIN cnt cb ON doc_id_b = cb.doc_id
+  WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.5
+),
+edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM prs
+  UNION SELECT doc_id_b, doc_id_a FROM prs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src)
+SELECT doc_id, component_id,
+  CASE WHEN bucket < 8000 THEN 'train'
+       WHEN bucket < 9000 THEN 'val'
+       ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, component_id,
+         CAST('0x' || substr(md5(CAST(component_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 10000 AS bucket
+  FROM comp
+)
+"""
+
+
+@query("q78_leakage_free_split", oracle=_Q78_ORACLE)
+def q78_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=50)
+    comp = DD.dedup_components(docs, pairs)
+    return hash_split(comp, "component_id", {"train": 0.8, "val": 0.1, "test": 0.1})

@@ -201,3 +201,22 @@ def test_containment_df_cap_filters_both_sides(spark):
     pairs = {(r.eval_id, r.train_id): r.containment for r in out}
     assert (1, 101) not in pairs  # only stop-shingles shared -> dropped
     assert pairs[(1, 100)] == 1.0  # rare shingles all match
+
+
+def test_leakage_free_split_keeps_dup_pairs_together(spark):
+    from airbnb_pyspark_jobs_spark.operators.sampling import hash_split
+
+    # ids chosen so a PER-DOC split would separate them (different
+    # buckets); the component split must not.
+    docs = _docs(
+        spark,
+        [(i, f"unique text number {i} pad pad") for i in range(20)]
+        + [(100, "the same long duplicated passage of text here"),
+           (101, "the same long duplicated passage of text here")],
+    )
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.5, persist_shingles=False)
+    comp = DD.dedup_components(docs, pairs)
+    out = hash_split(comp, "component_id", {"train": 0.5, "test": 0.5})
+    rows = {r.doc_id: (r.component_id, r.split) for r in out.collect()}
+    assert rows[100] == rows[101]  # same component AND same split
+    assert rows[100][0] == 100
