@@ -534,3 +534,42 @@ def q71_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("value").cast("decimal(12,2)").cast("double").alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q79 VARIANT ingestion (Spark 4 open-schema path): parse_json once into
+# a binary VARIANT column, then typed variant_get extraction — unlike
+# q63's from_json, no up-front struct schema, and unlike q13's string
+# paths, the JSON is parsed ONCE into a shreddable binary, not re-parsed
+# per extraction. At 100 TB this is the storage/type model for evolving
+# event payloads (new keys need no schema migration; typed gets stay
+# JVM-side). try_variant_get returns NULL (never throws) on missing
+# paths — the n_missing audit mirrors q63's.
+# ---------------------------------------------------------------------------
+@query(
+    "q79_props_variant",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS n_missing,
+      COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q79_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    parsed = events.select(
+        "event_type",
+        F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.col("k").isNull().cast("long")).alias("n_missing"),
+        F.count_distinct("k").alias("n_distinct_k"),
+    )
