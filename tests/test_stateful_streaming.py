@@ -48,3 +48,53 @@ def test_running_totals_accumulate_across_batches(spark, tmp_path):
     assert not off, f"users with wrong final totals: {off[:5]}"
     # state REALLY crossed batches: some user must have been emitted twice
     assert len(batches) > len(want), "expected multiple emissions for some users"
+
+
+def test_transform_with_state_accumulates_across_batches(spark, tmp_path):
+    from airbnb_pyspark_jobs_spark.streaming.stateful import (
+        HAVE_TWS_RUNTIME,
+        running_user_totals_tws,
+    )
+
+    if not HAVE_TWS_RUNTIME:
+        # the API layer (plan construction) must still work; only
+        # EXECUTION needs the protobuf-backed streaming runner
+        stream = read_event_stream(spark, SF_DIR, max_files_per_trigger=1)
+        assert running_user_totals_tws(stream).isStreaming
+        pytest.skip("transformWithState runner needs python protobuf (absent here)")
+
+    events = load_table(spark, "events", SF_DIR)
+    src = str(tmp_path / "events_tws")
+    events.repartition(2).write.mode("overwrite").parquet(src)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        running_user_totals_tws(stream)
+        .writeStream.format("memory")
+        .queryName("running_tws")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emissions = spark.sql("SELECT * FROM running_tws").collect()
+
+    want = {
+        r.user_id: (r.n, round(r.total, 2))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    last: dict[int, tuple] = {}
+    for r in emissions:
+        last[r.user_id] = (r.n_events, r.total_value, r.n_batches)
+    assert set(last) == set(want)
+    off = [
+        u
+        for u in want
+        if last[u][0] != want[u][0] or abs(last[u][1] - want[u][1]) > 0.01
+    ]
+    assert not off, f"users with wrong final totals: {off[:5]}"
+    # ValueState really persisted across micro-batches
+    assert any(v[2] >= 2 for v in last.values())
