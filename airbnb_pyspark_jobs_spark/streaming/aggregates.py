@@ -1,0 +1,94 @@
+"""Streaming materialized aggregates: exactly-once incremental rollups.
+
+The fact-side twin of streaming/dimensions.py (which maintains SCD2
+dimensions): keep a per-key (count, sum) rollup of an event stream
+continuously up to date, with EXACTLY-ONCE semantics on a plain parquet
+sink — no transactional table format required.
+
+The trick is idempotent partials, not in-place merge:
+
+- each micro-batch writes its PARTIAL aggregate (count/sum per key for
+  just that batch) to a ``batch_id=N`` subdirectory, overwriting it —
+  a retried batch (foreachBatch is at-least-once) rewrites the same
+  subdir with the same deterministic content instead of double-counting
+  into a running total;
+- the materialized view is the re-aggregation of all partials (sums of
+  sums, sums of counts — both algebraic, so partials merge without the
+  raw data); avg and friends derive from (sum, count) at read time;
+- partial files accrete like any streaming sink's — compaction is the
+  existing :func:`..sources.parquet.compact_parquet` maintenance pass,
+  applied per key-range, and a periodic "roll-up the partials into one
+  base partial" pass keeps read-side fan-in bounded.
+
+Scale: per batch this shuffles only that batch's rows (one partial
+agg); the read-side merge shuffles only (key × n_partials) aggregate
+rows, never the raw stream. Compare the alternative — merging into a
+running-total table per batch — which rewrites the whole rollup every
+trigger AND double-counts on retry.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PARTIAL_DIRNAME = "batch_id={n}"
+
+
+def write_partial_aggregate(
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    key_cols: list[str],
+    value_col: str,
+) -> None:
+    """Aggregate ONE micro-batch to (key → n, total) and overwrite its
+    batch-id-keyed subdirectory. Deterministic content + fixed location
+    = idempotent under foreachBatch retries."""
+    partial = batch.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("double")).alias("total"),
+    )
+    partial.write.mode("overwrite").parquet(
+        os.path.join(path, PARTIAL_DIRNAME.format(n=batch_id))
+    )
+
+
+def materialize_rollup_stream(
+    stream: DataFrame,
+    path: str,
+    key_cols: list[str],
+    value_col: str,
+    checkpoint: str,
+):
+    """Wire a stream into the partial-aggregate sink; returns the
+    DataStreamWriter (caller picks the trigger and starts it)."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        write_partial_aggregate(batch, batch_id, path, key_cols, value_col)
+
+    return stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+
+
+def read_rollup(
+    spark: SparkSession, path: str, key_cols: list[str]
+) -> DataFrame:
+    """Current totals: merge all partials (algebraic re-aggregation).
+
+    ``avg_value`` is derived from (sum, count) here — the reason the
+    partials store those and not averages (averages don't merge)."""
+    partials = spark.read.option("basePath", path).parquet(path)
+    return (
+        partials.groupBy(*key_cols)
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("total").alias("total_value"),
+        )
+        .withColumn(
+            "avg_value", F.col("total_value") / F.col("n_events").cast("double")
+        )
+    )
