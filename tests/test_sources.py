@@ -160,3 +160,57 @@ def test_synthetic_docs_python_datasource(spark):
     keepers = exact_dedup_keepers(df)
     n_copies = {r.keeper_id: r.n_copies for r in keepers.collect()}
     assert n_copies.get(9) == 2  # 9 and its planted copy 10
+
+
+def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
+    """Z-order clustering must give (moderately) tight per-file footer
+    ranges on BOTH columns; single-column range clustering leaves the
+    second column spanning ~the whole domain in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from airbnb_pyspark_jobs_spark.sources.layout import (
+        write_sorted_for_skipping,
+        write_zordered,
+    )
+
+    # two independent uniform dims
+    df = spark.range(60_000).selectExpr(
+        "pmod(hash(id), 10000) AS x",
+        "pmod(hash(id + 1000000), 10000) AS y",
+        "id AS payload",
+    )
+
+    def avg_span(path, col_idx, col_name):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(col_idx)
+                assert col.path_in_schema == col_name
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            spans.append(max(maxs) - min(mins))
+        return sum(spans) / len(spans)
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, ["x", "y"], num_files=16)
+    spath = str(tmp_path / "single")
+    write_sorted_for_skipping(df, spath, ["x"], num_files=16)
+
+    domain = 10000.0
+    # single-col clustering: x tight, y spans ~full domain
+    assert avg_span(spath, 0, "x") < 0.15 * domain
+    assert avg_span(spath, 1, "y") > 0.9 * domain
+    # z-order: BOTH dims noticeably tighter than the full domain
+    zx, zy = avg_span(zpath, 0, "x"), avg_span(zpath, 1, "y")
+    assert zx < 0.6 * domain and zy < 0.6 * domain, (zx, zy)
+
+    # round-trip: a 2-D range predicate returns exactly the right rows
+    pred = "x BETWEEN 100 AND 900 AND y BETWEEN 100 AND 900"
+    assert (
+        spark.read.parquet(zpath).filter(pred).count()
+        == df.filter(pred).count()
+    )
