@@ -24,7 +24,12 @@ import hashlib
 import math
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 _VOCAB = (
     "key agg row scan slow fast table value part hash merge batch spark the a "
@@ -65,23 +70,68 @@ class SyntheticDocsReader(DataSourceReader):
     def read(self, partition: _IdRange) -> Iterator[tuple]:
         for doc_id in range(partition.start, partition.end):
             # planted exact duplicate of the predecessor at a known rate
-            src_id = doc_id - 1 if (
-                self.dup_every and doc_id % self.dup_every == 0 and doc_id > 0
-            ) else doc_id
-            text = _doc_text(src_id, _VOCAB)
-            yield (
-                doc_id,
-                text,
-                "en",
-                f"src{doc_id % 20}",
-                len(text),
-            )
+            yield _doc_row(doc_id, self.dup_every)
+
+
+def _doc_row(doc_id: int, dup_every: int) -> tuple:
+    """One deterministic corpus row — shared by the batch and stream
+    readers so a streamed corpus is byte-identical to the batch one."""
+    src_id = (
+        doc_id - 1 if (dup_every and doc_id % dup_every == 0 and doc_id > 0) else doc_id
+    )
+    text = _doc_text(src_id, _VOCAB)
+    return (doc_id, text, "en", f"src{doc_id % 20}", len(text))
+
+
+class SyntheticDocsStreamReader(DataSourceStreamReader):
+    """Streaming variant (executor-side read path, unlike the
+    driver-side SimpleDataSourceStreamReader): offsets are
+    ``{"next_id": N}``, each trigger advances by ``rows_per_batch``
+    ids, and ``partitions(start, end)`` splits the id range so tasks
+    generate their slices in parallel.
+
+    Exactly-once comes free from determinism: a replayed offset range
+    regenerates byte-identical rows (generation is a pure function of
+    doc_id), which is the actual contract behind ``readBetweenOffsets``
+    -style recovery — no source-side buffering needed. ``max_rows``
+    bounds the stream (further triggers see an unchanged latest offset
+    → empty batches), mimicking a drained queue."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.num_partitions = int(options.get("partitions", 4))
+        self.dup_every = int(options.get("dup_every", 10))
+        self.max_rows = int(options.get("max_rows", 0))  # 0 = unbounded
+        self._current = 0
+
+    def initialOffset(self) -> dict:
+        return {"next_id": 0}
+
+    def latestOffset(self) -> dict:
+        nxt = self._current + self.rows_per_batch
+        if self.max_rows:
+            nxt = min(nxt, self.max_rows)
+        self._current = nxt
+        return {"next_id": self._current}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = start["next_id"], end["next_id"]
+        step = max(1, math.ceil((hi - lo) / self.num_partitions))
+        return [_IdRange(s, min(s + step, hi)) for s in range(lo, hi, step)]
+
+    def read(self, partition: _IdRange) -> Iterator[tuple]:
+        for doc_id in range(partition.start, partition.end):
+            yield _doc_row(doc_id, self.dup_every)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: ranges regenerate on demand
 
 
 class SyntheticDocsDataSource(DataSource):
     """format name: ``synthetic_docs``; options: ``n`` (row count),
     ``partitions`` (parallelism), ``dup_every`` (0 disables planted
-    duplicates)."""
+    duplicates). Streaming adds ``rows_per_batch`` (per-trigger ids)
+    and ``max_rows`` (bound the stream; 0 = unbounded)."""
 
     @classmethod
     def name(cls) -> str:
@@ -92,6 +142,9 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticDocsReader:
         return SyntheticDocsReader(self.options)
+
+    def streamReader(self, schema) -> SyntheticDocsStreamReader:
+        return SyntheticDocsStreamReader(self.options)
 
 
 def register(spark) -> None:

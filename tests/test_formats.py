@@ -77,3 +77,45 @@ def test_jsonl_to_parquet_staging(spark, tmp_path):
     jsonl_to_parquet(spark, jsrc, dest, src.schema)
     back = spark.read.parquet(dest)
     assert _rows(back) == _rows(src)
+
+
+def test_synthetic_docs_stream_matches_batch(spark, tmp_path):
+    """The streamed corpus must be byte-identical to the batch one:
+    contiguous ids, no gaps/dups across micro-batches, same text."""
+    import time
+
+    from airbnb_pyspark_jobs_spark.sources.synthetic import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("rows_per_batch", 80)
+        .option("max_rows", 200)
+        .option("partitions", 3)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("syn_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        if spark.sql("SELECT COUNT(*) AS n FROM syn_stream").first().n >= 200:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+
+    got = {
+        r.doc_id: r.text
+        for r in spark.sql("SELECT doc_id, text FROM syn_stream").collect()
+    }
+    want = {
+        r.doc_id: r.text
+        for r in spark.read.format("synthetic_docs").option("n", 200).load().collect()
+    }
+    assert got == want  # 200 contiguous ids, identical texts
