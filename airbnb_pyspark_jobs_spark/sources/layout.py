@@ -77,8 +77,8 @@ def zorder_value(
     # inlining a 2^bits-deep CASE there re-evaluates it per bit (the
     # SCALE_NOTES lambda-inlining trap, here as expression blow-up).
     rank_cols = {}
-    for idx, c in enumerate(cols):
-        cuts = df.stat.approxQuantile(c, probs, 0.001)
+    all_cuts = df.stat.approxQuantile(cols, probs, 0.001)  # ONE planning scan
+    for idx, (c, cuts) in enumerate(zip(cols, all_cuts)):
         rank = F.lit(0)
         for b, cut in enumerate(cuts):
             rank = F.when(F.col(c) > F.lit(cut), F.lit(b + 1)).otherwise(rank)
