@@ -417,3 +417,56 @@ def q28_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("__vd", 2).alias("top2"),
         F.element_at("__vd", 3).alias("top3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q80 semantic dedup keepers — the embedding-side twin of q72's text
+# pipeline: exact cosine pairs (q52's ground-truth path at this SF; at
+# scale swap in cosine_dup_pairs_lsh, same downstream) → connected
+# components → one deterministic keeper per component (min vec_id) with
+# component sizes for audit. The oracle rebuilds pairs, the recursive
+# closure, and keeper selection end to end.
+# ---------------------------------------------------------------------------
+_Q80_ORACLE = f"""
+WITH RECURSIVE {_D_UNIT},
+p AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         round(list_dot_product(a.vn, b.vn), 4) AS cos_sim
+  FROM u a JOIN u b ON a.vec_id < b.vec_id
+),
+prs AS (SELECT vec_id_a, vec_id_b FROM p WHERE cos_sim >= {_DUP_T}),
+edges AS (
+  SELECT vec_id_a AS a, vec_id_b AS b FROM prs
+  UNION SELECT vec_id_b, vec_id_a FROM prs
+),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS vec_id, MIN(dst) AS component_id FROM reach GROUP BY src)
+SELECT vec_id, component_id,
+       CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT) AS n_members,
+       vec_id = component_id AS is_kept
+FROM comp
+"""
+
+
+@query("q80_semantic_dedup_keepers", oracle=_Q80_ORACLE)
+def q80_semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.operators import dedupe as DD
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = SIM.cosine_dup_pairs(emb, threshold=_DUP_T).select(
+        F.col("vec_id_a").alias("doc_id_a"), F.col("vec_id_b").alias("doc_id_b")
+    )
+    comp = DD.dedup_components(emb, pairs, id_col="vec_id")
+    w = Window.partitionBy("component_id")
+    return comp.select(
+        "vec_id",
+        "component_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_members"),
+        (F.col("vec_id") == F.col("component_id")).alias("is_kept"),
+    )
