@@ -92,3 +92,64 @@ def read_rollup(
             "avg_value", F.col("total_value") / F.col("n_events").cast("double")
         )
     )
+
+
+def compact_partials(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    base_batch_id: int = -1,
+) -> int:
+    """Fold ALL partials (including any previous base) into one base
+    partial, keeping read-side merge fan-in bounded.
+
+    Long-running rollups accrete one partial per micro-batch; this
+    maintenance pass re-aggregates every ``batch_id=*`` directory into
+    ``batch_id=base_batch_id`` (−1 by convention — below any real batch
+    id) and removes the originals. Run it with the stream writer paused
+    (like any file-level maintenance on a non-transactional table).
+
+    Crash safety (re-run to converge): the fold is written to a temp
+    dir first, then a manifest (``_FOLDED.json``, listing exactly the
+    input dirs) marks it complete, and only then are inputs deleted and
+    the base renamed into place. A re-run after a crash either finds
+    the manifest (fold complete → finish deleting the listed inputs
+    and rename) or not (fold incomplete → discard temp and redo from
+    the untouched inputs). Returns the number of directories folded
+    (0 = nothing to do).
+    """
+    import json
+    import shutil
+
+    tmp = os.path.join(path, "__compact_tmp")
+    marker = os.path.join(tmp, "_FOLDED.json")
+
+    def finish(folded: list[str]) -> None:
+        for d in folded:
+            full = os.path.join(path, d)
+            if os.path.exists(full):
+                shutil.rmtree(full)
+        os.remove(marker)
+        os.rename(tmp, os.path.join(path, PARTIAL_DIRNAME.format(n=base_batch_id)))
+
+    if os.path.exists(marker):  # crashed between fold and swap: finish it
+        folded = json.load(open(marker))
+        finish(folded)
+        return len(folded)
+    if os.path.exists(tmp):  # crashed mid-fold: inputs untouched, redo
+        shutil.rmtree(tmp)
+
+    partial_dirs = sorted(d for d in os.listdir(path) if d.startswith("batch_id="))
+    if len(partial_dirs) <= 1:
+        return 0
+    merged = (
+        spark.read.option("basePath", path)
+        .parquet(*[os.path.join(path, d) for d in partial_dirs])
+        .groupBy(*key_cols)
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+    )
+    merged.write.mode("overwrite").parquet(tmp)
+    with open(marker, "w") as fh:
+        json.dump(partial_dirs, fh)
+    finish(partial_dirs)
+    return len(partial_dirs)

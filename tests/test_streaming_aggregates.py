@@ -62,3 +62,87 @@ def test_partial_rewrite_is_idempotent(spark, tmp_path):
         for r in read_rollup(spark, path, ["k"]).collect()
     }
     assert got == {"a": (2, 3.0), "b": (1, 10.0)}
+
+
+def test_compact_partials_preserves_totals(spark, tmp_path):
+    import os
+
+    df1 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, value double")
+    df2 = spark.createDataFrame([("a", 3.0), ("c", 4.0)], "k string, value double")
+    path = str(tmp_path / "rollup")
+    write_partial_aggregate(df1, 0, path, ["k"], "value")
+    write_partial_aggregate(df2, 1, path, ["k"], "value")
+
+    from airbnb_pyspark_jobs_spark.streaming.aggregates import compact_partials
+
+    before = {
+        r.k: (r.n_events, r.total_value)
+        for r in read_rollup(spark, path, ["k"]).collect()
+    }
+    assert compact_partials(spark, path, ["k"]) == 2
+    dirs = [d for d in os.listdir(path) if d.startswith("batch_id=")]
+    assert dirs == ["batch_id=-1"]  # one base partial left
+    after = {
+        r.k: (r.n_events, r.total_value)
+        for r in read_rollup(spark, path, ["k"]).collect()
+    }
+    assert after == before == {"a": (2, 4.0), "b": (1, 2.0), "c": (1, 4.0)}
+
+    # idempotent / no-op on an already-compacted rollup
+    assert compact_partials(spark, path, ["k"]) == 0
+    # and a NEW batch after compaction still merges in
+    write_partial_aggregate(df1, 2, path, ["k"], "value")
+    got = {
+        r.k: (r.n_events, r.total_value)
+        for r in read_rollup(spark, path, ["k"]).collect()
+    }
+    assert got["a"] == (3, 5.0)
+
+
+def test_recompaction_folds_previous_base(spark, tmp_path):
+    # compaction of an already-compacted rollup must FOLD the base in,
+    # not clobber it (regression: history loss on second compaction)
+    from airbnb_pyspark_jobs_spark.streaming.aggregates import compact_partials
+
+    path = str(tmp_path / "rollup")
+    df1 = spark.createDataFrame([("a", 1.0)], "k string, value double")
+    df2 = spark.createDataFrame([("a", 2.0)], "k string, value double")
+    df3 = spark.createDataFrame([("a", 4.0)], "k string, value double")
+    write_partial_aggregate(df1, 0, path, ["k"], "value")
+    write_partial_aggregate(df2, 1, path, ["k"], "value")
+    assert compact_partials(spark, path, ["k"]) == 2
+    write_partial_aggregate(df3, 2, path, ["k"], "value")
+    assert compact_partials(spark, path, ["k"]) == 2  # base + batch 2
+    got = read_rollup(spark, path, ["k"]).collect()[0]
+    assert (got.n_events, got.total_value) == (3, 7.0)
+
+
+def test_compaction_crash_recovery_from_manifest(spark, tmp_path):
+    # simulate a crash AFTER the fold completed (manifest written,
+    # inputs partially deleted): a re-run must finish, not refold
+    import json
+    import os
+    import shutil
+
+    from airbnb_pyspark_jobs_spark.streaming.aggregates import compact_partials
+
+    path = str(tmp_path / "rollup")
+    df1 = spark.createDataFrame([("a", 1.0)], "k string, value double")
+    df2 = spark.createDataFrame([("a", 2.0)], "k string, value double")
+    write_partial_aggregate(df1, 0, path, ["k"], "value")
+    write_partial_aggregate(df2, 1, path, ["k"], "value")
+
+    # hand-build the crashed state: complete fold in tmp + manifest,
+    # one input already deleted
+    merged = spark.createDataFrame([("a", 2, 3.0)], "k string, n long, total double")
+    tmp = os.path.join(path, "__compact_tmp")
+    merged.write.parquet(tmp)
+    json.dump(["batch_id=0", "batch_id=1"], open(os.path.join(tmp, "_FOLDED.json"), "w"))
+    shutil.rmtree(os.path.join(path, "batch_id=0"))
+
+    assert compact_partials(spark, path, ["k"]) == 2  # finishes the swap
+    assert sorted(d for d in os.listdir(path) if d.startswith("batch_id=")) == [
+        "batch_id=-1"
+    ]
+    got = read_rollup(spark, path, ["k"]).collect()[0]
+    assert (got.n_events, got.total_value) == (2, 3.0)
