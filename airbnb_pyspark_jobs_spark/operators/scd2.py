@@ -239,3 +239,23 @@ def scd2_merge(
         *([spec.audit_col] if spec.audit_col and spec.audit_col in out.columns else []),
     ]
     return out.select(*result_cols)
+
+
+def asof_snapshot(dim: DataFrame, ts: Column | str) -> DataFrame:
+    """Point-in-time reconstruction: the one version of each key that
+    was valid at ``ts`` — the read-side query every SCD2 dimension
+    exists to answer.
+
+    The predicate is ``start_dt <= ts AND (end_dt IS NULL OR
+    end_dt > ts)``: current rows here carry end_dt = NULL (a documented
+    deviation from the reference's 2099-12-31 sentinel — see the module
+    docstring), so a naive ``end_dt > ts`` range check would silently
+    drop every current row; this helper owns the NULL-aware form.
+    Scan-side filter — no join, no window; with the dimension stored
+    range-clustered on start_dt it also prunes files.
+    """
+    ts_c = F.lit(ts).cast("timestamp") if isinstance(ts, str) else ts
+    return dim.filter(
+        (F.col("start_dt") <= ts_c)
+        & (F.col("end_dt").isNull() | (F.col("end_dt") > ts_c))
+    )

@@ -566,3 +566,50 @@ def q30_fact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep=("l_orderkey", "l_linenumber", "l_quantity"),
         portable_hash=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# q81 SCD2 point-in-time snapshot: rebuild the q22 dimension (T0 load +
+# T1 upgrade merge), then reconstruct the state valid at T0 < t < T1 —
+# every customer's ORIGINAL version, including the already-expired rows
+# of upgraded customers (end_dt = T1 > t) and none of the T1 versions.
+# Exercises the NULL-aware validity predicate current rows require
+# under NULL end_dt semantics (inclusive start, exclusive end).
+# ---------------------------------------------------------------------------
+_SCD2_TMID = "2026-01-15 00:00:00"
+
+
+@query(
+    "q81_scd2_asof_snapshot",
+    oracle=f"""
+    WITH base AS (SELECT * FROM customer)
+    SELECT
+      md5(CAST(c_custkey AS VARCHAR) || chr(31) || '{_SCD2_T0}') AS customer_key,
+      c_custkey, c_name, c_acctbal, c_mktsegment, c_nationkey,
+      TRUE AS is_valid,
+      TIMESTAMP '{_SCD2_T0}' AS start_dt,
+      CAST(NULL AS TIMESTAMP) AS end_dt
+    FROM base WHERE c_acctbal <= 5000
+    UNION ALL
+    SELECT
+      md5(CAST(c_custkey AS VARCHAR) || chr(31) || '{_SCD2_T0}') AS customer_key,
+      c_custkey, c_name, c_acctbal, c_mktsegment, c_nationkey,
+      FALSE AS is_valid,
+      TIMESTAMP '{_SCD2_T0}' AS start_dt,
+      TIMESTAMP '{_SCD2_T1}' AS end_dt
+    FROM base WHERE c_acctbal > 5000
+    """,
+)
+def q81_scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.scd2 import asof_snapshot
+
+    cust = load_table(spark, "customer", sf_dir)
+    dim0 = scd2_initial(cust, _CUSTOMER_SPEC, _SCD2_T0)
+    snapshot = cust.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") > 5000, F.lit("UPGRADED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    dim1 = scd2_merge(dim0, snapshot, _CUSTOMER_SPEC, _SCD2_T1)
+    return asof_snapshot(dim1, _SCD2_TMID)

@@ -151,3 +151,25 @@ def test_tombstoned_key_can_return_later(spark):
     rows = sorted(dim2.collect(), key=lambda r: r.start_dt)
     assert [(r.is_valid, r.end_dt is None) for r in rows] == [(False, False), (True, True)]
     assert str(rows[1].start_dt) == "2025-03-01 00:00:00"
+
+
+def test_asof_snapshot_boundary_semantics(spark):
+    from airbnb_pyspark_jobs_spark.operators.scd2 import asof_snapshot
+
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", False, "2026-01-01 00:00:00", "2026-02-01 00:00:00"),
+            (1, "v2", True, "2026-02-01 00:00:00", None),
+        ],
+        "k long, val string, is_valid boolean, start_dt string, end_dt string",
+    ).selectExpr(
+        "k", "val", "is_valid",
+        "CAST(start_dt AS TIMESTAMP) AS start_dt",
+        "CAST(end_dt AS TIMESTAMP) AS end_dt",
+    )
+    # strictly inside v1's interval
+    assert [r.val for r in asof_snapshot(dim, "2026-01-15 00:00:00").collect()] == ["v1"]
+    # exactly at the version flip: inclusive start, exclusive end -> v2
+    assert [r.val for r in asof_snapshot(dim, "2026-02-01 00:00:00").collect()] == ["v2"]
+    # before the dimension existed -> empty
+    assert asof_snapshot(dim, "2025-12-31 00:00:00").count() == 0
