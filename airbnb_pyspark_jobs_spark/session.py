@@ -64,6 +64,27 @@ PROFILES: dict[str, dict[str, str]] = {
         "spark.memory.offHeap.size": "1g",
         "spark.executor.memoryOverhead": "512m",
     },
+    # Streaming jobs: RocksDB state store + changelog checkpointing.
+    # The default (HDFSBackedStateStoreProvider) keeps every key's state
+    # as JVM heap objects — at 100 TB-scale key cardinalities that's an
+    # OOM, and full-snapshot checkpoints scale with STATE size, not
+    # update rate. RocksDB spills state to local disk (off-heap, GC-
+    # free) and changelog checkpointing uploads per-batch deltas;
+    # maintenance compacts in the background. Unbounded key spaces
+    # additionally need TTL at the operator level (watermarks /
+    # GroupStateTimeout / transformWithState TTL) — a state store
+    # manages bytes, not lifecycle.
+    "streaming": {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+        # bound state-restore read amplification after executor loss
+        "spark.sql.streaming.minBatchesToRetain": "20",
+        "spark.sql.shuffle.partitions": "32",  # = state store instances per op
+    },
     # Local test/bench profile for this container (single JVM = driver;
     # the container has 128 GiB, so size the JVM for real workloads —
     # the 1g default GC-thrashes on multi-million-row broadcasts; 8g is
