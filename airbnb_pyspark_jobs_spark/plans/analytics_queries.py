@@ -889,3 +889,53 @@ def q77_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         _money(F.sum(_dec("l_quantity", 12)), "sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q82 argmin join (TPC-H Q2 shape on the tables available): the
+# supplier offering each part's cheapest average lineitem unit price,
+# with DETERMINISTIC tie-breaks. min_by/arg_min would be
+# tie-nondeterministic (2-decimal prices collide); the canonical form
+# is a row_number over (part) ordered by (price, suppkey) — a
+# PARTITIONED window on the same key the per-(part,supp) aggregate
+# shuffles on, so AQE reuses the partitioning. Dims broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "q82_cheapest_supplier_per_part",
+    oracle="""
+    WITH offer AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS unit_price
+      FROM lineitem
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY l_partkey ORDER BY unit_price, l_suppkey) AS rn
+      FROM offer
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, b.unit_price
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    WHERE b.rn = 1
+    """,
+)
+def q82_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    offer = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(_dec("l_extendedprice", 12)).cast("double")
+            / F.sum(_dec("l_quantity", 12)).cast("double")
+        ).alias("unit_price")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    best = offer.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .select("p_partkey", "p_brand", "s_name", "unit_price")
+    )
