@@ -98,3 +98,23 @@ def test_kmeans_centroids_deterministic_and_trained_recall(spark):
         for r in SIM.ivf_ann(emb, queries, k=3).collect()
     }
     assert len(bf & iv) / len(bf) >= 0.8
+
+
+def test_arrow_grouped_residuals_match_pandas_variant(spark):
+    from airbnb_pyspark_jobs_spark.operators.grouped import (
+        label_centroid_residuals,
+        label_centroid_residuals_arrow,
+    )
+    from airbnb_pyspark_jobs_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    want = {
+        (r.label, r.vec_id): (r.residual, r.group_size)
+        for r in label_centroid_residuals(emb).collect()
+    }
+    got = {
+        (r.label, r.vec_id): (r.residual, r.group_size)
+        for r in label_centroid_residuals_arrow(emb).collect()
+    }
+    assert got == want and len(got) > 0
