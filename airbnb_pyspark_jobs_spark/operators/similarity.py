@@ -479,3 +479,168 @@ def cosine_pandas_scores(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the embedding-compression standard for
+# billion-vector ANN (int8 (q56) shrinks 4×; PQ shrinks 64-dim float32
+# to m bytes — 32× at m=8 — while keeping usable distances via
+# per-subspace codebooks). Deterministic cross-engine like the IVF
+# path: L2 distances in dot-product form rounded to 4 digits with cid
+# tie-breaks, per-dim means rounded to 6.
+# ---------------------------------------------------------------------------
+def _py_sq_norm(vec: list[float]) -> float:
+    """Left-fold sum of squares — same IEEE fold order as the engines'
+    sequential dot products, so the literal matches in-engine values."""
+    acc = 0.0
+    for x in vec:
+        acc += x * x
+    return acc
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    dist_digits: int = 4,
+    mean_digits: int = 6,
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace deterministic Lloyd k-means codebooks.
+
+    Subspace ``s`` covers dims ``[s·dims/m, (s+1)·dims/m)``; init = the
+    ``k`` lowest-id vectors' subvectors; assignment minimizes the
+    ROUNDED squared L2 in dot-product form ``v·v − 2·v·c + c·c`` (cid
+    tie-break), and per-dim means are rounded — both roundings make the
+    iterations reproducible verbatim in SQL (the q83 oracle unrolls
+    them). Training actions: m×iters small jobs, driver collects
+    k×(dims/m) floats each. At 100 TB train on an id-bounded sample,
+    like :func:`kmeans_centroids`.
+    """
+    sub = dims // m
+    books: list[list[tuple[int, list[float]]]] = []
+    for s in range(m):
+        e = corpus.select(
+            F.col(id_col).alias("id"),
+            F.slice(to_double_array(vec_col), s * sub + 1, sub).alias("sv"),
+        ).withColumn("__vv", dot(F.col("sv"), F.col("sv")))
+        init = e.orderBy("id").limit(k).collect()
+        cents = [(i, [float(x) for x in r.sv]) for i, r in enumerate(init)]
+        for _ in range(iters):
+            cent_rows = F.array(
+                *[
+                    F.struct(
+                        F.lit(cid).cast("int").alias("cid"),
+                        F.array(*[F.lit(x) for x in vec]).alias("cenv"),
+                        F.lit(_py_sq_norm(vec)).alias("c2"),
+                    )
+                    for cid, vec in cents
+                ]
+            )
+            assigned = e.select(
+                "id", "sv", "__vv", F.explode(cent_rows).alias("c")
+            ).select(
+                "id",
+                "sv",
+                F.col("c.cid").alias("cid"),
+                F.round(
+                    F.col("__vv")
+                    - F.lit(2.0) * dot(F.col("sv"), F.col("c.cenv"))
+                    + F.col("c.c2"),
+                    dist_digits,
+                ).alias("__d2"),
+            )
+            w = Window.partitionBy("id").orderBy(
+                F.col("__d2").asc(), F.col("cid").asc()
+            )
+            best = assigned.withColumn("__rn", F.row_number().over(w)).filter(
+                F.col("__rn") == 1
+            )
+            means = (
+                best.select("cid", F.posexplode("sv").alias("d", "x"))
+                .groupBy("cid", "d")
+                .agg(F.round(F.avg("x"), mean_digits).alias("cx"))
+            )
+            rows = means.groupBy("cid").agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("d"), F.col("cx")))
+                ).alias("dc")
+            ).collect()
+            cents = sorted(
+                (int(r.cid), [float(p.cx) for p in r.dc]) for r in rows
+            )
+        books.append(cents)
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
+    dist_digits: int = 4,
+) -> DataFrame:
+    """Encode each vector as its per-subspace nearest-centroid codes.
+
+    Returns ``id_col, *extra_cols, codes ('c0-c1-…', 0-based cids),
+    sq_err`` (fixed-order sum of the per-subspace rounded minimum
+    squared distances = the reconstruction error of the PQ
+    approximation). Pure scan-side projection — no shuffle, no UDFs:
+    distance arrays are STAGED columns (referenced by both the argmin
+    and the min), `array_position(d, array_min(d))` picks the lowest
+    cid on ties, matching the oracle's (dist, cid) window order.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    staged = corpus.select(
+        F.col(id_col),
+        *extra_cols,
+        *[
+            F.slice(to_double_array(vec_col), s * sub + 1, sub).alias(f"__sv{s}")
+            for s in range(m)
+        ],
+    ).withColumns(
+        {f"__vv{s}": dot(F.col(f"__sv{s}"), F.col(f"__sv{s}")) for s in range(m)}
+    )
+    dist_arrays = {
+        f"__d{s}": F.array(
+            *[
+                F.round(
+                    F.col(f"__vv{s}")
+                    - F.lit(2.0)
+                    * dot(F.col(f"__sv{s}"), F.array(*[F.lit(x) for x in vec]))
+                    + F.lit(_py_sq_norm(vec)),
+                    dist_digits,
+                )
+                for _cid, vec in codebooks[s]
+            ]
+        )
+        for s in range(m)
+    }
+    coded = staged.withColumns(dist_arrays).withColumns(
+        {
+            **{
+                f"__c{s}": (
+                    F.array_position(
+                        F.col(f"__d{s}"), F.array_min(F.col(f"__d{s}"))
+                    )
+                    - 1
+                ).cast("int")
+                for s in range(m)
+            },
+            **{f"__e{s}": F.array_min(F.col(f"__d{s}")) for s in range(m)},
+        }
+    )
+    err = F.col("__e0")
+    for s in range(1, m):
+        err = err + F.col(f"__e{s}")
+    return coded.select(
+        id_col,
+        *extra_cols,
+        F.concat_ws("-", *[F.col(f"__c{s}") for s in range(m)]).alias("codes"),
+        err.alias("sq_err"),
+    )

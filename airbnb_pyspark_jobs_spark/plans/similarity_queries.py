@@ -470,3 +470,86 @@ def q80_semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_members"),
         (F.col("vec_id") == F.col("component_id")).alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q83 product quantization: per-subspace L2 k-means codebooks (m=4
+# subspaces × 16 dims, k=8, 2 Lloyd iterations), every vector encoded
+# as its nearest-centroid codes with the PQ reconstruction error.
+# 64-dim float32 → 4 bytes/vector (16×). Distances are in dot-product
+# form v·v − 2·v·c + c·c rounded to 4 digits with cid tie-breaks —
+# both engines fold the dot products in index order, so training,
+# assignment and errors reproduce verbatim; the oracle unrolls all
+# m × iters k-means steps as CTEs (the q53 pattern, per subspace).
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_K, _PQ_ITERS, _PQ_SUB = 4, 8, 2, 16
+
+
+def _q83_oracle() -> str:
+    def d2(e: str, c: str) -> str:
+        return (
+            f"round(list_dot_product({e}.sv, {e}.sv)"
+            f" - 2 * list_dot_product({e}.sv, {c}.cenv)"
+            f" + list_dot_product({c}.cenv, {c}.cenv), 4)"
+        )
+
+    parts = []
+    for s in range(_PQ_M):
+        a, b = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
+        parts.append(f"""
+es{s} AS (
+  SELECT vec_id, (CAST(embedding AS DOUBLE[]))[{a}:{b}] AS sv FROM embeddings
+),
+ca{s}_0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, sv AS cenv
+  FROM (SELECT vec_id, sv FROM es{s} ORDER BY vec_id LIMIT {_PQ_K})
+)""")
+        for i in range(1, _PQ_ITERS + 1):
+            parts.append(f""",
+asg{s}_{i} AS (
+  SELECT vec_id, sv, cid FROM (
+    SELECT e.vec_id, e.sv, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY {d2("e", "c")} ASC, c.cid ASC) AS rn
+    FROM es{s} e, ca{s}_{i - 1} c) WHERE rn = 1
+),
+m{s}_{i} AS (
+  SELECT cid, d, round(AVG(x), 6) AS cx
+  FROM (SELECT cid, generate_subscripts(sv, 1) AS d, unnest(sv) AS x
+        FROM asg{s}_{i})
+  GROUP BY cid, d
+),
+ca{s}_{i} AS (SELECT cid, list(cx ORDER BY d) AS cenv FROM m{s}_{i} GROUP BY cid)""")
+        parts.append(f""",
+enc{s} AS (
+  SELECT vec_id, cid AS code{s}, dist AS err{s} FROM (
+    SELECT e.vec_id, c.cid, {d2("e", "c")} AS dist,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY {d2("e", "c")} ASC, c.cid ASC) AS rn
+    FROM es{s} e, ca{s}_{_PQ_ITERS} c) WHERE rn = 1
+)""")
+        if s < _PQ_M - 1:
+            parts.append(",")
+    joins = " ".join(f"JOIN enc{s} USING (vec_id)" for s in range(_PQ_M))
+    codes = ", ".join(f"code{s}" for s in range(_PQ_M))
+    errs = " + ".join(f"err{s}" for s in range(_PQ_M))
+    parts.append(f"""
+SELECT emb.vec_id, CAST(emb.label AS INT) AS label,
+       CONCAT_WS('-', {codes}) AS codes,
+       {errs} AS sq_err
+FROM embeddings emb {joins}
+""")
+    return "WITH " + "".join(parts).lstrip()
+
+
+@query("q83_pq_codes", oracle=_q83_oracle())
+def q83_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = SIM.pq_train_codebooks(
+        emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dims=_PQ_M * _PQ_SUB
+    )
+    return SIM.pq_encode(
+        emb.withColumn("label", F.col("label").cast("int")),
+        books,
+        extra_cols=("label",),
+    )

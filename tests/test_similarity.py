@@ -118,3 +118,28 @@ def test_arrow_grouped_residuals_match_pandas_variant(spark):
         for r in label_centroid_residuals_arrow(emb).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_pq_codebooks_and_codes_shape(spark):
+    from airbnb_pyspark_jobs_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+    from airbnb_pyspark_jobs_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    books = pq_train_codebooks(emb, m=4, k=8, iters=2, dims=64)
+    assert len(books) == 4
+    for book in books:
+        assert 1 <= len(book) <= 8  # empty clusters may drop
+        assert all(len(vec) == 16 for _cid, vec in book)
+    out = pq_encode(emb, books).collect()
+    assert len(out) == emb.count()
+    for r in out:
+        codes = [int(c) for c in r.codes.split("-")]
+        assert len(codes) == 4 and all(0 <= c < 8 for c in codes)
+        assert r.sq_err >= 0.0
+    # deterministic: retrain + re-encode is identical
+    books2 = pq_train_codebooks(emb, m=4, k=8, iters=2, dims=64)
+    assert books2 == books
