@@ -644,3 +644,66 @@ def pq_encode(
         F.concat_ws("-", *[F.col(f"__c{s}") for s in range(m)]).alias("codes"),
         err.alias("sq_err"),
     )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries_subvecs: list[tuple[int, list[list[float]]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_digits: int = 4,
+) -> DataFrame:
+    """PQ search via Asymmetric Distance Computation: each query
+    precomputes a (m × k_centroids) lookup table of subspace distances
+    to every centroid DRIVER-SIDE (m·k tiny float ops per query), and a
+    candidate's approximate distance is the sum of m TABLE LOOKUPS by
+    its codes — no vector math per candidate. This is why PQ scales:
+    the corpus is touched only through its byte codes.
+
+    ``queries_subvecs``: [(query_id, [subvector per subspace])] —
+    driver-known queries (the few-queries × huge-corpus shape, like
+    :func:`knn_bruteforce`). Table entries use the same rounded
+    dot-product-form distance as :func:`pq_encode`, computed with
+    Python's left-fold (IEEE-identical to the engines' in-order
+    folds), so results reproduce verbatim in the oracle.
+    """
+    m = len(codebooks)
+    coded = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    split = F.split(F.col("codes"), "-")
+    luts = []
+    for qid, subs in queries_subvecs:
+        per_sub = []
+        for s in range(m):
+            q = subs[s]
+            qq = _py_sq_norm(q)
+            ents = []
+            for _cid, c in codebooks[s]:
+                dotqc = 0.0
+                for x, y in zip(q, c):
+                    dotqc += x * y
+                ents.append(round(qq - 2.0 * dotqc + _py_sq_norm(c), dist_digits))
+            per_sub.append(ents)
+        luts.append((qid, per_sub))
+    out = None
+    for qid, per_sub in luts:
+        adc = F.lit(0.0)
+        for s in range(m):
+            lut = F.array(*[F.lit(v) for v in per_sub[s]])
+            adc = adc + F.element_at(
+                lut, F.element_at(split, s + 1).cast("int") + 1
+            )
+        scored = coded.select(
+            F.lit(qid).cast("bigint").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            adc.alias("adc_dist"),
+        ).filter(F.col("neighbor_id") != qid)
+        out = scored if out is None else out.unionByName(scored)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )

@@ -485,14 +485,18 @@ def q80_semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_K, _PQ_ITERS, _PQ_SUB = 4, 8, 2, 16
 
 
-def _q83_oracle() -> str:
-    def d2(e: str, c: str) -> str:
-        return (
-            f"round(list_dot_product({e}.sv, {e}.sv)"
-            f" - 2 * list_dot_product({e}.sv, {c}.cenv)"
-            f" + list_dot_product({c}.cenv, {c}.cenv), 4)"
-        )
+def _pq_d2(e: str, c: str) -> str:
+    return (
+        f"round(list_dot_product({e}.sv, {e}.sv)"
+        f" - 2 * list_dot_product({e}.sv, {c}.cenv)"
+        f" + list_dot_product({c}.cenv, {c}.cenv), 4)"
+    )
 
+
+def _pq_ctes() -> str:
+    """Shared q83/q84 CTE chain: per-subspace slices, unrolled k-means
+    iterations, and per-subspace nearest-centroid encodings."""
+    d2 = _pq_d2
     parts = []
     for s in range(_PQ_M):
         a, b = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
@@ -530,16 +534,19 @@ enc{s} AS (
 )""")
         if s < _PQ_M - 1:
             parts.append(",")
+    return "".join(parts).lstrip()
+
+
+def _q83_oracle() -> str:
     joins = " ".join(f"JOIN enc{s} USING (vec_id)" for s in range(_PQ_M))
     codes = ", ".join(f"code{s}" for s in range(_PQ_M))
     errs = " + ".join(f"err{s}" for s in range(_PQ_M))
-    parts.append(f"""
+    return f"""WITH {_pq_ctes()}
 SELECT emb.vec_id, CAST(emb.label AS INT) AS label,
        CONCAT_WS('-', {codes}) AS codes,
        {errs} AS sq_err
 FROM embeddings emb {joins}
-""")
-    return "WITH " + "".join(parts).lstrip()
+"""
 
 
 @query("q83_pq_codes", oracle=_q83_oracle())
@@ -553,3 +560,68 @@ def q83_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         books,
         extra_cols=("label",),
     )
+
+
+# ---------------------------------------------------------------------------
+# q84 PQ search via ADC: each query precomputes per-subspace distance
+# tables to the 8 centroids (driver-side, m·k tiny ops), and candidate
+# distances are sums of table LOOKUPS by code — the corpus is touched
+# only through its 4-byte codes. Oracle recomputes the same distances
+# from the shared q83 CTE chain (codes joined back to centroids).
+# ---------------------------------------------------------------------------
+def _q84_oracle() -> str:
+    parts = [f"WITH {_pq_ctes()}"]
+    for s in range(_PQ_M):
+        a, b = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
+        parts.append(f""",
+qs{s} AS (
+  SELECT vec_id AS query_id, (CAST(embedding AS DOUBLE[]))[{a}:{b}] AS sv
+  FROM embeddings WHERE vec_id < {_NQ}
+),
+ad{s} AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_pq_d2("q", "c")} AS e{s}
+  FROM qs{s} q, enc{s} e JOIN ca{s}_{_PQ_ITERS} c ON c.cid = e.code{s}
+)""")
+    joins = " ".join(
+        f"JOIN ad{s} USING (query_id, neighbor_id)" for s in range(1, _PQ_M)
+    )
+    errs = " + ".join(f"e{s}" for s in range(_PQ_M))
+    parts.append(f""",
+sims AS (
+  SELECT query_id, neighbor_id, {errs} AS adc_dist
+  FROM ad0 {joins}
+  WHERE query_id != neighbor_id
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS BIGINT) AS rn
+  FROM sims
+)
+SELECT query_id, neighbor_id, adc_dist, rn FROM r WHERE rn <= 3
+""")
+    return "".join(parts)
+
+
+@query("q84_pq_adc_topk", oracle=_q84_oracle())
+def q84_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = SIM.pq_train_codebooks(
+        emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dims=_PQ_M * _PQ_SUB
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < _NQ)
+        .select("vec_id", SIM.to_double_array("embedding").alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    queries = [
+        (
+            int(r.vec_id),
+            [
+                [float(x) for x in r.v[s * _PQ_SUB : (s + 1) * _PQ_SUB]]
+                for s in range(_PQ_M)
+            ],
+        )
+        for r in qrows
+    ]
+    return SIM.pq_adc_topk(emb, queries, books, k=3)

@@ -143,3 +143,32 @@ def test_pq_codebooks_and_codes_shape(spark):
     # deterministic: retrain + re-encode is identical
     books2 = pq_train_codebooks(emb, m=4, k=8, iters=2, dims=64)
     assert books2 == books
+
+
+def test_pq_adc_ranks_same_cluster_first(spark):
+    """On well-separated clusters ADC must rank same-cluster vectors
+    ahead of other clusters (quantization error << cluster gaps)."""
+    import random
+
+    from airbnb_pyspark_jobs_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train_codebooks,
+    )
+
+    rng = random.Random(7)
+    centers = [[10.0 * c] * 8 for c in range(3)]
+    rows = []
+    for i in range(60):
+        c = i % 3
+        rows.append(
+            (i, [x + rng.uniform(-0.1, 0.1) for x in centers[c]], c)
+        )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cluster int"
+    )
+    books = pq_train_codebooks(emb, m=2, k=4, iters=3, dims=8)
+    q = rows[0]  # cluster 0
+    queries = [(q[0], [q[1][:4], q[1][4:]])]
+    top = pq_adc_topk(emb, queries, books, k=10).collect()
+    neighbor_clusters = {r.neighbor_id % 3 for r in top}
+    assert neighbor_clusters == {0}
