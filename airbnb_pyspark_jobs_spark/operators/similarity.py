@@ -624,11 +624,15 @@ def pq_encode(
     coded = staged.withColumns(dist_arrays).withColumns(
         {
             **{
-                f"__c{s}": (
+                # emit the codebook's CID at the argmin position (ties →
+                # first = lowest cid), not the list position: if training
+                # drops an empty cluster the surviving cids are no longer
+                # contiguous, and the oracle's codes are cids.
+                f"__c{s}": F.element_at(
+                    F.array(*[F.lit(int(cid)) for cid, _ in codebooks[s]]),
                     F.array_position(
                         F.col(f"__d{s}"), F.array_min(F.col(f"__d{s}"))
-                    )
-                    - 1
+                    ).cast("int"),
                 ).cast("int")
                 for s in range(m)
             },
@@ -678,12 +682,15 @@ def pq_adc_topk(
         for s in range(m):
             q = subs[s]
             qq = _py_sq_norm(q)
-            ents = []
-            for _cid, c in codebooks[s]:
+            # cid-indexed table (codes are cids; gaps from dropped
+            # clusters get +inf — no code references them)
+            size = max(cid for cid, _ in codebooks[s]) + 1
+            ents = [float("inf")] * size
+            for cid, c in codebooks[s]:
                 dotqc = 0.0
                 for x, y in zip(q, c):
                     dotqc += x * y
-                ents.append(round(qq - 2.0 * dotqc + _py_sq_norm(c), dist_digits))
+                ents[cid] = round(qq - 2.0 * dotqc + _py_sq_norm(c), dist_digits)
             per_sub.append(ents)
         luts.append((qid, per_sub))
     out = None
@@ -707,3 +714,145 @@ def pq_adc_topk(
         out.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the billion-vector index layout (FAISS's IVFADC) — a coarse
+# quantizer partitions the corpus into cells (inverted lists), each
+# vector's RESIDUAL from its cell centroid is PQ-coded, and a query
+# probes only its nearest cells, scoring candidates by ADC over the
+# residual codes. Search cost = n_probe/|cells| of the corpus, touched
+# through byte codes only; residual encoding keeps quantization error
+# centered, which is why IVFPQ beats flat PQ at equal code budget.
+# ---------------------------------------------------------------------------
+def _cid_indexed_centroids(book: list[tuple[int, list[float]]]) -> Column:
+    """Literal array-of-arrays positioned by cid+1 (gaps from dropped
+    clusters hold empty arrays no code references)."""
+    size = max(cid for cid, _ in book) + 1
+    slots: list[list[float]] = [[] for _ in range(size)]
+    for cid, vec in book:
+        slots[cid] = vec
+    return F.array(
+        *[F.array(*[F.lit(x) for x in vec]) for vec in slots]
+    )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    coarse_cells: int = 4,
+    coarse_iters: int = 2,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Build the index: returns ``(coded, coarse_book, books)`` where
+    ``coded`` has ``id_col, cell, codes, sq_err`` (cell = coarse cid,
+    codes = residual PQ codes). The residual DataFrame is persisted
+    during training (m×iters jobs re-read it); caller owns cache
+    cleanup, per the repo's persist policy."""
+    coarse_book = pq_train_codebooks(
+        corpus, m=1, k=coarse_cells, iters=coarse_iters,
+        id_col=id_col, vec_col=vec_col, dims=dims,
+    )[0]
+    assigned = pq_encode(
+        corpus, [coarse_book], id_col=id_col, vec_col=vec_col,
+        extra_cols=(vec_col,),
+    ).select(
+        id_col,
+        vec_col,
+        F.element_at(F.split("codes", "-"), 1).cast("int").alias("cell"),
+    )
+    cents = _cid_indexed_centroids(coarse_book)
+    resid = assigned.select(
+        id_col,
+        "cell",
+        F.zip_with(
+            to_double_array(vec_col),
+            F.element_at(cents, F.col("cell") + 1),
+            lambda x, y: x - y,
+        ).alias("resid"),
+    ).persist()
+    books = pq_train_codebooks(
+        resid, m=m, k=k, iters=iters, id_col=id_col, vec_col="resid", dims=dims
+    )
+    coded = pq_encode(
+        resid, books, id_col=id_col, vec_col="resid", extra_cols=("cell",)
+    )
+    return coded, coarse_book, books
+
+
+def ivfpq_search(
+    coded: DataFrame,
+    coarse_book: list[tuple[int, list[float]]],
+    books: list[list[tuple[int, list[float]]]],
+    queries: list[tuple[int, list[float]]],
+    n_probe: int = 2,
+    k: int = 3,
+    dist_digits: int = 4,
+) -> DataFrame:
+    """Probe each query's ``n_probe`` nearest cells and ADC-score only
+    their members. Per (query, cell) the lookup table is built from the
+    QUERY'S residual in that cell (q − cell centroid) — the asymmetric
+    part of IVFADC. All driver-side math uses the same left-fold IEEE
+    ops as the engines, so the oracle reproduces rankings verbatim."""
+    m = len(books)
+    sub = len(books[0][0][1])
+    split = F.split(F.col("codes"), "-")
+    out = None
+    for qid, qvec in queries:
+        qq = _py_sq_norm(qvec)
+        cell_d = sorted(
+            (
+                round(
+                    qq
+                    - 2.0 * sum_ip(qvec, cvec)
+                    + _py_sq_norm(cvec),
+                    dist_digits,
+                ),
+                cid,
+                cvec,
+            )
+            for cid, cvec in coarse_book
+        )[:n_probe]
+        for _d, cell, cvec in cell_d:
+            qr = [x - y for x, y in zip(qvec, cvec)]
+            adc = F.lit(0.0)
+            for s in range(m):
+                q = qr[s * sub : (s + 1) * sub]
+                qq_s = _py_sq_norm(q)
+                size = max(cid for cid, _ in books[s]) + 1
+                ents = [float("inf")] * size
+                for cid, c in books[s]:
+                    ents[cid] = round(
+                        qq_s - 2.0 * sum_ip(q, c) + _py_sq_norm(c), dist_digits
+                    )
+                adc = adc + F.element_at(
+                    F.array(*[F.lit(v) for v in ents]),
+                    F.element_at(split, s + 1).cast("int") + 1,
+                )
+            scored = coded.filter(F.col("cell") == cell).select(
+                F.lit(qid).cast("bigint").alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                adc.alias("adc_dist"),
+            )
+            out = scored if out is None else out.unionByName(scored)
+    out = out.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def sum_ip(a: list[float], b: list[float]) -> float:
+    """Left-fold inner product — IEEE-identical to the engines'
+    sequential dot products."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc

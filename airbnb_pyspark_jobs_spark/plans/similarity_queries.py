@@ -493,48 +493,58 @@ def _pq_d2(e: str, c: str) -> str:
     )
 
 
-def _pq_ctes() -> str:
-    """Shared q83/q84 CTE chain: per-subspace slices, unrolled k-means
-    iterations, and per-subspace nearest-centroid encodings."""
+def _pq_chain(
+    src: str, vec_expr: str, m: int, sub: int, k: int, iters: int, p: str = ""
+) -> str:
+    """Unrolled per-subspace k-means + encoding CTE chain over
+    ``{src}.{vec_expr}`` with name prefix ``p`` — shared by the PQ
+    (q83/q84, p='') and IVF-PQ (q85: coarse chain p='g' over raw
+    vectors, residual chain p='r' over the residual CTE) oracles."""
     d2 = _pq_d2
     parts = []
-    for s in range(_PQ_M):
-        a, b = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
+    for s in range(m):
+        a, b = s * sub + 1, (s + 1) * sub
         parts.append(f"""
-es{s} AS (
-  SELECT vec_id, (CAST(embedding AS DOUBLE[]))[{a}:{b}] AS sv FROM embeddings
+{p}es{s} AS (
+  SELECT vec_id, ({vec_expr})[{a}:{b}] AS sv FROM {src}
 ),
-ca{s}_0 AS (
+{p}ca{s}_0 AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, sv AS cenv
-  FROM (SELECT vec_id, sv FROM es{s} ORDER BY vec_id LIMIT {_PQ_K})
+  FROM (SELECT vec_id, sv FROM {p}es{s} ORDER BY vec_id LIMIT {k})
 )""")
-        for i in range(1, _PQ_ITERS + 1):
+        for i in range(1, iters + 1):
             parts.append(f""",
-asg{s}_{i} AS (
+{p}asg{s}_{i} AS (
   SELECT vec_id, sv, cid FROM (
     SELECT e.vec_id, e.sv, c.cid,
       ROW_NUMBER() OVER (PARTITION BY e.vec_id
                          ORDER BY {d2("e", "c")} ASC, c.cid ASC) AS rn
-    FROM es{s} e, ca{s}_{i - 1} c) WHERE rn = 1
+    FROM {p}es{s} e, {p}ca{s}_{i - 1} c) WHERE rn = 1
 ),
-m{s}_{i} AS (
+{p}m{s}_{i} AS (
   SELECT cid, d, round(AVG(x), 6) AS cx
   FROM (SELECT cid, generate_subscripts(sv, 1) AS d, unnest(sv) AS x
-        FROM asg{s}_{i})
+        FROM {p}asg{s}_{i})
   GROUP BY cid, d
 ),
-ca{s}_{i} AS (SELECT cid, list(cx ORDER BY d) AS cenv FROM m{s}_{i} GROUP BY cid)""")
+{p}ca{s}_{i} AS (SELECT cid, list(cx ORDER BY d) AS cenv FROM {p}m{s}_{i} GROUP BY cid)""")
         parts.append(f""",
-enc{s} AS (
+{p}enc{s} AS (
   SELECT vec_id, cid AS code{s}, dist AS err{s} FROM (
     SELECT e.vec_id, c.cid, {d2("e", "c")} AS dist,
       ROW_NUMBER() OVER (PARTITION BY e.vec_id
                          ORDER BY {d2("e", "c")} ASC, c.cid ASC) AS rn
-    FROM es{s} e, ca{s}_{_PQ_ITERS} c) WHERE rn = 1
+    FROM {p}es{s} e, {p}ca{s}_{iters} c) WHERE rn = 1
 )""")
-        if s < _PQ_M - 1:
+        if s < m - 1:
             parts.append(",")
     return "".join(parts).lstrip()
+
+
+def _pq_ctes() -> str:
+    return _pq_chain(
+        "embeddings", "CAST(embedding AS DOUBLE[])", _PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS
+    )
 
 
 def _q83_oracle() -> str:
@@ -625,3 +635,107 @@ def q84_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in qrows
     ]
     return SIM.pq_adc_topk(emb, queries, books, k=3)
+
+
+# ---------------------------------------------------------------------------
+# q85 IVF-PQ (IVFADC): coarse k-means cells → residual PQ codes →
+# probe n nearest cells → ADC over residual codes. The billion-vector
+# index layout: search touches n_probe/|cells| of the corpus, through
+# byte codes only. The oracle composes the parameterized k-means chain
+# twice (coarse over raw vectors, PQ over the residual CTE) plus
+# probing and per-(query, cell) asymmetric distances — the full index
+# build AND search value-checked end to end.
+# ---------------------------------------------------------------------------
+_IVF_CELLS, _IVF_CITERS, _IVF_NPROBE = 4, 2, 2
+
+
+def _q85_oracle() -> str:
+    parts = ["WITH "]
+    parts.append(
+        _pq_chain(
+            "embeddings", "CAST(embedding AS DOUBLE[])", 1, 64,
+            _IVF_CELLS, _IVF_CITERS, "g",
+        )
+    )
+    parts.append(f""",
+rsd AS (
+  SELECT e.vec_id,
+         list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cenv),
+                        x -> x[1] - x[2]) AS v,
+         g.code0 AS cell
+  FROM embeddings e
+  JOIN genc0 g ON g.vec_id = e.vec_id
+  JOIN gca0_{_IVF_CITERS} c ON c.cid = g.code0
+),
+""")
+    parts.append(_pq_chain("rsd", "v", _PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS, "r"))
+    parts.append(f""",
+qf AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE vec_id < {_NQ}
+),
+probe AS (
+  SELECT query_id, cid AS cell, cenv FROM (
+    SELECT q.query_id, c.cid, c.cenv,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+                         ORDER BY {_pq_d2("q", "c")} ASC, c.cid ASC) AS rn
+    FROM qf q, gca0_{_IVF_CITERS} c) WHERE rn <= {_IVF_NPROBE}
+),
+qr AS (
+  SELECT q.query_id, p.cell,
+         list_transform(list_zip(q.sv, p.cenv), x -> x[1] - x[2]) AS v
+  FROM qf q JOIN probe p ON p.query_id = q.query_id
+)""")
+    for s in range(_PQ_M):
+        a, b = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
+        parts.append(f""",
+qrs{s} AS (SELECT query_id, cell, (v)[{a}:{b}] AS sv FROM qr),
+ad{s} AS (
+  SELECT q.query_id, g.vec_id AS neighbor_id, {_pq_d2("q", "c")} AS e{s}
+  FROM qrs{s} q
+  JOIN genc0 g ON g.code0 = q.cell
+  JOIN renc{s} e ON e.vec_id = g.vec_id
+  JOIN rca{s}_{_PQ_ITERS} c ON c.cid = e.code{s}
+)""")
+    joins = " ".join(
+        f"JOIN ad{s} USING (query_id, neighbor_id)" for s in range(1, _PQ_M)
+    )
+    errs = " + ".join(f"e{s}" for s in range(_PQ_M))
+    parts.append(f""",
+sims AS (
+  SELECT query_id, neighbor_id, {errs} AS adc_dist
+  FROM ad0 {joins}
+  WHERE query_id != neighbor_id
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS BIGINT) AS rn
+  FROM sims
+)
+SELECT query_id, neighbor_id, adc_dist, rn FROM r WHERE rn <= 3
+""")
+    return "".join(parts)
+
+
+@query("q85_ivfpq_topk", oracle=_q85_oracle())
+def q85_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    coded, coarse, books = SIM.ivfpq_index(
+        emb,
+        coarse_cells=_IVF_CELLS,
+        coarse_iters=_IVF_CITERS,
+        m=_PQ_M,
+        k=_PQ_K,
+        iters=_PQ_ITERS,
+        dims=_PQ_M * _PQ_SUB,
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < _NQ)
+        .select("vec_id", SIM.to_double_array("embedding").alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    queries = [(int(r.vec_id), [float(x) for x in r.v]) for r in qrows]
+    return SIM.ivfpq_search(
+        coded, coarse, books, queries, n_probe=_IVF_NPROBE, k=3
+    )

@@ -172,3 +172,33 @@ def test_pq_adc_ranks_same_cluster_first(spark):
     top = pq_adc_topk(emb, queries, books, k=10).collect()
     neighbor_clusters = {r.neighbor_id % 3 for r in top}
     assert neighbor_clusters == {0}
+
+
+def test_ivfpq_index_covers_corpus_and_search_probes_subset(spark):
+    from airbnb_pyspark_jobs_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_search,
+        to_double_array,
+    )
+    from airbnb_pyspark_jobs_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    coded, coarse, books = ivfpq_index(emb, coarse_cells=4)
+    rows = coded.collect()
+    assert len(rows) == emb.count()  # every vector indexed exactly once
+    cells = {r.cell for r in rows}
+    assert cells <= {cid for cid, _ in coarse}
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(to_double_array("embedding").alias("v"))
+        .first()
+    )
+    top = ivfpq_search(
+        coded, coarse, books, [(0, [float(x) for x in q.v])], n_probe=2, k=5
+    ).collect()
+    assert 0 < len(top) <= 5
+    assert all(r.neighbor_id != 0 for r in top)
+    # probed candidates only: every neighbor's cell is among the 2 probed
+    cell_of = {r.vec_id: r.cell for r in rows}
+    assert len({cell_of[r.neighbor_id] for r in top}) <= 2
