@@ -139,3 +139,44 @@ def test_q71_outlier_stats_broadcast_back(spark):
     plan = _executed_plan(QUERIES["q71_value_outliers"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "partial" in plan
+
+
+def test_q77_bloom_prefilter_precedes_exact_semi_join(spark):
+    """The bloom probe must sit BEFORE the semi-join (scan-side
+    pruning) and the exact verify must be a real semi-join."""
+    df = QUERIES["q77_bloom_semi_join"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "LeftSemi" in plan
+    probe_pos = plan.find("pythonUDF")  # the Arrow-batched bitmap probe
+    semi_pos = plan.find("LeftSemi")
+    assert probe_pos != -1 and semi_pos != -1
+    # executed plans print top-down: the join appears above the probe
+    assert semi_pos < probe_pos
+
+
+def test_q82_argmin_window_is_partitioned(spark):
+    df = QUERIES["q82_cheapest_supplier_per_part"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "hashpartitioning(l_partkey" in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # part + supplier dims
+
+
+def test_q76_containment_prunes_document_columns(spark):
+    """The shingle pipeline must read only (doc_id, text) — never the
+    payload columns."""
+    df = QUERIES["q76_contamination_containment"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    for rs in plan.split("ReadSchema:")[1:]:
+        head = rs.splitlines()[0]
+        assert "lang" not in head and "source" not in head and "n_chars" not in head
+
+
+def test_q83_pq_encoding_is_scan_side(spark):
+    """PQ encoding must be a pure projection: no Exchange (shuffle), no
+    python UDFs, no window — codes are computed where the data lives."""
+    df = QUERIES["q83_pq_codes"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "Exchange" not in plan
+    assert "pythonUDF" not in plan.lower()
+    assert "Window" not in plan
