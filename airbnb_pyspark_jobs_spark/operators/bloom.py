@@ -104,3 +104,20 @@ def bloom_semi_join(
         on=F.col(fact_key) == F.col(dim_key),
         how="left_semi",
     )
+
+
+def bloom_params(expected_keys: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Textbook bloom sizing: bits m = −n·ln p / (ln 2)², hashes
+    k = (m/n)·ln 2. Returns (num_bits, num_hashes) to pass to
+    :func:`bloom_semi_join` — e.g. 1M keys at 1% fpp → ~9.6M bits
+    (1.2 MiB) and 7 hashes; at 100 TB the bitmap broadcast stays
+    megabytes while an exact key broadcast would be gigabytes."""
+    import math
+
+    if expected_keys <= 0:
+        raise ValueError("expected_keys must be positive")
+    if not 0.0 < fpp < 1.0:
+        raise ValueError("fpp must be in (0, 1)")
+    num_bits = max(64, int(-expected_keys * math.log(fpp) / (math.log(2) ** 2)))
+    num_hashes = max(1, round(num_bits / expected_keys * math.log(2)))
+    return num_bits, num_hashes

@@ -124,3 +124,40 @@ def compact_parquet(
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target_records_per_file))
     return overwrite_with_barrier(df.coalesce(n_files), path)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    max_records_per_file: int | None = None,
+) -> DataFrame:
+    """Keyed UPSERT (MERGE: update matched, insert new) on a plain
+    parquet table — the non-versioned sibling of the SCD2 merge (which
+    keeps history; this keeps only the latest row per key).
+
+    Cold start writes the source as-is. Otherwise: anti-join the target
+    against the source's keys (keep unmatched), union the source, and
+    rewrite through the temp-path barrier (the lineage READS ``path``).
+    The rewrite-the-table cost is the honest price of format-free
+    parquet; on Delta/Iceberg the same call becomes MERGE INTO. For
+    hot-path upserts prefer the streaming partial-aggregate pattern
+    (streaming/aggregates.py) or SCD2's partitioned joins.
+
+    Idempotent: re-upserting the same source leaves the table
+    row-identical. Returns the post-merge table (re-read from disk).
+    """
+    import os
+
+    if not os.path.exists(path):
+        writer = source.write.mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.parquet(path)
+        return spark.read.parquet(path)
+    target = spark.read.parquet(path)
+    merged = target.join(
+        source.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+    ).unionByName(source)
+    return overwrite_with_barrier(merged, path, max_records_per_file)

@@ -57,3 +57,23 @@ def test_build_bloom_bits_sets_expected_bits(spark):
     bits = build_bloom_bits(keys, "dk", num_bits=1 << 12, num_hashes=3)
     n_set = int(np.unpackbits(bits).sum())
     assert 0 < n_set <= 150  # <= keys * num_hashes, > 0
+
+
+def test_bloom_params_sizing_and_measured_fpp(spark):
+    from airbnb_pyspark_jobs_spark.operators.bloom import bloom_params
+
+    num_bits, num_hashes = bloom_params(1_000_000, 0.01)
+    assert 9_000_000 < num_bits < 10_500_000 and num_hashes == 7
+    # measured fpp with the computed params stays near the target
+    nb, nh = bloom_params(500, 0.01)
+    keys = spark.range(0, 5000, 10).withColumnRenamed("id", "dk")
+    fact = spark.range(0, 50_000).withColumnRenamed("id", "k")
+    got = {
+        r.k
+        for r in bloom_semi_join(
+            fact, keys, "k", "dk", num_bits=nb, num_hashes=nh, exact=False
+        ).collect()
+    }
+    true = set(range(0, 5000, 10))
+    fp = len(got - true) / (50_000 - len(true))
+    assert fp < 0.03  # target 0.01 with slack for hash correlation

@@ -49,3 +49,27 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     out = compact_parquet(spark, path, target_records_per_file=2000)
     assert len(glob.glob(f"{path}/*.parquet")) == 2
     assert set(r.id for r in out.collect()) == before
+
+
+def test_upsert_parquet_update_insert_idempotent(spark, tmp_path):
+    from airbnb_pyspark_jobs_spark.sources.parquet import upsert_parquet
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, name string, v long"
+    )
+    upsert_parquet(spark, path, base, ["k"])
+    upd = spark.createDataFrame(
+        [(2, "b2", 21), (3, "c", 30)], "k long, name string, v long"
+    )
+    got = {
+        r.k: (r.name, r.v)
+        for r in upsert_parquet(spark, path, upd, ["k"]).collect()
+    }
+    assert got == {1: ("a", 10), 2: ("b2", 21), 3: ("c", 30)}
+    # idempotent re-merge
+    again = {
+        r.k: (r.name, r.v)
+        for r in upsert_parquet(spark, path, upd, ["k"]).collect()
+    }
+    assert again == got
