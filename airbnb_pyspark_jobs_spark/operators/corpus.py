@@ -344,3 +344,86 @@ def pack_sequences(
         F.sum(token_col).cast("bigint").alias("pack_tokens"),
         F.countDistinct(id_col).alias("n_docs"),
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    k: int = 8,
+    divisor: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (Rabin-style): cut after character
+    ``i+k−1`` wherever the k-gram hash starting at ``i`` satisfies
+    ``h % divisor == 0`` — expected chunk length ≈ ``divisor`` chars.
+
+    Why not fixed-size chunks (q42): inserting one character shifts
+    every later fixed boundary, so every downstream chunk fingerprint
+    changes; CDC boundaries are functions of LOCAL content, so an edit
+    disturbs only the chunk it lands in — the property that makes
+    chunk-level dedup effective on near-identical documents (the same
+    principle as rsync/LBFS/backup dedup, applied to corpus text).
+
+    Scan-side only: staged projections (hash array → cut positions →
+    bounds → explode), no shuffle, no UDFs. Returns ``doc_id,
+    chunk_idx, chunk_text, chunk_md5, n_chars``; dedup = groupBy
+    chunk_md5 (exact) or any of the pair ops over chunks.
+    """
+    from airbnb_pyspark_jobs_spark.functions.text import kgram_hashes
+
+    t = F.col(text_col)
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("__t"),
+        F.length(t).alias("__n"),
+        kgram_hashes(t, k=k).alias("__h"),
+    )
+    cuts = hashed.select(
+        "doc_id",
+        "__t",
+        "__n",
+        F.filter(
+            F.transform(
+                "__h",
+                lambda x, i: F.when(
+                    x % F.lit(divisor) == 0, i + F.lit(k)
+                ).otherwise(F.lit(None).cast("bigint")),
+            ),
+            lambda c: c.isNotNull() & (c < F.col("__n")),
+        ).alias("__cuts"),
+    )
+    bounded = cuts.select(
+        "doc_id",
+        "__t",
+        F.concat(
+            F.array(F.lit(0).cast("bigint")),
+            F.col("__cuts"),
+            F.array(F.col("__n").cast("bigint")),
+        ).alias("__b"),
+    )
+    seg = bounded.select(
+        "doc_id",
+        "__t",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__b") - 2),
+                lambda j: F.struct(
+                    F.element_at(F.col("__b"), (j + 1).cast("int")).alias("s"),
+                    F.element_at(F.col("__b"), (j + 2).cast("int")).alias("e"),
+                ),
+            )
+        ).alias("chunk_idx", "seg"),
+    )
+    chunk = F.col("__t").substr(
+        (F.col("seg.s") + 1).cast("int"), (F.col("seg.e") - F.col("seg.s")).cast("int")
+    )
+    staged = seg.select(
+        "doc_id", F.col("chunk_idx").cast("bigint").alias("chunk_idx"), chunk.alias("chunk_text")
+    )
+    return staged.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_text",
+        F.md5("chunk_text").alias("chunk_md5"),
+        F.length("chunk_text").cast("bigint").alias("n_chars"),
+    )

@@ -1065,3 +1065,57 @@ def q78_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = DD.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=50)
     comp = DD.dedup_components(docs, pairs)
     return hash_split(comp, "component_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+# ---------------------------------------------------------------------------
+# q86 content-defined chunking (Rabin-style): boundaries where the
+# 8-gram hash % 64 == 0, so an edit moves only the chunk it lands in —
+# the shift-robust complement to q42's fixed token windows, and the
+# unit for chunk-level dedup (groupBy chunk_md5). Scan-side staged
+# projections; the oracle rebuilds hashes, cuts, bounds and segments.
+# ---------------------------------------------------------------------------
+_CDC_K, _CDC_D = 8, 64
+
+_Q86_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, text, length(text) AS n,
+         list_transform(
+           range(1, greatest(length(text) - {_CDC_K} + 1, 1) + 1),
+           i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INT), {_CDC_K})), 1, 8) AS BIGINT)
+         ) AS hs
+  FROM documents
+),
+c AS (
+  SELECT doc_id, text, n,
+         list_filter(
+           list_transform(hs, (x, i) -> CASE WHEN x % {_CDC_D} = 0
+                                             THEN i + {_CDC_K} - 1 END),
+           v -> v IS NOT NULL AND v < n
+         ) AS cuts
+  FROM h
+),
+b AS (
+  SELECT doc_id, text, ([0] || cuts || [n]) AS bounds FROM c
+),
+seg AS (
+  SELECT doc_id, text, bounds, UNNEST(range(1, len(bounds))) AS j FROM b
+)
+SELECT doc_id,
+       CAST(j - 1 AS BIGINT) AS chunk_idx,
+       substr(text, CAST(bounds[CAST(j AS INT)] + 1 AS INT),
+              CAST(bounds[CAST(j AS INT) + 1] - bounds[CAST(j AS INT)] AS INT)) AS chunk_text,
+       md5(substr(text, CAST(bounds[CAST(j AS INT)] + 1 AS INT),
+                  CAST(bounds[CAST(j AS INT) + 1] - bounds[CAST(j AS INT)] AS INT))) AS chunk_md5,
+       CAST(length(substr(text, CAST(bounds[CAST(j AS INT)] + 1 AS INT),
+                   CAST(bounds[CAST(j AS INT) + 1] - bounds[CAST(j AS INT)] AS INT))) AS BIGINT) AS n_chars
+FROM seg
+"""
+
+
+@query("q86_cdc_chunks", oracle=_Q86_ORACLE)
+def q86_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import cdc_chunks
+
+    return cdc_chunks(
+        load_table(spark, "documents", sf_dir), k=_CDC_K, divisor=_CDC_D
+    )

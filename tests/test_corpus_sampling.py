@@ -195,3 +195,33 @@ def test_weighted_sample_probability_boundaries(spark):
     assert kept == {k for k in range(2000) if k % 2 == 0}
     # deterministic across evaluations
     assert kept == {r.k for r in weighted_sample(dfx, "w", key_col="k").collect()}
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    """Inserting a prefix must leave MOST chunk hashes intact (only the
+    chunk containing the edit changes) — the property fixed-size
+    chunking lacks (every boundary shifts)."""
+    from airbnb_pyspark_jobs_spark.operators.corpus import cdc_chunks
+
+    import hashlib
+
+    # non-repeating deterministic text (~1200 chars): periodic text
+    # collapses to few distinct k-grams and starves the boundary test
+    base = " ".join(
+        hashlib.md5(str(i).encode()).hexdigest()[:7] for i in range(150)
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, "INSERTED-PREFIX " + base)], "doc_id long, text string"
+    )
+    out = cdc_chunks(docs, k=8, divisor=64).collect()
+    h1 = {r.chunk_md5 for r in out if r.doc_id == 1}
+    h2 = {r.chunk_md5 for r in out if r.doc_id == 2}
+    assert len(h1) > 3  # actually chunked
+    shared = len(h1 & h2)
+    assert shared >= len(h1) - 2, (shared, len(h1))
+
+    # chunks reassemble to the original text, in order
+    parts = sorted(
+        ((r.chunk_idx, r.chunk_text) for r in out if r.doc_id == 1)
+    )
+    assert "".join(t for _i, t in parts) == base
