@@ -1119,3 +1119,101 @@ def q86_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunks(
         load_table(spark, "documents", sf_dir), k=_CDC_K, divisor=_CDC_D
     )
+
+
+# ---------------------------------------------------------------------------
+# q87 chunk-level near-dup pairs: documents sharing CDC chunks, scored
+# by shared-chunk containment (shared / min(chunks_a, chunks_b)).
+# Catches partial-overlap pairs (shared boilerplate, quoted passages)
+# that whole-document fingerprints miss and Jaccard dilutes. Same df
+# cap discipline as q44 (a chunk shared by hundreds of docs is
+# boilerplate, not signal — and df² join fan-out).
+# ---------------------------------------------------------------------------
+_Q87_T, _Q87_DF = 0.5, 50
+
+_Q87_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, text, length(text) AS n,
+         list_transform(
+           range(1, greatest(length(text) - {_CDC_K} + 1, 1) + 1),
+           i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INT), {_CDC_K})), 1, 8) AS BIGINT)
+         ) AS hs
+  FROM documents
+),
+c AS (
+  SELECT doc_id, text, n,
+         list_filter(
+           list_transform(hs, (x, i) -> CASE WHEN x % {_CDC_D} = 0
+                                             THEN i + {_CDC_K} - 1 END),
+           v -> v IS NOT NULL AND v < n
+         ) AS cuts
+  FROM h
+),
+b AS (SELECT doc_id, text, ([0] || cuts || [n]) AS bounds FROM c),
+seg AS (SELECT doc_id, text, bounds, UNNEST(range(1, len(bounds))) AS j FROM b),
+ch AS (
+  SELECT DISTINCT doc_id,
+         md5(substr(text, CAST(bounds[CAST(j AS INT)] + 1 AS INT),
+                    CAST(bounds[CAST(j AS INT) + 1] - bounds[CAST(j AS INT)] AS INT))) AS m
+  FROM seg
+),
+rare AS (SELECT m FROM ch GROUP BY m HAVING COUNT(*) <= {_Q87_DF}),
+chf AS (SELECT ch.doc_id, ch.m FROM ch JOIN rare USING (m)),
+cnt AS (SELECT doc_id, COUNT(*) AS nc FROM chf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS shared
+  FROM chf a JOIN chf b ON a.m = b.m AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b, CAST(shared AS BIGINT) AS shared_chunks,
+       CAST(shared AS DOUBLE) / CAST(least(ca.nc, cb.nc) AS DOUBLE) AS overlap
+FROM inter
+JOIN cnt ca ON doc_id_a = ca.doc_id
+JOIN cnt cb ON doc_id_b = cb.doc_id
+WHERE CAST(shared AS DOUBLE) / CAST(least(ca.nc, cb.nc) AS DOUBLE) >= {_Q87_T}
+"""
+
+
+@query("q87_chunk_dedup_pairs", oracle=_Q87_ORACLE)
+def q87_chunk_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.operators.corpus import cdc_chunks
+
+    chunks = cdc_chunks(
+        load_table(spark, "documents", sf_dir), k=_CDC_K, divisor=_CDC_D
+    )
+    ch = chunks.select("doc_id", F.col("chunk_md5").alias("m")).distinct()
+    # df cap via a window over m: reuses the self-join's shuffle key
+    # (the q44 pattern — cheaper than groupBy + semi-join)
+    ch = (
+        ch.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("m")))
+        .filter(F.col("__df") <= _Q87_DF)
+        .drop("__df")
+        .persist()
+    )
+    cnt = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nc"))
+    inter = (
+        ch.alias("a")
+        .join(
+            ch.alias("b"),
+            on=[F.col("a.m") == F.col("b.m"), F.col("a.doc_id") < F.col("b.doc_id")],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+    )
+    return (
+        inter.join(
+            cnt.withColumnsRenamed({"doc_id": "doc_id_a", "nc": "na"}), "doc_id_a"
+        )
+        .join(cnt.withColumnsRenamed({"doc_id": "doc_id_b", "nc": "nb"}), "doc_id_b")
+        .withColumn(
+            "overlap",
+            F.col("shared_chunks").cast("double")
+            / F.least("na", "nb").cast("double"),
+        )
+        .filter(F.col("overlap") >= _Q87_T)
+        .select("doc_id_a", "doc_id_b", "shared_chunks", "overlap")
+    )
