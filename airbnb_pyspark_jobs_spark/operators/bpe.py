@@ -1,0 +1,122 @@
+"""Distributed BPE merge learning — tokenizer training as a Spark job.
+
+Byte-pair encoding's training loop (count adjacent symbol pairs across
+the corpus, merge the most frequent, repeat) is THE tokenizer-building
+step of an LLM data pipeline, and it parallelizes naturally: pair
+counting is a weighted groupBy over the word-frequency table (corpus
+scale drops out after the first aggregation — iterations touch only
+distinct words), and the argmax merge is a bounded driver-side action
+per iteration, exactly like the k-means training loops in
+operators/similarity.py.
+
+Determinism: ties on pair count break lexicographically on (sym_a,
+sym_b); words are held as single-space-joined symbol strings and a
+merge is the string replace of ``' a b '`` with ``' ab '`` applied
+``replace_passes`` times. One pass misses consecutive occurrences that
+share a delimiter space (``' a a a a '`` → ``' aa a a '``); iterating
+to the fixpoint merges until NO adjacent (x, y) pair remains —
+maximal, like classic BPE (banana → ``b an an a</w>``; ``a×4`` →
+``aa aa``). Caveat, stated honestly: in same-symbol runs ≥ 6 the
+fixpoint's merge PLACEMENT can differ from classic pairwise-left
+(``a×6`` → ``aa a aa a``, classic gives ``aa aa aa``) because pass
+1's non-overlapping scan skips delimiter-sharing sites; both are
+valid maximal merges and the engines agree exactly (same nested
+replace in SQL — the q89 oracle unrolls the iterations), which is
+the contract that matters here. A run of k merge sites resolves ≥ 1
+site per pass, so passes = ⌊max word len / 2⌋ suffices.
+
+Scale: the word-frequency table is tiny next to the corpus (Zipf), so
+each iteration is one groupBy over |vocab| rows + one replace
+projection. For byte-level BPE over 100 TB, the same loop runs over
+the (word, freq) aggregate — corpus size only affects the first count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from airbnb_pyspark_jobs_spark.functions.text import tokens
+
+END = "</w>"
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) across the corpus — the only corpus-scale pass."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _initial_symbols(wf: DataFrame) -> DataFrame:
+    """Word → ' c h a r s </w> ' symbol string (leading/trailing spaces
+    so every adjacent pair is ' a b '-delimited for replace-merges)."""
+    return wf.select(
+        "freq",
+        F.concat(
+            F.lit(" "),
+            F.concat_ws(" ", F.split(F.col("w"), "")),
+            F.lit(f" {END} "),
+        ).alias("s"),
+    )
+
+
+def _top_pair(sym: DataFrame) -> tuple[str, str, int] | None:
+    """Most frequent adjacent pair (freq-weighted), ties broken
+    lexicographically. One groupBy + a LIMIT-1 collect."""
+    arr = F.split(F.trim(F.col("s")), " ")
+    staged = sym.select("freq", arr.alias("a"))
+    pairs = staged.select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("a") - 1),
+                lambda j: F.struct(
+                    F.element_at(F.col("a"), j).alias("x"),
+                    F.element_at(F.col("a"), j + 1).alias("y"),
+                ),
+            )
+        ).alias("p"),
+    )
+    top = (
+        pairs.groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("x").asc(), F.col("y").asc())
+        .limit(1)
+        .collect()
+    )
+    if not top:
+        return None
+    return top[0].x, top[0].y, int(top[0].cnt)
+
+
+def apply_merge(s, x: str, y: str, replace_passes: int = 6):
+    """Merge every ``' x y '`` occurrence into ``' xy '`` — nested
+    replace to the documented fixpoint bound."""
+    for _ in range(replace_passes):
+        s = F.replace(s, F.lit(f" {x} {y} "), F.lit(f" {x}{y} "))
+    return s
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    replace_passes: int = 6,
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns
+    ``[(merge_idx, sym_a, sym_b, merged, pair_count)]``."""
+    sym = _initial_symbols(word_frequencies(docs, text_col)).persist()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for i in range(n_merges):
+        top = _top_pair(sym)
+        if top is None:
+            break
+        x, y, cnt = top
+        merges.append((i, x, y, x + y, cnt))
+        sym = sym.select(
+            "freq", apply_merge(F.col("s"), x, y, replace_passes).alias("s")
+        ).persist()
+    return merges

@@ -1217,3 +1217,68 @@ def q87_chunk_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("overlap") >= _Q87_T)
         .select("doc_id_a", "doc_id_b", "shared_chunks", "overlap")
     )
+
+
+# ---------------------------------------------------------------------------
+# q89 distributed BPE merge learning: 3 tokenizer merges trained on the
+# corpus word-frequency table (pair counting = weighted groupBy; merge
+# = fixpoint string replace; argmax per iteration is a bounded driver
+# action, like the k-means loops). The oracle unrolls every iteration —
+# pair counts, lexicographic tie-breaks, nested replace — so the
+# learned merge table is value-checked, not just row-counted.
+# ---------------------------------------------------------------------------
+_BPE_N, _BPE_R = 3, 6
+
+
+def _q89_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.operators.bpe import END
+
+    def rep(expr: str, t: str) -> str:
+        for _ in range(_BPE_R):
+            expr = (
+                f"replace({expr}, ' ' || (SELECT x FROM {t}) || ' ' || "
+                f"(SELECT y FROM {t}) || ' ', ' ' || (SELECT x FROM {t}) || "
+                f"(SELECT y FROM {t}) || ' ')"
+            )
+        return expr
+
+    parts = [f"""WITH tok AS (SELECT {_D_TOKENS} AS ts FROM documents),
+wf AS (
+  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT UNNEST(ts) AS t FROM tok) GROUP BY t
+),
+s0 AS (
+  SELECT freq,
+         ' ' || array_to_string(string_split(w, ''), ' ') || ' {END} ' AS s
+  FROM wf
+)"""]
+    for i in range(1, _BPE_N + 1):
+        parts.append(f""",
+aa{i} AS (SELECT freq, string_split(trim(s), ' ') AS a FROM s{i - 1}),
+p{i} AS (
+  SELECT a[CAST(j AS INT)] AS x, a[CAST(j AS INT) + 1] AS y,
+         CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM aa{i}, UNNEST(range(1, len(a))) AS u(j)
+  GROUP BY 1, 2
+),
+t{i} AS (SELECT x, y, cnt FROM p{i} ORDER BY cnt DESC, x, y LIMIT 1),
+s{i} AS (SELECT freq, {rep("s", f"t{i}")} AS s FROM s{i - 1})""")
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({i - 1} AS BIGINT) AS merge_idx, x AS sym_a, y AS sym_b, "
+        f"x || y AS merged, cnt AS pair_count FROM t{i}"
+        for i in range(1, _BPE_N + 1)
+    )
+    parts.append(f"\n{finals}")
+    return "".join(parts)
+
+
+@query("q89_bpe_merges", oracle=_q89_oracle())
+def q89_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.bpe import bpe_learn_merges
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = bpe_learn_merges(docs, n_merges=_BPE_N, replace_passes=_BPE_R)
+    return spark.createDataFrame(
+        merges,
+        "merge_idx long, sym_a string, sym_b string, merged string, pair_count long",
+    )
