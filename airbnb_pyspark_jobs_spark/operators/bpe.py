@@ -120,3 +120,34 @@ def bpe_learn_merges(
             "freq", apply_merge(F.col("s"), x, y, replace_passes).alias("s")
         ).persist()
     return merges
+
+
+def bpe_segment_words(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    text_col: str = "text",
+    replace_passes: int = 6,
+) -> DataFrame:
+    """Apply learned merges: word → its BPE symbol count (the corpus
+    token count under the learned vocab). Segmentation is a pure
+    function of the WORD, so it's computed once per distinct word and
+    joined back to the corpus tokens — at 100 TB the expensive part
+    runs over |vocab| rows, and the join side is a broadcast (a
+    tokenizer vocab always fits).
+
+    Returns ``(w, n_sym)`` for every distinct word."""
+    wf = word_frequencies(docs, text_col)
+    # keep the word column alongside the evolving symbol string
+    out = wf.select(
+        "w",
+        F.concat(
+            F.lit(" "),
+            F.concat_ws(" ", F.split(F.col("w"), "")),
+            F.lit(f" {END} "),
+        ).alias("s"),
+    )
+    for _idx, x, y, _m, _cnt in merges:
+        out = out.select("w", apply_merge(F.col("s"), x, y, replace_passes).alias("s"))
+    return out.select(
+        "w", F.size(F.split(F.trim("s"), " ")).cast("bigint").alias("n_sym")
+    )

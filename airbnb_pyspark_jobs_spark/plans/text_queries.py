@@ -1252,17 +1252,20 @@ s0 AS (
          ' ' || array_to_string(string_split(w, ''), ' ') || ' {END} ' AS s
   FROM wf
 )"""]
+    # MATERIALIZED: q90 references t{i} dozens of times as scalar
+    # subqueries; DuckDB inlines plain CTEs per reference, which makes
+    # the training chain re-execute combinatorially without it.
     for i in range(1, _BPE_N + 1):
         parts.append(f""",
-aa{i} AS (SELECT freq, string_split(trim(s), ' ') AS a FROM s{i - 1}),
-p{i} AS (
+aa{i} AS MATERIALIZED (SELECT freq, string_split(trim(s), ' ') AS a FROM s{i - 1}),
+p{i} AS MATERIALIZED (
   SELECT a[CAST(j AS INT)] AS x, a[CAST(j AS INT) + 1] AS y,
          CAST(SUM(freq) AS BIGINT) AS cnt
   FROM aa{i}, UNNEST(range(1, len(a))) AS u(j)
   GROUP BY 1, 2
 ),
-t{i} AS (SELECT x, y, cnt FROM p{i} ORDER BY cnt DESC, x, y LIMIT 1),
-s{i} AS (SELECT freq, {rep("s", f"t{i}")} AS s FROM s{i - 1})""")
+t{i} AS MATERIALIZED (SELECT x, y, cnt FROM p{i} ORDER BY cnt DESC, x, y LIMIT 1),
+s{i} AS MATERIALIZED (SELECT freq, {rep("s", f"t{i}")} AS s FROM s{i - 1})""")
     finals = "\nUNION ALL ".join(
         f"SELECT CAST({i - 1} AS BIGINT) AS merge_idx, x AS sym_a, y AS sym_b, "
         f"x || y AS merged, cnt AS pair_count FROM t{i}"
@@ -1281,4 +1284,64 @@ def q89_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges,
         "merge_idx long, sym_a string, sym_b string, merged string, pair_count long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q90 BPE tokenization with the learned merges (train→apply, closing
+# the q89 loop): per-word segmentation runs once over the vocab and
+# joins back to the corpus tokens (broadcast — a tokenizer vocab
+# always fits), yielding per-document token counts under the learned
+# vocabulary vs raw whitespace/char counts. Oracle re-learns the
+# merges and re-applies them in SQL end to end.
+# ---------------------------------------------------------------------------
+def _q90_oracle() -> str:
+    base = _q89_oracle()
+    # reuse the q89 chain up to (but not including) its final SELECT
+    chain = base[: base.rindex("\nSELECT CAST(0 AS BIGINT)")]
+
+    def rep(expr: str, t: str) -> str:
+        for _ in range(_BPE_R):
+            expr = (
+                f"replace({expr}, ' ' || (SELECT x FROM {t}) || ' ' || "
+                f"(SELECT y FROM {t}) || ' ', ' ' || (SELECT x FROM {t}) || "
+                f"(SELECT y FROM {t}) || ' ')"
+            )
+        return expr
+
+    seg = "' ' || array_to_string(string_split(w, ''), ' ') || ' </w> '"
+    for i in range(1, _BPE_N + 1):
+        seg = rep(seg, f"t{i}")
+    return f"""{chain},
+wseg AS (
+  SELECT w, CAST(len(string_split(trim({seg}), ' ')) AS BIGINT) AS n_sym
+  FROM (SELECT DISTINCT t AS w FROM (SELECT UNNEST(ts) AS t FROM tok))
+),
+dtok AS (SELECT doc_id, UNNEST(ts) AS t FROM (SELECT doc_id, {_D_TOKENS} AS ts FROM documents) d)
+SELECT dtok.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wseg.n_sym) AS BIGINT) AS n_bpe_tokens
+FROM dtok JOIN wseg ON dtok.t = wseg.w
+GROUP BY dtok.doc_id
+"""
+
+
+@query("q90_bpe_tokenize", oracle=_q90_oracle())
+def q90_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.bpe import (
+        bpe_learn_merges,
+        bpe_segment_words,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = bpe_learn_merges(docs, n_merges=_BPE_N, replace_passes=_BPE_R)
+    wseg = bpe_segment_words(docs, merges, replace_passes=_BPE_R)
+    dtok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("t"))
+    return (
+        dtok.join(F.broadcast(wseg), dtok.t == wseg.w)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
     )
