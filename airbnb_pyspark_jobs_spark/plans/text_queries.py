@@ -1345,3 +1345,61 @@ def q90_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sym").alias("n_bpe_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q91 data-mixture accounting: token budget per source under the
+# LEARNED BPE vocab (q89/q90) — the number that drives pretraining
+# mixture weights is tokens, not documents, and it depends on the
+# tokenizer. token_share is a single division of exact BIGINTs.
+# ---------------------------------------------------------------------------
+def _q91_oracle() -> str:
+    base = _q90_oracle()
+    chain = base[: base.rindex("\nSELECT dtok.doc_id,")]
+    return f"""{chain},
+per_doc AS (
+  SELECT dtok.doc_id, CAST(SUM(wseg.n_sym) AS BIGINT) AS n_bpe
+  FROM dtok JOIN wseg ON dtok.t = wseg.w
+  GROUP BY dtok.doc_id
+),
+tot AS (SELECT CAST(SUM(n_bpe) AS BIGINT) AS t FROM per_doc)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p.n_bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(p.n_bpe) AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE) AS token_share
+FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY d.source
+"""
+
+
+@query("q91_token_budget_by_source", oracle=_q91_oracle())
+def q91_token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.bpe import (
+        bpe_learn_merges,
+        bpe_segment_words,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = bpe_learn_merges(docs, n_merges=_BPE_N, replace_passes=_BPE_R)
+    wseg = bpe_segment_words(docs, merges, replace_passes=_BPE_R)
+    dtok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("t"))
+    per_doc = (
+        dtok.join(F.broadcast(wseg), dtok.t == wseg.w)
+        .groupBy("doc_id")
+        .agg(F.sum("n_sym").alias("n_bpe"))
+    )
+    total = per_doc.agg(F.sum("n_bpe").alias("t"))
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "token_share",
+            F.col("n_bpe_tokens").cast("double") / F.col("t").cast("double"),
+        )
+        .drop("t")
+    )
