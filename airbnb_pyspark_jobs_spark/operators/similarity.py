@@ -856,3 +856,102 @@ def sum_ip(a: list[float], b: list[float]) -> float:
     for x, y in zip(a, b):
         acc += x * y
     return acc
+
+
+# ---------------------------------------------------------------------------
+# OPQ: optimized product quantization via a learned orthogonal rotation
+# (parametric variant: PCA + balanced eigenvalue allocation, Ge et al.
+# CVPR'13). The rotation decorrelates dims and balances per-subspace
+# variance so the independent per-subspace codebooks waste fewer bits.
+# ---------------------------------------------------------------------------
+def opq_rotation(
+    corpus: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_max_id: int = 256,
+    digits: int = 6,
+) -> list[list[float]]:
+    """Learn an orthogonal rotation matrix R (dims × dims, row-major:
+    rotated[o] = dot(R[o], v)) on an id-bounded sample, driver-side.
+
+    Parametric OPQ: eigendecompose the sample covariance, then assign
+    principal directions to the ``m`` subspaces balancing the product of
+    eigenvalues per subspace (greedy min-log-sum with capacity), so each
+    subspace's quantizer sees comparable variance. Deterministic: the
+    sample is id-bounded (not a random split), eigh output is sign-fixed
+    (largest-|x| component positive, first occurrence), ties in the
+    greedy allocation break by eigenvalue rank. Entries rounded to
+    ``digits`` so the literal matrix is compact and identical in Spark
+    and oracle SQL. At 100 TB the sample bound stays a pushed-down id
+    filter — training cost is independent of corpus size.
+    """
+    rows = (
+        corpus.filter(F.col(id_col) < sample_max_id)
+        .select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
+        .orderBy("id")
+        .collect()
+    )
+    return opq_rotation_from_sample([r.v for r in rows], m=m, digits=digits)
+
+
+def opq_rotation_from_sample(
+    sample: list[list[float]], m: int = 4, digits: int = 6
+) -> list[list[float]]:
+    """Numpy core of :func:`opq_rotation`, shared with the oracle
+    builder (which feeds the same sample read via DuckDB) so both
+    engines inline the identical literal matrix."""
+    import numpy as np
+
+    x = np.array(sample, dtype=np.float64)
+    cov = np.cov(x, rowvar=False)
+    evals, evecs = np.linalg.eigh((cov + cov.T) / 2.0)
+    order = np.argsort(evals)[::-1]  # eigenvalue desc
+    evals, evecs = evals[order], evecs[:, order]
+    for j in range(evecs.shape[1]):  # sign fix: largest-|x| entry positive
+        i = int(np.argmax(np.abs(evecs[:, j])))
+        if evecs[i, j] < 0:
+            evecs[:, j] = -evecs[:, j]
+    dims = evecs.shape[0]
+    cap = dims // m
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    load = [0.0] * m
+    for rank in range(dims):  # greedy: next direction -> least-loaded open bucket
+        open_b = [b for b in range(m) if len(buckets[b]) < cap]
+        b = min(open_b, key=lambda i: (load[i], i))
+        buckets[b].append(rank)
+        load[b] += float(np.log(max(evals[rank], 1e-12)))
+    r_rows = []
+    for b in range(m):
+        for rank in buckets[b]:
+            r_rows.append([round(float(v), digits) for v in evecs[:, rank]])
+    return r_rows
+
+
+def rotate_vectors(
+    df: DataFrame,
+    rotation: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
+    out_col: str = "rv",
+) -> DataFrame:
+    """Apply a literal rotation matrix: out[o] = dot(row_o, v), one
+    in-index-order fold per output dim (bit-identical to the oracle's
+    ``list_dot_product`` on the same literals). Pure scan-side
+    projection — no shuffle, no UDF; the double-cast input vector is
+    STAGED into a column once so the dims² multiply-adds read a single
+    projected array, not dims copies of the cast expression."""
+    staged = df.select(
+        F.col(id_col), *extra_cols, to_double_array(vec_col).alias("__v")
+    )
+    return staged.select(
+        id_col,
+        *extra_cols,
+        F.array(
+            *[
+                dot(F.col("__v"), F.array(*[F.lit(x) for x in row]))
+                for row in rotation
+            ]
+        ).alias(out_col),
+    )
