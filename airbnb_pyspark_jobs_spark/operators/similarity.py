@@ -356,48 +356,95 @@ def lsh_banding_params(
     return planes_per_table, num_tables
 
 
-def cosine_dup_pairs_lsh(
+def choose_lsh_config(
+    threshold: float,
+    target_recall: float = 0.95,
+    max_tables: int = 64,
+    max_planes: int = 256,
+    corpus_size: int | None = None,
+    band_cost_ratio: float = 7.5,
+    max_background: float | None = None,
+) -> tuple[int, int]:
+    """Pick ``(planes_per_table, num_tables)`` for
+    :func:`cosine_dup_pairs_lsh` FROM the threshold, among all (b, T)
+    meeting ``target_recall`` at the threshold within the work caps
+    (``T <= max_tables`` banding rows per vector, ``T*b <= max_planes``
+    scan-side plane dots).
+
+    Objective — two regimes (measured at sf0.1, SCALE_NOTES):
+
+    - ``corpus_size=None`` (the CLUSTER default): minimize the
+      background collision rate ``T / 2**b``. At large n the candidate
+      join (∝ n²·background) dominates every other cost, so the
+      hardest pruning the recall target affords is optimal. t=0.9 →
+      b=12/T=18 (background ≈0.4%).
+    - ``corpus_size=n`` given: minimize the measured per-vector cost
+      model ``band_cost_ratio·T·b + (n/2)·T/2**b`` — banding plane-dots
+      (higher-order folds, interpreted, ≈7.5× the per-candidate cost)
+      versus expected pre-distinct candidates. At small n the banding
+      term dominates and SMALL b wins; deriving b=6/T=39 at t=0.45
+      "for the pruning" measured 2× SLOWER than b=4/T=16 at n=2000
+      because 234 plane-dots/vector outweigh the 27% candidate
+      saving.
+
+    Round 2 hard-coded b=4/T=16 regardless of threshold, which at
+    t=0.9 left ~1.0 background when b=12/T=18 gives ~0.4%. At moderate
+    thresholds (t≈0.45, p≈0.65) sign-LSH pruning is inherently limited
+    (affordable background ≈0.6) — a hash-family property, not a
+    config bug.
+    """
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    best: tuple[float, int, int, int] | None = None
+    for b in range(2, 33):
+        per_table = p**b
+        if per_table >= 1.0:
+            num_tables = 1
+        else:
+            num_tables = max(
+                1,
+                math.ceil(
+                    math.log(1.0 - target_recall) / math.log(1.0 - per_table)
+                ),
+            )
+        if num_tables > max_tables or num_tables * b > max_planes:
+            continue
+        bg_pre = num_tables / 2.0**b  # expected pre-distinct candidates/pair
+        if max_background is not None and bg_pre > max_background:
+            continue  # caller demands a pruning floor (e.g. bench gates)
+        if corpus_size is None:
+            cost = min(1.0, bg_pre)
+        else:
+            cost = band_cost_ratio * num_tables * b + corpus_size / 2.0 * bg_pre
+        cand = (cost, num_tables * b, b, num_tables)
+        if best is None or cand < best:
+            best = cand
+    if best is None:  # caps too tight for the recall target
+        return lsh_banding_params(threshold, target_recall)
+    return best[2], best[3]
+
+
+def lsh_candidate_pairs(
     corpus: DataFrame,
-    threshold: float = 0.45,
-    num_tables: int = 16,
-    planes_per_table: int = 4,
+    num_tables: int,
+    planes_per_table: int,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    round_digits: int = 4,
 ) -> DataFrame:
-    """Multi-table (OR-of-ANDs) hyperplane-LSH near-duplicate pairs,
-    exact-cosine verified — the scale path for embedding near-dup.
+    """Deduped multi-table hyperplane-LSH candidate pairs
+    ``(vec_id_a < vec_id_b)`` — the banding stage of
+    :func:`cosine_dup_pairs_lsh`, exposed so pruning effectiveness
+    (candidate ratio) can be measured/value-checked on its own.
 
-    Tables are independent plane sets (table t uses plane indices
-    ``t*b .. t*b+b-1``); a pair is a candidate iff it shares a bucket in
-    AT LEAST ONE table — the same OR-of-ANDs amplification as the
-    MinHash banding in operators/dedupe.py, fixing the single-bucket
-    mode whose recall collapses at moderate thresholds (measured 0/14 at
-    t=0.45 with one 4-plane table). Candidates are deduped and verified
-    with the exact rounded cosine, so LSH affects recall only, never
-    precision.
-
-    Scale shape: banding is a scan-side projection + explode to
-    T rows/vector (no vectors carried — (id, table, bucket) triples
-    only); candidates come from a per-(table, bucket) self-join;
-    verification joins the corpus back by id twice. Nothing is O(n²)
-    unless a bucket degenerates (cap tables/planes accordingly).
-    Collision rate for orthogonal pairs ≈ ``num_tables /
-    2**planes_per_table``; see :func:`lsh_banding_params` for choosing
-    (b, T) — defaults measured at t=0.45: recall 14/14 (sf0.01),
-    138/144 (sf0.1), candidate volume ~0.64 of all pairs. At near-dup
-    thresholds (0.9+) prefer b=8, T=16 (~6% background) for real
-    pruning.
+    Banding runs on the RAW vectors (sign(dot) is scale-invariant, but
+    keeping the bucket expression byte-identical to the oracle avoids
+    fold-order sign flips near zero).
     """
-    # Banding runs on the RAW vectors (sign(dot) is scale-invariant, but
-    # keeping the bucket expression byte-identical to the oracle avoids
-    # fold-order sign flips near zero); verification runs on unit
-    # vectors — one dot fold per candidate pair.
     e = corpus.select(
         F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
     )
-    u = unit_vectors(corpus, id_col, vec_col, "id", "vn")
     table_structs = []
     for t in range(num_tables):
         planes = [
@@ -412,7 +459,7 @@ def cosine_dup_pairs_lsh(
         "id", F.explode(F.array(*table_structs)).alias("tb")
     ).select("id", F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
 
-    candidates = (
+    return (
         banded.alias("a")
         .join(
             banded.alias("b"),
@@ -425,6 +472,65 @@ def cosine_dup_pairs_lsh(
         .select(F.col("a.id").alias("vec_id_a"), F.col("b.id").alias("vec_id_b"))
         .distinct()
     )
+
+
+def cosine_dup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    num_tables: int | None = None,
+    planes_per_table: int | None = None,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Multi-table (OR-of-ANDs) hyperplane-LSH near-duplicate pairs,
+    exact-cosine verified — the scale path for embedding near-dup.
+    Pass ``candidates`` (from :func:`lsh_candidate_pairs`, possibly
+    persisted) to reuse an already-computed banding stage instead of
+    recomputing it — the banding plane-dots are the dominant cost at
+    small corpus sizes.
+
+    Tables are independent plane sets (table t uses plane indices
+    ``t*b .. t*b+b-1``); a pair is a candidate iff it shares a bucket in
+    AT LEAST ONE table — the same OR-of-ANDs amplification as the
+    MinHash banding in operators/dedupe.py, fixing the single-bucket
+    mode whose recall collapses at moderate thresholds (measured 0/14 at
+    t=0.45 with one 4-plane table). Candidates are deduped and verified
+    with the exact rounded cosine, so LSH affects recall only, never
+    precision.
+
+    (b, T) DEFAULT to :func:`choose_lsh_config`'s threshold-derived
+    shape (round 2 hard-coded b=4/T=16 — its measured-weak
+    moderate-threshold configuration — for every threshold); pass
+    ``planes_per_table`` alone to get :func:`lsh_banding_params`'s T
+    for that b. Derived shapes: t=0.45 → b=6/T=39 (background ≈0.61 —
+    sign-LSH's selectivity limit at moderate thresholds); t=0.9 →
+    b=12/T=18 (background ≈0.004, real pruning).
+
+    Scale shape: banding is a scan-side projection + explode to
+    T rows/vector (no vectors carried — (id, table, bucket) triples
+    only); candidates come from a per-(table, bucket) self-join;
+    verification joins the corpus back by id twice. Nothing is O(n²)
+    unless a bucket degenerates (cap tables/planes accordingly).
+    Collision rate for orthogonal pairs ≈ ``num_tables /
+    2**planes_per_table``.
+    """
+    if planes_per_table is None and num_tables is None:
+        planes_per_table, num_tables = choose_lsh_config(threshold)
+    elif num_tables is None:
+        planes_per_table, num_tables = lsh_banding_params(
+            threshold, planes_per_table=planes_per_table
+        )
+    elif planes_per_table is None:
+        raise ValueError("planes_per_table required when num_tables is given")
+    # Verification runs on unit vectors — one dot fold per candidate pair.
+    u = unit_vectors(corpus, id_col, vec_col, "id", "vn")
+    if candidates is None:
+        candidates = lsh_candidate_pairs(
+            corpus, num_tables, planes_per_table, dims, id_col, vec_col
+        )
     return (
         candidates.join(
             u.select(F.col("id").alias("vec_id_a"), F.col("vn").alias("__va")), "vec_id_a"
@@ -935,23 +1041,32 @@ def rotate_vectors(
     vec_col: str = "embedding",
     extra_cols: tuple[str, ...] = (),
     out_col: str = "rv",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Apply a literal rotation matrix: out[o] = dot(row_o, v), one
     in-index-order fold per output dim (bit-identical to the oracle's
     ``list_dot_product`` on the same literals). Pure scan-side
     projection — no shuffle, no UDF; the double-cast input vector is
     STAGED into a column once so the dims² multiply-adds read a single
-    projected array, not dims copies of the cast expression."""
+    projected array, not dims copies of the cast expression.
+
+    ``round_digits`` rounds each rotated component. Use it whenever the
+    rotated vectors feed further cross-engine-replayed computation
+    (k-means training, encoding): rotated components are COMPUTED
+    doubles, so a last-ulp fold-order difference between engines can
+    flip a downstream rounded distance at the boundary and diverge the
+    whole training replay — rounding here makes the training inputs
+    bit-identical (the round-then-aggregate recipe)."""
     staged = df.select(
         F.col(id_col), *extra_cols, to_double_array(vec_col).alias("__v")
     )
+
+    def comp(row: list[float]) -> F.Column:
+        c = dot(F.col("__v"), F.array(*[F.lit(x) for x in row]))
+        return F.round(c, round_digits) if round_digits is not None else c
+
     return staged.select(
         id_col,
         *extra_cols,
-        F.array(
-            *[
-                dot(F.col("__v"), F.array(*[F.lit(x) for x in row]))
-                for row in rotation
-            ]
-        ).alias(out_col),
+        F.array(*[comp(row) for row in rotation]).alias(out_col),
     )

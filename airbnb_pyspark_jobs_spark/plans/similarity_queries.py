@@ -124,19 +124,36 @@ def q52_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q55 multi-table hyperplane-LSH near-dup pairs (the SCALE path q52
-# ground-truths): 16 tables × 4 planes, OR-of-ANDs candidates, exact
-# cosine verification. The oracle reproduces the ENTIRE pipeline —
-# all 64 hyperplanes inlined, per-table buckets, candidate dedup,
-# verification — not just the final answer. Measured recall vs q52's
-# exact pairs at t=0.45: 14/14 (sf0.01), 138/144 = 0.96 (sf0.1).
+# ground-truths): THRESHOLD-DERIVED banding (choose_lsh_config picks
+# the hardest-pruning (b, T) whose OR-of-ANDs recall meets 0.95 at the
+# threshold within the work caps — round 2 hard-coded b=4/T=16, the
+# documented-weak moderate-threshold shape, for every threshold),
+# OR-of-ANDs candidates, exact cosine verification. The oracle
+# reproduces the ENTIRE pipeline — every hyperplane inlined, per-table
+# buckets, candidate dedup, verification — not just the final answer.
+# q93 value-checks the PRUNING itself (candidate counts) at the
+# near-dup threshold 0.9, where the derived shape achieves real
+# selectivity (background ~0.4% vs ~60% at t=0.45 — sign-LSH's
+# moderate-threshold limit is a hash-family property).
+#
+# The registry entry pins corpus_size to the BENCH scale (sf0.1,
+# n=2000) so (b, T) is a deterministic literal shared with the oracle:
+# at small n the banding plane-dots dominate and the cost model picks
+# a small-b shape; at cluster scale pass corpus_size=None (or the real
+# n) and the same chooser escalates to the background-minimizing shape
+# (see choose_lsh_config's two regimes + SCALE_NOTES measurements).
 # ---------------------------------------------------------------------------
-_NT, _PPT = 16, 4
+_LSH_COST_N = 2000  # sf0.1 embeddings rows — the bench/verification scale
+_PPT, _NT = SIM.choose_lsh_config(_DUP_T, corpus_size=_LSH_COST_N)
 
 
-def _q55_oracle() -> str:
+def _lsh_band_ctes(nt: int, ppt: int) -> str:
+    """Banding CTE chain over ``e`` (vec_id, v): per-table bucket ids →
+    banded long layout → deduped candidate pairs. Shared by the q55 and
+    q93 oracles."""
     buckets = []
-    for t in range(_NT):
-        planes = [SIM.hyperplane(t * _PPT + j, _DIMS) for j in range(_PPT)]
+    for t in range(nt):
+        planes = [SIM.hyperplane(t * ppt + j, _DIMS) for j in range(ppt)]
         expr = " + ".join(
             f"(CASE WHEN list_dot_product(v, {_duck_plane(p)}) > 0 THEN {2**j} ELSE 0 END)"
             for j, p in enumerate(planes)
@@ -144,11 +161,9 @@ def _q55_oracle() -> str:
         buckets.append(f"CAST({expr} AS BIGINT) AS k{t}")
     bucket_cols = ",\n  ".join(buckets)
     band_union = "\n  UNION ALL\n  ".join(
-        f"SELECT vec_id, {t} AS t, k{t} AS bkt FROM b" for t in range(_NT)
+        f"SELECT vec_id, {t} AS t, k{t} AS bkt FROM b" for t in range(nt)
     )
-    return f"""
-WITH {_D_UNIT},
-b AS (SELECT vec_id, v,
+    return f"""b AS (SELECT vec_id, v,
   {bucket_cols}
   FROM e),
 bl AS (
@@ -157,7 +172,13 @@ bl AS (
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
   FROM bl a JOIN bl b ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id
-),
+)"""
+
+
+def _q55_oracle() -> str:
+    return f"""
+WITH {_D_UNIT},
+{_lsh_band_ctes(_NT, _PPT)},
 p AS (
   SELECT c.vec_id_a, c.vec_id_b,
          round(list_dot_product(ua.vn, ub.vn), 4) AS cos_sim
@@ -178,6 +199,79 @@ def q55_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_tables=_NT,
         planes_per_table=_PPT,
         dims=_DIMS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q93 LSH pruning stats at the production near-dup threshold (0.9):
+# candidate count, verified-pair count, and candidate ratio under the
+# threshold-derived banding. On this corpus (max cosine ≈ 0.51) the
+# pair set at 0.9 is empty BY DESIGN — the value being checked is the
+# PRUNING: the oracle replays the full banding and must agree on the
+# exact candidate count, and the candidate ratio documents real
+# selectivity (measured ≈0.7% at b=6/T=6 vs the 64% at t=0.45 in r2).
+# Shape: bench-scale cost model WITH a ≤10% background floor (the
+# pruning being demonstrated); the cluster default (corpus_size=None)
+# escalates to b=12/T=18 ≈0.4% background at the same recall.
+# ---------------------------------------------------------------------------
+_HI_T = 0.9
+_HI_PPT, _HI_NT = SIM.choose_lsh_config(
+    _HI_T, corpus_size=_LSH_COST_N, max_background=0.1
+)
+
+
+def _q93_oracle() -> str:
+    return f"""
+WITH {_D_UNIT},
+{_lsh_band_ctes(_HI_NT, _HI_PPT)},
+p AS (
+  SELECT c.vec_id_a, c.vec_id_b,
+         round(list_dot_product(ua.vn, ub.vn), 4) AS cos_sim
+  FROM cand c
+  JOIN u ua ON ua.vec_id = c.vec_id_a
+  JOIN u ub ON ub.vec_id = c.vec_id_b
+),
+s AS (
+  SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+         (SELECT COUNT(*) FROM p WHERE cos_sim >= {_HI_T}) AS n_pairs,
+         (SELECT COUNT(*) FROM e) AS n_vectors
+)
+SELECT n_candidates, n_pairs, n_vectors,
+       round(2.0 * n_candidates / (n_vectors * (n_vectors - 1)), 6)
+         AS candidate_ratio
+FROM s
+"""
+
+
+@query("q93_lsh_pruning_stats", oracle=_q93_oracle())
+def q93_lsh_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    # One banding pass: persist the candidate pairs, reuse for both the
+    # count and the verification (the plane-dots dominate otherwise).
+    cand = SIM.lsh_candidate_pairs(emb, _HI_NT, _HI_PPT, _DIMS).persist()
+    pairs = SIM.cosine_dup_pairs_lsh(
+        emb,
+        threshold=_HI_T,
+        num_tables=_HI_NT,
+        planes_per_table=_HI_PPT,
+        dims=_DIMS,
+        candidates=cand,
+    )
+    return (
+        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_pairs")))
+        .crossJoin(emb.agg(F.count(F.lit(1)).alias("n_vectors")))
+        .select(
+            "n_candidates",
+            "n_pairs",
+            "n_vectors",
+            F.round(
+                F.lit(2.0)
+                * F.col("n_candidates")
+                / (F.col("n_vectors") * (F.col("n_vectors") - F.lit(1))),
+                6,
+            ).alias("candidate_ratio"),
+        )
     )
 
 
@@ -844,24 +938,66 @@ def q88_pq_shortlist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q92 OPQ: PCA rotation + balanced eigenvalue allocation (Ge et al.
 # CVPR'13, parametric variant), then the SAME m=4×16 PQ on the rotated
-# vectors. The rotation is learned driver-side on an id-bounded sample
-# (numpy eigh, sign-fixed, entries rounded to 6 digits) and inlined as
-# a literal matrix into BOTH engines, so the oracle re-derives rotation
-# application, k-means training, and encoding end to end. Measured at
-# sf0.01: mean reconstruction error 0.8288 vs 0.8278 for unrotated PQ
-# (q83) — a wash, as expected on this near-isotropic synthetic corpus
-# (PCA of white data is an arbitrary rotation). The operator's value is
-# on correlated embeddings, where balanced eigenvalue allocation evens
-# per-subspace variance: test_opq.py constructs such a corpus and
+# vectors. The rotation is a PRETRAINED ARTIFACT: learned ONCE from the
+# canonical sf0.01 sample (numpy eigh, sign-fixed, entries rounded to 6
+# digits) and inlined as the SAME literal matrix into BOTH engines at
+# EVERY SF — the q51 hyperplane pattern. Learning it per-sf_dir broke
+# sf0.001 determinism in round 2: the oracle string is built once at
+# import (sf0.01 sample) while the Spark side re-learned R from the
+# test SF's different data. A rotation is a model artifact, not a
+# per-corpus statistic, so fixing it is also the production semantics
+# (train offline, apply at scan time).
+#
+# Second determinism guard: rotated components are COMPUTED doubles, so
+# both engines round them to 6 digits BEFORE the k-means replay
+# (round-then-aggregate) — a last-ulp fold-order difference otherwise
+# flips rounded training distances at the boundary and diverges the
+# whole chain. Measured at sf0.01: mean reconstruction error 0.8288 vs
+# 0.8278 for unrotated PQ (q83) — a wash, as expected on this
+# near-isotropic synthetic corpus. The operator's value is on
+# correlated embeddings: test_opq.py constructs such a corpus and
 # asserts the OPQ error is strictly lower than plain PQ's.
 # ---------------------------------------------------------------------------
+_Q92_CANONICAL = "/root/testdata/sf0.01/embeddings.parquet"
+_Q92_ROT_DIGITS = 6
+
+
 def _duck_vec(row: list[float]) -> str:
     return "[" + ", ".join(f"{float(x)}" for x in row) + "]::DOUBLE[]"
 
 
+_Q92_ROT_CACHE: list[list[float]] | None | str = "unset"
+
+
+def _q92_rotation() -> list[list[float]] | None:
+    """The shared pretrained rotation (cached): canonical sf0.01 sample
+    → the same numpy core both engines inline. None if the canonical
+    testdata is absent (→ rows-only correctness check)."""
+    global _Q92_ROT_CACHE
+    if _Q92_ROT_CACHE != "unset":
+        return _Q92_ROT_CACHE
+    import os
+
+    rot = None
+    if os.path.exists(_Q92_CANONICAL):
+        import duckdb
+
+        sample = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT CAST(embedding AS DOUBLE[]) FROM '{_Q92_CANONICAL}' "
+                "WHERE vec_id < 256 ORDER BY vec_id"
+            ).fetchall()
+        ]
+        rot = SIM.opq_rotation_from_sample(sample, m=_PQ_M)
+    _Q92_ROT_CACHE = rot
+    return rot
+
+
 def _q92_oracle(rotation: list[list[float]]) -> str:
     comps = ",\n         ".join(
-        f"list_dot_product(v, {_duck_vec(row)})" for row in rotation
+        f"round(list_dot_product(v, {_duck_vec(row)}), {_Q92_ROT_DIGITS})"
+        for row in rotation
     )
     chain = _pq_chain("rot", "v", _PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS)
     joins = " ".join(f"JOIN enc{s} USING (vec_id)" for s in range(_PQ_M))
@@ -880,33 +1016,17 @@ FROM rot {joins}
 
 
 def _q92_oracle_or_none() -> str | None:
-    """R is data-dependent; the correctness gate runs at sf0.01 only,
-    so the oracle derives R from the canonical sf0.01 parquet through
-    the same numpy core the Spark query uses (identical doubles: the
-    float32→float64 cast matches `to_double_array`). Absent testdata →
-    no oracle (rows-only check)."""
-    import os
-
-    path = "/root/testdata/sf0.01/embeddings.parquet"
-    if not os.path.exists(path):
-        return None
-    import duckdb
-
-    sample = [
-        r[0]
-        for r in duckdb.sql(
-            f"SELECT CAST(embedding AS DOUBLE[]) FROM '{path}' "
-            "WHERE vec_id < 256 ORDER BY vec_id"
-        ).fetchall()
-    ]
-    return _q92_oracle(SIM.opq_rotation_from_sample(sample, m=_PQ_M))
+    rot = _q92_rotation()
+    return _q92_oracle(rot) if rot is not None else None
 
 
 @query("q92_opq_codes", oracle=_q92_oracle_or_none())
 def q92_opq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rot = _q92_rotation()
     emb = load_table(spark, "embeddings", sf_dir)
-    rot = SIM.opq_rotation(emb, m=_PQ_M)
-    rotated = SIM.rotate_vectors(emb, rot)
+    if rot is None:  # no canonical artifact: learn from this corpus
+        rot = SIM.opq_rotation(emb, m=_PQ_M)
+    rotated = SIM.rotate_vectors(emb, rot, round_digits=_Q92_ROT_DIGITS)
     books = SIM.pq_train_codebooks(
         rotated, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, vec_col="rv",
         dims=_PQ_M * _PQ_SUB,

@@ -54,6 +54,10 @@ EXTENDED_QUERIES = [
     "q76_contamination_containment",
     "q77_bloom_semi_join",
     "q78_leakage_free_split",
+    # near-dup-threshold LSH pruning demo: candidate ratio ≤0.1 by
+    # construction (choose_lsh_config max_background), vs 0.64 at the
+    # moderate-threshold shape — see SCALE_NOTES candidate-ratio table.
+    "q93_lsh_pruning_stats",
 ]
 
 

@@ -214,3 +214,35 @@ def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
         spark.read.parquet(zpath).filter(pred).count()
         == df.filter(pred).count()
     )
+
+
+def test_events_loader_yields_micros_timestamp(spark, duck):
+    """Pin the events-loader contract on WHATEVER Spark is installed.
+
+    events.parquet stores ts as parquet TIMESTAMP(NANOS); Spark's read
+    behavior for that type changed between 4.0 (long via legacy conf)
+    and 4.1 (native TimestampNTZ). The loader must always yield
+    TimestampType at microsecond precision, value-matching DuckDB's
+    nanos->micros truncation — so a Spark upgrade fails THIS test, not
+    thirty downstream ones.
+    """
+    from pyspark.sql import types as T
+
+    from airbnb_pyspark_jobs_spark.sources.registry import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    events = load_table(spark, "events", sf_dir)
+    assert isinstance(events.schema["ts"].dataType, T.TimestampType)
+
+    got = {
+        r["event_id"]: r["ts"]
+        for r in events.orderBy("event_id").limit(50).collect()
+    }
+    want = {
+        eid: ts
+        for eid, ts in duck.execute(
+            "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts "
+            "FROM events ORDER BY event_id LIMIT 50"
+        ).fetchall()
+    }
+    assert got == want
