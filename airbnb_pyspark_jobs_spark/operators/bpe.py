@@ -67,7 +67,12 @@ def _top_pair(sym: DataFrame) -> tuple[str, str, int] | None:
     """Most frequent adjacent pair (freq-weighted), ties broken
     lexicographically. One groupBy + a LIMIT-1 collect."""
     arr = F.split(F.trim(F.col("s")), " ")
-    staged = sym.select("freq", arr.alias("a"))
+    # Words fully merged to ONE symbol have no adjacent pairs — and must
+    # be filtered BEFORE the pair transform: sequence(1, size-1) with
+    # size=1 is sequence(1, 0), which Spark generates DESCENDING as
+    # [1, 0], so element_at(a, j+1) indexes past the array (first hit at
+    # merge 33 of the 256-merge scaling run; invisible at n_merges=3).
+    staged = sym.select("freq", arr.alias("a")).filter(F.size("a") >= 2)
     pairs = staged.select(
         "freq",
         F.explode(
@@ -107,8 +112,28 @@ def bpe_learn_merges(
     replace_passes: int = 6,
 ) -> list[tuple[int, str, str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns
-    ``[(merge_idx, sym_a, sym_b, merged, pair_count)]``."""
-    sym = _initial_symbols(word_frequencies(docs, text_col)).persist()
+    ``[(merge_idx, sym_a, sym_b, merged, pair_count)]``.
+
+    Lineage/memory discipline (the dedup_components lesson): each
+    iteration's symbol table is ``localCheckpoint(eager=True)``, NOT
+    persisted — persist caches data but the replace-chain plan still
+    nests merge over merge, so Catalyst re-analyzes a linearly growing
+    tree and real vocab sizes (10k-32k merges) die in analysis;
+    checkpointing truncates the plan to a scan of the materialized
+    vocab-sized table each round (round 2 additionally leaked every
+    superseded persist — checkpoint blocks are instead freed by the
+    ContextCleaner when the old frame is dropped). The materialization
+    this forces is work `_top_pair`'s aggregation does anyway. On a
+    fault-tolerant cluster swap for ``checkpoint()`` with a reliable
+    dir (executor-loss safe). Measured: the sf0.01 corpus merges to
+    vocabulary exhaustion (106 merges — every word one symbol) in
+    ~22 s at a FLAT ~0.2 s/merge, plan depth constant; round 2's
+    persist-chain version grew per-merge cost with the nesting depth
+    (SCALE_NOTES).
+    """
+    sym = _initial_symbols(word_frequencies(docs, text_col)).localCheckpoint(
+        eager=True
+    )
     merges: list[tuple[int, str, str, str, int]] = []
     for i in range(n_merges):
         top = _top_pair(sym)
@@ -118,7 +143,7 @@ def bpe_learn_merges(
         merges.append((i, x, y, x + y, cnt))
         sym = sym.select(
             "freq", apply_merge(F.col("s"), x, y, replace_passes).alias("s")
-        ).persist()
+        ).localCheckpoint(eager=True)
     return merges
 
 
@@ -127,6 +152,7 @@ def bpe_segment_words(
     merges: list[tuple[int, str, str, str, int]],
     text_col: str = "text",
     replace_passes: int = 6,
+    checkpoint_every: int = 64,
 ) -> DataFrame:
     """Apply learned merges: word → its BPE symbol count (the corpus
     token count under the learned vocab). Segmentation is a pure
@@ -134,6 +160,13 @@ def bpe_segment_words(
     joined back to the corpus tokens — at 100 TB the expensive part
     runs over |vocab| rows, and the join side is a broadcast (a
     tokenizer vocab always fits).
+
+    The merge replay is ``localCheckpoint``-truncated every
+    ``checkpoint_every`` merges: one projection carrying all merges
+    nests ``merges × replace_passes`` replace nodes, which for a real
+    vocab (10k-32k merges) overwhelms analysis exactly like the
+    learning loop's lineage — the bound keeps plan depth constant at
+    vocab-sized materialization cost per window.
 
     Returns ``(w, n_sym)`` for every distinct word."""
     wf = word_frequencies(docs, text_col)
@@ -146,8 +179,10 @@ def bpe_segment_words(
             F.lit(f" {END} "),
         ).alias("s"),
     )
-    for _idx, x, y, _m, _cnt in merges:
+    for n, (_idx, x, y, _m, _cnt) in enumerate(merges, start=1):
         out = out.select("w", apply_merge(F.col("s"), x, y, replace_passes).alias("s"))
+        if n % checkpoint_every == 0 and n < len(merges):
+            out = out.localCheckpoint(eager=True)
     return out.select(
         "w", F.size(F.split(F.trim("s"), " ")).cast("bigint").alias("n_sym")
     )

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from airbnb_pyspark_jobs_spark.operators.bpe import (
     apply_merge,
     bpe_learn_merges,
+    bpe_segment_words,
 )
 
 
@@ -37,3 +38,22 @@ def test_apply_merge_fixpoint_handles_overlapping_runs(spark):
     assert " a a " not in out[0]
     out2 = df.select(apply_merge(F.col("s"), "a", "n").alias("m")).collect()
     assert out2[1].m == " b an an a </w> "  # classic banana result
+
+
+def test_bpe_merges_past_single_symbol_words(spark):
+    """Learning must continue once some word is FULLY merged to one
+    symbol: sequence(1, size-1) on a 1-element symbol array is
+    sequence(1, 0) = [1, 0] (Spark generates descending), which
+    indexed past the array before single-symbol words were filtered
+    out of the pair count (hit at merge 33 of the 256-merge run)."""
+    docs = spark.createDataFrame(
+        [("to to to to",), ("be or not",)], ["text"]
+    )
+    # exhaust the corpus: every word ends as one merged symbol
+    merges = bpe_learn_merges(docs, n_merges=64)
+    assert 0 < len(merges) < 64  # stopped at exhaustion, no crash
+    merged_syms = {m[3] for m in merges}
+    assert "to</w>" in merged_syms  # 'to' fully merged including </w>
+    seg = bpe_segment_words(docs, merges)
+    rows = {r["w"]: r["n_sym"] for r in seg.collect()}
+    assert rows["to"] == 1  # highest-frequency word: one symbol
