@@ -427,3 +427,111 @@ def cdc_chunks(
         F.md5("chunk_text").alias("chunk_md5"),
         F.length("chunk_text").cast("bigint").alias("n_chars"),
     )
+
+
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Per-rule Gopher quality flags (Rae et al. 2021, "Scaling Language
+    Models: Methods, Analysis & Insights from Training Gopher",
+    Appendix A1.1 — public paper): word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio ('#' and '...'), alphabetic-word
+    ratio, and the required-stopword rule (≥2 distinct of the/be/to/of/
+    and/that/have/with).
+
+    Complements :func:`quality_filter` (first-failing-rule audit): here
+    EVERY rule is reported as its own ``pass_*`` boolean plus the
+    underlying signal, so rule-level ablations can be measured
+    corpus-wide (what fraction fails ONLY the stopword rule, etc.);
+    ``keep`` is the AND of all rules.
+
+    Scale: one tokenize pass staged into a column, then pure scan-side
+    array math — no shuffle, no UDFs; integer sums / integer counts →
+    one IEEE division → round, so signals are bitwise cross-engine.
+    """
+    from airbnb_pyspark_jobs_spark.functions.text import tokens
+
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__t"),
+        tokens(text_col).alias("__toks"),
+    )
+    # project per-token lengths / flags BEFORE the folds (lambda
+    # discipline: never nest an expensive expression inside transform)
+    arrs = staged.select(
+        "doc_id",
+        "__t",
+        F.size("__toks").cast("bigint").alias("n_words"),
+        F.transform("__toks", lambda t: F.length(t).cast("bigint")).alias("__lens"),
+        F.size(F.filter("__toks", lambda t: t.rlike("[A-Za-z]")))
+        .cast("bigint")
+        .alias("__n_alpha"),
+        F.size(
+            F.array_intersect(
+                F.transform("__toks", F.lower),
+                F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS]),
+            )
+        )
+        .cast("bigint")
+        .alias("n_required_stopwords"),
+    )
+    nw = F.col("n_words").cast("double")
+    sig = arrs.select(
+        "doc_id",
+        "n_words",
+        "n_required_stopwords",
+        F.round(
+            F.aggregate("__lens", F.lit(0).cast("bigint"), lambda a, x: a + x).cast(
+                "double"
+            )
+            / nw,
+            4,
+        ).alias("mean_word_len"),
+        F.round(
+            (
+                (F.length("__t") - F.length(F.replace(F.col("__t"), F.lit("#"))))
+                + (F.length("__t") - F.length(F.replace(F.col("__t"), F.lit("..."))))
+                / F.lit(3)
+            ).cast("double")
+            / nw,
+            6,
+        ).alias("symbol_word_ratio"),
+        F.round(F.col("__n_alpha").cast("double") / nw, 4).alias("alpha_word_ratio"),
+    )
+    flags = sig.select(
+        "*",
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).alias(
+            "pass_word_count"
+        ),
+        (
+            (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+        ).alias("pass_mean_word_len"),
+        (F.col("symbol_word_ratio") <= max_symbol_word_ratio).alias(
+            "pass_symbol_ratio"
+        ),
+        (F.col("alpha_word_ratio") >= min_alpha_word_ratio).alias("pass_alpha_ratio"),
+        (F.col("n_required_stopwords") >= min_stopwords).alias("pass_stopwords"),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("pass_word_count")
+            & F.col("pass_mean_word_len")
+            & F.col("pass_symbol_ratio")
+            & F.col("pass_alpha_ratio")
+            & F.col("pass_stopwords")
+        ).alias("keep"),
+    )

@@ -128,3 +128,63 @@ def weighted_sample(
     bucket = split_bucket(key_col, seed)
     w = F.least(F.greatest(F.col(weight_col), F.lit(0.0)), F.lit(1.0))
     return df.filter(bucket.cast("double") < w * _BUCKETS)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epoch: int = 0,
+    n_shards: int | None = None,
+    seed: str = "",
+    bucket_hex_digits: int = 4,
+) -> DataFrame:
+    """Deterministic global training-order shuffle with optional shard
+    assignment — the epoch-wise data-loader ordering of a training
+    pipeline, as a pure function of ``(key, epoch, seed)``: re-runs,
+    resumed jobs and engines reproduce the identical permutation, and
+    bumping ``epoch`` re-deals an independent one (what ``orderBy
+    (rand())`` can never give you).
+
+    Adds ``shuffle_key`` (md5 hex of ``key:epoch:seed``), ``epoch_pos``
+    (0-based global position in shuffle_key order, key tie-break) and —
+    when ``n_shards`` is given — ``shard`` = contiguous equal ranges of
+    the shuffled order, so each shard is one sequential scan of the
+    sorted output at write time.
+
+    Scale: a single global ``row_number`` window is a one-task
+    bottleneck (the partitioned-window discipline in plans/queries W1),
+    so the global position is computed in TWO partitioned phases: rank
+    within a coarse hash-prefix bucket (window partitioned by bucket),
+    plus cumulative bucket offsets (a window over the ≤16^digits
+    bucket-count rows — thousands, not corpus-sized — then broadcast
+    back). At 100 TB: if only shard FILES are needed (not exact
+    positions), skip the ranking entirely — ``repartitionByRange(
+    n_shards, shuffle_key)`` + ``sortWithinPartitions`` writes the same
+    shards with no global coordination.
+    """
+    from pyspark.sql.window import Window
+
+    key = F.col(key_col)
+    skey = F.md5(
+        F.concat_ws(":", key.cast("string"), F.lit(str(epoch)), F.lit(seed))
+    )
+    keyed = df.withColumn("shuffle_key", skey).withColumn(
+        "__b", F.substring("shuffle_key", 1, bucket_hex_digits)
+    )
+    w_in = Window.partitionBy("__b").orderBy("shuffle_key", key_col)
+    ranked = keyed.withColumn("__rn", F.row_number().over(w_in))
+    counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
+    )
+    total = counts.agg(F.sum("__cnt").alias("__n"))
+    out = (
+        ranked.join(F.broadcast(offsets), "__b")
+        .withColumn("epoch_pos", (F.col("__off") + F.col("__rn") - 1).cast("bigint"))
+    )
+    if n_shards is not None:
+        out = out.crossJoin(F.broadcast(total)).withColumn(
+            "shard", F.expr(f"(epoch_pos * {int(n_shards)}) div __n").cast("bigint")
+        )
+    return out.drop("__b", "__rn", "__off", "__n")

@@ -1403,3 +1403,106 @@ def q91_token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("t")
     )
+
+
+# ---------------------------------------------------------------------------
+# q94 deterministic epoch shuffle + shard assignment: the data-loader
+# ordering of a training pipeline as a pure function of (doc_id, epoch,
+# seed) — identical across re-runs, resumed jobs and engines, re-dealt
+# per epoch. The Spark side computes the global position with the
+# partitioned two-phase rank (bucket window + cumulative offsets — no
+# global single-task window); the oracle states the SAME answer as the
+# one-line global ROW_NUMBER, proving the decomposition exact.
+# ---------------------------------------------------------------------------
+_EPOCH, _N_SHARDS = 1, 8
+
+
+@query(
+    "q94_epoch_shuffle",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':{_EPOCH}:') AS shuffle_key
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, shuffle_key,
+             CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+               AS epoch_pos,
+             COUNT(*) OVER () AS n
+      FROM s
+    )
+    SELECT doc_id, shuffle_key, epoch_pos,
+           CAST((epoch_pos * {_N_SHARDS}) // n AS BIGINT) AS shard
+    FROM r
+    """,
+)
+def q94_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, "documents", sf_dir)
+    return epoch_shuffle(
+        docs.select("doc_id"), "doc_id", epoch=_EPOCH, n_shards=_N_SHARDS
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95 Gopher per-rule quality flags (Rae et al. 2021 Appendix A1.1):
+# every rule reported independently (word count, mean word length,
+# symbol-to-word ratio, alphabetic-word ratio, required stopwords) so
+# rule ablations are measurable corpus-wide — complements q49's
+# first-fail audit. All signals integer-exact before ONE division +
+# round, so values are bitwise cross-engine.
+# ---------------------------------------------------------------------------
+_GOPHER_SW = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+
+@query(
+    "q95_gopher_rules",
+    oracle=rf"""
+    WITH staged AS (
+      SELECT doc_id, text AS t, {_D_TOKENS} AS toks FROM documents
+    ),
+    arrs AS (
+      SELECT doc_id, t,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+               AS n_alpha,
+             CAST(len(list_intersect(list_transform(toks, x -> lower(x)),
+                                     {_GOPHER_SW})) AS BIGINT)
+               AS n_required_stopwords
+      FROM staged
+    ),
+    sig AS (
+      SELECT doc_id, n_words, n_required_stopwords,
+             round(CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE), 4)
+               AS mean_word_len,
+             round(CAST((length(t) - length(replace(t, '#', '')))
+                        + (length(t) - length(replace(t, '...', ''))) / 3
+                        AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+               AS symbol_word_ratio,
+             round(CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE), 4)
+               AS alpha_word_ratio
+      FROM arrs
+    )
+    SELECT doc_id, n_words, n_required_stopwords, mean_word_len,
+           symbol_word_ratio, alpha_word_ratio,
+           (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_mean_word_len,
+           (symbol_word_ratio <= 0.1) AS pass_symbol_ratio,
+           (alpha_word_ratio >= 0.8) AS pass_alpha_ratio,
+           (n_required_stopwords >= 2) AS pass_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+            AND (symbol_word_ratio <= 0.1)
+            AND (alpha_word_ratio >= 0.8)
+            AND (n_required_stopwords >= 2)) AS keep
+    FROM sig
+    """,
+)
+def q95_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import gopher_rules
+
+    docs = load_table(spark, "documents", sf_dir)
+    return gopher_rules(docs)

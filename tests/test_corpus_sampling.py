@@ -225,3 +225,50 @@ def test_cdc_chunks_survive_prefix_insertion(spark):
         ((r.chunk_idx, r.chunk_text) for r in out if r.doc_id == 1)
     )
     assert "".join(t for _i, t in parts) == base
+
+
+def test_epoch_shuffle_permutation_and_shards(spark):
+    from airbnb_pyspark_jobs_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(0, 97).withColumnRenamed("id", "doc_id")
+    e0 = epoch_shuffle(df, "doc_id", epoch=0, n_shards=4).collect()
+    # exact permutation of 0..n-1
+    assert sorted(r["epoch_pos"] for r in e0) == list(range(97))
+    # contiguous equal shards (sizes differ by <= 1, ordered by position)
+    by_shard = {}
+    for r in e0:
+        by_shard.setdefault(r["shard"], []).append(r["epoch_pos"])
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[-1] - sizes[0] <= 1 and len(by_shard) == 4
+    for s, ps in by_shard.items():
+        ps = sorted(ps)
+        assert ps == list(range(ps[0], ps[-1] + 1))  # contiguous range
+    # a different epoch re-deals a different (but reproducible) order
+    e1a = {r["doc_id"]: r["epoch_pos"] for r in epoch_shuffle(df, "doc_id", epoch=1).collect()}
+    e1b = {r["doc_id"]: r["epoch_pos"] for r in epoch_shuffle(df, "doc_id", epoch=1).collect()}
+    o0 = {r["doc_id"]: r["epoch_pos"] for r in e0}
+    assert e1a == e1b and e1a != o0
+
+
+def test_gopher_rules_flag_each_rule(spark):
+    from airbnb_pyspark_jobs_spark.operators.corpus import gopher_rules
+
+    good = "the quick brown fox jumps over the lazy dog and that " * 5  # 55 words
+    docs = spark.createDataFrame(
+        [
+            (0, good),                                  # passes everything
+            (1, "short text only"),                     # fails word count
+            (2, "the " + "# " * 60),                    # symbol ratio + alpha ratio
+            (3, " ".join(["a"] * 60)),                  # mean word len < 3
+            (4, " ".join(["wonderful"] * 60)),          # no required stopwords
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert rows[0]["keep"]
+    assert not rows[1]["pass_word_count"]
+    assert not rows[2]["pass_symbol_ratio"] and not rows[2]["pass_alpha_ratio"]
+    assert not rows[3]["pass_mean_word_len"]
+    assert not rows[4]["pass_stopwords"] and rows[4]["n_required_stopwords"] == 0
+    # signal sanity: integer-exact mean on doc 3 (all 1-char words)
+    assert rows[3]["mean_word_len"] == 1.0
