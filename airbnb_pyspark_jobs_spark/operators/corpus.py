@@ -535,3 +535,60 @@ def gopher_rules(
             & F.col("pass_stopwords")
         ).alias("keep"),
     )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lp_digits: int = 6,
+    score_digits: int = 4,
+) -> DataFrame:
+    """Mean unigram log-probability per document — the SQL-expressible
+    stand-in for the perplexity filter of CCNet-style pipelines (score
+    every document by how well a corpus-trained LM predicts it; keep
+    the well-fit head / drop the gibberish tail). A unigram LM replaces
+    CCNet's KenLM (no external model artifacts here), which preserves
+    the operator's SHAPE: one corpus-scale pass to train, one broadcast
+    join to score.
+
+    Determinism recipe: per-term ``ln(freq/total)`` is rounded to
+    ``lp_digits`` and cast to DECIMAL, per-doc sums are then EXACT, and
+    the mean is one double division + round — bitwise cross-engine
+    (same ln-then-round pattern as q48's TF-IDF). Higher mean logprob =
+    more typical of the corpus.
+
+    Returns ``doc_id, n_tokens, mean_logprob``. Scale: the LM is
+    vocab-sized (broadcast); the only corpus-scale shuffles are the two
+    token groupBys.
+    """
+    from airbnb_pyspark_jobs_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("t")
+    ).select("doc_id", F.lower("t").alias("term"))
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("__c"))
+    total = tf.agg(F.sum("__c").alias("__n"))
+    lm = (
+        tf.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.round(
+                F.log(F.col("__c").cast("double") / F.col("__n").cast("double")),
+                lp_digits,
+            )
+            .cast(f"decimal(28,{lp_digits})")
+            .alias("__lp"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(lm), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("__lp").cast("double") / F.count(F.lit(1)).cast("double"),
+                score_digits,
+            ).alias("mean_logprob"),
+        )
+    )

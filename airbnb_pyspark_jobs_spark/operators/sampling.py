@@ -162,29 +162,128 @@ def epoch_shuffle(
     n_shards, shuffle_key)`` + ``sortWithinPartitions`` writes the same
     shards with no global coordination.
     """
-    from pyspark.sql.window import Window
-
     key = F.col(key_col)
     skey = F.md5(
         F.concat_ws(":", key.cast("string"), F.lit(str(epoch)), F.lit(seed))
     )
-    keyed = df.withColumn("shuffle_key", skey).withColumn(
-        "__b", F.substring("shuffle_key", 1, bucket_hex_digits)
-    )
-    w_in = Window.partitionBy("__b").orderBy("shuffle_key", key_col)
-    ranked = keyed.withColumn("__rn", F.row_number().over(w_in))
-    counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt"))
-    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__b", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
-    )
-    total = counts.agg(F.sum("__cnt").alias("__n"))
-    out = (
-        ranked.join(F.broadcast(offsets), "__b")
-        .withColumn("epoch_pos", (F.col("__off") + F.col("__rn") - 1).cast("bigint"))
-    )
+    keyed = df.withColumn("shuffle_key", skey)
+    out = _two_phase_rank(
+        keyed,
+        order_col="shuffle_key",
+        tie_col=key_col,
+        out_col="epoch_pos",
+        bucket_hex_digits=bucket_hex_digits,
+    ).withColumn("epoch_pos", (F.col("epoch_pos") - 1).cast("bigint"))
     if n_shards is not None:
-        out = out.crossJoin(F.broadcast(total)).withColumn(
-            "shard", F.expr(f"(epoch_pos * {int(n_shards)}) div __n").cast("bigint")
+        total = keyed.agg(F.count(F.lit(1)).alias("__n"))
+        out = (
+            out.crossJoin(F.broadcast(total))
+            .withColumn(
+                "shard",
+                F.expr(f"(epoch_pos * {int(n_shards)}) div __n").cast("bigint"),
+            )
+            .drop("__n")
         )
-    return out.drop("__b", "__rn", "__off", "__n")
+    return out
+
+
+def _two_phase_rank(
+    df: DataFrame,
+    order_col: str,
+    tie_col: str,
+    out_col: str,
+    group_cols: tuple[str, ...] = (),
+    bucket_hex_digits: int = 4,
+) -> DataFrame:
+    """1-based dense global rank of ``order_col`` (``tie_col``
+    tie-break) within each ``group_cols`` group, WITHOUT a
+    group-global window: rank within (group, coarse hash-prefix
+    bucket) + cumulative bucket offsets per group (a window over the
+    bucket-count rows — thousands, not corpus-sized — broadcast back).
+    ``order_col`` must be a hex string (md5-keyed shuffles); the
+    prefix buckets then sort consistently with the full key.
+    """
+    from pyspark.sql.window import Window
+
+    gcols = list(group_cols)
+    keyed = df.withColumn("__b", F.substring(order_col, 1, bucket_hex_digits))
+    w_in = Window.partitionBy(*gcols, "__b").orderBy(order_col, tie_col)
+    ranked = keyed.withColumn("__rn", F.row_number().over(w_in))
+    counts = keyed.groupBy(*gcols, "__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = (
+        Window.partitionBy(*gcols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *gcols,
+        "__b",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    out = ranked.join(F.broadcast(offsets), [*gcols, "__b"]).withColumn(
+        out_col, (F.col("__off") + F.col("__rn")).cast("bigint")
+    )
+    return out.drop("__b", "__rn", "__off")
+
+
+def source_interleave(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    epoch: int = 0,
+    seed: str = "",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deterministic weighted source-interleaving order — the mixture
+    sampler of a multi-source training pipeline (web/books/code at
+    target rates) as stride scheduling: source s's k-th document in its
+    epoch-shuffled order sorts at ``interleave_key = k / w_s``, so
+    consuming rows in interleave_key order yields each source at its
+    weight's rate from the very start (a weighted concat-then-shuffle
+    only mixes in expectation; strides mix deterministically and
+    restart-reproducibly). Sources not in ``weights`` get the minimum
+    given weight (conservative: rare-source starvation over flooding).
+
+    Adds ``shuffle_key`` (md5 of key:epoch:seed), ``source_rank``
+    (1-based within-source position) and ``interleave_key`` (round to
+    ``round_digits``; consumers sort by (interleave_key, source, key) —
+    the tie-break makes the total order unambiguous).
+
+    Scale: within-source rank uses the same two-phase partitioned rank
+    as :func:`epoch_shuffle` (rank within (source, hash-prefix bucket)
+    + broadcast offsets), so a 100 TB source is never one window task;
+    one integer division per row after that. Weights are a literal
+    CASE — no join.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for s, w in weights.items():
+        if w <= 0:
+            raise ValueError(f"weight for {s!r} must be > 0, got {w}")
+    key = F.col(key_col)
+    skey = F.md5(
+        F.concat_ws(":", key.cast("string"), F.lit(str(epoch)), F.lit(seed))
+    )
+    keyed = df.withColumn("shuffle_key", skey)
+    ranked = _two_phase_rank(
+        keyed,
+        order_col="shuffle_key",
+        tie_col=key_col,
+        out_col="source_rank",
+        group_cols=(source_col,),
+    )
+    w_expr = None
+    default = F.lit(float(min(weights.values())))
+    for s, w in weights.items():
+        cond = F.col(source_col) == s
+        w_expr = (
+            F.when(cond, F.lit(float(w)))
+            if w_expr is None
+            else w_expr.when(cond, F.lit(float(w)))
+        )
+    w_expr = w_expr.otherwise(default)
+    return ranked.withColumn(
+        "interleave_key",
+        F.round(F.col("source_rank").cast("double") / w_expr, round_digits),
+    )

@@ -1506,3 +1506,89 @@ def q95_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return gopher_rules(docs)
+
+
+# ---------------------------------------------------------------------------
+# q96 unigram log-probability scores (the perplexity-filter stand-in of
+# CCNet-style pipelines): one corpus pass trains the unigram LM, a
+# broadcast join scores every doc. Per-term ln(p) rounded then DECIMAL
+# so the per-doc sums are exact; one division + round for the mean —
+# bitwise cross-engine (q48's ln-then-round pattern).
+# ---------------------------------------------------------------------------
+@query(
+    "q96_unigram_logprob",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, lower(t) AS term
+      FROM (SELECT doc_id, UNNEST({_D_TOKENS}) AS t FROM documents)
+    ),
+    tf AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    n AS (SELECT SUM(c) AS n FROM tf),
+    lm AS (
+      SELECT term,
+             CAST(round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                  AS DECIMAL(28,6)) AS lp
+      FROM tf, n
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+             AS mean_logprob
+    FROM toks JOIN lm USING (term)
+    GROUP BY doc_id
+    """,
+)
+def q96_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import unigram_logprob_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    return unigram_logprob_scores(docs)
+
+
+# ---------------------------------------------------------------------------
+# q97 weighted source interleave (the mixture sampler of a multi-source
+# training pipeline as stride scheduling): source s's k-th doc in its
+# epoch-shuffled order sorts at k/w_s, so consuming in interleave_key
+# order yields sources at their target rates deterministically. The
+# Spark side ranks within source via the two-phase partitioned rank;
+# the oracle uses the plain per-source ROW_NUMBER — equality proves the
+# decomposition.
+# ---------------------------------------------------------------------------
+# upweight three sources; the other 17 get the min weight (0.2) — the
+# testdata's sources are src0..src19
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def _q97_oracle() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {float(w)}" for s, w in _MIX_WEIGHTS.items()
+    )
+    default = float(min(_MIX_WEIGHTS.values()))
+    return f"""
+    WITH s AS (
+      SELECT doc_id, source,
+             md5(CAST(doc_id AS VARCHAR) || ':0:') AS shuffle_key
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, shuffle_key,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY shuffle_key, doc_id) AS BIGINT)
+               AS source_rank
+      FROM s
+    )
+    SELECT doc_id, source, shuffle_key, source_rank,
+           round(CAST(source_rank AS DOUBLE) /
+                 (CASE {cases} ELSE {default} END), 6) AS interleave_key
+    FROM r
+    """
+
+
+@query("q97_source_interleave", oracle=_q97_oracle())
+def q97_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sampling import source_interleave
+
+    docs = load_table(spark, "documents", sf_dir)
+    return source_interleave(
+        docs.select("doc_id", "source"), "doc_id", "source", _MIX_WEIGHTS
+    )

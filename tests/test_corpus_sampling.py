@@ -272,3 +272,42 @@ def test_gopher_rules_flag_each_rule(spark):
     assert not rows[4]["pass_stopwords"] and rows[4]["n_required_stopwords"] == 0
     # signal sanity: integer-exact mean on doc 3 (all 1-char words)
     assert rows[3]["mean_word_len"] == 1.0
+
+
+def test_source_interleave_respects_rates(spark):
+    from airbnb_pyspark_jobs_spark.operators.sampling import source_interleave
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = source_interleave(df, "doc_id", "source", {"a": 0.75, "b": 0.25}).collect()
+    ordered = sorted(out, key=lambda r: (r["interleave_key"], r["source"], r["doc_id"]))
+    # stride scheduling: in any prefix ending at a 'b' emission, 'a' has
+    # been emitted ~3x as often (|n_a - 3*n_b| bounded by one stride)
+    n = {"a": 0, "b": 0}
+    for r in ordered[:80]:
+        n[r["source"]] += 1
+        if r["source"] == "b":
+            assert abs(n["a"] - 3 * n["b"]) <= 3, (n, r["interleave_key"])
+    # per-source ranks are each a contiguous 1..k sequence
+    for s in ("a", "b"):
+        ranks = sorted(r["source_rank"] for r in out if r["source"] == s)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_unigram_logprob_known_values(spark):
+    import math
+
+    from airbnb_pyspark_jobs_spark.operators.corpus import unigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [(0, "cat cat dog"), (1, "cat rare")], ["doc_id", "text"]
+    )
+    # corpus: cat x3, dog x1, rare x1 (total 5)
+    lp = {"cat": round(math.log(3 / 5), 6), "dog": round(math.log(1 / 5), 6),
+          "rare": round(math.log(1 / 5), 6)}
+    rows = {r["doc_id"]: r for r in unigram_logprob_scores(docs).collect()}
+    assert rows[0]["n_tokens"] == 3
+    assert rows[0]["mean_logprob"] == round((2 * lp["cat"] + lp["dog"]) / 3, 4)
+    assert rows[1]["mean_logprob"] == round((lp["cat"] + lp["rare"]) / 2, 4)
+    # the common-word doc is more "typical" than the rare-word doc
+    assert rows[0]["mean_logprob"] > rows[1]["mean_logprob"]
