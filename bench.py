@@ -58,6 +58,10 @@ EXTENDED_QUERIES = [
     # construction (choose_lsh_config max_background), vs 0.64 at the
     # moderate-threshold shape — see SCALE_NOTES candidate-ratio table.
     "q93_lsh_pruning_stats",
+    # two-phase partitioned global rank (epoch shuffle + sharding)
+    "q94_epoch_shuffle",
+    # unigram-LM scoring: train pass + broadcast-join scoring
+    "q96_unigram_logprob",
 ]
 
 

@@ -180,3 +180,19 @@ def test_q83_pq_encoding_is_scan_side(spark):
     assert "Exchange" not in plan
     assert "pythonUDF" not in plan.lower()
     assert "Window" not in plan
+
+
+def test_q94_global_rank_is_two_phase_partitioned(spark):
+    """epoch_shuffle's global position must come from the two-phase
+    rank: the corpus-sized row_number window partitions by the hash
+    prefix bucket; the ONLY SinglePartition exchanges feed the
+    bucket-count offsets / scalar total (thousands of rows), never the
+    corpus-sized ranked side."""
+    df = QUERIES["q94_epoch_shuffle"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    # every row_number window is bucket-partitioned
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "windowspecdefinition(__b" in line, line
+    # offsets are broadcast back, not joined corpus-side
+    assert "BroadcastExchange" in plan

@@ -202,3 +202,24 @@ def test_ivfpq_index_covers_corpus_and_search_probes_subset(spark):
     # probed candidates only: every neighbor's cell is among the 2 probed
     cell_of = {r.vec_id: r.cell for r in rows}
     assert len({cell_of[r.neighbor_id] for r in top}) <= 2
+
+
+def test_choose_lsh_config_regimes():
+    # cluster regime (no corpus size): minimize background within caps
+    b_hi, t_hi = SIM.choose_lsh_config(0.9)
+    assert t_hi / 2**b_hi < 0.01  # real pruning at near-dup thresholds
+    # small-corpus cost model prefers fewer planes (banding dominates)
+    b_small, t_small = SIM.choose_lsh_config(0.45, corpus_size=2000)
+    assert b_small * t_small < 64  # cheaper than the r2 default 4x16
+    # large corpus converges to the cluster shape
+    assert SIM.choose_lsh_config(0.9, corpus_size=10**9) == SIM.choose_lsh_config(0.9)
+    # recall target always met at the threshold
+    import math as _m
+    for t in (0.45, 0.7, 0.9):
+        for n in (None, 2000):
+            b, T = SIM.choose_lsh_config(t, corpus_size=n)
+            p = 1 - _m.acos(t) / _m.pi
+            assert 1 - (1 - p**b) ** T >= 0.95
+    # max_background floor is honored
+    b_f, t_f = SIM.choose_lsh_config(0.9, corpus_size=2000, max_background=0.1)
+    assert t_f / 2**b_f <= 0.1
