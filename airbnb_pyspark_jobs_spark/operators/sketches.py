@@ -92,3 +92,89 @@ def frequent_items(
     """
     row = df.stat.freqItems(cols, support).first()
     return {c: sorted(row[f"{c}_freqItems"]) for c in cols}
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the VALUE-CHECKABLE member
+# of the sketch family (Bar-Yossef et al. 2002; also the "bottom-k"
+# sketch). Unlike HLL (engine-internal registers), a KMV sketch is just
+# the k smallest values of a deterministic uniform hash — every engine
+# that can md5 reproduces it bit-for-bit, so estimates AND merges get a
+# DuckDB oracle, closing the family's one rows-only gap (q65).
+# ---------------------------------------------------------------------------
+_KMV_SPACE = float(2**32)  # portable_hash_int range
+
+
+def kmv_daily_sketches(
+    df: DataFrame, ts_col: str, key_col: str, k: int = 64
+) -> DataFrame:
+    """Per-day KMV sketch of ``key_col``: the ``k`` smallest DISTINCT
+    32-bit md5-uniform hashes (sorted array) + the day's distinct-hash
+    count. Store these; any date-range distinct rollup is a merge
+    (:func:`kmv_merge_estimate`) — no rescan.
+
+    Scale shape: one distinct shuffle of (day, hash) pairs, then a
+    day-partitioned window takes the k smallest per day (bounded task
+    memory — never a whole day's key set in one buffer). HLL (q65)
+    sketches cheaper at ingest (no distinct shuffle, fixed-size partial
+    aggs); KMV buys exact cross-engine replayability and transparent
+    merge semantics for the stored-sketch rollup pattern.
+    """
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.functions.text import portable_hash_int
+
+    hashed = (
+        df.select(
+            F.to_date(ts_col).alias("day"),
+            portable_hash_int(F.col(key_col).cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    counts = hashed.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_distinct_hashes")
+    )
+    w = Window.partitionBy("day").orderBy("h")
+    kept = hashed.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    sk = kept.groupBy("day").agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+    return sk.join(counts, "day")
+
+
+def kmv_estimate(kmv: F.Column, k: int) -> F.Column:
+    """Distinct estimate from a KMV array: exact size when the sketch
+    never filled (the hash set is complete), else ``(k-1) * 2^32 /
+    h_k`` (k-th smallest uniform hash). One double division + round —
+    bitwise cross-engine."""
+    return F.round(
+        F.when(
+            F.size(kmv) < k, F.size(kmv).cast("double")
+        ).otherwise(
+            F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.element_at(kmv, k).cast("double")
+        ),
+        4,
+    )
+
+
+def kmv_merge_estimate(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Merge stored per-group KMV sketches into ONE estimate row
+    (``n_kept, kth_hash, est_distinct``): the k smallest of the union
+    of kept hashes IS the KMV sketch of the union (closure under
+    merge — the property HLL needs opaque register math for, visible
+    here as plain set algebra). Distinct-dedups hashes shared across
+    groups first."""
+    from pyspark.sql.window import Window
+
+    merged = (
+        sketches.select(F.explode("kmv").alias("h"))
+        .distinct()
+        .withColumn("__rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("__rn") <= k)
+    )
+    agg = merged.agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+    return agg.select(
+        F.size("kmv").cast("bigint").alias("n_kept"),
+        F.element_at("kmv", F.least(F.size("kmv"), F.lit(k))).alias("kth_hash"),
+        kmv_estimate(F.col("kmv"), k).alias("est_distinct"),
+    )

