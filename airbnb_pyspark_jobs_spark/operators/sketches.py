@@ -178,3 +178,86 @@ def kmv_merge_estimate(sketches: DataFrame, k: int = 64) -> DataFrame:
         F.element_at("kmv", F.least(F.size("kmv"), F.lit(k))).alias("kth_hash"),
         kmv_estimate(F.col("kmv"), k).alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — the frequency
+# sketch, value-checkable like KMV: d seeded md5 hash rows × w counter
+# buckets, point estimate = min over rows. Counters are plain integer
+# sums, so build, estimate AND the one-sided error (est >= exact,
+# always) replay exactly in SQL.
+# ---------------------------------------------------------------------------
+def cms_counters(
+    weighted_keys: DataFrame,
+    key_col: str,
+    weight_col: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Build the d×w CMS counter table from (key, weight) rows:
+    ``(r, b, cnt)`` with ``b = md5('cms{r}' || key) % w``. Mergeable by
+    (r, b) addition (counters are sums); sketch size d·w regardless of
+    key cardinality — the 100 TB shuffle moves d rows per input key
+    into at most d·w groups."""
+    from airbnb_pyspark_jobs_spark.functions.text import portable_hash_int
+
+    rows = weighted_keys.select(
+        F.col(weight_col).alias("__wt"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            portable_hash_int(F.col(key_col), seed=f"cms{r}"),
+                            F.lit(w),
+                        ).alias("b"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("rb"),
+    )
+    return (
+        rows.select(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"), "__wt")
+        .groupBy("r", "b")
+        .agg(F.sum("__wt").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimates(
+    keys: DataFrame,
+    counters: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Point estimates for ``keys`` from a CMS counter table: min over
+    the d row counters each key hashes into. Guarantees est >= exact
+    (collisions only ADD); expected overestimate <= (total weight)/w
+    per row, driven to the min by d rows. The counter table is tiny
+    (d·w) — broadcast join."""
+    from airbnb_pyspark_jobs_spark.functions.text import portable_hash_int
+
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            portable_hash_int(F.col(key_col), seed=f"cms{r}"),
+                            F.lit(w),
+                        ).alias("b"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key_col, F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    return (
+        probes.join(F.broadcast(counters), ["r", "b"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+    )

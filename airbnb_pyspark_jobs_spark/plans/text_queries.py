@@ -1592,3 +1592,67 @@ def q97_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_interleave(
         docs.select("doc_id", "source"), "doc_id", "source", _MIX_WEIGHTS
     )
+
+
+# ---------------------------------------------------------------------------
+# q99 count-min sketch token counts, full value oracle (the frequency
+# sketch next to q98's distinct sketch): d=4 seeded-md5 rows × w=16
+# buckets over the corpus token stream, point estimate = min over
+# rows, compared against the exact counts in the same output. w=16 is
+# deliberately small (31-term vocab → guaranteed collisions) so the
+# one-sided error property (cms_est >= exact, always) is visible and
+# value-checked, not vacuous. Counters are integer sums — build,
+# probe and error replay exactly in DuckDB.
+# ---------------------------------------------------------------------------
+_CMS_D, _CMS_W = 4, 16
+
+
+def _q99_oracle() -> str:
+    rs = ", ".join(str(r) for r in range(_CMS_D))
+    return f"""
+    WITH toks AS (
+      SELECT lower(t) AS term
+      FROM (SELECT UNNEST({_D_TOKENS}) AS t FROM documents)
+    ),
+    tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_count
+           FROM toks GROUP BY term),
+    pairs AS (
+      SELECT term, exact_count, r,
+             CAST('0x' || substr(md5('cms' || r || term), 1, 8) AS BIGINT) % {_CMS_W} AS b
+      FROM tf, (SELECT UNNEST([{rs}]) AS r)
+    ),
+    counters AS (
+      SELECT r, b, CAST(SUM(exact_count) AS BIGINT) AS cnt
+      FROM pairs GROUP BY r, b
+    )
+    SELECT term, exact_count,
+           CAST(MIN(cnt) AS BIGINT) AS cms_est,
+           CAST(MIN(cnt) - exact_count AS BIGINT) AS overestimate
+    FROM pairs JOIN counters USING (r, b)
+    GROUP BY term, exact_count
+    """
+
+
+@query("q99_cms_token_counts", oracle=_q99_oracle())
+def q99_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        cms_counters,
+        cms_estimates,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    tf = (
+        docs.select(F.explode(TX.tokens("text")).alias("t"))
+        .select(F.lower("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .persist()
+    )
+    counters = cms_counters(tf, "term", "exact_count", d=_CMS_D, w=_CMS_W)
+    est = cms_estimates(tf.select("term"), counters, "term", d=_CMS_D, w=_CMS_W)
+    return tf.join(est, "term").select(
+        "term",
+        "exact_count",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_count")).cast("bigint").alias("overestimate"),
+    )

@@ -128,3 +128,42 @@ def test_kmv_sketch_merge_closure_and_accuracy(spark):
     assert merged["kth_hash"] == direct[-1] and merged["n_kept"] == k
     # estimate within 3/sqrt(k) relative error of the true 500
     assert abs(merged["est_distinct"] - n_users) / n_users < 3 / (k**0.5)
+
+
+def test_cms_one_sided_error_and_mergeability(spark):
+    """CMS point estimates never underestimate (collisions only add),
+    and counter tables merge by (r, b) addition: CMS(A) + CMS(B) ==
+    CMS(A union B) for disjoint weighted key sets."""
+    from pyspark.sql import functions as F
+
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        cms_counters,
+        cms_estimates,
+    )
+
+    d, w = 4, 8
+    a = spark.createDataFrame(
+        [(f"k{i}", i + 1) for i in range(20)], ["key", "wt"]
+    )
+    b = spark.createDataFrame(
+        [(f"k{i}", 2 * i + 1) for i in range(20, 40)], ["key", "wt"]
+    )
+    both = a.unionByName(b)
+    exact = {r["key"]: r["wt"] for r in both.collect()}
+    est = {
+        r["key"]: r["cms_est"]
+        for r in cms_estimates(
+            both.select("key"), cms_counters(both, "key", "wt", d, w), "key", d, w
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)  # one-sided, always
+    # merge: summing the two counter tables == counters of the union
+    merged = (
+        cms_counters(a, "key", "wt", d, w)
+        .unionByName(cms_counters(b, "key", "wt", d, w))
+        .groupBy("r", "b")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    direct = cms_counters(both, "key", "wt", d, w)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
