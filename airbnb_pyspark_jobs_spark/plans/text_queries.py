@@ -1656,3 +1656,69 @@ def q99_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_count")).cast("bigint").alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q100 per-source document caps (the Common-Crawl-style domain cap: no
+# source may contribute more than K documents, keep its best by
+# quality): rank within source by (rounded quality desc, doc_id) and
+# flag the top K. Reuses q49's bitwise-cross-engine quality signal for
+# the ranking. Scale note: the window partitions by source — with few
+# huge sources, swap in the two-phase bucket rank (q94/q97 pattern);
+# the cap-K semantics are unchanged.
+# ---------------------------------------------------------------------------
+_CAP_K = 20
+
+
+@query(
+    "q100_source_caps",
+    oracle=rf"""
+    WITH tr AS (
+      SELECT doc_id, lower(t) AS term
+      FROM (SELECT doc_id, UNNEST({_D_TOKENS}) AS t FROM documents)
+    ),
+    s AS (
+      SELECT doc_id,
+        len({_D_TOKENS}) AS n_tokens,
+        {_duck_stop_count("en")} AS sw_en,
+        len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+        length(text) AS n_chars
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+        round((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+          + least(CAST(sw_en AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 4.0, 1.0)
+          + greatest(1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) * 5.0, 0.0)
+         ) / 3.0, 6) AS quality
+      FROM s
+    ),
+    r AS (
+      SELECT d.doc_id, d.source, sig.quality,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY sig.quality DESC, d.doc_id ASC) AS BIGINT) AS src_rank
+      FROM documents d JOIN sig ON d.doc_id = sig.doc_id
+    )
+    SELECT doc_id, source, quality, src_rank, src_rank <= {_CAP_K} AS kept
+    FROM r
+    """,
+)
+def q100_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.operators.corpus import quality_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = quality_filter(docs).select(
+        "doc_id", F.round("quality", 6).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id")
+        .withColumn("src_rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("kept", F.col("src_rank") <= _CAP_K)
+    )
