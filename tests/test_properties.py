@@ -53,3 +53,58 @@ def test_cdc_chunks_reassemble_losslessly(spark, text, divisor):
     assert [i for i, _t, _n in rows] == list(range(len(rows)))  # dense idxs
     assert "".join(t for _i, t, _n in rows) == text  # lossless, in order
     assert all(n == len(t) for _i, t, n in rows)
+
+
+@given(
+    keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=80, unique=True),
+    epoch=st.integers(0, 3),
+    n_shards=st.sampled_from([1, 3, 8]),
+)
+@_slow
+def test_epoch_shuffle_always_a_permutation(spark, keys, epoch, n_shards):
+    """For ARBITRARY key sets: positions are exactly 0..n-1, shards are
+    contiguous position ranges differing by <=1 in size, and the order
+    is a pure function of (key, epoch) — independent of row order."""
+    from airbnb_pyspark_jobs_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    out = epoch_shuffle(df, "doc_id", epoch=epoch, n_shards=n_shards).collect()
+    n = len(keys)
+    assert sorted(r["epoch_pos"] for r in out) == list(range(n))
+    sizes = {}
+    for r in out:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+        assert 0 <= r["shard"] < n_shards
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # row-order independence: reversed input gives identical positions
+    rev = epoch_shuffle(
+        spark.createDataFrame([(k,) for k in reversed(keys)], "doc_id long"),
+        "doc_id",
+        epoch=epoch,
+    ).collect()
+    assert {r["doc_id"]: r["epoch_pos"] for r in rev} == {
+        r["doc_id"]: r["epoch_pos"] for r in out
+    }
+
+
+@given(
+    weights=st.lists(st.integers(1, 50), min_size=2, max_size=40),
+)
+@_slow
+def test_cms_never_underestimates(spark, weights):
+    """CMS one-sided error for ARBITRARY weighted key sets, at a w
+    small enough that collisions are guaranteed."""
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        cms_counters,
+        cms_estimates,
+    )
+
+    rows = [(f"key{i}", w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, ["key", "wt"])
+    counters = cms_counters(df, "key", "wt", d=3, w=4)
+    est = {
+        r["key"]: r["cms_est"]
+        for r in cms_estimates(df.select("key"), counters, "key", d=3, w=4).collect()
+    }
+    for i, w in enumerate(weights):
+        assert est[f"key{i}"] >= w
