@@ -153,3 +153,80 @@ def compact_partials(
         json.dump(partial_dirs, fh)
     finish(partial_dirs)
     return len(partial_dirs)
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV sketches: the same idempotent-partials shape carrying a
+# distinct-count sketch instead of (count, sum). STRONGER merge
+# algebra than sums: KMV merge is set-union + k-min — idempotent and
+# commutative — so a retried batch rewriting its partial is safe like
+# the sums are, AND the same event appearing in MULTIPLE batches
+# cannot corrupt the estimate (sums double-count across batches by
+# design; distinct-by-hash absorbs duplicates). The partials store
+# ONLY the sketch arrays: a batch's local distinct count is not
+# mergeable and is dropped rather than misread downstream.
+# ---------------------------------------------------------------------------
+def write_partial_kmv(
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    ts_col: str,
+    key_col: str,
+    k: int = 64,
+) -> None:
+    """Sketch ONE micro-batch per day and overwrite its batch-id-keyed
+    subdirectory (deterministic content + fixed location = idempotent
+    under foreachBatch retries)."""
+    from airbnb_pyspark_jobs_spark.operators.sketches import kmv_daily_sketches
+
+    partial = kmv_daily_sketches(batch, ts_col, key_col, k).select("day", "kmv")
+    partial.write.mode("overwrite").parquet(
+        os.path.join(path, PARTIAL_DIRNAME.format(n=batch_id))
+    )
+
+
+def materialize_kmv_stream(
+    stream: DataFrame,
+    path: str,
+    ts_col: str,
+    key_col: str,
+    checkpoint: str,
+    k: int = 64,
+):
+    """Wire a stream into the per-day KMV partial sink; returns the
+    DataStreamWriter (caller picks the trigger and starts it)."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        write_partial_kmv(batch, batch_id, path, ts_col, key_col, k)
+
+    return stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+
+
+def read_kmv_rollup(spark: SparkSession, path: str, k: int = 64) -> DataFrame:
+    """Current per-day distinct estimates from all partials: explode the
+    sketch arrays, distinct-union per day, keep the k smallest (merge
+    closure: this IS the day's sketch over everything seen), estimate.
+    Shuffles only sketch-sized rows (≤ partials × k per day)."""
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.operators.sketches import kmv_estimate
+
+    partials = spark.read.option("basePath", path).parquet(path)
+    merged = (
+        partials.select("day", F.explode("kmv").alias("h"))
+        .distinct()
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("day").orderBy("h")),
+        )
+        .filter(F.col("__rn") <= k)
+        .groupBy("day")
+        .agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+    )
+    return merged.select(
+        "day",
+        F.size("kmv").cast("bigint").alias("n_kept"),
+        kmv_estimate(F.col("kmv"), k).alias("est_distinct"),
+    )

@@ -146,3 +146,56 @@ def test_compaction_crash_recovery_from_manifest(spark, tmp_path):
     ]
     got = read_rollup(spark, path, ["k"]).collect()[0]
     assert (got.n_events, got.total_value) == (2, 3.0)
+
+
+def test_kmv_stream_converges_to_batch_sketch(spark, tmp_path):
+    """Per-day KMV maintained incrementally across micro-batches must
+    equal the one-pass batch sketch exactly (merge closure), and a
+    batch replay (simulated retry writing the same partial twice) must
+    change nothing — set-union merge is idempotent where sums would
+    double-count."""
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        kmv_daily_sketches,
+        kmv_estimate,
+    )
+    from airbnb_pyspark_jobs_spark.streaming.aggregates import (
+        materialize_kmv_stream,
+        read_kmv_rollup,
+        write_partial_kmv,
+    )
+
+    k = 16
+    events = load_table(spark, "events", SF_DIR)
+    src = str(tmp_path / "src")
+    events.repartition(2).write.mode("overwrite").parquet(src)
+
+    rollup = str(tmp_path / "kmv")
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        materialize_kmv_stream(
+            stream, rollup, "ts", "user_id", str(tmp_path / "ckpt"), k=k
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        str(r.day): (r.n_kept, r.est_distinct)
+        for r in read_kmv_rollup(spark, rollup, k=k).collect()
+    }
+    want = {
+        str(r.day): (min(r.n_distinct_hashes, k), r.est)
+        for r in kmv_daily_sketches(events, "ts", "user_id", k=k)
+        .withColumn("est", kmv_estimate(F.col("kmv"), k))
+        .collect()
+    }
+    assert got == want
+    # retry idempotence: re-write batch 0's partial from the FULL data
+    # superset (worst-case at-least-once replay) — merge must not move
+    write_partial_kmv(events, 0, rollup, "ts", "user_id", k=k)
+    again = {
+        str(r.day): (r.n_kept, r.est_distinct)
+        for r in read_kmv_rollup(spark, rollup, k=k).collect()
+    }
+    assert again == got
