@@ -148,6 +148,66 @@ def lsh_bucket_ann(
     )
 
 
+def lsh_multiprobe_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    num_planes: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al. 2007, public): each query probes
+    its own bucket PLUS every bucket at Hamming distance 1 (one sign
+    bit flipped) — the buckets its near-boundary neighbors fall into.
+    b+1 probes per query buy back most of single-probe's boundary
+    misses at (b+1)× the per-query candidate volume, with the SAME
+    corpus-side index (one bucket id per vector; buckets are disjoint,
+    so no candidate dedup is needed).
+
+    Measured (sf0.01, b=4, k=3 vs q50 exact): single-probe recall
+    5/30 → multiprobe 19/30 at (b+1)/2^b = 5/16 of the corpus scanned
+    per query (the residual misses are ≥2-bit flips; more probes or
+    IVF (q53) close them).
+    Scale shape unchanged from :func:`lsh_bucket_ann`: a bucket
+    equi-join with the (tiny) probe side exploded b+1× and broadcast.
+    """
+    planes = [hyperplane(j, dims) for j in range(num_planes)]
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__cv")
+    ).withColumn("__bucket", _bucket_expr(F.col("__cv"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__qv")
+    ).withColumn("__b0", _bucket_expr(F.col("__qv"), planes))
+    probes = q.select(
+        "query_id",
+        "__qv",
+        F.explode(
+            F.array(
+                F.col("__b0"),
+                *[F.col("__b0").bitwiseXOR(F.lit(2**j)) for j in range(num_planes)],
+            )
+        ).alias("__bucket"),
+    )
+    sims = (
+        c.join(F.broadcast(probes), on="__bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int = 8,

@@ -1032,3 +1032,59 @@ def q92_opq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims=_PQ_M * _PQ_SUB,
     )
     return SIM.pq_encode(rotated, books, vec_col="rv")
+
+
+# ---------------------------------------------------------------------------
+# q101 multi-probe LSH ANN (Lv et al. 2007): probe the query's bucket
+# plus all Hamming-distance-1 buckets — near-boundary neighbors that
+# single-probe (q51) misses by one sign bit are recovered at (b+1)x
+# the per-query candidate volume with the SAME corpus index. The
+# oracle replays bucketing, the b+1 probe expansion (xor per plane
+# bit) and the ranked cosine verification end to end.
+# ---------------------------------------------------------------------------
+def _q101_oracle() -> str:
+    planes = [SIM.hyperplane(j, _DIMS) for j in range(_PLANES)]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_duck_plane(p)}) > 0 THEN {2**j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    probe_union = "\n      UNION ALL\n      ".join(
+        ["SELECT query_id, qv, bucket FROM q0"]
+        + [
+            f"SELECT query_id, qv, xor(bucket, {2**j}) AS bucket FROM q0"
+            for j in range(_PLANES)
+        ]
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+q0 AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < {_NQ}),
+probes AS (
+      {probe_union}
+),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b),
+sims AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cos_sim
+  FROM probes JOIN c USING (bucket) WHERE query_id != neighbor_id
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rn
+  FROM sims
+)
+SELECT query_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= {_K_ANN}
+"""
+
+
+@query("q101_ann_lsh_multiprobe", oracle=_q101_oracle())
+def q101_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.lsh_multiprobe_ann(
+        emb,
+        emb.filter(F.col("vec_id") < _NQ),
+        k=_K_ANN,
+        num_planes=_PLANES,
+        dims=_DIMS,
+    )
