@@ -261,3 +261,71 @@ def cms_estimates(
         .groupBy(key_col)
         .agg(F.min("cnt").cast("bigint").alias("cms_est"))
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """EXACT quantiles, fully distributed — the scale-safe alternative
+    to both ``percentile_approx`` (approximate) and Spark's exact
+    ``percentile`` aggregate (which materializes EVERY value of the
+    group in one aggregation buffer: the 100 TB memory hazard).
+
+    Two-phase rank over VALUE ranges (the numeric twin of the
+    epoch-shuffle hash-prefix rank): fixed-width range buckets from one
+    (min, max) scan, per-bucket counts → cumulative offsets (a window
+    over ``n_buckets`` rows, never corpus rows), rank within bucket via
+    a bucket-partitioned window, then pick the rows whose global rank
+    is ``ceil(p·n)`` (SQL type-1 / discrete quantile). The value at a
+    rank is unique regardless of intra-tie ordering, so the result is
+    deterministic and exactly replayable by an ORDER BY in any engine.
+
+    Driver actions: one count + one (min, max) agg — bounded planning
+    actions, not per-row. Returns ``(p, rank, value)`` per prob.
+    """
+    from math import ceil
+
+    from pyspark.sql.window import Window
+
+    n = df.count()
+    if n == 0:
+        raise ValueError("exact_quantiles on an empty DataFrame")
+    mn, mx = df.agg(
+        F.min(value_col).alias("mn"), F.max(value_col).alias("mx")
+    ).first()
+    span = float(mx) - float(mn)
+    width = (span / n_buckets) or 1.0
+    targets = sorted({max(1, ceil(p * n)): p for p in probs}.items())
+    v = F.col(value_col).cast("double")
+    bucketed = df.select(v.alias("__v")).withColumn(
+        "__b",
+        F.least(
+            F.floor((F.col("__v") - F.lit(float(mn))) / F.lit(width)),
+            F.lit(n_buckets - 1),
+        ).cast("bigint"),
+    )
+    counts = bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_in = Window.partitionBy("__b").orderBy("__v")
+    ranked = (
+        bucketed.withColumn("__rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "__b")
+        .withColumn("__rank", (F.col("__off") + F.col("__rn")).cast("bigint"))
+    )
+    rank_to_p = F.create_map(
+        *[x for r, p in targets for x in (F.lit(r), F.lit(float(p)))]
+    )
+    return (
+        ranked.filter(F.col("__rank").isin([r for r, _ in targets]))
+        .select(
+            rank_to_p[F.col("__rank")].alias("p"),
+            F.col("__rank").alias("rank"),
+            F.col("__v").alias("value"),
+        )
+    )

@@ -939,3 +939,41 @@ def q82_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFram
         .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
         .select("p_partkey", "p_brand", "s_name", "unit_price")
     )
+
+
+# ---------------------------------------------------------------------------
+# q102 exact distributed quantiles of l_extendedprice: the scale-safe
+# exact-percentile path (range-bucketed two-phase rank — never a whole
+# group's values in one aggregation buffer, never a single-task global
+# sort; see operators/sketches.exact_quantiles). The oracle is the
+# plain ORDER BY + ROW_NUMBER definition — equality proves the
+# distributed decomposition computes textbook type-1 quantiles. Probs
+# colliding on one rank keep the highest p on both sides.
+# ---------------------------------------------------------------------------
+_QUANT_PROBS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _q102_oracle() -> str:
+    plist = ", ".join(str(p) for p in _QUANT_PROBS)
+    return f"""
+    WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS value FROM lineitem),
+    r AS (
+      SELECT value,
+             ROW_NUMBER() OVER (ORDER BY value) AS rank,
+             COUNT(*) OVER () AS n
+      FROM v
+    ),
+    t AS (SELECT UNNEST([{plist}]) AS p)
+    SELECT CAST(MAX(CAST(t.p AS DOUBLE)) AS DOUBLE) AS p,
+           CAST(r.rank AS BIGINT) AS rank, r.value
+    FROM t JOIN r ON r.rank = GREATEST(1, CAST(CEIL(CAST(t.p AS DOUBLE) * r.n) AS BIGINT))
+    GROUP BY r.rank, r.value
+    """
+
+
+@query("q102_exact_quantiles", oracle=_q102_oracle())
+def q102_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sketches import exact_quantiles
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return exact_quantiles(li, "l_extendedprice", _QUANT_PROBS)

@@ -167,3 +167,20 @@ def test_cms_one_sided_error_and_mergeability(spark):
     )
     direct = cms_counters(both, "key", "wt", d, w)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_exact_quantiles_match_sorted_definition_with_ties(spark):
+    """Distributed exact quantiles == the value at rank ceil(p*n) of the
+    sorted sequence, on a ties-heavy distribution (the case where rank
+    arithmetic goes wrong first)."""
+    from math import ceil
+
+    from airbnb_pyspark_jobs_spark.operators.sketches import exact_quantiles
+
+    vals = [float(v % 7) for v in range(1000)]  # heavy ties, 7 distinct
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    probs = [0.1, 0.5, 0.9]
+    got = {r["p"]: r["value"] for r in exact_quantiles(df, "x", probs).collect()}
+    srt = sorted(vals)
+    for p in probs:
+        assert got[p] == srt[max(1, ceil(p * len(vals))) - 1]
