@@ -290,9 +290,10 @@ def exact_quantiles(
 
     from pyspark.sql.window import Window
 
+    df = df.filter(F.col(value_col).isNotNull())  # percentile semantics
     n = df.count()
     if n == 0:
-        raise ValueError("exact_quantiles on an empty DataFrame")
+        raise ValueError("exact_quantiles on an empty/all-null column")
     mn, mx = df.agg(
         F.min(value_col).alias("mn"), F.max(value_col).alias("mx")
     ).first()
