@@ -568,3 +568,87 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_a", "doc_id_b", "hamming")
     )
+
+
+def duplicated_span_coverage(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document coverage by CROSS-document duplicated spans — the
+    doc-level signal of exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    public): a token position is "duplicated" iff some n-token window
+    containing it also appears verbatim in ANOTHER document. High
+    coverage = boilerplate/mirror content; the removal policy (drop
+    doc, cut spans) consumes this signal. Complements
+    :func:`..corpus.repetition_signals` (WITHIN-doc repetition).
+
+    Shape: positioned n-gram shingles (NOT distinct — positions
+    matter), shingle-df filter (count distinct docs >= 2, a semi-join),
+    then interval union as explode(sequence(p, p+n-1)) -> distinct
+    (doc, position) -> count: all linear in corpus size with an n-fold
+    position fan-out on DUPLICATED spans only. Returns every doc:
+    ``doc_id, n_tokens, n_dup_positions, dup_coverage`` (round 6;
+    sub-n docs carry no n-gram signal -> coverage 0, matching the
+    shingle helpers' short-doc semantics).
+    """
+    from airbnb_pyspark_jobs_spark.functions.text import tokens
+
+    base = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__tk"))
+    sized = base.select(
+        "doc_id", "__tk", F.size("__tk").cast("bigint").alias("n_tokens")
+    )
+    idx = F.when(
+        F.col("n_tokens") >= n, F.sequence(F.lit(0), (F.col("n_tokens") - n).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    posed = (
+        sized.withColumn(
+            "__ps",
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("p"),
+                    F.concat_ws(
+                        " ", *[F.get(F.col("__tk"), i + j) for j in range(n)]
+                    ).alias("s"),
+                ),
+            ),
+        )
+        .select("doc_id", F.explode("__ps").alias("__e"))
+        .select("doc_id", F.col("__e.p").alias("p"), F.col("__e.s").alias("s"))
+        .persist()
+    )
+    dup_shingles = (
+        posed.groupBy("s")
+        .agg(F.count_distinct("doc_id").alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("s")
+    )
+    covered = (
+        posed.join(dup_shingles, "s", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).alias("p2"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_positions"))
+    )
+    return (
+        sized.select("doc_id", "n_tokens")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_positions", F.lit(0)).cast("bigint").alias(
+                "n_dup_positions"
+            ),
+            F.round(
+                F.coalesce("n_dup_positions", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dup_coverage"),
+        )
+    )

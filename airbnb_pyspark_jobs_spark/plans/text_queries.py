@@ -1722,3 +1722,50 @@ def q100_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("src_rank", F.row_number().over(w).cast("bigint"))
         .withColumn("kept", F.col("src_rank") <= _CAP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q103 cross-document duplicated-span coverage (Lee et al. 2022 exact
+# substring dedup, doc-level signal): fraction of each doc's token
+# positions covered by some n-token window that appears verbatim in
+# ANOTHER document. Complements q39 (within-doc repetition). The
+# oracle replays positioned shingling, the df>=2 filter, and the
+# interval union exactly; n=8 on this corpus yields a non-trivial
+# coverage spread (boilerplate-heavy synthetic docs overlap heavily).
+# ---------------------------------------------------------------------------
+_SPAN_N = 8
+
+
+@query(
+    "q103_dup_span_coverage",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, {_D_TOKENS} AS tk, CAST(len({_D_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, p, array_to_string(tk[p + 1:p + {_SPAN_N}], ' ') AS s
+      FROM toks, UNNEST(range(0, GREATEST(n_tokens - {_SPAN_N - 1}, 0))) AS u(p)
+    ),
+    dupes AS (
+      SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY s)
+      WHERE df >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, p2
+      FROM (SELECT doc_id, p FROM sh SEMI JOIN dupes USING (s)),
+           UNNEST(range(p, p + {_SPAN_N})) AS u(p2)
+    ),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup FROM cov GROUP BY doc_id)
+    SELECT t.doc_id, t.n_tokens,
+           CAST(COALESCE(cnt.n_dup, 0) AS BIGINT) AS n_dup_positions,
+           round(CAST(COALESCE(cnt.n_dup, 0) AS DOUBLE) / CAST(t.n_tokens AS DOUBLE), 6)
+             AS dup_coverage
+    FROM toks t LEFT JOIN cnt ON t.doc_id = cnt.doc_id
+    """,
+)
+def q103_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.dedupe import duplicated_span_coverage
+
+    docs = load_table(spark, "documents", sf_dir)
+    return duplicated_span_coverage(docs, n=_SPAN_N)
