@@ -330,3 +330,86 @@ def exact_quantiles(
             F.col("__v").alias("value"),
         )
     )
+
+
+def exact_quantiles_by(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probs: list[float],
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-group EXACT quantiles, fully distributed and fully IN-PLAN —
+    the grouped form of :func:`exact_quantiles` with zero driver
+    actions: per-group (min, max, n) is a broadcast table, range
+    buckets / cumulative offsets / ranks are all computed per group,
+    and the target rank ``ceil(p·n_g)`` is a plan expression joined
+    against the ranked rows. Spark's exact ``percentile`` holds every
+    value of a group in ONE aggregation buffer — a 100 TB group is an
+    OOM there and a partitioned window here.
+
+    Probs landing on the same rank within a group keep the highest p
+    (one row per (group, rank)). Returns ``*group_cols, p, rank,
+    value``; nulls excluded per percentile semantics.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(*group_cols, v.alias("__v"))
+    stats = base.groupBy(*group_cols).agg(
+        F.min("__v").alias("__mn"),
+        F.max("__v").alias("__mx"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    width = F.greatest(
+        (F.col("__mx") - F.col("__mn")) / F.lit(float(n_buckets)),
+        F.lit(1e-300),  # all-equal groups: every value lands in bucket 0
+    )
+    bucketed = base.join(F.broadcast(stats), group_cols).withColumn(
+        "__b",
+        F.least(
+            F.floor((F.col("__v") - F.col("__mn")) / width),
+            F.lit(n_buckets - 1),
+        ).cast("bigint"),
+    )
+    counts = bucketed.groupBy(*group_cols, "__b").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *group_cols,
+        "__b",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy(*group_cols, "__b").orderBy("__v")
+    ranked = (
+        bucketed.withColumn("__rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), [*group_cols, "__b"])
+        .withColumn("__rank", (F.col("__off") + F.col("__rn")).cast("bigint"))
+    )
+    probs_df = None
+    for p in sorted(probs):
+        row = stats.sparkSession.range(1).select(F.lit(float(p)).alias("__p"))
+        probs_df = row if probs_df is None else probs_df.unionByName(row)
+    targets = stats.crossJoin(F.broadcast(probs_df)).select(
+        *group_cols,
+        "__p",
+        F.greatest(
+            F.lit(1), F.ceil(F.col("__p") * F.col("__n")).cast("bigint")
+        ).alias("__rank"),
+    )
+    return (
+        ranked.join(F.broadcast(targets), [*group_cols, "__rank"])
+        .groupBy(*group_cols, "__rank", "__v")
+        .agg(F.max("__p").alias("p"))
+        .select(
+            *group_cols,
+            "p",
+            F.col("__rank").alias("rank"),
+            F.col("__v").alias("value"),
+        )
+    )

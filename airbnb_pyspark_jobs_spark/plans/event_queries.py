@@ -668,3 +668,44 @@ def q98_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_day.unionByName(merged)
+
+
+# ---------------------------------------------------------------------------
+# q104 per-group exact quantiles of event values: the grouped form of
+# q102 (operators/sketches.exact_quantiles_by) with ZERO driver
+# actions — per-group (min, max, n) is a broadcast stats table and the
+# target rank ceil(p·n_g) is a plan expression. Oracle = per-group
+# ORDER BY + ROW_NUMBER; equality proves the range-bucketed two-phase
+# decomposition per group.
+# ---------------------------------------------------------------------------
+_GQ_PROBS = [0.5, 0.9, 0.99]
+
+
+def _q104_oracle() -> str:
+    plist = ", ".join(str(p) for p in _GQ_PROBS)
+    return f"""
+    WITH v AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS value
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rank,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    t AS (SELECT UNNEST([{plist}]) AS p)
+    SELECT event_type, CAST(MAX(CAST(t.p AS DOUBLE)) AS DOUBLE) AS p,
+           CAST(r.rank AS BIGINT) AS rank, r.value
+    FROM t JOIN r
+      ON r.rank = GREATEST(1, CAST(CEIL(CAST(t.p AS DOUBLE) * r.n) AS BIGINT))
+    GROUP BY event_type, r.rank, r.value
+    """
+
+
+@query("q104_exact_quantiles_by_type", oracle=_q104_oracle())
+def q104_exact_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sketches import exact_quantiles_by
+
+    events = load_table(spark, "events", sf_dir)
+    return exact_quantiles_by(events, ["event_type"], "value", _GQ_PROBS)

@@ -184,3 +184,24 @@ def test_exact_quantiles_match_sorted_definition_with_ties(spark):
     srt = sorted(vals)
     for p in probs:
         assert got[p] == srt[max(1, ceil(p * len(vals))) - 1]
+
+
+def test_exact_quantiles_by_group_with_degenerate_group(spark):
+    """Grouped exact quantiles: each group ranked independently,
+    including a group whose values are ALL EQUAL (zero range — the
+    width guard must not divide by zero or misbucket)."""
+    from math import ceil
+
+    from airbnb_pyspark_jobs_spark.operators.sketches import exact_quantiles_by
+
+    rows = [("a", float(v)) for v in range(100)] + [("b", 7.0)] * 50
+    df = spark.createDataFrame(rows, ["g", "x"])
+    probs = [0.5, 0.9]
+    got = {
+        (r["g"], r["p"]): r["value"]
+        for r in exact_quantiles_by(df, ["g"], "x", probs).collect()
+    }
+    a_sorted = sorted(float(v) for v in range(100))
+    for p in probs:
+        assert got[("a", p)] == a_sorted[max(1, ceil(p * 100)) - 1]
+        assert got[("b", p)] == 7.0
