@@ -62,6 +62,8 @@ EXTENDED_QUERIES = [
     "q94_epoch_shuffle",
     # unigram-LM scoring: train pass + broadcast-join scoring
     "q96_unigram_logprob",
+    # exact quantiles via the range-bucketed two-phase rank (600k rows)
+    "q102_exact_quantiles",
 ]
 
 
