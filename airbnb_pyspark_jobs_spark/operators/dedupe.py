@@ -90,17 +90,19 @@ def ngram_jaccard_pairs(
     computed over the filtered sets — consistent semantics).
 
     Cache lifecycle: the shingle table is persisted (it feeds sizes +
-    both self-join sides) and the CALLER owns cleanup — unpersist after
-    materializing the result (``spark.catalog.clearCache()`` or rebuild
-    the session), or pass ``persist_shingles=False`` for long-lived
-    sessions that would otherwise accumulate cached intermediates.
+    both self-join sides) via ``caching.owned_persist`` — released by
+    the next ``@query`` invocation or an explicit
+    ``caching.release_owned_caches()`` after the result materializes.
+    Pass ``persist_shingles=False`` to opt out entirely.
     """
     # Persist so tokenize/shingle runs once (at cluster scale: cache to
     # MEMORY_AND_DISK or checkpoint; same principle as the reference
     # caching its dims, jobs/final_fact_load.py:20-22).
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
     sh = shingle_table(docs, id_col, text_col, n)
     if persist_shingles:
-        sh = sh.persist()
+        sh = owned_persist(sh)
     if max_shingle_df is not None:
         # document frequency as a window count over s: the shuffle that
         # partitions by s is REUSED by the self-join below (same key) —
@@ -157,13 +159,15 @@ def containment_pairs(
     ``max_shingle_df`` cap (df counted across BOTH sides) drops
     stop-shingles whose df² join fan-out carries no containment signal;
     sizes and intersections then use the filtered sets consistently.
-    Cache lifecycle: caller-owned, as in :func:`ngram_jaccard_pairs`.
+    Cache lifecycle: registry-owned, as in :func:`ngram_jaccard_pairs`.
     """
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
     sh_e = shingle_table(eval_docs, id_col, text_col, n)
     sh_t = shingle_table(train_docs, id_col, text_col, n)
     if persist_shingles:
-        sh_e = sh_e.persist()
-        sh_t = sh_t.persist()
+        sh_e = owned_persist(sh_e)
+        sh_t = owned_persist(sh_t)
     if max_shingle_df is not None:
         rare = (
             sh_e.select("s")
@@ -261,17 +265,20 @@ def minhash_lsh_pairs(
     never precision, and the output is deterministic.
 
     Cache lifecycle: the shingle table is persisted (it feeds
-    signatures, candidate verification ×2, and sizes) and the CALLER
-    owns cleanup after materializing the result; pass
-    ``persist_shingles=False`` to opt out in long-lived sessions.
+    signatures, candidate verification ×2, and sizes) via
+    ``caching.owned_persist`` — released by the next ``@query``
+    invocation or an explicit ``caching.release_owned_caches()``; pass
+    ``persist_shingles=False`` to opt out entirely.
     """
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must divide evenly into bands")
     rows_per_band = num_hashes // bands
 
     sh = shingle_table(docs, id_col, text_col, n)
     if persist_shingles:
-        sh = sh.persist()
+        sh = owned_persist(sh)
     sig = sh.groupBy("doc_id").agg(*_minhash_aggs(num_hashes), F.count(F.lit(1)).alias("n_sh"))
 
     band_cols = []
@@ -593,7 +600,13 @@ def duplicated_span_coverage(
     ``doc_id, n_tokens, n_dup_positions, dup_coverage`` (round 6;
     sub-n docs carry no n-gram signal -> coverage 0, matching the
     shingle helpers' short-doc semantics).
+
+    Cache lifecycle: the positioned-shingle table feeds both the df
+    filter and the coverage join, so it is persisted via
+    ``caching.owned_persist`` (released by the next ``@query``
+    invocation or ``caching.release_owned_caches()``).
     """
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
     from airbnb_pyspark_jobs_spark.functions.text import tokens
 
     base = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__tk"))
@@ -618,8 +631,8 @@ def duplicated_span_coverage(
         )
         .select("doc_id", F.explode("__ps").alias("__e"))
         .select("doc_id", F.col("__e.p").alias("p"), F.col("__e.s").alias("s"))
-        .persist()
     )
+    posed = owned_persist(posed)
     dup_shingles = (
         posed.groupBy("s")
         .agg(F.count_distinct("doc_id").alias("__df"))

@@ -146,7 +146,9 @@ def scd2_merge(
     without caching the merge re-scans its inputs ~10× (measured).
     Dimensions are small relative to facts, so MEMORY_AND_DISK caching
     is the right default even at warehouse scale; pass False to keep the
-    plan fully lazy. Caller owns unpersisting after materialization.
+    plan fully lazy. Caches are registered with ``caching.owned_persist``
+    (released by the next ``@query`` invocation or an explicit
+    ``caching.release_owned_caches()`` after materialization).
 
     Deletion semantics (reference parity by default): a natural key
     PRESENT in the dimension but ABSENT from the snapshot keeps its
@@ -164,7 +166,9 @@ def scd2_merge(
     key = list(spec.natural_key)
 
     def _p(df: DataFrame) -> DataFrame:
-        return df.persist() if persist_intermediates else df
+        from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+        return owned_persist(df) if persist_intermediates else df
 
     snap = _p(snapshot.select(*spec.all_source_cols).dropDuplicates(key))
     snap_hashed = snap.withColumn("__row_hash", spec._row_hash())

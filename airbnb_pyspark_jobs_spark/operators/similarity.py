@@ -917,8 +917,12 @@ def ivfpq_index(
     """Build the index: returns ``(coded, coarse_book, books)`` where
     ``coded`` has ``id_col, cell, codes, sq_err`` (cell = coarse cid,
     codes = residual PQ codes). The residual DataFrame is persisted
-    during training (m×iters jobs re-read it); caller owns cache
-    cleanup, per the repo's persist policy."""
+    during training (m×iters jobs re-read it) via
+    ``caching.owned_persist`` — released by the next ``@query``
+    invocation or an explicit ``caching.release_owned_caches()`` after
+    ``coded`` (which still reads it lazily) is materialized."""
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
     coarse_book = pq_train_codebooks(
         corpus, m=1, k=coarse_cells, iters=coarse_iters,
         id_col=id_col, vec_col=vec_col, dims=dims,
@@ -940,7 +944,8 @@ def ivfpq_index(
             F.element_at(cents, F.col("cell") + 1),
             lambda x, y: x - y,
         ).alias("resid"),
-    ).persist()
+    )
+    resid = owned_persist(resid)
     books = pq_train_codebooks(
         resid, m=m, k=k, iters=iters, id_col=id_col, vec_col="resid", dims=dims
     )

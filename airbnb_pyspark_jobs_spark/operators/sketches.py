@@ -236,7 +236,9 @@ def cms_estimates(
     the d row counters each key hashes into. Guarantees est >= exact
     (collisions only ADD); expected overestimate <= (total weight)/w
     per row, driven to the min by d rows. The counter table is tiny
-    (d·w) — broadcast join."""
+    (d·w) — broadcast join. Buckets absent from the counter table are
+    empty counters (0), so a key never seen at build time estimates 0
+    instead of silently vanishing (left join + coalesce)."""
     from airbnb_pyspark_jobs_spark.functions.text import portable_hash_int
 
     probes = keys.select(
@@ -257,9 +259,9 @@ def cms_estimates(
         ).alias("rb"),
     ).select(key_col, F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
     return (
-        probes.join(F.broadcast(counters), ["r", "b"])
+        probes.join(F.broadcast(counters), ["r", "b"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("cms_est"))
     )
 
 
@@ -284,7 +286,9 @@ def exact_quantiles(
     deterministic and exactly replayable by an ORDER BY in any engine.
 
     Driver actions: one count + one (min, max) agg — bounded planning
-    actions, not per-row. Returns ``(p, rank, value)`` per prob.
+    actions, not per-row. Returns ``(p, rank, value)`` — ONE row per
+    requested prob, even when two probs land on the same rank (small-n
+    case: they share rank and value but keep distinct p rows).
     """
     from math import ceil
 
@@ -299,7 +303,7 @@ def exact_quantiles(
     ).first()
     span = float(mx) - float(mn)
     width = (span / n_buckets) or 1.0
-    targets = sorted({max(1, ceil(p * n)): p for p in probs}.items())
+    targets = sorted((max(1, ceil(p * n)), float(p)) for p in set(probs))
     v = F.col(value_col).cast("double")
     bucketed = df.select(v.alias("__v")).withColumn(
         "__b",
@@ -319,13 +323,19 @@ def exact_quantiles(
         .join(F.broadcast(offsets), "__b")
         .withColumn("__rank", (F.col("__off") + F.col("__rn")).cast("bigint"))
     )
-    rank_to_p = F.create_map(
-        *[x for r, p in targets for x in (F.lit(r), F.lit(float(p)))]
-    )
+    # One target row per requested prob; colliding ranks fan out to one
+    # output row per p via the broadcast join (never collapsed).
+    target_rows = None
+    for r, p in targets:
+        row = df.sparkSession.range(1).select(
+            F.lit(float(p)).alias("__p"), F.lit(r).cast("bigint").alias("__rank")
+        )
+        target_rows = row if target_rows is None else target_rows.unionByName(row)
     return (
         ranked.filter(F.col("__rank").isin([r for r, _ in targets]))
+        .join(F.broadcast(target_rows), "__rank")
         .select(
-            rank_to_p[F.col("__rank")].alias("p"),
+            F.col("__p").alias("p"),
             F.col("__rank").alias("rank"),
             F.col("__v").alias("value"),
         )
@@ -348,9 +358,10 @@ def exact_quantiles_by(
     value of a group in ONE aggregation buffer — a 100 TB group is an
     OOM there and a partitioned window here.
 
-    Probs landing on the same rank within a group keep the highest p
-    (one row per (group, rank)). Returns ``*group_cols, p, rank,
-    value``; nulls excluded per percentile semantics.
+    Returns ``*group_cols, p, rank, value`` — ONE row per (group,
+    requested prob); probs landing on the same rank within a group
+    share rank and value but keep distinct p rows. Nulls excluded per
+    percentile semantics.
     """
     from pyspark.sql.window import Window
 
@@ -392,7 +403,7 @@ def exact_quantiles_by(
         .withColumn("__rank", (F.col("__off") + F.col("__rn")).cast("bigint"))
     )
     probs_df = None
-    for p in sorted(probs):
+    for p in sorted(set(probs)):
         row = stats.sparkSession.range(1).select(F.lit(float(p)).alias("__p"))
         probs_df = row if probs_df is None else probs_df.unionByName(row)
     targets = stats.crossJoin(F.broadcast(probs_df)).select(
@@ -404,11 +415,9 @@ def exact_quantiles_by(
     )
     return (
         ranked.join(F.broadcast(targets), [*group_cols, "__rank"])
-        .groupBy(*group_cols, "__rank", "__v")
-        .agg(F.max("__p").alias("p"))
         .select(
             *group_cols,
-            "p",
+            F.col("__p").alias("p"),
             F.col("__rank").alias("rank"),
             F.col("__v").alias("value"),
         )

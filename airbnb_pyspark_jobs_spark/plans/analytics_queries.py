@@ -947,8 +947,9 @@ def q82_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFram
 # group's values in one aggregation buffer, never a single-task global
 # sort; see operators/sketches.exact_quantiles). The oracle is the
 # plain ORDER BY + ROW_NUMBER definition — equality proves the
-# distributed decomposition computes textbook type-1 quantiles. Probs
-# colliding on one rank keep the highest p on both sides.
+# distributed decomposition computes textbook type-1 quantiles. One
+# output row per requested prob on both sides (colliding ranks fan
+# out, never collapse).
 # ---------------------------------------------------------------------------
 _QUANT_PROBS = [0.25, 0.5, 0.75, 0.9, 0.99]
 
@@ -964,10 +965,9 @@ def _q102_oracle() -> str:
       FROM v
     ),
     t AS (SELECT UNNEST([{plist}]) AS p)
-    SELECT CAST(MAX(CAST(t.p AS DOUBLE)) AS DOUBLE) AS p,
+    SELECT CAST(t.p AS DOUBLE) AS p,
            CAST(r.rank AS BIGINT) AS rank, r.value
     FROM t JOIN r ON r.rank = GREATEST(1, CAST(CEIL(CAST(t.p AS DOUBLE) * r.n) AS BIGINT))
-    GROUP BY r.rank, r.value
     """
 
 

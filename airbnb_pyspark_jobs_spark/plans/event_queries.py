@@ -604,16 +604,21 @@ def _q98_oracle() -> str:
              COUNT(*) OVER (PARTITION BY day) AS nd
       FROM h
     ),
+    ed AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ex
+      FROM events GROUP BY 1
+    ),
     daily AS (
-      SELECT CAST(day AS VARCHAR) AS scope,
+      SELECT CAST(r.day AS VARCHAR) AS scope,
              CAST(LEAST(MAX(nd), {_KMV_K}) AS BIGINT) AS n_kept,
              MAX(CASE WHEN rn <= {_KMV_K} THEN hv END) AS kth_hash,
              round(CASE WHEN MAX(nd) < {_KMV_K} THEN CAST(MAX(nd) AS DOUBLE)
                         ELSE {_KMV_K - 1} * 4294967296.0
                              / CAST(MAX(CASE WHEN rn <= {_KMV_K} THEN hv END) AS DOUBLE)
                    END, 4) AS est_distinct,
-             CAST(MAX(nd) AS BIGINT) AS exact_distinct
-      FROM r GROUP BY day
+             CAST(MAX(ed.ex) AS BIGINT) AS exact_distinct
+      FROM r JOIN ed ON ed.day = r.day GROUP BY r.day
     ),
     mu AS (
       SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
@@ -644,14 +649,22 @@ def q98_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_merge_estimate,
     )
 
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
     events = load_table(spark, "events", sf_dir)
-    daily = kmv_daily_sketches(events, "ts", "user_id", k=_KMV_K).persist()
-    per_day = daily.select(
+    daily = owned_persist(kmv_daily_sketches(events, "ts", "user_id", k=_KMV_K))
+    # exact_distinct means the same thing on every row: TRUE per-scope
+    # COUNT(DISTINCT user_id) (the sketch's n_distinct_hashes can
+    # undercount on 32-bit hash collisions, so it is not exposed here).
+    exact_daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("__exact")
+    )
+    per_day = daily.join(exact_daily, "day").select(
         F.col("day").cast("string").alias("scope"),
         F.size("kmv").cast("bigint").alias("n_kept"),
         F.element_at("kmv", F.least(F.size("kmv"), F.lit(_KMV_K))).alias("kth_hash"),
         kmv_estimate(F.col("kmv"), _KMV_K).alias("est_distinct"),
-        F.col("n_distinct_hashes").cast("bigint").alias("exact_distinct"),
+        F.col("__exact").alias("exact_distinct"),
     )
     exact_total = events.agg(
         F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
@@ -695,11 +708,10 @@ def _q104_oracle() -> str:
       FROM v
     ),
     t AS (SELECT UNNEST([{plist}]) AS p)
-    SELECT event_type, CAST(MAX(CAST(t.p AS DOUBLE)) AS DOUBLE) AS p,
+    SELECT event_type, CAST(t.p AS DOUBLE) AS p,
            CAST(r.rank AS BIGINT) AS rank, r.value
     FROM t JOIN r
       ON r.rank = GREATEST(1, CAST(CEIL(CAST(t.p AS DOUBLE) * r.n) AS BIGINT))
-    GROUP BY event_type, r.rank, r.value
     """
 
 

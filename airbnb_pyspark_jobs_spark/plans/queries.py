@@ -43,13 +43,28 @@ ORACLES: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a query (and its DuckDB oracle SQL) under ``name``."""
+    """Register a query (and its DuckDB oracle SQL) under ``name``.
+
+    Invocation releases caches owned by the PREVIOUS query first (see
+    ``caching.owned_persist``): by the time query N+1 is built, query
+    N's result has been materialized, so its persisted intermediates
+    are dead weight in the block manager. This bounds a long query loop
+    (the driver runs the whole registry in one session) to at most one
+    query's caches at a time."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from airbnb_pyspark_jobs_spark.caching import release_owned_caches
+
+            release_owned_caches()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 

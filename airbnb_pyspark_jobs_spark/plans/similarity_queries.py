@@ -245,10 +245,12 @@ FROM s
 
 @query("q93_lsh_pruning_stats", oracle=_q93_oracle())
 def q93_lsh_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
     emb = load_table(spark, "embeddings", sf_dir)
     # One banding pass: persist the candidate pairs, reuse for both the
     # count and the verification (the plane-dots dominate otherwise).
-    cand = SIM.lsh_candidate_pairs(emb, _HI_NT, _HI_PPT, _DIMS).persist()
+    cand = owned_persist(SIM.lsh_candidate_pairs(emb, _HI_NT, _HI_PPT, _DIMS))
     pairs = SIM.cosine_dup_pairs_lsh(
         emb,
         threshold=_HI_T,

@@ -1186,11 +1186,12 @@ def q87_chunk_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = chunks.select("doc_id", F.col("chunk_md5").alias("m")).distinct()
     # df cap via a window over m: reuses the self-join's shuffle key
     # (the q44 pattern — cheaper than groupBy + semi-join)
-    ch = (
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    ch = owned_persist(
         ch.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("m")))
         .filter(F.col("__df") <= _Q87_DF)
         .drop("__df")
-        .persist()
     )
     cnt = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nc"))
     inter = (
@@ -1641,12 +1642,13 @@ def q99_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, "documents", sf_dir)
-    tf = (
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    tf = owned_persist(
         docs.select(F.explode(TX.tokens("text")).alias("t"))
         .select(F.lower("t").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
-        .persist()
     )
     counters = cms_counters(tf, "term", "exact_count", d=_CMS_D, w=_CMS_W)
     est = cms_estimates(tf.select("term"), counters, "term", d=_CMS_D, w=_CMS_W)

@@ -1,0 +1,65 @@
+"""Cache-ownership hygiene: persisting queries must not leak blocks.
+
+Operators persist intermediates that multiple downstream branches read
+(shingle tables, candidate pairs, CMS term frequencies). The contract
+(`caching.owned_persist`) is that those caches are registered and
+released by the next `@query` invocation / an explicit
+`release_owned_caches()` — so a long-lived session running the whole
+registry (the driver's loop, bench.py) holds at most one query's
+intermediates at a time instead of accumulating them until eviction.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from airbnb_pyspark_jobs_spark.caching import release_owned_caches
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _persistent_rdd_count(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "q44_ngram_jaccard_pairs",   # owned shingle-table persist
+        "q103_dup_span_coverage",    # owned positioned-shingle persist
+        "q99_cms_token_counts",      # owned term-frequency persist
+    ],
+)
+def test_persisting_query_releases_blocks(spark, qname):
+    """Materialize a persisting query, release owned caches, and assert
+    the block manager is back to its pre-query persistent-RDD count."""
+    from airbnb_pyspark_jobs_spark.plans import QUERIES
+
+    release_owned_caches()  # clean slate (earlier tests may own caches)
+    before = _persistent_rdd_count(spark)
+    QUERIES[qname](spark, SF_DIR).collect()
+    release_owned_caches()
+    assert _persistent_rdd_count(spark) == before
+
+
+def test_query_loop_holds_at_most_one_querys_caches(spark):
+    """Back-to-back @query invocations: entering query N+1 releases
+    query N's owned caches automatically (the driver-loop contract)."""
+    from airbnb_pyspark_jobs_spark.plans import QUERIES
+
+    release_owned_caches()
+    base = _persistent_rdd_count(spark)
+    loop = [
+        "q44_ngram_jaccard_pairs",
+        "q103_dup_span_coverage",
+        "q99_cms_token_counts",
+    ]
+    for qname in loop:
+        QUERIES[qname](spark, SF_DIR).collect()
+        # while a query's result was just materialized its own caches may
+        # still be registered — but never more than ONE query's worth:
+        # the wrapper released everything owned before this invocation.
+    QUERIES["q01_pricing_summary"](spark, SF_DIR).collect()  # releases last
+    assert _persistent_rdd_count(spark) == base

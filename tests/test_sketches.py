@@ -205,3 +205,57 @@ def test_exact_quantiles_by_group_with_degenerate_group(spark):
     for p in probs:
         assert got[("a", p)] == a_sorted[max(1, ceil(p * 100)) - 1]
         assert got[("b", p)] == 7.0
+
+
+def test_exact_quantiles_one_row_per_prob_on_rank_collision(spark):
+    """Two probs that land on the SAME rank at small n must both appear
+    in the output (sharing rank and value) — requested probs are never
+    silently collapsed."""
+    from airbnb_pyspark_jobs_spark.operators.sketches import exact_quantiles
+
+    df = spark.createDataFrame([(float(v),) for v in range(10)], "x double")
+    probs = [0.45, 0.5]  # ceil(4.5) == ceil(5.0) == rank 5: true collision
+    rows = exact_quantiles(df, "x", probs).collect()
+    assert len(rows) == 2
+    assert sorted(r["p"] for r in rows) == sorted(probs)
+    assert {r["rank"] for r in rows} == {5}
+    assert {r["value"] for r in rows} == {4.0}
+    # adjacent-rank probs also stay distinct rows
+    rows2 = exact_quantiles(df, "x", [0.5, 0.5000001]).collect()
+    assert len(rows2) == 2 and {r["rank"] for r in rows2} == {5, 6}
+
+
+def test_exact_quantiles_by_one_row_per_prob_on_rank_collision(spark):
+    """Grouped form of the collision contract: one row per (group, p)."""
+    from airbnb_pyspark_jobs_spark.operators.sketches import exact_quantiles_by
+
+    rows_in = [("a", float(v)) for v in range(10)]
+    df = spark.createDataFrame(rows_in, ["g", "x"])
+    probs = [0.45, 0.5]  # both -> rank 5 in a 10-row group
+    rows = exact_quantiles_by(df, ["g"], "x", probs).collect()
+    assert len(rows) == 2
+    assert sorted(r["p"] for r in rows) == sorted(probs)
+    assert all(r["rank"] == 5 and r["value"] == 4.0 for r in rows)
+
+
+def test_cms_estimates_unseen_key_returns_zero(spark):
+    """A probed key absent from the build set must yield an estimate
+    (possibly 0 when all its buckets are empty), never vanish."""
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        cms_counters,
+        cms_estimates,
+    )
+
+    d, w = 4, 4096  # wide sketch: tiny build set leaves most buckets empty
+    build = spark.createDataFrame([("alpha", 5), ("beta", 3)], ["key", "wt"])
+    probe = spark.createDataFrame(
+        [("alpha",), ("never_seen_key_xyz",)], ["key"]
+    )
+    counters = cms_counters(build, "key", "wt", d, w)
+    est = {
+        r["key"]: r["cms_est"]
+        for r in cms_estimates(probe, counters, "key", d, w).collect()
+    }
+    assert set(est) == {"alpha", "never_seen_key_xyz"}
+    assert est["alpha"] >= 5
+    assert est["never_seen_key_xyz"] == 0
