@@ -62,8 +62,20 @@ EXTENDED_QUERIES = [
     "q94_epoch_shuffle",
     # unigram-LM scoring: train pass + broadcast-join scoring
     "q96_unigram_logprob",
+    # multi-probe LSH ANN: (b+1) probes over the same corpus index
+    "q101_ann_lsh_multiprobe",
     # exact quantiles via the range-bucketed two-phase rank (600k rows)
     "q102_exact_quantiles",
+    # duplicated-span coverage: positioned shingles, n-fold fan-out on
+    # duplicated spans only
+    "q103_dup_span_coverage",
+    # per-group exact quantiles: in-plan grouped two-phase rank
+    "q104_exact_quantiles_by_type",
+    # moderate-threshold embedding near-dup, tensored cross-polytope
+    # LSH: ratio 0.079 @ recall 0.924 where sign-LSH floors at ~0.6
+    "q105_embedding_near_dup_cp",
+    # IVF-blocked near-dup (SemDeDup shape; clustered-corpus option)
+    "q106_embedding_near_dup_ivf",
 ]
 
 

@@ -223,3 +223,49 @@ def test_choose_lsh_config_regimes():
     # max_background floor is honored
     b_f, t_f = SIM.choose_lsh_config(0.9, corpus_size=2000, max_background=0.1)
     assert t_f / 2**b_f <= 0.1
+
+
+def test_cp_tensored_dup_pairs_recall_ratio_precision(spark):
+    """Tensored cross-polytope LSH at t=0.45 (q105): precision 1.0 by
+    construction (exact-cosine verify), recall >= 0.9 vs the exact
+    pairs, candidate ratio <= 0.12 — the moderate-threshold scale
+    targets sign-LSH's hash family cannot reach (measured ~0.6
+    candidate floor at equal recall; SCALE_NOTES)."""
+    emb = load_table(spark, "embeddings", SF_DIR)
+    n = emb.count()
+    exact = SIM.cosine_dup_pairs(emb, threshold=0.45).collect()
+    exact_set = {(r.vec_id_a, r.vec_id_b, r.cos_sim) for r in exact}
+
+    cand = SIM.cp_candidate_pairs(emb, m_per_side=30, n_sides=3, dims_per_hash=32)
+    n_cand = cand.count()
+    assert n_cand / (n * (n - 1) / 2) <= 0.12
+
+    got = SIM.cp_tensored_dup_pairs(emb, threshold=0.45, candidates=cand).collect()
+    got_set = {(r.vec_id_a, r.vec_id_b, r.cos_sim) for r in got}
+    assert got_set <= exact_set  # precision 1.0, identical rounded sims
+    assert len(got_set) >= 0.9 * len(exact_set)
+
+
+def test_ivf_blocked_dup_pairs_subset_of_exact(spark):
+    """IVF-blocked near-dup (q106): every emitted pair is an exact pair
+    with the identical verified similarity (blocking affects recall
+    only, never precision)."""
+    emb = load_table(spark, "embeddings", SF_DIR)
+    exact = SIM.cosine_dup_pairs(emb, threshold=0.45).collect()
+    exact_set = {(r.vec_id_a, r.vec_id_b, r.cos_sim) for r in exact}
+    got = SIM.ivf_blocked_dup_pairs(
+        emb, threshold=0.45, n_cells=64, n_assign=3, iters=3
+    ).collect()
+    got_set = {(r.vec_id_a, r.vec_id_b, r.cos_sim) for r in got}
+    assert got_set <= exact_set
+    assert len(got_set) >= 1  # finds real pairs on this corpus
+
+
+def test_cp_buckets_deterministic_across_runs(spark):
+    """CP bucket ids are a pure function of the vector (±1 projections
+    from md5 parity, ordered-fold accumulation) — two runs agree
+    exactly, the property the DuckDB oracle replay depends on."""
+    emb = load_table(spark, "embeddings", SF_DIR).limit(50)
+    a = {(r.id, r.h): r.bkt for r in SIM.cp_buckets(emb, 6, 8).collect()}
+    b = {(r.id, r.h): r.bkt for r in SIM.cp_buckets(emb, 6, 8).collect()}
+    assert a == b and len(a) == 50 * 6
