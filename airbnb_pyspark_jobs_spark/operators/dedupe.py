@@ -577,6 +577,60 @@ def simhash_pairs(
     )
 
 
+def _positioned_shingles(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared stage of the exact-substring-dedup family: ``sized``
+    (doc_id, __tk token array, n_tokens) and ``posed`` — POSITIONED
+    n-gram shingles (doc_id, p, s), one row per window start. NOT
+    distinct: positions matter for interval coverage. Sub-n docs emit
+    no shingles (empty sequence)."""
+    base = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__tk"))
+    sized = base.select(
+        "doc_id", "__tk", F.size("__tk").cast("bigint").alias("n_tokens")
+    )
+    idx = F.when(
+        F.col("n_tokens") >= n, F.sequence(F.lit(0), (F.col("n_tokens") - n).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    posed = (
+        sized.withColumn(
+            "__ps",
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("p"),
+                    F.concat_ws(
+                        " ", *[F.get(F.col("__tk"), i + j) for j in range(n)]
+                    ).alias("s"),
+                ),
+            ),
+        )
+        .select("doc_id", F.explode("__ps").alias("__e"))
+        .select("doc_id", F.col("__e.p").alias("p"), F.col("__e.s").alias("s"))
+    )
+    return sized, posed
+
+
+def _covered_positions(posed: DataFrame, n: int) -> DataFrame:
+    """Distinct (doc_id, pos) token positions covered by some n-token
+    window that appears verbatim in ANOTHER document: shingle-df >= 2
+    filter (semi-join), then interval union via explode(sequence)."""
+    dup_shingles = (
+        posed.groupBy("s")
+        .agg(F.count_distinct("doc_id").alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("s")
+    )
+    return (
+        posed.join(dup_shingles, "s", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+
+
 def duplicated_span_coverage(
     docs: DataFrame,
     n: int = 8,
@@ -607,47 +661,11 @@ def duplicated_span_coverage(
     invocation or ``caching.release_owned_caches()``).
     """
     from airbnb_pyspark_jobs_spark.caching import owned_persist
-    from airbnb_pyspark_jobs_spark.functions.text import tokens
 
-    base = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__tk"))
-    sized = base.select(
-        "doc_id", "__tk", F.size("__tk").cast("bigint").alias("n_tokens")
-    )
-    idx = F.when(
-        F.col("n_tokens") >= n, F.sequence(F.lit(0), (F.col("n_tokens") - n).cast("int"))
-    ).otherwise(F.array().cast("array<int>"))
-    posed = (
-        sized.withColumn(
-            "__ps",
-            F.transform(
-                idx,
-                lambda i: F.struct(
-                    i.alias("p"),
-                    F.concat_ws(
-                        " ", *[F.get(F.col("__tk"), i + j) for j in range(n)]
-                    ).alias("s"),
-                ),
-            ),
-        )
-        .select("doc_id", F.explode("__ps").alias("__e"))
-        .select("doc_id", F.col("__e.p").alias("p"), F.col("__e.s").alias("s"))
-    )
+    sized, posed = _positioned_shingles(docs, n, id_col, text_col)
     posed = owned_persist(posed)
-    dup_shingles = (
-        posed.groupBy("s")
-        .agg(F.count_distinct("doc_id").alias("__df"))
-        .filter(F.col("__df") >= 2)
-        .select("s")
-    )
-    covered = (
-        posed.join(dup_shingles, "s", "left_semi")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).alias("p2"),
-        )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_positions"))
+    covered = _covered_positions(posed, n).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_positions")
     )
     return (
         sized.select("doc_id", "n_tokens")
@@ -663,5 +681,138 @@ def duplicated_span_coverage(
                 / F.col("n_tokens").cast("double"),
                 6,
             ).alias("dup_coverage"),
+        )
+    )
+
+
+def cut_duplicated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    coverage_cap: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring dedup REMOVAL policy (Lee et al. 2022's
+    transform step, applied to the :func:`duplicated_span_coverage`
+    signal): CUT every token position covered by a cross-document
+    duplicated n-window, and DROP documents whose duplicated coverage
+    exceeds ``coverage_cap`` (mostly-boilerplate docs aren't worth
+    keeping as fragments).
+
+    Cleaned text is the kept-token runs, tokens joined by ' ' within a
+    run and runs joined by a newline — the newline marks the cut
+    boundary so downstream shinglers that treat runs as segments can
+    never manufacture an n-gram spanning a cut. That yields the dedup
+    guarantee (tested property): any n-gram contiguous inside a kept
+    run was, by construction, NOT cross-doc-duplicated in the original
+    corpus (if a window at p matched another doc, ALL of p..p+n-1 would
+    be covered, hence cut) — so segment-wise re-shingling of the
+    cleaned corpus finds zero cross-doc duplicated n-grams.
+
+    Shape: positioned shingles + interval union (linear, n-fold fan-out
+    on duplicated spans only — the q103 stage), one posexplode of
+    tokens, an anti-join against covered positions, and gaps-and-
+    islands run grouping via a doc-partitioned window (pos -
+    row_number is constant within a contiguous run). All windows
+    partition by doc_id — no global sort, no driver actions. Run
+    reassembly aggregates structs with array_sort for deterministic
+    token order (collect_list alone is order-unstable).
+
+    Returns every doc: ``doc_id, n_tokens, n_dup_positions,
+    dup_coverage, dropped, n_kept_tokens, n_segments, chars_removed,
+    cleaned_text`` (dropped docs: 0 kept tokens, all token chars
+    removed, empty cleaned_text).
+
+    Cache lifecycle: positioned shingles and covered positions each
+    feed two consumers, so both are persisted via
+    ``caching.owned_persist`` (released by the next ``@query``
+    invocation or ``caching.release_owned_caches()``).
+    """
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    sized, posed = _positioned_shingles(docs, n, id_col, text_col)
+    posed = owned_persist(posed)
+    covered = owned_persist(_covered_positions(posed, n))
+    cov_counts = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ndp")
+    )
+    # per-token rows once; lengths projected scan-side (lambda discipline)
+    lens = sized.select(
+        "doc_id",
+        "n_tokens",
+        F.transform("__tk", lambda t: F.length(t).cast("bigint")).alias("__lens"),
+    )
+    totals = lens.select(
+        "doc_id",
+        "n_tokens",
+        F.aggregate("__lens", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "__tot_chars"
+        ),
+    )
+    toks_pos = sized.select(
+        "doc_id", F.posexplode("__tk").alias("pos", "tok")
+    )
+    cut_chars = (
+        toks_pos.join(covered, ["doc_id", "pos"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum(F.length("tok")).cast("bigint").alias("__cut_chars"))
+    )
+    kept = toks_pos.join(covered, ["doc_id", "pos"], "left_anti")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = kept.withColumn(
+        "__rid", (F.col("pos") - F.row_number().over(w)).cast("bigint")
+    )
+    seg = runs.groupBy("doc_id", "__rid").agg(
+        F.min("pos").alias("__sp"),
+        F.count(F.lit(1)).cast("bigint").alias("__nt"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("__seg"),
+    )
+    doc_clean = seg.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__sp", "__seg"))),
+                lambda x: x["__seg"],
+            ),
+        ).alias("__cleaned"),
+        F.sum("__nt").cast("bigint").alias("__kept"),
+        F.count(F.lit(1)).cast("bigint").alias("__nseg"),
+    )
+    ndp = F.coalesce("__ndp", F.lit(0)).cast("bigint")
+    coverage = F.round(ndp.cast("double") / F.col("n_tokens").cast("double"), 6)
+    dropped = coverage > F.lit(float(coverage_cap))
+    return (
+        totals.join(cov_counts, "doc_id", "left")
+        .join(cut_chars, "doc_id", "left")
+        .join(doc_clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            ndp.alias("n_dup_positions"),
+            coverage.alias("dup_coverage"),
+            dropped.alias("dropped"),
+            F.when(dropped, F.lit(0))
+            .otherwise(F.coalesce("__kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept_tokens"),
+            F.when(dropped, F.lit(0))
+            .otherwise(F.coalesce("__nseg", F.lit(0)))
+            .cast("bigint")
+            .alias("n_segments"),
+            F.when(dropped, F.col("__tot_chars"))
+            .otherwise(F.coalesce("__cut_chars", F.lit(0)))
+            .cast("bigint")
+            .alias("chars_removed"),
+            F.when(dropped, F.lit(""))
+            .otherwise(F.coalesce("__cleaned", F.lit("")))
+            .alias("cleaned_text"),
         )
     )

@@ -1771,3 +1771,101 @@ def q103_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return duplicated_span_coverage(docs, n=_SPAN_N)
+
+
+# ---------------------------------------------------------------------------
+# q107 exact-substring dedup REMOVAL (Lee et al. 2022 transform step,
+# completing q103's signal): cut every token position covered by a
+# cross-doc duplicated n-window; drop docs whose coverage exceeds the
+# cap. Cleaned text = kept runs, ' ' within a run and '\n' at each cut
+# boundary (segment-wise shingling of the output finds ZERO cross-doc
+# duplicated n-grams — property-tested in test_dedupe). The oracle
+# replays shingling, the interval union, the anti-join and the
+# gaps-and-islands run reassembly (p - ROW_NUMBER is constant within a
+# contiguous run on both engines).
+# ---------------------------------------------------------------------------
+_CUT_CAP = 0.5
+
+
+@query(
+    "q107_exact_substring_cut",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, {_D_TOKENS} AS tk, CAST(len({_D_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, p, array_to_string(tk[p + 1:p + {_SPAN_N}], ' ') AS s
+      FROM toks, UNNEST(range(0, GREATEST(n_tokens - {_SPAN_N - 1}, 0))) AS u(p)
+    ),
+    dupes AS (
+      SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY s)
+      WHERE df >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, p2
+      FROM (SELECT doc_id, p FROM sh SEMI JOIN dupes USING (s)),
+           UNNEST(range(p, p + {_SPAN_N})) AS u(p2)
+    ),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup FROM cov GROUP BY doc_id),
+    tok AS (
+      SELECT doc_id, p, tk[p + 1] AS t
+      FROM toks, UNNEST(range(0, n_tokens)) AS u(p)
+    ),
+    tot AS (SELECT doc_id, CAST(SUM(len(t)) AS BIGINT) AS tot_chars FROM tok GROUP BY doc_id),
+    cutc AS (
+      SELECT doc_id, CAST(SUM(len(t)) AS BIGINT) AS cut_chars
+      FROM (SELECT tok.doc_id, tok.t FROM tok SEMI JOIN cov
+              ON tok.doc_id = cov.doc_id AND tok.p = cov.p2)
+      GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT tok.doc_id, tok.p, tok.t FROM tok ANTI JOIN cov
+        ON tok.doc_id = cov.doc_id AND tok.p = cov.p2
+    ),
+    runs AS (
+      SELECT doc_id, p, t,
+             p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS rid
+      FROM kept
+    ),
+    seg AS (
+      SELECT doc_id, rid, MIN(p) AS sp, CAST(COUNT(*) AS BIGINT) AS nt,
+             string_agg(t, ' ' ORDER BY p) AS seg_text
+      FROM runs GROUP BY doc_id, rid
+    ),
+    clean AS (
+      SELECT doc_id,
+             string_agg(seg_text, chr(10) ORDER BY sp) AS cleaned,
+             CAST(SUM(nt) AS BIGINT) AS kept_toks,
+             CAST(COUNT(*) AS BIGINT) AS nseg
+      FROM seg GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT t.doc_id, t.n_tokens,
+             CAST(COALESCE(cnt.n_dup, 0) AS BIGINT) AS n_dup_positions,
+             round(CAST(COALESCE(cnt.n_dup, 0) AS DOUBLE)
+                   / CAST(t.n_tokens AS DOUBLE), 6) AS dup_coverage,
+             tot.tot_chars
+      FROM toks t LEFT JOIN cnt ON t.doc_id = cnt.doc_id
+      JOIN tot ON t.doc_id = tot.doc_id
+    )
+    SELECT sig.doc_id, sig.n_tokens, sig.n_dup_positions, sig.dup_coverage,
+           sig.dup_coverage > {_CUT_CAP} AS dropped,
+           CASE WHEN sig.dup_coverage > {_CUT_CAP} THEN CAST(0 AS BIGINT)
+                ELSE CAST(COALESCE(clean.kept_toks, 0) AS BIGINT) END AS n_kept_tokens,
+           CASE WHEN sig.dup_coverage > {_CUT_CAP} THEN CAST(0 AS BIGINT)
+                ELSE CAST(COALESCE(clean.nseg, 0) AS BIGINT) END AS n_segments,
+           CASE WHEN sig.dup_coverage > {_CUT_CAP} THEN sig.tot_chars
+                ELSE CAST(COALESCE(cutc.cut_chars, 0) AS BIGINT) END AS chars_removed,
+           CASE WHEN sig.dup_coverage > {_CUT_CAP} THEN ''
+                ELSE COALESCE(clean.cleaned, '') END AS cleaned_text
+    FROM sig
+    LEFT JOIN cutc ON sig.doc_id = cutc.doc_id
+    LEFT JOIN clean ON sig.doc_id = clean.doc_id
+    """,
+)
+def q107_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.dedupe import cut_duplicated_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    return cut_duplicated_spans(docs, n=_SPAN_N, coverage_cap=_CUT_CAP)

@@ -220,3 +220,66 @@ def test_leakage_free_split_keeps_dup_pairs_together(spark):
     rows = {r.doc_id: (r.component_id, r.split) for r in out.collect()}
     assert rows[100] == rows[101]  # same component AND same split
     assert rows[100][0] == 100
+
+
+def test_cut_duplicated_spans_basic(spark):
+    # doc 1 and 2 share an exact 4-token window; doc 3 is clean.
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta unique1 tail1"),
+            (2, "head2 alpha beta gamma delta tail2"),
+            (3, "totally different words here now ok"),
+        ],
+    )
+    out = {r.doc_id: r for r in DD.cut_duplicated_spans(df, n=4, coverage_cap=0.9).collect()}
+    assert out[3].n_dup_positions == 0 and out[3].cleaned_text == "totally different words here now ok"
+    # shared window covers 4 positions in each doc
+    assert out[1].n_dup_positions == 4 and out[2].n_dup_positions == 4
+    assert out[1].cleaned_text == "unique1 tail1"
+    assert out[2].cleaned_text == "head2\ntail2"  # cut splits into 2 segments
+    assert out[2].n_segments == 2 and out[2].n_kept_tokens == 2
+    assert out[1].chars_removed == len("alphabetagammadelta")
+
+
+def test_cut_duplicated_spans_drop_policy(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),  # fully duplicated -> coverage 1.0
+            (3, "x y z w v u t s"),
+        ],
+    )
+    out = {r.doc_id: r for r in DD.cut_duplicated_spans(df, n=4, coverage_cap=0.5).collect()}
+    for d in (1, 2):
+        assert out[d].dropped and out[d].cleaned_text == "" and out[d].n_kept_tokens == 0
+        assert out[d].chars_removed == 8  # all 8 single-char tokens
+    assert not out[3].dropped and out[3].n_segments == 1
+
+
+def test_cut_duplicated_spans_no_cross_doc_dup_remains(spark):
+    """THE dedup guarantee (Lee et al. 2022 shape): segment-wise
+    re-shingling of the cleaned corpus finds zero n-grams shared by
+    two distinct original documents."""
+    from tests.conftest import SF_DIR
+
+    n = 8
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cleaned = DD.cut_duplicated_spans(docs, n=n, coverage_cap=0.5)
+    segs = (
+        cleaned.filter(~F.col("dropped"))
+        .select("doc_id", F.explode(F.split("cleaned_text", "\n")).alias("seg"))
+        .filter(F.col("seg") != "")
+        .select("doc_id", F.col("seg").alias("text"))
+    )
+    # shingle each segment independently; a shingle in >=2 distinct
+    # ORIGINAL docs would break the guarantee
+    sized, posed = DD._positioned_shingles(segs, n, "doc_id", "text")
+    remaining = (
+        posed.groupBy("s")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .count()
+    )
+    assert remaining == 0
