@@ -592,3 +592,98 @@ def unigram_logprob_scores(
             ).alias("mean_logprob"),
         )
     )
+
+
+# Character-class signal for language ID: non-ASCII chars (CJK,
+# Cyrillic, accented Latin...) — pattern valid in BOTH Java regex and
+# RE2 so the DuckDB oracle runs it verbatim.
+NON_ASCII_PATTERN = r"[^\x00-\x7f]"
+LANGID_LANGS = ("de", "en", "es", "fr")  # alphabetical = tie-break order
+
+
+def language_id(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_ratio: float = 0.02,
+    min_margin: float = 0.005,
+) -> DataFrame:
+    """Heuristic language identification (CCNet/CLD-style public
+    approach, no model download): per-language STOPWORD-PROFILE ratios
+    over whitespace tokens plus a character-class signal
+    (non-ASCII ratio), argmax with deterministic alphabetical
+    tie-break, and an explicit reliability gate — the standard
+    LLM-pipeline cleansing stage between dedup and quality filtering.
+
+    Per-rule outputs (the :func:`gopher_rules` shape — every signal
+    visible for rule-level ablations): ``ratio_<lang>`` for each
+    profiled language, ``non_ascii_ratio``, the prediction
+    (``'und'`` when the best ratio is under ``min_ratio`` — no
+    evidence beats weak evidence), ``margin`` (best − second-best
+    ratio) and ``reliable`` (prediction exists and margin ≥
+    ``min_margin``).
+
+    Scale: one tokenize pass staged into a column, per-language counts
+    as array filters over it (lambda discipline: tokens projected
+    FIRST), one regexp_count for the char-class — pure scan-side, no
+    shuffle, no UDFs. Ratios are integer-count / integer-count
+    divisions rounded to 6: bitwise cross-engine, so the whole
+    operator value-checks against the DuckDB oracle.
+    """
+    from airbnb_pyspark_jobs_spark.functions.text import (
+        stopword_count_from_tokens,
+        tokens,
+    )
+
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(text_col).alias("__toks"),
+        F.regexp_count(F.col(text_col), F.lit(NON_ASCII_PATTERN))
+        .cast("bigint")
+        .alias("__n_nonascii"),
+        F.length(text_col).cast("bigint").alias("__n_chars"),
+    )
+    counted = staged.select(
+        "doc_id",
+        "__n_nonascii",
+        "__n_chars",
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        *[
+            stopword_count_from_tokens(F.col("__toks"), lg).alias(f"__sw_{lg}")
+            for lg in LANGID_LANGS
+        ],
+    )
+    nt = F.col("n_tokens").cast("double")
+    ratios = counted.select(
+        "doc_id",
+        "n_tokens",
+        *[
+            F.round(F.col(f"__sw_{lg}").cast("double") / nt, 6).alias(f"ratio_{lg}")
+            for lg in LANGID_LANGS
+        ],
+        F.round(
+            F.col("__n_nonascii").cast("double")
+            / F.greatest(F.col("__n_chars"), F.lit(1)).cast("double"),
+            6,
+        ).alias("non_ascii_ratio"),
+    )
+    rcols = [F.col(f"ratio_{lg}") for lg in LANGID_LANGS]
+    best = F.greatest(*rcols)
+    # alphabetical tie-break: first language (in LANGID_LANGS order)
+    # reaching the max wins — mirrored verbatim in the oracle CASE chain
+    pred = F.lit("und")
+    for lg in reversed(LANGID_LANGS):
+        pred = F.when(F.col(f"ratio_{lg}") == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best >= F.lit(float(min_ratio)), pred).otherwise(F.lit("und"))
+    sorted_r = F.array_sort(F.array(*rcols))
+    margin = F.round(
+        F.element_at(sorted_r, -1) - F.element_at(sorted_r, -2), 6
+    )
+    return ratios.select(
+        "*",
+        pred.alias("pred_lang"),
+        margin.alias("margin"),
+        ((pred != F.lit("und")) & (margin >= F.lit(float(min_margin)))).alias(
+            "reliable"
+        ),
+    )

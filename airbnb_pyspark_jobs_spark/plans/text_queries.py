@@ -1869,3 +1869,69 @@ def q107_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return cut_duplicated_spans(docs, n=_SPAN_N, coverage_cap=_CUT_CAP)
+
+
+# ---------------------------------------------------------------------------
+# q108 language-ID filter (CCNet/CLD-style stopword-profile + char-class
+# heuristic, operators/corpus.language_id): per-language stopword
+# ratios, non-ASCII ratio, argmax prediction with alphabetical
+# tie-break, 'und' under min evidence, margin-gated reliability, and
+# agreement with the labeled lang column. All integer-count ratios
+# rounded to 6 — fully value-checked cross-engine.
+# ---------------------------------------------------------------------------
+_LID_MIN_RATIO = 0.02
+_LID_MIN_MARGIN = 0.005
+
+
+def _q108_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.operators.corpus import (
+        LANGID_LANGS,
+        NON_ASCII_PATTERN,
+    )
+
+    ratio_cols = ",\n             ".join(
+        f"round(CAST({_duck_stop_count(lg)} AS DOUBLE)"
+        f" / CAST(len({_D_TOKENS}) AS DOUBLE), 6) AS ratio_{lg}"
+        for lg in LANGID_LANGS
+    )
+    rlist = ", ".join(f"ratio_{lg}" for lg in LANGID_LANGS)
+    chain = "\n             ".join(
+        f"WHEN ratio_{lg} = greatest({rlist}) THEN '{lg}'"
+        for lg in LANGID_LANGS[:-1]
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id, lang AS label_lang,
+             CAST(len({_D_TOKENS}) AS BIGINT) AS n_tokens,
+             {ratio_cols},
+             round(CAST(len(regexp_extract_all(text, '{NON_ASCII_PATTERN}')) AS DOUBLE)
+                   / CAST(GREATEST(length(text), 1) AS DOUBLE), 6) AS non_ascii_ratio
+      FROM documents
+    ),
+    p AS (
+      SELECT *,
+             CASE WHEN greatest({rlist}) < {_LID_MIN_RATIO} THEN 'und'
+             {chain}
+             ELSE '{LANGID_LANGS[-1]}' END AS pred_lang,
+             round(list_sort([{rlist}])[4] - list_sort([{rlist}])[3], 6) AS margin
+      FROM s
+    )
+    SELECT doc_id, n_tokens, {rlist}, non_ascii_ratio, pred_lang, margin,
+           pred_lang <> 'und' AND margin >= {_LID_MIN_MARGIN} AS reliable,
+           label_lang, pred_lang = label_lang AS agrees
+    FROM p
+    """
+
+
+@query("q108_language_id", oracle=_q108_oracle())
+def q108_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import language_id
+
+    docs = load_table(spark, "documents", sf_dir)
+    lid = language_id(
+        docs, min_ratio=_LID_MIN_RATIO, min_margin=_LID_MIN_MARGIN
+    )
+    labels = docs.select("doc_id", F.col("lang").alias("label_lang"))
+    return lid.join(labels, "doc_id").withColumn(
+        "agrees", F.col("pred_lang") == F.col("label_lang")
+    )

@@ -311,3 +311,66 @@ def test_unigram_logprob_known_values(spark):
     assert rows[1]["mean_logprob"] == round((lp["cat"] + lp["rare"]) / 2, 4)
     # the common-word doc is more "typical" than the rare-word doc
     assert rows[0]["mean_logprob"] > rows[1]["mean_logprob"]
+
+
+# ---------------------------------------------------------------------------
+# language_id: stopword-profile + char-class heuristic
+# ---------------------------------------------------------------------------
+def test_language_id_picks_profiled_language(spark):
+    from airbnb_pyspark_jobs_spark.operators.corpus import language_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is a good day for the cat"),
+            (2, "der hund ist nicht auf der straße und das ist ein gutes zeichen"),
+            (3, "el perro es un animal que vive en la casa con el gato"),
+            (4, "le chien est dans la maison pour le moment et il est content"),
+            (5, "zzz qqq www eee rrr ttt yyy uuu"),  # no stopword evidence
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in language_id(df).collect()}
+    assert out[1].pred_lang == "en" and out[1].reliable
+    assert out[2].pred_lang == "de" and out[2].reliable
+    assert out[3].pred_lang == "es" and out[3].reliable
+    assert out[4].pred_lang == "fr" and out[4].reliable
+    assert out[5].pred_lang == "und" and not out[5].reliable
+
+
+def test_language_id_non_ascii_ratio_and_tiebreak(spark):
+    from airbnb_pyspark_jobs_spark.operators.corpus import language_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "这是 中文 文本 没有 停用词"),  # all non-ascii, no stopwords
+            # 'la de' hits both es and fr profiles equally -> alphabetical
+            # tie-break: es < fr
+            (2, "la de la de la de la de la de"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in language_id(df).collect()}
+    # every non-space char in doc 1 is CJK: ratio counts chars incl spaces
+    assert out[1].non_ascii_ratio > 0.7 and out[1].pred_lang == "und"
+    assert out[2].pred_lang == "es" and out[2].margin == 0.0 and not out[2].reliable
+
+
+def test_language_id_composes_with_quality_filter(spark):
+    """The pipeline stage order: language gate -> quality gate. The
+    composed keep-set is a subset of each gate's keep-set."""
+    from tests.conftest import SF_DIR
+
+    from airbnb_pyspark_jobs_spark.operators.corpus import language_id, quality_filter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    lid = language_id(docs).select("doc_id", "pred_lang", "reliable")
+    gated = docs.join(
+        lid.filter(F.col("reliable") & (F.col("pred_lang") == "en")),
+        "doc_id",
+        "left_semi",
+    )
+    n_lang = gated.count()
+    composed = quality_filter(gated).filter(F.col("keep")).count()
+    all_quality = quality_filter(docs).filter(F.col("keep")).count()
+    assert 0 < n_lang < docs.count()
+    assert composed <= min(n_lang, all_quality)
