@@ -422,3 +422,96 @@ def exact_quantiles_by(
             F.col("__v").alias("value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k sample quantile sketch — the VALUE-CHECKABLE mergeable
+# quantile sketch (the KMV/CMS recipe applied to quantiles, closing
+# the family's q65-style gap for percentile_approx): a uniform row
+# sample selected by the k smallest md5-uniform hashes of a unique row
+# key (bottom-k / priority sampling, Cohen & Kaplan 2007 — public).
+# Unlike KLL/t-digest (randomized compaction, engine-internal), the
+# bottom-k sample is a pure ORDER BY over a deterministic hash: build,
+# MERGE and estimation replay exactly in SQL.
+#
+# Merge closure (the stored-sketch rollup property): the k smallest
+# (h, v) of the UNION of per-group bottom-k sketches == the bottom-k
+# sketch of the union — any row dropped by its group's sketch has h
+# above that group's k-th, hence above the union's k-th.
+# ---------------------------------------------------------------------------
+def bottomk_sample_sketches(
+    df: DataFrame, ts_col: str, value_col: str, key_col: str, k: int = 256
+) -> DataFrame:
+    """Per-day bottom-k value samples: the ``k`` rows with smallest
+    md5-uniform hash of ``key_col`` (ties broken by value — fully
+    deterministic), stored as a sorted (h, v) struct array. Store
+    these; any date-range quantile rollup is a merge + rank
+    (:func:`bottomk_sample_merge` → :func:`sample_quantiles`) — no
+    rescan. Nulls excluded per percentile semantics.
+
+    Scale shape: one scan projecting (day, h, v), then a
+    day-partitioned window keeps k per day — bounded task memory,
+    never a whole day's values in one buffer."""
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.functions.text import portable_hash_int
+
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        F.to_date(ts_col).alias("day"),
+        portable_hash_int(F.col(key_col).cast("string")).alias("h"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    w = Window.partitionBy("day").orderBy("h", "v")
+    kept = rows.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    return kept.groupBy("day").agg(
+        F.array_sort(F.collect_list(F.struct("h", "v"))).alias("sample")
+    )
+
+
+def bottomk_sample_merge(sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Merge stored per-group bottom-k samples into the union's
+    bottom-k sample (closure — see module comment): explode, keep the
+    k smallest (h, v). The global window ranks <= groups x k sketch
+    rows — sketch-sized, never corpus-sized (the q98 merge shape)."""
+    from pyspark.sql.window import Window
+
+    ex = sketches.select(F.explode("sample").alias("e")).select(
+        F.col("e.h").alias("h"), F.col("e.v").alias("v")
+    )
+    return (
+        ex.withColumn("__rn", F.row_number().over(Window.orderBy("h", "v")))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def sample_quantiles(sample: DataFrame, probs: list[float]) -> DataFrame:
+    """Quantile estimates from a merged (h, v) sample: rank by
+    (v, h), estimate at rank ``ceil(p*m)`` (type-1 quantile of the
+    SAMPLE — converges to the population quantile at O(1/sqrt(k))).
+    Returns ``p, n_sample, est_value``. All frames here are
+    sketch-sized (<= k rows), so the single-task window is bounded by
+    construction."""
+    from pyspark.sql.window import Window
+
+    ranked = sample.withColumn(
+        "__vr", F.row_number().over(Window.orderBy("v", "h"))
+    ).withColumn("__m", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))))
+    probs_df = None
+    for p in sorted(set(probs)):
+        row = sample.sparkSession.range(1).select(F.lit(float(p)).alias("p"))
+        probs_df = row if probs_df is None else probs_df.unionByName(row)
+    return (
+        ranked.crossJoin(F.broadcast(probs_df))
+        .filter(
+            F.col("__vr")
+            == F.greatest(
+                F.lit(1), F.ceil(F.col("p") * F.col("__m")).cast("bigint")
+            )
+        )
+        .select(
+            "p",
+            F.col("__m").cast("bigint").alias("n_sample"),
+            F.col("v").alias("est_value"),
+        )
+    )

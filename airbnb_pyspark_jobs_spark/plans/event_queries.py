@@ -721,3 +721,122 @@ def q104_exact_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, "events", sf_dir)
     return exact_quantiles_by(events, ["event_type"], "value", _GQ_PROBS)
+
+
+# ---------------------------------------------------------------------------
+# q109 mergeable quantile sketch rollup: bottom-k uniform row sample
+# (the KMV recipe applied to quantiles — operators/sketches.
+# bottomk_sample_sketches). Per-day sketches -> merge (closure: the k
+# smallest (h, v) of the union of per-day sketches IS the union's
+# sketch) -> quantile estimates at ceil(p*m), with error-vs-exact
+# columns against the full-data q102-style rank quantile: abs value
+# error and rank error (fraction of values <= estimate, minus p).
+# Everything — hashing, per-day windows, merge, estimation, exact
+# quantiles, error math — replays in DuckDB.
+# ---------------------------------------------------------------------------
+_QSK_K = 256
+_QSK_PROBS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _q109_oracle() -> str:
+    plist = ", ".join(str(p) for p in _QSK_PROBS)
+    return f"""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) AS h,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    dr AS (
+      SELECT day, h, v,
+             ROW_NUMBER() OVER (PARTITION BY day ORDER BY h, v) AS rn
+      FROM h
+    ),
+    mg AS (
+      SELECT h, v, ROW_NUMBER() OVER (ORDER BY h, v) AS rn
+      FROM (SELECT h, v FROM dr WHERE rn <= {_QSK_K})
+    ),
+    samp AS (
+      SELECT v, h, ROW_NUMBER() OVER (ORDER BY v, h) AS vr, COUNT(*) OVER () AS m
+      FROM mg WHERE rn <= {_QSK_K}
+    ),
+    probs AS (SELECT CAST(UNNEST([{plist}]) AS DOUBLE) AS p),
+    est AS (
+      SELECT probs.p, CAST(samp.m AS BIGINT) AS n_sample, samp.v AS est_value
+      FROM probs JOIN samp
+        ON samp.vr = GREATEST(1, CAST(CEIL(probs.p * samp.m) AS BIGINT))
+    ),
+    ex AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r, COUNT(*) OVER () AS n
+      FROM (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL)
+    ),
+    exq AS (
+      SELECT probs.p, ex.v AS exact_value, ex.n
+      FROM probs JOIN ex
+        ON ex.r = GREATEST(1, CAST(CEIL(probs.p * ex.n) AS BIGINT))
+    ),
+    rk AS (
+      SELECT est.p,
+             CAST(SUM(CASE WHEN allv.v <= est.est_value THEN 1 ELSE 0 END) AS BIGINT) AS n_le
+      FROM est, (SELECT CAST(value AS DOUBLE) AS v
+                 FROM events WHERE value IS NOT NULL) allv
+      GROUP BY est.p
+    )
+    SELECT est.p, est.n_sample, est.est_value, exq.exact_value,
+           round(abs(est.est_value - exq.exact_value), 4) AS abs_err,
+           round(abs(CAST(rk.n_le AS DOUBLE) / CAST(exq.n AS DOUBLE) - est.p), 6)
+             AS rank_err
+    FROM est JOIN exq ON est.p = exq.p JOIN rk ON rk.p = est.p
+    """
+
+
+@query("q109_quantile_sketch_rollup", oracle=_q109_oracle())
+def q109_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        bottomk_sample_merge,
+        bottomk_sample_sketches,
+        exact_quantiles,
+        sample_quantiles,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    daily = bottomk_sample_sketches(events, "ts", "value", "event_id", k=_QSK_K)
+    merged = bottomk_sample_merge(daily, k=_QSK_K)
+    est = owned_persist(sample_quantiles(merged, _QSK_PROBS))
+    exact = exact_quantiles(events, "value", _QSK_PROBS).select(
+        "p", F.col("value").alias("exact_value")
+    )
+    vals = events.filter(F.col("value").isNotNull()).select(
+        F.col("value").cast("double").alias("__v")
+    )
+    # rank error: fraction of the FULL data <= estimate (6 broadcast
+    # rows x one scan — a broadcast-join aggregate, not a re-sort)
+    rk = (
+        vals.crossJoin(F.broadcast(est.select("p", "est_value")))
+        .groupBy("p")
+        .agg(
+            F.sum((F.col("__v") <= F.col("est_value")).cast("bigint")).alias("__n_le"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    return (
+        est.join(exact, "p")
+        .join(rk, "p")
+        .select(
+            "p",
+            "n_sample",
+            "est_value",
+            "exact_value",
+            F.round(F.abs(F.col("est_value") - F.col("exact_value")), 4).alias(
+                "abs_err"
+            ),
+            F.round(
+                F.abs(
+                    F.col("__n_le").cast("double") / F.col("__n").cast("double")
+                    - F.col("p")
+                ),
+                6,
+            ).alias("rank_err"),
+        )
+    )

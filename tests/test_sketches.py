@@ -259,3 +259,71 @@ def test_cms_estimates_unseen_key_returns_zero(spark):
     assert set(est) == {"alpha", "never_seen_key_xyz"}
     assert est["alpha"] >= 5
     assert est["never_seen_key_xyz"] == 0
+
+
+# ---------------------------------------------------------------------------
+# bottom-k sample quantile sketch (q109 family)
+# ---------------------------------------------------------------------------
+def test_bottomk_sample_merge_closure(spark):
+    """k smallest (h, v) of the union of per-day sketches == the
+    bottom-k sketch computed directly over all rows (disjoint groups)."""
+    from airbnb_pyspark_jobs_spark.functions.text import portable_hash_int
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        bottomk_sample_merge,
+        bottomk_sample_sketches,
+    )
+
+    k = 64
+    events = load_table(spark, "events", SF_DIR)
+    daily = bottomk_sample_sketches(events, "ts", "value", "event_id", k=k)
+    merged = sorted(
+        (r.h, r.v) for r in bottomk_sample_merge(daily, k=k).collect()
+    )
+    direct = sorted(
+        (r.h, r.v)
+        for r in events.filter(F.col("value").isNotNull())
+        .select(
+            portable_hash_int(F.col("event_id").cast("string")).alias("h"),
+            F.col("value").cast("double").alias("v"),
+        )
+        .orderBy("h", "v")
+        .limit(k)
+        .collect()
+    )
+    assert merged == direct and len(merged) == k
+
+
+def test_sample_quantiles_exact_when_sample_is_whole_population(spark):
+    """k >= n: the sample IS the data, so type-1 sample quantiles equal
+    exact type-1 quantiles."""
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        bottomk_sample_merge,
+        bottomk_sample_sketches,
+        sample_quantiles,
+    )
+
+    rows = [(i, f"2024-01-0{1 + i % 3}", float(v)) for i, v in enumerate([5, 1, 9, 3, 7, 2, 8, 4, 6, 0])]
+    df = spark.createDataFrame(rows, "event_id long, ts string, value double").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    daily = bottomk_sample_sketches(df, "ts", "value", "event_id", k=100)
+    est = {
+        r.p: r.est_value
+        for r in sample_quantiles(
+            bottomk_sample_merge(daily, k=100), [0.1, 0.5, 1.0]
+        ).collect()
+    }
+    # type-1 quantile of 0..9: value at rank ceil(p*10)
+    assert est == {0.1: 0.0, 0.5: 4.0, 1.0: 9.0}
+
+
+def test_sample_quantile_rank_error_statistically_bounded(spark):
+    """Rank error of a k=256 uniform sample is ~1/sqrt(k) ≈ 0.06; this
+    fixed draw (md5 of event_id) is one typical realization — assert a
+    loose 3-sigma-ish bound, not the expectation."""
+    import __spark_entry__ as E
+
+    out = E.queries()["q109_quantile_sketch_rollup"](spark, SF_DIR).collect()
+    assert len(out) == 6
+    assert all(r.rank_err <= 0.2 for r in out)
+    assert all(r.n_sample == 256 for r in out)
