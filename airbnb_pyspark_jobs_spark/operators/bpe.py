@@ -110,6 +110,8 @@ def bpe_learn_merges(
     n_merges: int = 3,
     text_col: str = "text",
     replace_passes: int = 6,
+    progress=None,
+    sym_partitions: int = 4,
 ) -> list[tuple[int, str, str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns
     ``[(merge_idx, sym_a, sym_b, merged, pair_count)]``.
@@ -131,8 +133,16 @@ def bpe_learn_merges(
     persist-chain version grew per-merge cost with the nesting depth
     (SCALE_NOTES).
     """
-    sym = _initial_symbols(word_frequencies(docs, text_col)).localCheckpoint(
-        eager=True
+    # The symbol table is VOCAB-sized (one row per word type) from here
+    # on — corpus scale left the loop with the word-frequency pass.
+    # Coalesce to a handful of partitions or every merge pays
+    # shuffle.partitions-many near-empty tasks x 3 jobs (measured 3.3
+    # -> 0.6 s/merge at 8k types, local[32]); size sym_partitions ~
+    # |vocab|/250k rows on a cluster.
+    sym = (
+        _initial_symbols(word_frequencies(docs, text_col))
+        .coalesce(sym_partitions)
+        .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, str, int]] = []
     for i in range(n_merges):
@@ -144,6 +154,8 @@ def bpe_learn_merges(
         sym = sym.select(
             "freq", apply_merge(F.col("s"), x, y, replace_passes).alias("s")
         ).localCheckpoint(eager=True)
+        if progress is not None:
+            progress(i)
     return merges
 
 

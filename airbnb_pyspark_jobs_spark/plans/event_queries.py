@@ -840,3 +840,98 @@ def q109_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q110 heavy hitters via CMS shortlist + exact verify — the standard
+# two-pass sketch pattern for "which keys dominate this 100 TB
+# column" without a full-count groupBy retained: pass 1 builds d x w
+# CMS counters from RAW event rows (weight 1 — the one-pass streaming
+# shape); pass 2 estimates per distinct key and shortlists est >=
+# ceil(support*N). One-sided error makes the shortlist a SUPERSET of
+# the true heavy hitters (no false negatives), so the exact
+# verification aggregate only touches shortlist keys. w=64 over 150
+# keys guarantees visible collisions: false positives (true_hh =
+# false) appear in the output and are labeled, not hidden.
+# ---------------------------------------------------------------------------
+_HH_D, _HH_W = 4, 64
+_HH_SUPPORT = 0.008
+
+
+def _q110_oracle() -> str:
+    rs = ", ".join(str(r) for r in range(_HH_D))
+    return f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+    tf AS (
+      SELECT CAST(user_id AS VARCHAR) AS key,
+             CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT key, exact_count, r,
+             CAST('0x' || substr(md5('cms' || r || key), 1, 8) AS BIGINT)
+               % {_HH_W} AS b
+      FROM tf, (SELECT UNNEST([{rs}]) AS r) t
+    ),
+    counters AS (
+      SELECT r, b, CAST(SUM(exact_count) AS BIGINT) AS cnt
+      FROM pairs GROUP BY r, b
+    ),
+    est AS (
+      SELECT key, exact_count, CAST(MIN(cnt) AS BIGINT) AS cms_est
+      FROM pairs JOIN counters USING (r, b) GROUP BY key, exact_count
+    ),
+    thr AS (
+      SELECT CAST(CEIL(n * CAST({_HH_SUPPORT} AS DOUBLE)) AS BIGINT) AS threshold
+      FROM n
+    )
+    SELECT CAST(key AS BIGINT) AS user_id, cms_est, exact_count,
+           exact_count >= threshold AS true_hh, threshold
+    FROM est, thr WHERE cms_est >= threshold
+    """
+
+
+@query("q110_heavy_hitters", oracle=_q110_oracle())
+def q110_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        cms_counters,
+        cms_estimates,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    keyed = events.select(
+        F.col("user_id").cast("string").alias("key"), F.lit(1).alias("one")
+    )
+    # counters from RAW rows (weight 1): the one-pass build — no
+    # per-key pre-aggregation needed to maintain the sketch
+    counters = cms_counters(keyed, "key", "one", d=_HH_D, w=_HH_W)
+    thr = F.broadcast(
+        events.agg(
+            F.ceil(
+                F.count(F.lit(1)).cast("bigint") * F.lit(float(_HH_SUPPORT))
+            )
+            .cast("bigint")
+            .alias("threshold")
+        )
+    )
+    est = cms_estimates(
+        keyed.select("key").distinct(), counters, "key", d=_HH_D, w=_HH_W
+    )
+    cands = owned_persist(
+        est.crossJoin(thr).filter(F.col("cms_est") >= F.col("threshold"))
+    )
+    # exact verification touches ONLY shortlist keys (semi-join +
+    # shortlist-sized aggregation)
+    exact = (
+        keyed.join(cands.select("key"), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+    )
+    return cands.join(exact, "key").select(
+        F.col("key").cast("bigint").alias("user_id"),
+        "cms_est",
+        "exact_count",
+        (F.col("exact_count") >= F.col("threshold")).alias("true_hh"),
+        "threshold",
+    )

@@ -54,11 +54,35 @@ def _doc_text(doc_id: int, vocab: Sequence[str]) -> str:
     return " ".join(words)
 
 
+def _synthetic_vocab(size: int) -> list[str]:
+    """``size`` distinct md5-derived lowercase words (3-10 letters) —
+    a rich word-type distribution for vocabulary-scale tests (the
+    default 31-word ``_VOCAB`` exhausts BPE at ~106 merges; a real
+    tokenizer run needs thousands of types). Deterministic: word i is
+    a pure function of ``md5('w{i}')``."""
+    out: list[str] = []
+    seen: set[str] = set()
+    i = 0
+    while len(out) < size:
+        h = hashlib.md5(f"w{i}".encode()).digest()
+        ln = 3 + h[0] % 8
+        w = "".join(chr(ord("a") + b % 26) for b in h[1 : 1 + ln])
+        i += 1
+        if w not in seen:
+            seen.add(w)
+            out.append(w)
+    return out
+
+
 class SyntheticDocsReader(DataSourceReader):
     def __init__(self, options):
         self.n = int(options.get("n", 1000))
         self.num_partitions = int(options.get("partitions", 8))
         self.dup_every = int(options.get("dup_every", 10))
+        # vocab_size=0 -> the classic 31-word _VOCAB (existing corpora
+        # stay byte-identical); >0 -> md5-derived synthetic vocabulary
+        self.vocab_size = int(options.get("vocab_size", 0))
+        self.vocab = _synthetic_vocab(self.vocab_size) if self.vocab_size else None
 
     def partitions(self) -> Sequence[InputPartition]:
         step = max(1, math.ceil(self.n / self.num_partitions))
@@ -70,16 +94,16 @@ class SyntheticDocsReader(DataSourceReader):
     def read(self, partition: _IdRange) -> Iterator[tuple]:
         for doc_id in range(partition.start, partition.end):
             # planted exact duplicate of the predecessor at a known rate
-            yield _doc_row(doc_id, self.dup_every)
+            yield _doc_row(doc_id, self.dup_every, self.vocab)
 
 
-def _doc_row(doc_id: int, dup_every: int) -> tuple:
+def _doc_row(doc_id: int, dup_every: int, vocab: Sequence[str] | None = None) -> tuple:
     """One deterministic corpus row — shared by the batch and stream
     readers so a streamed corpus is byte-identical to the batch one."""
     src_id = (
         doc_id - 1 if (dup_every and doc_id % dup_every == 0 and doc_id > 0) else doc_id
     )
-    text = _doc_text(src_id, _VOCAB)
+    text = _doc_text(src_id, vocab if vocab is not None else _VOCAB)
     return (doc_id, text, "en", f"src{doc_id % 20}", len(text))
 
 

@@ -76,6 +76,14 @@ EXTENDED_QUERIES = [
     "q105_embedding_near_dup_cp",
     # IVF-blocked near-dup (SemDeDup shape; clustered-corpus option)
     "q106_embedding_near_dup_ivf",
+    # exact-substring removal: q103's coverage + anti-join cut +
+    # gaps-and-islands run reassembly
+    "q107_exact_substring_cut",
+    # language-ID: pure scan-side stopword-profile + char-class scoring
+    "q108_language_id",
+    # mergeable bottom-k quantile sketch: build + merge + estimate +
+    # error-vs-exact, all value-checked
+    "q109_quantile_sketch_rollup",
 ]
 
 

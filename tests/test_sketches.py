@@ -327,3 +327,24 @@ def test_sample_quantile_rank_error_statistically_bounded(spark):
     assert len(out) == 6
     assert all(r.rank_err <= 0.2 for r in out)
     assert all(r.n_sample == 256 for r in out)
+
+
+def test_heavy_hitter_shortlist_has_no_false_negatives(spark):
+    """CMS one-sided error => every TRUE heavy hitter (exact >= thr)
+    must appear in the candidate shortlist."""
+    import __spark_entry__ as E
+
+    out = E.queries()["q110_heavy_hitters"](spark, SF_DIR).collect()
+    assert out, "empty shortlist"
+    thr = out[0].threshold
+    shortlist = {r.user_id for r in out}
+    events = load_table(spark, "events", SF_DIR)
+    true_hh = {
+        r.user_id
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= thr)
+        .collect()
+    }
+    assert true_hh <= shortlist
+    assert {r.user_id for r in out if r.true_hh} == true_hh
