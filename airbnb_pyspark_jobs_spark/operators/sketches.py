@@ -456,10 +456,20 @@ def bottomk_sample_sketches(
 
     from airbnb_pyspark_jobs_spark.functions.text import portable_hash_int
 
-    rows = df.filter(F.col(value_col).isNotNull()).select(
-        F.to_date(ts_col).alias("day"),
-        portable_hash_int(F.col(key_col).cast("string")).alias("h"),
-        F.col(value_col).cast("double").alias("v"),
+    rows = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.to_date(ts_col).alias("day"),
+            portable_hash_int(F.col(key_col).cast("string")).alias("h"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        # distinct makes the sketch a SET of (h, v) — merge becomes
+        # idempotent set-union + k-min (the KMV algebra), so replayed /
+        # overlapping batches in the streaming maintenance path cannot
+        # corrupt the sample. Cost: a genuine (hash, value) collision
+        # between two rows dedups to one sample point — negligible and
+        # deterministic.
+        .distinct()
     )
     w = Window.partitionBy("day").orderBy("h", "v")
     kept = rows.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
@@ -475,8 +485,10 @@ def bottomk_sample_merge(sketches: DataFrame, k: int = 256) -> DataFrame:
     rows — sketch-sized, never corpus-sized (the q98 merge shape)."""
     from pyspark.sql.window import Window
 
-    ex = sketches.select(F.explode("sample").alias("e")).select(
-        F.col("e.h").alias("h"), F.col("e.v").alias("v")
+    ex = (
+        sketches.select(F.explode("sample").alias("e"))
+        .select(F.col("e.h").alias("h"), F.col("e.v").alias("v"))
+        .distinct()  # idempotent: overlapping partials absorb
     )
     return (
         ex.withColumn("__rn", F.row_number().over(Window.orderBy("h", "v")))

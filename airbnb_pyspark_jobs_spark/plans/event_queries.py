@@ -742,7 +742,7 @@ def _q109_oracle() -> str:
     plist = ", ".join(str(p) for p in _QSK_PROBS)
     return f"""
     WITH h AS (
-      SELECT CAST(ts AS DATE) AS day,
+      SELECT DISTINCT CAST(ts AS DATE) AS day,
              CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) AS h,
              CAST(value AS DOUBLE) AS v
       FROM events WHERE value IS NOT NULL
@@ -754,7 +754,7 @@ def _q109_oracle() -> str:
     ),
     mg AS (
       SELECT h, v, ROW_NUMBER() OVER (ORDER BY h, v) AS rn
-      FROM (SELECT h, v FROM dr WHERE rn <= {_QSK_K})
+      FROM (SELECT DISTINCT h, v FROM dr WHERE rn <= {_QSK_K})
     ),
     samp AS (
       SELECT v, h, ROW_NUMBER() OVER (ORDER BY v, h) AS vr, COUNT(*) OVER () AS m

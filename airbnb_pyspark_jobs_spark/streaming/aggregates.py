@@ -230,3 +230,65 @@ def read_kmv_rollup(spark: SparkSession, path: str, k: int = 64) -> DataFrame:
         F.size("kmv").cast("bigint").alias("n_kept"),
         kmv_estimate(F.col("kmv"), k).alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming bottom-k quantile-sample maintenance — the quantile twin
+# of the KMV block above, same algebra: the sketch is a SET of (h, v)
+# points (k smallest by deterministic hash), merge = set-union +
+# k-min. Idempotent AND duplicate-absorbing, so at-least-once
+# foreachBatch retries and overlapping batches cannot bias the
+# sample where a reservoir/KLL (stateful, randomized) would need
+# exactly-once plumbing.
+# ---------------------------------------------------------------------------
+def write_partial_bottomk(
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    ts_col: str,
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+) -> None:
+    """Sample ONE micro-batch per day and overwrite its batch-id-keyed
+    subdirectory (idempotent under retries, like the KMV partial)."""
+    from airbnb_pyspark_jobs_spark.operators.sketches import bottomk_sample_sketches
+
+    partial = bottomk_sample_sketches(batch, ts_col, value_col, key_col, k).select(
+        "day", "sample"
+    )
+    partial.write.mode("overwrite").parquet(
+        os.path.join(path, PARTIAL_DIRNAME.format(n=batch_id))
+    )
+
+
+def materialize_bottomk_stream(
+    stream: DataFrame,
+    path: str,
+    ts_col: str,
+    value_col: str,
+    key_col: str,
+    checkpoint: str,
+    k: int = 256,
+):
+    """Wire a stream into the per-day bottom-k sample sink; returns
+    the DataStreamWriter (caller picks the trigger and starts it)."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        write_partial_bottomk(batch, batch_id, path, ts_col, value_col, key_col, k)
+
+    return stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+
+
+def read_bottomk_sample(spark: SparkSession, path: str, k: int = 256) -> DataFrame:
+    """Current merged (h, v) sample over ALL days from the stored
+    partials: explode, distinct set-union, keep the k smallest (merge
+    closure — this IS the bottom-k sample of everything seen). Feed to
+    ``operators.sketches.sample_quantiles`` for estimates. Shuffles
+    only sketch-sized rows (≤ partials × k)."""
+    from airbnb_pyspark_jobs_spark.operators.sketches import bottomk_sample_merge
+
+    partials = spark.read.option("basePath", path).parquet(path)
+    return bottomk_sample_merge(partials, k)

@@ -199,3 +199,67 @@ def test_kmv_stream_converges_to_batch_sketch(spark, tmp_path):
         for r in read_kmv_rollup(spark, rollup, k=k).collect()
     }
     assert again == got
+
+
+def test_bottomk_quantile_stream_converges_to_batch_sketch(spark, tmp_path):
+    """Quantile sample maintained incrementally across micro-batches
+    must equal the one-pass batch sample exactly (set-union merge
+    closure), estimates included; a worst-case at-least-once replay
+    (full-data superset rewritten as one partial) must change
+    nothing."""
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        bottomk_sample_merge,
+        bottomk_sample_sketches,
+        sample_quantiles,
+    )
+    from airbnb_pyspark_jobs_spark.streaming.aggregates import (
+        materialize_bottomk_stream,
+        read_bottomk_sample,
+        write_partial_bottomk,
+    )
+
+    k = 32
+    probs = [0.25, 0.5, 0.9]
+    events = load_table(spark, "events", SF_DIR)
+    src = str(tmp_path / "src")
+    events.repartition(2).write.mode("overwrite").parquet(src)
+
+    rollup = str(tmp_path / "bk")
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        materialize_bottomk_stream(
+            stream, rollup, "ts", "value", "event_id", str(tmp_path / "ckpt"), k=k
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = read_bottomk_sample(spark, rollup, k=k)
+    got_sample = sorted((r.h, r.v) for r in streamed.collect())
+    want_sample = sorted(
+        (r.h, r.v)
+        for r in bottomk_sample_merge(
+            bottomk_sample_sketches(events, "ts", "value", "event_id", k=k), k=k
+        ).collect()
+    )
+    assert got_sample == want_sample and len(got_sample) == k
+
+    got_est = {r.p: r.est_value for r in sample_quantiles(streamed, probs).collect()}
+    want_est = {
+        r.p: r.est_value
+        for r in sample_quantiles(
+            bottomk_sample_merge(
+                bottomk_sample_sketches(events, "ts", "value", "event_id", k=k), k=k
+            ),
+            probs,
+        ).collect()
+    }
+    assert got_est == want_est
+
+    # retry idempotence: batch 0's partial rewritten from the FULL data
+    write_partial_bottomk(events, 0, rollup, "ts", "value", "event_id", k=k)
+    again = sorted(
+        (r.h, r.v) for r in read_bottomk_sample(spark, rollup, k=k).collect()
+    )
+    assert again == got_sample
