@@ -584,10 +584,24 @@ def _positioned_shingles(
     (doc_id, __tk token array, n_tokens) and ``posed`` — POSITIONED
     n-gram shingles (doc_id, p, s), one row per window start. NOT
     distinct: positions matter for interval coverage. Sub-n docs emit
-    no shingles (empty sequence)."""
+    no shingles (empty sequence).
+
+    PERF (measured 17.5 → ~2 s at sf0.1): ``sized`` is persisted via
+    ``owned_persist`` BEFORE the window transform. CollapseProject
+    inlines the ``tokens()`` split into the lambda body and common-
+    subexpression elimination does not cross lambda boundaries — so
+    without the barrier the regex split re-runs once per WINDOW
+    REFERENCE, not once per row (the SCALE_NOTES lambda trap, in its
+    project-collapse disguise). The lambda also references ``__tk``
+    exactly once (slice + array_join, not n element gets) so the
+    residual inline cost is bounded even uncached."""
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
     base = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__tk"))
-    sized = base.select(
-        "doc_id", "__tk", F.size("__tk").cast("bigint").alias("n_tokens")
+    sized = owned_persist(
+        base.select(
+            "doc_id", "__tk", F.size("__tk").cast("bigint").alias("n_tokens")
+        )
     )
     idx = F.when(
         F.col("n_tokens") >= n, F.sequence(F.lit(0), (F.col("n_tokens") - n).cast("int"))
@@ -599,9 +613,7 @@ def _positioned_shingles(
                 idx,
                 lambda i: F.struct(
                     i.alias("p"),
-                    F.concat_ws(
-                        " ", *[F.get(F.col("__tk"), i + j) for j in range(n)]
-                    ).alias("s"),
+                    F.array_join(F.slice(F.col("__tk"), i + 1, n), " ").alias("s"),
                 ),
             ),
         )

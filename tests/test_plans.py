@@ -196,3 +196,35 @@ def test_q94_global_rank_is_two_phase_partitioned(spark):
             assert "windowspecdefinition(__b" in line, line
     # offsets are broadcast back, not joined corpus-side
     assert "BroadcastExchange" in plan
+
+
+def test_q107_cut_windows_are_doc_partitioned(spark):
+    """The exact-substring cut's run-grouping windows must partition by
+    doc_id (per-doc ordering), never a global sort over the corpus."""
+    df = QUERIES["q107_exact_substring_cut"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "windowspecdefinition(doc_id" in line, line
+
+
+def test_q108_language_id_is_scan_side(spark):
+    """Language-ID scoring is a pure per-row derivation: the ratio/
+    argmax stage must introduce no aggregation and no extra shuffle
+    beyond the label join."""
+    from airbnb_pyspark_jobs_spark.operators.corpus import language_id
+
+    docs = load_table(spark, "documents", SF_DIR)
+    plan = _executed_plan(language_id(docs))
+    assert "Exchange" not in plan  # no shuffle at all scoring-side
+    assert "HashAggregate" not in plan
+
+
+def test_q110_counters_and_shortlist_broadcast(spark):
+    """Heavy hitters: the d x w counter table and the shortlist join
+    must broadcast — the corpus-sized side is never shuffled for them."""
+    df = QUERIES["q110_heavy_hitters"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "BroadcastExchange" in plan
+    # exact verification is a semi-join against shortlist keys
+    assert "LeftSemi" in plan
