@@ -828,3 +828,145 @@ def cut_duplicated_spans(
             .alias("cleaned_text"),
         )
     )
+
+
+def _band_rows(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band_idx, band_hash) rows from a signature frame —
+    band hash = md5 of the band's minhashes joined with '|'."""
+    band_cols = []
+    for b in range(bands):
+        hs = [F.col(f"h{b * rows_per_band + j}") for j in range(1, rows_per_band + 1)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *hs)).alias("band_hash"),
+            )
+        )
+    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
+        "doc_id", "band.band_idx", "band.band_hash"
+    )
+
+
+def minhash_band_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 2,
+) -> DataFrame:
+    """The STORABLE LSH index of a corpus: ``(doc_id, band_idx,
+    band_hash)`` rows. Persist this table once; incremental dedup of
+    every future batch is an equality join against it
+    (:func:`incremental_minhash_pairs`) — the 100 TB shape where the
+    historical corpus is NEVER re-shingled, re-hashed or re-banded."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must divide evenly into bands")
+    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    return _band_rows(sig, bands, num_hashes // bands)
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    old_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection for a NEW batch against a STORED
+    index (the daily-ingest production shape): only the new docs are
+    shingled/hashed/banded; new-vs-old candidates come from one
+    equality join against ``old_index`` (``minhash_band_index`` rows,
+    loaded from storage); new-vs-new from a self-join of the new
+    bands. Exact-Jaccard verification re-shingles the new batch plus
+    ONLY the old docs that appear in some candidate pair (semi-join) —
+    work is proportional to batch size + candidate fan-in, never to
+    corpus history.
+
+    Returns ``doc_id_a < doc_id_b, kind ('new_old'|'new_new'),
+    jaccard >= threshold``. Precision is exact (verification), recall
+    is the banding recall — identical to :func:`minhash_lsh_pairs` on
+    the union corpus, restricted to pairs touching the new batch.
+
+    Cache lifecycle: new-batch bands and shingles are persisted via
+    ``caching.owned_persist`` (multi-consumer), released by the next
+    ``@query`` invocation."""
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    new_index = owned_persist(
+        minhash_band_index(new_docs, id_col, text_col, n, num_hashes, bands)
+    )
+    cand_no = (
+        new_index.alias("a")
+        .join(
+            old_index.alias("b"),
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+            ],
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id_b"),
+            F.lit("new_old").alias("kind"),
+        )
+    )
+    cand_nn = (
+        new_index.alias("a")
+        .join(
+            new_index.alias("b"),
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.lit("new_new").alias("kind"),
+        )
+    )
+    cand = owned_persist(cand_no.unionByName(cand_nn).distinct())
+    # verification corpus: the new batch + ONLY candidate old docs
+    old_ids = cand.filter(F.col("kind") == "new_old").select(
+        F.col("doc_id_a").alias("doc_id")
+    ).unionByName(
+        cand.filter(F.col("kind") == "new_old").select(
+            F.col("doc_id_b").alias("doc_id")
+        )
+    ).distinct()
+    slim = lambda d: d.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))  # noqa: E731
+    verify_docs = slim(new_docs).unionByName(
+        slim(old_docs).join(old_ids, "doc_id", "left_semi")
+    )
+    sh = owned_persist(shingle_table(verify_docs, "doc_id", "text", n))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_id_a"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.doc_id") == F.col("doc_id_b")) & (F.col("sb.s") == F.col("sa.s")),
+        )
+        .groupBy("doc_id_a", "doc_id_b", "kind")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnsRenamed({"doc_id": "doc_id_a", "n_sh": "n_a"}), "doc_id_a"
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "doc_id_b", "n_sh": "n_b"}), "doc_id_b"
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "kind", "jaccard")
+    )

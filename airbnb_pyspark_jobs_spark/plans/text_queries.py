@@ -1935,3 +1935,81 @@ def q108_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lid.join(labels, "doc_id").withColumn(
         "agrees", F.col("pred_lang") == F.col("label_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q111 incremental MinHash dedup against a STORED band index (the
+# daily-ingest production shape): docs split deterministically into an
+# existing corpus (doc_id % 5 != 0) and a new batch (% 5 == 0); the
+# old corpus contributes ONLY its stored (doc_id, band_idx, band_hash)
+# index rows — never re-shingled for candidate generation — and exact
+# verification re-shingles just the new batch + candidate old docs.
+# Oracle replays signatures, banding, the split, both candidate kinds
+# and verification; equality proves the incremental path returns
+# exactly what full-corpus LSH would for pairs touching the new batch.
+# ---------------------------------------------------------------------------
+_Q111_ORACLE = f"""
+WITH {_D_SHINGLES},
+sig AS (
+  SELECT doc_id,
+    {_mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+    {_band_exprs}
+  FROM sig
+),
+bl AS (
+  {_band_union}
+),
+cand AS (
+  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_id_a,
+         GREATEST(a.doc_id, b.doc_id) AS doc_id_b,
+         'new_old' AS kind
+  FROM bl a JOIN bl b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+  UNION
+  SELECT DISTINCT a.doc_id, b.doc_id, 'new_new' AS kind
+  FROM bl a JOIN bl b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id_a, c.doc_id_b, c.kind, COUNT(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_id_a
+  JOIN sh sb ON sb.doc_id = c.doc_id_b AND sb.s = sa.s
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id_a, doc_id_b, kind,
+       CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN cnt ca ON doc_id_a = ca.doc_id
+JOIN cnt cb ON doc_id_b = cb.doc_id
+WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.5
+"""
+
+
+@query("q111_incremental_minhash", oracle=_Q111_ORACLE)
+def q111_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    old_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    # production: this index is LOADED from storage, built once by
+    # minhash_band_index at ingest time — recomputed here only because
+    # the testdata has no side-channel storage
+    old_index = DD.minhash_band_index(
+        old_docs, num_hashes=_NH, bands=_BANDS
+    )
+    return DD.incremental_minhash_pairs(
+        new_docs,
+        old_docs,
+        old_index,
+        num_hashes=_NH,
+        bands=_BANDS,
+        threshold=0.5,
+    )

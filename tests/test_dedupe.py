@@ -283,3 +283,49 @@ def test_cut_duplicated_spans_no_cross_doc_dup_remains(spark):
         .count()
     )
     assert remaining == 0
+
+
+def test_incremental_minhash_finds_both_kinds(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = _docs(
+        spark,
+        [
+            (1, base),                     # old
+            (3, "totally different text with other words here"),  # old
+            (5, base),                     # new: dup of old 1
+            (10, base + " iota"),          # new: near-dup of 1 and 5
+            (15, "unrelated brand new content nothing shared"),   # new
+        ],
+    )
+    old = df.filter(F.col("doc_id") % 5 != 0)
+    new = df.filter(F.col("doc_id") % 5 == 0)
+    idx = DD.minhash_band_index(old)
+    out = {
+        (r.doc_id_a, r.doc_id_b): r.kind
+        for r in DD.incremental_minhash_pairs(new, old, idx, threshold=0.5).collect()
+    }
+    assert out[(1, 5)] == "new_old"
+    assert out[(1, 10)] == "new_old"
+    assert out[(5, 10)] == "new_new"
+    assert all(a % 5 == 0 or b % 5 == 0 for a, b in out)
+
+
+def test_incremental_minhash_equals_full_lsh_restricted(spark):
+    """The incremental path must return exactly the full-corpus LSH
+    pairs that touch the new batch (same banding, same threshold)."""
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = DD.minhash_band_index(old)
+    inc = {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 9))
+        for r in DD.incremental_minhash_pairs(new, old, idx, threshold=0.5).collect()
+    }
+    full = {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 9))
+        for r in DD.minhash_lsh_pairs(docs, threshold=0.5).collect()
+        if r.doc_id_a % 5 == 0 or r.doc_id_b % 5 == 0
+    }
+    assert inc == full
