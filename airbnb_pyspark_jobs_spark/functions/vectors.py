@@ -68,3 +68,34 @@ def int8_reconstruction_error(a: Column, scale: Column) -> Column:
     )
     total = F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x)
     return total / F.size(a).cast("double")
+
+
+def jl_signs(comp_idx: int, dims: int) -> list[int]:
+    """Deterministic ±1 Johnson-Lindenstrauss projection row: parity of
+    md5('jl{comp_idx}:{dim}') — the Achlioptas (2003) database-friendly
+    JL construction (±1 entries, no Gaussians), made cross-engine
+    reproducible the same way as the LSH hyperplanes."""
+    import hashlib
+
+    return [
+        1
+        if int(hashlib.md5(f"jl{comp_idx}:{d}".encode()).hexdigest()[:8], 16) % 2 == 0
+        else -1
+        for d in range(dims)
+    ]
+
+
+def jl_project(vec: Column, out_dim: int, dims: int) -> Column:
+    """Project a ``dims``-d double array to ``out_dim`` components:
+    y_j = dot(v, signs_j) / sqrt(out_dim). Each component is one
+    index-order fold over ±1 literals — exact products, deterministic
+    sum order, so projections are bitwise cross-engine. Scan-side only:
+    no shuffle, the projection matrix lives in the plan as literals."""
+    import math
+
+    comps = [
+        dot(vec, F.array(*[F.lit(float(s)) for s in jl_signs(j, dims)]))
+        / F.lit(math.sqrt(float(out_dim)))
+        for j in range(out_dim)
+    ]
+    return F.array(*comps)

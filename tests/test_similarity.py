@@ -269,3 +269,43 @@ def test_cp_buckets_deterministic_across_runs(spark):
     a = {(r.id, r.h): r.bkt for r in SIM.cp_buckets(emb, 6, 8).collect()}
     b = {(r.id, r.h): r.bkt for r in SIM.cp_buckets(emb, 6, 8).collect()}
     assert a == b and len(a) == 50 * 6
+
+
+def test_jl_projection_distortion_shrinks_with_out_dim(spark):
+    """JL distortion ~ 1/sqrt(out_dim): doubling the projected
+    dimension must reduce mean cosine error on the same pair set."""
+    from airbnb_pyspark_jobs_spark.functions.vectors import (
+        dot,
+        jl_project,
+        jl_signs,
+        to_double_array,
+    )
+
+    assert jl_signs(0, 8) == jl_signs(0, 8)  # deterministic
+    assert set(jl_signs(1, 64)) <= {-1, 1}
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 30).select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+
+    def mean_err(od):
+        p = base.select("vec_id", "v", jl_project(F.col("v"), od, 64).alias("pv"))
+
+        def cos(va, vb):
+            return dot(va, vb) / (F.sqrt(dot(va, va)) * F.sqrt(dot(vb, vb)))
+
+        return (
+            p.alias("a")
+            .join(p.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.abs(
+                    cos(F.col("a.v"), F.col("b.v")) - cos(F.col("a.pv"), F.col("b.pv"))
+                ).alias("e")
+            )
+            .agg(F.avg("e"))
+            .first()[0]
+        )
+
+    e16, e48 = mean_err(16), mean_err(48)
+    assert e48 < e16 < 0.5
