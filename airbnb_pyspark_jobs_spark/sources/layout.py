@@ -113,3 +113,55 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def metadata_stats(
+    spark, path: str, cols: list[str]
+) -> dict[str, dict[str, object]]:
+    """Footer-only MIN/MAX/COUNT per column — Spark's parquet AGGREGATE
+    pushdown (`PushedAggregation` in the scan): the answer comes from
+    row-group statistics in the file footers, zero data pages read. At
+    100 TB this is the difference between a metadata operation and a
+    full scan for "how many rows / what's the value range" questions
+    (partition pruning's aggregate sibling).
+
+    Pushdown requires the V2 parquet reader and kicks in only for
+    filter-less MIN/MAX/COUNT, so both confs are flipped for the scope
+    of this call and restored after (V1 remains the repo default: V2
+    changes plan shapes repo-wide and buys nothing else here). The
+    helper VERIFIES `PushedAggregation` appears in the executed plan —
+    callers get footer semantics or an assertion, never a silent full
+    scan. Returns ``{col: {"min": .., "max": .., "count": ..}}``.
+
+    NOTE footer semantics: parquet stats are exact for these tables'
+    types; for floating NaN columns or pre-2.4 writers, stats can be
+    absent — Spark then refuses the pushdown (plan assertion fires)
+    rather than returning wrong answers.
+    """
+    v1_key, agg_key = (
+        "spark.sql.sources.useV1SourceList",
+        "spark.sql.parquet.aggregatePushdown",
+    )
+    old_v1 = spark.conf.get(v1_key)
+    old_agg = spark.conf.get(agg_key, "false")
+    spark.conf.set(v1_key, "")
+    spark.conf.set(agg_key, "true")
+    try:
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+        aggs.append(F.count(F.lit(1)).alias("__n"))
+        agg = spark.read.parquet(path).agg(*aggs)
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        if "PushedAggregation" not in plan:
+            raise AssertionError(
+                "parquet aggregate pushdown did not engage; plan:\n" + plan
+            )
+        row = agg.first()
+        return {
+            c: {"min": row[f"__mn_{c}"], "max": row[f"__mx_{c}"], "count": row["__n"]}
+            for c in cols
+        }
+    finally:
+        spark.conf.set(v1_key, old_v1)
+        spark.conf.set(agg_key, old_agg)

@@ -84,6 +84,9 @@ EXTENDED_QUERIES = [
     # mergeable bottom-k quantile sketch: build + merge + estimate +
     # error-vs-exact, all value-checked
     "q109_quantile_sketch_rollup",
+    # incremental dedup: new batch vs STORED band index (the
+    # daily-ingest shape; history never re-shingled)
+    "q111_incremental_minhash",
 ]
 
 

@@ -228,3 +228,21 @@ def test_q110_counters_and_shortlist_broadcast(spark):
     assert "BroadcastExchange" in plan
     # exact verification is a semi-join against shortlist keys
     assert "LeftSemi" in plan
+
+
+def test_metadata_stats_pushes_aggregates_to_footers(spark):
+    """metadata_stats must answer from parquet footers (PushedAggregation
+    is asserted inside the helper) and agree with a real scan."""
+    from airbnb_pyspark_jobs_spark.sources.layout import metadata_stats
+
+    path = f"{SF_DIR}/lineitem.parquet"
+    stats = metadata_stats(spark, path, ["l_extendedprice", "l_quantity"])
+    df = spark.read.parquet(path)
+    want = df.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice"),
+        F.min("l_quantity"), F.max("l_quantity"), F.count(F.lit(1)),
+    ).first()
+    assert stats["l_extendedprice"] == {"min": want[0], "max": want[1], "count": want[4]}
+    assert stats["l_quantity"] == {"min": want[2], "max": want[3], "count": want[4]}
+    # conf scope restored
+    assert spark.conf.get("spark.sql.sources.useV1SourceList") != ""
