@@ -287,3 +287,101 @@ def source_interleave(
         "interleave_key",
         F.round(F.col("source_rank").cast("double") / w_expr, round_digits),
     )
+
+
+def _alpha_pow(c: Column, alpha: float) -> Column:
+    """``c ** alpha`` for alpha in {0.25, 0.5, 0.75, 1.0} built from
+    IEEE ``sqrt`` compositions only. General ``pow`` is NOT correctly
+    rounded across libms (Java vs DuckDB can differ in the last ulp,
+    which flips a rounded quota at the boundary); sqrt and multiply
+    ARE, so these four temperatures are bitwise cross-engine."""
+    if alpha == 1.0:
+        return c
+    if alpha == 0.5:
+        return F.sqrt(c)
+    if alpha == 0.25:
+        return F.sqrt(F.sqrt(c))
+    if alpha == 0.75:
+        return F.sqrt(c) * F.sqrt(F.sqrt(c))
+    raise ValueError("alpha must be one of 0.25, 0.5, 0.75, 1.0")
+
+
+def temperature_mixture_quotas(
+    docs: DataFrame,
+    budget: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled source mixture (the multilingual/multi-source
+    LM sampling rule, public — mC4 / XLM-R alpha-sampling): sampling
+    share q_i = c_i^alpha / sum_j c_j^alpha over per-source token
+    counts c_i; alpha < 1 flattens the distribution, upweighting small
+    sources. Each source gets quota_i = floor(q_i * budget) documents,
+    filled by the deterministic md5 rank within the source (same
+    selection rule as the per-source caps operator, so reruns and
+    engines agree row-for-row).
+
+    Cross-engine determinism: c_i^alpha via sqrt compositions
+    (:func:`_alpha_pow`), rounded to 6 and summed as DECIMAL(28,6) —
+    exact, order-independent — then ONE double division per source,
+    rounded to 6. Never a float sum across groups (aggregation order
+    differs between engines) and never libm ``pow``.
+
+    Returns per doc: ``doc_id, source, n_tokens, weight (the source's
+    q_i), quota, src_rank, selected``. Sampling is WITHOUT
+    replacement: a source smaller than its quota contributes all its
+    docs and the leftover budget is not redistributed (callers that
+    need exact totals re-run with the residual budget over the
+    unfilled sources, or use repetition-tolerant upsampling). Scale
+    shape: one token-count scan, a source-count aggregate broadcast
+    back, one source-partitioned rank window.
+    """
+    from airbnb_pyspark_jobs_spark.functions.text import token_count
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        token_count(text_col).alias("n_tokens"),
+    )
+    per_src = toks.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("__c")
+    )
+    w_dec = per_src.select(
+        "source",
+        F.round(_alpha_pow(F.col("__c").cast("double"), alpha), 6)
+        .cast("decimal(28,6)")
+        .alias("__w"),
+    )
+    tot = w_dec.agg(F.sum("__w").alias("__tw"))  # exact decimal sum
+    quotas = w_dec.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(F.col("__w").cast("double") / F.col("__tw").cast("double"), 6).alias(
+            "weight"
+        ),
+    ).select(
+        "source",
+        "weight",
+        F.floor(F.col("weight") * F.lit(float(budget))).cast("bigint").alias("quota"),
+    )
+    ranked = toks.withColumn(
+        "src_rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        )
+        .cast("bigint"),
+    )
+    return ranked.join(F.broadcast(quotas), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "weight",
+        "quota",
+        "src_rank",
+        (F.col("src_rank") <= F.col("quota")).alias("selected"),
+    )

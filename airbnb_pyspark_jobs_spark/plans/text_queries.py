@@ -2013,3 +2013,59 @@ def q111_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_BANDS,
         threshold=0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+# q113 temperature-scaled source mixture (mC4/XLM-R alpha-sampling,
+# operators/sampling.temperature_mixture_quotas): q_i proportional to
+# (source token count)^0.5 — alpha built from IEEE sqrt only (libm pow
+# is not cross-engine-exact), per-source weights summed as exact
+# DECIMAL, quotas filled by deterministic md5 rank. Oracle replays
+# token counting, the sqrt/decimal weight math and the ranking.
+# ---------------------------------------------------------------------------
+_TM_BUDGET, _TM_ALPHA = 200, 0.5
+
+
+@query(
+    "q113_temperature_mixture",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, source, CAST(len({_D_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS c FROM toks GROUP BY source),
+    w AS (
+      SELECT source,
+             CAST(round(sqrt(CAST(c AS DOUBLE)), 6) AS DECIMAL(28,6)) AS w
+      FROM c
+    ),
+    q AS (
+      SELECT source,
+             round(CAST(w AS DOUBLE) / CAST((SELECT SUM(w) FROM w) AS DOUBLE), 6)
+               AS weight
+      FROM w
+    ),
+    quotas AS (
+      SELECT source, weight,
+             CAST(FLOOR(weight * {_TM_BUDGET}) AS BIGINT) AS quota
+      FROM q
+    ),
+    r AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS src_rank
+      FROM toks
+    )
+    SELECT r.doc_id, r.source, r.n_tokens, quotas.weight, quotas.quota,
+           r.src_rank, r.src_rank <= quotas.quota AS selected
+    FROM r JOIN quotas ON r.source = quotas.source
+    """,
+)
+def q113_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        temperature_mixture_quotas,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return temperature_mixture_quotas(docs, budget=_TM_BUDGET, alpha=_TM_ALPHA)

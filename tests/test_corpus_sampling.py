@@ -374,3 +374,53 @@ def test_language_id_composes_with_quality_filter(spark):
     all_quality = quality_filter(docs).filter(F.col("keep")).count()
     assert 0 < n_lang < docs.count()
     assert composed <= min(n_lang, all_quality)
+
+
+def test_temperature_mixture_flattens_skew(spark):
+    """alpha=0.5 must upweight the small source vs its proportional
+    share, and alpha=1.0 must reproduce proportional sampling."""
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        temperature_mixture_quotas,
+    )
+
+    rows = [(i, "big", "w " * 100) for i in range(90)] + [
+        (1000 + i, "small", "w " * 100) for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    q5 = {
+        r.source: (r.weight, r.quota)
+        for r in temperature_mixture_quotas(docs, budget=100, alpha=0.5)
+        .select("source", "weight", "quota")
+        .distinct()
+        .collect()
+    }
+    q1 = {
+        r.source: (r.weight, r.quota)
+        for r in temperature_mixture_quotas(docs, budget=100, alpha=1.0)
+        .select("source", "weight", "quota")
+        .distinct()
+        .collect()
+    }
+    # proportional: small = 10% -> quota 10; sqrt: sqrt(9):sqrt(1) = 3:1 -> 25%
+    assert q1["small"][1] == 10 and q1["big"][1] == 90
+    assert q5["small"][1] == 25 and q5["big"][1] == 75
+    # selection takes min(quota, source size): the small source has
+    # only 10 docs, so its quota of 25 cannot be filled (sampling is
+    # without replacement; leftover budget is not redistributed)
+    sel = (
+        temperature_mixture_quotas(docs, budget=100, alpha=0.5)
+        .filter(F.col("selected"))
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    assert {r.source: r["count"] for r in sel} == {"big": 75, "small": 10}
+
+
+def test_alpha_pow_rejects_unportable_exponents(spark):
+    import pytest
+
+    from airbnb_pyspark_jobs_spark.operators.sampling import _alpha_pow
+
+    with pytest.raises(ValueError):
+        _alpha_pow(F.lit(2.0), 0.3)
