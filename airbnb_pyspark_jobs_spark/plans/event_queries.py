@@ -935,3 +935,122 @@ def q110_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("exact_count") >= F.col("threshold")).alias("true_hh"),
         "threshold",
     )
+
+
+# ---------------------------------------------------------------------------
+# q114 winsorized robust stats per event type: p01/p99 from the
+# in-plan grouped exact-quantile rank (the q104 machinery), values
+# clamped to the band, and mean/variance BEFORE vs AFTER computed in
+# exact integer cents (the q71 no-float-stddev pattern: sums and
+# sums-of-squares of 2-decimal values are exact BIGINTs, aggregation-
+# order independent; one double division at the end). The standard
+# feature-engineering / DQ step between ingestion and model input —
+# a rank pass + one scan, no per-group value buffers.
+# ---------------------------------------------------------------------------
+_WZ_LO, _WZ_HI = 0.01, 0.99
+
+
+def _q114_oracle() -> str:
+    return f"""
+    WITH v AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rank,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    b AS (
+      SELECT event_type,
+             MAX(CASE WHEN rank = GREATEST(1, CAST(CEIL({_WZ_LO} * n) AS BIGINT))
+                 THEN v END) AS p01,
+             MAX(CASE WHEN rank = GREATEST(1, CAST(CEIL({_WZ_HI} * n) AS BIGINT))
+                 THEN v END) AS p99
+      FROM r GROUP BY event_type
+    ),
+    c AS (
+      SELECT v.event_type,
+             CAST(round(v.v * 100) AS BIGINT) AS rc,
+             CAST(round(GREATEST(b.p01, LEAST(b.p99, v.v)) * 100) AS BIGINT) AS wc,
+             CAST(v.v < b.p01 OR v.v > b.p99 AS INT) AS clamped,
+             b.p01, b.p99
+      FROM v JOIN b ON v.event_type = b.event_type
+    ),
+    a AS (
+      SELECT event_type, MAX(p01) AS p01, MAX(p99) AS p99,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(clamped) AS BIGINT) AS n_clamped,
+             CAST(SUM(rc) AS BIGINT) AS sr, CAST(SUM(rc * rc) AS BIGINT) AS qr,
+             CAST(SUM(wc) AS BIGINT) AS sw, CAST(SUM(wc * wc) AS BIGINT) AS qw
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type, n, n_clamped, p01, p99,
+           round(CAST(sr AS DOUBLE) / CAST(n * 100 AS DOUBLE), 6) AS mean_raw,
+           round(CAST(sw AS DOUBLE) / CAST(n * 100 AS DOUBLE), 6) AS mean_winsorized,
+           round(CAST(n * qr - sr * sr AS DOUBLE)
+                 / CAST(n * n AS DOUBLE) / 10000.0, 6) AS var_raw,
+           round(CAST(n * qw - sw * sw AS DOUBLE)
+                 / CAST(n * n AS DOUBLE) / 10000.0, 6) AS var_winsorized
+    FROM a
+    """
+
+
+@query("q114_winsorized_stats", oracle=_q114_oracle())
+def q114_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sketches import exact_quantiles_by
+
+    events = load_table(spark, "events", sf_dir)
+    q = exact_quantiles_by(events, ["event_type"], "value", [_WZ_LO, _WZ_HI])
+    bounds = q.groupBy("event_type").agg(
+        F.max(F.when(F.col("p") == _WZ_LO, F.col("value"))).alias("p01"),
+        F.max(F.when(F.col("p") == _WZ_HI, F.col("value"))).alias("p99"),
+    )
+    v = events.filter(F.col("value").isNotNull()).select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    c = v.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "p01",
+        "p99",
+        F.round(F.col("v") * 100).cast("bigint").alias("rc"),
+        F.round(F.greatest("p01", F.least("p99", F.col("v"))) * 100)
+        .cast("bigint")
+        .alias("wc"),
+        ((F.col("v") < F.col("p01")) | (F.col("v") > F.col("p99")))
+        .cast("int")
+        .alias("clamped"),
+    )
+    a = c.groupBy("event_type").agg(
+        F.max("p01").alias("p01"),
+        F.max("p99").alias("p99"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("clamped").cast("bigint").alias("n_clamped"),
+        F.sum("rc").cast("bigint").alias("sr"),
+        F.sum(F.col("rc") * F.col("rc")).cast("bigint").alias("qr"),
+        F.sum("wc").cast("bigint").alias("sw"),
+        F.sum(F.col("wc") * F.col("wc")).cast("bigint").alias("qw"),
+    )
+    n, d = F.col("n"), F.col("n").cast("double")
+    return a.select(
+        "event_type",
+        "n",
+        "n_clamped",
+        "p01",
+        "p99",
+        F.round(F.col("sr").cast("double") / (d * 100.0), 6).alias("mean_raw"),
+        F.round(F.col("sw").cast("double") / (d * 100.0), 6).alias("mean_winsorized"),
+        F.round(
+            (n * F.col("qr") - F.col("sr") * F.col("sr")).cast("double")
+            / (d * d)
+            / 10000.0,
+            6,
+        ).alias("var_raw"),
+        F.round(
+            (n * F.col("qw") - F.col("sw") * F.col("sw")).cast("double")
+            / (d * d)
+            / 10000.0,
+            6,
+        ).alias("var_winsorized"),
+    )
