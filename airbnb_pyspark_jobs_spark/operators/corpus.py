@@ -687,3 +687,75 @@ def language_id(
             "reliable"
         ),
     )
+
+
+def char_bigram_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    low_entropy_threshold: float = 5.8,
+) -> DataFrame:
+    """Character-bigram Shannon entropy per document — the
+    compression-ratio quality proxy (low entropy = repetitive /
+    templated / low-information text; the signal compression-based
+    filters like those in RefinedWeb-style pipelines approximate with
+    zlib). H = log2(N) - (1/N)·Σ c_b·log2(c_b) over bigram counts.
+
+    Cross-engine determinism (the no-float-group-sum rule): the only
+    per-group float sum is replaced by an EXACT integer sum —
+    log2(c_b) is rounded to 9 decimals and scaled to integer
+    nano-units per (doc, bigram) row, so Σ c_b·round(log2(c_b)·1e9)
+    is a BIGINT (aggregation-order independent); the final H is two
+    libm log2 calls and one division, rounded to 6. Sub-2-char docs
+    have no bigrams → entropy 0 (the empty-product convention),
+    guarded against the descending-sequence(1,0) trap.
+
+    Returns ``doc_id, n_bigrams, n_distinct_bigrams, entropy,
+    low_entropy``. Scale: one explode (n_chars rows/doc) + one
+    two-key groupBy — same shape as the shingle operators.
+    """
+    t = docs.select(
+        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("__t")
+    ).withColumn("__len", F.length("__t").cast("bigint"))
+    idx = F.when(
+        F.col("__len") >= 2, F.sequence(F.lit(1), (F.col("__len") - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    bg = t.select(
+        "doc_id", F.explode(F.transform(idx, lambda i: F.substring("__t", i, 2))).alias("b")
+    )
+    counts = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("__c"))
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("__c").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_bigrams"),
+        F.sum(
+            F.col("__c") * F.round(F.log2("__c") * 1e9).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("__s"),
+    )
+    h = F.round(
+        F.log2(F.col("n_bigrams"))
+        - F.col("__s").cast("double") / (F.col("n_bigrams").cast("double") * 1e9),
+        6,
+    )
+    out = agg.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        h.alias("entropy"),
+    )
+    return (
+        t.select("doc_id")
+        .join(out, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("n_distinct_bigrams", F.lit(0))
+            .cast("bigint")
+            .alias("n_distinct_bigrams"),
+            F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
+        )
+        .withColumn(
+            "low_entropy", F.col("entropy") < F.lit(float(low_entropy_threshold))
+        )
+    )

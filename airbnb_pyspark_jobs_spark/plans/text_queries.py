@@ -2069,3 +2069,48 @@ def q113_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return temperature_mixture_quotas(docs, budget=_TM_BUDGET, alpha=_TM_ALPHA)
+
+
+# ---------------------------------------------------------------------------
+# q115 char-bigram entropy quality signal (compression-proxy filter,
+# operators/corpus.char_bigram_entropy): the per-group float sum in
+# H = log2(N) - (1/N)*sum(c*log2(c)) is replaced by an exact BIGINT
+# sum of nano-scaled rounded log2 terms (aggregation-order
+# independent), so the whole signal value-checks cross-engine. 39/500
+# docs flag low-entropy at 5.8 bits on sf0.01 (the repetitive tail).
+# ---------------------------------------------------------------------------
+_ENT_T = 5.8
+
+
+@query(
+    "q115_char_bigram_entropy",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+    bg AS (
+      SELECT doc_id, substr(t, CAST(i AS INT), 2) AS b
+      FROM t, UNNEST(range(1, GREATEST(CAST(length(t) AS BIGINT), 1))) u(i)
+    ),
+    c AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    a AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+             CAST(SUM(c * CAST(round(log2(c) * 1e9) AS BIGINT)) AS BIGINT) AS s
+      FROM c GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(a.n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams,
+           COALESCE(round(log2(a.n_bigrams)
+                    - CAST(a.s AS DOUBLE) / (CAST(a.n_bigrams AS DOUBLE) * 1e9), 6),
+                    0.0) AS entropy,
+           COALESCE(round(log2(a.n_bigrams)
+                    - CAST(a.s AS DOUBLE) / (CAST(a.n_bigrams AS DOUBLE) * 1e9), 6),
+                    0.0) < {_ENT_T} AS low_entropy
+    FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+    """,
+)
+def q115_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import char_bigram_entropy
+
+    docs = load_table(spark, "documents", sf_dir)
+    return char_bigram_entropy(docs, low_entropy_threshold=_ENT_T)

@@ -424,3 +424,27 @@ def test_alpha_pow_rejects_unportable_exponents(spark):
 
     with pytest.raises(ValueError):
         _alpha_pow(F.lit(2.0), 0.3)
+
+
+def test_char_bigram_entropy_orders_repetitive_below_diverse(spark):
+    from airbnb_pyspark_jobs_spark.operators.corpus import char_bigram_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "ababababababababababab"),          # 2 distinct bigrams
+            (2, "the quick brown fox jumps over!"),  # diverse
+            (3, "a"),                                # sub-2-char -> 0
+            (4, "aaaaaaaaaaaa"),                     # 1 distinct bigram -> H=0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in char_bigram_entropy(df).collect()}
+    assert out[3].n_bigrams == 0 and out[3].entropy == 0.0
+    assert out[4].entropy == 0.0 and out[4].low_entropy
+    assert out[1].entropy < out[2].entropy
+    assert out[1].low_entropy and out[2].low_entropy  # both under 5.8 bits (short)
+    # exact check: 'abab...' has bigrams ab x11, ba x10 -> H ~ 0.9986
+    import math
+    n, ca, cb = 21, 11, 10
+    want = round(math.log2(n) - (ca * round(math.log2(ca) * 1e9) + cb * round(math.log2(cb) * 1e9)) / (n * 1e9), 6)
+    assert abs(out[1].entropy - want) < 1e-9
