@@ -759,3 +759,118 @@ def char_bigram_entropy(
             "low_entropy", F.col("entropy") < F.lit(float(low_entropy_threshold))
         )
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    is_target: F.Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    seed: str = "dsir:",
+    lw_digits: int = 6,
+    score_digits: int = 6,
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023 — public method): featurize every
+    document as a bag of HASHED unigrams+bigrams, fit add-1-smoothed
+    multinomials over the hash buckets for the TARGET slice (the
+    distribution you want more of) and the RAW corpus, and score each
+    document by its mean per-feature log-likelihood ratio
+    ``ln p_target(b) - ln p_raw(b)``. Positive score = looks more like
+    the target than the background; selection keeps the top slice.
+
+    Cross-engine determinism: the bucket is the portable md5 hash mod
+    ``buckets`` (non-negative 32-bit, so ``pmod`` == ``%``); each
+    ``ln(p)`` is rounded to ``lw_digits`` and cast to DECIMAL before
+    the subtraction, so per-bucket weights and per-doc sums are EXACT
+    (aggregation-order independent); only the final mean is one double
+    division + round.
+
+    Returns ``doc_id, n_ngrams, avg_logratio, keep`` (keep =
+    avg_logratio > 0). Scale: the corpus-sized work is one n-gram
+    explode (≈2 rows per token) and two groupBys whose outputs are
+    bucket-sized (``buckets`` rows); the weight table is broadcast, so
+    scoring is a map-side join + one per-doc aggregation. No driver
+    actions, no UDFs.
+    """
+    from airbnb_pyspark_jobs_spark.functions.text import portable_hash_int, tokens
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        is_target.alias("__tgt"),
+        F.transform(tokens(text_col), lambda x: F.lower(x)).alias("ts"),
+    )
+    uni = base.select("doc_id", "__tgt", F.explode("ts").alias("g"))
+    # sequence(1, 0) is DESCENDING in Spark — guard short docs explicitly.
+    bi_idx = F.when(
+        F.size("ts") >= 2, F.sequence(F.lit(1), F.size("ts") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bi = base.select(
+        "doc_id",
+        "__tgt",
+        F.explode(
+            F.transform(
+                bi_idx,
+                lambda i: F.concat(
+                    F.element_at("ts", i), F.lit(" "), F.element_at("ts", i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    hashed = uni.unionByName(bi).select(
+        "doc_id",
+        "__tgt",
+        F.pmod(portable_hash_int(F.col("g"), seed=seed), F.lit(buckets)).alias("b"),
+    )
+    raw = hashed.groupBy("b").agg(F.count(F.lit(1)).alias("__cq"))
+    tgt = (
+        hashed.filter(F.col("__tgt"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    totals = hashed.agg(
+        F.count(F.lit(1)).cast("double").alias("__nq"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).cast("double").alias("__nt"),
+    )
+    k = float(buckets)
+    dec = f"decimal(28,{lw_digits})"
+    w = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("__ct"), F.lit(0)).cast("double") + 1.0)
+                        / (F.col("__nt") + F.lit(k))
+                    ),
+                    lw_digits,
+                ).cast(dec)
+                - F.round(
+                    F.log(
+                        (F.col("__cq").cast("double") + 1.0) / (F.col("__nq") + F.lit(k))
+                    ),
+                    lw_digits,
+                ).cast(dec)
+            ).alias("__lw"),
+        )
+    )
+    scored = (
+        hashed.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            F.round(
+                F.sum("__lw").cast("double") / F.count(F.lit(1)).cast("double"),
+                score_digits,
+            ).alias("avg_logratio"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_ngrams",
+        "avg_logratio",
+        (F.col("avg_logratio") > F.lit(0.0)).alias("keep"),
+    )

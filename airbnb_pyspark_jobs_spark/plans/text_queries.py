@@ -2114,3 +2114,70 @@ def q115_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return char_bigram_entropy(docs, low_entropy_threshold=_ENT_T)
+
+
+# ---------------------------------------------------------------------------
+# q116 DSIR importance weights (Data Selection via Importance
+# Resampling, Xie et al. 2023): hashed unigram+bigram bag features,
+# add-1-smoothed target/raw multinomials over 1024 md5 buckets,
+# per-doc mean log-likelihood ratio. Target slice = source 'src0' (the
+# "high-quality domain" stand-in). Each ln(p) is rounded to 6 then
+# DECIMAL, so bucket weights and per-doc sums are exact; the mean is
+# one double division + round — bitwise cross-engine.
+# ---------------------------------------------------------------------------
+_DSIR_TARGET_SRC = "src0"
+_DSIR_BUCKETS = 1024
+
+
+@query(
+    "q116_dsir_importance",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, source, list_transform({_D_TOKENS}, x -> lower(x)) AS ts
+      FROM documents
+    ),
+    uni AS (SELECT doc_id, source, UNNEST(ts) AS g FROM tok),
+    bi AS (
+      SELECT doc_id, source, ts[i] || ' ' || ts[i+1] AS g
+      FROM tok, UNNEST(range(1, len(ts))) AS u(i)
+    ),
+    grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    hashed AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5('dsir:' || g), 1, 8) AS BIGINT)
+               % {_DSIR_BUCKETS} AS b
+      FROM grams
+    ),
+    raw AS (SELECT b, COUNT(*) AS cq FROM hashed GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS ct FROM hashed
+            WHERE source = '{_DSIR_TARGET_SRC}' GROUP BY b),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nq,
+                   CAST(SUM(CASE WHEN source = '{_DSIR_TARGET_SRC}'
+                            THEN 1 ELSE 0 END) AS DOUBLE) AS nt
+            FROM hashed),
+    w AS (
+      SELECT r.b,
+             CAST(round(ln((COALESCE(t.ct, 0) + 1.0)
+                           / (tot.nt + {_DSIR_BUCKETS}.0)), 6) AS DECIMAL(28,6))
+             - CAST(round(ln((r.cq + 1.0)
+                             / (tot.nq + {_DSIR_BUCKETS}.0)), 6) AS DECIMAL(28,6))
+               AS lw
+      FROM raw r LEFT JOIN tgt t ON r.b = t.b, tot
+    ),
+    sc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+             round(CAST(SUM(lw) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS avg_logratio
+      FROM hashed JOIN w USING (b)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_ngrams, avg_logratio, (avg_logratio > 0.0) AS keep FROM sc
+    """,
+)
+def q116_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import dsir_importance_weights
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dsir_importance_weights(
+        docs, is_target=F.col("source") == _DSIR_TARGET_SRC, buckets=_DSIR_BUCKETS
+    )

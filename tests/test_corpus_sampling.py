@@ -448,3 +448,41 @@ def test_char_bigram_entropy_orders_repetitive_below_diverse(spark):
     n, ca, cb = 21, 11, 10
     want = round(math.log2(n) - (ca * round(math.log2(ca) * 1e9) + cb * round(math.log2(cb) * 1e9)) / (n * 1e9), 6)
     assert abs(out[1].entropy - want) < 1e-9
+
+
+def test_dsir_importance_scores_target_like_docs_higher(spark):
+    from airbnb_pyspark_jobs_spark.operators.corpus import dsir_importance_weights
+
+    # target slice (docs 1-4) speaks "alpha beta"; background speaks
+    # "gamma delta"; doc 10 mimics the target, doc 11 the background.
+    rows = [(i, "alpha beta alpha beta", True) for i in range(1, 5)]
+    rows += [(i, "gamma delta gamma delta", False) for i in range(5, 10)]
+    rows += [(10, "alpha beta", False), (11, "gamma delta", False)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = {
+        r.doc_id: r
+        for r in dsir_importance_weights(df, is_target=F.col("tgt")).collect()
+    }
+    assert out[10].avg_logratio > out[11].avg_logratio
+    # at toy scale add-1 smoothing over 1024 buckets dominates the
+    # absolute sign, so assert the flag's DEFINITION, not its value
+    assert out[10].keep == (out[10].avg_logratio > 0)
+    assert not out[11].keep
+    # n_ngrams = unigrams + bigrams = 2 + 1 for the two-token docs
+    assert out[10].n_ngrams == 3
+
+
+def test_dsir_single_token_doc_has_no_bigrams(spark):
+    from airbnb_pyspark_jobs_spark.operators.corpus import dsir_importance_weights
+
+    df = spark.createDataFrame(
+        [(1, "solo", True), (2, "a b", False)],
+        "doc_id long, text string, tgt boolean",
+    )
+    out = {
+        r.doc_id: r
+        for r in dsir_importance_weights(df, is_target=F.col("tgt")).collect()
+    }
+    # the sequence(1,0)-descending guard: 1-token doc = 1 unigram only
+    assert out[1].n_ngrams == 1
+    assert out[2].n_ngrams == 3
