@@ -874,3 +874,82 @@ def dsir_importance_weights(
         "avg_logratio",
         (F.col("avg_logratio") > F.lit(0.0)).alias("keep"),
     )
+
+
+def bigram_interp_logprob_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+    lp_digits: int = 6,
+    score_digits: int = 6,
+) -> DataFrame:
+    """Mean interpolated-bigram log-probability per document — the
+    next step up from :func:`unigram_logprob_scores` toward CCNet's
+    KenLM perplexity filter: score token i by
+    ``ln(lam * p(w_i | w_{i-1}) + (1-lam) * p(w_i))`` (Jelinek-Mercer
+    interpolation, MLE counts), first tokens by ``ln(p(w_i))``.
+    Better-fit text scores higher; gibberish and shuffled text lose
+    the bigram term's mass.
+
+    Cross-engine determinism: the mixture is evaluated in one fixed
+    double-op order ``(lam*pb) + ((1-lam)*pu)`` on both engines, then
+    ``ln`` is rounded to ``lp_digits`` and cast DECIMAL so per-doc
+    sums are exact; the mean is one double division + round.
+
+    Returns ``doc_id, n_tokens, mean_logprob``. Scale: the (term,
+    prev) pairs come from an arrays_zip against the shifted token
+    array — no window shuffle, no index lambdas (the tokenized frame
+    is persisted as the re-inlining barrier); unigram/context tables
+    are vocab-sized (broadcast); the bigram join is the one
+    corpus-scale equi-join, left to AQE.
+    """
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.text import tokens
+
+    base = owned_persist(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(tokens(text_col), lambda x: F.lower(x)).alias("__tk"),
+        )
+    )
+    shifted = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(F.col("__tk"), 1, F.size("__tk") - 1),
+    )
+    pairs = base.select(
+        "doc_id",
+        F.explode(F.arrays_zip(F.col("__tk").alias("term"), shifted.alias("prev"))).alias(
+            "__e"
+        ),
+    ).select("doc_id", F.col("__e.term").alias("term"), F.col("__e.prev").alias("prev"))
+    tf = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("__c"))
+    nn = tf.agg(F.sum("__c").cast("double").alias("__n"))
+    bf = (
+        pairs.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "term")
+        .agg(F.count(F.lit(1)).alias("__cb"))
+    )
+    ctx = bf.groupBy("prev").agg(F.sum("__cb").cast("bigint").alias("__cc"))
+    pu = F.col("__c").cast("double") / F.col("__n")
+    pb = F.col("__cb").cast("double") / F.col("__cc").cast("double")
+    mix = F.when(F.col("prev").isNull(), pu).otherwise(
+        F.lit(float(lam)) * pb + F.lit(float(1.0 - lam)) * pu
+    )
+    scored = (
+        pairs.join(F.broadcast(tf), "term")
+        .join(bf, ["prev", "term"], "left")
+        .join(F.broadcast(ctx), "prev", "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            F.round(F.log(mix), lp_digits).cast(f"decimal(28,{lp_digits})").alias("__lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum("__lp").cast("double") / F.count(F.lit(1)).cast("double"),
+            score_digits,
+        ).alias("mean_logprob"),
+    )

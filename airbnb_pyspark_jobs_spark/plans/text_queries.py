@@ -2181,3 +2181,55 @@ def q116_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weights(
         docs, is_target=F.col("source") == _DSIR_TARGET_SRC, buckets=_DSIR_BUCKETS
     )
+
+
+# ---------------------------------------------------------------------------
+# q117 interpolated-bigram LM scores (Jelinek-Mercer mixture of MLE
+# bigram and unigram models — the step from q96's unigram stand-in
+# toward CCNet's KenLM filter). The mixture is evaluated in one fixed
+# double-op order on both engines, ln rounded to 6 then DECIMAL, so
+# per-doc sums are exact. CAST(0.75 AS DOUBLE) in the oracle — DuckDB
+# bare literals are DECIMAL, Spark lit() is double.
+# ---------------------------------------------------------------------------
+@query(
+    "q117_bigram_interp_logprob",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, list_transform({_D_TOKENS}, x -> lower(x)) AS ts
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, ts[i] AS term,
+             CASE WHEN i >= 2 THEN ts[i-1] END AS prev
+      FROM tok, UNNEST(range(1, len(ts) + 1)) AS u(i)
+    ),
+    tf AS (SELECT term, COUNT(*) AS c FROM pos GROUP BY term),
+    n AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM tf),
+    bf AS (SELECT prev, term, COUNT(*) AS cb FROM pos
+           WHERE prev IS NOT NULL GROUP BY prev, term),
+    ctx AS (SELECT prev, CAST(SUM(cb) AS BIGINT) AS cc FROM bf GROUP BY prev),
+    sc AS (
+      SELECT p.doc_id,
+             CAST(round(ln(
+               CASE WHEN p.prev IS NULL
+                    THEN CAST(tf.c AS DOUBLE) / n.n
+                    ELSE CAST(0.75 AS DOUBLE)
+                           * (CAST(bf.cb AS DOUBLE) / CAST(ctx.cc AS DOUBLE))
+                         + CAST(0.25 AS DOUBLE) * (CAST(tf.c AS DOUBLE) / n.n)
+               END), 6) AS DECIMAL(28,6)) AS lp
+      FROM pos p
+      JOIN tf USING (term)
+      LEFT JOIN bf ON p.prev = bf.prev AND p.term = bf.term
+      LEFT JOIN ctx ON p.prev = ctx.prev, n
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS mean_logprob
+    FROM sc GROUP BY doc_id
+    """,
+)
+def q117_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import bigram_interp_logprob_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bigram_interp_logprob_scores(docs, lam=0.75)

@@ -486,3 +486,32 @@ def test_dsir_single_token_doc_has_no_bigrams(spark):
     # the sequence(1,0)-descending guard: 1-token doc = 1 unigram only
     assert out[1].n_ngrams == 1
     assert out[2].n_ngrams == 3
+
+
+def test_bigram_interp_scores_fluent_above_shuffled(spark):
+    from airbnb_pyspark_jobs_spark.operators.corpus import (
+        bigram_interp_logprob_scores,
+    )
+
+    # corpus dominated by the bigram "a b"; doc 10 follows the pattern,
+    # doc 11 uses the same unigrams in never-seen orders
+    rows = [(i, "a b a b a b") for i in range(1, 6)]
+    rows += [(10, "a b a b"), (11, "b b a a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_interp_logprob_scores(df).collect()}
+    assert out[10].n_tokens == 4
+    assert out[10].mean_logprob > out[11].mean_logprob
+
+
+def test_bigram_interp_single_token_doc_uses_unigram_only(spark):
+    import math
+
+    from airbnb_pyspark_jobs_spark.operators.corpus import (
+        bigram_interp_logprob_scores,
+    )
+
+    df = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_interp_logprob_scores(df).collect()}
+    # two tokens total, both "x": p_uni = 1.0, ln -> 0.0
+    assert out[1].n_tokens == 1
+    assert abs(out[1].mean_logprob - round(math.log(1.0), 6)) < 1e-12
