@@ -1450,3 +1450,76 @@ def rotate_vectors(
         *extra_cols,
         F.array(*[comp(row) for row in rotation]).alias(out_col),
     )
+
+
+def prototypicality_prune(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    iters: int = 3,
+    prune_pct: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """SSL-prototypes-style data pruning (Sorscher et al. 2022 — keep
+    hard/diverse examples, drop the most prototypical): cluster with
+    the deterministic Lloyd quantizer (:func:`kmeans_centroids`),
+    score every vector by its rounded unit-cosine to its OWN cluster
+    centroid, and mark the top ``prune_pct`` percent most-prototypical
+    of each cluster as drops. Per-cluster (not global) pruning keeps
+    the pruned set covering all modes of the distribution.
+
+    The cut rank is pure integer arithmetic — ``(n * prune_pct) div
+    100`` — so the keep flag has no float-boundary hazard
+    cross-engine. Windows are PARTITIONED by cluster; cluster counts
+    are k-sized and broadcast.
+
+    Returns ``vec_id, cid, proto_sim, proto_rank, n_in_cluster,
+    keep``. Scale: one Arrow-batched centroid-sim pass (k·n rows),
+    one partitioned window per cluster — no global sort, no driver
+    state beyond the k centroids."""
+    if not 0 <= prune_pct <= 100:
+        raise ValueError(f"prune_pct must be in [0, 100], got {prune_pct}")
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus,
+            k=n_cells,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_digits=round_digits,
+        )
+    u = unit_vectors(corpus, id_col, vec_col, "id", "vn")
+    sims = centroid_unit_sims(u, [(cid, _py_unit(v)) for cid, v in centroids])
+    wa = Window.partitionBy("id").orderBy(
+        F.round("__rsim", round_digits).desc(), F.col("cid").asc()
+    )
+    assigned = (
+        sims.withColumn("__crn", F.row_number().over(wa))
+        .filter(F.col("__crn") == 1)
+        .select(
+            "id", "cid", F.round("__rsim", round_digits).alias("proto_sim")
+        )
+    )
+    counts = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in_cluster")
+    )
+    wr = Window.partitionBy("cid").orderBy(
+        F.col("proto_sim").desc(), F.col("id").asc()
+    )
+    return (
+        assigned.withColumn("proto_rank", F.row_number().over(wr).cast("bigint"))
+        .join(F.broadcast(counts), "cid")
+        .select(
+            F.col("id").alias("vec_id"),
+            "cid",
+            "proto_sim",
+            "proto_rank",
+            "n_in_cluster",
+            (
+                F.col("proto_rank")
+                > F.expr(f"n_in_cluster * {int(prune_pct)} div 100")
+            ).alias("keep"),
+        )
+    )

@@ -1336,3 +1336,47 @@ def q112_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame
     return pairs.select(
         "*", F.round(F.abs(F.col("cos_exact") - F.col("cos_proj")), 4).alias("abs_err")
     )
+
+
+# ---------------------------------------------------------------------------
+# q118 prototypicality pruning (SSL-prototypes, Sorscher et al. 2022):
+# cluster with the q53 coarse quantizer, score each vector by rounded
+# unit-cosine to its own centroid, drop the top 20% most-prototypical
+# per cluster. The oracle replays the identical Lloyd training via the
+# shared _kmeans_ctes chain; the cut rank is integer div — no float
+# boundary.
+# ---------------------------------------------------------------------------
+_PROTO_PRUNE_PCT = 20
+
+
+def _q118_oracle() -> str:
+    return f"""
+WITH {_D_UNIT},
+{_kmeans_ctes(_NCENT, _ITERS)},
+asg AS (
+  SELECT a.vec_id, a.cid, a.s AS proto_sim FROM (
+    SELECT u.vec_id, c.cid, {_ASSIGN_SIM} AS s,
+      ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                         ORDER BY {_ASSIGN_SIM} DESC, c.cid ASC) AS crn
+    FROM u, cu{_ITERS} c) a WHERE a.crn = 1
+),
+cnt AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_in_cluster FROM asg GROUP BY cid),
+r AS (
+  SELECT vec_id, cid, proto_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY cid ORDER BY proto_sim DESC, vec_id ASC) AS BIGINT)
+           AS proto_rank
+  FROM asg
+)
+SELECT r.vec_id, r.cid, r.proto_sim, r.proto_rank, cnt.n_in_cluster,
+       (r.proto_rank > (cnt.n_in_cluster * {_PROTO_PRUNE_PCT}) // 100) AS keep
+FROM r JOIN cnt USING (cid)
+"""
+
+
+@query("q118_prototypicality_prune", oracle=_q118_oracle())
+def q118_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.prototypicality_prune(
+        emb, n_cells=_NCENT, iters=_ITERS, prune_pct=_PROTO_PRUNE_PCT
+    )

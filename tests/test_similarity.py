@@ -309,3 +309,42 @@ def test_jl_projection_distortion_shrinks_with_out_dim(spark):
 
     e16, e48 = mean_err(16), mean_err(48)
     assert e48 < e16 < 0.5
+
+
+def test_prototypicality_prune_drops_per_cluster_quota(spark):
+    from airbnb_pyspark_jobs_spark.operators.similarity import prototypicality_prune
+
+    # two tight, well-separated clusters of 10; per-cluster 20% cut -> 2
+    # drops each. Ids interleave so the lowest-id k-means init (vec_id
+    # 0, 1) seeds one centroid in EACH cluster.
+    rows = []
+    for i in range(20):
+        if i % 2 == 0:
+            rows.append((i, [10.0 + (i * 0.01), 0.0, 0.0, 1.0]))
+        else:
+            rows.append((i, [0.0, 10.0 + (i * 0.01), 0.0, 1.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = prototypicality_prune(df, n_cells=2, iters=2, prune_pct=20).collect()
+    assert len(out) == 20
+    by_cid = {}
+    for r in out:
+        by_cid.setdefault(r.cid, []).append(r)
+    assert len(by_cid) == 2
+    for members in by_cid.values():
+        assert len(members) == 10
+        dropped = [r for r in members if not r.keep]
+        assert len(dropped) == 2  # (10 * 20) div 100
+        # the dropped rows are exactly the top-ranked (most prototypical)
+        assert sorted(r.proto_rank for r in dropped) == [1, 2]
+        assert max(r.proto_rank for r in members) == 10
+        assert all(r.n_in_cluster == 10 for r in members)
+
+
+def test_prototypicality_prune_rejects_bad_pct(spark):
+    import pytest as _pytest
+
+    from airbnb_pyspark_jobs_spark.operators.similarity import prototypicality_prune
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="prune_pct"):
+        prototypicality_prune(df, prune_pct=150)
