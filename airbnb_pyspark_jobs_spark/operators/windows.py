@@ -121,3 +121,57 @@ def keyed_dedupe(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def max_concurrency(
+    events: DataFrame,
+    group_col: str,
+    start_col: Column,
+    end_col: Column,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Peak interval concurrency per group — the classic sweep-line
+    (+1 at interval start, -1 at end, running sum, max) decomposed
+    into the SCALE-SAFE two-phase shape: within-BUCKET prefix sums
+    (windows partitioned by (group, time-bucket), bounded size) plus
+    bucket-level cumulative offsets (a window over the tiny
+    group×bucket frame) — no global per-group sort, the same
+    decomposition as ``sketches.exact_quantiles``.
+
+    Tie semantics: boundary points order by (t, delta) with the
+    default RANGE frame, so -1 ends process before +1 starts at the
+    same instant (half-open intervals) and duplicate points share one
+    cumulative value — deterministic and identical in ANSI SQL.
+
+    Returns ``{group}, max_concurrent, peak_ts`` (peak_ts = earliest
+    boundary instant achieving the max)."""
+    g = group_col
+    starts = events.select(
+        F.col(g), start_col.alias("t"), F.lit(1).alias("d")
+    )
+    ends = events.select(F.col(g), end_col.alias("t"), F.lit(-1).alias("d"))
+    pts = starts.unionByName(ends).withColumn(
+        "__bkt", F.date_trunc(bucket, F.col("t"))
+    )
+    win = Window.partitionBy(g, "__bkt").orderBy("t", "d")
+    within = pts.withColumn("__pre", F.sum("d").over(win))
+    btot = pts.groupBy(g, "__bkt").agg(F.sum("d").alias("__btot"))
+    woff = (
+        Window.partitionBy(g)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = btot.withColumn(
+        "__off", F.coalesce(F.sum("__btot").over(woff), F.lit(0))
+    ).select(g, "__bkt", "__off")
+    conc = within.join(offs, [g, "__bkt"]).withColumn(
+        "__conc", (F.col("__pre") + F.col("__off")).cast("bigint")
+    )
+    m = conc.groupBy(g).agg(F.max("__conc").alias("max_concurrent"))
+    return (
+        conc.join(m, g)
+        .filter(F.col("__conc") == F.col("max_concurrent"))
+        .groupBy(g, "max_concurrent")
+        .agg(F.min("t").alias("peak_ts"))
+        .select(g, "max_concurrent", "peak_ts")
+    )

@@ -1054,3 +1054,50 @@ def q114_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("var_winsorized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q119 peak interval concurrency per event type (sweep-line max):
+# each event spans [ts, ts + 5 min); the Spark side runs the
+# two-phase bucketed prefix sum (hour-bucket windows + tiny
+# bucket-offset window — no global per-type sort), the oracle the
+# textbook single running sum; equality proves the decomposition.
+# Ties: ends (-1) before starts (+1) at the same instant, default
+# RANGE frame on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q119_max_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT event_type, ts AS st, ts + INTERVAL 5 MINUTE AS en FROM events
+    ),
+    pts AS (
+      SELECT event_type, st AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT event_type, en AS t, -1 AS d FROM iv
+    ),
+    c AS (
+      SELECT event_type, t,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY t, d) AS conc
+      FROM pts
+    ),
+    m AS (
+      SELECT event_type, CAST(MAX(conc) AS BIGINT) AS max_concurrent
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_type, m.max_concurrent, MIN(c.t) AS peak_ts
+    FROM c JOIN m ON c.event_type = m.event_type
+                 AND c.conc = m.max_concurrent
+    GROUP BY c.event_type, m.max_concurrent
+    """,
+)
+def q119_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.windows import max_concurrency
+
+    events = load_table(spark, "events", sf_dir)
+    return max_concurrency(
+        events,
+        "event_type",
+        start_col=F.col("ts"),
+        end_col=F.col("ts") + F.expr("INTERVAL 5 MINUTES"),
+    )

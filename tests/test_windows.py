@@ -1,0 +1,63 @@
+"""Batch window operators: sweep-line concurrency (oracle parity for
+q119 lives in the oracle suite; these pin tie/boundary semantics)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from airbnb_pyspark_jobs_spark.operators.windows import max_concurrency
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "g string, st timestamp, en timestamp")
+
+
+def _t(m, s=0):
+    return dt.datetime(2024, 1, 1, 0, m, s)
+
+
+def test_max_concurrency_counts_overlaps(spark):
+    df = _ev(
+        spark,
+        [
+            ("a", _t(0), _t(10)),
+            ("a", _t(5), _t(15)),   # overlaps first -> 2
+            ("a", _t(7), _t(8)),    # nested -> 3 at 00:07
+            ("a", _t(20), _t(25)),
+            ("b", _t(0), _t(1)),
+        ],
+    )
+    out = {
+        r.g: r
+        for r in max_concurrency(df, "g", F.col("st"), F.col("en")).collect()
+    }
+    assert out["a"].max_concurrent == 3
+    assert out["a"].peak_ts == _t(7)
+    assert out["b"].max_concurrent == 1
+
+
+def test_max_concurrency_halfopen_boundary_no_overlap(spark):
+    # end == next start: -1 processes before +1 -> back-to-back
+    # intervals never stack
+    df = _ev(spark, [("a", _t(0), _t(5)), ("a", _t(5), _t(10))])
+    out = max_concurrency(df, "g", F.col("st"), F.col("en")).collect()
+    assert out[0].max_concurrent == 1
+
+
+def test_max_concurrency_two_phase_matches_across_bucket_edges(spark):
+    # interval spanning an hour-bucket boundary still counts in both
+    # buckets via the offset phase
+    a = dt.datetime(2024, 1, 1, 0, 55)
+    b = dt.datetime(2024, 1, 1, 1, 5)
+    df = _ev(
+        spark,
+        [
+            ("a", a, b),
+            ("a", dt.datetime(2024, 1, 1, 1, 0), dt.datetime(2024, 1, 1, 1, 2)),
+        ],
+    )
+    out = max_concurrency(df, "g", F.col("st"), F.col("en")).collect()
+    assert out[0].max_concurrent == 2
+    assert out[0].peak_ts == dt.datetime(2024, 1, 1, 1, 0)
