@@ -977,3 +977,128 @@ def q102_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, "lineitem", sf_dir)
     return exact_quantiles(li, "l_extendedprice", _QUANT_PROBS)
+
+
+# ---------------------------------------------------------------------------
+# q120 suppliers solely blamed for returns (TPC-H Q21 shape): the
+# EXISTS / NOT EXISTS correlated-subquery chain as semi-join +
+# anti-join. A supplier is "blamed" for an order when it shipped a
+# returned ('R') line in a finished multi-supplier order and NO other
+# supplier in that order had a return. Scale: both subqueries are
+# equi-joins on l_orderkey (the natural co-partitioning); the
+# supplier dim join broadcasts; TakeOrderedAndProject caps the output.
+# ---------------------------------------------------------------------------
+@query(
+    "q120_blamed_suppliers",
+    oracle="""
+    WITH fo AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+    l1 AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN fo ON l.l_orderkey = fo.o_orderkey
+      WHERE l.l_returnflag = 'R'
+    ),
+    blamed AS (
+      SELECT l1.l_orderkey, l1.l_suppkey
+      FROM l1
+      WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM blamed b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 20
+    """,
+)
+def q120_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    fo = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = (
+        li.join(fo, li.l_orderkey == fo.o_orderkey)
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("__ok"),
+        F.col("l_suppkey").alias("__sk"),
+        "l_returnflag",
+    )
+    with_other = l1.join(
+        others,
+        (l1.l_orderkey == others.__ok) & (l1.l_suppkey != others.__sk),
+        "left_semi",
+    )
+    blamed = with_other.join(
+        others.filter(F.col("l_returnflag") == "R"),
+        (with_other.l_orderkey == others.__ok)
+        & (with_other.l_suppkey != others.__sk),
+        "left_anti",
+    )
+    return (
+        blamed.join(F.broadcast(supp), blamed.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q121 high-balance customers with no failed orders (TPC-H Q22 shape):
+# scalar-subquery threshold + NOT EXISTS anti-join. The above-average
+# test runs as EXACT cross-multiplication in decimal integers
+# (acctbal * n > sum) — no double division anywhere near the
+# comparison boundary. Scale: the scalar aggregate broadcasts; the
+# anti-join is an equi-join on custkey.
+# ---------------------------------------------------------------------------
+@query(
+    "q121_quiet_rich_customers",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    ),
+    q AS (
+      SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+      FROM customer c, t
+      WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) * t.n > t.s
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        )
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_acctbal
+    FROM q GROUP BY c_mktsegment
+    """,
+)
+def q121_quiet_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    t = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(_dec("c_acctbal", 12)).cast("decimal(22,2)").alias("__s"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+    )
+    failed = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    q = (
+        cust.crossJoin(F.broadcast(t))
+        .filter(_dec("c_acctbal", 12) * F.col("__n") > F.col("__s"))
+        .join(failed, cust.c_custkey == failed.o_custkey, "left_anti")
+    )
+    return q.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        _money(F.sum(_dec("c_acctbal", 12)), "total_acctbal"),
+    )

@@ -246,3 +246,34 @@ def test_metadata_stats_pushes_aggregates_to_footers(spark):
     assert stats["l_quantity"] == {"min": want[2], "max": want[3], "count": want[4]}
     # conf scope restored
     assert spark.conf.get("spark.sql.sources.useV1SourceList") != ""
+
+
+def test_q120_exists_chain_is_semi_anti_join(spark):
+    """The Q21-shape correlated subqueries must compile to LeftSemi +
+    LeftAnti equi-joins on l_orderkey — no correlated re-evaluation,
+    no cartesian — and the top-20 must be a heap, not a global sort."""
+    df = QUERIES["q120_blamed_suppliers"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q121_scalar_threshold_broadcasts(spark):
+    """The Q22-shape scalar subquery must broadcast its single-row
+    aggregate (BroadcastNestedLoopJoin over 1 row) and run the
+    no-failed-orders check as a LeftAnti equi-join."""
+    df = QUERIES["q121_quiet_rich_customers"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q119_concurrency_windows_are_bucket_partitioned(spark):
+    """The sweep-line prefix sum must window over (event_type, hour
+    bucket) — never a single global sort per type at row grain."""
+    df = QUERIES["q119_max_concurrency"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "hashpartitioning(event_type" in plan
+    assert "SinglePartition" not in plan
