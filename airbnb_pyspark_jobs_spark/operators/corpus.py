@@ -953,3 +953,90 @@ def bigram_interp_logprob_scores(
             score_digits,
         ).alias("mean_logprob"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_digits: int = 6,
+) -> DataFrame:
+    """BM25 top-k retrieval (Robertson/Spärck Jones probabilistic
+    ranking — the lexical half of a RAG retrieval stack): score every
+    (query, document) pair by ``Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1
+    - b + b·dl/avgdl))`` with ``idf = ln((N - df + 0.5)/(df + 0.5) +
+    1)`` and keep the ``top_k`` docs per query.
+
+    Cross-engine determinism: each per-term partial score is computed
+    in one fixed double-op order, rounded to ``term_digits`` and cast
+    DECIMAL, so per-pair sums are exact; ranking orders by the
+    rounded score with doc-id tie-break.
+
+    Returns ``query_id, doc_id, score, rn``. Scale: postings
+    (term→doc tf lists) shuffle once on the term key; the query-term
+    table and the two scalar aggregates (N, avgdl) broadcast; the
+    rank window partitions by query. The corpus never joins itself.
+    """
+    from airbnb_pyspark_jobs_spark.functions.text import tokens
+
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("t")
+    ).select("doc_id", F.lower("t").alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("__tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("__dl"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("__df"))
+    scal = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        (F.sum("__dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "__avgdl"
+        ),
+    )
+    qterms = spark.createDataFrame(
+        [(qid, w.lower()) for qid, text in queries for w in text.split()],
+        "query_id long, term string",
+    ).distinct()
+    k1f, bf = float(k1), float(b)
+    idf = F.log(
+        ((F.col("__n") - F.col("__df").cast("double")) + 0.5)
+        / (F.col("__df").cast("double") + 0.5)
+        + 1.0
+    )
+    num = F.col("__tf").cast("double") * F.lit(k1f + 1.0)
+    den = F.col("__tf").cast("double") + F.lit(k1f) * (
+        F.lit(1.0 - bf) + F.lit(bf) * (F.col("__dl").cast("double") / F.col("__avgdl"))
+    )
+    part = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(
+            F.broadcast(
+                df_t.join(
+                    F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+                )
+            ),
+            "term",
+        )
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * (num / den), term_digits)
+            .cast(f"decimal(28,{term_digits})")
+            .alias("__sc"),
+        )
+    )
+    scored = part.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("__sc").cast("double"), term_digits).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= top_k)
+    )

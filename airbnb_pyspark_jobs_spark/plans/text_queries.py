@@ -2233,3 +2233,72 @@ def q117_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return bigram_interp_logprob_scores(docs, lam=0.75)
+
+
+# ---------------------------------------------------------------------------
+# q122 BM25 top-k retrieval (Robertson probabilistic ranking — the
+# lexical retrieval stage of a RAG stack) for three fixed literal
+# queries. Per-term partial scores are computed in one fixed
+# double-op order (dyadic constants written as the same arithmetic on
+# both engines), rounded to 6 then DECIMAL, so per-pair sums are
+# exact; rank orders by rounded score + doc-id tie-break.
+# ---------------------------------------------------------------------------
+_BM25_QUERIES = [
+    (0, "spark join merge"),
+    (1, "filter customer table"),
+    (2, "vector batch data"),
+]
+_BM25_TOPK = 10
+
+
+def _q122_oracle() -> str:
+    vals = ", ".join(
+        f"(CAST({qid} AS BIGINT), '{w}')"
+        for qid, text in _BM25_QUERIES
+        for w in sorted(set(text.lower().split()))
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lower(t) AS term
+      FROM (SELECT doc_id, UNNEST({_D_TOKENS}) AS t FROM documents)
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scal AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+             FROM dl),
+    q(query_id, term) AS (VALUES {vals}),
+    part AS (
+      SELECT q.query_id, tf.doc_id,
+        CAST(round(
+          ln(((scal.n - CAST(dft.df AS DOUBLE)) + CAST(0.5 AS DOUBLE))
+             / (CAST(dft.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             + CAST(1.0 AS DOUBLE))
+          * ((CAST(tf.tf AS DOUBLE)
+              * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+             / (CAST(tf.tf AS DOUBLE)
+                + CAST(1.2 AS DOUBLE)
+                  * (CAST(0.25 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE)
+                       * (CAST(dl.dl AS DOUBLE) / scal.avgdl))))
+        , 6) AS DECIMAL(28,6)) AS sc
+      FROM tf JOIN q USING (term) JOIN dft USING (term)
+           JOIN dl USING (doc_id), scal
+    ),
+    sc AS (SELECT query_id, doc_id,
+                  round(CAST(SUM(sc) AS DOUBLE), 6) AS score
+           FROM part GROUP BY query_id, doc_id),
+    r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rn
+          FROM sc)
+    SELECT query_id, doc_id, score, rn FROM r WHERE rn <= {_BM25_TOPK}
+    """
+
+
+@query("q122_bm25_topk", oracle=_q122_oracle())
+def q122_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_topk(docs, _BM25_QUERIES, k1=1.2, b=0.75, top_k=_BM25_TOPK)

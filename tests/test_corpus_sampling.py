@@ -515,3 +515,38 @@ def test_bigram_interp_single_token_doc_uses_unigram_only(spark):
     # two tokens total, both "x": p_uni = 1.0, ln -> 0.0
     assert out[1].n_tokens == 1
     assert abs(out[1].mean_logprob - round(math.log(1.0), 6)) < 1e-12
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    from airbnb_pyspark_jobs_spark.operators.corpus import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark shuffle join"),
+            (2, "spark spark spark shuffle"),
+            (3, "cats and dogs"),
+            (4, "join join filler filler filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, [(0, "spark join")], top_k=4).collect()
+    rows = {r.doc_id: r for r in out}
+    # doc 3 shares no query term -> absent entirely
+    assert set(rows) == {1, 2, 4}
+    # doc 1 matches BOTH terms and is short -> best
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rn)][0] == 1
+    assert all(r.query_id == 0 for r in out)
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    from airbnb_pyspark_jobs_spark.operators.corpus import bm25_topk
+
+    # "common" is in every doc, "rare" in one: equal tf, doc 2 must
+    # outrank doc 1 for a query containing both
+    df = spark.createDataFrame(
+        [(1, "common alpha"), (2, "common rare"), (3, "common beta"), (4, "common gamma")],
+        "doc_id long, text string",
+    )
+    out = sorted(bm25_topk(df, [(0, "common rare")], top_k=4).collect(), key=lambda r: r.rn)
+    assert out[0].doc_id == 2
+    assert len(out) == 4
