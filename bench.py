@@ -87,6 +87,18 @@ EXTENDED_QUERIES = [
     # incremental dedup: new batch vs STORED band index (the
     # daily-ingest shape; history never re-shingled)
     "q111_incremental_minhash",
+    # DSIR importance weights: n-gram explode + bucket-sized groupBys
+    # + broadcast weight-table scoring
+    "q116_dsir_importance",
+    # interpolated-bigram LM: arrays_zip pairing, one corpus equi-join
+    "q117_bigram_interp_logprob",
+    # prototypicality pruning: Arrow centroid-sim pass + partitioned
+    # per-cluster windows
+    "q118_prototypicality_prune",
+    # sweep-line concurrency: two-phase bucketed prefix sum
+    "q119_max_concurrency",
+    # BM25 retrieval: postings join + broadcast query terms
+    "q122_bm25_topk",
 ]
 
 
