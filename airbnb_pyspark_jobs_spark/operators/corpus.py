@@ -794,6 +794,7 @@ def dsir_importance_weights(
     scoring is a map-side join + one per-doc aggregation. No driver
     actions, no UDFs.
     """
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
     from airbnb_pyspark_jobs_spark.functions.text import portable_hash_int, tokens
 
     base = docs.select(
@@ -818,10 +819,14 @@ def dsir_importance_weights(
             )
         ).alias("g"),
     )
-    hashed = uni.unionByName(bi).select(
-        "doc_id",
-        "__tgt",
-        F.pmod(portable_hash_int(F.col("g"), seed=seed), F.lit(buckets)).alias("b"),
+    # hashed feeds three consumers (raw counts, target counts, the
+    # scoring join) — persist so the explode+md5 pass runs once
+    hashed = owned_persist(
+        uni.unionByName(bi).select(
+            "doc_id",
+            "__tgt",
+            F.pmod(portable_hash_int(F.col("g"), seed=seed), F.lit(buckets)).alias("b"),
+        )
     )
     raw = hashed.groupBy("b").agg(F.count(F.lit(1)).alias("__cq"))
     tgt = (
@@ -981,14 +986,20 @@ def bm25_topk(
     table and the two scalar aggregates (N, avgdl) broadcast; the
     rank window partitions by query. The corpus never joins itself.
     """
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
     from airbnb_pyspark_jobs_spark.functions.text import tokens
 
     spark = docs.sparkSession
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("t")
     ).select("doc_id", F.lower("t").alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("__tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("__dl"))
+    # tf is the postings table every downstream frame derives from
+    # (doc lengths, document frequencies, the scoring join) — persist
+    # it so the tokenize+explode runs ONCE, not per consumer
+    tf = owned_persist(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("__tf").cast("bigint").alias("__dl"))
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("__df"))
     scal = dl.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
