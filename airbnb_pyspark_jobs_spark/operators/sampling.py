@@ -385,3 +385,51 @@ def temperature_mixture_quotas(
         "src_rank",
         (F.col("src_rank") <= F.col("quota")).alias("selected"),
     )
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    seed: str = "res:",
+    key_digits: int = 9,
+) -> DataFrame:
+    """Fixed-size weighted sampling WITHOUT replacement per group —
+    Efraimidis-Spirakis A-ES (public algorithm): each row draws a
+    deterministic uniform u from its md5 hash and keeps the k rows
+    per group with the largest ``u^(1/w)``. We rank by the equivalent
+    exponential key ``ln(u)/w`` DESC (same order, no fractional
+    ``pow`` — libm pow is not cross-engine exact, ln rounded to 6 is).
+    Complements :func:`weighted_sample` (Bernoulli, random size):
+    this one hits the quota exactly.
+
+    Determinism: u = (h + 0.5) / 2^32 from the portable md5 hash;
+    ``round(ln(u), 6) / w`` is one identical IEEE op sequence on both
+    engines; ties break on id. The rank window partitions by group.
+
+    Returns ``{group}, {id}, weight, sample_key, rn`` (rn <= k).
+    Weights must be strictly positive — caller filters."""
+    from pyspark.sql.window import Window
+
+    g, idc = group_col, id_col
+    h = portable_hash_int(F.col(idc).cast("string"), seed=seed)
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.round(F.log(u), 6) / F.col(weight_col).cast("double")
+    ranked = df.select(
+        F.col(g),
+        F.col(idc),
+        F.col(weight_col).cast("double").alias("weight"),
+        key.alias("__ky"),
+    ).withColumn(
+        "rn",
+        F.row_number()
+        .over(
+            Window.partitionBy(g).orderBy(F.col("__ky").desc(), F.col(idc).asc())
+        )
+        .cast("bigint"),
+    )
+    return ranked.filter(F.col("rn") <= k).select(
+        g, idc, "weight", F.round("__ky", key_digits).alias("sample_key"), "rn"
+    )

@@ -527,3 +527,82 @@ def sample_quantiles(sample: DataFrame, probs: list[float]) -> DataFrame:
             F.col("v").alias("est_value"),
         )
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 16,
+    n_buckets: int = 4096,
+    avg_digits: int = 6,
+) -> DataFrame:
+    """EXACT equi-depth (equal-frequency) histogram — the optimizer /
+    data-profiling statistic that equal-WIDTH histograms can't replace
+    on skewed columns. Bin b (1-based) holds the rows whose global
+    value-rank r satisfies ``(r-1)·n_bins div n = b-1`` — pure integer
+    arithmetic, so bin populations differ by at most one and the
+    assignment has no float boundary.
+
+    Ranks come from the same range-bucketed two-phase rank as
+    :func:`exact_quantiles` (per-bucket counts → cumulative offsets
+    over ``n_buckets`` rows, bucket-partitioned row_number) — no
+    global sort, no per-group value buffer. Tied values may straddle a
+    bin boundary, but every per-bin aggregate is tie-order
+    independent: counts are rank-determined, and min/max/sum over
+    copies of equal values don't care which copies landed where.
+
+    Driver actions: one count + one (min, max) agg (bounded planning
+    actions). Returns ``bin, n_rows, lo, hi, avg_value`` (avg =
+    decimal-exact sum, one double division, rounded)."""
+    from pyspark.sql.window import Window
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    df = df.filter(F.col(value_col).isNotNull())
+    n = df.count()
+    if n == 0:
+        raise ValueError("equi_depth_histogram on an empty/all-null column")
+    mn, mx = df.agg(
+        F.min(value_col).alias("mn"), F.max(value_col).alias("mx")
+    ).first()
+    span = float(mx) - float(mn)
+    width = (span / n_buckets) or 1.0
+    v = F.col(value_col).cast("double")
+    bucketed = df.select(v.alias("__v")).withColumn(
+        "__b",
+        F.least(
+            F.floor((F.col("__v") - F.lit(float(mn))) / F.lit(width)),
+            F.lit(n_buckets - 1),
+        ).cast("bigint"),
+    )
+    counts = bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_in = Window.partitionBy("__b").orderBy("__v")
+    ranked = (
+        bucketed.withColumn("__rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "__b")
+        .withColumn("__rank", (F.col("__off") + F.col("__rn")).cast("bigint"))
+    )
+    binned = ranked.withColumn(
+        "bin",
+        (F.expr(f"(__rank - 1) * {int(n_bins)} div {int(n)}") + F.lit(1)).cast(
+            "bigint"
+        ),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("__v").alias("lo"),
+            F.max("__v").alias("hi"),
+            F.round(
+                F.sum(F.col("__v").cast("decimal(22,2)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                avg_digits,
+            ).alias("avg_value"),
+        )
+        .orderBy("bin")
+    )

@@ -1102,3 +1102,40 @@ def q121_quiet_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         _money(F.sum(_dec("c_acctbal", 12)), "total_acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q123 exact equi-depth histogram of l_extendedprice (16 bins): the
+# Spark side runs the range-bucketed two-phase rank (no global sort);
+# the oracle the textbook ROW_NUMBER ORDER BY — equality proves the
+# decomposition. Bin assignment is pure integer arithmetic; per-bin
+# aggregates are tie-order independent.
+# ---------------------------------------------------------------------------
+_HIST_BINS = 16
+
+
+@query(
+    "q123_equi_depth_histogram",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_extendedprice AS v,
+             ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rk
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+    b AS (
+      SELECT CAST((rk - 1) * {_HIST_BINS} // n.n + 1 AS BIGINT) AS bin, v
+      FROM r, n
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(v) AS lo, MAX(v) AS hi,
+           round(CAST(SUM(CAST(v AS DECIMAL(22,2))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_value
+    FROM b GROUP BY bin
+    """,
+)
+def q123_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sketches import equi_depth_histogram
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return equi_depth_histogram(li, "l_extendedprice", n_bins=_HIST_BINS)

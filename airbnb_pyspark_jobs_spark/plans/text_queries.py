@@ -2302,3 +2302,53 @@ def q122_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return bm25_topk(docs, _BM25_QUERIES, k1=1.2, b=0.75, top_k=_BM25_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# q124 weighted reservoir sample (Efraimidis-Spirakis A-ES): exactly 5
+# docs per source, probability proportional to n_chars, without
+# replacement. Ranked by the exponential key ln(u)/w DESC (the
+# pow-free equivalent of u^(1/w); libm pow is not cross-engine exact,
+# round(ln,6) is); u is the portable md5 uniform.
+# ---------------------------------------------------------------------------
+_RES_K = 5
+
+
+@query(
+    "q124_weighted_reservoir",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS wt
+      FROM documents WHERE n_chars > 0
+    ),
+    u AS (
+      SELECT source, doc_id, wt,
+             round(ln((CAST(CAST('0x' || substr(md5('res:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+                    + CAST(0.5 AS DOUBLE)) / CAST(4294967296.0 AS DOUBLE)), 6)
+               / wt AS ky
+      FROM w
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY ky DESC, doc_id ASC) AS rn
+      FROM u
+    )
+    SELECT source, doc_id, wt AS weight, round(ky, 9) AS sample_key,
+           CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= {_RES_K}
+    """,
+)
+def q124_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return weighted_reservoir_sample(
+        docs.filter(F.col("n_chars") > 0),
+        group_col="source",
+        weight_col="n_chars",
+        k=_RES_K,
+        id_col="doc_id",
+    )

@@ -348,3 +348,69 @@ def test_heavy_hitter_shortlist_has_no_false_negatives(spark):
     }
     assert true_hh <= shortlist
     assert {r.user_id for r in out if r.true_hh} == true_hh
+
+
+def test_equi_depth_histogram_balanced_bins(spark):
+    from airbnb_pyspark_jobs_spark.operators.sketches import equi_depth_histogram
+
+    df = spark.range(103).select((F.col("id") * 2).cast("double").alias("v"))
+    out = sorted(
+        equi_depth_histogram(df, "v", n_bins=4).collect(), key=lambda r: r.bin
+    )
+    assert [r.bin for r in out] == [1, 2, 3, 4]
+    # 103 rows over 4 bins -> populations differ by at most one
+    sizes = [r.n_rows for r in out]
+    assert sum(sizes) == 103
+    assert max(sizes) - min(sizes) <= 1
+    # bins tile the value range in order
+    for a, b in zip(out, out[1:]):
+        assert a.hi <= b.lo
+    assert out[0].lo == 0.0 and out[-1].hi == 204.0
+
+
+def test_equi_depth_histogram_skew_still_equal_depth(spark):
+    from airbnb_pyspark_jobs_spark.operators.sketches import equi_depth_histogram
+
+    # 90% of mass at one value: equal-WIDTH would put ~everything in
+    # bin 1; equal-depth must still split populations evenly
+    rows = [(5.0,)] * 90 + [(float(100 + i),) for i in range(10)]
+    df = spark.createDataFrame(rows, "v double")
+    out = sorted(
+        equi_depth_histogram(df, "v", n_bins=10).collect(), key=lambda r: r.bin
+    )
+    assert all(r.n_rows == 10 for r in out)
+    assert out[0].lo == out[0].hi == 5.0
+
+
+def test_weighted_reservoir_exact_quota_and_determinism(spark):
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+
+    rows = [(f"s{i % 3}", i, 1.0 + (i % 7)) for i in range(90)]
+    df = spark.createDataFrame(rows, "g string, id long, w double")
+    out = weighted_reservoir_sample(df, "g", "w", k=4, id_col="id")
+    got = out.collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r.g, []).append(r)
+    assert all(len(v) == 4 for v in by_g.values())
+    assert all(sorted(r.rn for r in v) == [1, 2, 3, 4] for v in by_g.values())
+    again = {
+        (r.g, r.id)
+        for r in weighted_reservoir_sample(df, "g", "w", k=4, id_col="id").collect()
+    }
+    assert {(r.g, r.id) for r in got} == again
+
+
+def test_weighted_reservoir_huge_weight_always_selected(spark):
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+
+    # ln(u)/w -> ~0- as w -> inf: the giant-weight row must win rank 1
+    rows = [("a", i, 1.0) for i in range(50)] + [("a", 999, 1e12)]
+    df = spark.createDataFrame(rows, "g string, id long, w double")
+    out = weighted_reservoir_sample(df, "g", "w", k=3, id_col="id").collect()
+    assert sorted(r.rn for r in out) == [1, 2, 3]
+    assert [r.id for r in out if r.rn == 1] == [999]
