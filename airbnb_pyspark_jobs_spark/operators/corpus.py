@@ -1051,3 +1051,53 @@ def bm25_topk(
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= top_k)
     )
+
+
+def oov_rates(
+    docs: DataFrame,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_digits: int = 6,
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against a frequency-
+    truncated vocabulary (top ``vocab_size`` terms by corpus
+    frequency, term tie-break) — the tokenizer-coverage diagnostic
+    run before committing to a vocab size: how much of each document
+    (and, aggregated, of the corpus) falls outside the proposed vocab.
+
+    Returns ``doc_id, n_tokens, n_oov, oov_rate``. Scale: the vocab
+    is a global top-V (TakeOrderedAndProject over the vocab-sized
+    term-frequency table, never corpus rows) and broadcasts into a
+    left join; counts are exact integers, the rate one division +
+    round."""
+    from airbnb_pyspark_jobs_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("t")
+    ).select("doc_id", F.lower("t").alias("term"))
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("__cf"))
+    vocab = (
+        tf.orderBy(F.col("__cf").desc(), F.col("term").asc())
+        .limit(int(vocab_size))
+        .select("term", F.lit(1).alias("__in"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+                rate_digits,
+            ).alias("oov_rate"),
+        )
+    )

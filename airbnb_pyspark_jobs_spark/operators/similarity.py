@@ -1523,3 +1523,59 @@ def prototypicality_prune(
             ).alias("keep"),
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor,
+    the ``k`` most-similar corpus vectors with a DIFFERENT label — the
+    near-misses that make the best negatives (the standard dense-
+    retrieval / metric-learning recipe; random negatives are too easy).
+
+    Same plan shape as :func:`knn_bruteforce` — anchors broadcast,
+    unit-normalized scan, partitioned rank window — plus the label
+    inequality predicate evaluated before ranking, so label-matching
+    rows never enter the top-k heap.
+
+    Returns ``anchor_id, neighbor_id, neighbor_label, cos_sim, rn``.
+    """
+    c = unit_vectors(corpus, id_col, vec_col, "neighbor_id", "__cv").join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+        ),
+        "neighbor_id",
+    )
+    q = unit_vectors(anchors, id_col, vec_col, "anchor_id", "__qv").join(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"), F.col(label_col).alias("__al")
+        ),
+        "anchor_id",
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("anchor_id") != F.col("neighbor_id"))
+            & (F.col("__al") != F.col("neighbor_label"))
+        )
+        .select(
+            "anchor_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(dot(F.col("__qv"), F.col("__cv")), round_digits).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )

@@ -1380,3 +1380,39 @@ def q118_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.prototypicality_prune(
         emb, n_cells=_NCENT, iters=_ITERS, prune_pct=_PROTO_PRUNE_PCT
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 hard-negative mining (contrastive-training negatives): per
+# anchor (vec_id < 10), top-5 most-similar vectors with a DIFFERENT
+# label. knn_bruteforce's plan shape + the label-inequality predicate
+# before ranking.
+# ---------------------------------------------------------------------------
+@query(
+    "q125_hard_negatives",
+    oracle=f"""
+    WITH {_D_UNIT},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    q AS (SELECT u.vec_id AS anchor_id, u.vn AS qv, lab.label AS al
+          FROM u JOIN lab USING (vec_id) WHERE u.vec_id < {_NQ}),
+    c AS (SELECT u.vec_id AS neighbor_id, u.vn AS cv, lab.label AS nl
+          FROM u JOIN lab USING (vec_id)),
+    sims AS (
+      SELECT anchor_id, neighbor_id, nl AS neighbor_label,
+             round(list_dot_product(qv, cv), 4) AS cos_sim
+      FROM q, c
+      WHERE anchor_id != neighbor_id AND al != nl
+    ),
+    r AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY anchor_id ORDER BY cos_sim DESC, neighbor_id ASC)
+        AS BIGINT) AS rn
+      FROM sims
+    )
+    SELECT anchor_id, neighbor_id, neighbor_label, cos_sim, rn
+    FROM r WHERE rn <= 5
+    """,
+)
+def q125_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.hard_negatives(emb, emb.filter(F.col("vec_id") < _NQ), k=5)

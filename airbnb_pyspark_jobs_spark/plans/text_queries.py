@@ -2352,3 +2352,40 @@ def q124_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_RES_K,
         id_col="doc_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# q126 OOV rates against a frequency-truncated vocabulary (top-16
+# terms, tie-break on term): the tokenizer-coverage diagnostic. Vocab
+# is a global top-V over the vocab-sized tf table (heap, not sort),
+# broadcast into the scoring join; counts exact, rate one division.
+# ---------------------------------------------------------------------------
+_OOV_V = 16
+
+
+@query(
+    "q126_oov_rates",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, lower(t) AS term
+      FROM (SELECT doc_id, UNNEST({_D_TOKENS}) AS t FROM documents)
+    ),
+    tf AS (SELECT term, COUNT(*) AS cf FROM toks GROUP BY term),
+    v AS (SELECT term FROM tf ORDER BY cf DESC, term ASC LIMIT {_OOV_V}),
+    j AS (
+      SELECT t.doc_id,
+             CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM toks t LEFT JOIN v ON t.term = v.term
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           round(CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS oov_rate
+    FROM j GROUP BY doc_id
+    """,
+)
+def q126_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import oov_rates
+
+    docs = load_table(spark, "documents", sf_dir)
+    return oov_rates(docs, vocab_size=_OOV_V)

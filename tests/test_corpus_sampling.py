@@ -550,3 +550,18 @@ def test_bm25_idf_downweights_common_terms(spark):
     out = sorted(bm25_topk(df, [(0, "common rare")], top_k=4).collect(), key=lambda r: r.rn)
     assert out[0].doc_id == 2
     assert len(out) == 4
+
+
+def test_oov_rates_against_truncated_vocab(spark):
+    from airbnb_pyspark_jobs_spark.operators.corpus import oov_rates
+
+    # vocab_size=2 keeps the two most frequent terms ("a", "b")
+    df = spark.createDataFrame(
+        [(1, "a a b rare1"), (2, "a b"), (3, "rare2 rare3")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in oov_rates(df, vocab_size=2).collect()}
+    assert out[1].n_tokens == 4 and out[1].n_oov == 1
+    assert out[1].oov_rate == 0.25
+    assert out[2].n_oov == 0
+    assert out[3].n_oov == 2 and out[3].oov_rate == 1.0

@@ -348,3 +348,25 @@ def test_prototypicality_prune_rejects_bad_pct(spark):
     df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
     with _pytest.raises(ValueError, match="prune_pct"):
         prototypicality_prune(df, prune_pct=150)
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from airbnb_pyspark_jobs_spark.operators.similarity import hard_negatives
+
+    # anchor 0 (label 0); vec 1 same label & identical direction — must
+    # be excluded; vecs 2-4 different labels rank by similarity
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.001], 0),
+        (2, [0.9, 0.1], 1),
+        (3, [0.0, 1.0], 1),
+        (4, [0.5, 0.5], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = sorted(
+        hard_negatives(df, df.filter(F.col("vec_id") == 0), k=3).collect(),
+        key=lambda r: r.rn,
+    )
+    assert [r.neighbor_id for r in out] == [2, 4, 3]
+    assert all(r.neighbor_label != 0 for r in out)
+    assert all(r.anchor_id == 0 for r in out)
