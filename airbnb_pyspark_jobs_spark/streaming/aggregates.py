@@ -292,3 +292,60 @@ def read_bottomk_sample(spark: SparkSession, path: str, k: int = 256) -> DataFra
 
     partials = spark.read.option("basePath", path).parquet(path)
     return bottomk_sample_merge(partials, k)
+
+
+def write_partial_cms(
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    key_col: str,
+    weight_col: str,
+    d: int = 4,
+    w: int = 256,
+) -> None:
+    """Build ONE micro-batch's d×w CMS counter table and overwrite its
+    batch-id-keyed subdirectory. CMS counters are SUMS, so the merge
+    across partials is (r, b) addition; the batch-id overwrite makes a
+    RETRIED batch rewrite identical content instead of double-counting
+    (same contract as ``write_partial_aggregate`` — additive partials
+    are retry-safe via idempotent placement, though unlike the
+    set-union KMV/bottom-k partials they still count source-side
+    duplicate DELIVERIES; use those for duplicate-unsafe sources)."""
+    from airbnb_pyspark_jobs_spark.operators.sketches import cms_counters
+
+    partial = cms_counters(batch, key_col, weight_col, d, w)
+    partial.write.mode("overwrite").parquet(
+        os.path.join(path, PARTIAL_DIRNAME.format(n=batch_id))
+    )
+
+
+def materialize_cms_stream(
+    stream: DataFrame,
+    path: str,
+    key_col: str,
+    weight_col: str,
+    checkpoint: str,
+    d: int = 4,
+    w: int = 256,
+):
+    """Wire a stream into the CMS partial-counter sink; returns the
+    DataStreamWriter (caller picks the trigger and starts it)."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        write_partial_cms(batch, batch_id, path, key_col, weight_col, d, w)
+
+    return stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+
+
+def read_cms_counters(spark: SparkSession, path: str) -> DataFrame:
+    """Merged (r, b, cnt) counter table over all stored partials —
+    counter addition IS the CMS merge, so this equals the sketch built
+    over everything seen. Feed to ``operators.sketches.cms_estimates``.
+    Shuffles only sketch-sized rows (≤ partials × d·w)."""
+    partials = spark.read.option("basePath", path).parquet(path)
+    return (
+        partials.groupBy("r", "b")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )

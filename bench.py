@@ -99,6 +99,14 @@ EXTENDED_QUERIES = [
     "q119_max_concurrency",
     # BM25 retrieval: postings join + broadcast query terms
     "q122_bm25_topk",
+    # equi-depth histogram: two-phase rank, integer bin assignment
+    "q123_equi_depth_histogram",
+    # A-ES weighted reservoir: scan-side keys + partitioned rank
+    "q124_weighted_reservoir",
+    # hard negatives: broadcast anchors + label predicate
+    "q125_hard_negatives",
+    # OOV rates: heap top-V vocab + broadcast left join
+    "q126_oov_rates",
 ]
 
 

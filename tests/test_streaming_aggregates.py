@@ -263,3 +263,81 @@ def test_bottomk_quantile_stream_converges_to_batch_sketch(spark, tmp_path):
         (r.h, r.v) for r in read_bottomk_sample(spark, rollup, k=k).collect()
     )
     assert again == got_sample
+
+
+def test_cms_stream_converges_to_batch_sketch(spark, tmp_path):
+    """CMS counters maintained incrementally across micro-batches must
+    equal the one-pass batch sketch exactly (counter addition IS the
+    merge), and a RETRIED batch (same batch_id, same data) must change
+    nothing — the batch-id overwrite is the idempotency mechanism for
+    additive partials."""
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        cms_counters,
+        cms_estimates,
+    )
+    from airbnb_pyspark_jobs_spark.streaming.aggregates import (
+        materialize_cms_stream,
+        read_cms_counters,
+        write_partial_cms,
+    )
+
+    d, w = 4, 32
+    events = load_table(spark, "events", SF_DIR).withColumn(
+        "one", F.lit(1).cast("bigint")
+    )
+    src = str(tmp_path / "src")
+    events.repartition(2).write.mode("overwrite").parquet(src)
+
+    sink = str(tmp_path / "cms")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        materialize_cms_stream(
+            stream, sink, "event_type", "one", str(tmp_path / "ckpt"), d=d, w=w
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = read_cms_counters(spark, sink)
+    want = {
+        (r.r, r.b): r.cnt
+        for r in cms_counters(events, "event_type", "one", d=d, w=w).collect()
+    }
+    got = {(r.r, r.b): r.cnt for r in merged.collect()}
+    assert got == want
+    # estimates over the merged counters match the batch-built sketch
+    keys = events.select("event_type").distinct()
+    est_stream = {
+        r.event_type: r.cms_est
+        for r in cms_estimates(keys, merged, "event_type", d=d, w=w).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(est_stream[k] >= exact[k] for k in exact)  # one-sided error
+    # retry idempotence: re-write an existing batch partial with the
+    # same per-batch content — identical placement, merge must not move
+    import os
+
+    batch_dirs = sorted(
+        x for x in os.listdir(sink) if x.startswith("batch_id=")
+    )
+    first_files = spark.read.parquet(src).inputFiles()[:1]
+    first_batch = spark.read.parquet(*first_files)
+    write_partial_cms(
+        first_batch.withColumn("one", F.lit(1).cast("bigint")),
+        int(batch_dirs[0].split("=")[1]),
+        sink,
+        "event_type",
+        "one",
+        d=d,
+        w=w,
+    )
+    again = {(r.r, r.b): r.cnt for r in read_cms_counters(spark, sink).collect()}
+    assert again == got
