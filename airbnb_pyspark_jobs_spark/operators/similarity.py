@@ -777,8 +777,12 @@ def cp_candidate_pairs(
     at these settings) — the n_sides AND-refinements then cut it to the
     final ~0.08·n²/2. Exposed separately so pruning stats can be
     value-checked (the q93 pattern)."""
-    b = cp_buckets(
-        corpus, m_per_side * n_sides, dims_per_hash, dims, id_col, vec_col
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    # the Arrow hashing stage feeds every tensoring side — persist so
+    # it runs once, not n_sides times
+    b = owned_persist(
+        cp_buckets(corpus, m_per_side * n_sides, dims_per_hash, dims, id_col, vec_col)
     )
     sides = []
     for s in range(n_sides):
@@ -798,11 +802,13 @@ def cp_candidate_pairs(
             .select(
                 F.col("a.id").alias("vec_id_a"), F.col("b.id").alias("vec_id_b")
             )
-            .distinct()
         )
-    cand = sides[0]
+    # side 0 is the output base (distinct once); later sides AND-refine
+    # via LEFT SEMI joins — multi-hash duplicate pairs never multiply,
+    # so their near-n² distinct shuffles disappear entirely
+    cand = sides[0].distinct()
     for s_pairs in sides[1:]:
-        cand = cand.join(s_pairs, ["vec_id_a", "vec_id_b"])
+        cand = cand.join(s_pairs, ["vec_id_a", "vec_id_b"], "left_semi")
     return cand
 
 
