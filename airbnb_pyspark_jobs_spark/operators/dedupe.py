@@ -970,3 +970,101 @@ def incremental_minhash_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "kind", "jaccard")
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """EXACT Jaccard near-dup pairs via prefix filtering (the
+    PPJoin-family set-similarity join; public algorithm) — the
+    LSH-free alternative with ZERO false negatives: if
+    ``J(A,B) >= t`` the two docs MUST share a shingle within the
+    first ``|S| - ceil(t·|S|) + 1`` of their shingles under one
+    global canonical order, so indexing only those prefixes still
+    finds every qualifying pair. The canonical order is rarest-first
+    (df asc, shingle asc), which keeps prefix-join fan-out bounded by
+    rare-shingle document frequencies.
+
+    The threshold is the RATIONAL ``threshold_num/threshold_den`` so
+    prefix lengths, the length filter (``den·min >= num·max``) and the
+    final verification (``den·inter >= num·union``) are pure integer
+    arithmetic — no float appears anywhere in a keep/drop decision;
+    the reported ``jaccard`` ratio is one final double division.
+
+    Same output contract as :func:`ngram_jaccard_pairs`
+    (``doc_id_a, doc_id_b, jaccard``) and provably the same rows: the
+    oracle for this operator is the brute-force all-pairs join.
+    Scale: one shingle shuffle, a PREFIX-only self-join (the point),
+    and candidate-only verification."""
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    tn, td = int(threshold_num), int(threshold_den)
+    if not 0 < tn <= td:
+        raise ValueError("threshold must be a fraction in (0, 1]")
+    sh = owned_persist(shingle_table(docs, id_col, text_col, n))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    sized = sh.join(dfreq, "s").withColumn(
+        "__n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("__df").asc(), F.col("s").asc())
+    )
+    # prefix length |S| - ceil(t|S|) + 1; ceil(a/b) = (a + b - 1) div b
+    plen = (
+        F.col("__n_sh")
+        - F.expr(f"(__n_sh * {tn} + {td} - 1) div {td}")
+        + F.lit(1)
+    )
+    prefix = (
+        sized.withColumn("__pos", pos)
+        .filter(F.col("__pos") <= plen)
+        .select("doc_id", "s", "__n_sh")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            on=[F.col("a.s") == F.col("b.s"), F.col("a.doc_id") < F.col("b.doc_id")],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.__n_sh").alias("n_a"),
+            F.col("b.__n_sh").alias("n_b"),
+        )
+        .distinct()
+        # length filter: J <= min/max, so den·min >= num·max is necessary
+        .filter(
+            (F.least("n_a", "n_b") * td) >= (F.greatest("n_a", "n_b") * tn)
+        )
+    )
+    a_sh = sh.select(F.col("doc_id").alias("doc_id_a"), "s")
+    b_sh = sh.select(F.col("doc_id").alias("__db"), F.col("s").alias("__sb"))
+    verified = (
+        cand.join(a_sh, "doc_id_a")
+        .join(
+            b_sh,
+            on=[F.col("doc_id_b") == F.col("__db"), F.col("s") == F.col("__sb")],
+        )
+        .groupBy("doc_id_a", "doc_id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .filter(
+            (F.col("n_inter") * td)
+            >= ((F.col("n_a") + F.col("n_b") - F.col("n_inter")) * tn)
+        )
+    )
+    return verified.select(
+        "doc_id_a",
+        "doc_id_b",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+        ).alias("jaccard"),
+    )

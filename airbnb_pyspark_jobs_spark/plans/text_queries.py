@@ -2389,3 +2389,37 @@ def q126_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return oov_rates(docs, vocab_size=_OOV_V)
+
+
+# ---------------------------------------------------------------------------
+# q127 exact Jaccard pairs via PREFIX FILTERING (PPJoin-family set-
+# similarity join): zero false negatives without LSH — only each doc's
+# rarest-first prefix shingles are indexed, yet every J>=1/2 pair is
+# found. All keep/drop decisions are integer arithmetic (rational
+# threshold 1/2). The ORACLE is the brute-force all-pairs join with no
+# prefix logic at all — equality proves the algorithm exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q127_prefix_filter_pairs",
+    oracle=rf"""
+    WITH {_D_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS ni
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_id_a, i.doc_id_b,
+           CAST(i.ni AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - i.ni AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_id_a = sa.doc_id
+    JOIN sizes sb ON i.doc_id_b = sb.doc_id
+    WHERE 2 * i.ni >= (sa.n_sh + sb.n_sh - i.ni)
+    """,
+)
+def q127_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return DD.prefix_filter_jaccard_pairs(
+        docs, threshold_num=1, threshold_den=2
+    )

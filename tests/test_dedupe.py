@@ -329,3 +329,40 @@ def test_incremental_minhash_equals_full_lsh_restricted(spark):
         if r.doc_id_a % 5 == 0 or r.doc_id_b % 5 == 0
     }
     assert inc == full
+
+
+def test_prefix_filter_matches_bruteforce_exactly(spark):
+    from airbnb_pyspark_jobs_spark.operators.dedupe import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+    from airbnb_pyspark_jobs_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    brute = {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.5, max_shingle_df=None
+        ).collect()
+    }
+    pf = {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 9))
+        for r in prefix_filter_jaccard_pairs(
+            docs, threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    # prefix filtering is EXACT: identical pair set, identical values
+    assert pf == brute
+
+
+def test_prefix_filter_rejects_bad_threshold(spark):
+    import pytest as _pytest
+
+    from airbnb_pyspark_jobs_spark.operators.dedupe import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="fraction"):
+        prefix_filter_jaccard_pairs(df, threshold_num=3, threshold_den=2)
