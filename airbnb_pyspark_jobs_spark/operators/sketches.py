@@ -606,3 +606,106 @@ def equi_depth_histogram(
         )
         .orderBy("bin")
     )
+
+
+def grouped_spearman(
+    df: DataFrame,
+    group_col: str,
+    x_col: F.Column | str,
+    y_col: F.Column | str,
+    rho_digits: int = 9,
+) -> DataFrame:
+    """EXACT tie-corrected Spearman rank correlation per group —
+    monotonic-association profiling that Pearson misreads on skewed
+    columns. Uses the textbook tie-corrected form
+    ``rho = (Sx + Sy - Σd²) / (2·sqrt(Sx·Sy))`` with
+    ``S = (n³-n)/12 - Σ(t³-t)/12`` over tie groups, evaluated in
+    INTEGER arithmetic throughout (everything scaled by 12; average
+    ranks scaled by 2: ``2·avg_rank(v) = 2·|{u<v}| + |{u=v}| + 1``),
+    so the only float ops are two exactly-representable int→double
+    casts, two IEEE sqrts and one division — portable cross-engine
+    (sqrt is correctly rounded; libm pow is not).
+
+    No row-level rank window: ranks come from cumulative counts over
+    the per-group DISTINCT-VALUE frame (the natural compression; the
+    same range-bucket two-phase applies there if a group's distinct
+    count ever rivals its row count). BIGINT bounds: sums reach ~4n³ —
+    exact to n ≈ 100M rows/group; beyond that widen to DECIMAL(38,0).
+
+    Returns ``{group}, n, spearman_rho`` (NULL when either column is
+    constant within the group — correlation undefined)."""
+    from pyspark.sql.window import Window
+
+    g = group_col
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    base = df.select(F.col(g), x.alias("__x"), y.alias("__y"))
+
+    def avg2_ranks(col: str) -> DataFrame:
+        vc = base.groupBy(g, col).agg(F.count(F.lit(1)).alias("__c"))
+        w = (
+            Window.partitionBy(g)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return vc.select(
+            g,
+            col,
+            "__c",
+            (
+                F.lit(2) * F.coalesce(F.sum("__c").over(w), F.lit(0))
+                + F.col("__c")
+                + F.lit(1)
+            )
+            .cast("bigint")
+            .alias("__a2"),
+        )
+
+    ax = avg2_ranks("__x").withColumnsRenamed({"__a2": "__a2x", "__c": "__cx"})
+    ay = avg2_ranks("__y").withColumnsRenamed({"__a2": "__a2y", "__c": "__cy"})
+    joined = base.join(ax.drop("__cx"), [g, "__x"]).join(ay.drop("__cy"), [g, "__y"])
+    dd = joined.groupBy(g).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            (F.col("__a2x") - F.col("__a2y")) * (F.col("__a2x") - F.col("__a2y"))
+        )
+        .cast("bigint")
+        .alias("__d2s"),
+    )
+    tx = ax.groupBy(g).agg(
+        F.sum(F.col("__cx") * F.col("__cx") * F.col("__cx") - F.col("__cx"))
+        .cast("bigint")
+        .alias("__tx")
+    )
+    ty = ay.groupBy(g).agg(
+        F.sum(F.col("__cy") * F.col("__cy") * F.col("__cy") - F.col("__cy"))
+        .cast("bigint")
+        .alias("__ty")
+    )
+    n3 = F.col("n") * F.col("n") * F.col("n") - F.col("n")
+    fin = (
+        dd.join(tx, g)
+        .join(ty, g)
+        .select(
+            g,
+            "n",
+            (n3 - F.col("__tx")).alias("__sx"),
+            (n3 - F.col("__ty")).alias("__sy"),
+            "__d2s",
+        )
+    )
+    rho = F.when(
+        (F.col("__sx") > 0) & (F.col("__sy") > 0),
+        F.round(
+            (F.col("__sx") + F.col("__sy") - F.lit(3) * F.col("__d2s")).cast(
+                "double"
+            )
+            / (
+                F.lit(2.0)
+                * F.sqrt(F.col("__sx").cast("double"))
+                * F.sqrt(F.col("__sy").cast("double"))
+            ),
+            rho_digits,
+        ),
+    )
+    return fin.select(g, "n", rho.alias("spearman_rho"))

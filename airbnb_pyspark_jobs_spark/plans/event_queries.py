@@ -1101,3 +1101,73 @@ def q119_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_col=F.col("ts"),
         end_col=F.col("ts") + F.expr("INTERVAL 5 MINUTES"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q128 exact tie-corrected Spearman rank correlation per event type
+# (value vs event time): the textbook tie-corrected formula evaluated
+# in INTEGER rank algebra (ranks ×2, S-terms ×12) so the only float
+# ops are exactly-representable casts, two IEEE sqrts and one
+# division — the libm-safe recipe. The oracle replays the identical
+# cumulative-count rank construction.
+# ---------------------------------------------------------------------------
+@query(
+    "q128_spearman_by_type",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS g, value AS x, epoch_us(ts) AS y FROM events
+    ),
+    vx AS (SELECT g, x, COUNT(*) AS c FROM base GROUP BY g, x),
+    ax AS (
+      SELECT g, x, c,
+             CAST(2 * COALESCE(SUM(c) OVER (
+               PARTITION BY g ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + c + 1 AS BIGINT) AS a2
+      FROM vx
+    ),
+    vy AS (SELECT g, y, COUNT(*) AS c FROM base GROUP BY g, y),
+    ay AS (
+      SELECT g, y, c,
+             CAST(2 * COALESCE(SUM(c) OVER (
+               PARTITION BY g ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + c + 1 AS BIGINT) AS a2
+      FROM vy
+    ),
+    rows_ AS (
+      SELECT b.g, ax.a2 AS a2x, ay.a2 AS a2y
+      FROM base b
+      JOIN ax ON b.g = ax.g AND b.x = ax.x
+      JOIN ay ON b.g = ay.g AND b.y = ay.y
+    ),
+    dd AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((a2x - a2y) * (a2x - a2y)) AS BIGINT) AS d2s
+      FROM rows_ GROUP BY g
+    ),
+    tx AS (SELECT g, CAST(SUM(c*c*c - c) AS BIGINT) AS t FROM ax GROUP BY g),
+    ty AS (SELECT g, CAST(SUM(c*c*c - c) AS BIGINT) AS t FROM ay GROUP BY g),
+    fin AS (
+      SELECT dd.g, dd.n,
+             (dd.n * dd.n * dd.n - dd.n) - tx.t AS sx,
+             (dd.n * dd.n * dd.n - dd.n) - ty.t AS sy,
+             dd.d2s
+      FROM dd JOIN tx ON dd.g = tx.g JOIN ty ON dd.g = ty.g
+    )
+    SELECT g AS event_type, n,
+           CASE WHEN sx > 0 AND sy > 0 THEN
+             round(CAST(sx + sy - 3 * d2s AS DOUBLE)
+                   / (CAST(2.0 AS DOUBLE)
+                      * sqrt(CAST(sx AS DOUBLE)) * sqrt(CAST(sy AS DOUBLE))), 9)
+           END AS spearman_rho
+    FROM fin
+    """,
+)
+def q128_spearman_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sketches import grouped_spearman
+
+    events = load_table(spark, "events", sf_dir)
+    return grouped_spearman(
+        events, "event_type", F.col("value"), F.unix_micros("ts")
+    )

@@ -414,3 +414,36 @@ def test_weighted_reservoir_huge_weight_always_selected(spark):
     out = weighted_reservoir_sample(df, "g", "w", k=3, id_col="id").collect()
     assert sorted(r.rn for r in out) == [1, 2, 3]
     assert [r.id for r in out if r.rn == 1] == [999]
+
+
+def test_grouped_spearman_known_values(spark):
+    import math
+
+    from airbnb_pyspark_jobs_spark.operators.sketches import grouped_spearman
+
+    rows = (
+        # g=up: perfectly monotone -> rho = 1
+        [("up", float(i), i * 10) for i in range(6)]
+        # g=down: perfectly anti-monotone -> rho = -1
+        + [("down", float(i), -i) for i in range(6)]
+        # g=tied: x has ties; compare against scipy-identical hand calc
+        + [("tied", v, y) for v, y in [(1.0, 1), (1.0, 2), (2.0, 3), (3.0, 4)]]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y long")
+    out = {r.g: r for r in grouped_spearman(df, "g", "x", "y").collect()}
+    assert out["up"].spearman_rho == 1.0
+    assert out["down"].spearman_rho == -1.0
+    # tied case: avg ranks x = [1.5, 1.5, 3, 4], y = [1, 2, 3, 4]
+    # d2 = 0.25+0.25 = 0.5; Sx = (60 - 6)/12 = 4.5, Sy = 60/12 = 5
+    want = (4.5 + 5 - 0.5) / (2 * math.sqrt(4.5 * 5))
+    assert abs(out["tied"].spearman_rho - round(want, 9)) < 1e-9
+
+
+def test_grouped_spearman_constant_column_is_null(spark):
+    from airbnb_pyspark_jobs_spark.operators.sketches import grouped_spearman
+
+    df = spark.createDataFrame(
+        [("a", 1.0, i) for i in range(4)], "g string, x double, y long"
+    )
+    out = grouped_spearman(df, "g", "x", "y").collect()
+    assert out[0].spearman_rho is None
