@@ -1068,3 +1068,91 @@ def prefix_filter_jaccard_pairs(
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
         ).alias("jaccard"),
     )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    granularity: str = "doc",
+    shingle_n: int = 3,
+    jac_digits: int = 6,
+) -> DataFrame:
+    """Pairwise content overlap between SOURCES — the corpus-governance
+    view of exact dedup: which feeds are re-crawling / mirroring each
+    other. Each source becomes its distinct set of content units —
+    whole-doc fingerprints (``granularity='doc'``, catches verbatim
+    mirroring) or word n-gram shingles (``'shingle'``, catches
+    partial/content-level overlap even when no full doc is mirrored);
+    every source pair (a < b) reports intersection size,
+    set sizes, Jaccard, and containment in each direction (a mirror
+    subset shows containment ~1 with small Jaccard — the asymmetric
+    signal matters, same reasoning as benchmark decontamination's
+    containment metric).
+
+    Scale: one scan-side fingerprint pass, a distinct (source, fp)
+    projection, one fp equi-join between different sources — never a
+    doc-level cross join; output is |sources|² at most. Returns
+    ``source_a, source_b, n_a, n_b, n_common, jaccard,
+    containment_a_in_b, containment_b_in_a``."""
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    if granularity == "doc":
+        units = docs.select(
+            F.col(source_col).alias("src"), fingerprint(text_col).alias("fp")
+        )
+    elif granularity == "shingle":
+        tok = docs.select(
+            F.col(source_col).alias("src"), tokens(text_col).alias("__toks")
+        )
+        units = tok.select(
+            "src",
+            F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias("fp"),
+        )
+    else:
+        raise ValueError(
+            f"granularity must be 'doc' or 'shingle', got {granularity!r}"
+        )
+    fp = owned_persist(units.distinct())
+    sizes = fp.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    common = (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            on=[F.col("a.fp") == F.col("b.fp"), F.col("a.src") < F.col("b.src")],
+        )
+        .groupBy(
+            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.withColumnsRenamed({"src": "source_a", "n": "n_a"})),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"src": "source_b", "n": "n_b"})),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                jac_digits,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_common").cast("double") / F.col("n_a").cast("double"),
+                jac_digits,
+            ).alias("containment_a_in_b"),
+            F.round(
+                F.col("n_common").cast("double") / F.col("n_b").cast("double"),
+                jac_digits,
+            ).alias("containment_b_in_a"),
+        )
+    )

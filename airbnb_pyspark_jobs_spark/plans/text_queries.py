@@ -2423,3 +2423,44 @@ def q127_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.prefix_filter_jaccard_pairs(
         docs, threshold_num=1, threshold_den=2
     )
+
+
+# ---------------------------------------------------------------------------
+# q129 source overlap matrix (corpus governance): which sources share
+# content, as shingle-set Jaccard + both containment directions per
+# source pair (shingle granularity — whole-doc fingerprints find zero
+# cross-source mirrors in this corpus, n-gram overlap carries the real
+# signal). One shingle equi-join between sources — never a doc cross
+# join.
+# ---------------------------------------------------------------------------
+@query(
+    "q129_source_overlap",
+    oracle=r"""
+    WITH fp AS (
+      SELECT DISTINCT source AS src, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS f
+      FROM (SELECT source, string_split_regex(trim(text), '\s+') AS ts
+            FROM documents),
+           UNNEST(range(1, len(ts) - 1)) AS u(i)
+    ),
+    sizes AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM fp GROUP BY src),
+    common AS (
+      SELECT a.src AS source_a, b.src AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM fp a JOIN fp b ON a.f = b.f AND a.src < b.src
+      GROUP BY a.src, b.src
+    )
+    SELECT c.source_a, c.source_b, sa.n AS n_a, sb.n AS n_b, c.n_common,
+           round(CAST(c.n_common AS DOUBLE)
+                 / CAST(sa.n + sb.n - c.n_common AS DOUBLE), 6) AS jaccard,
+           round(CAST(c.n_common AS DOUBLE) / CAST(sa.n AS DOUBLE), 6)
+             AS containment_a_in_b,
+           round(CAST(c.n_common AS DOUBLE) / CAST(sb.n AS DOUBLE), 6)
+             AS containment_b_in_a
+    FROM common c
+    JOIN sizes sa ON c.source_a = sa.src
+    JOIN sizes sb ON c.source_b = sb.src
+    """,
+)
+def q129_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return DD.source_overlap_matrix(docs, granularity="shingle")

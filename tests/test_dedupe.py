@@ -366,3 +366,44 @@ def test_prefix_filter_rejects_bad_threshold(spark):
     df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="fraction"):
         prefix_filter_jaccard_pairs(df, threshold_num=3, threshold_den=2)
+
+
+def test_source_overlap_doc_granularity_counts_mirrors(spark):
+    from airbnb_pyspark_jobs_spark.operators.dedupe import source_overlap_matrix
+
+    # srcB mirrors half of srcA verbatim; srcC is disjoint
+    rows = [
+        ("srcA", "alpha beta gamma"),
+        ("srcA", "delta epsilon zeta"),
+        ("srcB", "alpha beta gamma"),
+        ("srcB", "eta theta iota"),
+        ("srcC", "kappa lambda mu"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap_matrix(df, granularity="doc").collect()
+    }
+    ab = out[("srcA", "srcB")]
+    assert ab.n_common == 1 and ab.n_a == 2 and ab.n_b == 2
+    assert ab.jaccard == round(1 / 3, 6)
+    assert ab.containment_a_in_b == 0.5
+    # disjoint pairs never emit a row (inner join on common units)
+    assert ("srcA", "srcC") not in out
+
+
+def test_source_overlap_shingle_granularity_sees_partial_overlap(spark):
+    from airbnb_pyspark_jobs_spark.operators.dedupe import source_overlap_matrix
+
+    # no doc is mirrored, but srcB contains srcA's phrase inside a
+    # longer doc: doc granularity 0 rows, shingle granularity sees it
+    rows = [
+        ("srcA", "one two three four"),
+        ("srcB", "zzz one two three four yyy"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    assert source_overlap_matrix(df, granularity="doc").count() == 0
+    sh = source_overlap_matrix(df, granularity="shingle").collect()
+    assert len(sh) == 1
+    assert sh[0].n_common == 2  # "one two three", "two three four"
+    assert sh[0].containment_a_in_b == 1.0
