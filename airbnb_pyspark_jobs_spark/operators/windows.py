@@ -175,3 +175,71 @@ def max_concurrency(
         .agg(F.min("t").alias("peak_ts"))
         .select(g, "max_concurrent", "peak_ts")
     )
+
+
+def decay_factor_table(
+    half_life_days: float, max_age_days: int, digits: int = 9
+) -> list[tuple[int, str]]:
+    """(age_days, factor) rows for exponential decay ``2^(-age/h)``,
+    each factor rounded to ``digits`` and rendered as a STRING so both
+    engines ingest the identical decimal literal — the inlined-
+    artifact recipe (fractional pow is not cross-engine exact; a
+    once-computed rounded table is)."""
+    return [
+        (a, format(round(2.0 ** (-a / float(half_life_days)), digits), f".{digits}f"))
+        for a in range(int(max_age_days) + 1)
+    ]
+
+
+def time_decayed_sum(
+    events: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_days: float = 7.0,
+    max_age_days: int = 128,
+    out_digits: int = 6,
+) -> DataFrame:
+    """Recency-weighted value totals per group — the exponential-decay
+    aggregate of feature pipelines (recent behavior outweighs old):
+    ``Σ v · 2^(-age/h)`` with age in whole days against the newest
+    event day in the data (deterministic anchor).
+
+    The per-day factor is looked up from the broadcast
+    :func:`decay_factor_table` (rounded DECIMAL, identical literal on
+    both engines); values are exact DECIMAL(12,2), so every product
+    and the per-group sum are exact — no float accumulates. Events
+    older than ``max_age_days`` contribute 0 (fully decayed) but still
+    count in ``n_events``.
+
+    Returns ``{group}, n_events, decayed_sum``. Scale: one scan, a
+    broadcast single-row anchor, a broadcast factor join, one groupBy.
+    """
+    from decimal import Decimal
+
+    spark = events.sparkSession
+    facs = decay_factor_table(half_life_days, max_age_days)
+    fdf = spark.createDataFrame(
+        [(a, Decimal(f)) for a, f in facs], "age int, __f decimal(18,9)"
+    )
+    g = group_col
+    base = events.select(
+        F.col(g),
+        F.to_date(ts_col).alias("__d"),
+        F.col(value_col).cast("decimal(12,2)").alias("__v"),
+    )
+    anchor = events.agg(F.max(F.to_date(ts_col)).alias("__anchor"))
+    aged = (
+        base.crossJoin(F.broadcast(anchor))
+        .withColumn("age", F.datediff(F.col("__anchor"), F.col("__d")))
+        .join(F.broadcast(fdf), "age", "left")
+    )
+    return aged.groupBy(g).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(
+            F.sum(
+                F.col("__v") * F.coalesce(F.col("__f"), F.lit(0).cast("decimal(18,9)"))
+            ).cast("double"),
+            out_digits,
+        ).alias("decayed_sum"),
+    )

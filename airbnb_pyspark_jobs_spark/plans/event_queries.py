@@ -1171,3 +1171,50 @@ def q128_spearman_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_spearman(
         events, "event_type", F.col("value"), F.unix_micros("ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# q130 exponential time-decay totals per event type (half-life 7
+# days, anchored at the newest event day): the recency-weighting
+# aggregate of feature pipelines. The per-day factor table is a
+# once-computed rounded DECIMAL inlined into BOTH engines (fractional
+# pow is not cross-engine exact; see q113) — every product and sum is
+# then exact decimal arithmetic.
+# ---------------------------------------------------------------------------
+def _q130_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.operators.windows import decay_factor_table
+
+    vals = ", ".join(
+        f"({a}, CAST({f} AS DECIMAL(18,9)))"
+        for a, f in decay_factor_table(7.0, 128)
+    )
+    return f"""
+    WITH fac(age, f) AS (VALUES {vals}),
+    base AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(value AS DECIMAL(12,2)) AS v
+      FROM events
+    ),
+    anchor AS (SELECT MAX(CAST(ts AS DATE)) AS a FROM events),
+    aged AS (
+      SELECT b.event_type, b.v,
+             date_diff('day', b.d, anchor.a) AS age
+      FROM base b, anchor
+    )
+    SELECT aged.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(CAST(SUM(aged.v * COALESCE(fac.f, CAST(0 AS DECIMAL(18,9))))
+                      AS DOUBLE), 6) AS decayed_sum
+    FROM aged LEFT JOIN fac ON aged.age = fac.age
+    GROUP BY aged.event_type
+    """
+
+
+@query("q130_time_decayed_totals", oracle=_q130_oracle())
+def q130_time_decayed_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.windows import time_decayed_sum
+
+    events = load_table(spark, "events", sf_dir)
+    return time_decayed_sum(
+        events, "event_type", half_life_days=7.0, max_age_days=128
+    )

@@ -61,3 +61,35 @@ def test_max_concurrency_two_phase_matches_across_bucket_edges(spark):
     out = max_concurrency(df, "g", F.col("st"), F.col("en")).collect()
     assert out[0].max_concurrent == 2
     assert out[0].peak_ts == dt.datetime(2024, 1, 1, 1, 0)
+
+
+def test_time_decayed_sum_halves_per_half_life(spark):
+    import datetime as dtm
+
+    from airbnb_pyspark_jobs_spark.operators.windows import time_decayed_sum
+
+    # anchor = newest day (age 0); one event exactly one half-life
+    # older contributes exactly half its value
+    rows = [
+        ("a", dtm.datetime(2024, 1, 8, 12, 0), 100.0),
+        ("a", dtm.datetime(2024, 1, 1, 12, 0), 100.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = time_decayed_sum(df, "event_type", half_life_days=7.0).collect()
+    assert out[0].n_events == 2
+    assert out[0].decayed_sum == 150.0
+
+
+def test_time_decayed_sum_past_max_age_counts_but_adds_zero(spark):
+    import datetime as dtm
+
+    from airbnb_pyspark_jobs_spark.operators.windows import time_decayed_sum
+
+    rows = [
+        ("a", dtm.datetime(2024, 6, 1), 10.0),
+        ("a", dtm.datetime(2020, 1, 1), 999.0),  # ancient: fully decayed
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = time_decayed_sum(df, "event_type", max_age_days=30).collect()
+    assert out[0].n_events == 2
+    assert out[0].decayed_sum == 10.0
