@@ -107,6 +107,14 @@ EXTENDED_QUERIES = [
     "q125_hard_negatives",
     # OOV rates: heap top-V vocab + broadcast left join
     "q126_oov_rates",
+    # prefix-filtered exact similarity join (the LSH-free exact path)
+    "q127_prefix_filter_pairs",
+    # exact Spearman per group: distinct-value rank frames
+    "q128_spearman_by_type",
+    # source overlap: shingle equi-join between sources
+    "q129_source_overlap",
+    # time-decay totals: broadcast factor table, one groupBy
+    "q130_time_decayed_totals",
 ]
 
 
