@@ -243,3 +243,47 @@ def time_decayed_sum(
             out_digits,
         ).alias("decayed_sum"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    p_digits: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix of event types: for each
+    ordered pair (from_type, to_type), the count of consecutive
+    same-user event pairs and the row-normalized transition
+    probability ``P(to | from)`` — the behavioral-model summary of an
+    event stream (and the input to next-event-prediction baselines).
+
+    Ordering within a user is (ts, event_id) — the id tie-break makes
+    consecutive-pair extraction deterministic even under timestamp
+    collisions. Scale: one lag window PARTITIONED by user (the
+    natural entity key; never global), one tiny groupBy (|types|²),
+    counts exact, one division + round per output row."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(user_col, ts_col, id_col, F.col(type_col).alias("to_type"))
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("__t"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("__t").cast("double"), p_digits
+            ).alias("p"),
+        )
+    )

@@ -1218,3 +1218,37 @@ def q130_time_decayed_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_decayed_sum(
         events, "event_type", half_life_days=7.0, max_age_days=128
     )
+
+
+# ---------------------------------------------------------------------------
+# q131 event-type transition matrix (first-order Markov): consecutive
+# same-user pairs under deterministic (ts, event_id) ordering, counts
+# + row-normalized probabilities. Lag window partitioned by user;
+# output is |types|^2.
+# ---------------------------------------------------------------------------
+@query(
+    "q131_event_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS to_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      FROM events
+    ),
+    counts AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE from_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    totals AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS t
+               FROM counts GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.n,
+           round(CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS p
+    FROM counts c JOIN totals t ON c.from_type = t.from_type
+    """,
+)
+def q131_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.windows import event_transitions
+
+    events = load_table(spark, "events", sf_dir)
+    return event_transitions(events)

@@ -93,3 +93,40 @@ def test_time_decayed_sum_past_max_age_counts_but_adds_zero(spark):
     out = time_decayed_sum(df, "event_type", max_age_days=30).collect()
     assert out[0].n_events == 2
     assert out[0].decayed_sum == 10.0
+
+
+def test_event_transitions_counts_and_probabilities(spark):
+    import datetime as dtm
+
+    from airbnb_pyspark_jobs_spark.operators.windows import event_transitions
+
+    t0 = dtm.datetime(2024, 1, 1)
+
+    def ev(i, u, et):
+        return (i, t0 + dtm.timedelta(minutes=i), u, et)
+
+    # user 1: a->b->a ; user 2: a->b ; transitions: a->b x2, b->a x1
+    rows = [ev(0, 1, "a"), ev(1, 1, "b"), ev(2, 1, "a"), ev(3, 2, "a"), ev(4, 2, "b")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {(r.from_type, r.to_type): r for r in event_transitions(df).collect()}
+    assert out[("a", "b")].n == 2 and out[("a", "b")].p == 1.0
+    assert out[("b", "a")].n == 1 and out[("b", "a")].p == 1.0
+    # cross-user pairs never counted
+    assert ("b", "b") not in out and len(out) == 2
+
+
+def test_event_transitions_id_tiebreak_on_equal_ts(spark):
+    import datetime as dtm
+
+    from airbnb_pyspark_jobs_spark.operators.windows import event_transitions
+
+    t = dtm.datetime(2024, 1, 1)
+    rows = [(2, t, 1, "c"), (1, t, 1, "b"), (0, t, 1, "a")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {(r.from_type, r.to_type) for r in event_transitions(df).collect()}
+    # identical timestamps: event_id orders a -> b -> c deterministically
+    assert out == {("a", "b"), ("b", "c")}
