@@ -263,3 +263,56 @@ def asof_snapshot(dim: DataFrame, ts: Column | str) -> DataFrame:
         (F.col("start_dt") <= ts_c)
         & (F.col("end_dt").isNull() | (F.col("end_dt") > ts_c))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Table-snapshot reconciliation — the audit/data-diff operator of
+    a warehouse pipeline: given two snapshots of a keyed table, emit
+    one row per differing key with ``change_type`` ('added' /
+    'removed' / 'changed') and, for changes, the comma-joined list of
+    differing columns (fixed column order; null-safe comparison).
+    Unchanged keys are NOT emitted — the output is diff-sized, which
+    is what makes auditing a 100 TB snapshot pair feasible.
+
+    Scale: ONE full-outer equi-join on the key (the natural
+    co-partitioning; bucket both snapshots on the key to make it
+    exchange-free), all comparisons scan-side. Returns
+    ``*key_cols, change_type, changed_cols``."""
+    o = old.select(*key_cols, *compare_cols).alias("__o")
+    n = new.select(*key_cols, *compare_cols).alias("__n")
+    cond = [F.col(f"__o.{k}").eqNullSafe(F.col(f"__n.{k}")) for k in key_cols]
+    joined = o.join(n, on=cond, how="full_outer")
+    o_present = F.col(f"__o.{key_cols[0]}").isNotNull()
+    n_present = F.col(f"__n.{key_cols[0]}").isNotNull()
+    any_diff = None
+    diffs = []
+    for c in compare_cols:
+        d = ~F.col(f"__o.{c}").eqNullSafe(F.col(f"__n.{c}"))
+        diffs.append(F.when(d, F.lit(c)))
+        any_diff = d if any_diff is None else (any_diff | d)
+    change = (
+        F.when(~o_present, F.lit("added"))
+        .when(~n_present, F.lit("removed"))
+        .when(any_diff, F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"__o.{k}"), F.col(f"__n.{k}")).alias(k)
+                for k in key_cols
+            ],
+            "change_type",
+            F.when(
+                F.col("change_type") == "changed", F.concat_ws(",", *diffs)
+            )
+            .otherwise(F.lit(""))
+            .alias("changed_cols"),
+        )
+    )

@@ -628,3 +628,67 @@ def q81_scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim1 = scd2_merge(dim0, snapshot, _CUSTOMER_SPEC, _SCD2_T1)
     return asof_snapshot(dim1, _SCD2_TMID)
+
+
+# ---------------------------------------------------------------------------
+# q132 snapshot diff / reconciliation (the warehouse audit operator):
+# old = today's customer snapshot; new = tomorrow's (upgraded
+# segments for high balances, every 100th key gone, 50 new keys).
+# One full-outer key join, diff-sized output, null-safe compares;
+# changed_cols lists differing columns in fixed order.
+# ---------------------------------------------------------------------------
+@query(
+    "q132_snapshot_diff",
+    oracle="""
+    WITH oldt AS (
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    ),
+    newt AS (
+      SELECT c_custkey, c_name, c_acctbal,
+             CASE WHEN c_acctbal > 5000 THEN 'UPGRADED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 100 != 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey < 50
+    ),
+    j AS (
+      SELECT o.c_custkey AS ok, n.c_custkey AS nk,
+             COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+             CASE WHEN o.c_custkey IS NULL THEN 'added'
+                  WHEN n.c_custkey IS NULL THEN 'removed'
+                  WHEN (o.c_name IS DISTINCT FROM n.c_name)
+                    OR (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+                    OR (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment)
+                    THEN 'changed' END AS change_type,
+             concat_ws(',',
+               CASE WHEN o.c_name IS DISTINCT FROM n.c_name THEN 'c_name' END,
+               CASE WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                    THEN 'c_acctbal' END,
+               CASE WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                    THEN 'c_mktsegment' END) AS cc
+      FROM oldt o FULL OUTER JOIN newt n ON o.c_custkey = n.c_custkey
+    )
+    SELECT c_custkey, change_type,
+           CASE WHEN change_type = 'changed' THEN cc ELSE '' END AS changed_cols
+    FROM j WHERE change_type IS NOT NULL
+    """,
+)
+def q132_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.scd2 import snapshot_diff
+
+    cust = load_table(spark, "customer", sf_dir)
+    old = cust.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    mutated = old.filter(F.col("c_custkey") % 100 != 0).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") > 5000, "UPGRADED").otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    added = old.filter(F.col("c_custkey") < 50).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(1000000)
+    )
+    new = mutated.unionByName(added)
+    return snapshot_diff(
+        old, new, ["c_custkey"], ["c_name", "c_acctbal", "c_mktsegment"]
+    )

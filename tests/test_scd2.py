@@ -173,3 +173,32 @@ def test_asof_snapshot_boundary_semantics(spark):
     assert [r.val for r in asof_snapshot(dim, "2026-02-01 00:00:00").collect()] == ["v2"]
     # before the dimension existed -> empty
     assert asof_snapshot(dim, "2025-12-31 00:00:00").count() == 0
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from airbnb_pyspark_jobs_spark.operators.scd2 import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, name string, val double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 25.0), (3, "c", None), (5, "e", 50.0)],
+        "k long, name string, val double",
+    )
+    out = {r.k: r for r in snapshot_diff(old, new, ["k"], ["name", "val"]).collect()}
+    # k=1 unchanged -> absent; k=3 null == null (null-safe) -> absent
+    assert set(out) == {2, 4, 5}
+    assert out[2].change_type == "changed"
+    assert out[2].changed_cols == "name,val"
+    assert out[4].change_type == "removed" and out[4].changed_cols == ""
+    assert out[5].change_type == "added" and out[5].changed_cols == ""
+
+
+def test_snapshot_diff_null_transitions_are_changes(spark):
+    from airbnb_pyspark_jobs_spark.operators.scd2 import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k long, v string")
+    new = spark.createDataFrame([(1, "x")], "k long, v string")
+    out = snapshot_diff(old, new, ["k"], ["v"]).collect()
+    assert out[0].change_type == "changed" and out[0].changed_cols == "v"
