@@ -709,3 +709,76 @@ def grouped_spearman(
         ),
     )
     return fin.select(g, "n", rho.alias("spearman_rho"))
+
+
+def grouped_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col: F.Column,
+    y_cents: F.Column,
+    out_digits: int = 9,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS y on x) from EXACT
+    integer moment sums — trend estimation / drift profiling that
+    needs no float accumulation: with integer x and integer-cents y,
+    ``Σx, Σy, Σxy, Σx², Σy²`` are exact BIGINTs, the slope/intercept/
+    R² numerators and denominators are exact integer (or DECIMAL(38))
+    combinations, and floats appear only in the final divisions.
+
+    ``slope = (nΣxy - ΣxΣy) / (nΣx² - (Σx)²)`` (cents per x-unit),
+    ``intercept = (Σy·Σx² - Σx·Σxy) / (n·(nΣx² - (Σx)²)) · n`` — we
+    use the standard ``(Σy - slope·Σx)/n`` double form with a fixed
+    op order; ``R² = (nΣxy - ΣxΣy)² / ((nΣx² - (Σx)²)(nΣy² - (Σy)²))``
+    via DECIMAL(38,0) squares. Exactness bound: moment sums stay
+    double-exact to |n·Σxy| < 2^53 (~100M rows/group at these value
+    ranges); the DECIMAL path carries R² further. NULL slope/R² for
+    degenerate groups (constant x; constant y → R² undefined).
+
+    Returns ``{group}, n, slope_cents, intercept_cents, r2``."""
+    g = group_col
+    base = df.select(
+        F.col(g),
+        x_col.cast("bigint").alias("__x"),
+        y_cents.cast("bigint").alias("__y"),
+    )
+    m = base.groupBy(g).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__x").cast("bigint").alias("__sx"),
+        F.sum("__y").cast("bigint").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("bigint").alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("bigint").alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast("bigint").alias("__syy"),
+    )
+    num = F.col("n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    dx = F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dy = F.col("n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    slope = F.when(
+        dx > 0, F.round(num.cast("double") / dx.cast("double"), out_digits)
+    )
+    intercept = F.when(
+        dx > 0,
+        F.round(
+            (
+                F.col("__sy").cast("double")
+                - (num.cast("double") / dx.cast("double"))
+                * F.col("__sx").cast("double")
+            )
+            / F.col("n").cast("double"),
+            out_digits,
+        ),
+    )
+    r2 = F.when(
+        (dx > 0) & (dy > 0),
+        F.round(
+            (num.cast("decimal(38,0)") * num.cast("decimal(38,0)")).cast("double")
+            / (dx.cast("decimal(38,0)") * dy.cast("decimal(38,0)")).cast("double"),
+            out_digits,
+        ),
+    )
+    return m.select(
+        g,
+        "n",
+        slope.alias("slope_cents"),
+        intercept.alias("intercept_cents"),
+        r2.alias("r2"),
+    )

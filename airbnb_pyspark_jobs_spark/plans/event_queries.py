@@ -1252,3 +1252,63 @@ def q131_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, "events", sf_dir)
     return event_transitions(events)
+
+
+# ---------------------------------------------------------------------------
+# q133 per-type value trend (exact-moment OLS): regress value (cents)
+# on event age in days. All five moment sums are exact BIGINTs; R²
+# squares go through DECIMAL(38,0); floats appear only in the final
+# fixed-order divisions.
+# ---------------------------------------------------------------------------
+@query(
+    "q133_value_trends",
+    oracle="""
+    WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS a FROM events),
+    base AS (
+      SELECT event_type AS g,
+             CAST(date_diff('day', CAST(ts AS DATE), anchor.a) AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events, anchor
+    ),
+    m AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx,
+             CAST(SUM(y*y) AS BIGINT) AS syy
+      FROM base GROUP BY g
+    ),
+    d AS (
+      SELECT g, n, sx, sy,
+             n*sxy - sx*sy AS num, n*sxx - sx*sx AS dx, n*syy - sy*sy AS dy
+      FROM m
+    )
+    SELECT g AS event_type, n,
+           CASE WHEN dx > 0 THEN
+             round(CAST(num AS DOUBLE) / CAST(dx AS DOUBLE), 9) END
+             AS slope_cents,
+           CASE WHEN dx > 0 THEN
+             round((CAST(sy AS DOUBLE)
+                    - (CAST(num AS DOUBLE) / CAST(dx AS DOUBLE))
+                      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 9) END
+             AS intercept_cents,
+           CASE WHEN dx > 0 AND dy > 0 THEN
+             round(CAST(CAST(num AS DECIMAL(38,0)) * CAST(num AS DECIMAL(38,0))
+                        AS DOUBLE)
+                   / CAST(CAST(dx AS DECIMAL(38,0)) * CAST(dy AS DECIMAL(38,0))
+                          AS DOUBLE), 9) END AS r2
+    FROM d
+    """,
+)
+def q133_value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sketches import grouped_trend
+
+    events = load_table(spark, "events", sf_dir)
+    anchor = events.agg(F.max(F.to_date("ts")).alias("__a"))
+    base = events.crossJoin(F.broadcast(anchor))
+    return grouped_trend(
+        base,
+        "event_type",
+        x_col=F.datediff(F.col("__a"), F.to_date("ts")),
+        y_cents=F.round(F.col("value") * 100),
+    )

@@ -447,3 +447,33 @@ def test_grouped_spearman_constant_column_is_null(spark):
     )
     out = grouped_spearman(df, "g", "x", "y").collect()
     assert out[0].spearman_rho is None
+
+
+def test_grouped_trend_recovers_exact_line(spark):
+    from airbnb_pyspark_jobs_spark.operators.sketches import grouped_trend
+
+    # y = 300x + 500 exactly -> slope 300, intercept 500, r2 = 1
+    rows = [("a", x, 300 * x + 500) for x in range(10)]
+    # group b: constant x -> slope/intercept/r2 all NULL
+    rows += [("b", 5, y) for y in (10, 20, 30)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {
+        r.g: r
+        for r in grouped_trend(df, "g", F.col("x"), F.col("y")).collect()
+    }
+    assert out["a"].slope_cents == 300.0
+    assert out["a"].intercept_cents == 500.0
+    assert out["a"].r2 == 1.0
+    assert out["b"].slope_cents is None and out["b"].r2 is None
+
+
+def test_grouped_trend_constant_y_has_null_r2(spark):
+    from airbnb_pyspark_jobs_spark.operators.sketches import grouped_trend
+
+    df = spark.createDataFrame(
+        [("a", x, 7) for x in range(5)], "g string, x long, y long"
+    )
+    out = grouped_trend(df, "g", F.col("x"), F.col("y")).collect()
+    # slope 0 is well-defined; r2 is not (no y variance)
+    assert out[0].slope_cents == 0.0
+    assert out[0].r2 is None
