@@ -321,23 +321,30 @@ def test_cms_stream_converges_to_batch_sketch(spark, tmp_path):
         for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert all(est_stream[k] >= exact[k] for k in exact)  # one-sided error
-    # retry idempotence: re-write an existing batch partial with the
-    # same per-batch content — identical placement, merge must not move
+    # retry idempotence: re-derive ONE batch's partial from its source
+    # file and overwrite the same batch_id — the merge must not move.
+    # (inputFiles() order is NOT the streaming batch order, so find the
+    # file->batch mapping by matching partial content.)
     import os
 
-    batch_dirs = sorted(
-        x for x in os.listdir(sink) if x.startswith("batch_id=")
-    )
-    first_files = spark.read.parquet(src).inputFiles()[:1]
-    first_batch = spark.read.parquet(*first_files)
+    batch_dirs = sorted(x for x in os.listdir(sink) if x.startswith("batch_id="))
+    stored0 = {
+        (r.r, r.b): r.cnt
+        for r in spark.read.parquet(os.path.join(sink, batch_dirs[0])).collect()
+    }
+    match = None
+    for f in spark.read.parquet(src).inputFiles():
+        fd = spark.read.parquet(f).withColumn("one", F.lit(1).cast("bigint"))
+        counts = {
+            (r.r, r.b): r.cnt
+            for r in cms_counters(fd, "event_type", "one", d=d, w=w).collect()
+        }
+        if counts == stored0:
+            match = fd
+            break
+    assert match is not None, "no source file reproduces batch 0's partial"
     write_partial_cms(
-        first_batch.withColumn("one", F.lit(1).cast("bigint")),
-        int(batch_dirs[0].split("=")[1]),
-        sink,
-        "event_type",
-        "one",
-        d=d,
-        w=w,
+        match, int(batch_dirs[0].split("=")[1]), sink, "event_type", "one", d=d, w=w
     )
     again = {(r.r, r.b): r.cnt for r in read_cms_counters(spark, sink).collect()}
     assert again == got
