@@ -287,3 +287,60 @@ def event_transitions(
             ).alias("p"),
         )
     )
+
+
+def linear_interpolate_daily(
+    daily: DataFrame,
+    key_col: str,
+    date_col: str,
+    value_col: str,
+    out_digits: int = 6,
+) -> DataFrame:
+    """Linear interpolation across daily gaps per key — the companion
+    to LOCF forward-fill (q34) for metrics where a straight line
+    between observations beats repeating the last one (counters,
+    balances). Each consecutive pair of observed days (d0, v0) →
+    (d1, v1) emits days d0..d1-1 with
+    ``v = v0 + ((v1 - v0) * k) / gap`` (one fixed double-op order);
+    the last observed day emits itself.
+
+    Returns ``{key}, day (timestamp), value, is_interpolated``.
+    Scale: one lead window PARTITIONED by key, one explode bounded by
+    gap length — no spine join needed (the segment IS the spine)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy("__d")
+    seg = daily.select(
+        key_col,
+        F.col(date_col).alias("__d"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).select(
+        key_col,
+        "__d",
+        "__v",
+        F.lead("__d").over(w).alias("__nd"),
+        F.lead("__v").over(w).alias("__nv"),
+    )
+    gap = F.datediff(F.col("__nd"), F.col("__d"))
+    ks = F.explode(
+        F.sequence(
+            F.lit(0), F.when(F.col("__nd").isNull(), F.lit(0)).otherwise(gap - 1)
+        )
+    )
+    expanded = seg.select(
+        key_col, "__d", "__v", "__nv", gap.alias("__gap"), ks.alias("__k")
+    )
+    interp = F.when(F.col("__k") == 0, F.col("__v")).otherwise(
+        F.round(
+            F.col("__v")
+            + ((F.col("__nv") - F.col("__v")) * F.col("__k").cast("double"))
+            / F.col("__gap").cast("double"),
+            out_digits,
+        )
+    )
+    return expanded.select(
+        key_col,
+        F.date_add(F.col("__d"), F.col("__k")).cast("timestamp").alias("day"),
+        interp.alias("value"),
+        (F.col("__k") > 0).alias("is_interpolated"),
+    )

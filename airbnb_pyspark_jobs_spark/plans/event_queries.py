@@ -1312,3 +1312,50 @@ def q133_value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
         x_col=F.datediff(F.col("__a"), F.to_date("ts")),
         y_cents=F.round(F.col("value") * 100),
     )
+
+
+# ---------------------------------------------------------------------------
+# q134 linear interpolation across daily gaps (per user): the
+# straight-line companion to q34's LOCF fill. Consecutive observed
+# days bound each segment; interpolated values use one fixed
+# double-op order; k=0 rows return the observed value bit-for-bit.
+# ---------------------------------------------------------------------------
+@query(
+    "q134_linear_interpolation",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT user_id, d, v,
+             LEAD(d) OVER (PARTITION BY user_id ORDER BY d) AS nd,
+             LEAD(v) OVER (PARTITION BY user_id ORDER BY d) AS nv
+      FROM daily
+    ),
+    ex AS (
+      SELECT user_id, d, v, nv,
+             date_diff('day', d, nd) AS gap, u.k AS k
+      FROM seg, UNNEST(range(0, CASE WHEN nd IS NULL THEN 1
+                                     ELSE date_diff('day', d, nd) END)) AS u(k)
+    )
+    SELECT user_id,
+           CAST(d + CAST(k AS INTEGER) AS TIMESTAMP) AS day,
+           CASE WHEN k = 0 THEN v
+                ELSE round(v + ((nv - v) * CAST(k AS DOUBLE))
+                           / CAST(gap AS DOUBLE), 6) END AS value,
+           (k > 0) AS is_interpolated
+    FROM ex
+    """,
+)
+def q134_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.windows import (
+        linear_interpolate_daily,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        _money(F.sum(_dec("value", 12)), "v")
+    )
+    return linear_interpolate_daily(daily, "user_id", "d", "v")

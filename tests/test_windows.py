@@ -130,3 +130,27 @@ def test_event_transitions_id_tiebreak_on_equal_ts(spark):
     out = {(r.from_type, r.to_type) for r in event_transitions(df).collect()}
     # identical timestamps: event_id orders a -> b -> c deterministically
     assert out == {("a", "b"), ("b", "c")}
+
+
+def test_linear_interpolation_fills_gap_with_line(spark):
+    import datetime as dtm
+
+    from airbnb_pyspark_jobs_spark.operators.windows import (
+        linear_interpolate_daily,
+    )
+
+    d = dtm.date
+    daily = spark.createDataFrame(
+        [(1, d(2024, 1, 1), 10.0), (1, d(2024, 1, 4), 40.0), (1, d(2024, 1, 5), 0.0)],
+        "k long, d date, v double",
+    )
+    out = {
+        r.day.date(): r
+        for r in linear_interpolate_daily(daily, "k", "d", "v").collect()
+    }
+    assert len(out) == 5  # 1..5 inclusive, no spine join needed
+    assert out[d(2024, 1, 1)].value == 10.0 and not out[d(2024, 1, 1)].is_interpolated
+    assert out[d(2024, 1, 2)].value == 20.0 and out[d(2024, 1, 2)].is_interpolated
+    assert out[d(2024, 1, 3)].value == 30.0
+    assert out[d(2024, 1, 4)].value == 40.0 and not out[d(2024, 1, 4)].is_interpolated
+    assert out[d(2024, 1, 5)].value == 0.0
