@@ -1359,3 +1359,77 @@ def q134_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _money(F.sum(_dec("value", 12)), "v")
     )
     return linear_interpolate_daily(daily, "user_id", "d", "v")
+
+
+# ---------------------------------------------------------------------------
+# q135 median/MAD robust outliers per event type — the other standard
+# robust-stats gate next to q114's winsorized moments: median absolute
+# deviation flags survive heavy tails where mean/stddev flags drown.
+# ALL arithmetic is integer cents (exact in doubles < 2^53): two
+# grouped exact-quantile passes (the q104 two-phase machinery) give
+# the median and the MAD, the 3x-MAD flag is an integer compare, and
+# the only float ops are the final /100 displays. Oracle replays the
+# type-1 quantile as ROW_NUMBER at rank ceil(n/2).
+# ---------------------------------------------------------------------------
+@query(
+    "q135_mad_outliers",
+    oracle="""
+    WITH b AS (
+      SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    n1 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY g),
+    r1 AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rk FROM b),
+    med AS (SELECT r1.g, r1.v AS m FROM r1 JOIN n1 ON r1.g = n1.g
+            AND r1.rk = (n1.n + 1) // 2),
+    dv AS (SELECT b.g, b.v, abs(b.v - med.m) AS dev FROM b JOIN med ON b.g = med.g),
+    r2 AS (SELECT g, dev, ROW_NUMBER() OVER (PARTITION BY g ORDER BY dev) AS rk FROM dv),
+    mad AS (SELECT r2.g, r2.dev AS md FROM r2 JOIN n1 ON r2.g = n1.g
+            AND r2.rk = (n1.n + 1) // 2)
+    SELECT dv.g AS event_type, n1.n,
+           round(CAST(med.m AS DOUBLE) / 100.0, 2) AS median,
+           round(CAST(mad.md AS DOUBLE) / 100.0, 2) AS mad,
+           CAST(SUM(CASE WHEN dv.dev > 3 * mad.md THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dv
+    JOIN med ON dv.g = med.g
+    JOIN mad ON dv.g = mad.g
+    JOIN n1 ON dv.g = n1.g
+    GROUP BY dv.g, n1.n, med.m, mad.md
+    """,
+)
+def q135_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sketches import exact_quantiles_by
+
+    events = load_table(spark, "events", sf_dir)
+    base = events.filter(F.col("value").isNotNull()).select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("v")
+    )
+    med = exact_quantiles_by(base, ["event_type"], "v", [0.5]).select(
+        "event_type", F.col("value").alias("__m")
+    )
+    dv = base.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("v") - F.col("__m")).cast("bigint")
+    )
+    mad = exact_quantiles_by(dv, ["event_type"], "dev", [0.5]).select(
+        "event_type", F.col("value").alias("__md")
+    )
+    return (
+        dv.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "__m", "__md")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("dev") > F.lit(3) * F.col("__md"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("__m").cast("double") / 100.0, 2).alias("median"),
+            F.round(F.col("__md").cast("double") / 100.0, 2).alias("mad"),
+            "n_outliers",
+        )
+    )
