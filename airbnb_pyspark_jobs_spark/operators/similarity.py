@@ -888,12 +888,16 @@ def ivf_blocked_dup_pairs(
             vec_col=vec_col,
             round_digits=round_digits,
         )
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
     u = unit_vectors(corpus, id_col, vec_col, "id", "vn")
     sims = centroid_unit_sims(u, [(cid, _py_unit(v)) for cid, v in centroids])
     w = Window.partitionBy("id").orderBy(
         F.round("__rsim", round_digits).desc(), F.col("cid").asc()
     )
-    assigned = (
+    # both sides of the cell self-join read this — persist so the
+    # Arrow centroid-sim pass runs once, not per join side
+    assigned = owned_persist(
         sims.withColumn("__crn", F.row_number().over(w))
         .filter(F.col("__crn") <= n_assign)
         .select("id", "cid")
