@@ -43,15 +43,37 @@ class _IdRange(InputPartition):
         self.start, self.end = start, end
 
 
-def _doc_text(doc_id: int, vocab: Sequence[str]) -> str:
+def _doc_text(
+    doc_id: int, vocab: Sequence[str], cum: Sequence[int] | None = None
+) -> str:
     h = hashlib.md5(f"doc{doc_id}".encode()).digest()
     n_words = 20 + h[0] % 30
     words = []
     seed = int.from_bytes(h[:8], "big")
     for i in range(n_words):
         seed = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-        words.append(vocab[seed % len(vocab)])
+        if cum is None:
+            words.append(vocab[seed % len(vocab)])
+        else:
+            # Zipfian pick: inverse-CDF lookup on the precomputed
+            # 2^64-scaled cumulative weights (rank 0 = heaviest word)
+            import bisect
+
+            words.append(vocab[bisect.bisect_right(cum, seed)])
     return " ".join(words)
+
+
+def _zipf_cum(n_words: int, s: float) -> list[int]:
+    """2^64-scaled cumulative Zipf(s) weights over word ranks — the
+    skewed word-frequency law real text follows (and uniform synthetic
+    vocab does not); pure function of (n_words, s)."""
+    w = [1.0 / (r + 1) ** s for r in range(n_words)]
+    tot = sum(w)
+    cum, acc = [], 0.0
+    for x in w[:-1]:
+        acc += x
+        cum.append(int(acc / tot * (1 << 64)))
+    return cum
 
 
 def _synthetic_vocab(size: int) -> list[str]:
@@ -83,6 +105,14 @@ class SyntheticDocsReader(DataSourceReader):
         # stay byte-identical); >0 -> md5-derived synthetic vocabulary
         self.vocab_size = int(options.get("vocab_size", 0))
         self.vocab = _synthetic_vocab(self.vocab_size) if self.vocab_size else None
+        # zipf_s > 0 -> Zipfian word frequencies (rank-r weight 1/r^s);
+        # 0 keeps the classic uniform draw (existing corpora unchanged)
+        self.zipf_s = float(options.get("zipf_s", 0.0))
+        self.cum = (
+            _zipf_cum(len(self.vocab or _VOCAB), self.zipf_s)
+            if self.zipf_s > 0
+            else None
+        )
 
     def partitions(self) -> Sequence[InputPartition]:
         step = max(1, math.ceil(self.n / self.num_partitions))
@@ -94,16 +124,21 @@ class SyntheticDocsReader(DataSourceReader):
     def read(self, partition: _IdRange) -> Iterator[tuple]:
         for doc_id in range(partition.start, partition.end):
             # planted exact duplicate of the predecessor at a known rate
-            yield _doc_row(doc_id, self.dup_every, self.vocab)
+            yield _doc_row(doc_id, self.dup_every, self.vocab, self.cum)
 
 
-def _doc_row(doc_id: int, dup_every: int, vocab: Sequence[str] | None = None) -> tuple:
+def _doc_row(
+    doc_id: int,
+    dup_every: int,
+    vocab: Sequence[str] | None = None,
+    cum: Sequence[int] | None = None,
+) -> tuple:
     """One deterministic corpus row — shared by the batch and stream
     readers so a streamed corpus is byte-identical to the batch one."""
     src_id = (
         doc_id - 1 if (dup_every and doc_id % dup_every == 0 and doc_id > 0) else doc_id
     )
-    text = _doc_text(src_id, vocab if vocab is not None else _VOCAB)
+    text = _doc_text(src_id, vocab if vocab is not None else _VOCAB, cum)
     return (doc_id, text, "en", f"src{doc_id % 20}", len(text))
 
 

@@ -119,3 +119,44 @@ def test_synthetic_docs_stream_matches_batch(spark, tmp_path):
         for r in spark.read.format("synthetic_docs").option("n", 200).load().collect()
     }
     assert got == want  # 200 contiguous ids, identical texts
+
+
+def test_synthetic_zipf_option_is_deterministic_and_skewed(spark):
+    from airbnb_pyspark_jobs_spark.sources.synthetic import register
+
+    register(spark)
+
+    def load():
+        return (
+            spark.read.format("synthetic_docs")
+            .option("n", 500)
+            .option("vocab_size", 200)
+            .option("zipf_s", 1.1)
+            .load()
+        )
+
+    a = {r.doc_id: r.text for r in load().collect()}
+    b = {r.doc_id: r.text for r in load().collect()}
+    assert a == b  # pure function of (doc_id, options)
+    # Zipf skew: the top word dominates; uniform draw would put the
+    # max near mean (~1/200 of tokens)
+    from collections import Counter
+
+    counts = Counter(w for t in a.values() for w in t.split())
+    total = sum(counts.values())
+    assert counts.most_common(1)[0][1] / total > 0.05
+    # zipf_s=0 stays byte-identical to the classic uniform corpus
+    u = (
+        spark.read.format("synthetic_docs")
+        .option("n", 50)
+        .load()
+        .collect()
+    )
+    u2 = (
+        spark.read.format("synthetic_docs")
+        .option("n", 50)
+        .option("zipf_s", 0.0)
+        .load()
+        .collect()
+    )
+    assert sorted(map(tuple, u)) == sorted(map(tuple, u2))
