@@ -1101,3 +1101,98 @@ def oov_rates(
             ).alias("oov_rate"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    max_df_ratio: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w_digits: int = 6,
+    cos_digits: int = 4,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similar pairs — the weighted counterpart
+    of the Jaccard shingle join (q44): documents sharing many RARE
+    terms score high even when token multisets differ. The classic
+    sparse-vector similarity join: weights live term-partitioned, the
+    pair dot product is a term equi-join + per-pair sum, and the df
+    cap drops stopword-class terms whose df² fan-out carries no
+    signal (q44's economics).
+
+    Determinism: per-(doc,term) weights are ``round(tf·ln(N/df),
+    w_digits)`` cast DECIMAL; pair dots and per-doc squared norms are
+    then EXACT decimal sums (products of two rounded decimals);
+    norms take one IEEE sqrt each and the cosine is one division +
+    round — no float accumulates anywhere.
+
+    Returns ``doc_id_a, doc_id_b, cos_sim`` (>= threshold). Scale:
+    one term-key shuffle for weights, the capped term self-join, a
+    pair-key aggregation; per-doc norms broadcast-join back."""
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("t")
+    ).select("doc_id", F.lower("t").alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("__tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    nd = docs.select(F.countDistinct(id_col).alias("__n"))
+    dec = f"decimal(28,{w_digits})"
+    w = owned_persist(
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(nd))
+        .filter(
+            F.col("__df").cast("double")
+            <= F.col("__n").cast("double") * F.lit(float(max_df_ratio))
+        )
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.round(
+                    F.col("__tf")
+                    * F.log(
+                        F.col("__n").cast("double") / F.col("__df").cast("double")
+                    ),
+                    w_digits,
+                ).cast(dec)
+            ).alias("__w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w")).cast("double")).alias("__nrm")
+    )
+    dots = (
+        w.alias("a")
+        .join(
+            w.alias("b"),
+            on=[
+                F.col("a.term") == F.col("b.term"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .agg(F.sum(F.col("a.__w") * F.col("b.__w")).alias("__dot"))
+    )
+    return (
+        dots.join(
+            norms.withColumnsRenamed({"doc_id": "doc_id_a", "__nrm": "__na"}),
+            "doc_id_a",
+        )
+        .join(
+            norms.withColumnsRenamed({"doc_id": "doc_id_b", "__nrm": "__nb"}),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(
+                F.col("__dot").cast("double") / (F.col("__na") * F.col("__nb")),
+                cos_digits,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(float(threshold)))
+    )

@@ -2464,3 +2464,50 @@ def q127_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q129_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return DD.source_overlap_matrix(docs, granularity="shingle")
+
+
+# ---------------------------------------------------------------------------
+# q136 sparse TF-IDF cosine pairs (the weighted counterpart of q44's
+# Jaccard join): per-(doc,term) weights rounded then DECIMAL, so pair
+# dot products and squared norms are exact sums; one sqrt per doc and
+# one division per pair — no float accumulation. df cap 0.5 mirrors
+# q48's stopword economics.
+# ---------------------------------------------------------------------------
+@query(
+    "q136_tfidf_cosine_pairs",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, lower(t) AS term
+      FROM (SELECT doc_id, UNNEST({_D_TOKENS}) AS t FROM documents)
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(round(tf.tf * ln(CAST(nd.n AS DOUBLE) / CAST(dfc.df AS DOUBLE)), 6)
+                  AS DECIMAL(28,6)) AS w
+      FROM tf JOIN dfc USING (term), nd
+      WHERE CAST(dfc.df AS DOUBLE) <= CAST(nd.n AS DOUBLE) * CAST(0.5 AS DOUBLE)
+    ),
+    nrm AS (
+      SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, SUM(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.doc_id_a, d.doc_id_b,
+           round(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm), 4) AS cos_sim
+    FROM dots d
+    JOIN nrm na ON d.doc_id_a = na.doc_id
+    JOIN nrm nb ON d.doc_id_b = nb.doc_id
+    WHERE round(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm), 4) >= 0.8
+    """,
+)
+def q136_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import tfidf_cosine_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return tfidf_cosine_pairs(docs, threshold=0.8, max_df_ratio=0.5)

@@ -565,3 +565,24 @@ def test_oov_rates_against_truncated_vocab(spark):
     assert out[1].oov_rate == 0.25
     assert out[2].n_oov == 0
     assert out[3].n_oov == 2 and out[3].oov_rate == 1.0
+
+
+def test_tfidf_cosine_pairs_identical_docs_score_one(spark):
+    from airbnb_pyspark_jobs_spark.operators.corpus import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "rare1 rare2 rare3"),
+            (2, "rare1 rare2 rare3"),     # identical -> cos 1.0
+            (3, "rare1 rare2 other"),     # shares 2/3 rare terms
+            (4, "alpha beta gamma"),      # disjoint -> absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id_a, r.doc_id_b): r.cos_sim
+        for r in tfidf_cosine_pairs(df, threshold=0.1, max_df_ratio=1.0).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert 0.1 < out[(1, 3)] < 1.0
+    assert (1, 4) not in out and (2, 4) not in out
