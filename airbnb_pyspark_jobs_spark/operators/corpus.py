@@ -1196,3 +1196,89 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("cos_sim") >= F.lit(float(threshold)))
     )
+
+
+def pmi_cooccurrence(
+    docs: DataFrame,
+    min_pair_docs: int = 5,
+    top_k: int = 50,
+    max_terms_per_doc: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pmi_digits: int = 6,
+) -> DataFrame:
+    """Top-k word associations by document-level PMI:
+    ``pmi(a,b) = ln(c_ab·T / (c_a·c_b))`` over document-presence
+    counts — the classic collocation/association-mining statistic
+    (positive = the pair co-occurs more than independence predicts).
+
+    ``max_terms_per_doc`` bounds the per-doc pair fan-out (the
+    quadratic hazard of long documents) by keeping each doc's
+    most-frequent terms (tf desc, term asc — deterministic);
+    ``min_pair_docs`` is the standard support floor that kills
+    one-off coincidences. Counts are exact integers; the PMI is one
+    fixed-order double expression + round; top-k orders by (pmi desc,
+    a, b) — a heap, not a global sort.
+
+    Returns ``term_a, term_b, n_docs_pair, pmi, rn``."""
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("t")
+    ).select("doc_id", F.lower("t").alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("__tf"))
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("__tf").desc(), F.col("term").asc()
+    )
+    kept = owned_persist(
+        tf.withColumn("__r", F.row_number().over(wr))
+        .filter(F.col("__r") <= max_terms_per_doc)
+        .select("doc_id", "term")
+    )
+    ca = kept.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    t_total = docs.select(F.countDistinct(id_col).cast("double").alias("__t"))
+    pairs = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            on=[
+                F.col("a.doc_id") == F.col("b.doc_id"),
+                F.col("a.term") < F.col("b.term"),
+            ],
+        )
+        .groupBy(F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_pair"))
+        .filter(F.col("n_docs_pair") >= min_pair_docs)
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_docs_pair").cast("double") * F.col("__t"))
+            / (F.col("__ca").cast("double") * F.col("__cb").cast("double"))
+        ),
+        pmi_digits,
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(ca.withColumnsRenamed({"term": "term_a", "__c": "__ca"})),
+            "term_a",
+        )
+        .join(
+            F.broadcast(ca.withColumnsRenamed({"term": "term_b", "__c": "__cb"})),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(t_total))
+        .select("term_a", "term_b", "n_docs_pair", pmi.alias("pmi"))
+    )
+    w = Window.orderBy(
+        F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc()
+    )
+    return (
+        scored.orderBy(
+            F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc()
+        )
+        .limit(top_k)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+    )

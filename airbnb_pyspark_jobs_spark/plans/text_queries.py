@@ -2511,3 +2511,58 @@ def q136_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return tfidf_cosine_pairs(docs, threshold=0.8, max_df_ratio=0.5)
+
+
+# ---------------------------------------------------------------------------
+# q137 PMI word associations (document-level collocation mining):
+# presence counts are exact integers, PMI is one fixed-order double
+# expression + round, support floor 5 docs, top-50 heap with
+# deterministic tie-breaks. max_terms_per_doc bounds the per-doc pair
+# fan-out.
+# ---------------------------------------------------------------------------
+@query(
+    "q137_pmi_cooccurrence",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, lower(t) AS term
+      FROM (SELECT doc_id, UNNEST({_D_TOKENS}) AS t FROM documents)
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    kept AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, term,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tf DESC, term ASC) AS r
+        FROM tf) WHERE r <= 100
+    ),
+    ca AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM kept GROUP BY term),
+    tt AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS t FROM documents),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b,
+             CAST(COUNT(*) AS BIGINT) AS n_docs_pair
+      FROM kept a JOIN kept b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term
+      HAVING COUNT(*) >= 5
+    ),
+    scored AS (
+      SELECT p.term_a, p.term_b, p.n_docs_pair,
+             round(ln((CAST(p.n_docs_pair AS DOUBLE) * tt.t)
+                      / (CAST(cca.c AS DOUBLE) * CAST(ccb.c AS DOUBLE))), 6) AS pmi
+      FROM pairs p
+      JOIN ca cca ON p.term_a = cca.term
+      JOIN ca ccb ON p.term_b = ccb.term, tt
+    )
+    SELECT term_a, term_b, n_docs_pair, pmi,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY pmi DESC, term_a ASC, term_b ASC) AS BIGINT) AS rn
+    FROM scored
+    ORDER BY pmi DESC, term_a ASC, term_b ASC
+    LIMIT 50
+    """,
+)
+def q137_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import pmi_cooccurrence
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pmi_cooccurrence(docs, min_pair_docs=5, top_k=50)

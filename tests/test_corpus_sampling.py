@@ -586,3 +586,21 @@ def test_tfidf_cosine_pairs_identical_docs_score_one(spark):
     assert out[(1, 2)] == 1.0
     assert 0.1 < out[(1, 3)] < 1.0
     assert (1, 4) not in out and (2, 4) not in out
+
+
+def test_pmi_ranks_exclusive_pair_above_independent(spark):
+    from airbnb_pyspark_jobs_spark.operators.corpus import pmi_cooccurrence
+
+    # "tea"+"pot" always together (PMI high); "the" in every doc
+    # (PMI ~ 0 with anything)
+    rows = [(i, "tea pot the") for i in range(6)]
+    rows += [(i, "cat dog the") for i in range(6, 12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.term_a, r.term_b): r for r in pmi_cooccurrence(df, min_pair_docs=5, top_k=10).collect()}
+    import math
+
+    # pmi(pot, tea) = ln(6*12/(6*6)) = ln 2
+    assert out[("pot", "tea")].pmi == round(math.log(2.0), 6)
+    # pmi(tea, the) = ln(6*12/(6*12)) = 0
+    assert out[("tea", "the")].pmi == 0.0
+    assert out[("pot", "tea")].rn < out[("tea", "the")].rn
