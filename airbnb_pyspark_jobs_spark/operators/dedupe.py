@@ -1156,3 +1156,81 @@ def source_overlap_matrix(
             ).alias("containment_b_in_a"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    damping: float = 0.85,
+    r_digits: int = 9,
+) -> DataFrame:
+    """Deterministic PageRank over an UNDIRECTED edge list (each edge
+    contributes both directions) — duplication-centrality ranking for
+    dedup graphs: which documents sit at the center of a near-dup
+    cluster (highest-degree-weighted reach), the natural keeper-choice
+    refinement over plain min-id.
+
+    Fixed ``iters`` power iterations with per-iteration rounding:
+    every contribution ``r/deg`` is rounded to ``r_digits`` and cast
+    DECIMAL before summation (exact, order-independent), then one
+    fixed-order double expression ``teleport + damping·Σ`` re-rounds —
+    so the whole trajectory is bitwise reproducible cross-engine (the
+    unrolled-CTE oracle replays it exactly, the k-means recipe).
+
+    Returns ``node, degree, rank``. Scale: each iteration is one
+    equi-join on the node key + one aggregation — the classic Pregel
+    shape; for long chains add localCheckpoint every few rounds (the
+    connected-components lineage discipline)."""
+    und = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    )
+    und = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    nodes = deg.select(F.col("a").alias("node"), "deg")
+    n_nodes = nodes.count()  # bounded planning action: one scalar
+    # round IN-PLAN (SQL half-away semantics, same as the oracle's
+    # round()) — python round() is half-even and can differ
+    dec = f"decimal(18,{r_digits})"
+    teleport = F.round(
+        F.lit(1.0 - float(damping)) / F.lit(float(n_nodes)), r_digits
+    )
+    ranks = nodes.select(
+        "node",
+        F.round(F.lit(1.0) / F.lit(float(n_nodes)), r_digits).cast(dec).alias("r"),
+    )
+    for _ in range(iters):
+        contrib = (
+            und.join(ranks.withColumnRenamed("node", "a"), "a")
+            .join(deg, "a")
+            .select(
+                F.col("b").alias("node"),
+                F.round(
+                    F.col("r").cast("double") / F.col("deg").cast("double"),
+                    r_digits,
+                )
+                .cast(dec)
+                .alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = (
+            nodes.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    teleport
+                    + F.lit(float(damping))
+                    * F.coalesce(F.col("__s"), F.lit(0).cast(dec)).cast("double"),
+                    r_digits,
+                )
+                .cast(dec)
+                .alias("r"),
+            )
+        )
+    return nodes.join(ranks, "node").select(
+        "node", "deg", F.col("r").cast("double").alias("rank")
+    )

@@ -2566,3 +2566,79 @@ def q137_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return pmi_cooccurrence(docs, min_pair_docs=5, top_k=50)
+
+
+# ---------------------------------------------------------------------------
+# q138 PageRank over the exact near-dup graph (duplication
+# centrality): 5 unrolled power iterations with per-iteration
+# rounding, every contribution rounded then DECIMAL-summed — the
+# k-means unrolled-CTE recipe applied to an iterative graph
+# algorithm. Teleport = (1.0 - 0.85) evaluated as the SAME IEEE
+# subtraction on both engines (the python literal 0.15 is a different
+# double). Edges = J>=1/2 exact pairs (integer verification).
+# ---------------------------------------------------------------------------
+_PR_ITERS = 5
+
+
+def _q138_oracle() -> str:
+    parts = [
+        rf"""
+    WITH {_D_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT i.da, i.db FROM inter i
+      JOIN sizes sa ON i.da = sa.doc_id JOIN sizes sb ON i.db = sb.doc_id
+      WHERE 2 * i.ni >= (sa.n_sh + sb.n_sh - i.ni)
+    ),
+    und AS (SELECT da AS a, db AS b FROM pairs
+            UNION ALL SELECT db AS a, da AS b FROM pairs),
+    deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY a),
+    nodes AS (SELECT a AS node, deg FROM deg),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    tp AS (SELECT round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n, 9)
+             AS t FROM nn),
+    r0 AS (SELECT node, CAST(round(CAST(1.0 AS DOUBLE) / nn.n, 9)
+             AS DECIMAL(18,9)) AS r FROM nodes, nn)"""
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        parts.append(
+            f""",
+    c{k} AS (
+      SELECT u.b AS node,
+             CAST(round(CAST(r{k - 1}.r AS DOUBLE) / CAST(deg.deg AS DOUBLE), 9)
+                  AS DECIMAL(18,9)) AS c
+      FROM und u JOIN r{k - 1} ON u.a = r{k - 1}.node JOIN deg ON u.a = deg.a
+    ),
+    s{k} AS (SELECT node, SUM(c) AS s FROM c{k} GROUP BY node),
+    r{k} AS (
+      SELECT n.node,
+             CAST(round(tp.t + CAST(0.85 AS DOUBLE)
+                        * CAST(COALESCE(s{k}.s, 0) AS DOUBLE), 9)
+                  AS DECIMAL(18,9)) AS r
+      FROM nodes n LEFT JOIN s{k} ON n.node = s{k}.node, tp
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT nodes.node, nodes.deg, CAST(r{_PR_ITERS}.r AS DOUBLE) AS rank
+    FROM nodes JOIN r{_PR_ITERS} ON nodes.node = r{_PR_ITERS}.node
+    """
+    )
+    return "".join(parts)
+
+
+@query("q138_dup_graph_pagerank", oracle=_q138_oracle())
+def q138_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = DD.prefix_filter_jaccard_pairs(docs, threshold_num=1, threshold_den=2)
+    return DD.pagerank(
+        pairs.select("doc_id_a", "doc_id_b"),
+        src_col="doc_id_a",
+        dst_col="doc_id_b",
+        iters=_PR_ITERS,
+    )

@@ -407,3 +407,30 @@ def test_source_overlap_shingle_granularity_sees_partial_overlap(spark):
     assert len(sh) == 1
     assert sh[0].n_common == 2  # "one two three", "two three four"
     assert sh[0].containment_a_in_b == 1.0
+
+
+def test_pagerank_star_center_dominates(spark):
+    from airbnb_pyspark_jobs_spark.operators.dedupe import pagerank
+
+    # star: node 0 connected to 1..5; center must outrank leaves, and
+    # ranks must sum to ~1 (power iteration conserves mass)
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    out = {r.node: r for r in pagerank(edges, "src", "dst", iters=5).collect()}
+    assert out[0].deg == 5
+    assert all(out[0].rank > out[i].rank for i in range(1, 6))
+    assert abs(sum(r.rank for r in out.values()) - 1.0) < 1e-6
+    leaf_ranks = {round(out[i].rank, 9) for i in range(1, 6)}
+    assert len(leaf_ranks) == 1  # symmetric leaves tie exactly
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    from airbnb_pyspark_jobs_spark.operators.dedupe import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 7) for i in range(7)] + [(0, 3)], "src long, dst long"
+    )
+    a = sorted(map(tuple, pagerank(edges, "src", "dst").collect()))
+    b = sorted(map(tuple, pagerank(edges, "src", "dst").collect()))
+    assert a == b
