@@ -115,6 +115,12 @@ EXTENDED_QUERIES = [
     "q129_source_overlap",
     # time-decay totals: broadcast factor table, one groupBy
     "q130_time_decayed_totals",
+    # sparse TF-IDF cosine join: capped term self-join, exact dots
+    "q136_tfidf_cosine_pairs",
+    # PMI collocations: bounded pair fan-out + heap top-k
+    "q137_pmi_cooccurrence",
+    # PageRank: 5 power iterations over the exact near-dup graph
+    "q138_dup_graph_pagerank",
 ]
 
 
