@@ -782,3 +782,110 @@ def grouped_trend(
         intercept.alias("intercept_cents"),
         r2.alias("r2"),
     )
+
+
+def kmv_intersections(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+    est_digits: int = 4,
+) -> DataFrame:
+    """Pairwise distinct-key INTERSECTION estimates between groups
+    from KMV/theta sketches — the set-operation closure of the sketch
+    family (q98 gives union/rollup; audience-overlap questions need
+    intersections). Theta-sketch semantics: each group retains its
+    hashes below ``theta_g`` (the k-th smallest, or the full space
+    when the sketch never filled); a pair's estimate counts common
+    retained hashes below ``min(theta_a, theta_b)`` and scales by the
+    sampled fraction: ``est = n_common · 2^32 / theta_min``. Sketches
+    that never filled make the formula collapse to the EXACT common
+    count (theta = 2^32).
+
+    Every quantity is integer until the single scaling division; the
+    exact intersection and absolute error ride along for measurement
+    (the q109 error-column pattern). Returns ``group_a, group_b,
+    n_common_sample, est_inter, exact_inter, abs_err``. Scale: one
+    distinct shuffle of (group, hash), k-sized sketches joined on the
+    hash, and an exact verification join on the raw keys (drop it in
+    production — it exists to measure the estimator)."""
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.functions.text import portable_hash_int
+
+    space = 4294967296.0
+    g = group_col
+    hashed = df.select(
+        F.col(g), portable_hash_int(F.col(key_col).cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy(g).orderBy("h")
+    kept = hashed.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    thetas = kept.groupBy(g).agg(
+        F.coalesce(
+            F.max(F.when(F.col("__rn") == k, F.col("h"))),
+            F.lit(int(space)),
+        )
+        .cast("bigint")
+        .alias("__theta")
+    )
+    sample = kept.join(thetas, g).filter(F.col("h") < F.col("__theta")).select(g, "h")
+    tpair = (
+        thetas.select(F.col(g).alias("group_a"), F.col("__theta").alias("__ta"))
+        .crossJoin(
+            thetas.select(F.col(g).alias("group_b"), F.col("__theta").alias("__tb"))
+        )
+        .filter(F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a", "group_b", F.least("__ta", "__tb").alias("__tmin")
+        )
+    )
+    common = (
+        sample.alias("a")
+        .join(sample.alias("b"), on=[F.col("a.h") == F.col("b.h")])
+        .select(
+            F.col(f"a.{g}").alias("group_a"),
+            F.col(f"b.{g}").alias("group_b"),
+            F.col("a.h").alias("h"),
+        )
+        .filter(F.col("group_a") < F.col("group_b"))
+        .join(F.broadcast(tpair), ["group_a", "group_b"])
+        .filter(F.col("h") < F.col("__tmin"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common_sample"))
+    )
+    keys = df.select(F.col(g), F.col(key_col).alias("kk")).distinct()
+    exact = (
+        keys.alias("a")
+        .join(keys.alias("b"), on=[F.col("a.kk") == F.col("b.kk")])
+        .select(F.col(f"a.{g}").alias("group_a"), F.col(f"b.{g}").alias("group_b"))
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    return (
+        tpair.join(common, ["group_a", "group_b"], "left")
+        .join(exact, ["group_a", "group_b"], "left")
+        .select(
+            "group_a",
+            "group_b",
+            F.coalesce("n_common_sample", F.lit(0)).cast("bigint").alias(
+                "n_common_sample"
+            ),
+            F.round(
+                F.coalesce("n_common_sample", F.lit(0)).cast("double")
+                * F.lit(space)
+                / F.col("__tmin").cast("double"),
+                est_digits,
+            ).alias("est_inter"),
+            F.coalesce("exact_inter", F.lit(0)).cast("bigint").alias("exact_inter"),
+        )
+        .withColumn(
+            "abs_err",
+            F.round(
+                F.abs(F.col("est_inter") - F.col("exact_inter").cast("double")),
+                est_digits,
+            ),
+        )
+    )

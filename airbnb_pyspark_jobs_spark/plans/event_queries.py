@@ -1433,3 +1433,78 @@ def q135_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q139 audience-overlap estimates from KMV/theta sketches: pairwise
+# distinct-user intersections between event types, k=64 sketches,
+# common-retained-hash count scaled by the sampled fraction; exact
+# intersection + abs error ride along (the q109 measurement pattern).
+# All integers until the one scaling division.
+# ---------------------------------------------------------------------------
+_THETA_K = 64
+
+
+@query(
+    "q139_kmv_intersections",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type AS g,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+      FROM events
+    ),
+    kept AS (
+      SELECT g, h, rn FROM (
+        SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+        FROM hashed) WHERE rn <= {_THETA_K}
+    ),
+    thetas AS (
+      SELECT g, CAST(COALESCE(MAX(CASE WHEN rn = {_THETA_K} THEN h END),
+                              4294967296) AS BIGINT) AS theta
+      FROM kept GROUP BY g
+    ),
+    sample AS (
+      SELECT kept.g, kept.h FROM kept JOIN thetas ON kept.g = thetas.g
+      WHERE kept.h < thetas.theta
+    ),
+    tpair AS (
+      SELECT a.g AS group_a, b.g AS group_b,
+             LEAST(a.theta, b.theta) AS tmin
+      FROM thetas a, thetas b WHERE a.g < b.g
+    ),
+    common AS (
+      SELECT sa.g AS group_a, sb.g AS group_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common_sample
+      FROM sample sa
+      JOIN sample sb ON sa.h = sb.h AND sa.g < sb.g
+      JOIN tpair t ON t.group_a = sa.g AND t.group_b = sb.g
+      WHERE sa.h < t.tmin
+      GROUP BY sa.g, sb.g
+    ),
+    keysets AS (SELECT DISTINCT event_type AS g, user_id AS kk FROM events),
+    exact AS (
+      SELECT a.g AS group_a, b.g AS group_b,
+             CAST(COUNT(*) AS BIGINT) AS exact_inter
+      FROM keysets a JOIN keysets b ON a.kk = b.kk AND a.g < b.g
+      GROUP BY a.g, b.g
+    )
+    SELECT t.group_a, t.group_b,
+           CAST(COALESCE(c.n_common_sample, 0) AS BIGINT) AS n_common_sample,
+           round(CAST(COALESCE(c.n_common_sample, 0) AS DOUBLE)
+                 * CAST(4294967296.0 AS DOUBLE)
+                 / CAST(t.tmin AS DOUBLE), 4) AS est_inter,
+           CAST(COALESCE(e.exact_inter, 0) AS BIGINT) AS exact_inter,
+           round(abs(round(CAST(COALESCE(c.n_common_sample, 0) AS DOUBLE)
+                           * CAST(4294967296.0 AS DOUBLE)
+                           / CAST(t.tmin AS DOUBLE), 4)
+                     - CAST(COALESCE(e.exact_inter, 0) AS DOUBLE)), 4) AS abs_err
+    FROM tpair t
+    LEFT JOIN common c ON t.group_a = c.group_a AND t.group_b = c.group_b
+    LEFT JOIN exact e ON t.group_a = e.group_a AND t.group_b = e.group_b
+    """,
+)
+def q139_kmv_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sketches import kmv_intersections
+
+    events = load_table(spark, "events", sf_dir)
+    return kmv_intersections(events, "event_type", "user_id", k=_THETA_K)

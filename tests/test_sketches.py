@@ -499,3 +499,31 @@ def test_mad_outlier_query_flags_known_extreme(spark):
     assert mad[0].value == 100.0  # devs sorted: 0,0,0,100,100,100,100,9500
     flags = dv.filter(F.col("dev") > 3 * 100).collect()
     assert [r.v for r in flags] == [10000]
+
+
+def test_kmv_intersections_exact_when_sketch_not_full(spark):
+    from airbnb_pyspark_jobs_spark.operators.sketches import kmv_intersections
+
+    # 30 keys per group, k=64 -> sketches never fill -> theta = 2^32
+    # and the estimate collapses to the exact common count
+    rows = [("a", i) for i in range(30)] + [("b", i) for i in range(10, 40)]
+    df = spark.createDataFrame(rows, "g string, u long")
+    out = kmv_intersections(df, "g", "u", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.exact_inter == 20
+    assert r.est_inter == 20.0 and r.abs_err == 0.0
+    assert r.n_common_sample == 20
+
+
+def test_kmv_intersections_estimates_within_sampling_error(spark):
+    from airbnb_pyspark_jobs_spark.operators.sketches import kmv_intersections
+
+    # 1500 keys each, 750 shared; k=64 sketch -> rough estimate but
+    # within a loose statistical band (typical-draw key format)
+    rows = [("a", f"user{i}x") for i in range(1500)]
+    rows += [("b", f"user{i}x") for i in range(750, 2250)]
+    df = spark.createDataFrame(rows, "g string, u string")
+    r = kmv_intersections(df, "g", "u", k=64).collect()[0]
+    assert r.exact_inter == 750
+    assert 200 < r.est_inter < 2000  # k=64 theta intersection is noisy
