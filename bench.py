@@ -121,6 +121,8 @@ EXTENDED_QUERIES = [
     "q137_pmi_cooccurrence",
     # PageRank: 5 power iterations over the exact near-dup graph
     "q138_dup_graph_pagerank",
+    # theta-sketch intersections: k-sized sketches + exact verify
+    "q139_kmv_intersections",
 ]
 
 
