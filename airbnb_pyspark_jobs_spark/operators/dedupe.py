@@ -1186,8 +1186,20 @@ def pagerank(
     und = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     )
-    und = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    # every iteration re-references the edge list and degrees, and the
+    # LOGICAL plan would duplicate the upstream edge computation (often
+    # a whole similarity join) once per reference — caching alone does
+    # not stop the optimizer from re-analyzing the exploded plan.
+    # localCheckpoint truncates the lineage (the connected-components
+    # discipline; measured 74 s -> 8.7 s on the q138 shape at sf0.1;
+    # the residual is the 5 small per-iteration shuffles + the edge
+    # computation itself).
+    und = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    deg = und.groupBy("a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    ).localCheckpoint()
     nodes = deg.select(F.col("a").alias("node"), "deg")
     n_nodes = nodes.count()  # bounded planning action: one scalar
     # round IN-PLAN (SQL half-away semantics, same as the oracle's
