@@ -1508,3 +1508,148 @@ def q139_kmv_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, "events", sf_dir)
     return kmv_intersections(events, "event_type", "user_id", k=_THETA_K)
+
+
+# ---------------------------------------------------------------------------
+# q140 quantile normalization per event type: map value to its
+# mid-rank uniform quantile u = avg_rank / (n+1) in (0,1) — the
+# rank-gauss feature transform minus the (non-portable) inverse-CDF
+# step. Average ranks come from cumulative counts over the
+# distinct-value frame (the q128 integer construction, scaled by 2);
+# the only float op is the final division + round.
+# ---------------------------------------------------------------------------
+@query(
+    "q140_quantile_normalize",
+    oracle="""
+    WITH base AS (SELECT event_type AS g, value AS v FROM events
+                  WHERE value IS NOT NULL),
+    n1 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY g),
+    vc AS (SELECT g, v, COUNT(*) AS c FROM base GROUP BY g, v),
+    a2 AS (
+      SELECT g, v, c,
+             CAST(2 * COALESCE(SUM(c) OVER (
+               PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + c + 1 AS BIGINT) AS r2
+      FROM vc
+    )
+    SELECT a2.g AS event_type, a2.v AS value,
+           CAST(a2.c AS BIGINT) AS n_ties,
+           round(CAST(a2.r2 AS DOUBLE)
+                 / (CAST(2 AS DOUBLE) * CAST(n1.n + 1 AS DOUBLE)), 9) AS u
+    FROM a2 JOIN n1 ON a2.g = n1.g
+    """,
+)
+def q140_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, "events", sf_dir)
+    base = events.filter(F.col("value").isNotNull()).select(
+        F.col("event_type"), F.col("value").alias("v")
+    )
+    n1 = base.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    vc = base.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    a2 = vc.select(
+        "event_type",
+        "v",
+        "__c",
+        (
+            F.lit(2) * F.coalesce(F.sum("__c").over(w), F.lit(0))
+            + F.col("__c")
+            + F.lit(1)
+        )
+        .cast("bigint")
+        .alias("__r2"),
+    )
+    return a2.join(F.broadcast(n1), "event_type").select(
+        "event_type",
+        F.col("v").alias("value"),
+        F.col("__c").cast("bigint").alias("n_ties"),
+        F.round(
+            F.col("__r2").cast("double")
+            / (F.lit(2.0) * (F.col("__n") + F.lit(1)).cast("double")),
+            9,
+        ).alias("u"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q141 RFM segmentation (recency / frequency / monetary): the classic
+# warehouse customer-scoring query, with every bucket assignment in
+# PURE INTEGER arithmetic — per-user ranks on each dimension via
+# partitioned windows with full deterministic tie-breaks, quintile =
+# (rank-1)*5 div n + 1 (the q123 equi-depth formula), segment =
+# r*100 + f*10 + m. Monetary sums are exact cents.
+# ---------------------------------------------------------------------------
+@query(
+    "q141_rfm_segments",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             MAX(ts) AS last_ts,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pu),
+    rk AS (
+      SELECT user_id, last_ts, freq, cents,
+             ROW_NUMBER() OVER (ORDER BY last_ts DESC, user_id ASC) AS rr,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, user_id ASC) AS rf,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, user_id ASC) AS rm
+      FROM pu
+    )
+    SELECT rk.user_id, rk.freq,
+           round(CAST(rk.cents AS DOUBLE) / 100.0, 2) AS monetary,
+           CAST((rk.rr - 1) * 5 // n1.n + 1 AS BIGINT) AS r_score,
+           CAST((rk.rf - 1) * 5 // n1.n + 1 AS BIGINT) AS f_score,
+           CAST((rk.rm - 1) * 5 // n1.n + 1 AS BIGINT) AS m_score,
+           CAST(((rk.rr - 1) * 5 // n1.n + 1) * 100
+                + ((rk.rf - 1) * 5 // n1.n + 1) * 10
+                + ((rk.rm - 1) * 5 // n1.n + 1) AS BIGINT) AS rfm
+    FROM rk, n1
+    """,
+)
+def q141_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, "events", sf_dir)
+    pu = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("__last"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("__cents"),
+        )
+    )
+    n1 = pu.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    # user population is bounded (entity dimension), so the three
+    # single-partition rank windows are over a dim-sized frame; at
+    # larger user counts swap in the two-phase rank (q94 machinery)
+    rr = F.row_number().over(Window.orderBy(F.col("__last").desc(), F.col("user_id").asc()))
+    rf = F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("user_id").asc()))
+    rm = F.row_number().over(Window.orderBy(F.col("__cents").desc(), F.col("user_id").asc()))
+    rk = pu.select(
+        "user_id", "freq", "__cents",
+        rr.alias("__rr"), rf.alias("__rf"), rm.alias("__rm"),
+    ).crossJoin(F.broadcast(n1))
+    score = lambda r: (F.expr(f"({r} - 1) * 5 div __n") + F.lit(1)).cast("bigint")
+    return rk.select(
+        "user_id",
+        "freq",
+        F.round(F.col("__cents").cast("double") / 100.0, 2).alias("monetary"),
+        score("__rr").alias("r_score"),
+        score("__rf").alias("f_score"),
+        score("__rm").alias("m_score"),
+        (
+            score("__rr") * 100 + score("__rf") * 10 + score("__rm")
+        ).cast("bigint").alias("rfm"),
+    )
