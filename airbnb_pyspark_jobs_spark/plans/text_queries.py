@@ -2642,3 +2642,95 @@ def q138_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         dst_col="doc_id_b",
         iters=_PR_ITERS,
     )
+
+
+# ---------------------------------------------------------------------------
+# q142 end-to-end training-data funnel: the whole curation pipeline as
+# ONE query — language filter → quality gate (q49; the Gopher gate's
+# 50-word floor rejects this corpus's 20-50-word docs wholesale, so
+# the corpus-tuned gate is the right stage here) → exact-dedup
+# keepers → near-dup pair drop (keep-lower-id) → DSIR selection —
+# reporting per-stage survivor counts (the attrition table every
+# dataset card publishes). The ORACLE composes the already-verified
+# stage oracles (q49/q41/q44/q116) as subqueries: green stages imply
+# a green pipeline, and the funnel query proves the stages COMPOSE.
+# ---------------------------------------------------------------------------
+def _q142_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q49 = ORACLES["q49_quality_filter"]
+    q41 = ORACLES["q41_exact_dedup"]
+    q44 = ORACLES["q44_ngram_jaccard_pairs"]
+    q116 = ORACLES["q116_dsir_importance"]
+    return f"""
+    WITH gop AS (SELECT doc_id, keep AS gkeep FROM ({q49})),
+    ded AS (SELECT keeper_id FROM ({q41})),
+    nd AS (SELECT doc_id_b FROM ({q44})),
+    dsir AS (SELECT doc_id, keep AS dkeep FROM ({q116})),
+    s1 AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    s2 AS (SELECT s1.doc_id FROM s1 JOIN gop USING (doc_id) WHERE gop.gkeep),
+    s3 AS (SELECT s2.doc_id FROM s2
+           WHERE s2.doc_id IN (SELECT keeper_id FROM ded)),
+    s4 AS (SELECT s3.doc_id FROM s3
+           WHERE s3.doc_id NOT IN (SELECT doc_id_b FROM nd)),
+    s5 AS (SELECT s4.doc_id FROM s4 JOIN dsir USING (doc_id) WHERE dsir.dkeep)
+    SELECT CAST(0 AS BIGINT) AS stage_idx, 'all' AS stage,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+    UNION ALL SELECT 1, 'lang_en', CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+    UNION ALL SELECT 2, 'quality', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    UNION ALL SELECT 3, 'exact_dedup', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    UNION ALL SELECT 4, 'near_dedup', CAST((SELECT COUNT(*) FROM s4) AS BIGINT)
+    UNION ALL SELECT 5, 'dsir_select', CAST((SELECT COUNT(*) FROM s5) AS BIGINT)
+    """
+
+
+@query("q142_corpus_funnel", oracle=_q142_oracle())
+def q142_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import (
+        dsir_importance_weights,
+        quality_filter,
+    )
+    from airbnb_pyspark_jobs_spark.operators.dedupe import (
+        exact_dedup_keepers,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    s1 = docs.filter(F.col("lang") == "en").select("doc_id")
+    gop = quality_filter(docs).filter(F.col("keep")).select("doc_id")
+    s2 = s1.join(gop, "doc_id", "left_semi")
+    keepers = exact_dedup_keepers(docs).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    s3 = s2.join(keepers, "doc_id", "left_semi")
+    nd = ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=50).select(
+        F.col("doc_id_b").alias("doc_id")
+    )
+    s4 = s3.join(nd, "doc_id", "left_anti")
+    dsir = (
+        dsir_importance_weights(
+            docs, is_target=F.col("source") == _DSIR_TARGET_SRC,
+            buckets=_DSIR_BUCKETS,
+        )
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    s5 = s4.join(dsir, "doc_id", "left_semi")
+
+    def stage(idx: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(idx).cast("bigint").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+
+    out = stage(0, "all", docs)
+    for idx, name, frame in [
+        (1, "lang_en", s1),
+        (2, "quality", s2),
+        (3, "exact_dedup", s3),
+        (4, "near_dedup", s4),
+        (5, "dsir_select", s5),
+    ]:
+        out = out.unionByName(stage(idx, name, frame))
+    return out
