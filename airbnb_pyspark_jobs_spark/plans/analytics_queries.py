@@ -1139,3 +1139,64 @@ def q123_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, "lineitem", sf_dir)
     return equi_depth_histogram(li, "l_extendedprice", n_bins=_HIST_BINS)
+
+
+# ---------------------------------------------------------------------------
+# q143 referential-integrity audit across the whole star schema: one
+# row per FK relation with row/orphan counts — the cross-table
+# data-quality gate next to q33's single-table profile (the reference
+# validates dimensions before fact assembly; this is that check as a
+# first-class query). Each relation is one left-anti equi-join
+# against a broadcast-able key set; output is |relations| rows.
+# ---------------------------------------------------------------------------
+_FK_RELATIONS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _q143_oracle() -> str:
+    parts = []
+    for i, (ft, fk, dt, dk) in enumerate(_FK_RELATIONS):
+        parts.append(
+            f"""SELECT CAST({i} AS BIGINT) AS rel_idx,
+       '{ft}.{fk} -> {dt}.{dk}' AS relation,
+       CAST((SELECT COUNT(*) FROM {ft}) AS BIGINT) AS n_rows,
+       CAST((SELECT COUNT(*) FROM {ft}
+             WHERE {fk} IS NOT NULL
+               AND {fk} NOT IN (SELECT {dk} FROM {dt})) AS BIGINT) AS n_orphans,
+       CAST((SELECT COUNT(*) FROM {ft} WHERE {fk} IS NULL) AS BIGINT)
+         AS n_null_fk"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("q143_referential_integrity", oracle=_q143_oracle())
+def q143_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for i, (ft, fk, dt, dk) in enumerate(_FK_RELATIONS):
+        fact = load_table(spark, ft, sf_dir)
+        dim = load_table(spark, dt, sf_dir).select(F.col(dk).alias("__k")).distinct()
+        orphans = (
+            fact.filter(F.col(fk).isNotNull())
+            .join(F.broadcast(dim), fact[fk] == F.col("__k"), "left_anti")
+        )
+        row = fact.agg(
+            F.lit(i).cast("bigint").alias("rel_idx"),
+            F.lit(f"{ft}.{fk} -> {dt}.{dk}").alias("relation"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_fk"),
+        ).crossJoin(
+            F.broadcast(
+                orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+            )
+        ).select("rel_idx", "relation", "n_rows", "n_orphans", "n_null_fk")
+        out = row if out is None else out.unionByName(row)
+    return out
