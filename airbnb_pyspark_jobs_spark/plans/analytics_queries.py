@@ -1200,3 +1200,61 @@ def q143_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("rel_idx", "relation", "n_rows", "n_orphans", "n_null_fk")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q144 primary-key uniqueness audit — q143's companion: one row per
+# table/PK with row count, distinct-key count and duplicated-key
+# count. A dimension with duplicate natural keys silently fans out
+# every fact join (the reference's validate-before-load discipline).
+# ---------------------------------------------------------------------------
+_PK_TABLES = [
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+]
+
+
+def _q144_oracle() -> str:
+    parts = []
+    for i, (t, k) in enumerate(_PK_TABLES):
+        parts.append(
+            f"""SELECT CAST({i} AS BIGINT) AS tbl_idx, '{t}.{k}' AS pk,
+       CAST((SELECT COUNT(*) FROM {t}) AS BIGINT) AS n_rows,
+       CAST((SELECT COUNT(DISTINCT {k}) FROM {t}) AS BIGINT) AS n_distinct,
+       CAST((SELECT COUNT(*) FROM
+             (SELECT {k} FROM {t} GROUP BY {k} HAVING COUNT(*) > 1)) AS BIGINT)
+         AS n_dup_keys"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("q144_pk_uniqueness", oracle=_q144_oracle())
+def q144_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for i, (t, k) in enumerate(_PK_TABLES):
+        df = load_table(spark, t, sf_dir)
+        dups = (
+            df.groupBy(k)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > 1)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_keys"))
+        )
+        row = (
+            df.agg(
+                F.lit(i).cast("bigint").alias("tbl_idx"),
+                F.lit(f"{t}.{k}").alias("pk"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct(k).cast("bigint").alias("n_distinct"),
+            )
+            .crossJoin(F.broadcast(dups))
+            .select("tbl_idx", "pk", "n_rows", "n_distinct", "n_dup_keys")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
