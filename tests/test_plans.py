@@ -277,3 +277,31 @@ def test_q119_concurrency_windows_are_bucket_partitioned(spark):
     plan = _executed_plan(df)
     assert "hashpartitioning(event_type" in plan
     assert "SinglePartition" not in plan
+
+
+def test_q124_reservoir_is_one_shuffle_partitioned(spark):
+    """A-ES sampling must be scan-side keys + ONE partitioned rank
+    window — no extra exchanges, no global sort."""
+    df = QUERIES["q124_weighted_reservoir"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
+
+
+def test_q116_dsir_weight_table_broadcasts(spark):
+    """The bucket-sized weight table must broadcast into the scoring
+    join — scoring is map-side, never a corpus-corpus shuffle join."""
+    df = QUERIES["q116_dsir_importance"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q130_factor_table_broadcasts(spark):
+    """The decay factor table and the single-row anchor must both
+    broadcast; the only hash shuffle is the per-group aggregation."""
+    df = QUERIES["q130_time_decayed_totals"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert plan.count("BroadcastExchange") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1
