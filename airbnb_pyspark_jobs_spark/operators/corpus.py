@@ -920,7 +920,7 @@ def bigram_interp_logprob_scores(
     )
     shifted = F.concat(
         F.array(F.lit(None).cast("string")),
-        F.slice(F.col("__tk"), 1, F.size("__tk") - 1),
+        F.slice(F.col("__tk"), 1, F.greatest(F.size("__tk") - 1, F.lit(0))),
     )
     pairs = base.select(
         "doc_id",

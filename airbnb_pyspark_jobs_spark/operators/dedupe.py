@@ -1165,6 +1165,7 @@ def pagerank(
     iters: int = 5,
     damping: float = 0.85,
     r_digits: int = 9,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Deterministic PageRank over an UNDIRECTED edge list (each edge
     contributes both directions) — duplication-centrality ranking for
@@ -1181,8 +1182,12 @@ def pagerank(
 
     Returns ``node, degree, rank``. Scale: each iteration is one
     equi-join on the node key + one aggregation — the classic Pregel
-    shape; for long chains add localCheckpoint every few rounds (the
-    connected-components lineage discipline)."""
+    shape. The in-loop ``ranks`` frame is localCheckpoint'ed every
+    ``checkpoint_every`` iterations (the connected-components lineage
+    discipline): each round's plan nests the previous round's, so
+    without truncation Catalyst re-analyzes an exponentially-growing
+    plan for ``iters`` ≫ 5 (measured: iters=25 is O(iters) with the
+    checkpoint, runaway analysis without — SCALE_NOTES)."""
     und = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     )
@@ -1212,7 +1217,9 @@ def pagerank(
         "node",
         F.round(F.lit(1.0) / F.lit(float(n_nodes)), r_digits).cast(dec).alias("r"),
     )
-    for _ in range(iters):
+    for it in range(iters):
+        if checkpoint_every > 0 and it > 0 and it % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
         contrib = (
             und.join(ranks.withColumnRenamed("node", "a"), "a")
             .join(deg, "a")

@@ -226,6 +226,66 @@ def _two_phase_rank(
     return out.drop("__b", "__rn", "__off")
 
 
+def two_phase_numeric_rank(
+    df: DataFrame,
+    order_col: str,
+    tie_col: str,
+    out_col: str,
+    descending: bool = False,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """1-based global row_number by a NUMERIC/temporal ``order_col``
+    (``tie_col`` ascending tie-break) WITHOUT a single-partition
+    window — the numeric twin of :func:`_two_phase_rank` (hash keys)
+    and the in-plan sibling of ``exact_quantiles``' range-bucketed
+    rank: one (min, max) broadcast scalar frame, fixed-width value
+    buckets, per-bucket ``row_number`` (partitioned window), cumulative
+    bucket-count offsets over ``n_buckets`` rows broadcast back.
+
+    Correctness does not depend on the double cast being lossless:
+    bigint/timestamp→double is monotone non-decreasing, equal values
+    always share a bucket, and the within-bucket window orders by the
+    ORIGINAL column — bucket assignment only has to respect ordering,
+    which monotone casts do. ``order_col`` must be non-null (filter
+    first). Zero driver actions: stats stay a broadcast 1-row frame."""
+    from pyspark.sql.window import Window
+
+    ord_d = F.col(order_col).cast("double")
+    stats = df.agg(F.min(ord_d).alias("__mn"), F.max(ord_d).alias("__mx"))
+    width = F.greatest(
+        (F.col("__mx") - F.col("__mn")) / F.lit(float(n_buckets)),
+        F.lit(1e-300),  # all-equal input: everything lands in bucket 0
+    )
+    keyed = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__b",
+            F.least(
+                F.floor((ord_d - F.col("__mn")) / width),
+                F.lit(n_buckets - 1),
+            ).cast("bigint"),
+        )
+        .drop("__mn", "__mx")
+    )
+    order_in = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        F.col(tie_col).asc(),
+    ]
+    w_in = Window.partitionBy("__b").orderBy(*order_in)
+    ranked = keyed.withColumn("__rn", F.row_number().over(w_in))
+    counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy(
+        F.col("__b").desc() if descending else F.col("__b").asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
+    )
+    out = ranked.join(F.broadcast(offsets), "__b").withColumn(
+        out_col, (F.col("__off") + F.col("__rn")).cast("bigint")
+    )
+    return out.drop("__b", "__rn", "__off")
+
+
 def source_interleave(
     df: DataFrame,
     key_col: str,

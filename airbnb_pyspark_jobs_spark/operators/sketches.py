@@ -535,6 +535,7 @@ def equi_depth_histogram(
     n_bins: int = 16,
     n_buckets: int = 4096,
     avg_digits: int = 6,
+    sum_decimal_scale: int = 2,
 ) -> DataFrame:
     """EXACT equi-depth (equal-frequency) histogram — the optimizer /
     data-profiling statistic that equal-WIDTH histograms can't replace
@@ -553,7 +554,10 @@ def equi_depth_histogram(
 
     Driver actions: one count + one (min, max) agg (bounded planning
     actions). Returns ``bin, n_rows, lo, hi, avg_value`` (avg =
-    decimal-exact sum, one double division, rounded)."""
+    decimal-exact sum, one double division, rounded). The exact sum
+    quantizes inputs to ``sum_decimal_scale`` decimal places (default
+    2 — exact for cents-valued columns like l_extendedprice); raise it
+    for higher-precision value columns."""
     from pyspark.sql.window import Window
 
     if n_bins < 1:
@@ -599,7 +603,9 @@ def equi_depth_histogram(
             F.min("__v").alias("lo"),
             F.max("__v").alias("hi"),
             F.round(
-                F.sum(F.col("__v").cast("decimal(22,2)")).cast("double")
+                F.sum(
+                    F.col("__v").cast(f"decimal({22 + int(sum_decimal_scale)},{int(sum_decimal_scale)})")
+                ).cast("double")
                 / F.count(F.lit(1)).cast("double"),
                 avg_digits,
             ).alias("avg_value"),

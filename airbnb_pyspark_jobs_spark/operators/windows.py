@@ -322,9 +322,15 @@ def linear_interpolate_daily(
         F.lead("__v").over(w).alias("__nv"),
     )
     gap = F.datediff(F.col("__nd"), F.col("__d"))
+    # greatest(..., 0) guards duplicate (key, date) inputs: lead then
+    # yields gap=0 and sequence(0, -1) would run DESCENDING, emitting a
+    # spurious k=-1 row with a 0/0 value.
     ks = F.explode(
         F.sequence(
-            F.lit(0), F.when(F.col("__nd").isNull(), F.lit(0)).otherwise(gap - 1)
+            F.lit(0),
+            F.when(F.col("__nd").isNull(), F.lit(0)).otherwise(
+                F.greatest(gap - 1, F.lit(0))
+            ),
         )
     )
     expanded = seg.select(

@@ -1616,10 +1616,14 @@ def q140_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q141_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        two_phase_numeric_rank,
+    )
 
     events = load_table(spark, "events", sf_dir)
-    pu = (
+    # persisted: three rank passes + the count each branch off pu
+    pu = owned_persist(
         events.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(
@@ -1631,16 +1635,24 @@ def q141_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n1 = pu.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
-    # user population is bounded (entity dimension), so the three
-    # single-partition rank windows are over a dim-sized frame; at
-    # larger user counts swap in the two-phase rank (q94 machinery)
-    rr = F.row_number().over(Window.orderBy(F.col("__last").desc(), F.col("user_id").asc()))
-    rf = F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("user_id").asc()))
-    rm = F.row_number().over(Window.orderBy(F.col("__cents").desc(), F.col("user_id").asc()))
-    rk = pu.select(
-        "user_id", "freq", "__cents",
-        rr.alias("__rr"), rf.alias("__rf"), rm.alias("__rm"),
-    ).crossJoin(F.broadcast(n1))
+    # the user dimension is 10^8-10^9 rows at 100 TB — a global
+    # unpartitioned rank window would be a one-task sort (the SURVEY
+    # §7.2 #1 hazard). Each rank is the range-bucketed two-phase rank
+    # (descending value order, user_id tie-break), computed
+    # independently from the persisted per-user frame and equi-joined
+    # back on user_id (AQE-sized shuffle joins; no single partition
+    # anywhere corpus-sized).
+    def rank_of(col: str, out: str) -> DataFrame:
+        return two_phase_numeric_rank(
+            pu.select("user_id", col), col, "user_id", out, descending=True
+        ).select("user_id", out)
+
+    rk = (
+        pu.join(rank_of("__last", "__rr"), "user_id")
+        .join(rank_of("freq", "__rf"), "user_id")
+        .join(rank_of("__cents", "__rm"), "user_id")
+        .crossJoin(F.broadcast(n1))
+    )
     score = lambda r: (F.expr(f"({r} - 1) * 5 div __n") + F.lit(1)).cast("bigint")
     return rk.select(
         "user_id",

