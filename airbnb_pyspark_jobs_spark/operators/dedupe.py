@@ -1253,3 +1253,88 @@ def pagerank(
     return nodes.join(ranks, "node").select(
         "node", "deg", F.col("r").cast("double").alias("rank")
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    cc_digits: int = 6,
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected edge list — the dedup-graph QA statistic: near-dup
+    clusters from transitive LSH merging should be triangle-dense
+    (everything actually similar to everything), while chains of
+    borderline pairs (the false-merge smell) have high degree but few
+    triangles.
+
+    Degree-ordered node-iterator algorithm (the MapReduce-era standard
+    that GraphX/Pregel engines also use): orient every edge from its
+    lower-(degree, id) endpoint to the higher one, build wedges by
+    self-joining the oriented list on the source, and close each wedge
+    with one more equi-join. Each triangle is found EXACTLY once (its
+    lowest-rank vertex owns it), and the wedge fan-out is bounded by
+    out-degree under degree ordering — O(m^1.5) total work instead of
+    the Σdeg² a random orientation can hit on skewed graphs. All three
+    steps are equi-joins (AQE-sized shuffles); nothing is quadratic in
+    component size.
+
+    Returns ``node, deg, triangles, clustering`` where clustering =
+    round(2·T / (deg·(deg−1)), cc_digits) (0.0 for deg < 2).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    # orient by (deg, id): src = lower-rank endpoint
+    da = deg.select(F.col("a"), F.col("deg").alias("__dega"))
+    db = deg.select(F.col("a").alias("b"), F.col("deg").alias("__degb"))
+    with_deg = e.join(da, "a").join(db, "b")
+    a_first = (F.col("__dega") < F.col("__degb")) | (
+        (F.col("__dega") == F.col("__degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("__degb")).otherwise(F.col("__dega")).alias("__dd"),
+    )
+    e1 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("__dd").alias("__dv")
+    )
+    e2 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"), F.col("__dd").alias("__dw")
+    )
+    # wedge (u; v, w) with rank(v) < rank(w) — each unordered pair once
+    wedges = e1.join(e2, "u").filter(
+        (F.col("__dv") < F.col("__dw"))
+        | ((F.col("__dv") == F.col("__dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tris = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    per_node = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+    nodes = deg.select(F.col("a").alias("node"), "deg")
+    return nodes.join(per_node, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("bigint").alias("triangles"),
+        F.when(F.col("deg") >= 2,
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("triangles"), F.lit(0)).cast("double")
+                / (F.col("deg").cast("double") * (F.col("deg") - 1).cast("double")),
+                cc_digits,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )

@@ -232,3 +232,110 @@ def audio_frame_windows(
             (F.col("win_idx") * hop_samples).cast("bigint").alias("start_sample"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup: aHash (average hash) over the resized
+# grayscale thumbnail, banded for exact-by-pigeonhole Hamming pairing —
+# the image twin of SimHash text dedup (operators/dedupe.simhash_pairs).
+# ---------------------------------------------------------------------------
+
+PHASH_GRID = 8  # 8x8 thumbnail -> 64 bits
+PHASH_BANDS = 8  # 8 x 8-bit bands (ints, no 64-bit sign headaches);
+# 8 bands make Hamming <= 7 exact by pigeonhole — image aHashes of
+# distinct-but-similar images sit farther apart than text SimHashes,
+# so the usable threshold band is wider than SimHash's 4x4.
+PHASH_BAND_BITS = 8
+PHASH_SCHEMA = "media_id long, " + ", ".join(
+    f"b{b} int" for b in range(PHASH_BANDS)
+)
+
+
+def perceptual_hash(
+    df: DataFrame, resizer=None, payload_col: str = "payload"
+) -> DataFrame:
+    """64-bit aHash per media payload, emitted as 4×16-bit band ints.
+
+    Decode/resize and hashing share ONE Arrow stage (where a real
+    pipeline decodes anyway): thumbnail to 8×8 grayscale via the
+    injected ``resizer`` (driver-side dispatch, same pattern as
+    :func:`extract_features`), then bit i = 1 iff 64·pixel_i > Σpixels
+    (the integer-compare form of "pixel above mean" — no division, so
+    the DuckDB oracle replays it exactly), band b =
+    bits[8b..8b+7] as a little-endian int. Deterministic: pure
+    function of the payload bytes."""
+    if resizer is None:
+        resizer = _codec_resize if HAVE_CODECS else _fake_resize
+    n_px = PHASH_GRID * PHASH_GRID
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": list(pdf["media_id"])}
+            cols: list[list[int]] = [[] for _ in range(PHASH_BANDS)]
+            for p in pdf[payload_col]:
+                t = resizer(p, PHASH_GRID, PHASH_GRID)
+                s = sum(t)
+                bits = [1 if n_px * t[i] > s else 0 for i in range(n_px)]
+                for b in range(PHASH_BANDS):
+                    cols[b].append(
+                        sum(
+                            bits[PHASH_BAND_BITS * b + j] << j
+                            for j in range(PHASH_BAND_BITS)
+                        )
+                    )
+            for b in range(PHASH_BANDS):
+                out[f"b{b}"] = cols[b]
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", payload_col).mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_pairs(sig: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """EXACT near-dup image pairs with Hamming(aHash) ≤ ``max_hamming``.
+
+    Pigeonhole banding over the 8 band columns: ≤7 differing bits
+    cannot touch all 8 bands, so pairs agreeing on ≥1 whole band are a
+    SUPERSET of all qualifying pairs; the band equi-join generates
+    candidates (never all-pairs) and Σ bit_count(xor(band)) verifies.
+    Returns ``media_id_a, media_id_b, hamming``."""
+    if max_hamming >= PHASH_BANDS:
+        raise ValueError(
+            f"pigeonhole exactness needs max_hamming < {PHASH_BANDS}"
+        )
+    band_structs = [
+        F.struct(F.lit(b).alias("band_idx"), F.col(f"b{b}").alias("band_val"))
+        for b in range(PHASH_BANDS)
+    ]
+    bcols = [f"b{b}" for b in range(PHASH_BANDS)]
+    banded = sig.select(
+        "media_id", *bcols, F.explode(F.array(*band_structs)).alias("bv")
+    ).select("media_id", *bcols, F.col("bv.band_idx"), F.col("bv.band_val"))
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.media_id") < F.col("b.media_id"),
+            ],
+        )
+        .select(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+            *[F.col(f"a.b{b}").alias(f"__a{b}") for b in range(PHASH_BANDS)],
+            *[F.col(f"b.b{b}").alias(f"__b{b}") for b in range(PHASH_BANDS)],
+        )
+        .distinct()
+    )
+    ham = sum(
+        F.bit_count(F.col(f"__a{b}").bitwiseXOR(F.col(f"__b{b}")))
+        for b in range(PHASH_BANDS)
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_id_a", "media_id_b", "hamming")
+    )

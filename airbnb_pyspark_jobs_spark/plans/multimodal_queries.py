@@ -14,7 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from airbnb_pyspark_jobs_spark.operators.multimodal import extract_features
+from airbnb_pyspark_jobs_spark.operators.multimodal import (
+    extract_features,
+    repartition_by_bytes,
+)
 from airbnb_pyspark_jobs_spark.plans.queries import query
 from airbnb_pyspark_jobs_spark.sources.registry import load_table
 
@@ -42,6 +45,12 @@ def q70_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
     )
+    # byte-budget partitioning ahead of the Arrow stage (4 MB/partition
+    # here): media partitions must be sized by PAYLOAD bytes, not row
+    # count — a decoded Arrow batch has to fit executor memory. This is
+    # row-preserving, so the oracle is unchanged; bench times the
+    # repartition + decode together.
+    media = repartition_by_bytes(media, 4 << 20)
     feats = extract_features(media, feature_dims=_DIMS)
     return feats.select(
         "media_id",
@@ -51,3 +60,79 @@ def q70_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_DIMS)
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 perceptual-hash (aHash) image near-dup pairs — the multimodal
+# dedup path: decode/resize + hash in ONE Arrow stage, then the exact
+# pigeonhole band join (8×8-bit bands cover Hamming ≤ 7; measured
+# min inter-doc aHash distance on this corpus is 5, so the threshold
+# has to clear that to produce pairs). Payloads again derive from
+# document text (ASCII ⇒ byte i == char i), so the oracle replays
+# thumbnail subsampling (byte (i·len) // 64), the integer above-mean
+# bit rule (64·px > Σpx — no division), band packing, band join and
+# bit_count verification relationally.
+# ---------------------------------------------------------------------------
+_PH_MAXHAM = 7
+_PH_BANDS = 8
+
+_ph_cols = ", ".join(
+    f"CAST(SUM(CASE WHEN i // 8 = {b} THEN bit << (i % 8) ELSE 0 END)"
+    f" AS INTEGER) AS b{b}"
+    for b in range(_PH_BANDS)
+)
+_ph_all = ", ".join(f"b{b}" for b in range(_PH_BANDS))
+_ph_bl = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {_ph_all}, {b} AS band_idx, b{b} AS band_val FROM sig"
+    for b in range(_PH_BANDS)
+)
+_ph_ab = ", ".join(
+    f"a.b{b} AS a{b}, b.b{b} AS c{b}" for b in range(_PH_BANDS)
+)
+_ph_ham = " + ".join(
+    f"bit_count(xor(a{b}, c{b}))" for b in range(_PH_BANDS)
+)
+
+_Q146_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id, i,
+         ord(substr(text, ((i * length(text)) // 64) + 1, 1)) AS v
+  FROM documents, UNNEST(range(0, 64)) AS t(i)
+),
+s AS (SELECT doc_id, SUM(v) AS psum FROM px GROUP BY doc_id),
+bits AS (
+  SELECT px.doc_id, px.i,
+         CASE WHEN 64 * px.v > s.psum THEN 1 ELSE 0 END AS bit
+  FROM px JOIN s USING (doc_id)
+),
+sig AS (SELECT doc_id, {_ph_cols} FROM bits GROUP BY doc_id),
+bl AS (
+  {_ph_bl}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+         {_ph_ab}
+  FROM bl a JOIN bl b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT media_id_a, media_id_b,
+       CAST({_ph_ham} AS BIGINT) AS hamming
+FROM cand
+WHERE {_ph_ham} <= {_PH_MAXHAM}
+"""
+
+
+@query("q146_media_phash_pairs", oracle=_Q146_ORACLE)
+def q146_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return phash_pairs(perceptual_hash(media), max_hamming=_PH_MAXHAM)

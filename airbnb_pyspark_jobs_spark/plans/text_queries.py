@@ -2645,6 +2645,66 @@ def q138_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q145 triangle counts / clustering coefficients over the exact
+# near-dup graph — the dedup-QA statistic: transitively-merged LSH
+# clusters should be triangle-dense; high-degree low-clustering nodes
+# are chain merges (the false-positive smell). Degree-ordered
+# node-iterator (each triangle owned by its lowest-rank vertex, wedge
+# fan-out bounded by out-degree — O(m^1.5), never Σdeg²); the oracle
+# enumerates the same triangles via the id-ordered 3-way join (both
+# orderings count each triangle exactly once, so the RESULTS agree
+# while the plans differ in scalability).
+# ---------------------------------------------------------------------------
+_Q145_ORACLE = rf"""
+    WITH {_D_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT i.da, i.db FROM inter i
+      JOIN sizes sa ON i.da = sa.doc_id JOIN sizes sb ON i.db = sb.doc_id
+      WHERE 2 * i.ni >= (sa.n_sh + sb.n_sh - i.ni)
+    ),
+    und AS (SELECT da AS a, db AS b FROM pairs
+            UNION ALL SELECT db AS a, da AS b FROM pairs),
+    deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY a),
+    tri AS (
+      SELECT p1.da AS u, p1.db AS v, p2.db AS w
+      FROM pairs p1 JOIN pairs p2 ON p2.da = p1.da AND p1.db < p2.db
+      JOIN pairs p3 ON p3.da = p1.db AND p3.db = p2.db
+    ),
+    pern AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v AS node FROM tri
+        UNION ALL SELECT w AS node FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.a AS node, d.deg,
+           CAST(COALESCE(p.t, 0) AS BIGINT) AS triangles,
+           CASE WHEN d.deg >= 2 THEN
+             round(CAST(2.0 AS DOUBLE) * CAST(COALESCE(p.t, 0) AS DOUBLE)
+                   / (CAST(d.deg AS DOUBLE) * CAST(d.deg - 1 AS DOUBLE)), 6)
+           ELSE CAST(0.0 AS DOUBLE) END AS clustering
+    FROM deg d LEFT JOIN pern p ON d.a = p.node
+"""
+
+
+@query("q145_dup_graph_triangles", oracle=_Q145_ORACLE)
+def q145_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = DD.prefix_filter_jaccard_pairs(docs, threshold_num=1, threshold_den=2)
+    return DD.triangle_counts(
+        pairs.select("doc_id_a", "doc_id_b"),
+        src_col="doc_id_a",
+        dst_col="doc_id_b",
+    )
+
+
+# ---------------------------------------------------------------------------
 # q142 end-to-end training-data funnel: the whole curation pipeline as
 # ONE query — language filter → quality gate (q49; the Gopher gate's
 # 50-word floor rejects this corpus's 20-50-word docs wholesale, so
@@ -2734,3 +2794,126 @@ def q142_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]:
         out = out.unionByName(stage(idx, name, frame))
     return out
+
+
+# ---------------------------------------------------------------------------
+# q147 model-based quality scoring, TRAINED IN-ENGINE: 5 full-batch
+# gradient-descent steps of a linear scorer under the fast-sigmoid
+# link (libm-free: +,*,/,abs only — engine-identical, unlike exp()),
+# labels = lang=='en', features = scan-side token statistics. Each
+# iteration is one Catalyst scoring pass + one 4-column DECIMAL
+# gradient aggregate; only the 4 gradient sums reach the driver (the
+# k-means bounded-action recipe). The oracle replays the exact weight
+# trajectory as unrolled CTEs: per-row terms rounded then
+# DECIMAL-summed, weight updates one fixed-order double expression.
+# ---------------------------------------------------------------------------
+_Q147_ITERS, _Q147_LR = 5, 0.5
+_Q147_FEATS = ["x0", "x1", "x2", "x3"]
+
+
+def _q147_oracle() -> str:
+    stop = ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"])
+    gsums = ", ".join(
+        f"SUM(CAST(round((y - p) * x{j}, 9) AS DECIMAL(28,9))) AS g{j}"
+        for j in range(4)
+    )
+    wupds = ", ".join(
+        f"round(w.w{j} + CAST({_Q147_LR} AS DOUBLE)"
+        f" * (CAST(g.g{j} AS DOUBLE) / CAST(g.n AS DOUBLE)), 9) AS w{j}"
+        for j in range(4)
+    )
+    zexpr = "f.x0 * w.w0 + f.x1 * w.w1 + f.x2 * w.w2 + f.x3 * w.w3"
+    sig = (
+        "CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * z"
+        " / (CAST(1.0 AS DOUBLE) + abs(z))"
+    )
+    parts = [
+        rf"""
+    WITH tok AS (
+      SELECT doc_id, lower(t) AS term
+      FROM (SELECT doc_id, UNNEST({_D_TOKENS}) AS t FROM documents)
+    ),
+    tc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(CASE WHEN term IN ({stop}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+             CAST(COUNT(DISTINCT term) AS BIGINT) AS n_dist
+      FROM tok GROUP BY doc_id
+    ),
+    feats AS (
+      SELECT d.doc_id,
+        CASE WHEN d.lang = 'en' THEN CAST(1.0 AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END AS y,
+        CAST(1.0 AS DOUBLE) AS x0,
+        round(CAST(tc.n_tok AS DOUBLE) / CAST(50.0 AS DOUBLE), 6) AS x1,
+        round(CAST(tc.n_stop AS DOUBLE) / CAST(tc.n_tok AS DOUBLE), 6) AS x2,
+        round(CAST(tc.n_dist AS DOUBLE) / CAST(tc.n_tok AS DOUBLE), 6) AS x3
+      FROM documents d JOIN tc ON d.doc_id = tc.doc_id
+    ),
+    w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+                  CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)"""
+    ]
+    for k in range(1, _Q147_ITERS + 1):
+        parts.append(
+            f""",
+    p{k} AS (
+      SELECT f.*, round({sig}, 9) AS p
+      FROM (SELECT f.*, round({zexpr}, 9) AS z
+            FROM feats f, w{k - 1} w) f
+    ),
+    g{k} AS (SELECT {gsums}, CAST(COUNT(*) AS BIGINT) AS n FROM p{k}),
+    w{k} AS (SELECT {wupds} FROM w{k - 1} w, g{k} g)"""
+        )
+    parts.append(
+        f"""
+    SELECT doc_id, y, round(p, 6) AS p,
+           CAST(CASE WHEN round(p, 6) >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
+    FROM (
+      SELECT f.doc_id, f.y, round({sig}, 9) AS p
+      FROM (SELECT f.*, round({zexpr}, 9) AS z
+            FROM feats f, w{_Q147_ITERS} w) f
+    )
+    """
+    )
+    return "".join(parts)
+
+
+@query("q147_quality_classifier_gd", oracle=_q147_oracle())
+def q147_quality_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.classifier import (
+        score_fast_sigmoid,
+        train_gd_fast_sigmoid,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    staged = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("double").alias("y"),
+        F.transform(TX.tokens("text"), lambda t: F.lower(t)).alias("__toks"),
+    )
+    counted = staged.select(
+        "doc_id",
+        "y",
+        F.size("__toks").cast("bigint").alias("__n_tok"),
+        F.size(
+            F.filter(F.col("__toks"), lambda t: t.isin(*TX.STOPWORDS["en"]))
+        ).cast("bigint").alias("__n_stop"),
+        F.size(F.array_distinct("__toks")).cast("bigint").alias("__n_dist"),
+    )
+    feats = counted.select(
+        "doc_id",
+        "y",
+        F.lit(1.0).alias("x0"),
+        F.round(F.col("__n_tok").cast("double") / F.lit(50.0), 6).alias("x1"),
+        F.round(
+            F.col("__n_stop").cast("double") / F.col("__n_tok").cast("double"), 6
+        ).alias("x2"),
+        F.round(
+            F.col("__n_dist").cast("double") / F.col("__n_tok").cast("double"), 6
+        ).alias("x3"),
+    )
+    w = train_gd_fast_sigmoid(
+        feats, _Q147_FEATS, "y", iters=_Q147_ITERS, lr=_Q147_LR
+    )
+    return score_fast_sigmoid(feats, _Q147_FEATS, w).select(
+        "doc_id", "y", "p", "pred"
+    )

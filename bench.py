@@ -127,6 +127,9 @@ EXTENDED_QUERIES = [
     "q138_dup_graph_pagerank",
     # theta-sketch intersections: k-sized sketches + exact verify
     "q139_kmv_intersections",
+    # Arrow decode at a fixed byte budget (4 MB/partition): byte-budget
+    # repartition + mapInPandas featurization over the full corpus
+    "q70_multimodal_features",
     # registry tail (VERDICT r4 ask #5): small aggregate/audit queries
     "q131_event_transitions",
     # full-outer snapshot diff (diff-sized output)

@@ -152,3 +152,101 @@ def test_audio_frame_windows(spark):
     assert [t for t in out if t[0] == 2] == [(2, 0, 0)]
     # exactly one frame
     assert [t for t in out if t[0] == 3] == [(3, 0, 0)]
+
+
+# ---------------------------------------------------------------------------
+# Real-codec path (VERDICT r4 ask #7): exercised with a PNG generated
+# from the stdlib (zlib+struct — no codec library needed to WRITE one),
+# gated on HAVE_CODECS so the test runs for real wherever PIL exists and
+# skips cleanly in codec-less containers.
+# ---------------------------------------------------------------------------
+import struct
+import zlib
+
+from airbnb_pyspark_jobs_spark.operators.multimodal import (
+    HAVE_CODECS,
+    resize_images,
+)
+
+
+def _png_gray(pixels: list[int], w: int, h: int) -> bytes:
+    """Minimal valid 8-bit grayscale PNG from raw pixel values —
+    signature + IHDR + one zlib IDAT (filter byte 0 per row) + IEND."""
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(pixels[y * w : (y + 1) * w]) for y in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_generator_emits_valid_container():
+    """Ungated sanity for the fixture itself: signature, IHDR geometry,
+    IDAT round-trips through zlib to the filtered scanlines."""
+    px = list(range(8))
+    png = _png_gray(px, 8, 1)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", png[16:24])
+    assert (w, h) == (8, 1)
+    idat_start = png.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", png[idat_start - 8 : idat_start - 4])[0]
+    raw = zlib.decompress(png[idat_start : idat_start + idat_len])
+    assert raw == b"\x00" + bytes(px)
+
+
+@pytest.mark.skipif(not HAVE_CODECS, reason="codec libs (PIL) not installed")
+def test_codec_decode_feature_real_png(spark):
+    """With PIL present, the DEFAULT dispatch runs the real decoder over
+    the full distributed path: an 8x1 grayscale PNG of known pixels must
+    come back as exactly pixel/255 (resize to (dims,1) is identity)."""
+    px = [0, 36, 73, 109, 146, 182, 219, 255]
+    rows = [
+        Row(
+            media_id=1,
+            payload=_png_gray(px, 8, 1),
+            meta=Row(
+                modality="image", mime="image/png",
+                width=8, height=1, n_frames=1, sample_rate=None,
+            ),
+        )
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_features(media, feature_dims=8).collect()
+    assert len(out) == 1 and out[0].decoder == "real"
+    assert [round(v, 6) for v in out[0].feature] == [
+        round(p / 255.0, 6) for p in px
+    ]
+
+
+@pytest.mark.skipif(not HAVE_CODECS, reason="codec libs (PIL) not installed")
+def test_codec_resize_real_png(spark):
+    """Real-codec resize: a constant-value 4x4 PNG thumbnailed to 2x2
+    must yield 4 bytes of that same value."""
+    png = _png_gray([200] * 16, 4, 4)
+    rows = [
+        Row(
+            media_id=7,
+            payload=png,
+            meta=Row(
+                modality="image", mime="image/png",
+                width=4, height=4, n_frames=1, sample_rate=None,
+            ),
+        )
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_images(media, width=2, height=2).collect()
+    assert len(out) == 1 and out[0].decoder == "real"
+    assert bytes(out[0].thumb) == bytes([200] * 4)
