@@ -1,0 +1,117 @@
+"""Round-5 operators: triangle counts, perceptual-hash dedup, GD
+classifier — value-level unit tests on constructed inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from airbnb_pyspark_jobs_spark.caching import release_owned_caches
+from airbnb_pyspark_jobs_spark.operators.classifier import (
+    score_fast_sigmoid,
+    train_gd_fast_sigmoid,
+)
+from airbnb_pyspark_jobs_spark.operators.dedupe import triangle_counts
+from airbnb_pyspark_jobs_spark.operators.multimodal import (
+    PHASH_BAND_BITS,
+    PHASH_BANDS,
+    PHASH_GRID,
+    _fake_resize,
+    perceptual_hash,
+    phash_pairs,
+)
+
+
+def test_triangle_counts_known_graph(spark):
+    # triangle 1-2-3 plus pendant 3-4; edges deliberately include a
+    # duplicate and a reversed copy (must collapse to the simple graph)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (2, 1), (1, 2)], ["src", "dst"]
+    )
+    out = {r.node: r for r in triangle_counts(edges).collect()}
+    assert {n: r.triangles for n, r in out.items()} == {1: 1, 2: 1, 3: 1, 4: 0}
+    assert {n: r.deg for n, r in out.items()} == {1: 2, 2: 2, 3: 3, 4: 1}
+    assert out[1].clustering == 1.0
+    assert out[3].clustering == round(2 * 1 / (3 * 2), 6)
+    assert out[4].clustering == 0.0
+
+
+def test_triangle_counts_two_triangles_sharing_edge(spark):
+    # K4 minus one edge: nodes 1..4, edges 12 13 14 23 24 (no 34)
+    # triangles: (1,2,3) and (1,2,4); per-node: 1->2, 2->2, 3->1, 4->1
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], ["src", "dst"]
+    )
+    out = {r.node: r.triangles for r in triangle_counts(edges).collect()}
+    assert out == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def _py_phash(payload: bytes) -> list[int]:
+    n_px = PHASH_GRID * PHASH_GRID
+    t = _fake_resize(payload, PHASH_GRID, PHASH_GRID)
+    s = sum(t)
+    bits = [1 if n_px * t[i] > s else 0 for i in range(n_px)]
+    return [
+        sum(bits[PHASH_BAND_BITS * b + j] << j for j in range(PHASH_BAND_BITS))
+        for b in range(PHASH_BANDS)
+    ]
+
+
+def test_perceptual_hash_matches_python_reference(spark):
+    payloads = [bytes(range(100)), b"abcabcabc" * 20, bytes([7] * 64)]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], ["media_id", "payload"]
+    )
+    out = {r.media_id: r for r in perceptual_hash(df).collect()}
+    for i, p in enumerate(payloads):
+        expect = _py_phash(p)
+        got = [out[i][f"b{b}"] for b in range(PHASH_BANDS)]
+        assert got == expect, (i, got, expect)
+
+
+def test_phash_pairs_identical_payloads_hamming_zero(spark):
+    base = bytes(range(64, 192))
+    near = bytes([base[0] ^ 0]) + base[1:]  # identical
+    far = bytes(reversed(base))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["media_id", "payload"]
+    )
+    pairs = phash_pairs(perceptual_hash(df), max_hamming=0).collect()
+    assert [(r.media_id_a, r.media_id_b, r.hamming) for r in pairs] == [(1, 2, 0)]
+
+
+def test_phash_pairs_requires_pigeonhole_margin(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, b"x" * 64)], ["media_id", "payload"])
+    with pytest.raises(ValueError):
+        phash_pairs(perceptual_hash(df), max_hamming=PHASH_BANDS)
+
+
+def test_gd_classifier_learns_separable_labels(spark):
+    # y == 1 iff x1 is large: trivially separable on one feature
+    rows = [
+        Row(doc_id=i, y=1.0 if i < 20 else 0.0,
+            x0=1.0, x1=2.0 if i < 20 else -2.0)
+        for i in range(40)
+    ]
+    feats = spark.createDataFrame(rows)
+    w = train_gd_fast_sigmoid(feats, ["x0", "x1"], "y", iters=10, lr=1.0)
+    release_owned_caches()
+    assert w[1] > 0.1  # learned the discriminative direction
+    scored = score_fast_sigmoid(feats, ["x0", "x1"], w).collect()
+    assert all(r.pred == int(r.y) for r in scored)
+
+
+def test_gd_classifier_deterministic_across_runs(spark):
+    rows = [
+        Row(doc_id=i, y=float(i % 2), x0=1.0, x1=float(i) / 10.0)
+        for i in range(30)
+    ]
+    feats = spark.createDataFrame(rows)
+    w1 = train_gd_fast_sigmoid(feats, ["x0", "x1"], "y", iters=5)
+    release_owned_caches()
+    w2 = train_gd_fast_sigmoid(
+        feats.repartition(7), ["x0", "x1"], "y", iters=5
+    )
+    release_owned_caches()
+    assert w1 == w2  # DECIMAL sums: partitioning-independent
