@@ -286,6 +286,70 @@ def two_phase_numeric_rank(
     return out.drop("__b", "__rn", "__off")
 
 
+def two_phase_numeric_cumsum(
+    df: DataFrame,
+    order_col: str,
+    tie_col: str,
+    value_col: str,
+    out_col: str,
+    descending: bool = False,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Running SUM of ``value_col`` in global (``order_col``,
+    ``tie_col``) order WITHOUT a single-partition window — the same
+    range-bucket two-phase shape as :func:`two_phase_numeric_rank`
+    (which is this with value ≡ 1): per-bucket value sums → cumulative
+    bucket offsets over ``n_buckets`` rows (broadcast back), running
+    sum within each bucket via a bucket-partitioned window. The budget
+    -cutoff primitive ("take documents in quality order until N
+    tokens"). ``order_col`` must be non-null; ``value_col`` is summed
+    as bigint (cast first for decimals)."""
+    from pyspark.sql.window import Window
+
+    ord_d = F.col(order_col).cast("double")
+    stats = df.agg(F.min(ord_d).alias("__mn"), F.max(ord_d).alias("__mx"))
+    width = F.greatest(
+        (F.col("__mx") - F.col("__mn")) / F.lit(float(n_buckets)),
+        F.lit(1e-300),
+    )
+    keyed = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__b",
+            F.least(
+                F.floor((ord_d - F.col("__mn")) / width),
+                F.lit(n_buckets - 1),
+            ).cast("bigint"),
+        )
+        .drop("__mn", "__mx")
+    )
+    order_in = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        F.col(tie_col).asc(),
+    ]
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(*order_in)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = keyed.withColumn(
+        "__run", F.sum(F.col(value_col).cast("bigint")).over(w_in)
+    )
+    counts = keyed.groupBy("__b").agg(
+        F.sum(F.col(value_col).cast("bigint")).alias("__cnt")
+    )
+    w_off = Window.orderBy(
+        F.col("__b").desc() if descending else F.col("__b").asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
+    )
+    out = ranked.join(F.broadcast(offsets), "__b").withColumn(
+        out_col, (F.col("__off") + F.col("__run")).cast("bigint")
+    )
+    return out.drop("__b", "__run", "__off")
+
+
 def source_interleave(
     df: DataFrame,
     key_col: str,

@@ -2917,3 +2917,143 @@ def q147_quality_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_fast_sigmoid(feats, _Q147_FEATS, w).select(
         "doc_id", "y", "p", "pred"
     )
+
+
+# ---------------------------------------------------------------------------
+# q148 priority keeper selection — the cross-source dedup POLICY step:
+# inside each near-dup component, keep the doc from the most-curated
+# source (lowest priority rank; doc_id tie-break) instead of plain
+# min-id. One struct-min aggregation per component (lexicographic
+# (priority, doc_id) min — no window over the corpus); the oracle
+# replays components via the recursive reach CTE (q58) and the keeper
+# via a per-component ROW_NUMBER. Priority here = the numeric suffix
+# of `source` (deterministic stand-in for a curation ranking table —
+# in production a broadcast dim).
+# ---------------------------------------------------------------------------
+@query(
+    "q148_priority_keepers",
+    oracle=rf"""
+    WITH RECURSIVE {_D_SHINGLES},
+    rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+    shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT doc_id_a, doc_id_b FROM inter
+      JOIN cnt ca ON doc_id_a = ca.doc_id
+      JOIN cnt cb ON doc_id_b = cb.doc_id
+      WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_id_a AS a, doc_id_b AS b FROM prs
+      UNION SELECT doc_id_b, doc_id_a FROM prs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component_id
+             FROM reach GROUP BY src),
+    pri AS (
+      SELECT doc_id, source,
+             CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) AS pri
+      FROM documents
+    ),
+    r AS (
+      SELECT c.component_id, p.doc_id, p.source,
+             ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                ORDER BY p.pri ASC, p.doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY c.component_id) AS nm
+      FROM comp c JOIN pri p USING (doc_id)
+    )
+    SELECT component_id, doc_id AS keeper_id, source AS keeper_source,
+           CAST(nm AS BIGINT) AS n_members
+    FROM r WHERE rn = 1
+    """,
+)
+def q148_priority_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=50)
+    comp = DD.dedup_components(docs, pairs)
+    pri = docs.select(
+        "doc_id",
+        "source",
+        F.regexp_extract("source", r"([0-9]+)$", 1).cast("bigint").alias("__pri"),
+    )
+    j = comp.join(pri, "doc_id")
+    best = j.groupBy("component_id").agg(
+        # lexicographic struct-min == (priority ASC, doc_id ASC) argmin:
+        # one aggregation, no per-component window over the corpus
+        F.min(F.struct(F.col("__pri"), F.col("doc_id"))).alias("__b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    )
+    keeper = best.select(
+        "component_id",
+        F.col("__b.doc_id").alias("keeper_id"),
+        "n_members",
+    )
+    return keeper.join(
+        pri.select(
+            F.col("doc_id").alias("keeper_id"),
+            F.col("source").alias("keeper_source"),
+        ),
+        "keeper_id",
+    ).select("component_id", "keeper_id", "keeper_source", "n_members")
+
+
+# ---------------------------------------------------------------------------
+# q149 token-budget curriculum selection: take documents in learned-
+# quality order (q147's scores, doc_id tie-break) until 10% of the
+# corpus token mass is selected — the budget-constrained data-selection
+# step of a pretraining pipeline. The running token sum comes from the
+# two-phase numeric CUMSUM (range buckets + broadcast offsets — the
+# rank machinery generalized to weighted prefix sums), never a global
+# one-task window; the budget is an in-plan broadcast scalar
+# (total // 10), so the query is SF-independent. Oracle composes the
+# verified q147 oracle with a SUM OVER (ORDER BY ...) replay.
+# ---------------------------------------------------------------------------
+def _q149_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q147 = ORACLES["q147_quality_classifier_gd"]
+    return f"""
+    WITH scores AS ({q147}),
+    toks AS (SELECT doc_id, CAST(len({_D_TOKENS}) AS BIGINT) AS n_tok
+             FROM documents),
+    j AS (SELECT s.doc_id, s.p, t.n_tok FROM scores s JOIN toks t USING (doc_id)),
+    tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t FROM j),
+    c AS (SELECT doc_id, p, n_tok,
+                 CAST(SUM(n_tok) OVER (ORDER BY p DESC, doc_id ASC)
+                      AS BIGINT) AS cum_tokens
+          FROM j)
+    SELECT c.doc_id, c.p, c.n_tok, c.cum_tokens
+    FROM c, tot WHERE c.cum_tokens <= tot.t // 10
+    """
+
+
+@query("q149_token_budget_curriculum", oracle=_q149_oracle())
+def q149_token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        two_phase_numeric_cumsum,
+    )
+
+    scored = q147_quality_classifier_gd(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.size(TX.tokens("text")).cast("bigint").alias("n_tok")
+    )
+    j = scored.join(toks, "doc_id").select("doc_id", "p", "n_tok")
+    tot = j.agg(F.sum("n_tok").cast("bigint").alias("__tot"))
+    c = two_phase_numeric_cumsum(
+        j, "p", "doc_id", "n_tok", "cum_tokens", descending=True
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_tokens") <= F.expr("__tot div 10"))
+        .select("doc_id", "p", "n_tok", "cum_tokens")
+    )

@@ -144,6 +144,11 @@ EXTENDED_QUERIES = [
     "q142_corpus_funnel",
     "q143_referential_integrity",
     "q144_pk_uniqueness",
+    # round-5 additions: triangle counting over the near-dup graph,
+    # perceptual-hash image dedup, in-engine GD classifier training
+    "q145_dup_graph_triangles",
+    "q146_media_phash_pairs",
+    "q147_quality_classifier_gd",
 ]
 
 

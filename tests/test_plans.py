@@ -323,3 +323,27 @@ def test_q141_rfm_ranks_are_two_phase_partitioned(spark):
     # offsets / scalar count broadcast back, never corpus-side joined
     assert "BroadcastExchange" in plan
     release_owned_caches()
+
+
+def test_q149_cumsum_is_two_phase_partitioned(spark):
+    """The token-budget running sum must come from the bucket-
+    partitioned two-phase cumsum — every corpus-sized window function
+    partitions by __b; only bucket offsets / the scalar budget pass
+    through SinglePartition."""
+    from airbnb_pyspark_jobs_spark.caching import release_owned_caches
+
+    df = QUERIES["q149_token_budget_curriculum"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "unboundedpreceding" in line.lower():
+            assert "windowspecdefinition(__b" in line, line
+    release_owned_caches()
+
+
+def test_q146_band_join_never_cartesian(spark):
+    """The perceptual-hash pairing must be a band equi-join: no
+    CartesianProduct, no BroadcastNestedLoopJoin anywhere."""
+    df = QUERIES["q146_media_phash_pairs"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

@@ -115,3 +115,33 @@ def test_gd_classifier_deterministic_across_runs(spark):
     )
     release_owned_caches()
     assert w1 == w2  # DECIMAL sums: partitioning-independent
+
+
+def test_two_phase_numeric_rank_matches_sorted_order(spark):
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        two_phase_numeric_rank,
+    )
+
+    rows = [(i, ((i * 37) % 100) / 7.0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "v"]).repartition(13)
+    out = two_phase_numeric_rank(df, "v", "id", "rk", descending=True).collect()
+    expect = {
+        r[0]: i + 1
+        for i, r in enumerate(sorted(rows, key=lambda r: (-r[1], r[0])))
+    }
+    assert {r.id: r.rk for r in out} == expect
+
+
+def test_two_phase_numeric_cumsum_matches_prefix_sums(spark):
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        two_phase_numeric_cumsum,
+    )
+
+    rows = [(i, float((i * 13) % 50), (i % 7) + 1) for i in range(150)]
+    df = spark.createDataFrame(rows, ["id", "v", "w"]).repartition(11)
+    out = two_phase_numeric_cumsum(df, "v", "id", "w", "cum").collect()
+    acc, expect = 0, {}
+    for r in sorted(rows, key=lambda r: (r[1], r[0])):
+        acc += r[2]
+        expect[r[0]] = acc
+    assert {r.id: r.cum for r in out} == expect
