@@ -1282,3 +1282,54 @@ def pmi_cooccurrence(
         .limit(top_k)
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
     )
+
+
+def dataset_card(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    major_lang: str = "en",
+) -> DataFrame:
+    """Per-source dataset datasheet — the summary table every corpus
+    release publishes: document/token volumes, language purity, and
+    exact-duplicate involvement per source. One scan-side projection
+    (fingerprint + token count), one fingerprint-count join (the q41
+    exact-dedup shuffle), one per-source aggregate; the output is
+    source-dimension sized.
+
+    Returns ``source, n_docs, total_tokens, avg_doc_tokens, pct_major,
+    dup_doc_rate`` where dup_doc_rate = fraction of the source's docs
+    whose normalized fingerprint occurs ≥ 2 times CORPUS-wide (dup
+    involvement measures cross-source boilerplate too, not just
+    within-source copies)."""
+    from airbnb_pyspark_jobs_spark.functions.text import fingerprint, tokens
+
+    staged = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("__lang"),
+        fingerprint(F.col(text_col)).alias("__f"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("__n_tok"),
+    )
+    fc = staged.groupBy("__f").agg(F.count(F.lit(1)).alias("__c"))
+    base = staged.join(fc, "__f").select(
+        "source",
+        "__n_tok",
+        (F.col("__lang") == major_lang).cast("int").alias("__is_major"),
+        (F.col("__c") >= 2).cast("int").alias("__dup"),
+    )
+    n = F.count(F.lit(1))
+    return base.groupBy("source").agg(
+        n.cast("bigint").alias("n_docs"),
+        F.sum("__n_tok").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("__n_tok").cast("double") / n.cast("double"), 2
+        ).alias("avg_doc_tokens"),
+        F.round(
+            F.sum("__is_major").cast("double") / n.cast("double"), 4
+        ).alias("pct_major"),
+        F.round(
+            F.sum("__dup").cast("double") / n.cast("double"), 4
+        ).alias("dup_doc_rate"),
+    )

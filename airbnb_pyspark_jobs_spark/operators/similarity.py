@@ -1589,3 +1589,89 @@ def hard_negatives(
         sims.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= k)
     )
+
+
+def label_centroid_cosines(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the embedding-drift / cluster-separation monitor: a
+    training-serving skew check runs it between yesterday's and
+    today's corpus labels, a taxonomy QA run between class labels
+    (labels whose centroids collide are candidates for merging).
+
+    Fully distributed and cross-engine exact: dims posexplode once,
+    per-(label, dim) means via rounded-DECIMAL sums (order-
+    independent), centroid dot/norm sums again rounded-DECIMAL over
+    the dim equi-join, one final double expression
+    ``dot / (sqrt(na)·sqrt(nb))`` rounded to 4 (sqrt/multiply are the
+    libm-safe ops). Label count is assumed bounded (a dimension):
+    the pair fan-out is labels², never rows².
+
+    Returns ``label_a < label_b, n_a, n_b, cos_sim``."""
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "__x"),
+    ).select(
+        "label", "dim", F.round(F.col("__x").cast("double"), 9).alias("__v")
+    )
+    cen = owned_persist(
+        ex.groupBy("label", "dim").agg(
+            F.round(
+                F.sum(F.col("__v").cast("decimal(30,9)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("m"),
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+        )
+    )
+    sizes = cen.groupBy("label").agg(F.max("__n").alias("n"))
+    norms = cen.groupBy("label").agg(
+        F.sum(F.round(F.col("m") * F.col("m"), 12).cast("decimal(32,12)"))
+        .alias("__nrm2")
+    )
+    a = cen.select(
+        F.col("label").alias("label_a"), "dim", F.col("m").alias("__ma")
+    )
+    b = cen.select(
+        F.col("label").alias("label_b"), "dim", F.col("m").alias("__mb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                F.round(F.col("__ma") * F.col("__mb"), 12).cast("decimal(32,12)")
+            ).alias("__dot")
+        )
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("__nrm2").alias("__na"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("__nrm2").alias("__nb"))
+    ca = sizes.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    cb = sizes.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .join(F.broadcast(ca), "label_a")
+        .join(F.broadcast(cb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("__dot").cast("double")
+                / (
+                    F.sqrt(F.col("__na").cast("double"))
+                    * F.sqrt(F.col("__nb").cast("double"))
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+    )

@@ -1416,3 +1416,49 @@ def q118_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q125_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return SIM.hard_negatives(emb, emb.filter(F.col("vec_id") < _NQ), k=5)
+
+
+# ---------------------------------------------------------------------------
+# q151 embedding centroid cosine matrix — the drift / cluster-
+# separation monitor: per-label centroids via rounded-DECIMAL per-dim
+# means (order-independent), pairwise cosine over the label-pair dim
+# join (labels², never rows²), sqrt/multiply-only final expression.
+# ---------------------------------------------------------------------------
+_Q151_ORACLE = """
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         round(CAST(unnest(embedding) AS DOUBLE), 9) AS v
+  FROM embeddings
+),
+cen AS (
+  SELECT label, dim,
+         round(CAST(SUM(CAST(v AS DECIMAL(30,9))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 9) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ex GROUP BY label, dim
+),
+sizes AS (SELECT label, MAX(n) AS n FROM cen GROUP BY label),
+norms AS (SELECT label, SUM(CAST(round(m * m, 12) AS DECIMAL(32,12))) AS nrm2
+          FROM cen GROUP BY label),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         SUM(CAST(round(a.m * b.m, 12) AS DECIMAL(32,12))) AS dot
+  FROM cen a JOIN cen b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT d.label_a, d.label_b, sa.n AS n_a, sb.n AS n_b,
+       round(CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE))),
+             4) AS cos_sim
+FROM dots d
+JOIN norms na ON d.label_a = na.label
+JOIN norms nb ON d.label_b = nb.label
+JOIN sizes sa ON d.label_a = sa.label
+JOIN sizes sb ON d.label_b = sb.label
+"""
+
+
+@query("q151_centroid_cosine_matrix", oracle=_Q151_ORACLE)
+def q151_centroid_cosine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.label_centroid_cosines(emb)

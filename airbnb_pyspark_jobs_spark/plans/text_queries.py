@@ -3057,3 +3057,43 @@ def q149_token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= F.expr("__tot div 10"))
         .select("doc_id", "p", "n_tok", "cum_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# q150 per-source dataset card — the release datasheet: volumes,
+# language purity, exact-dup involvement per source (dup = fingerprint
+# occurs >= 2 times CORPUS-wide, so cross-source boilerplate counts).
+# Scan-side stats + the q41 fingerprint shuffle + one source-sized
+# aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q150_dataset_card",
+    oracle=rf"""
+    WITH fp AS (
+      SELECT doc_id, source, lang, {_D_TOKENS} AS ts,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+      FROM documents
+    ),
+    fc AS (SELECT f, COUNT(*) AS c FROM fp GROUP BY f),
+    base AS (
+      SELECT fp.source, CAST(len(fp.ts) AS BIGINT) AS n_tok,
+             CASE WHEN fp.lang = 'en' THEN 1 ELSE 0 END AS is_major,
+             CASE WHEN fc.c >= 2 THEN 1 ELSE 0 END AS dup
+      FROM fp JOIN fc USING (f)
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+      round(CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2)
+        AS avg_doc_tokens,
+      round(CAST(SUM(is_major) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+        AS pct_major,
+      round(CAST(SUM(dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+        AS dup_doc_rate
+    FROM base GROUP BY source
+    """,
+)
+def q150_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import dataset_card
+
+    return dataset_card(load_table(spark, "documents", sf_dir))

@@ -149,6 +149,13 @@ EXTENDED_QUERIES = [
     "q145_dup_graph_triangles",
     "q146_media_phash_pairs",
     "q147_quality_classifier_gd",
+    # cross-source keeper policy (components + struct-min argmin)
+    "q148_priority_keepers",
+    # budget-constrained curriculum (two-phase cumsum + broadcast budget)
+    "q149_token_budget_curriculum",
+    # per-source dataset card; label-centroid cosine drift matrix
+    "q150_dataset_card",
+    "q151_centroid_cosine_matrix",
 ]
 
 
