@@ -350,6 +350,47 @@ def two_phase_numeric_cumsum(
     return out.drop("__b", "__run", "__off")
 
 
+def two_phase_hash_cumsum(
+    df: DataFrame,
+    order_col: str,
+    tie_col: str,
+    value_col: str,
+    out_col: str,
+    bucket_hex_digits: int = 3,
+) -> DataFrame:
+    """Running SUM of ``value_col`` in global (``order_col``,
+    ``tie_col``) order where ``order_col`` is a HEX-string hash key
+    (md5-keyed shuffles) — the weighted-sum twin of
+    :func:`_two_phase_rank`: hex-prefix buckets sort consistently with
+    the full key, per-bucket value sums roll into broadcast cumulative
+    offsets, the corpus-sized window only ever partitions by the
+    prefix bucket."""
+    from pyspark.sql.window import Window
+
+    keyed = df.withColumn("__b", F.substring(order_col, 1, bucket_hex_digits))
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(F.col(order_col).asc(), F.col(tie_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = keyed.withColumn(
+        "__run", F.sum(F.col(value_col).cast("bigint")).over(w_in)
+    )
+    counts = keyed.groupBy("__b").agg(
+        F.sum(F.col(value_col).cast("bigint")).alias("__cnt")
+    )
+    w_off = Window.orderBy(F.col("__b").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
+    )
+    out = ranked.join(F.broadcast(offsets), "__b").withColumn(
+        out_col, (F.col("__off") + F.col("__run")).cast("bigint")
+    )
+    return out.drop("__b", "__run", "__off")
+
+
 def source_interleave(
     df: DataFrame,
     key_col: str,

@@ -1462,3 +1462,57 @@ JOIN sizes sb ON d.label_b = sb.label
 def q151_centroid_cosine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return SIM.label_centroid_cosines(emb)
+
+
+# ---------------------------------------------------------------------------
+# q154 ANN recall audit — the evaluation harness IN the engine: per-
+# query recall@3 of the multiprobe-LSH ANN (q101) against the brute-
+# force ground truth (q50's exact top-k). The production pattern for
+# keeping an ANN index honest: run the audit over a sampled query set
+# on every index rebuild. Oracle composes the two verified oracles as
+# subqueries (the q142 composition recipe).
+# ---------------------------------------------------------------------------
+def _q154_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q50 = ORACLES["q50_knn_bruteforce"]
+    q101 = ORACLES["q101_ann_lsh_multiprobe"]
+    return f"""
+    WITH gt AS (SELECT query_id, neighbor_id FROM ({q50}) WHERE rn <= {_K_ANN}),
+    ap AS (SELECT query_id, neighbor_id FROM ({q101})),
+    hits AS (
+      SELECT gt.query_id, CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_hits
+      FROM gt LEFT JOIN ap
+        ON gt.query_id = ap.query_id AND gt.neighbor_id = ap.neighbor_id
+      GROUP BY gt.query_id
+    )
+    SELECT query_id, n_hits,
+           round(CAST(n_hits AS DOUBLE) / CAST({_K_ANN}.0 AS DOUBLE), 4)
+             AS recall_at_k
+    FROM hits
+    """
+
+
+@query("q154_ann_recall_audit", oracle=_q154_oracle())
+def q154_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gt = q50_knn_bruteforce(spark, sf_dir).filter(F.col("rn") <= _K_ANN)
+    ap = q101_ann_lsh_multiprobe(spark, sf_dir)
+    hits = (
+        gt.select("query_id", "neighbor_id")
+        .join(
+            ap.select("query_id", "neighbor_id").withColumn(
+                "__hit", F.lit(1)
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.lit(float(_K_ANN)), 4
+        ).alias("recall_at_k"),
+    )

@@ -3097,3 +3097,103 @@ def q150_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbnb_pyspark_jobs_spark.operators.corpus import dataset_card
 
     return dataset_card(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q152 token-balanced shard assignment: shard k gets a contiguous run
+# of the (epoch-shuffled hash) document order such that every shard
+# carries ~equal TOKEN mass (doc-count sharding skews badly when doc
+# lengths are heavy-tailed): shard = (cum_tokens - n_tok) * S div total
+# (the token-weighted form of q94's epoch sharding; the start offset of
+# the doc decides its shard, so shard boundaries never split a doc).
+# Running token sums via the two-phase cumsum; total is an in-plan
+# broadcast scalar.
+# ---------------------------------------------------------------------------
+_Q152_SHARDS = 8
+
+
+@query(
+    "q152_token_balanced_shards",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len({_D_TOKENS}) AS BIGINT) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR) || ':shard') AS k
+      FROM documents
+    ),
+    tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t FROM toks),
+    c AS (
+      SELECT doc_id, n_tok, k,
+             CAST(SUM(n_tok) OVER (ORDER BY k ASC, doc_id ASC) AS BIGINT)
+               AS cum_tokens
+      FROM toks
+    )
+    SELECT c.doc_id, c.n_tok, c.cum_tokens,
+           CAST((c.cum_tokens - c.n_tok) * {_Q152_SHARDS} // tot.t AS BIGINT)
+             AS shard
+    FROM c, tot
+    """,
+)
+def q152_token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        two_phase_hash_cumsum,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.size(TX.tokens("text")).cast("bigint").alias("n_tok"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard"))).alias(
+            "__k"
+        ),
+    )
+    tot = toks.agg(F.sum("n_tok").cast("bigint").alias("__tot"))
+    c = two_phase_hash_cumsum(toks, "__k", "doc_id", "n_tok", "cum_tokens")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tok",
+            "cum_tokens",
+            F.expr(f"(cum_tokens - n_tok) * {_Q152_SHARDS} div __tot")
+            .cast("bigint")
+            .alias("shard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q153 duplicate-aware loss weights — SOFT dedup: instead of dropping
+# copies, weight each doc by 1/n_copies of its normalized fingerprint
+# so a document's total gradient contribution is duplication-invariant
+# (the standard fallback when hard dedup is too aggressive for the
+# domain). One fingerprint count + one equi-join back; weights are a
+# single rounded division.
+# ---------------------------------------------------------------------------
+@query(
+    "q153_dup_loss_weights",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+      FROM documents
+    ),
+    fc AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n_copies FROM fp GROUP BY f)
+    SELECT fp.doc_id, fc.n_copies,
+           round(CAST(1.0 AS DOUBLE) / CAST(fc.n_copies AS DOUBLE), 6)
+             AS weight
+    FROM fp JOIN fc USING (f)
+    """,
+)
+def q153_dup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.text import fingerprint
+
+    docs = load_table(spark, "documents", sf_dir)
+    fp = docs.select("doc_id", fingerprint(F.col("text")).alias("__f"))
+    fc = fp.groupBy("__f").agg(F.count(F.lit(1)).cast("bigint").alias("n_copies"))
+    return fp.join(fc, "__f").select(
+        "doc_id",
+        "n_copies",
+        F.round(
+            F.lit(1.0) / F.col("n_copies").cast("double"), 6
+        ).alias("weight"),
+    )

@@ -156,6 +156,11 @@ EXTENDED_QUERIES = [
     # per-source dataset card; label-centroid cosine drift matrix
     "q150_dataset_card",
     "q151_centroid_cosine_matrix",
+    # token-balanced shards (hash-order cumsum); dup loss weights;
+    # ANN recall audit (q101 vs q50 ground truth)
+    "q152_token_balanced_shards",
+    "q153_dup_loss_weights",
+    "q154_ann_recall_audit",
 ]
 
 
