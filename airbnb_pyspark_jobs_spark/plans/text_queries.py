@@ -3197,3 +3197,59 @@ def q153_dup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) / F.col("n_copies").cast("double"), 6
         ).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q155 winnowing fragment-overlap pairs — MOSS-style local-plagiarism
+# detection: doc pairs sharing >= 2 winnowing fingerprints (each
+# shared fingerprint certifies a shared substring of >= k+w-1 chars,
+# so two shared fingerprints is strong fragment-copy evidence even
+# when whole-doc Jaccard is tiny; the >=8 floor keeps the output a
+# shortlist on this fragment-heavy synthetic corpus). df-capped
+# fingerprint equi-join (the max_shingle_df economics); oracle
+# composes the verified q47 oracle.
+# ---------------------------------------------------------------------------
+_Q155_MIN_SHARED, _Q155_MAX_DF = 8, 20
+
+
+def _q155_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q47 = ORACLES["q47_winnowing_fingerprints"]
+    return f"""
+    WITH w AS ({q47}),
+    rare AS (SELECT fp FROM w GROUP BY fp HAVING COUNT(*) <= {_Q155_MAX_DF}),
+    wf AS (SELECT w.doc_id, w.fp FROM w JOIN rare USING (fp))
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_Q155_MIN_SHARED}
+    """
+
+
+@query("q155_winnow_fragment_pairs", oracle=_q155_oracle())
+def q155_winnow_fragment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    w = owned_persist(q47_winnowing_fingerprints(spark, sf_dir))
+    rare = w.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).filter(
+        F.col("__df") <= _Q155_MAX_DF
+    )
+    wf = w.join(rare.select("fp"), "fp")
+    return (
+        wf.alias("a")
+        .join(
+            wf.alias("b"),
+            on=[
+                F.col("a.fp") == F.col("b.fp"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= _Q155_MIN_SHARED)
+    )

@@ -161,6 +161,8 @@ EXTENDED_QUERIES = [
     "q152_token_balanced_shards",
     "q153_dup_loss_weights",
     "q154_ann_recall_audit",
+    # MOSS-style winnowing fragment-overlap shortlist
+    "q155_winnow_fragment_pairs",
 ]
 
 

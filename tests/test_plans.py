@@ -347,3 +347,27 @@ def test_q146_band_join_never_cartesian(spark):
     plan = _executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_q152_shard_cumsum_is_bucket_partitioned(spark):
+    """Token-balanced sharding's running sum must partition by the
+    hash-prefix bucket — no corpus-sized single-partition window."""
+    from airbnb_pyspark_jobs_spark.caching import release_owned_caches
+
+    df = QUERIES["q152_token_balanced_shards"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "unboundedpreceding" in line.lower():
+            assert "windowspecdefinition(__b" in line, line
+    release_owned_caches()
+
+
+def test_q151_centroid_matrix_no_cartesian(spark):
+    """The centroid cosine matrix must pair labels via the dim
+    equi-join — no CartesianProduct over embedding rows."""
+    from airbnb_pyspark_jobs_spark.caching import release_owned_caches
+
+    df = QUERIES["q151_centroid_cosine_matrix"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    release_owned_caches()
