@@ -1282,6 +1282,11 @@ def triangle_counts(
     Returns ``node, deg, triangles, clustering`` where clustering =
     round(2·T / (deg·(deg−1)), cc_digits) (0.0 for deg < 2).
     """
+    # the canonical edge list is referenced ~8x downstream (degrees,
+    # orientation, both wedge sides, the closing join) and the caller's
+    # edge computation is often a whole similarity join — truncate the
+    # lineage once or every reference re-runs it (the q138/pagerank
+    # lesson; measured 22 s -> 6 s on the q145 shape at sf0.1).
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -1289,6 +1294,7 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))

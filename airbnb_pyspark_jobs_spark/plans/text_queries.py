@@ -3253,3 +3253,50 @@ def q155_winnow_fragment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= _Q155_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 perplexity filtering (the CCNet recipe): score every document
+# with the in-engine unigram LM (q96), rank by mean log-probability
+# with the range-bucketed two-phase rank (never a one-task global
+# sort), and drop the worst decile — the cutoff rank ceil(n/10) is
+# pure integer arithmetic ((n+9) div 10) on an in-plan broadcast
+# scalar, so the gate is SF-independent and engine-exact. Oracle
+# composes the verified q96 oracle with a ROW_NUMBER replay.
+# ---------------------------------------------------------------------------
+def _q156_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q96 = ORACLES["q96_unigram_logprob"]
+    return f"""
+    WITH s AS ({q96}),
+    n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+    r AS (
+      SELECT doc_id, mean_logprob,
+             CAST(ROW_NUMBER() OVER (ORDER BY mean_logprob ASC, doc_id ASC)
+                  AS BIGINT) AS lm_rank
+      FROM s
+    )
+    SELECT r.doc_id, r.mean_logprob, r.lm_rank,
+           r.lm_rank > (n1.n + 9) // 10 AS keep
+    FROM r, n1
+    """
+
+
+@query("q156_perplexity_filter", oracle=_q156_oracle())
+def q156_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        two_phase_numeric_rank,
+    )
+
+    s = q96_unigram_logprob(spark, sf_dir).select("doc_id", "mean_logprob")
+    n1 = s.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    r = two_phase_numeric_rank(
+        s, "mean_logprob", "doc_id", "lm_rank", descending=False
+    )
+    return r.crossJoin(F.broadcast(n1)).select(
+        "doc_id",
+        "mean_logprob",
+        "lm_rank",
+        (F.col("lm_rank") > F.expr("(__n + 9) div 10")).alias("keep"),
+    )

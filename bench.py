@@ -163,6 +163,8 @@ EXTENDED_QUERIES = [
     "q154_ann_recall_audit",
     # MOSS-style winnowing fragment-overlap shortlist
     "q155_winnow_fragment_pairs",
+    # CCNet-style perplexity filtering (q96 LM + two-phase rank gate)
+    "q156_perplexity_filter",
 ]
 
 
