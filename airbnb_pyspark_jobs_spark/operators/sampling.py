@@ -598,3 +598,76 @@ def weighted_reservoir_sample(
     return ranked.filter(F.col("rn") <= k).select(
         g, idc, "weight", F.round("__ky", key_digits).alias("sample_key"), "rn"
     )
+
+
+def doremi_source_weights(
+    docs: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    score_col: str = "mean_logprob",
+    eps: float = 0.01,
+    digits: int = 6,
+) -> DataFrame:
+    """Excess-loss source reweighting (the DoReMi idea, Xie et al.
+    2023, simplified to a one-shot public recipe): sources the corpus
+    LM fits WORSE than the global mean (excess = global_mean −
+    source_mean of per-doc mean log-probability) get a larger mixture
+    weight — the next training mix spends more budget where the model
+    underperforms. ``eps`` keeps the best-fit source at a nonzero
+    floor; weights are shifted-excess normalized to sum to 1.
+
+    Cross-engine determinism: per-doc scores arrive already rounded
+    (q96's 4-digit contract) and are cast to DECIMAL before EVERY sum
+    (group means, the global mean, the weight normalizer) — exact and
+    order-independent — with ONE double division + round per derived
+    value; the shift uses the same ``(excess − min_excess) + eps``
+    association on both engines. Never a float sum across groups.
+
+    Returns per source: ``source, n_docs, src_mean_logprob, excess,
+    mix_weight``. Scale shape: one corpus-scale groupBy on source;
+    everything after is sources-sized (broadcast scalar joins).
+    """
+    j = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    ).join(
+        scores.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(score_col).cast("decimal(20,4)").alias("__sd"),
+        ),
+        "doc_id",
+    )
+    mean_expr = F.round(
+        F.sum("__sd").cast("double") / F.count(F.lit(1)).cast("double"), digits
+    )
+    per = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        mean_expr.alias("src_mean_logprob"),
+    )
+    g = j.agg(mean_expr.alias("__g"))
+    e = per.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_docs",
+        "src_mean_logprob",
+        F.round(F.col("__g") - F.col("src_mean_logprob"), digits).alias("excess"),
+    )
+    mn = e.agg(F.min("excess").alias("__mex"))
+    w = e.crossJoin(F.broadcast(mn)).select(
+        "source",
+        "n_docs",
+        "src_mean_logprob",
+        "excess",
+        F.round(
+            F.col("excess") - F.col("__mex") + F.lit(float(eps)), digits
+        ).alias("__wraw"),
+    )
+    tot = w.agg(F.sum(F.col("__wraw").cast(f"decimal(28,{digits})")).alias("__tot"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "src_mean_logprob",
+        "excess",
+        F.round(F.col("__wraw") / F.col("__tot").cast("double"), digits).alias(
+            "mix_weight"
+        ),
+    )

@@ -1675,3 +1675,75 @@ def label_centroid_cosines(
             ).alias("cos_sim"),
         )
     )
+
+
+def kcenter_coreset(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Greedy farthest-point k-center selection (Gonzalez's 2-approx)
+    over unit-cosine distance — the coreset / diversity-sampling
+    primitive of embedding-based data selection: pick the seed (lowest
+    id), then repeatedly pick the point FARTHEST from everything picked
+    so far. The selected set maximizes coverage diversity; its last
+    pick's distance is the corpus coverage radius.
+
+    Determinism recipe: distances are ``round(1.0 - dot(unit, unit),
+    round_digits)`` (the q50 cosine recipe), the running minimum is a
+    ``least`` over already-rounded doubles, and the argmax tie-breaks
+    on lowest id — so the whole greedy trajectory replays bit-identical
+    in SQL as unrolled CTEs (the q147 pattern).
+
+    This is a TRAINING-shaped action (the q53 k-means discipline):
+    ``k-1`` bounded rounds, each ONE narrow scan (distance to the new
+    center, a broadcast literal vector) + a TakeOrdered(1) — never a
+    global sort — with the running-min state localCheckpointed per
+    round so lineage stays O(1) (the q138 lesson). At 100 TB run it on
+    a pre-sampled or IVF-cell-representative frame: cost is O(k·n)
+    dot products regardless of corpus layout.
+
+    Returns ``sel_round (bigint), vec_id (bigint), maximin_dist
+    (double; NULL for the seed row)``.
+    """
+    u = unit_vectors(corpus, id_col, vec_col, "vec_id", "__uv").localCheckpoint()
+    seed = u.orderBy("vec_id").limit(1).head()
+    if seed is None:
+        return u.sparkSession.createDataFrame(
+            [], schema="sel_round bigint, vec_id bigint, maximin_dist double"
+        )
+    picked: list[tuple[int, int, float | None]] = [(0, int(seed["vec_id"]), None)]
+    center = F.array(*[F.lit(float(x)) for x in seed["__uv"]])
+    state = u.select(
+        "vec_id",
+        "__uv",
+        F.round(F.lit(1.0) - dot(F.col("__uv"), center), round_digits).alias("__md"),
+    ).localCheckpoint()
+    for t in range(1, k):
+        sel_ids = [p[1] for p in picked]
+        nxt = (
+            state.filter(~F.col("vec_id").isin(sel_ids))
+            .orderBy(F.col("__md").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .head()
+        )
+        if nxt is None:
+            break
+        picked.append((t, int(nxt["vec_id"]), float(nxt["__md"])))
+        if t < k - 1:
+            center = F.array(*[F.lit(float(x)) for x in nxt["__uv"]])
+            state = state.select(
+                "vec_id",
+                "__uv",
+                F.least(
+                    F.col("__md"),
+                    F.round(
+                        F.lit(1.0) - dot(F.col("__uv"), center), round_digits
+                    ),
+                ).alias("__md"),
+            ).localCheckpoint()
+    return u.sparkSession.createDataFrame(
+        picked, schema="sel_round bigint, vec_id bigint, maximin_dist double"
+    )

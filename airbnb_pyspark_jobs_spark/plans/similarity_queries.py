@@ -1516,3 +1516,59 @@ def q154_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hits").cast("double") / F.lit(float(_K_ANN)), 4
         ).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q157 greedy k-center coreset (Gonzalez farthest-point) — diversity
+# sampling over the embedding space: seed = lowest vec_id, then k-1
+# rounds of "pick the point farthest (unit-cosine distance) from the
+# selected set". The oracle replays the full greedy trajectory as
+# unrolled CTEs (the q147 training-replay recipe): round t's pick is a
+# deterministic ORDER BY md DESC, vec_id LIMIT 1 over the running
+# least() of rounded distances.
+# ---------------------------------------------------------------------------
+_KC_K = 8
+
+
+def _q157_oracle() -> str:
+    parts = [
+        f"WITH {_D_UNIT},",
+        "p0 AS (SELECT MIN(vec_id) AS id FROM u),",
+        "c0 AS (SELECT u.vn AS vn FROM u, p0 WHERE u.vec_id = p0.id),",
+        "m1 AS (SELECT u.vec_id, round(CAST(1.0 AS DOUBLE)"
+        " - list_dot_product(u.vn, c0.vn), 4) AS md FROM u, c0),",
+    ]
+    union = [
+        "SELECT CAST(0 AS BIGINT) AS sel_round, p0.id AS vec_id,"
+        " CAST(NULL AS DOUBLE) AS maximin_dist FROM p0"
+    ]
+    excl = "SELECT id FROM p0"
+    for t in range(1, _KC_K):
+        parts.append(
+            f"p{t} AS (SELECT vec_id AS id, md FROM m{t}"
+            f" WHERE vec_id NOT IN ({excl})"
+            " ORDER BY md DESC, vec_id ASC LIMIT 1),"
+        )
+        excl += f" UNION ALL SELECT id FROM p{t}"
+        if t < _KC_K - 1:
+            parts.append(
+                f"c{t} AS (SELECT u.vn AS vn FROM u, p{t}"
+                f" WHERE u.vec_id = p{t}.id),"
+            )
+            parts.append(
+                f"m{t + 1} AS (SELECT m{t}.vec_id,"
+                f" least(m{t}.md, round(CAST(1.0 AS DOUBLE)"
+                f" - list_dot_product(u.vn, c{t}.vn), 4)) AS md"
+                f" FROM m{t} JOIN u USING (vec_id), c{t}),"
+            )
+        union.append(
+            f"SELECT CAST({t} AS BIGINT), p{t}.id, p{t}.md FROM p{t}"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts) + "\n" + "\nUNION ALL ".join(union)
+
+
+@query("q157_kcenter_coreset", oracle=_q157_oracle())
+def q157_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.kcenter_coreset(emb, k=_KC_K)

@@ -3300,3 +3300,56 @@ def q156_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lm_rank",
         (F.col("lm_rank") > F.expr("(__n + 9) div 10")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q158 DoReMi-style source mixture reweighting: per-source excess loss
+# (global mean log-probability minus the source's, from the q96
+# unigram LM) shifted positive and normalized — sources the LM fits
+# worst get the largest next-mix weight. Oracle composes the verified
+# q96 oracle; every cross-group sum is DECIMAL-exact on both engines.
+# ---------------------------------------------------------------------------
+def _q158_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q96 = ORACLES["q96_unigram_logprob"]
+    return f"""
+    WITH s AS ({q96}),
+    j AS (
+      SELECT d.source, CAST(s.mean_logprob AS DECIMAL(20,4)) AS sd
+      FROM s JOIN documents d ON s.doc_id = d.doc_id
+    ),
+    per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             round(CAST(SUM(sd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS src_mean_logprob
+      FROM j GROUP BY source
+    ),
+    g AS (
+      SELECT round(CAST(SUM(sd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS gm
+      FROM j
+    ),
+    e AS (
+      SELECT source, n_docs, src_mean_logprob,
+             round(g.gm - src_mean_logprob, 6) AS excess
+      FROM per, g
+    ),
+    mn AS (SELECT MIN(excess) AS mex FROM e),
+    w AS (
+      SELECT e.*, round((e.excess - mn.mex) + CAST(0.01 AS DOUBLE), 6) AS wraw
+      FROM e, mn
+    ),
+    t AS (SELECT SUM(CAST(wraw AS DECIMAL(28,6))) AS tot FROM w)
+    SELECT source, n_docs, src_mean_logprob, excess,
+           round(wraw / CAST(t.tot AS DOUBLE), 6) AS mix_weight
+    FROM w, t
+    """
+
+
+@query("q158_doremi_source_weights", oracle=_q158_oracle())
+def q158_doremi_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sampling import doremi_source_weights
+
+    docs = load_table(spark, "documents", sf_dir)
+    scores = q96_unigram_logprob(spark, sf_dir)
+    return doremi_source_weights(docs, scores)

@@ -165,6 +165,10 @@ EXTENDED_QUERIES = [
     "q155_winnow_fragment_pairs",
     # CCNet-style perplexity filtering (q96 LM + two-phase rank gate)
     "q156_perplexity_filter",
+    # greedy k-center coreset (8 rounds, TakeOrdered argmax)
+    "q157_kcenter_coreset",
+    # DoReMi-style excess-loss source mixture reweighting
+    "q158_doremi_source_weights",
 ]
 
 

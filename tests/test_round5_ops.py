@@ -145,3 +145,57 @@ def test_two_phase_numeric_cumsum_matches_prefix_sums(spark):
         acc += r[2]
         expect[r[0]] = acc
     assert {r.id: r.cum for r in out} == expect
+
+
+def test_kcenter_coreset_known_points(spark):
+    # 2-D unit-ish points: seed is lowest id (0, pointing +x); the
+    # farthest point is 1 (+y, cosine distance 1.0); then 2 (diagonal,
+    # 1 - cos45 = 0.2929); 3 is nearly collinear with 0 (never picked).
+    from airbnb_pyspark_jobs_spark.operators.similarity import kcenter_coreset
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [1.0, 1.0]),
+            (3, [1.0, 0.01]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    rows = kcenter_coreset(emb, k=3).orderBy("sel_round").collect()
+    assert [(r.sel_round, r.vec_id) for r in rows] == [(0, 0), (1, 1), (2, 2)]
+    assert rows[0].maximin_dist is None
+    assert rows[1].maximin_dist == 1.0
+    assert rows[2].maximin_dist == 0.2929
+
+
+def test_kcenter_coreset_k_exceeds_n(spark):
+    from airbnb_pyspark_jobs_spark.operators.similarity import kcenter_coreset
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    rows = kcenter_coreset(emb, k=5).collect()
+    assert len(rows) == 2  # stops when every point is selected
+
+
+def test_doremi_source_weights_upweights_worse_fit_source(spark):
+    from airbnb_pyspark_jobs_spark.operators.sampling import doremi_source_weights
+
+    docs = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B")], ["doc_id", "source"]
+    )
+    scores = spark.createDataFrame(
+        [(1, -1.0), (2, -3.0), (3, -4.0)], ["doc_id", "mean_logprob"]
+    )
+    out = {r.source: r for r in doremi_source_weights(docs, scores).collect()}
+    # global mean = -8/3 = -2.666667; excess A = -0.666667, B = 1.333333
+    assert out["A"].src_mean_logprob == -2.0
+    assert out["B"].src_mean_logprob == -4.0
+    assert out["A"].excess == -0.666667
+    assert out["B"].excess == 1.333333
+    # shifted: A = eps = 0.01, B = 2.01; normalized over 2.02
+    assert out["A"].mix_weight == round(0.01 / 2.02, 6)
+    assert out["B"].mix_weight == round(2.01 / 2.02, 6)
+    assert out["B"].mix_weight > out["A"].mix_weight
+    assert abs(out["A"].mix_weight + out["B"].mix_weight - 1.0) < 1e-5
