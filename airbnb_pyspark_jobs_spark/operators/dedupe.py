@@ -1344,3 +1344,106 @@ def triangle_counts(
         .otherwise(F.lit(0.0))
         .alias("clustering"),
     )
+
+
+def minhash_estimate_calibration(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 2,
+    err_digits: int = 4,
+) -> DataFrame:
+    """MinHash estimator calibration audit — the dedup analog of the
+    q154 ANN recall audit: for every banded-LSH candidate pair, put the
+    SIGNATURE estimate (matching minhash components / k — the unbiased
+    MinHash Jaccard estimator) next to the exact shingle Jaccard and
+    report the absolute error. Run on every index rebuild to keep the
+    banding config honest: a drifting corpus (longer docs, new shingle
+    distribution) shows up as estimator bias here before it shows up as
+    missed duplicates downstream.
+
+    Determinism: both values are single exact-integer divisions; the
+    error rounds to ``err_digits``. Scale shape identical to
+    :func:`minhash_lsh_pairs` (banded candidates only, never
+    all-pairs); the extra estimate is one sig⨝sig equi-join on the
+    candidate keys.
+
+    Returns ``doc_id_a, doc_id_b, est_jaccard, jaccard, abs_err``.
+    """
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must divide evenly into bands")
+    sh = owned_persist(shingle_table(docs, id_col, text_col, n))
+    sig = sh.groupBy("doc_id").agg(
+        *_minhash_aggs(num_hashes), F.count(F.lit(1)).alias("n_sh")
+    )
+    banded = _band_rows(sig, bands, num_hashes // bands)
+    candidates = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+    matches = sum(
+        F.when(F.col(f"sa.h{j}") == F.col(f"sb.h{j}"), 1).otherwise(0)
+        for j in range(1, num_hashes + 1)
+    )
+    est = (
+        candidates.join(sig.alias("sa"), F.col("sa.doc_id") == F.col("doc_id_a"))
+        .join(sig.alias("sb"), F.col("sb.doc_id") == F.col("doc_id_b"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        candidates.join(sh.alias("ja"), F.col("ja.doc_id") == F.col("doc_id_a"))
+        .join(
+            sh.alias("jb"),
+            (F.col("jb.doc_id") == F.col("doc_id_b"))
+            & (F.col("jb.s") == F.col("ja.s")),
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    exact = (
+        inter.join(
+            sizes.withColumnsRenamed({"doc_id": "doc_id_a", "n_sh": "__na"}),
+            "doc_id_a",
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "doc_id_b", "n_sh": "__nb"}),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (
+                F.col("__i").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("__i")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return est.join(exact, ["doc_id_a", "doc_id_b"]).select(
+        "doc_id_a",
+        "doc_id_b",
+        "est_jaccard",
+        "jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), err_digits).alias(
+            "abs_err"
+        ),
+    )

@@ -3353,3 +3353,69 @@ def q158_doremi_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     scores = q96_unigram_logprob(spark, sf_dir)
     return doremi_source_weights(docs, scores)
+
+
+# ---------------------------------------------------------------------------
+# q159 MinHash estimator calibration — the dedup analog of q154's ANN
+# recall audit: per banded-LSH candidate pair, the signature estimate
+# (matching components / k) vs the exact shingle Jaccard and |error|.
+# The oracle rebuilds the full q45 pipeline (shingles → sliced-md5
+# signatures → bands → candidates) plus the component-agreement count.
+# ---------------------------------------------------------------------------
+_Q159_MATCHES = " + ".join(
+    f"(CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END)" for j in range(1, _NH + 1)
+)
+
+_Q159_ORACLE = f"""
+WITH {_D_SHINGLES},
+sig AS (
+  SELECT doc_id,
+    {_mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+    {_band_exprs}
+  FROM sig
+),
+bl AS (
+  {_band_union}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bl a JOIN bl b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_id_a, c.doc_id_b,
+         CAST({_Q159_MATCHES} AS DOUBLE) / CAST({_NH} AS DOUBLE) AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_id_a
+  JOIN sig sb ON sb.doc_id = c.doc_id_b
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_id_a
+  JOIN sh sb ON sb.doc_id = c.doc_id_b AND sb.s = sa.s
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT doc_id_a, doc_id_b,
+         CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+  FROM inter
+  JOIN cnt ca ON doc_id_a = ca.doc_id
+  JOIN cnt cb ON doc_id_b = cb.doc_id
+)
+SELECT e.doc_id_a, e.doc_id_b, e.est_jaccard, ex.jaccard,
+       round(abs(e.est_jaccard - ex.jaccard), 4) AS abs_err
+FROM est e JOIN ex ON e.doc_id_a = ex.doc_id_a AND e.doc_id_b = ex.doc_id_b
+"""
+
+
+@query("q159_minhash_calibration", oracle=_Q159_ORACLE)
+def q159_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_estimate_calibration(
+        load_table(spark, "documents", sf_dir), num_hashes=_NH, bands=_BANDS
+    )

@@ -169,6 +169,8 @@ EXTENDED_QUERIES = [
     "q157_kcenter_coreset",
     # DoReMi-style excess-loss source mixture reweighting
     "q158_doremi_source_weights",
+    # MinHash estimator calibration audit (est vs exact Jaccard)
+    "q159_minhash_calibration",
 ]
 
 

@@ -199,3 +199,25 @@ def test_doremi_source_weights_upweights_worse_fit_source(spark):
     assert out["B"].mix_weight == round(2.01 / 2.02, 6)
     assert out["B"].mix_weight > out["A"].mix_weight
     assert abs(out["A"].mix_weight + out["B"].mix_weight - 1.0) < 1e-5
+
+
+def test_minhash_calibration_identical_docs(spark):
+    from airbnb_pyspark_jobs_spark.operators.dedupe import (
+        minhash_estimate_calibration,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    near = text + " tail"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, near), (4, "completely different words here")],
+        ["doc_id", "text"],
+    )
+    out = {(r.doc_id_a, r.doc_id_b): r for r in minhash_estimate_calibration(docs).collect()}
+    # identical docs: estimator and exact both 1.0, zero error
+    assert out[(1, 2)].est_jaccard == 1.0
+    assert out[(1, 2)].jaccard == 1.0
+    assert out[(1, 2)].abs_err == 0.0
+    # every reported error is |est - exact| within [0, 1]
+    for r in out.values():
+        assert 0.0 <= r.abs_err <= 1.0
+        assert abs(abs(r.est_jaccard - r.jaccard) - r.abs_err) < 1e-9
