@@ -1747,3 +1747,70 @@ def kcenter_coreset(
     return u.sparkSession.createDataFrame(
         picked, schema="sel_round bigint, vec_id bigint, maximin_dist double"
     )
+
+
+def ivf_cell_quality(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    mean_digits: int = 6,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Clustering-quality audit of the trained IVF coarse quantizer —
+    per cell: member count, mean member-to-centroid unit-cosine, and
+    the worst member's cosine (the cell's angular radius). Run on every
+    index rebuild alongside the q154 recall audit: shrinking mean_sim /
+    min_sim means the quantizer no longer fits the corpus (drift) and
+    probe counts need raising before recall visibly degrades.
+
+    Determinism: per-member sims are the q53 assignment values
+    (Arrow-stage raw dot, rounded to ``round_digits``); the per-cell
+    mean sums those ROUNDED values as DECIMAL (order-independent) with
+    one double division + round; min is exact. Scale: one n×k Arrow
+    assignment pass + one cells-sized groupBy — no pair joins.
+
+    Returns ``cid (bigint), n_members, mean_sim, min_sim``.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus,
+            k=n_centroids,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_digits=round_digits,
+        )
+    cents_u = [(cid, _py_unit(v)) for cid, v in centroids]
+    u = unit_vectors(corpus, id_col, vec_col, "id", "vn")
+    sims = centroid_unit_sims(u, cents_u)
+    w = Window.partitionBy("id").orderBy(
+        F.round("__rsim", round_digits).desc(), F.col("cid").asc()
+    )
+    best = (
+        sims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("cid", F.round("__rsim", round_digits).alias("__sim"))
+    )
+    return (
+        best.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(
+                F.sum(F.col("__sim").cast(f"decimal(14,{round_digits})")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double"),
+                mean_digits,
+            ).alias("mean_sim"),
+            F.min("__sim").alias("min_sim"),
+        )
+        .select(
+            F.col("cid").cast("bigint").alias("cid"),
+            "n_members",
+            "mean_sim",
+            "min_sim",
+        )
+    )

@@ -1572,3 +1572,35 @@ def _q157_oracle() -> str:
 def q157_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return SIM.kcenter_coreset(emb, k=_KC_K)
+
+
+# ---------------------------------------------------------------------------
+# q160 IVF cell-quality audit — the third leg of the index-audit
+# family (q154 recall, q159 estimator calibration): per trained cell,
+# member count + mean/min member-to-centroid cosine. Oracle replays
+# the q53 Lloyd training CTEs, keeps the assignment's rounded sim, and
+# aggregates it DECIMAL-exactly.
+# ---------------------------------------------------------------------------
+def _q160_oracle() -> str:
+    return f"""
+WITH {_D_UNIT},
+{_kmeans_ctes(_NCENT, _ITERS)},
+asgq AS (
+  SELECT a.vec_id, a.cid, a.sim FROM (
+    SELECT u.vec_id, c.cid, {_ASSIGN_SIM} AS sim,
+      ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                         ORDER BY {_ASSIGN_SIM} DESC, c.cid ASC) AS rn
+    FROM u, cu{_ITERS} c) a WHERE a.rn = 1
+)
+SELECT CAST(cid AS BIGINT) AS cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+       round(CAST(SUM(CAST(sim AS DECIMAL(14,4))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_sim,
+       MIN(sim) AS min_sim
+FROM asgq GROUP BY cid
+"""
+
+
+@query("q160_ivf_cell_quality", oracle=_q160_oracle())
+def q160_ivf_cell_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.ivf_cell_quality(emb, n_centroids=_NCENT, iters=_ITERS)

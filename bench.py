@@ -171,6 +171,8 @@ EXTENDED_QUERIES = [
     "q158_doremi_source_weights",
     # MinHash estimator calibration audit (est vs exact Jaccard)
     "q159_minhash_calibration",
+    # IVF cell-quality audit (per-cell size + mean/min member cosine)
+    "q160_ivf_cell_quality",
 ]
 
 

@@ -221,3 +221,26 @@ def test_minhash_calibration_identical_docs(spark):
     for r in out.values():
         assert 0.0 <= r.abs_err <= 1.0
         assert abs(abs(r.est_jaccard - r.jaccard) - r.abs_err) < 1e-9
+
+
+def test_ivf_cell_quality_two_obvious_clusters(spark):
+    from airbnb_pyspark_jobs_spark.operators.similarity import ivf_cell_quality
+
+    # two tight clusters around +x and +y; pass centroids directly so
+    # the audit (not the trainer) is what's under test
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.02]),
+            (2, [0.0, 1.0]),
+            (3, [0.02, 1.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = {r.cid: r for r in ivf_cell_quality(emb, centroids=cents).collect()}
+    assert out[0].n_members == 2 and out[1].n_members == 2
+    # members are within ~1 degree of their centroid: cosines ~1.0
+    for r in out.values():
+        assert r.min_sim >= 0.999
+        assert 0.999 <= r.mean_sim <= 1.0
