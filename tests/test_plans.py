@@ -371,3 +371,60 @@ def test_q151_centroid_matrix_no_cartesian(spark):
     plan = _executed_plan(df)
     assert "CartesianProduct" not in plan
     release_owned_caches()
+
+
+def test_q156_perplexity_rank_is_two_phase_partitioned(spark):
+    """The perplexity gate's global rank must be the range-bucketed
+    two-phase rank: every corpus-sized row_number window partitions by
+    the bucket column; the decile cutoff scalar broadcasts."""
+    from airbnb_pyspark_jobs_spark.caching import release_owned_caches
+
+    df = QUERIES["q156_perplexity_filter"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "windowspecdefinition(__b" in line, line
+    assert "CartesianProduct" not in plan
+    release_owned_caches()
+
+
+def test_q158_doremi_scalars_broadcast_no_cartesian(spark):
+    """Source reweighting: the global-mean / min-excess / normalizer
+    scalars must come back as broadcasts — the only corpus-scale
+    shuffle is the per-source aggregate; nothing goes cartesian."""
+    from airbnb_pyspark_jobs_spark.caching import release_owned_caches
+
+    df = QUERIES["q158_doremi_source_weights"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    release_owned_caches()
+
+
+def test_q159_calibration_joins_are_equi(spark):
+    """Estimator calibration must pair docs via the band equi-join and
+    signature equi-joins — never an all-pairs product."""
+    from airbnb_pyspark_jobs_spark.caching import release_owned_caches
+
+    df = QUERIES["q159_minhash_calibration"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    release_owned_caches()
+
+
+def test_q160_cell_quality_windows_partition_by_id(spark):
+    """The cell-quality audit's assignment argmax must window per
+    vector id (bounded k rows each), never a global unpartitioned
+    window, and the centroid matrix is inlined (no join at all)."""
+    from airbnb_pyspark_jobs_spark.caching import release_owned_caches
+
+    df = QUERIES["q160_ivf_cell_quality"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(id" in line, line
+    # the argmax also gets the rank-limit pushdown (top-1 per id)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    release_owned_caches()
