@@ -1,5 +1,6 @@
 """Structured Streaming surface over event tables."""
 
+from airbnb_pyspark_jobs_spark.streaming.dedupe import streaming_minhash_dedup
 from airbnb_pyspark_jobs_spark.streaming.events import (
     read_event_stream,
     streaming_dedupe,
@@ -9,6 +10,7 @@ from airbnb_pyspark_jobs_spark.streaming.events import (
 
 __all__ = [
     "read_event_stream",
+    "streaming_minhash_dedup",
     "streaming_dedupe",
     "streaming_session_agg",
     "streaming_tumbling_agg",

@@ -1,0 +1,124 @@
+"""Streaming near-duplicate rejection against a stored MinHash index.
+
+The production ingestion shape at 100 TB: documents arrive as a stream;
+each micro-batch is banded and joined against the PERSISTED band index
+of everything accepted so far (``operators.dedupe.minhash_band_index``
+rows) — history is never re-shingled, re-hashed or re-banded, so
+per-batch work is proportional to batch size + candidate fan-in, never
+to corpus history (the q111 incremental property, made continuous).
+
+Keep-first policy: a new doc is rejected iff it near-duplicates ANY
+already-accepted doc, or a smaller-id doc of its own batch. Accepted
+docs append to the warehouse and their band rows extend the index;
+rejected pairs land in an audit log with their verified Jaccard.
+
+State lives in three parquet dirs (accepted/, index/, dups/) so a
+restarted query resumes from storage. The foreachBatch writes here are
+append-only parquet — idempotent replay of a retried batch needs a
+transactional table format (Delta/Iceberg) in production; the Spark
+plumbing (banding, index join, verification, keeper rule) is identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airbnb_pyspark_jobs_spark.operators.dedupe import (
+    incremental_minhash_pairs,
+    minhash_band_index,
+)
+
+_INDEX_SCHEMA = "doc_id long, band_idx int, band_hash string"
+_DOCS_SCHEMA = "doc_id long, text string"
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    if os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema=schema)
+
+
+def streaming_minhash_dedup(
+    doc_stream: DataFrame,
+    warehouse: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 2,
+    threshold: float = 0.5,
+):
+    """Start the dedup-on-ingest query. ``doc_stream`` must carry
+    ``(id_col, text_col)``. Returns the started StreamingQuery; results
+    accumulate under ``{warehouse}/accepted|index|dups``.
+
+    Batch-level flow (foreachBatch = the streaming escape hatch that
+    allows the index equi-join + exact verification per micro-batch):
+    candidates via ONE equality join of new band rows vs the stored
+    index plus a new-vs-new band self-join; exact-Jaccard verification
+    over the new batch + only the candidate old docs (semi-join
+    fetch); keeper rule keeps the first-accepted / lowest-id copy.
+    """
+    accepted_dir = os.path.join(warehouse, "accepted")
+    index_dir = os.path.join(warehouse, "index")
+    dups_dir = os.path.join(warehouse, "dups")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from airbnb_pyspark_jobs_spark.caching import release_owned_caches
+
+        spark = batch_df.sparkSession
+        batch = (
+            batch_df.select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                F.col(text_col).alias("text"),
+            )
+            .dropDuplicates(["doc_id"])
+            .localCheckpoint()  # stream sources can't be re-read per consumer
+        )
+        if batch.isEmpty():
+            return
+        old_docs = _read_or_empty(spark, accepted_dir, _DOCS_SCHEMA)
+        old_index = _read_or_empty(spark, index_dir, _INDEX_SCHEMA)
+        pairs = incremental_minhash_pairs(
+            batch,
+            old_docs,
+            old_index,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+        ).localCheckpoint()
+        new_ids = batch.select("doc_id")
+        # new doc paired with an accepted doc -> the NEW side is rejected
+        rej_vs_old = (
+            pairs.filter(F.col("kind") == "new_old")
+            .select(F.explode(F.array("doc_id_a", "doc_id_b")).alias("doc_id"))
+            .join(new_ids, "doc_id", "left_semi")
+        )
+        # within-batch pair -> keep the lowest id
+        rej_in_batch = pairs.filter(F.col("kind") == "new_new").select(
+            F.col("doc_id_b").alias("doc_id")
+        )
+        rejected = rej_vs_old.unionByName(rej_in_batch).distinct()
+        accepted = batch.join(rejected, "doc_id", "left_anti").localCheckpoint()
+        accepted.write.mode("append").parquet(accepted_dir)
+        minhash_band_index(
+            accepted, n=n, num_hashes=num_hashes, bands=bands
+        ).write.mode("append").parquet(index_dir)
+        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(dups_dir)
+        release_owned_caches()
+
+    return (
+        doc_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,91 @@
+"""Streaming near-dup rejection: micro-batches dedupe against the
+stored band index; invariants hold for ANY micro-batch order (file
+order is not list order — the replay gotcha), plus targeted
+keep-exactly-one checks per duplicate group."""
+
+from __future__ import annotations
+
+import os
+
+from airbnb_pyspark_jobs_spark.operators.dedupe import minhash_lsh_pairs
+from airbnb_pyspark_jobs_spark.streaming.dedupe import streaming_minhash_dedup
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+NEAR = BASE + " extra"
+DIFF = "completely different words one two three four five six seven"
+
+
+def _write_batch(spark, src: str, rows) -> None:
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+
+def test_streaming_dedup_keeps_one_per_group(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, BASE),
+            (2, DIFF),
+            (3, "another unrelated document with its own vocabulary entirely here"),
+        ],
+    )
+    _write_batch(
+        spark,
+        src,
+        [
+            (11, BASE),  # exact cross-batch dup of 1
+            (12, NEAR),  # near-dup of the BASE group
+            (14, NEAR),  # within-batch dup of 12
+            (13, "fresh unique text nothing shared with anything previously seen"),
+        ],
+    )
+    _write_batch(
+        spark,
+        src,
+        [
+            (21, BASE),  # third copy, different batch
+            (22, DIFF),  # cross-batch dup of 2
+            (23, "yet more singular content unlike any other ingested document"),
+        ],
+    )
+
+    warehouse = str(tmp_path / "wh")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_minhash_dedup(
+        stream, warehouse, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    accepted_df = spark.read.parquet(os.path.join(warehouse, "accepted"))
+    accepted = {r.doc_id for r in accepted_df.select("doc_id").collect()}
+    all_ids = {1, 2, 3, 11, 12, 13, 14, 21, 22, 23}
+    rejected = all_ids - accepted
+
+    # exactly one survivor per duplicate group, regardless of batch order
+    assert len(accepted & {1, 11, 21}) == 1
+    assert len(accepted & {2, 22}) == 1
+    assert {12, 14} <= rejected  # near-dups of the BASE group never win
+    assert {3, 13, 23} <= accepted  # uniques always pass
+
+    # accepted corpus contains NO near-dup pair at the same banding config
+    assert minhash_lsh_pairs(accepted_df, threshold=0.5).isEmpty()
+
+    # every rejection is audited with a verified pair
+    dups = spark.read.parquet(os.path.join(warehouse, "dups"))
+    logged = {r.doc_id_a for r in dups.collect()} | {
+        r.doc_id_b for r in dups.collect()
+    }
+    assert rejected <= logged
+    assert dups.filter("jaccard < 0.5").isEmpty()
+
+    # the stored index covers exactly the accepted docs (2 bands each)
+    idx = spark.read.parquet(os.path.join(warehouse, "index"))
+    assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == accepted
+    assert idx.count() == 2 * len(accepted)
