@@ -1333,3 +1333,70 @@ def dataset_card(
             F.sum("__dup").cast("double") / n.cast("double"), 4
         ).alias("dup_doc_rate"),
     )
+
+
+def source_kl_divergence(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    ln_digits: int = 6,
+    term_digits: int = 12,
+    out_digits: int = 6,
+) -> DataFrame:
+    """Per-source vocabulary drift: KL(P_source ‖ P_corpus) over the
+    unigram distributions — the data-mixing diagnostic that says WHICH
+    source's language diverges from the pool (high KL = niche
+    vocabulary; near 0 = redundant with the mix). Pairs with the q158
+    mixture weights: excess loss says how hard a source is, KL says how
+    different it is.
+
+    Determinism recipe (the q96/q151 discipline): the per-term log
+    ratio ``ln(p_s/p_g)`` is computed as one double expression with a
+    FIXED operand order — ``(c_st·n)/(n_s·c_t)`` with every count cast
+    to double BEFORE multiplying (the products overflow int64 at corpus
+    scale) — rounded to ``ln_digits``; each term's contribution
+    ``p_s·lnr`` is rounded to ``term_digits`` and summed as DECIMAL
+    (order-independent), then ONE final round. Scale: two token-scale
+    groupBys (source×term, term); everything joined back is vocab- or
+    sources-sized (broadcast).
+
+    Returns ``source, n_tokens, n_terms, kl_divergence``.
+    """
+    from airbnb_pyspark_jobs_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(source_col).alias("source"), F.explode(tokens(text_col)).alias("t")
+    ).select("source", F.lower("t").alias("term"))
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("__cst"))
+    s_tot = st.groupBy("source").agg(F.sum("__cst").cast("bigint").alias("__ns"))
+    g = st.groupBy("term").agg(F.sum("__cst").cast("bigint").alias("__ct"))
+    n = g.agg(F.sum("__ct").cast("bigint").alias("__n"))
+    joined = (
+        st.join(F.broadcast(s_tot), "source")
+        .join(F.broadcast(g), "term")
+        .crossJoin(F.broadcast(n))
+    )
+    lnr = F.round(
+        F.log(
+            (F.col("__cst").cast("double") * F.col("__n").cast("double"))
+            / (F.col("__ns").cast("double") * F.col("__ct").cast("double"))
+        ),
+        ln_digits,
+    )
+    contrib = F.round(
+        (F.col("__cst").cast("double") / F.col("__ns").cast("double")) * lnr,
+        term_digits,
+    ).cast(f"decimal(32,{term_digits})")
+    return (
+        joined.select("source", "__ns", contrib.alias("__kt"))
+        .groupBy("source")
+        .agg(
+            F.max("__ns").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.round(F.sum("__kt").cast("double"), out_digits).alias(
+                "kl_divergence"
+            ),
+        )
+        .select("source", "n_tokens", "n_terms", "kl_divergence")
+    )

@@ -3419,3 +3419,42 @@ def q159_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_estimate_calibration(
         load_table(spark, "documents", sf_dir), num_hashes=_NH, bands=_BANDS
     )
+
+
+# ---------------------------------------------------------------------------
+# q161 per-source vocabulary drift: KL(P_source || P_corpus) over
+# unigram distributions. Fixed-operand-order double log-ratio (counts
+# cast to double BEFORE multiplying: the products overflow int64 at
+# corpus scale), per-term contributions rounded then DECIMAL-summed.
+# ---------------------------------------------------------------------------
+@query(
+    "q161_source_kl_divergence",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT source, lower(t) AS term
+      FROM (SELECT source, UNNEST({_D_TOKENS}) AS t FROM documents)
+    ),
+    st AS (SELECT source, term, COUNT(*) AS cst FROM toks GROUP BY 1, 2),
+    stot AS (SELECT source, CAST(SUM(cst) AS BIGINT) AS ns FROM st GROUP BY 1),
+    g AS (SELECT term, CAST(SUM(cst) AS BIGINT) AS ct FROM st GROUP BY 1),
+    n AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM g),
+    contrib AS (
+      SELECT st.source, stot.ns,
+             CAST(round(
+               (CAST(cst AS DOUBLE) / CAST(ns AS DOUBLE))
+               * round(ln((CAST(cst AS DOUBLE) * CAST(n.n AS DOUBLE))
+                          / (CAST(ns AS DOUBLE) * CAST(ct AS DOUBLE))), 6),
+               12) AS DECIMAL(32,12)) AS kt
+      FROM st
+      JOIN stot USING (source)
+      JOIN g USING (term), n
+    )
+    SELECT source, MAX(ns) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           round(CAST(SUM(kt) AS DOUBLE), 6) AS kl_divergence
+    FROM contrib GROUP BY source
+    """,
+)
+def q161_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import source_kl_divergence
+
+    return source_kl_divergence(load_table(spark, "documents", sf_dir))

@@ -173,6 +173,8 @@ EXTENDED_QUERIES = [
     "q159_minhash_calibration",
     # IVF cell-quality audit (per-cell size + mean/min member cosine)
     "q160_ivf_cell_quality",
+    # per-source unigram KL divergence (vocabulary drift)
+    "q161_source_kl_divergence",
 ]
 
 

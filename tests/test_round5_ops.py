@@ -244,3 +244,26 @@ def test_ivf_cell_quality_two_obvious_clusters(spark):
     for r in out.values():
         assert r.min_sim >= 0.999
         assert 0.999 <= r.mean_sim <= 1.0
+
+
+def test_source_kl_divergence_hand_computed(spark):
+    from airbnb_pyspark_jobs_spark.operators.corpus import source_kl_divergence
+
+    # A is all-x, B is all-y; global is 50/50 -> KL = ln 2 for both
+    docs = spark.createDataFrame(
+        [(1, "x x", "A"), (2, "y y", "B")], ["doc_id", "text", "source"]
+    )
+    out = {r.source: r for r in source_kl_divergence(docs).collect()}
+    assert out["A"].n_tokens == 2 and out["A"].n_terms == 1
+    assert out["A"].kl_divergence == 0.693147  # round(ln 2, 6)
+    assert out["B"].kl_divergence == 0.693147
+
+
+def test_source_kl_divergence_identical_sources_zero(spark):
+    from airbnb_pyspark_jobs_spark.operators.corpus import source_kl_divergence
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "A"), (2, "a b c", "B")], ["doc_id", "text", "source"]
+    )
+    for r in source_kl_divergence(docs).collect():
+        assert r.kl_divergence == 0.0
