@@ -339,3 +339,122 @@ def phash_pairs(sig: DataFrame, max_hamming: int = 7) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("media_id_a", "media_id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio decode + per-window energy. Unlike the image codecs, PCM WAV
+# needs only the stdlib (wave + struct), so the REAL decode path runs
+# in this container and in CI — audio is not a stub.
+# ---------------------------------------------------------------------------
+
+ENERGY_SCHEMA = (
+    "media_id long, win_idx long, start_sample long, rms double,"
+    " is_silence boolean, decoder string"
+)
+
+
+def _wav_decode_samples(payload: bytes) -> list[float]:
+    """Decode a PCM WAV payload to mono float samples in [-1, 1] —
+    pure stdlib (wave + struct), 8/16-bit, channel-averaged."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        vals = [v / 32768.0 for v in struct.unpack(f"<{len(raw) // 2}h", raw)]
+    elif width == 1:  # WAV 8-bit is unsigned
+        vals = [(b - 128) / 128.0 for b in raw]
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if ch > 1:
+        vals = [
+            sum(vals[i : i + ch]) / ch for i in range(0, len(vals), ch)
+        ]
+    return vals
+
+
+def _fake_decode_samples(payload: bytes) -> list[float]:
+    """Stand-in for corpora whose audio payloads are not real WAV:
+    bytes as unsigned 8-bit samples (matches the 1-byte/sample
+    convention of :func:`audio_frame_windows`)."""
+    return [(b - 128) / 128.0 for b in payload]
+
+
+def audio_frame_energy(
+    df: DataFrame,
+    frame_samples: int = 400,
+    hop_samples: int = 160,
+    silence_rms: float = 0.01,
+    decoder=None,
+) -> DataFrame:
+    """Per-window RMS energy + silence flag over audio payloads — the
+    feature behind silence trimming / voice-activity pre-filters in
+    audio-corpus curation. Same driver-side decoder dispatch as
+    :func:`extract_features`: real WAV parsing (stdlib, runs
+    everywhere) unless the payload is known fake. Windows mirror
+    :func:`audio_frame_windows`: window k covers
+    ``[k*hop, k*hop + frame)``; trailing partial windows are dropped
+    unless the clip is shorter than one frame (then one window covers
+    what exists).
+
+    Scale: non-audio rows filtered BEFORE the Arrow stage; each batch
+    decodes independently (no cross-row state), so throughput scales
+    with partitions × Arrow batch size; a decode failure poisons only
+    its row (rms = NULL), never the batch.
+    """
+    if decoder is None:
+        decoder = _wav_decode_samples
+    decoder_name = "wav" if decoder is _wav_decode_samples else "fake"
+
+    def run(batches: Iterator) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "win_idx": [],
+                "start_sample": [],
+                "rms": [],
+                "is_silence": [],
+                "decoder": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    samples = decoder(payload) if payload is not None else []
+                except Exception:
+                    out["media_id"].append(mid)
+                    out["win_idx"].append(0)
+                    out["start_sample"].append(0)
+                    out["rms"].append(None)
+                    out["is_silence"].append(None)
+                    out["decoder"].append(decoder_name)
+                    continue
+                n = len(samples)
+                n_wins = (
+                    1 if n < frame_samples else 1 + (n - frame_samples) // hop_samples
+                )
+                for k in range(n_wins):
+                    w = samples[k * hop_samples : k * hop_samples + frame_samples]
+                    rms = (
+                        round(math.sqrt(sum(x * x for x in w) / len(w)), 6)
+                        if w
+                        else 0.0
+                    )
+                    out["media_id"].append(mid)
+                    out["win_idx"].append(k)
+                    out["start_sample"].append(k * hop_samples)
+                    out["rms"].append(rms)
+                    out["is_silence"].append(rms < silence_rms)
+                    out["decoder"].append(decoder_name)
+            yield pd.DataFrame(out)
+
+    audio = df.filter(F.col("meta.modality") == "audio").select(
+        "media_id", "payload"
+    )
+    return audio.mapInPandas(run, schema=ENERGY_SCHEMA)

@@ -250,3 +250,101 @@ def test_codec_resize_real_png(spark):
     out = resize_images(media, width=2, height=2).collect()
     assert len(out) == 1 and out[0].decoder == "real"
     assert bytes(out[0].thumb) == bytes([200] * 4)
+
+
+def _wav_bytes(samples: list[float], ch: int = 1, width: int = 2) -> bytes:
+    """Stdlib WAV writer: float samples in [-1, 1] -> PCM WAV payload."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(width)
+        w.setframerate(16000)
+        if width == 2:
+            raw = struct.pack(
+                f"<{len(samples)}h",
+                *[max(-32768, min(32767, int(s * 32768))) for s in samples],
+            )
+        else:
+            raw = bytes(max(0, min(255, int(s * 128) + 128)) for s in samples)
+        w.writeframes(raw)
+    return buf.getvalue()
+
+
+def _audio_row(mid: int, payload: bytes) -> Row:
+    return Row(
+        media_id=mid,
+        payload=payload,
+        meta=Row(
+            modality="audio",
+            mime="audio/wav",
+            width=None,
+            height=None,
+            n_frames=None,
+            sample_rate=16000,
+        ),
+    )
+
+
+def test_audio_frame_energy_real_wav(spark):
+    from airbnb_pyspark_jobs_spark.operators.multimodal import audio_frame_energy
+
+    loud = [0.5] * 1000  # constant amplitude -> rms 0.5 every window
+    silent = [0.0] * 500
+    stereo = [0.25, -0.25] * 600  # L/R average to 0 -> silence
+    media = spark.createDataFrame(
+        [
+            _audio_row(1, _wav_bytes(loud)),
+            _audio_row(2, _wav_bytes(silent)),
+            _audio_row(3, _wav_bytes(stereo, ch=2)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = audio_frame_energy(media, frame_samples=400, hop_samples=160).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.media_id, []).append(r)
+    # 1000 samples -> 1 + (1000-400)//160 = 4 windows
+    assert len(by[1]) == 4
+    for r in by[1]:
+        assert r.decoder == "wav"
+        # 0.5 quantizes to 16384/32768 = exactly 0.5 -> rms exactly 0.5
+        assert r.rms == 0.5
+        assert not r.is_silence
+    # silent clip: every window flagged
+    assert all(r.rms == 0.0 and r.is_silence for r in by[2])
+    # stereo channels cancel after averaging -> silence
+    assert all(r.is_silence for r in by[3])
+
+
+def test_audio_frame_energy_short_clip_and_bad_payload(spark):
+    from airbnb_pyspark_jobs_spark.operators.multimodal import audio_frame_energy
+
+    media = spark.createDataFrame(
+        [
+            _audio_row(1, _wav_bytes([0.3] * 100)),  # shorter than one frame
+            _audio_row(2, b"not a wav at all"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in audio_frame_energy(media).collect()}
+    assert out[1].win_idx == 0 and abs(out[1].rms - 0.3) < 1e-3
+    # decode failure poisons only its row
+    assert out[2].rms is None and out[2].is_silence is None
+
+
+def test_audio_frame_energy_fake_decoder_dispatch(spark):
+    from airbnb_pyspark_jobs_spark.operators.multimodal import (
+        _fake_decode_samples,
+        audio_frame_energy,
+    )
+
+    media = spark.createDataFrame(
+        [_audio_row(1, bytes([128] * 300))], MEDIA_SCHEMA
+    )
+    out = audio_frame_energy(media, decoder=_fake_decode_samples).collect()
+    assert out[0].decoder == "fake"
+    assert out[0].rms == 0.0  # byte 128 -> sample 0.0
