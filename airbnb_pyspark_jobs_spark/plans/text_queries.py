@@ -3458,3 +3458,68 @@ def q161_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbnb_pyspark_jobs_spark.operators.corpus import source_kl_divergence
 
     return source_kl_divergence(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q162 dedup savings report — the governance rollup of the dedup
+# pipeline: cluster-size histogram over q58's connected components
+# with total and DROPPED token mass (everything but the keeper) per
+# size bucket. Pure integer arithmetic end to end (hash-exact); oracle
+# composes the verified q58 transitive-closure oracle.
+# ---------------------------------------------------------------------------
+def _q162_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q58 = ORACLES["q58_dedup_components"]
+    return f"""
+    WITH comp AS ({q58}),
+    tok AS (
+      SELECT doc_id, CAST(len({_D_TOKENS}) AS BIGINT) AS n_tok FROM documents
+    ),
+    pc AS (
+      SELECT c.component_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(t.n_tok) AS BIGINT) AS tokens_total,
+             CAST(SUM(CASE WHEN c.doc_id = c.component_id THEN 0
+                           ELSE t.n_tok END) AS BIGINT) AS tokens_dropped
+      FROM comp c JOIN tok t ON c.doc_id = t.doc_id
+      GROUP BY c.component_id
+    )
+    SELECT n_docs AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs_total,
+           CAST(SUM(tokens_total) AS BIGINT) AS tokens_total,
+           CAST(SUM(tokens_dropped) AS BIGINT) AS tokens_dropped
+    FROM pc GROUP BY n_docs
+    """
+
+
+@query("q162_dedup_savings_report", oracle=_q162_oracle())
+def q162_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.text import token_count
+
+    comp = q58_dedup_components(spark, sf_dir)
+    toks = load_table(spark, "documents", sf_dir).select(
+        "doc_id", token_count("text").alias("__n_tok")
+    )
+    pc = (
+        comp.join(toks, "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n_docs"),
+            F.sum("__n_tok").cast("bigint").alias("__tokens_total"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("component_id"), 0).otherwise(
+                    F.col("__n_tok")
+                )
+            )
+            .cast("bigint")
+            .alias("__tokens_dropped"),
+        )
+    )
+    return pc.groupBy(F.col("__n_docs").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("__n_docs").cast("bigint").alias("n_docs_total"),
+        F.sum("__tokens_total").cast("bigint").alias("tokens_total"),
+        F.sum("__tokens_dropped").cast("bigint").alias("tokens_dropped"),
+    )

@@ -175,6 +175,8 @@ EXTENDED_QUERIES = [
     "q160_ivf_cell_quality",
     # per-source unigram KL divergence (vocabulary drift)
     "q161_source_kl_divergence",
+    # dedup savings report (cluster-size histogram + dropped tokens)
+    "q162_dedup_savings_report",
 ]
 
 
