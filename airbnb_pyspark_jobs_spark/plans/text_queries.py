@@ -3523,3 +3523,144 @@ def q162_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__tokens_total").cast("bigint").alias("tokens_total"),
         F.sum("__tokens_dropped").cast("bigint").alias("tokens_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q163 vocabulary coverage curve — tokenizer-design telemetry: what
+# fraction of corpus token mass the top-k terms cover (k=10/100/1000).
+# Term ranking uses the range-bucketed two-phase rank (the vocabulary
+# is corpus-scale at 100 TB — never a one-task window); sums are
+# all-integer, one final division per k.
+# ---------------------------------------------------------------------------
+_Q163_KS = [10, 100, 1000]
+
+
+@query(
+    "q163_vocab_coverage_curve",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT lower(t) AS term
+      FROM (SELECT UNNEST({_D_TOKENS}) AS t FROM documents)
+    ),
+    tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tf),
+    r AS (
+      SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS BIGINT)
+               AS term_rank
+      FROM tf
+    ),
+    ks AS (SELECT UNNEST([{", ".join(str(k) for k in _Q163_KS)}]) AS k),
+    agg AS (
+      SELECT ks.k AS k,
+             CAST(SUM(CASE WHEN r.term_rank <= ks.k THEN r.c ELSE 0 END)
+                  AS BIGINT) AS covered_tokens
+      FROM r, ks GROUP BY ks.k
+    )
+    SELECT CAST(k AS BIGINT) AS k, covered_tokens,
+           round(CAST(covered_tokens AS DOUBLE) / CAST(n.n AS DOUBLE), 6)
+             AS coverage
+    FROM agg, n
+    """,
+)
+def q163_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.text import tokens
+    from airbnb_pyspark_jobs_spark.operators.sampling import two_phase_numeric_rank
+
+    docs = load_table(spark, "documents", sf_dir)
+    tf = (
+        docs.select(F.explode(tokens("text")).alias("t"))
+        .select(F.lower("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n = tf.agg(F.sum("c").cast("bigint").alias("__n"))
+    ranked = two_phase_numeric_rank(tf, "c", "term", "term_rank", descending=True)
+    top = ranked.filter(F.col("term_rank") <= max(_Q163_KS))
+    ks = spark.createDataFrame([(k,) for k in _Q163_KS], "k bigint")
+    agg = (
+        top.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("term_rank") <= F.col("k"), F.col("c")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("covered_tokens")
+        )
+    )
+    return agg.crossJoin(F.broadcast(n)).select(
+        "k",
+        "covered_tokens",
+        F.round(
+            F.col("covered_tokens").cast("double") / F.col("__n").cast("double"), 6
+        ).alias("coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q164 dedup threshold operating curve — the knob-tuning report: from
+# ONE df-capped exact-Jaccard pair table, how many near-dup pairs and
+# affected docs each candidate threshold (0.3..0.9) would yield.
+# Thresholds are double literals CAST AS DOUBLE in the oracle (DuckDB
+# bare decimals are DECIMAL-typed — the 0.008 gotcha).
+# ---------------------------------------------------------------------------
+_Q164_TS = [0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def _q164_oracle() -> str:
+    ts = ", ".join(f"CAST({t} AS DOUBLE)" for t in _Q164_TS)
+    return f"""
+    WITH {_D_SHINGLES},
+    rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+    shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_id_a, doc_id_b,
+             CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN cnt ca ON doc_id_a = ca.doc_id
+      JOIN cnt cb ON doc_id_b = cb.doc_id
+    ),
+    ts AS (SELECT UNNEST([{ts}]) AS t),
+    sel AS (
+      SELECT ts.t, p.doc_id_a, p.doc_id_b
+      FROM pairs p, ts WHERE p.jaccard >= ts.t
+    ),
+    np AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM sel GROUP BY t),
+    d AS (
+      SELECT t, doc_id_a AS d FROM sel
+      UNION ALL SELECT t, doc_id_b FROM sel
+    ),
+    nd AS (SELECT t, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs FROM d GROUP BY t)
+    SELECT np.t AS threshold, np.n_pairs, nd.n_docs
+    FROM np JOIN nd USING (t)
+    """
+
+
+@query("q164_dedup_threshold_curve", oracle=_q164_oracle())
+def q164_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_df=50)
+    ts = spark.createDataFrame([(float(t),) for t in _Q164_TS], "t double")
+    sel = owned_persist(
+        pairs.crossJoin(F.broadcast(ts)).filter(F.col("jaccard") >= F.col("t"))
+    )
+    np_ = sel.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    nd = (
+        sel.select("t", F.explode(F.array("doc_id_a", "doc_id_b")).alias("d"))
+        .groupBy("t")
+        .agg(F.countDistinct("d").cast("bigint").alias("n_docs"))
+    )
+    return (
+        np_.join(nd, "t")
+        .select(F.col("t").alias("threshold"), "n_pairs", "n_docs")
+    )

@@ -177,6 +177,10 @@ EXTENDED_QUERIES = [
     "q161_source_kl_divergence",
     # dedup savings report (cluster-size histogram + dropped tokens)
     "q162_dedup_savings_report",
+    # vocabulary coverage curve (top-k term mass, two-phase rank)
+    "q163_vocab_coverage_curve",
+    # dedup threshold operating curve (pairs/docs per cutoff)
+    "q164_dedup_threshold_curve",
 ]
 
 
