@@ -267,3 +267,49 @@ def test_source_kl_divergence_identical_sources_zero(spark):
     )
     for r in source_kl_divergence(docs).collect():
         assert r.kl_divergence == 0.0
+
+
+def test_kcenter_maximin_dists_non_increasing_on_corpus(spark):
+    from airbnb_pyspark_jobs_spark.operators.similarity import kcenter_coreset
+    from airbnb_pyspark_jobs_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    rows = kcenter_coreset(emb, k=6).orderBy("sel_round").collect()
+    ids = [r.vec_id for r in rows]
+    assert len(ids) == len(set(ids))  # never re-picks
+    dists = [r.maximin_dist for r in rows[1:]]
+    # the min-dist state only shrinks as centers accumulate, so the
+    # greedy picks' maximin values are non-increasing
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+    assert all(d >= 0.0 for d in dists)
+
+
+def test_dedup_threshold_curve_monotone(spark):
+    from airbnb_pyspark_jobs_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        QUERIES["q164_dedup_threshold_curve"](spark, SF_DIR).collect(),
+        key=lambda r: r.threshold,
+    )
+    pairs = [r.n_pairs for r in rows]
+    docs = [r.n_docs for r in rows]
+    # raising the cutoff can only shrink the pair set and its doc cover
+    assert all(a >= b for a, b in zip(pairs, pairs[1:]))
+    assert all(a >= b for a, b in zip(docs, docs[1:]))
+    assert all(r.n_docs <= 2 * r.n_pairs for r in rows)
+
+
+def test_vocab_coverage_curve_monotone(spark):
+    from airbnb_pyspark_jobs_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        QUERIES["q163_vocab_coverage_curve"](spark, SF_DIR).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.k for r in rows] == [10, 100, 1000]
+    cov = [r.coverage for r in rows]
+    assert all(0.0 < c <= 1.0 for c in cov)
+    assert all(a <= b for a, b in zip(cov, cov[1:]))  # more terms, more mass
