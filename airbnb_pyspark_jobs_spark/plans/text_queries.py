@@ -3664,3 +3664,65 @@ def q164_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         np_.join(nd, "t")
         .select(F.col("t").alias("threshold"), "n_pairs", "n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# q165 mixture allocation — the step that turns q158's DoReMi weights
+# into the next run's per-source token quotas: quota = floor(weight ×
+# budget), clamped by what the source actually has; shortfall says
+# which sources under-fill their slice (the residual re-allocation
+# input). Oracle composes the verified q158 oracle; the only float op
+# is the weight×budget product (identical literals both engines).
+# ---------------------------------------------------------------------------
+_Q165_BUDGET = 50_000
+
+
+def _q165_oracle() -> str:
+    q158 = _q158_oracle()
+    return f"""
+    WITH w AS ({q158}),
+    tok AS (
+      SELECT source, CAST(SUM(len({_D_TOKENS})) AS BIGINT) AS available_tokens
+      FROM documents GROUP BY source
+    ),
+    q AS (
+      SELECT w.source, w.mix_weight, tok.available_tokens,
+             CAST(floor(w.mix_weight * CAST({_Q165_BUDGET} AS DOUBLE))
+                  AS BIGINT) AS quota_tokens
+      FROM w JOIN tok USING (source)
+    )
+    SELECT source, mix_weight, quota_tokens, available_tokens,
+           least(quota_tokens, available_tokens) AS allocated_tokens,
+           quota_tokens - least(quota_tokens, available_tokens) AS shortfall
+    FROM q
+    """
+
+
+@query("q165_mixture_allocation", oracle=_q165_oracle())
+def q165_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.text import token_count
+
+    w = q158_doremi_source_weights(spark, sf_dir).select("source", "mix_weight")
+    tok = (
+        load_table(spark, "documents", sf_dir)
+        .select("source", token_count("text").alias("__t"))
+        .groupBy("source")
+        .agg(F.sum("__t").cast("bigint").alias("available_tokens"))
+    )
+    q = w.join(tok, "source").select(
+        "source",
+        "mix_weight",
+        F.floor(F.col("mix_weight") * F.lit(float(_Q165_BUDGET)))
+        .cast("bigint")
+        .alias("quota_tokens"),
+        "available_tokens",
+    )
+    alloc = F.least(F.col("quota_tokens"), F.col("available_tokens"))
+    return q.select(
+        "source",
+        "mix_weight",
+        "quota_tokens",
+        "available_tokens",
+        alloc.alias("allocated_tokens"),
+        (F.col("quota_tokens") - alloc).alias("shortfall"),
+    )

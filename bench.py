@@ -181,6 +181,8 @@ EXTENDED_QUERIES = [
     "q163_vocab_coverage_curve",
     # dedup threshold operating curve (pairs/docs per cutoff)
     "q164_dedup_threshold_curve",
+    # mixture allocation (q158 weights -> per-source token quotas)
+    "q165_mixture_allocation",
 ]
 
 
