@@ -136,3 +136,53 @@ def q146_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
     )
     return phash_pairs(perceptual_hash(media), max_hamming=_PH_MAXHAM)
+
+
+# ---------------------------------------------------------------------------
+# q166 media dedup end-to-end — the q72 recipe on the IMAGE path:
+# perceptual-hash pairs (q146) → connected components (pointer-jumping
+# min-label) → keeper = lowest media id per cluster, with cluster
+# sizes. Oracle composes the verified q146 oracle inside a recursive
+# transitive closure (the q58/q162 composition recipe).
+# ---------------------------------------------------------------------------
+def _q166_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_Q146_ORACLE}),
+    edges AS (
+      SELECT media_id_a AS a, media_id_b AS b FROM pairs
+      UNION SELECT media_id_b, media_id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (SELECT src AS media_id, MIN(dst) AS cluster_id
+             FROM reach GROUP BY src),
+    sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           FROM comp GROUP BY cluster_id)
+    SELECT c.media_id, c.cluster_id, c.media_id = c.cluster_id AS is_keeper,
+           sz.cluster_size
+    FROM comp c JOIN sz USING (cluster_id)
+    """
+
+
+@query("q166_media_dedup_keepers", oracle=_q166_oracle())
+def q166_media_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.dedupe import dedup_components
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = q146_media_phash_pairs(spark, sf_dir).select(
+        F.col("media_id_a").alias("doc_id_a"),
+        F.col("media_id_b").alias("doc_id_b"),
+    )
+    comp = dedup_components(docs.select("doc_id"), pairs)
+    sz = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return comp.join(sz, "component_id").select(
+        F.col("doc_id").alias("media_id"),
+        F.col("component_id").alias("cluster_id"),
+        (F.col("doc_id") == F.col("component_id")).alias("is_keeper"),
+        "cluster_size",
+    )

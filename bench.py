@@ -183,6 +183,8 @@ EXTENDED_QUERIES = [
     "q164_dedup_threshold_curve",
     # mixture allocation (q158 weights -> per-source token quotas)
     "q165_mixture_allocation",
+    # media dedup end-to-end (phash pairs -> components -> keepers)
+    "q166_media_dedup_keepers",
 ]
 
 
