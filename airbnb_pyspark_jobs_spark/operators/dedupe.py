@@ -1368,7 +1368,10 @@ def minhash_estimate_calibration(
     error rounds to ``err_digits``. Scale shape identical to
     :func:`minhash_lsh_pairs` (banded candidates only, never
     all-pairs); the extra estimate is one sig⨝sig equi-join on the
-    candidate keys.
+    candidate keys. Candidates whose FILTERED shingle sets do not
+    intersect (pure band-hash collisions — the worst-calibrated pairs)
+    are kept with jaccard 0, not dropped: the intersection join is a
+    LEFT join coalesced to 0.
 
     Returns ``doc_id_a, doc_id_b, est_jaccard, jaccard, abs_err``.
     """
@@ -1409,7 +1412,9 @@ def minhash_estimate_calibration(
             (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
         )
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # doc sizes come from the signature aggregate already computed —
+    # no second corpus-scale groupBy over the shingle table
+    sizes = sig.select("doc_id", "n_sh")
     inter = (
         candidates.join(sh.alias("ja"), F.col("ja.doc_id") == F.col("doc_id_a"))
         .join(
@@ -1420,8 +1425,10 @@ def minhash_estimate_calibration(
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count(F.lit(1)).alias("__i"))
     )
+    i0 = F.coalesce(F.col("__i"), F.lit(0))
     exact = (
-        inter.join(
+        est.join(inter, ["doc_id_a", "doc_id_b"], "left")
+        .join(
             sizes.withColumnsRenamed({"doc_id": "doc_id_a", "n_sh": "__na"}),
             "doc_id_a",
         )
@@ -1432,13 +1439,14 @@ def minhash_estimate_calibration(
         .select(
             "doc_id_a",
             "doc_id_b",
+            "est_jaccard",
             (
-                F.col("__i").cast("double")
-                / (F.col("__na") + F.col("__nb") - F.col("__i")).cast("double")
+                i0.cast("double")
+                / (F.col("__na") + F.col("__nb") - i0).cast("double")
             ).alias("jaccard"),
         )
     )
-    return est.join(exact, ["doc_id_a", "doc_id_b"]).select(
+    return exact.select(
         "doc_id_a",
         "doc_id_b",
         "est_jaccard",

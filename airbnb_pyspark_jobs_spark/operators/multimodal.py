@@ -403,8 +403,9 @@ def audio_frame_energy(
 
     Scale: non-audio rows filtered BEFORE the Arrow stage; each batch
     decodes independently (no cross-row state), so throughput scales
-    with partitions × Arrow batch size; a decode failure poisons only
-    its row (rms = NULL), never the batch.
+    with partitions × Arrow batch size; a decode failure, NULL payload
+    or zero-sample clip marks only its own row (rms/is_silence = NULL
+    — distinguishable from genuine silence), never the batch.
     """
     if decoder is None:
         decoder = _wav_decode_samples
@@ -426,7 +427,9 @@ def audio_frame_energy(
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    samples = decoder(payload) if payload is not None else []
+                    if payload is None:  # missing payload = failure,
+                        raise ValueError("null payload")  # not silence
+                    samples = decoder(payload)
                 except Exception:
                     out["media_id"].append(mid)
                     out["win_idx"].append(0)
@@ -436,16 +439,20 @@ def audio_frame_energy(
                     out["decoder"].append(decoder_name)
                     continue
                 n = len(samples)
+                if n == 0:  # decodable but empty: no audio ≠ silence
+                    out["media_id"].append(mid)
+                    out["win_idx"].append(0)
+                    out["start_sample"].append(0)
+                    out["rms"].append(None)
+                    out["is_silence"].append(None)
+                    out["decoder"].append(decoder_name)
+                    continue
                 n_wins = (
                     1 if n < frame_samples else 1 + (n - frame_samples) // hop_samples
                 )
                 for k in range(n_wins):
                     w = samples[k * hop_samples : k * hop_samples + frame_samples]
-                    rms = (
-                        round(math.sqrt(sum(x * x for x in w) / len(w)), 6)
-                        if w
-                        else 0.0
-                    )
+                    rms = round(math.sqrt(sum(x * x for x in w) / len(w)), 6)
                     out["media_id"].append(mid)
                     out["win_idx"].append(k)
                     out["start_sample"].append(k * hop_samples)

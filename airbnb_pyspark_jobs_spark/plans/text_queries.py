@@ -3402,15 +3402,18 @@ inter AS (
   GROUP BY 1, 2
 ),
 ex AS (
-  SELECT doc_id_a, doc_id_b,
-         CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
-  FROM inter
-  JOIN cnt ca ON doc_id_a = ca.doc_id
-  JOIN cnt cb ON doc_id_b = cb.doc_id
+  SELECT e.doc_id_a, e.doc_id_b, e.est_jaccard,
+         CAST(COALESCE(i.i, 0) AS DOUBLE)
+           / CAST(ca.n + cb.n - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
+  FROM est e
+  LEFT JOIN inter i
+    ON e.doc_id_a = i.doc_id_a AND e.doc_id_b = i.doc_id_b
+  JOIN cnt ca ON e.doc_id_a = ca.doc_id
+  JOIN cnt cb ON e.doc_id_b = cb.doc_id
 )
-SELECT e.doc_id_a, e.doc_id_b, e.est_jaccard, ex.jaccard,
-       round(abs(e.est_jaccard - ex.jaccard), 4) AS abs_err
-FROM est e JOIN ex ON e.doc_id_a = ex.doc_id_a AND e.doc_id_b = ex.doc_id_b
+SELECT doc_id_a, doc_id_b, est_jaccard, jaccard,
+       round(abs(est_jaccard - jaccard), 4) AS abs_err
+FROM ex
 """
 
 

@@ -36,11 +36,20 @@ _DOCS_SCHEMA = "doc_id long, text string"
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    if os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    ):
+    """First-batch bootstrap: a warehouse dir that does not exist YET
+    reads as empty. Probed through Spark's Hadoop-FS layer (not the
+    driver's local filesystem — hdfs:// and s3a:// warehouses must
+    resolve the same way the writes do); any error other than
+    path-not-found propagates, so a transiently unreachable store can
+    never silently disable dedup."""
+    from pyspark.errors import AnalysisException
+
+    try:
         return spark.read.schema(schema).parquet(path)
-    return spark.createDataFrame([], schema=schema)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return spark.createDataFrame([], schema=schema)
+        raise
 
 
 def streaming_minhash_dedup(

@@ -54,6 +54,9 @@ def main() -> None:
         rows.append({"n": n, "k": K, "rows": cnt, "sec": round(dt, 2)})
         print(json.dumps(rows[-1]))
     for a, b in zip(rows, rows[1:]):
+        if a["sec"] <= 0 or b["sec"] <= 0:
+            print(f"alpha {a['n']}->{b['n']}: n/a (sub-10ms timing)")
+            continue
         alpha = math.log(b["sec"] / a["sec"]) / math.log(b["n"] / a["n"])
         print(
             f"alpha {a['n']}->{b['n']}: {alpha:.2f}"

@@ -327,13 +327,17 @@ def test_audio_frame_energy_short_clip_and_bad_payload(spark):
         [
             _audio_row(1, _wav_bytes([0.3] * 100)),  # shorter than one frame
             _audio_row(2, b"not a wav at all"),
+            _audio_row(3, None),  # missing payload
+            _audio_row(4, _wav_bytes([])),  # valid WAV, zero samples
         ],
         MEDIA_SCHEMA,
     )
     out = {r.media_id: r for r in audio_frame_energy(media).collect()}
     assert out[1].win_idx == 0 and abs(out[1].rms - 0.3) < 1e-3
-    # decode failure poisons only its row
-    assert out[2].rms is None and out[2].is_silence is None
+    # decode failure / null payload / empty clip each mark only their
+    # own row with NULLs -- never reported as genuine silence
+    for mid in (2, 3, 4):
+        assert out[mid].rms is None and out[mid].is_silence is None
 
 
 def test_audio_frame_energy_fake_decoder_dispatch(spark):
