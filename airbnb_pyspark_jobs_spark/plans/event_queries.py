@@ -1665,3 +1665,73 @@ def q141_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             score("__rr") * 100 + score("__rf") * 10 + score("__rm")
         ).cast("bigint").alias("rfm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q167 daily volume anomaly flags — pipeline-health telemetry: per
+# (event_type, day) counts flagged when |count − type-median| > 3×MAD
+# of the type's daily counts. All-integer (counts, lower-median via
+# the (n+1)//2 rank, integer deviations) → hash-exact; day emitted as
+# TIMESTAMP on both engines (the DATE round-trip gotcha). Reuses the
+# exact_quantiles_by machinery (range-bucketed rank, q104/q135).
+# ---------------------------------------------------------------------------
+@query(
+    "q167_event_volume_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    n1 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM daily GROUP BY event_type),
+    r1 AS (SELECT event_type, n_events,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY n_events) AS rk
+           FROM daily),
+    med AS (SELECT r1.event_type, r1.n_events AS m FROM r1
+            JOIN n1 ON r1.event_type = n1.event_type
+             AND r1.rk = (n1.n + 1) // 2),
+    dv AS (SELECT d.event_type, d.day, d.n_events,
+                  abs(d.n_events - med.m) AS dev, med.m
+           FROM daily d JOIN med ON d.event_type = med.event_type),
+    r2 AS (SELECT event_type, dev,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY dev) AS rk
+           FROM dv),
+    mad AS (SELECT r2.event_type, r2.dev AS md FROM r2
+            JOIN n1 ON r2.event_type = n1.event_type
+             AND r2.rk = (n1.n + 1) // 2)
+    SELECT dv.event_type, dv.day, dv.n_events,
+           dv.m AS daily_median, mad.md AS daily_mad,
+           dv.dev > 3 * mad.md AS is_anomaly
+    FROM dv JOIN mad ON dv.event_type = mad.event_type
+    """,
+)
+def q167_event_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sketches import exact_quantiles_by
+
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    # exact_quantiles_by returns `value` as double; counts are integers
+    # well under 2^53, so the bigint cast back is lossless — and keeps
+    # the output schema integer like the oracle's
+    med = exact_quantiles_by(daily, ["event_type"], "n_events", [0.5]).select(
+        "event_type", F.col("value").cast("bigint").alias("__m")
+    )
+    dv = daily.join(F.broadcast(med), "event_type").withColumn(
+        "__dev", F.abs(F.col("n_events") - F.col("__m")).cast("bigint")
+    )
+    mad = exact_quantiles_by(dv, ["event_type"], "__dev", [0.5]).select(
+        "event_type", F.col("value").cast("bigint").alias("__md")
+    )
+    return dv.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "day",
+        "n_events",
+        F.col("__m").alias("daily_median"),
+        F.col("__md").alias("daily_mad"),
+        (F.col("__dev") > F.lit(3) * F.col("__md")).alias("is_anomaly"),
+    )

@@ -185,6 +185,8 @@ EXTENDED_QUERIES = [
     "q165_mixture_allocation",
     # media dedup end-to-end (phash pairs -> components -> keepers)
     "q166_media_dedup_keepers",
+    # daily volume anomaly flags (median/MAD, all-integer)
+    "q167_event_volume_anomalies",
 ]
 
 
