@@ -1735,3 +1735,51 @@ def q167_event_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__md").alias("daily_mad"),
         (F.col("__dev") > F.lit(3) * F.col("__md")).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q168 time-to-convert percentiles — the product-analytics metric on
+# top of the as-of join: distribution (p50/p90/p99, exact type-1
+# quantiles) of milliseconds between each purchase and the user's
+# latest preceding view. Millisecond integers on both engines
+# (unix_millis / epoch_ms — never fractional epoch seconds, whose
+# cast-vs-floor semantics differ); quantiles via the range-bucketed
+# exact_quantiles (q102 contract), oracle composes the verified q66
+# ASOF oracle with the plain ORDER BY definition.
+# ---------------------------------------------------------------------------
+_Q168_PROBS = [0.5, 0.9, 0.99]
+
+
+def _q168_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q66 = ORACLES["q66_asof_view_before_purchase"]
+    plist = ", ".join(str(p) for p in _Q168_PROBS)
+    return f"""
+    WITH pairs AS ({q66}),
+    v AS (
+      SELECT CAST(epoch_ms(ts) - epoch_ms(ts_asof) AS DOUBLE) AS value
+      FROM pairs WHERE ts_asof IS NOT NULL
+    ),
+    r AS (
+      SELECT value,
+             ROW_NUMBER() OVER (ORDER BY value) AS rank,
+             COUNT(*) OVER () AS n
+      FROM v
+    ),
+    t AS (SELECT UNNEST([{plist}]) AS p)
+    SELECT CAST(t.p AS DOUBLE) AS p,
+           CAST(r.rank AS BIGINT) AS rank, r.value
+    FROM t JOIN r ON r.rank = GREATEST(1, CAST(CEIL(CAST(t.p AS DOUBLE) * r.n) AS BIGINT))
+    """
+
+
+@query("q168_time_to_convert", oracle=_q168_oracle())
+def q168_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sketches import exact_quantiles
+
+    pairs = q66_asof_view_before_purchase(spark, sf_dir)
+    diffs = pairs.filter(F.col("ts_asof").isNotNull()).select(
+        (F.unix_millis("ts") - F.unix_millis("ts_asof")).alias("__diff_ms")
+    )
+    return exact_quantiles(diffs, "__diff_ms", _Q168_PROBS)

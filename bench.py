@@ -187,6 +187,8 @@ EXTENDED_QUERIES = [
     "q166_media_dedup_keepers",
     # daily volume anomaly flags (median/MAD, all-integer)
     "q167_event_volume_anomalies",
+    # time-to-convert percentiles (as-of join + exact quantiles)
+    "q168_time_to_convert",
 ]
 
 
