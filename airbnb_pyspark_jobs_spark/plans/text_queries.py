@@ -3729,3 +3729,74 @@ def q165_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         alloc.alias("allocated_tokens"),
         (F.col("quota_tokens") - alloc).alias("shortfall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q169 ensemble quality ranking — the multi-signal filtering recipe
+# (DCLM/Nemotron-style): rank-average the q96 LM score and the q147
+# trained-classifier probability (rank blending sidesteps scale
+# mismatch between raw signals), keep the top half. Every rank is the
+# range-bucketed two-phase rank; blending is pure integer arithmetic.
+# Oracle composes the two verified oracles with plain ROW_NUMBERs.
+# ---------------------------------------------------------------------------
+def _q169_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q96 = ORACLES["q96_unigram_logprob"]
+    q147 = ORACLES["q147_quality_classifier_gd"]
+    return f"""
+    WITH lm AS ({q96}),
+    clf AS ({q147}),
+    r1 AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY mean_logprob DESC, doc_id ASC)
+                          AS BIGINT) AS lm_rank
+      FROM lm
+    ),
+    r2 AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY p DESC, doc_id ASC)
+                          AS BIGINT) AS clf_rank
+      FROM clf
+    ),
+    j AS (
+      SELECT r1.doc_id, r1.lm_rank, r2.clf_rank,
+             r1.lm_rank + r2.clf_rank AS blend
+      FROM r1 JOIN r2 ON r1.doc_id = r2.doc_id
+    ),
+    n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j),
+    e AS (
+      SELECT doc_id, lm_rank, clf_rank, blend,
+             CAST(ROW_NUMBER() OVER (ORDER BY blend ASC, doc_id ASC)
+                  AS BIGINT) AS ens_rank
+      FROM j
+    )
+    SELECT e.doc_id, e.lm_rank, e.clf_rank, e.blend, e.ens_rank,
+           e.ens_rank <= (n1.n + 1) // 2 AS keep
+    FROM e, n1
+    """
+
+
+@query("q169_ensemble_quality_rank", oracle=_q169_oracle())
+def q169_ensemble_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sampling import two_phase_numeric_rank
+
+    lm = q96_unigram_logprob(spark, sf_dir).select("doc_id", "mean_logprob")
+    clf = q147_quality_classifier_gd(spark, sf_dir).select("doc_id", "p")
+    r1 = two_phase_numeric_rank(
+        lm, "mean_logprob", "doc_id", "lm_rank", descending=True
+    ).select("doc_id", "lm_rank")
+    r2 = two_phase_numeric_rank(
+        clf, "p", "doc_id", "clf_rank", descending=True
+    ).select("doc_id", "clf_rank")
+    j = r1.join(r2, "doc_id").withColumn(
+        "blend", F.col("lm_rank") + F.col("clf_rank")
+    )
+    n1 = j.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    e = two_phase_numeric_rank(j, "blend", "doc_id", "ens_rank")
+    return e.crossJoin(F.broadcast(n1)).select(
+        "doc_id",
+        "lm_rank",
+        "clf_rank",
+        "blend",
+        "ens_rank",
+        (F.col("ens_rank") <= F.expr("(__n + 1) div 2")).alias("keep"),
+    )

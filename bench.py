@@ -189,6 +189,8 @@ EXTENDED_QUERIES = [
     "q167_event_volume_anomalies",
     # time-to-convert percentiles (as-of join + exact quantiles)
     "q168_time_to_convert",
+    # ensemble quality ranking (rank-average LM + classifier)
+    "q169_ensemble_quality_rank",
 ]
 
 
