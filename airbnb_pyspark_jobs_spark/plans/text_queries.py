@@ -3800,3 +3800,43 @@ def q169_ensemble_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ens_rank",
         (F.col("ens_rank") <= F.expr("(__n + 1) div 2")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q170 chunk-store savings — the content-addressed-storage twin of
+# q162's doc-level report: group q86's CDC chunks by content hash and
+# roll up, per copy-count, how many chars a store-once-by-hash layout
+# saves. All-integer; oracle composes the verified q86 chunker.
+# ---------------------------------------------------------------------------
+def _q170_oracle() -> str:
+    return f"""
+    WITH ch AS ({_Q86_ORACLE}),
+    g AS (
+      SELECT chunk_md5, CAST(COUNT(*) AS BIGINT) AS n_copies,
+             MAX(n_chars) AS len
+      FROM ch GROUP BY chunk_md5
+    )
+    SELECT n_copies,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_copies * len) AS BIGINT) AS raw_chars,
+           CAST(SUM(len) AS BIGINT) AS stored_chars,
+           CAST(SUM((n_copies - 1) * len) AS BIGINT) AS saved_chars
+    FROM g GROUP BY n_copies
+    """
+
+
+@query("q170_chunk_store_savings", oracle=_q170_oracle())
+def q170_chunk_store_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = q86_cdc_chunks(spark, sf_dir)
+    g = chunks.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.max("n_chars").alias("__len"),
+    )
+    return g.groupBy("n_copies").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.col("n_copies") * F.col("__len")).cast("bigint").alias("raw_chars"),
+        F.sum("__len").cast("bigint").alias("stored_chars"),
+        F.sum((F.col("n_copies") - F.lit(1)) * F.col("__len"))
+        .cast("bigint")
+        .alias("saved_chars"),
+    )

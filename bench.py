@@ -191,6 +191,8 @@ EXTENDED_QUERIES = [
     "q168_time_to_convert",
     # ensemble quality ranking (rank-average LM + classifier)
     "q169_ensemble_quality_rank",
+    # chunk-store savings (content-addressed dedup telemetry)
+    "q170_chunk_store_savings",
 ]
 
 
