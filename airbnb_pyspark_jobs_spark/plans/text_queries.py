@@ -3840,3 +3840,60 @@ def q170_chunk_store_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("saved_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q171 classifier calibration (reliability diagram) — the eval
+# primitive for the q147 in-engine classifier: decile-bucket the
+# predicted probability, compare mean prediction vs empirical label
+# rate per bucket. Counts/labels are integers; mean_p sums the
+# already-rounded p as DECIMAL (order-independent). Oracle composes
+# the verified q147 trajectory oracle.
+# ---------------------------------------------------------------------------
+def _q171_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q147 = ORACLES["q147_quality_classifier_gd"]
+    return f"""
+    WITH clf AS ({q147}),
+    b AS (
+      SELECT CAST(LEAST(floor(p * 10), 9) AS BIGINT) AS bucket,
+             p, CAST(y AS BIGINT) AS y
+      FROM clf
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(p AS DECIMAL(10,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_p,
+           round(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS pos_rate,
+           round(round(CAST(SUM(CAST(p AS DECIMAL(10,6))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE), 6)
+                 - round(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6),
+                 6) AS calibration_gap
+    FROM b GROUP BY bucket
+    """
+
+
+@query("q171_classifier_calibration", oracle=_q171_oracle())
+def q171_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clf = q147_quality_classifier_gd(spark, sf_dir)
+    b = clf.select(
+        F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("bigint").alias("bucket"),
+        "p",
+        F.col("y").cast("bigint").alias("__y"),
+    )
+    mean_p = F.round(
+        F.sum(F.col("p").cast("decimal(10,6)")).cast("double")
+        / F.count(F.lit(1)).cast("double"),
+        6,
+    )
+    pos_rate = F.round(
+        F.sum("__y").cast("double") / F.count(F.lit(1)).cast("double"), 6
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        mean_p.alias("mean_p"),
+        pos_rate.alias("pos_rate"),
+        F.round(mean_p - pos_rate, 6).alias("calibration_gap"),
+    )

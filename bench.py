@@ -193,6 +193,8 @@ EXTENDED_QUERIES = [
     "q169_ensemble_quality_rank",
     # chunk-store savings (content-addressed dedup telemetry)
     "q170_chunk_store_savings",
+    # classifier calibration (reliability diagram deciles)
+    "q171_classifier_calibration",
 ]
 
 
