@@ -428,3 +428,30 @@ def test_q160_cell_quality_windows_partition_by_id(spark):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     release_owned_caches()
+
+
+def test_q163_vocab_rank_is_two_phase_partitioned(spark):
+    """The vocabulary ranking must never run a one-task global window:
+    every corpus-scale row_number partitions by the range bucket."""
+    from airbnb_pyspark_jobs_spark.caching import release_owned_caches
+
+    df = QUERIES["q163_vocab_coverage_curve"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    for line in plan.splitlines():
+        if "row_number()" in line and "windowspecdefinition" in line:
+            assert "windowspecdefinition(__b" in line, line
+    release_owned_caches()
+
+
+def test_q169_ensemble_ranks_are_two_phase_partitioned(spark):
+    """All three blending ranks (LM, classifier, ensemble) must be the
+    bucket-partitioned two-phase rank; scalars broadcast."""
+    from airbnb_pyspark_jobs_spark.caching import release_owned_caches
+
+    df = QUERIES["q169_ensemble_quality_rank"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    for line in plan.splitlines():
+        if "row_number()" in line and "windowspecdefinition" in line:
+            assert "windowspecdefinition(__b" in line, line
+    assert "BroadcastExchange" in plan
+    release_owned_caches()
