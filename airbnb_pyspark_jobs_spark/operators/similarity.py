@@ -1814,3 +1814,87 @@ def ivf_cell_quality(
             "min_sim",
         )
     )
+
+
+def ivf_cell_label_purity(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 4,
+    out_digits: int = 6,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Label purity of the trained IVF cells — the supervised
+    companion to :func:`ivf_cell_quality`: per cell, member count,
+    distinct labels, the majority label's share, and the label entropy.
+    High entropy cells mix classes: either the quantizer under-fits
+    there or the labels disagree with embedding geometry — both worth
+    a look before trusting cell-level sampling or pruning.
+
+    Determinism (the q161 KL discipline): p = one double division,
+    ln(p) rounded, per-label terms rounded then DECIMAL-summed, one
+    final round. Scale: one Arrow assignment pass + two cells×labels
+    aggregates (bounded).
+
+    Returns ``cid (bigint), n_members, n_labels, majority_share,
+    label_entropy``.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus,
+            k=n_centroids,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_digits=round_digits,
+        )
+    cents_u = [(cid, _py_unit(v)) for cid, v in centroids]
+    u = unit_vectors(corpus, id_col, vec_col, "id", "vn")
+    sims = centroid_unit_sims(u, cents_u)
+    w = Window.partitionBy("id").orderBy(
+        F.round("__rsim", round_digits).desc(), F.col("cid").asc()
+    )
+    asg = (
+        sims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "cid")
+    )
+    lab = corpus.select(F.col(id_col).alias("id"), F.col(label_col).alias("__lab"))
+    cl = (
+        asg.join(lab, "id")
+        .groupBy("cid", "__lab")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    totals = cl.groupBy("cid").agg(
+        F.sum("__c").cast("bigint").alias("__n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+        F.max("__c").cast("bigint").alias("__maxc"),
+    )
+    p = F.col("__c").cast("double") / F.col("__n").cast("double")
+    term = F.round(p * F.round(F.log(p), 6), 12).cast("decimal(32,12)")
+    ent = (
+        cl.join(F.broadcast(totals), "cid")
+        .select("cid", term.alias("__t"))
+        .groupBy("cid")
+        .agg(
+            F.round(-F.sum("__t").cast("double"), out_digits).alias(
+                "label_entropy"
+            )
+        )
+    )
+    return (
+        totals.join(ent, "cid")
+        .select(
+            F.col("cid").cast("bigint").alias("cid"),
+            F.col("__n").alias("n_members"),
+            "n_labels",
+            F.round(
+                F.col("__maxc").cast("double") / F.col("__n").cast("double"),
+                out_digits,
+            ).alias("majority_share"),
+            "label_entropy",
+        )
+    )

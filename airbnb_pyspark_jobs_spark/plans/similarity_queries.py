@@ -1604,3 +1604,53 @@ FROM asgq GROUP BY cid
 def q160_ivf_cell_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return SIM.ivf_cell_quality(emb, n_centroids=_NCENT, iters=_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# q174 IVF cell label purity — the supervised audit of the coarse
+# quantizer (majority-label share + label entropy per trained cell).
+# Oracle replays the q53 Lloyd CTEs, joins labels, and mirrors the
+# q161 entropy discipline (rounded ln terms, DECIMAL sums).
+# ---------------------------------------------------------------------------
+def _q174_oracle() -> str:
+    return f"""
+WITH {_D_UNIT},
+{_kmeans_ctes(_NCENT, _ITERS)},
+asg AS (
+  SELECT a.vec_id, a.cid FROM (
+    SELECT u.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                         ORDER BY {_ASSIGN_SIM} DESC, c.cid ASC) AS rn
+    FROM u, cu{_ITERS} c) a WHERE a.rn = 1
+),
+cl AS (
+  SELECT asg.cid, e2.label, CAST(COUNT(*) AS BIGINT) AS c
+  FROM asg JOIN embeddings e2 ON asg.vec_id = e2.vec_id
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT cid, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_labels,
+         CAST(MAX(c) AS BIGINT) AS maxc
+  FROM cl GROUP BY cid
+),
+ent AS (
+  SELECT cl.cid,
+         round(-CAST(SUM(CAST(round(
+             (CAST(cl.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+             * round(ln(CAST(cl.c AS DOUBLE) / CAST(tot.n AS DOUBLE)), 6),
+             12) AS DECIMAL(32,12))) AS DOUBLE), 6) AS label_entropy
+  FROM cl JOIN tot USING (cid) GROUP BY cl.cid
+)
+SELECT CAST(tot.cid AS BIGINT) AS cid, tot.n AS n_members, tot.n_labels,
+       round(CAST(tot.maxc AS DOUBLE) / CAST(tot.n AS DOUBLE), 6)
+         AS majority_share,
+       ent.label_entropy
+FROM tot JOIN ent USING (cid)
+"""
+
+
+@query("q174_ivf_label_purity", oracle=_q174_oracle())
+def q174_ivf_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.ivf_cell_label_purity(emb, n_centroids=_NCENT, iters=_ITERS)

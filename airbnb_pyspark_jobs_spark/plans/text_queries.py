@@ -3897,3 +3897,100 @@ def q171_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos_rate.alias("pos_rate"),
         F.round(mean_p - pos_rate, 6).alias("calibration_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q172 quality-filter disagreement matrix — the A/B audit before
+# swapping filters in a pipeline: 2×2 doc counts of the q156 LM gate
+# vs the q169 ensemble gate. Disagreement cells are where a swap
+# changes the corpus; oracle composes both verified oracles.
+# ---------------------------------------------------------------------------
+def _q172_oracle() -> str:
+    return f"""
+    WITH lm AS ({_q156_oracle()}),
+    ens AS ({_q169_oracle()})
+    SELECT lm.keep AS lm_keep, ens.keep AS ensemble_keep,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM lm JOIN ens ON lm.doc_id = ens.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@query("q172_filter_disagreement", oracle=_q172_oracle())
+def q172_filter_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lm = q156_perplexity_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("lm_keep")
+    )
+    ens = q169_ensemble_quality_rank(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("ensemble_keep")
+    )
+    return (
+        lm.join(ens, "doc_id")
+        .groupBy("lm_keep", "ensemble_keep")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q173 PII density per source — the governance rollup of q57: per
+# source, docs with any hit, hits by kind, and hits per 1k tokens
+# (single integer-ratio division). The per-source view is what decides
+# WHICH ingest needs a heavier scrubber. Oracle composes q57.
+# ---------------------------------------------------------------------------
+def _q173_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q57 = ORACLES["q57_pii_redaction"]
+    return f"""
+    WITH pii AS ({q57}),
+    tok AS (
+      SELECT doc_id, source, CAST(len({_D_TOKENS}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    j AS (
+      SELECT tok.source, tok.n_tok,
+             pii.n_emails + pii.n_ips + pii.n_phones AS hits,
+             pii.n_emails, pii.n_ips, pii.n_phones
+      FROM pii JOIN tok ON pii.doc_id = tok.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_pii,
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(n_ips) AS BIGINT) AS n_ips,
+           CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+           round(CAST(SUM(hits) * 1000 AS DOUBLE)
+                 / CAST(SUM(n_tok) AS DOUBLE), 4) AS hits_per_1k_tokens
+    FROM j GROUP BY source
+    """
+
+
+@query("q173_pii_density_by_source", oracle=_q173_oracle())
+def q173_pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.text import token_count
+
+    pii = q57_pii_redaction(spark, sf_dir).select(
+        "doc_id", "n_emails", "n_ips", "n_phones"
+    )
+    tok = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", token_count("text").alias("__n_tok")
+    )
+    hits = (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias("__hits")
+    j = pii.join(tok, "doc_id").select(
+        "source", "__n_tok", hits, "n_emails", "n_ips", "n_phones"
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("__hits") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_pii"),
+        F.sum("n_emails").cast("bigint").alias("n_emails"),
+        F.sum("n_ips").cast("bigint").alias("n_ips"),
+        F.sum("n_phones").cast("bigint").alias("n_phones"),
+        F.round(
+            (F.sum("__hits") * 1000).cast("double")
+            / F.sum("__n_tok").cast("double"),
+            4,
+        ).alias("hits_per_1k_tokens"),
+    )

@@ -195,6 +195,12 @@ EXTENDED_QUERIES = [
     "q170_chunk_store_savings",
     # classifier calibration (reliability diagram deciles)
     "q171_classifier_calibration",
+    # filter disagreement matrix (LM gate vs ensemble gate)
+    "q172_filter_disagreement",
+    # PII density per source (q57 rollup)
+    "q173_pii_density_by_source",
+    # IVF cell label purity (majority share + entropy)
+    "q174_ivf_label_purity",
 ]
 
 
