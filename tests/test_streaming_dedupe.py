@@ -89,3 +89,46 @@ def test_streaming_dedup_keeps_one_per_group(spark, tmp_path):
     idx = spark.read.parquet(os.path.join(warehouse, "index"))
     assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == accepted
     assert idx.count() == 2 * len(accepted)
+
+
+def test_streaming_dedup_resumes_from_stored_state(spark, tmp_path):
+    """A RESTARTED query (same checkpoint, new files) must dedupe new
+    batches against the PERSISTED accepted/index state — history is
+    loaded from storage, not session memory."""
+    src = str(tmp_path / "src")
+    warehouse = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_available():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_minhash_dedup(stream, warehouse, checkpoint=ckpt)
+        q.awaitTermination(180)
+
+    _write_batch(spark, src, [(1, BASE), (2, DIFF)])
+    run_available()  # first run drains, then the query terminates
+
+    accepted1 = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(warehouse, "accepted")).collect()
+    }
+    assert accepted1 == {1, 2}
+
+    # new session of the stream: a dup of doc 1 and a fresh unique doc
+    _write_batch(
+        spark,
+        src,
+        [(11, BASE), (12, "entirely novel content appearing after the restart only")],
+    )
+    run_available()
+
+    accepted2 = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(warehouse, "accepted")).collect()
+    }
+    assert accepted2 == {1, 2, 12}  # 11 rejected vs STORED doc 1
+    dups = spark.read.parquet(os.path.join(warehouse, "dups"))
+    assert dups.filter("doc_id_a = 1 AND doc_id_b = 11").count() == 1
