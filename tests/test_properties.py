@@ -108,3 +108,35 @@ def test_cms_never_underestimates(spark, weights):
     }
     for i, w in enumerate(weights):
         assert est[f"key{i}"] >= w
+
+
+@given(
+    scores=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C", "D"]),
+            st.floats(min_value=-20.0, max_value=0.0, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+)
+@_slow
+def test_doremi_weights_always_a_distribution(spark, scores):
+    """For ARBITRARY per-doc scores: mix weights are positive, sum to
+    ~1, and the worst-fit source never gets less weight than the
+    best-fit source."""
+    from airbnb_pyspark_jobs_spark.operators.sampling import doremi_source_weights
+
+    docs = spark.createDataFrame(
+        [(i, src) for i, (src, _) in enumerate(scores)], ["doc_id", "source"]
+    )
+    sc = spark.createDataFrame(
+        [(i, round(s, 4)) for i, (_, s) in enumerate(scores)],
+        ["doc_id", "mean_logprob"],
+    )
+    rows = doremi_source_weights(docs, sc).collect()
+    assert all(r.mix_weight > 0 for r in rows)
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-4
+    worst = max(rows, key=lambda r: r.excess)
+    best = min(rows, key=lambda r: r.excess)
+    assert worst.mix_weight >= best.mix_weight
