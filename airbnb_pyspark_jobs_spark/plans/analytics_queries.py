@@ -1258,3 +1258,61 @@ def q144_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q175 small-quantity-order revenue (TPC-H Q17 shape): yearly revenue
+# lost if orders below 20% of a part's average quantity stopped — the
+# classic correlated scalar subquery, DECORRELATED into a per-part
+# aggregate joined back (what Catalyst's decorrelation does; here the
+# shape is explicit and broadcast because the brand slice is small).
+# The 20%-of-average comparison is integer cross-multiplication
+# (quantities are integral: q < 0.2·sum/n ⟺ 5·q·n < sum), never a
+# divided average — engine-exact with zero float comparisons.
+# ---------------------------------------------------------------------------
+_Q175_BRAND = "Brand#4"
+
+
+@query(
+    "q175_small_quantity_revenue",
+    oracle=f"""
+    WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = '{_Q175_BRAND}'),
+    li AS (
+      SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS q,
+             CAST(l.l_extendedprice AS DECIMAL(18,2)) AS ep
+      FROM lineitem l JOIN pk ON l.l_partkey = pk.p_partkey
+    ),
+    st AS (
+      SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM li GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           round(CAST(SUM(li.ep) AS DOUBLE) / CAST(7.0 AS DOUBLE), 2)
+             AS avg_yearly
+    FROM li JOIN st ON li.l_partkey = st.l_partkey
+    WHERE 5 * li.q * st.n < st.sq
+    """,
+)
+def q175_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    pk = part.filter(F.col("p_brand") == _Q175_BRAND).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    lib = li.join(F.broadcast(pk), "l_partkey").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("__q"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("__ep"),
+    )
+    st = lib.groupBy("l_partkey").agg(
+        F.sum("__q").cast("bigint").alias("__sq"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+    )
+    sel = lib.join(F.broadcast(st), "l_partkey").filter(
+        F.lit(5) * F.col("__q") * F.col("__n") < F.col("__sq")
+    )
+    return sel.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(F.sum("__ep").cast("double") / F.lit(7.0), 2).alias("avg_yearly"),
+    )

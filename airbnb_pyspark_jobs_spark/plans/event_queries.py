@@ -1783,3 +1783,68 @@ def q168_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_millis("ts") - F.unix_millis("ts_asof")).alias("__diff_ms")
     )
     return exact_quantiles(diffs, "__diff_ms", _Q168_PROBS)
+
+
+# ---------------------------------------------------------------------------
+# q176 day-of-week seasonality per event type — the calendar profile
+# behind anomaly thresholds (a Monday spike is only a spike vs MONDAY
+# baselines): per (type, dow) mean daily volume and its ratio to the
+# type's overall mean. Counts are integers; both means are rounded
+# BEFORE the one ratio division. Spark dayofweek is 1=Sunday..7;
+# DuckDB's is 0=Sunday..6, so the oracle adds 1.
+# ---------------------------------------------------------------------------
+@query(
+    "q176_event_dow_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    dd AS (
+      SELECT event_type, CAST(dayofweek(day) + 1 AS BIGINT) AS dow, c
+      FROM daily
+    ),
+    per_dow AS (
+      SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+             round(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+               AS mean_daily
+      FROM dd GROUP BY 1, 2
+    ),
+    overall AS (
+      SELECT event_type,
+             round(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+               AS overall_mean
+      FROM dd GROUP BY 1
+    )
+    SELECT p.event_type, p.dow, p.n_days, p.mean_daily, o.overall_mean,
+           round(p.mean_daily / o.overall_mean, 4) AS seasonality_index
+    FROM per_dow p JOIN overall o ON p.event_type = o.event_type
+    """,
+)
+def q176_event_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    dd = daily.select(
+        "event_type", F.dayofweek("day").cast("bigint").alias("dow"), "__c"
+    )
+    mean_expr = F.round(
+        F.sum("__c").cast("double") / F.count(F.lit(1)).cast("double"), 4
+    )
+    per_dow = dd.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        mean_expr.alias("mean_daily"),
+    )
+    overall = dd.groupBy("event_type").agg(mean_expr.alias("overall_mean"))
+    return per_dow.join(F.broadcast(overall), "event_type").select(
+        "event_type",
+        "dow",
+        "n_days",
+        "mean_daily",
+        "overall_mean",
+        F.round(F.col("mean_daily") / F.col("overall_mean"), 4).alias(
+            "seasonality_index"
+        ),
+    )

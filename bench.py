@@ -201,6 +201,10 @@ EXTENDED_QUERIES = [
     "q173_pii_density_by_source",
     # IVF cell label purity (majority share + entropy)
     "q174_ivf_label_purity",
+    # TPC-H Q17 shape (decorrelated scalar subquery, integer cross-mult)
+    "q175_small_quantity_revenue",
+    # day-of-week seasonality per event type
+    "q176_event_dow_seasonality",
 ]
 
 
