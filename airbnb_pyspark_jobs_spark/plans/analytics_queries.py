@@ -1316,3 +1316,256 @@ def q175_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.round(F.sum("__ep").cast("double") / F.lit(7.0), 2).alias("avg_yearly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q177 waiting suppliers (TPC-H Q21 shape): suppliers who were the ONLY
+# late supplier on a multi-supplier finished order. The classic form is
+# EXISTS(other supplier on order) AND NOT EXISTS(other LATE supplier on
+# order) — two correlated self-joins on a 100TB fact. DECORRELATED here
+# into per-(order, supplier) lateness flags and ONE per-order aggregate
+# (n_suppliers, n_late_suppliers) joined back: a single extra shuffle on
+# l_orderkey instead of two lineitem⨝lineitem self-joins. "Late" adapts
+# the ref schema (no receipt/commit dates): ship lag > 90 days.
+# ---------------------------------------------------------------------------
+@query(
+    "q177_waiting_suppliers",
+    oracle="""
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) > 90
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    ps AS (
+      SELECT l_orderkey, l_suppkey, MAX(late) AS supp_late
+      FROM lo GROUP BY l_orderkey, l_suppkey
+    ),
+    po AS (
+      SELECT l_orderkey, COUNT(*) AS n_supp, SUM(supp_late) AS n_late
+      FROM ps GROUP BY l_orderkey
+    )
+    SELECT s.s_name, n.n_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM ps
+    JOIN po ON ps.l_orderkey = po.l_orderkey
+    JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE ps.supp_late = 1 AND po.n_supp > 1 AND po.n_late = 1
+    GROUP BY s.s_name, n.n_name
+    """,
+)
+def q177_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    fo = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lo = li.join(fo, li.l_orderkey == fo.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90)
+        .cast("int")
+        .alias("__late"),
+    )
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("__late").alias("__supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sum("__supp_late").alias("__n_late"),
+    )
+    waiting = (
+        per_supp.filter(F.col("__supp_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name", "numwait")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q178 national market share (TPC-H Q8 shape): NATION_2's share of
+# revenue among orders placed by ASIA-region customers, per order year.
+# Conditional-sum ratio over a 6-table join; dims broadcast, the single
+# shuffle is the year groupBy. Sums are decimal-exact; the share is the
+# IEEE double quotient of the two exact sums, round(4) — deterministic
+# in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q178_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      JOIN region r ON nc.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT o_year,
+      CAST(ROUND(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_2'
+                                   THEN volume END), 0), 2) AS DOUBLE)
+        AS nation_volume,
+      CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS total_volume,
+      ROUND(CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_2'
+                                   THEN volume END), 0) AS DOUBLE)
+            / CAST(SUM(volume) AS DOUBLE), 4) AS mkt_share
+    FROM rev GROUP BY o_year
+    """,
+)
+def q178_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    asia_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select(F.col("n_nationkey").alias("__mkt_nk"))
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    volume = _dec("l_extendedprice", 12) * (F.lit(1) - _dec("l_discount", 4))
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(asia_nations),
+            cust.c_nationkey == F.col("__mkt_nk"),
+        )
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("__vol"),
+            "supp_nation",
+        )
+    )
+    nat_sum = F.coalesce(
+        F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("__vol"))),
+        F.lit(0),
+    )
+    return rev.groupBy("o_year").agg(
+        F.round(nat_sum, 2).cast("double").alias("nation_volume"),
+        _money(F.sum("__vol"), "total_volume"),
+        F.round(
+            nat_sum.cast("double") / F.sum("__vol").cast("double"), 4
+        ).alias("mkt_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q179 product-type profit (TPC-H Q9 shape, adapted: no partsupp table,
+# so supply cost is modeled as 10% of p_retailprice — decimal-exact
+# 0.10 multiply, never a float). Profit by supplier nation × order
+# year for parts whose name contains 'gear'. Scale: the part-name
+# filter prunes the fact via a broadcast semi-ish inner join before
+# the wide joins; dims broadcast; one shuffle on (nation, year).
+# ---------------------------------------------------------------------------
+@query(
+    "q179_product_profit",
+    oracle="""
+    SELECT ns.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(ROUND(SUM(
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+             - CAST(p.p_retailprice AS DECIMAL(12,2))
+               * CAST(0.10 AS DECIMAL(3,2))
+               * CAST(l.l_quantity AS BIGINT)
+           ), 2) AS DOUBLE) AS profit,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY ns.n_name, o_year
+    """,
+)
+def q179_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    gear = part.filter(F.col("p_name").contains("gear")).select(
+        "p_partkey", _dec("p_retailprice", 12).alias("__retail")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    profit = _dec("l_extendedprice", 12) * (
+        F.lit(1) - _dec("l_discount", 4)
+    ) - F.col("__retail") * F.lit("0.10").cast("decimal(3,2)") * F.col(
+        "l_quantity"
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(gear), li.l_partkey == gear.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _money(F.sum(profit), "profit"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q180 customer order-count distribution (TPC-H Q13 shape): LEFT join
+# with a join-time predicate (non-urgent orders only — NULL-extends
+# customers whose only orders are urgent), per-customer count, then a
+# second aggregation into the count histogram. Two shuffles: custkey,
+# then the tiny c_count key. The histogram shuffle moves ~#distinct
+# counts rows per task after partial aggregation.
+# ---------------------------------------------------------------------------
+@query(
+    "q180_custdist",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q180_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
