@@ -350,3 +350,52 @@ def linear_interpolate_daily(
         interp.alias("value"),
         (F.col("__k") > 0).alias("is_interpolated"),
     )
+
+
+def binned_interval_point_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ms: str,
+    start_ms: str,
+    end_ms: str,
+    bin_ms: int = 3_600_000,
+) -> DataFrame:
+    """Point-in-interval RANGE JOIN via time-bin bucketing — the
+    equi-join formulation of ``p.ts BETWEEN i.start AND i.end`` that
+    scales: a naive range join is a broadcast-nested-loop (every point
+    against every interval). Here each interval row is exploded into
+    the integer time bins it covers and each point lands in exactly ONE
+    bin, so the join is a plain hash equi-join on the bin key followed
+    by the residual range filter — and because the point's bin is
+    unique, each (point, interval) match appears exactly once (no
+    dedup pass needed).
+
+    Inputs carry integer epoch-millisecond columns (``unix_millis`` /
+    ``epoch_ms`` discipline — never fractional seconds). ``bin_ms``
+    trades interval fan-out (copies ≈ duration/bin_ms + 1) against bin
+    hot-spotting; size it near the TYPICAL interval duration. Skewed
+    hot bins (a flash-crowd hour) are AQE-skew-join territory — the
+    bin key is a plain shuffle key, so salting machinery applies
+    unchanged.
+
+    ``points`` and ``intervals`` must not share column names. Returns
+    the inner join of points with every interval containing them.
+    """
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_ms} DIV {bin_ms}"),
+                F.expr(f"{end_ms} DIV {bin_ms}"),
+            )
+        ),
+    )
+    pt = points.withColumn("__bin", F.expr(f"{point_ms} DIV {bin_ms}"))
+    return (
+        pt.join(iv, "__bin")
+        .filter(
+            (F.col(start_ms) <= F.col(point_ms))
+            & (F.col(point_ms) <= F.col(end_ms))
+        )
+        .drop("__bin")
+    )

@@ -1848,3 +1848,87 @@ def q176_event_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonality_index"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q182 purchase-time session concurrency: for every purchase, how many
+# OTHER users had an active session (30-min-gap sessionization, q61's
+# machinery) at that instant — a point-in-interval RANGE JOIN done as a
+# bucketed equi-join (operators/windows.binned_interval_point_join):
+# intervals explode into covered hour bins, points hash-join their one
+# bin, residual range filter. The oracle states the same semantics as
+# a plain range join (DuckDB's IEJoin). Distribution output (histogram
+# of concurrency), zero-match purchases kept via LEFT join.
+# ---------------------------------------------------------------------------
+@query(
+    "q182_purchase_session_concurrency",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL THEN 1
+             WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1
+             ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts,
+        CAST(SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_seq
+      FROM flagged
+    ),
+    ss AS (
+      SELECT user_id AS s_user, session_seq,
+             epoch_ms(MIN(ts)) AS s_start_ms,
+             epoch_ms(MAX(ts)) AS s_end_ms
+      FROM sess GROUP BY user_id, session_seq
+    ),
+    pts AS (
+      SELECT event_id, user_id AS p_user, epoch_ms(ts) AS p_ms
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT p.event_id, COUNT(*) AS n_active
+      FROM pts p JOIN ss s
+        ON s.s_start_ms <= p.p_ms AND p.p_ms <= s.s_end_ms
+       AND s.s_user <> p.p_user
+      GROUP BY p.event_id
+    )
+    SELECT CAST(COALESCE(m.n_active, 0) AS BIGINT) AS n_active_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM pts LEFT JOIN m ON pts.event_id = m.event_id
+    GROUP BY 1
+    """,
+)
+def q182_purchase_session_concurrency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.windows import (
+        binned_interval_point_join,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    sess = session_stats(sessionize(events, gap="30 minutes"))
+    iv = sess.select(
+        F.col("user_id").alias("__s_user"),
+        F.unix_millis("session_start").alias("__s_start_ms"),
+        F.unix_millis("session_end").alias("__s_end_ms"),
+    )
+    pts = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("user_id").alias("__p_user"),
+        F.unix_millis("ts").alias("__p_ms"),
+    )
+    matched = binned_interval_point_join(
+        pts, iv, "__p_ms", "__s_start_ms", "__s_end_ms"
+    ).filter(F.col("__s_user") != F.col("__p_user"))
+    per_p = pts.join(
+        matched.groupBy("event_id").agg(F.count(F.lit(1)).alias("__n")),
+        "event_id",
+        "left",
+    ).select(F.coalesce(F.col("__n"), F.lit(0)).alias("n_active_sessions"))
+    return per_p.groupBy("n_active_sessions").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases")
+    )

@@ -3994,3 +3994,160 @@ def q173_pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("hits_per_1k_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q181 Zipf's-law fit per source: OLS of ln(freq) on ln(rank) over the
+# per-source term-frequency table — the corpus-health diagnostic
+# (natural text ≈ slope −1; template/boilerplate corpora flatten or
+# steepen). Determinism recipe: each ln is rounded to 3 decimals and
+# scaled to exact integer MILLI-units, then the whole regression runs
+# through grouped_trend's exact-bigint moment sums (q133's machinery)
+# — floats appear only in the two final divisions, round(6). The rank
+# window is PARTITIONED by source over the post-aggregation vocab
+# frame (sublinear in corpus size; swap in the q94 two-phase rank if a
+# single source's vocab ever outgrows one task).
+# ---------------------------------------------------------------------------
+_Q181_ORACLE = f"""
+WITH tr AS (
+  SELECT source, lower(t) AS term
+  FROM (SELECT source, UNNEST({_D_TOKENS}) AS t FROM documents)
+),
+fr AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM tr GROUP BY source, term
+),
+rk AS (
+  SELECT source, freq,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY freq DESC, term ASC) AS rnk
+  FROM fr
+),
+xy AS (
+  SELECT source,
+    CAST(round(round(ln(CAST(rnk AS DOUBLE)), 3) * 1000) AS BIGINT) AS x,
+    CAST(round(round(ln(CAST(freq AS DOUBLE)), 3) * 1000) AS BIGINT) AS y
+  FROM rk
+),
+m AS (
+  SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM xy GROUP BY source
+)
+SELECT source, n AS n_terms,
+  CASE WHEN n * sxx - sx * sx > 0 THEN
+    round(CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS zipf_slope,
+  CASE WHEN n * sxx - sx * sx > 0 THEN
+    round((CAST(sy AS DOUBLE)
+           - (CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+          / CAST(n AS DOUBLE), 6) END AS zipf_intercept_milli,
+  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+    round(CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0))
+               * CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS DOUBLE)
+          / CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0))
+                 * CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS DOUBLE), 6)
+  END AS r2
+FROM m
+"""
+
+
+@query("q181_zipf_law_fit", oracle=_Q181_ORACLE)
+def q181_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.operators.sketches import grouped_trend
+
+    docs = load_table(spark, "documents", sf_dir)
+    fr = (
+        docs.select("source", F.explode(TX.tokens("text")).alias("__t"))
+        .select("source", F.lower("__t").alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("freq").desc(), F.col("term").asc()
+    )
+    xy = fr.select(
+        "source",
+        F.round(
+            F.round(F.log(F.row_number().over(w).cast("double")), 3)
+            * F.lit(1000)
+        ).alias("__x"),
+        F.round(
+            F.round(F.log(F.col("freq").cast("double")), 3) * F.lit(1000)
+        ).alias("__y"),
+    )
+    out = grouped_trend(
+        xy, "source", x_col=F.col("__x"), y_cents=F.col("__y"), out_digits=6
+    )
+    return out.select(
+        "source",
+        F.col("n").alias("n_terms"),
+        F.col("slope_cents").alias("zipf_slope"),
+        F.col("intercept_cents").alias("zipf_intercept_milli"),
+        "r2",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q183 dedup-method agreement: MinHash-LSH pairs (q45, jaccard ≥ 0.5)
+# vs SimHash pairs (q59, hamming ≤ 1) as PAIR-SET overlap — the audit
+# that tells you whether two dedup configs would discard the same
+# rows before you pay for both at 100 TB. One full-outer join of the
+# two (already-bounded) pair frames, then a single-row aggregate; the
+# heavy lifting (banded candidate generation) is the existing
+# operators' — nothing here is all-pairs. Oracle composes the q45 and
+# q59 oracle pipelines verbatim as subqueries.
+# ---------------------------------------------------------------------------
+_Q183_ORACLE = f"""
+WITH mh AS (SELECT doc_id_a, doc_id_b FROM ({_Q45_ORACLE})),
+sh2 AS (SELECT doc_id_a, doc_id_b FROM ({_Q59_ORACLE})),
+u AS (
+  SELECT COALESCE(m.doc_id_a, s.doc_id_a) AS a,
+         (m.doc_id_a IS NOT NULL) AS in_mh,
+         (s.doc_id_a IS NOT NULL) AS in_sh
+  FROM mh m FULL OUTER JOIN sh2 s
+    ON m.doc_id_a = s.doc_id_a AND m.doc_id_b = s.doc_id_b
+)
+SELECT
+  CAST(COALESCE(SUM(CASE WHEN in_mh THEN 1 END), 0) AS BIGINT) AS n_minhash,
+  CAST(COALESCE(SUM(CASE WHEN in_sh THEN 1 END), 0) AS BIGINT) AS n_simhash,
+  CAST(COALESCE(SUM(CASE WHEN in_mh AND in_sh THEN 1 END), 0) AS BIGINT)
+    AS n_both,
+  CAST(COUNT(*) AS BIGINT) AS n_union,
+  round(CAST(COALESCE(SUM(CASE WHEN in_mh AND in_sh THEN 1 END), 0)
+             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS pair_jaccard
+FROM u
+"""
+
+
+@query("q183_dedup_method_agreement", oracle=_Q183_ORACLE)
+def q183_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    mh = DD.minhash_lsh_pairs(
+        docs, num_hashes=_NH, bands=_BANDS, threshold=0.5
+    ).select("doc_id_a", "doc_id_b", F.lit(1).alias("__m"))
+    sh = DD.simhash_pairs(
+        docs, max_hamming=_SH_MAXHAM, bands=_SH_BANDS
+    ).select("doc_id_a", "doc_id_b", F.lit(1).alias("__s"))
+    u = mh.join(sh, ["doc_id_a", "doc_id_b"], "full_outer")
+    both = F.sum(
+        F.when(F.col("__m").isNotNull() & F.col("__s").isNotNull(), 1)
+    )
+    return u.agg(
+        F.coalesce(F.sum("__m"), F.lit(0)).cast("bigint").alias("n_minhash"),
+        F.coalesce(F.sum("__s"), F.lit(0)).cast("bigint").alias("n_simhash"),
+        F.coalesce(both, F.lit(0)).cast("bigint").alias("n_both"),
+        F.count(F.lit(1)).cast("bigint").alias("n_union"),
+        F.round(
+            F.coalesce(both, F.lit(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("pair_jaccard"),
+    )

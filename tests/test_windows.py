@@ -154,3 +154,43 @@ def test_linear_interpolation_fills_gap_with_line(spark):
     assert out[d(2024, 1, 3)].value == 30.0
     assert out[d(2024, 1, 4)].value == 40.0 and not out[d(2024, 1, 4)].is_interpolated
     assert out[d(2024, 1, 5)].value == 0.0
+
+
+def test_binned_interval_point_join_matches_naive_range_join(spark):
+    from airbnb_pyspark_jobs_spark.operators.windows import (
+        binned_interval_point_join,
+    )
+
+    H = 3_600_000
+    # intervals spanning 0, 1, and 3 bins; one zero-length (point) interval
+    intervals = spark.createDataFrame(
+        [
+            (10, 0, H // 2),            # inside bin 0
+            (11, H - 1000, H + 1000),   # straddles bins 0-1
+            (12, H, 4 * H),             # bins 1..4 boundary-inclusive
+            (13, 2 * H, 2 * H),         # zero-length at a bin boundary
+        ],
+        "iv_id long, s_ms long, e_ms long",
+    )
+    points = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([0, H // 2, H - 500, H, 2 * H, 5 * H])],
+        "pt_id long, p_ms long",
+    )
+    got = {
+        (r.pt_id, r.iv_id)
+        for r in binned_interval_point_join(
+            points, intervals, "p_ms", "s_ms", "e_ms", bin_ms=H
+        ).collect()
+    }
+    naive = {
+        (p.pt_id, iv.iv_id)
+        for p in points.collect()
+        for iv in intervals.collect()
+        if iv.s_ms <= p.p_ms <= iv.e_ms
+    }
+    assert got == naive
+    # each matching pair appears exactly once (point is in ONE bin)
+    joined = binned_interval_point_join(
+        points, intervals, "p_ms", "s_ms", "e_ms", bin_ms=H
+    )
+    assert joined.count() == len(naive)
