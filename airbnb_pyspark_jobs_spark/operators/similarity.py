@@ -1898,3 +1898,81 @@ def ivf_cell_label_purity(
             "label_entropy",
         )
     )
+
+
+def feature_covariance(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_digits: int = 6,
+) -> DataFrame:
+    """Dense feature-covariance matrix of an embedding column — the
+    PCA / whitening / feature-correlation input. Upper triangle only
+    (``dim_a <= dim_b``; the matrix is symmetric).
+
+    Scale design: the O(n·d²) pair products are generated SCAN-SIDE by
+    a nested array ``transform`` over a pre-projected rounded vector —
+    no self-join, no shuffle until the (dim_a, dim_b) aggregate, and
+    that shuffle moves only d²/2 partial rows per task (map-side
+    combine). This beats the exploded self-join formulation (which
+    shuffles n·d rows on the id key) by the full fact-table width.
+
+    Determinism recipe (cross-engine exact): components round(·, 9)
+    after the float→double widening; per-pair products round(·, 9);
+    all sums in DECIMAL(30,9) (order-independent); the covariance
+    ``E[xy] − E[x]E[y]`` is computed in double from the exact sums and
+    rounded to ``out_digits``. Never a raw float sum.
+
+    Returns ``dim_a, dim_b, n, cov``.
+    """
+    vr = emb.select(
+        F.col(id_col).alias("__id"),
+        F.expr(
+            f"transform({vec_col}, x -> round(cast(x as double), 9))"
+        ).alias("__v"),
+    )
+    pairs = vr.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(__v, (xi, i) ->
+                  transform(slice(__v, i + 1, size(__v) - i), (xj, j) ->
+                    struct(i AS dim_a, i + j AS dim_b,
+                           round(xi * xj, 9) AS p))))
+                """
+            )
+        ).alias("__pr")
+    ).select("__pr.dim_a", "__pr.dim_b", "__pr.p")
+    moments = pairs.groupBy("dim_a", "dim_b").agg(
+        F.sum(F.col("p").cast("decimal(30,9)")).cast("double").alias("__sp"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    comp = (
+        vr.select(F.posexplode("__v").alias("dim", "__x"))
+        .groupBy("dim")
+        .agg(
+            F.sum(F.col("__x").cast("decimal(30,9)"))
+            .cast("double")
+            .alias("__s")
+        )
+    )
+    a = comp.select(F.col("dim").alias("dim_a"), F.col("__s").alias("__sa"))
+    b = comp.select(F.col("dim").alias("dim_b"), F.col("__s").alias("__sb"))
+    nd = F.col("n").cast("double")
+    return (
+        moments.join(F.broadcast(a), "dim_a")
+        .join(F.broadcast(b), "dim_b")
+        .select(
+            "dim_a",
+            "dim_b",
+            "n",
+            (
+                F.round(
+                    F.col("__sp") / nd
+                    - (F.col("__sa") / nd) * (F.col("__sb") / nd),
+                    out_digits,
+                )
+                + F.lit(0.0)  # -0.0 → +0.0 (engines round-to-negative-zero differently per sign of the unrounded tail)
+            ).alias("cov"),
+        )
+    )

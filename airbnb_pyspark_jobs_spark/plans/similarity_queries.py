@@ -1654,3 +1654,51 @@ FROM tot JOIN ent USING (cid)
 def q174_ivf_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return SIM.ivf_cell_label_purity(emb, n_centroids=_NCENT, iters=_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# q184 feature covariance of the embedding matrix (PCA/whitening prep):
+# upper-triangle (dim_a ≤ dim_b) covariance from scan-side nested-
+# transform pair products — no self-join; the only shuffle carries d²/2
+# partial sums per task. Determinism: round(·,9) components and
+# products, DECIMAL(30,9) sums, double E[xy]−E[x]E[y] at the end
+# (operators/similarity.feature_covariance). The oracle states the
+# same moments via the positional self-join formulation.
+# ---------------------------------------------------------------------------
+_Q184_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, i - 1 AS dim,
+         round(CAST(embedding[i] AS DOUBLE), 9) AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+),
+p AS (
+  SELECT a.dim AS dim_a, b.dim AS dim_b, round(a.v * b.v, 9) AS p
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+),
+m AS (
+  SELECT dim_a, dim_b,
+         CAST(SUM(CAST(p AS DECIMAL(30,9))) AS DOUBLE) AS sp,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM p GROUP BY dim_a, dim_b
+),
+s AS (
+  SELECT dim, CAST(SUM(CAST(v AS DECIMAL(30,9))) AS DOUBLE) AS sv
+  FROM ex GROUP BY dim
+)
+SELECT CAST(m.dim_a AS INTEGER) AS dim_a,
+       CAST(m.dim_b AS INTEGER) AS dim_b,
+       m.n,
+       round(m.sp / CAST(m.n AS DOUBLE)
+             - (sa.sv / CAST(m.n AS DOUBLE))
+               * (sb.sv / CAST(m.n AS DOUBLE)), 6)
+         + CAST(0 AS DOUBLE) AS cov
+FROM m
+JOIN s sa ON m.dim_a = sa.dim
+JOIN s sb ON m.dim_b = sb.dim
+"""
+
+
+@query("q184_feature_covariance", oracle=_Q184_ORACLE)
+def q184_feature_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.feature_covariance(emb)

@@ -455,3 +455,33 @@ def test_q169_ensemble_ranks_are_two_phase_partitioned(spark):
             assert "windowspecdefinition(__b" in line, line
     assert "BroadcastExchange" in plan
     release_owned_caches()
+
+
+def test_q182_range_join_is_equi_join_not_nested_loop(spark):
+    """The binned point-in-interval join must compile to a hash/merge
+    EQUI-join on the bin key — never BroadcastNestedLoopJoin or a
+    cartesian product (the naive range-join physical plan)."""
+    df = QUERIES["q182_purchase_session_concurrency"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q177_decorrelated_no_selfjoin_cartesian(spark):
+    """Q21-shape stays decorrelated: supplier/nation dims broadcast,
+    no nested-loop anywhere."""
+    df = QUERIES["q177_waiting_suppliers"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # supplier + nation
+
+
+def test_q184_covariance_is_scan_side_no_wide_join(spark):
+    """Pair products come from the nested array transform — the plan
+    must not contain a sort-merge self-join on vec_id; the only joins
+    are the two broadcast joins of the 64-row component-sum frames."""
+    df = QUERIES["q184_feature_covariance"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan  # map-side combine of DECIMAL moments
