@@ -205,6 +205,22 @@ EXTENDED_QUERIES = [
     "q175_small_quantity_revenue",
     # day-of-week seasonality per event type
     "q176_event_dow_seasonality",
+    # TPC-H Q21 shape (decorrelated waiting-suppliers)
+    "q177_waiting_suppliers",
+    # TPC-H Q8 shape (market-share conditional ratio, 6-table join)
+    "q178_market_share",
+    # TPC-H Q9 shape (product profit by supplier nation x year)
+    "q179_product_profit",
+    # TPC-H Q13 shape (outer-join count histogram)
+    "q180_custdist",
+    # Zipf-law fit per source (exact-integer OLS over ln/ln)
+    "q181_zipf_law_fit",
+    # bucketed point-in-interval range join (purchase-time concurrency)
+    "q182_purchase_session_concurrency",
+    # MinHash vs SimHash pair-set agreement
+    "q183_dedup_method_agreement",
+    # feature covariance matrix (scan-side nested-transform moments)
+    "q184_feature_covariance",
 ]
 
 
