@@ -1749,6 +1749,45 @@ def kcenter_coreset(
     )
 
 
+def _ivf_best_assignment(
+    corpus: DataFrame,
+    n_centroids: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+    centroids: list[tuple[int, list[float]]] | None,
+) -> DataFrame:
+    """Shared q53 assignment discipline for the IVF audit operators:
+    train (or accept) centroids, unit-normalize, score every vector
+    against every centroid (Arrow stage), and keep the best cell per
+    vector with the deterministic (rounded-sim desc, cid asc)
+    tie-break. Returns ``id, cid, __sim`` (sim rounded to
+    ``round_digits``)."""
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus,
+            k=n_centroids,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_digits=round_digits,
+        )
+    cents_u = [(cid, _py_unit(v)) for cid, v in centroids]
+    u = unit_vectors(corpus, id_col, vec_col, "id", "vn")
+    sims = centroid_unit_sims(u, cents_u)
+    w = Window.partitionBy("id").orderBy(
+        F.round("__rsim", round_digits).desc(), F.col("cid").asc()
+    )
+    return (
+        sims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "id", "cid", F.round("__rsim", round_digits).alias("__sim")
+        )
+    )
+
+
 def ivf_cell_quality(
     corpus: DataFrame,
     n_centroids: int = 8,
@@ -1774,26 +1813,9 @@ def ivf_cell_quality(
 
     Returns ``cid (bigint), n_members, mean_sim, min_sim``.
     """
-    if centroids is None:
-        centroids = kmeans_centroids(
-            corpus,
-            k=n_centroids,
-            iters=iters,
-            id_col=id_col,
-            vec_col=vec_col,
-            round_digits=round_digits,
-        )
-    cents_u = [(cid, _py_unit(v)) for cid, v in centroids]
-    u = unit_vectors(corpus, id_col, vec_col, "id", "vn")
-    sims = centroid_unit_sims(u, cents_u)
-    w = Window.partitionBy("id").orderBy(
-        F.round("__rsim", round_digits).desc(), F.col("cid").asc()
-    )
-    best = (
-        sims.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("cid", F.round("__rsim", round_digits).alias("__sim"))
-    )
+    best = _ivf_best_assignment(
+        corpus, n_centroids, iters, id_col, vec_col, round_digits, centroids
+    ).select("cid", "__sim")
     return (
         best.groupBy("cid")
         .agg(
@@ -1842,26 +1864,9 @@ def ivf_cell_label_purity(
     Returns ``cid (bigint), n_members, n_labels, majority_share,
     label_entropy``.
     """
-    if centroids is None:
-        centroids = kmeans_centroids(
-            corpus,
-            k=n_centroids,
-            iters=iters,
-            id_col=id_col,
-            vec_col=vec_col,
-            round_digits=round_digits,
-        )
-    cents_u = [(cid, _py_unit(v)) for cid, v in centroids]
-    u = unit_vectors(corpus, id_col, vec_col, "id", "vn")
-    sims = centroid_unit_sims(u, cents_u)
-    w = Window.partitionBy("id").orderBy(
-        F.round("__rsim", round_digits).desc(), F.col("cid").asc()
-    )
-    asg = (
-        sims.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("id", "cid")
-    )
+    asg = _ivf_best_assignment(
+        corpus, n_centroids, iters, id_col, vec_col, round_digits, centroids
+    ).select("id", "cid")
     lab = corpus.select(F.col(id_col).alias("id"), F.col(label_col).alias("__lab"))
     cl = (
         asg.join(lab, "id")
@@ -1880,9 +1885,13 @@ def ivf_cell_label_purity(
         .select("cid", term.alias("__t"))
         .groupBy("cid")
         .agg(
-            F.round(-F.sum("__t").cast("double"), out_digits).alias(
-                "label_entropy"
-            )
+            (
+                F.round(-F.sum("__t").cast("double"), out_digits)
+                # -0.0 → +0.0: a pure (single-label) cell makes every
+                # term exactly 0 and the two engines disagree on the
+                # sign of the rounded zero (see verify SKILL.md).
+                + F.lit(0.0)
+            ).alias("label_entropy")
         )
     )
     return (

@@ -297,7 +297,13 @@ def exact_quantiles(
     df = df.filter(F.col(value_col).isNotNull())  # percentile semantics
     n = df.count()
     if n == 0:
-        raise ValueError("exact_quantiles on an empty/all-null column")
+        # Percentile of the empty set is the empty set (the ORDER BY
+        # oracle formulation joins against zero ranked rows) — return
+        # the same typed empty frame instead of raising, so callers
+        # like q168 stay total on datasets with no qualifying rows.
+        return df.sparkSession.createDataFrame(
+            [], schema="p double, rank bigint, value double"
+        )
     mn, mx = df.agg(
         F.min(value_col).alias("mn"), F.max(value_col).alias("mx")
     ).first()
@@ -781,12 +787,15 @@ def grouped_trend(
             out_digits,
         ),
     )
+    # + 0.0 maps a rounded -0.0 to +0.0 (a near-flat negative trend can
+    # round to differently-signed zeros across engines; see verify
+    # SKILL.md). NULLs pass through IEEE addition unchanged.
     return m.select(
         g,
         "n",
-        slope.alias("slope_cents"),
-        intercept.alias("intercept_cents"),
-        r2.alias("r2"),
+        (slope + F.lit(0.0)).alias("slope_cents"),
+        (intercept + F.lit(0.0)).alias("intercept_cents"),
+        (r2 + F.lit(0.0)).alias("r2"),
     )
 
 

@@ -1286,17 +1286,17 @@ def q131_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g AS event_type, n,
            CASE WHEN dx > 0 THEN
              round(CAST(num AS DOUBLE) / CAST(dx AS DOUBLE), 9) END
-             AS slope_cents,
+             + CAST(0 AS DOUBLE) AS slope_cents,
            CASE WHEN dx > 0 THEN
              round((CAST(sy AS DOUBLE)
                     - (CAST(num AS DOUBLE) / CAST(dx AS DOUBLE))
                       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 9) END
-             AS intercept_cents,
+             + CAST(0 AS DOUBLE) AS intercept_cents,
            CASE WHEN dx > 0 AND dy > 0 THEN
              round(CAST(CAST(num AS DECIMAL(38,0)) * CAST(num AS DECIMAL(38,0))
                         AS DOUBLE)
                    / CAST(CAST(dx AS DECIMAL(38,0)) * CAST(dy AS DECIMAL(38,0))
-                          AS DOUBLE), 9) END AS r2
+                          AS DOUBLE), 9) END + CAST(0 AS DOUBLE) AS r2
     FROM d
     """,
 )

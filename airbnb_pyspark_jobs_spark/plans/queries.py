@@ -41,6 +41,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Reentrancy depth of wrapped query invocations — cache release happens
+# only at depth 0 (see the `query` decorator).
+_ACTIVE_DEPTH = 0
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query (and its DuckDB oracle SQL) under ``name``.
@@ -53,11 +57,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     query's caches at a time."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def wrapped(spark: SparkSession, sf_dir: str, **kwargs) -> DataFrame:
             from airbnb_pyspark_jobs_spark.caching import release_owned_caches
 
-            release_owned_caches()
-            return fn(spark, sf_dir)
+            # Release the PREVIOUS query's caches only at the top-level
+            # invocation: composite queries call other registered
+            # queries while building (q172 → q156/q169 → q147), and a
+            # nested release would unpersist frames the composer just
+            # registered for sharing. kwargs pass through so composers
+            # can inject shared precomputed frames.
+            global _ACTIVE_DEPTH
+            if _ACTIVE_DEPTH == 0:
+                release_owned_caches()
+            _ACTIVE_DEPTH += 1
+            try:
+                return fn(spark, sf_dir, **kwargs)
+            finally:
+                _ACTIVE_DEPTH -= 1
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__

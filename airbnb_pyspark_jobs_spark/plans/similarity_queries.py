@@ -1639,7 +1639,8 @@ ent AS (
          round(-CAST(SUM(CAST(round(
              (CAST(cl.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
              * round(ln(CAST(cl.c AS DOUBLE) / CAST(tot.n AS DOUBLE)), 6),
-             12) AS DECIMAL(32,12))) AS DOUBLE), 6) AS label_entropy
+             12) AS DECIMAL(32,12))) AS DOUBLE), 6)
+           + CAST(0 AS DOUBLE) AS label_entropy
   FROM cl JOIN tot USING (cid) GROUP BY cl.cid
 )
 SELECT CAST(tot.cid AS BIGINT) AS cid, tot.n AS n_members, tot.n_labels,

@@ -3284,12 +3284,18 @@ def _q156_oracle() -> str:
 
 
 @query("q156_perplexity_filter", oracle=_q156_oracle())
-def q156_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q156_perplexity_filter(
+    spark: SparkSession, sf_dir: str, *, lm: DataFrame | None = None
+) -> DataFrame:
     from airbnb_pyspark_jobs_spark.operators.sampling import (
         two_phase_numeric_rank,
     )
 
-    s = q96_unigram_logprob(spark, sf_dir).select("doc_id", "mean_logprob")
+    # `lm` lets composing queries (q172) pass ONE persisted q96 frame
+    # instead of re-running the corpus-wide LM scoring per consumer.
+    if lm is None:
+        lm = q96_unigram_logprob(spark, sf_dir)
+    s = lm.select("doc_id", "mean_logprob")
     n1 = s.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     r = two_phase_numeric_rank(
         s, "mean_logprob", "doc_id", "lm_rank", descending=False
@@ -3776,10 +3782,14 @@ def _q169_oracle() -> str:
 
 
 @query("q169_ensemble_quality_rank", oracle=_q169_oracle())
-def q169_ensemble_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q169_ensemble_quality_rank(
+    spark: SparkSession, sf_dir: str, *, lm: DataFrame | None = None
+) -> DataFrame:
     from airbnb_pyspark_jobs_spark.operators.sampling import two_phase_numeric_rank
 
-    lm = q96_unigram_logprob(spark, sf_dir).select("doc_id", "mean_logprob")
+    if lm is None:
+        lm = q96_unigram_logprob(spark, sf_dir)
+    lm = lm.select("doc_id", "mean_logprob")
     clf = q147_quality_classifier_gd(spark, sf_dir).select("doc_id", "p")
     r1 = two_phase_numeric_rank(
         lm, "mean_logprob", "doc_id", "lm_rank", descending=True
@@ -3918,10 +3928,18 @@ def _q172_oracle() -> str:
 
 @query("q172_filter_disagreement", oracle=_q172_oracle())
 def q172_filter_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lm = q156_perplexity_filter(spark, sf_dir).select(
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    # Both gates score the corpus with the same q96 unigram LM — run
+    # that scan once and feed the persisted frame to each (Spark does
+    # not dedupe common subplans across separate DataFrame trees).
+    shared = owned_persist(
+        q96_unigram_logprob(spark, sf_dir).select("doc_id", "mean_logprob")
+    )
+    lm = q156_perplexity_filter(spark, sf_dir, lm=shared).select(
         "doc_id", F.col("keep").alias("lm_keep")
     )
-    ens = q169_ensemble_quality_rank(spark, sf_dir).select(
+    ens = q169_ensemble_quality_rank(spark, sf_dir, lm=shared).select(
         "doc_id", F.col("keep").alias("ensemble_keep")
     )
     return (
@@ -4041,18 +4059,20 @@ m AS (
 SELECT source, n AS n_terms,
   CASE WHEN n * sxx - sx * sx > 0 THEN
     round(CAST(n * sxy - sx * sy AS DOUBLE)
-          / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS zipf_slope,
+          / CAST(n * sxx - sx * sx AS DOUBLE), 6) END
+    + CAST(0 AS DOUBLE) AS zipf_slope,
   CASE WHEN n * sxx - sx * sx > 0 THEN
     round((CAST(sy AS DOUBLE)
            - (CAST(n * sxy - sx * sy AS DOUBLE)
               / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
-          / CAST(n AS DOUBLE), 6) END AS zipf_intercept_milli,
+          / CAST(n AS DOUBLE), 6) END
+    + CAST(0 AS DOUBLE) AS zipf_intercept_milli,
   CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
     round(CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0))
                * CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS DOUBLE)
           / CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0))
                  * CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS DOUBLE), 6)
-  END AS r2
+  END + CAST(0 AS DOUBLE) AS r2
 FROM m
 """
 

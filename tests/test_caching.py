@@ -67,3 +67,39 @@ def test_query_loop_holds_at_most_one_querys_caches(spark):
         # the wrapper released everything owned before this invocation.
     QUERIES["q01_pricing_summary"](spark, SF_DIR).collect()  # releases last
     assert _persistent_rdd_count(spark) <= base
+
+
+def test_nested_query_invocation_keeps_composers_caches(spark):
+    """A composite query that owned_persist()s a shared frame and then
+    calls OTHER registered queries must keep its cache: the release
+    sweep fires only at top-level invocations (reentrancy depth 0),
+    never inside a composition (q172 -> q156/q169 -> q147)."""
+    from pyspark.sql import functions as F
+
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.plans.queries import query
+
+    seen = {}
+
+    @query("qtest_inner_noop")
+    def _inner(spark, sf_dir):
+        return spark.range(1).select(F.lit(1).alias("one"))
+
+    @query("qtest_outer_composite")
+    def _outer(spark, sf_dir):
+        shared = owned_persist(spark.range(10).select(F.col("id").alias("k")))
+        shared.count()  # materialize the cache
+        _inner(spark, sf_dir).collect()  # nested registered-query call
+        seen["cached_after_nested"] = shared.storageLevel.useMemory
+        return shared
+
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES, QUERIES
+
+    try:
+        QUERIES["qtest_outer_composite"](spark, SF_DIR).collect()
+        assert seen["cached_after_nested"] is True
+    finally:
+        for name in ("qtest_inner_noop", "qtest_outer_composite"):
+            QUERIES.pop(name, None)
+            ORACLES.pop(name, None)
+        release_owned_caches()

@@ -313,3 +313,32 @@ def test_vocab_coverage_curve_monotone(spark):
     cov = [r.coverage for r in rows]
     assert all(0.0 < c <= 1.0 for c in cov)
     assert all(a <= b for a, b in zip(cov, cov[1:]))  # more terms, more mass
+
+
+def test_ivf_label_purity_pure_cell_entropy_positive_zero(spark):
+    """A single-label (pure) cell has entropy exactly 0 — and it must
+    be +0.0, not -0.0 (the -sum(terms) negation flips the sign of the
+    rounded zero; oracle value-hashes distinguish the two)."""
+    import math
+
+    from airbnb_pyspark_jobs_spark.operators.similarity import (
+        ivf_cell_label_purity,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], "a"),
+            (1, [1.0, 0.02], "a"),
+            (2, [0.0, 1.0], "a"),
+            (3, [0.02, 1.0], "b"),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = {r.cid: r for r in ivf_cell_label_purity(emb, centroids=cents).collect()}
+    pure = out[0]  # both +x members labeled "a"
+    assert pure.n_labels == 1 and pure.majority_share == 1.0
+    assert pure.label_entropy == 0.0
+    assert math.copysign(1.0, pure.label_entropy) == 1.0
+    mixed = out[1]
+    assert mixed.n_labels == 2 and mixed.label_entropy > 0.6

@@ -527,3 +527,38 @@ def test_kmv_intersections_estimates_within_sampling_error(spark):
     r = kmv_intersections(df, "g", "u", k=64).collect()[0]
     assert r.exact_inter == 750
     assert 200 < r.est_inter < 2000  # k=64 theta intersection is noisy
+
+
+def test_exact_quantiles_empty_input_returns_typed_empty(spark):
+    """Percentile of the empty set is the empty set: an empty or
+    all-null column yields ZERO rows with the normal (p, rank, value)
+    schema — never an exception (q168's input can legitimately be
+    empty when no purchase has a preceding view)."""
+    from airbnb_pyspark_jobs_spark.operators.sketches import exact_quantiles
+
+    empty = spark.range(0).select(F.col("id").cast("double").alias("x"))
+    out = exact_quantiles(empty, "x", [0.5, 0.9])
+    assert out.schema.simpleString() == "struct<p:double,rank:bigint,value:double>"
+    assert out.count() == 0
+
+    allnull = spark.range(5).select(F.lit(None).cast("double").alias("x"))
+    assert exact_quantiles(allnull, "x", [0.5]).count() == 0
+
+
+def test_grouped_trend_flat_negative_slope_never_negative_zero(spark):
+    """A near-flat, slightly-negative trend can round to zero — the
+    result must be +0.0 on the wire (engines disagree on the rounded
+    zero's sign; repr-keyed oracle hashes distinguish -0.0)."""
+    import math
+
+    from airbnb_pyspark_jobs_spark.operators.sketches import grouped_trend
+
+    # y decreases by 1 cent over 10_000 x-units: slope = -1e-4, which
+    # rounds to 0.0 at out_digits=3.
+    rows = [("g", 0, 100), ("g", 10_000, 99)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = grouped_trend(
+        df, "g", x_col=F.col("x"), y_cents=F.col("y"), out_digits=3
+    ).collect()[0]
+    assert out["slope_cents"] == 0.0
+    assert math.copysign(1.0, out["slope_cents"]) == 1.0
