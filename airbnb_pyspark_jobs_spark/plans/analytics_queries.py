@@ -1569,3 +1569,394 @@ def q180_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).cast("bigint").alias("custdist")
     )
+
+
+# ---------------------------------------------------------------------------
+# q185 important parts (TPC-H Q11 shape): parts whose discounted revenue
+# exceeds 1.25x the average part's revenue — the classic "HAVING agg >
+# scalar-subquery-fraction" form. Decorrelated: ONE per-part aggregate +
+# a broadcast single-row (total, n_parts) aggregate; the threshold
+# compare is an integer cross-multiplication over exact decimals
+# (pv * n_parts * 4 > 5 * total), so no float division ever happens —
+# deterministic at any scale, and the grouped aggregate is the only
+# shuffle. Ref parity anchor: SURVEY §2.5 A1 (global scalar aggregate
+# feeding a filter, jobs/final_dim_load.py:103-104) generalized to the
+# fraction-of-total HAVING shape.
+# ---------------------------------------------------------------------------
+@query(
+    "q185_important_parts",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS v
+      FROM lineitem GROUP BY l_partkey
+    ),
+    g AS (SELECT SUM(v) AS gv, COUNT(*) AS np FROM pv)
+    SELECT pv.l_partkey AS p_partkey, p.p_name,
+           CAST(ROUND(pv.v, 2) AS DOUBLE) AS part_value
+    FROM pv CROSS JOIN g
+    JOIN part p ON pv.l_partkey = p.p_partkey
+    WHERE pv.v * np * 4 > 5 * gv
+    """,
+)
+def q185_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        ).alias("__v")
+    )
+    g = pv.agg(
+        F.sum("__v").alias("__gv"), F.count(F.lit(1)).alias("__np")
+    )
+    return (
+        pv.crossJoin(F.broadcast(g))
+        .filter(F.col("__v") * F.col("__np") * 4 > F.lit(5) * F.col("__gv"))
+        .join(F.broadcast(part), pv.l_partkey == part.p_partkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            F.round(F.col("__v"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q186 top supplier (TPC-H Q15 shape): supplier(s) with the MAXIMUM
+# quarterly revenue — the classic "revenue view + WHERE rev = (SELECT
+# max)" form. The per-supplier revenue is decimal-exact, so the
+# equality against the broadcast single-row max is safe (no float
+# compare); ties all surface, exactly like the spec's intent. One
+# shuffle (supplier groupBy); the max is a broadcast single-row agg.
+# ---------------------------------------------------------------------------
+@query(
+    "q186_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    ),
+    m AS (SELECT MAX(total_rev) AS mx FROM rev)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(ROUND(rev.total_rev, 2) AS DOUBLE) AS total_rev
+    FROM rev CROSS JOIN m
+    JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+    WHERE rev.total_rev = m.mx
+    """,
+)
+def q186_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            ).alias("__rev")
+        )
+    )
+    m = rev.agg(F.max("__rev").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(m))
+        .filter(F.col("__rev") == F.col("__mx"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("__rev"), 2).cast("double").alias("total_rev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q187 supplier diversity (TPC-H Q16 shape): distinct-supplier counts
+# per (brand, size band) for non-STANDARD parts, EXCLUDING suppliers in
+# a complaint set (here: negative account balance) — the classic NOT IN
+# subquery, expressed as a left_anti join (never a nullable NOT IN, and
+# never a broadcast of the big side). The (part, supplier) pairs come
+# from lineitem (this schema has no partsupp); pair-distinct first so
+# the count-distinct shuffle carries one row per relationship.
+# ---------------------------------------------------------------------------
+@query(
+    "q187_supplier_diversity",
+    oracle="""
+    WITH excl AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0),
+    rel AS (
+      SELECT DISTINCT l.l_partkey, l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+    )
+    SELECT p.p_brand,
+           CAST((p.p_size - 1) // 10 AS INTEGER) AS size_band,
+           CAST(COUNT(DISTINCT rel.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM rel JOIN part p ON rel.l_partkey = p.p_partkey
+    WHERE p.p_type <> 'STANDARD'
+    GROUP BY p.p_brand, size_band
+    """,
+)
+def q187_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    excl = supp.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    rel = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(excl), "l_suppkey", "left_anti")
+        .distinct()
+    )
+    pt = part.filter(F.col("p_type") != "STANDARD").select(
+        "p_partkey",
+        "p_brand",
+        (((F.col("p_size") - 1) / 10).cast("int")).alias("size_band"),
+    )
+    return (
+        rel.join(F.broadcast(pt), rel.l_partkey == pt.p_partkey)
+        .groupBy("p_brand", "size_band")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q188 large-volume orders (TPC-H Q18 shape): orders whose total line
+# quantity exceeds 180 units, with their customer — the classic
+# "IN (GROUP BY ... HAVING)" form. Decorrelated to one lineitem
+# aggregate (integer quantity sum, exact) that IS the probe side; the
+# orders/customer joins hang off it. No window, no sort; the HAVING
+# filter runs before any join so only qualifying orders shuffle onward.
+# ---------------------------------------------------------------------------
+@query(
+    "q188_large_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 180
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           big.sum_qty
+    FROM big
+    JOIN orders o ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q188_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 180)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q189 bracket revenue (TPC-H Q19 shape): revenue from three disjunctive
+# (brand, size-range, quantity-range) brackets — the classic
+# OR-of-conjunctions predicate that tests DISJUNCT PUSHDOWN: the
+# brand/size arms prune the part scan, the shared quantity envelope
+# (1..50 here) pushes into the lineitem scan, and the residual OR
+# evaluates post-join. Part side broadcast (already bracket-filtered).
+# Revenue decimal-exact; one final single-row aggregate.
+# ---------------------------------------------------------------------------
+_Q189_BRACKETS = (
+    ("Brand#1", 1, 10, 1, 15),
+    ("Brand#2", 11, 25, 10, 30),
+    ("Brand#3", 26, 50, 25, 50),
+)
+
+
+@query(
+    "q189_bracket_revenue",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE {" OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {s0} AND {s1}"
+        f" AND l.l_quantity BETWEEN {q0} AND {q1})"
+        for b, s0, s1, q0, q1 in _Q189_BRACKETS
+    )}
+    """,
+)
+def q189_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    # Part-side arms form a pushable disjunction on (brand, size); the
+    # bracket-filtered part side is tiny -> broadcast.
+    part_pred = None
+    for b, s0, s1, _q0, _q1 in _Q189_BRACKETS:
+        arm = (F.col("p_brand") == b) & F.col("p_size").between(s0, s1)
+        part_pred = arm if part_pred is None else (part_pred | arm)
+    pt = part.filter(part_pred).select("p_partkey", "p_brand", "p_size")
+    qlo = min(q0 for *_x, q0, _q1 in _Q189_BRACKETS)
+    qhi = max(q1 for *_x, _q0, q1 in _Q189_BRACKETS)
+    lif = li.filter(F.col("l_quantity").between(qlo, qhi)).select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    joined = lif.join(F.broadcast(pt), lif.l_partkey == pt.p_partkey)
+    full_pred = None
+    for b, s0, s1, q0, q1 in _Q189_BRACKETS:
+        arm = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(s0, s1)
+            & F.col("l_quantity").between(q0, q1)
+        )
+        full_pred = arm if full_pred is None else (full_pred | arm)
+    return joined.filter(full_pred).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q190 dominant suppliers (TPC-H Q20 shape): suppliers who shipped MORE
+# THAN 20% of some part's total shipped quantity — the nested
+# "correlated aggregate threshold" form (spec: availqty > 1/2 of
+# shipped; this schema has no partsupp, so the fraction applies to the
+# per-(part, supplier) share). Decorrelated to two aggregates on the
+# same shuffle key (l_partkey): per-(part, supplier) sums roll up to
+# per-part totals, then an integer cross-multiplication (sp*5 > pq)
+# picks dominants — no division, exact at any scale. The outer semi
+# shape (suppliers WITH at least one dominant part) is the final tiny
+# groupBy, joined to broadcast supplier/nation dims.
+# ---------------------------------------------------------------------------
+@query(
+    "q190_dominant_suppliers",
+    oracle="""
+    WITH sp AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS spq
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    p AS (SELECT l_partkey, SUM(spq) AS pq FROM sp GROUP BY l_partkey)
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_dominant_parts
+    FROM sp
+    JOIN p ON sp.l_partkey = p.l_partkey
+    JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE sp.spq * 5 > p.pq
+    GROUP BY s.s_suppkey, s.s_name, n.n_name
+    """,
+)
+def q190_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    sp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("__spq")
+    )
+    p = sp.groupBy("l_partkey").agg(F.sum("__spq").alias("__pq"))
+    dom = sp.join(p, "l_partkey").filter(F.col("__spq") * 5 > F.col("__pq"))
+    return (
+        dom.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dominant_parts"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "n_dominant_parts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q191 promo revenue share (TPC-H Q14 shape): per month of 1996, the
+# percentage of revenue from PROMO-type parts — the conditional-sum
+# ratio form. Both sums decimal-exact over the same rows; the share is
+# ONE double division of exact sums, round(4). Part side broadcast;
+# the month groupBy is the only shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "q191_promo_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT CAST(EXTRACT(month FROM l.l_shipdate) AS INTEGER) AS ship_month,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume,
+             p.p_type
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
+    )
+    SELECT ship_month,
+      CAST(ROUND(COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN volume END), 0), 2)
+           AS DOUBLE) AS promo_revenue,
+      CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS total_revenue,
+      ROUND(CAST(100 AS DOUBLE)
+            * CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN volume END), 0) AS DOUBLE)
+            / CAST(SUM(volume) AS DOUBLE), 4) AS promo_share_pct
+    FROM rev GROUP BY ship_month
+    """,
+)
+def q191_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.month("l_shipdate").alias("ship_month"),
+            vol.alias("__vol"),
+            "p_type",
+        )
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("__vol"))).alias("__p")
+    return (
+        rev.groupBy("ship_month")
+        .agg(promo, F.sum("__vol").alias("__t"))
+        .select(
+            "ship_month",
+            F.round(F.coalesce(F.col("__p"), F.lit(0)), 2)
+            .cast("double")
+            .alias("promo_revenue"),
+            F.round(F.col("__t"), 2).cast("double").alias("total_revenue"),
+            F.round(
+                F.lit(100).cast("double")
+                * F.coalesce(F.col("__p"), F.lit(0)).cast("double")
+                / F.col("__t").cast("double"),
+                4,
+            ).alias("promo_share_pct"),
+        )
+    )

@@ -221,6 +221,20 @@ EXTENDED_QUERIES = [
     "q183_dedup_method_agreement",
     # feature covariance matrix (scan-side nested-transform moments)
     "q184_feature_covariance",
+    # TPC-H Q11 shape: fraction-of-total HAVING via broadcast scalar
+    "q185_important_parts",
+    # TPC-H Q15 shape: max-revenue supplier via broadcast scalar max
+    "q186_top_supplier",
+    # TPC-H Q16 shape: NOT-IN as left_anti + count-distinct rollup
+    "q187_supplier_diversity",
+    # TPC-H Q18 shape: HAVING-filtered aggregate probes the joins
+    "q188_large_volume_orders",
+    # TPC-H Q19 shape: disjunctive bracket pushdown + broadcast part
+    "q189_bracket_revenue",
+    # TPC-H Q20 shape: nested aggregate dominance, integer cross-mult
+    "q190_dominant_suppliers",
+    # TPC-H Q14 shape: conditional-sum promo share per month
+    "q191_promo_revenue_share",
 ]
 
 

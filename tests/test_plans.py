@@ -485,3 +485,43 @@ def test_q184_covariance_is_scan_side_no_wide_join(spark):
     plan = _executed_plan(df)
     assert "SortMergeJoin" not in plan
     assert "partial_sum" in plan  # map-side combine of DECIMAL moments
+
+
+def test_q189_bracket_disjunction_pushed_and_broadcast(spark):
+    """Q19-shape: the part-side (brand OR brand OR brand) disjunction
+    and the lineitem quantity envelope both reach their scans as
+    PushedFilters, and the bracket-filtered part side broadcasts —
+    never a shuffle join for a 3-brand dim slice."""
+    df = QUERIES["q189_bracket_revenue"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    pushed = [seg[:500] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("Or(" in seg and "p_brand" in seg for seg in pushed), pushed
+    assert any("l_quantity" in seg for seg in pushed), pushed
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q188_having_filters_before_joins(spark):
+    """Q18-shape: the quantity HAVING must run on the lineitem aggregate
+    BEFORE the orders/customer joins (only qualifying orders shuffle
+    onward), visible as a Filter over the final agg beneath the joins
+    in the optimized plan — and the big-side joins stay equi-joins."""
+    df = QUERIES["q188_large_volume_orders"](spark, SF_DIR)
+    opt = _optimized_plan(df)
+    agg_pos = opt.find("sum_qty")
+    assert agg_pos != -1
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the HAVING predicate appears as a filter on the aggregate result
+    assert "(sum_qty" in opt and "> 180" in opt
+
+
+def test_q185_fraction_threshold_is_broadcast_single_row(spark):
+    """Q11-shape: the fraction-of-total threshold must come from a
+    broadcast single-row aggregate (BroadcastExchange feeding the
+    cross join), never a recomputation of the child per row."""
+    df = QUERIES["q185_important_parts"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
