@@ -1985,3 +1985,90 @@ def feature_covariance(
             ).alias("cov"),
         )
     )
+
+
+def power_iteration_top_component(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    iters: int = 4,
+    digits: int = 6,
+) -> tuple[list[float], DataFrame]:
+    """Top principal direction of the (uncentered) second-moment matrix
+    by DISTRIBUTED power iteration — PCA's workhorse at corpus scale,
+    without ever materializing the d×d covariance: each iteration is
+    one scan-side dot pass (``s_i = round(<x_i, v>, digits)``) plus one
+    posexplode → per-dimension DECIMAL aggregate
+    (``m_j = Σ_i round(s_i · x_ij, digits)``, order-independent), i.e.
+    w = Xᵀ(Xv) as two narrow passes. Only the d m-sums reach the
+    driver per iteration (the k-means bounded-action recipe), already
+    normalized IN-PLAN: ``v'_j = round(m_j / sqrt(Σ m_j²), digits)``
+    with the norm an exact DECIMAL sum of squares — so the whole
+    trajectory replays exactly in SQL (q147's unrolled-CTE pattern).
+
+    Returns ``(v, projections)`` where ``v`` is the final unit
+    direction (list of rounded doubles) and ``projections`` is
+    ``(id_col, proj)`` with ``proj = round(<x_i, v>, 4)`` — the
+    1-component PCA feature per vector.
+
+    Scale: per-iteration shuffle is d groups (trivial); the scan
+    dominates. DECIMAL(28,6) per-term sums hold 10⁹-row corpora; the
+    squared-norm accumulates in DECIMAL(38,12) after a down-cast to
+    DECIMAL(18,6) (m is O(n·x²/√d), far below 10¹²).
+    """
+    import math
+
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions import vectors as V
+
+    base = owned_persist(
+        emb.select(
+            F.col(id_col).alias("__id"),
+            V.to_double_array(vec_col).alias("__v"),
+        )
+    )
+    dec = f"decimal(28,{digits})"
+    v = [round(1.0 / math.sqrt(dims), digits)] * dims
+    for _ in range(iters):
+        vlit = F.array(*[F.lit(float(x)) for x in v])
+        s = base.select(
+            "__id", "__v", F.round(V.dot(F.col("__v"), vlit), digits).alias("__s")
+        )
+        terms = s.select(
+            F.posexplode("__v").alias("__j", "__x"),
+            F.col("__s"),
+        ).select(
+            "__j",
+            F.round(F.col("__s") * F.col("__x"), digits).cast(dec).alias("__t"),
+        )
+        mk = terms.groupBy("__j").agg(F.sum("__t").alias("__m"))
+        n2 = mk.agg(
+            F.sum(
+                (
+                    F.col("__m").cast(f"decimal(18,{digits})")
+                    * F.col("__m").cast(f"decimal(18,{digits})")
+                ).cast(f"decimal(38,{2 * digits})")
+            ).alias("__n2")
+        )
+        rows = (
+            mk.crossJoin(F.broadcast(n2))
+            .select(
+                "__j",
+                F.round(
+                    F.col("__m").cast("double")
+                    / F.sqrt(F.col("__n2").cast("double")),
+                    digits,
+                ).alias("__vj"),
+            )
+            .collect()
+        )
+        v = [0.0] * dims
+        for r in rows:
+            v[r["__j"]] = r["__vj"]
+    vlit = F.array(*[F.lit(float(x)) for x in v])
+    proj = base.select(
+        F.col("__id").alias(id_col),
+        F.round(V.dot(F.col("__v"), vlit), 4).alias("proj"),
+    )
+    return v, proj

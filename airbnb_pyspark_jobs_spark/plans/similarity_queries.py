@@ -1703,3 +1703,57 @@ JOIN s sb ON m.dim_b = sb.dim
 def q184_feature_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return SIM.feature_covariance(emb)
+
+
+# ---------------------------------------------------------------------------
+# q192 distributed PCA (top component) by power iteration: w = Xᵀ(Xv)
+# as two narrow scan passes per iteration — the covariance matrix is
+# NEVER materialized (at d=4096 it wouldn't fit a broadcast; at any d
+# this is the linear-in-n path). Per-row dot terms rounded then
+# DECIMAL-summed (order-independent), normalization in-plan with an
+# exact decimal sum of squares — the whole trajectory replays in SQL
+# as unrolled CTEs (the q147 GD pattern). Output = the 1-component
+# PCA feature per vector.
+# ---------------------------------------------------------------------------
+_Q192_ITERS, _Q192_DIGITS, _Q192_DIMS = 4, 6, 64
+
+
+def _q192_oracle() -> str:
+    d = _Q192_DIGITS
+    v0 = ", ".join(["0.125"] * _Q192_DIMS)  # round(1/sqrt(64), 6) exactly
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    v0 AS (SELECT [{v0}]::DOUBLE[] AS vk)"""
+    ]
+    for k in range(1, _Q192_ITERS + 1):
+        parts.append(
+            f""",
+    s{k} AS (SELECT vec_id, v, round(list_dot_product(v, vk), {d}) AS s
+             FROM e CROSS JOIN v{k - 1}),
+    t{k} AS (SELECT j, CAST(round(s * x, {d}) AS DECIMAL(28,{d})) AS t
+             FROM (SELECT s, UNNEST(v) AS x, generate_subscripts(v, 1) AS j
+                   FROM s{k})),
+    m{k} AS (SELECT j, SUM(t) AS m FROM t{k} GROUP BY j),
+    n{k} AS (SELECT SUM(CAST(CAST(m AS DECIMAL(18,{d})) * CAST(m AS DECIMAL(18,{d}))
+                        AS DECIMAL(38,{2 * d}))) AS n2 FROM m{k}),
+    v{k} AS (SELECT list(round(CAST(m AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)), {d})
+                         ORDER BY j) AS vk
+             FROM m{k} CROSS JOIN n{k})"""
+        )
+    parts.append(
+        f"""
+    SELECT vec_id, round(list_dot_product(v, vk), 4) AS proj
+    FROM e CROSS JOIN v{_Q192_ITERS}
+    """
+    )
+    return "".join(parts)
+
+
+@query("q192_pca_power_iteration", oracle=_q192_oracle())
+def q192_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    _v, proj = SIM.power_iteration_top_component(
+        emb, dims=_Q192_DIMS, iters=_Q192_ITERS, digits=_Q192_DIGITS
+    )
+    return proj

@@ -525,3 +525,16 @@ def test_q185_fraction_threshold_is_broadcast_single_row(spark):
     plan = _executed_plan(df)
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q192_power_iteration_never_materializes_covariance(spark):
+    """PCA power iteration is two narrow passes per iteration: the plan
+    must contain no vec_id self-join (SortMergeJoin) and no d×d
+    covariance frame — only the tiny broadcast of the norm row; the
+    per-dim aggregate partial-aggregates map-side."""
+    df = QUERIES["q192_pca_power_iteration"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    from airbnb_pyspark_jobs_spark.caching import release_owned_caches
+    release_owned_caches()
