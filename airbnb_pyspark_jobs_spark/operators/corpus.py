@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from airbnb_pyspark_jobs_spark.functions.numeric import exact_mean_round
 from airbnb_pyspark_jobs_spark.functions.text import tokens
 
 
@@ -554,8 +555,9 @@ def unigram_logprob_scores(
 
     Determinism recipe: per-term ``ln(freq/total)`` is rounded to
     ``lp_digits`` and cast to DECIMAL, per-doc sums are then EXACT, and
-    the mean is one double division + round — bitwise cross-engine
-    (same ln-then-round pattern as q48's TF-IDF). Higher mean logprob =
+    the rounded mean is :func:`exact_mean_round` (pure-integer
+    round-half-away — ``round(sum_double/n)`` flips at .5 boundaries
+    across engines; see functions/numeric.py). Higher mean logprob =
     more typical of the corpus.
 
     Returns ``doc_id, n_tokens, mean_logprob``. Scale: the LM is
@@ -586,9 +588,8 @@ def unigram_logprob_scores(
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.round(
-                F.sum("__lp").cast("double") / F.count(F.lit(1)).cast("double"),
-                score_digits,
+            exact_mean_round(
+                F.sum("__lp"), F.count(F.lit(1)), score_digits, sum_scale=lp_digits
             ).alias("mean_logprob"),
         )
     )
@@ -900,7 +901,8 @@ def bigram_interp_logprob_scores(
     Cross-engine determinism: the mixture is evaluated in one fixed
     double-op order ``(lam*pb) + ((1-lam)*pu)`` on both engines, then
     ``ln`` is rounded to ``lp_digits`` and cast DECIMAL so per-doc
-    sums are exact; the mean is one double division + round.
+    sums are exact; the rounded mean is :func:`exact_mean_round`
+    (pure-integer round-half-away, see functions/numeric.py).
 
     Returns ``doc_id, n_tokens, mean_logprob``. Scale: the (term,
     prev) pairs come from an arrays_zip against the shifted token
@@ -953,9 +955,8 @@ def bigram_interp_logprob_scores(
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.round(
-            F.sum("__lp").cast("double") / F.count(F.lit(1)).cast("double"),
-            score_digits,
+        exact_mean_round(
+            F.sum("__lp"), F.count(F.lit(1)), score_digits, sum_scale=lp_digits
         ).alias("mean_logprob"),
     )
 
@@ -1399,4 +1400,97 @@ def source_kl_divergence(
             ),
         )
         .select("source", "n_tokens", "n_terms", "kl_divergence")
+    )
+
+
+def kneser_ney_bigram_scores(
+    docs: DataFrame,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lp_digits: int = 6,
+    score_digits: int = 6,
+) -> DataFrame:
+    """Per-document mean log-probability under an absolute-discount
+    Kneser-Ney bigram LM trained on the corpus itself — the standard
+    smoothed-LM quality signal (KenLM-style perplexity filtering, as
+    in CCNet) one rung above q117's Jelinek-Mercer mixture: the
+    backoff distribution is the CONTINUATION probability ``P_cont(w)
+    = N1+(·w)/N1+(··)`` (how many contexts a word follows), not the
+    raw unigram — so function words that appear often in one context
+    stop dominating the backoff.
+
+    ``P(w|u) = max(c(uw)−D, 0)/c(u·) + D·N1+(u·)/c(u·) · P_cont(w)``,
+    scored over the training corpus (every scored bigram has c ≥ 1,
+    so no zero-probability path; a doc's FIRST token scores
+    ``P_cont(w)`` directly). All counts are exact integers;
+    cross-engine determinism follows q117: the probability is one
+    fixed double-op order, ``ln`` rounded to ``lp_digits`` and cast
+    DECIMAL so per-doc sums are order-independent; the rounded mean
+    is :func:`exact_mean_round` (pure-integer round-half-away — the
+    double-division round flipped at sf0.01's -3.6420435 boundary).
+
+    Returns ``doc_id, n_tokens, kn_logprob``. Scale: pairs from
+    arrays_zip (no window); bigram counts are the one corpus-scale
+    groupBy; context/continuation tables are vocab-sized
+    (broadcast, the DSIR weight-table pattern); the scoring join on
+    (prev, term) is left to AQE.
+    """
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.text import tokens
+
+    base = owned_persist(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(tokens(text_col), lambda x: F.lower(x)).alias("__tk"),
+        )
+    )
+    shifted = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(F.col("__tk"), 1, F.greatest(F.size("__tk") - 1, F.lit(0))),
+    )
+    pairs = base.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(F.col("__tk").alias("term"), shifted.alias("prev"))
+        ).alias("__e"),
+    ).select("doc_id", F.col("__e.term").alias("term"), F.col("__e.prev").alias("prev"))
+    bf = owned_persist(
+        pairs.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "term")
+        .agg(F.count(F.lit(1)).alias("__cb"))
+    )
+    # context totals c(u·) and distinct-continuation counts N1+(u·)
+    ctx = bf.groupBy("prev").agg(
+        F.sum("__cb").cast("bigint").alias("__cc"),
+        F.count(F.lit(1)).cast("bigint").alias("__n1u"),
+    )
+    # continuation counts N1+(·w) and the bigram-type total N1+(··)
+    cont = bf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("__n1w"))
+    n1_all = bf.agg(F.count(F.lit(1)).cast("double").alias("__n1all"))
+    d_lit = F.lit(float(discount))
+    pcont = F.col("__n1w").cast("double") / F.col("__n1all")
+    p = F.when(F.col("prev").isNull(), pcont).otherwise(
+        F.greatest(F.col("__cb").cast("double") - d_lit, F.lit(0.0))
+        / F.col("__cc").cast("double")
+        + (d_lit * F.col("__n1u").cast("double") / F.col("__cc").cast("double"))
+        * pcont
+    )
+    scored = (
+        pairs.join(F.broadcast(cont), "term")
+        .join(bf, ["prev", "term"], "left")
+        .join(F.broadcast(ctx), "prev", "left")
+        .crossJoin(F.broadcast(n1_all))
+        .select(
+            "doc_id",
+            F.round(F.log(p), lp_digits)
+            .cast(f"decimal(28,{lp_digits})")
+            .alias("__lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        exact_mean_round(
+            F.sum("__lp"), F.count(F.lit(1)), score_digits, sum_scale=lp_digits
+        ).alias("kn_logprob"),
     )

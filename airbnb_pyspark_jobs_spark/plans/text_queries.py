@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airbnb_pyspark_jobs_spark.functions import text as TX
+from airbnb_pyspark_jobs_spark.functions.numeric import exact_mean_round_sql
 from airbnb_pyspark_jobs_spark.operators import dedupe as DD
 from airbnb_pyspark_jobs_spark.plans.queries import query
 from airbnb_pyspark_jobs_spark.sources.registry import load_table
@@ -1533,7 +1534,7 @@ def q95_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           round(CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+           {exact_mean_round_sql("SUM(lp)", "COUNT(*)", 4, sum_scale=6)}
              AS mean_logprob
     FROM toks JOIN lm USING (term)
     GROUP BY doc_id
@@ -2223,7 +2224,7 @@ def q116_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN ctx ON p.prev = ctx.prev, n
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           round(CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           {exact_mean_round_sql("SUM(lp)", "COUNT(*)", 6)}
              AS mean_logprob
     FROM sc GROUP BY doc_id
     """,
@@ -4171,3 +4172,60 @@ def q183_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pair_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q193 Kneser-Ney bigram LM scores: absolute discounting with the
+# CONTINUATION-probability backoff (N1+(·w)/N1+(··)) — the smoothed-LM
+# perplexity signal one rung above q117's Jelinek-Mercer mixture, and
+# the distributed stand-in for a KenLM-based CCNet filter. All counts
+# exact integers; probability one fixed double-op order; ln rounded →
+# DECIMAL doc sums (the q117 determinism recipe).
+# ---------------------------------------------------------------------------
+@query(
+    "q193_kneser_ney_scores",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, list_transform({_D_TOKENS}, x -> lower(x)) AS ts
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, ts[i] AS term,
+             CASE WHEN i >= 2 THEN ts[i-1] END AS prev
+      FROM tok, UNNEST(range(1, len(ts) + 1)) AS u(i)
+    ),
+    bf AS (SELECT prev, term, COUNT(*) AS cb FROM pos
+           WHERE prev IS NOT NULL GROUP BY prev, term),
+    ctx AS (SELECT prev, CAST(SUM(cb) AS BIGINT) AS cc,
+                   CAST(COUNT(*) AS BIGINT) AS n1u
+            FROM bf GROUP BY prev),
+    cont AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n1w FROM bf GROUP BY term),
+    na AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n1all FROM bf),
+    sc AS (
+      SELECT p.doc_id,
+             CAST(round(ln(
+               CASE WHEN p.prev IS NULL
+                    THEN CAST(cont.n1w AS DOUBLE) / na.n1all
+                    ELSE greatest(CAST(bf.cb AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                                  CAST(0.0 AS DOUBLE))
+                           / CAST(ctx.cc AS DOUBLE)
+                         + (CAST(0.75 AS DOUBLE) * CAST(ctx.n1u AS DOUBLE)
+                            / CAST(ctx.cc AS DOUBLE))
+                           * (CAST(cont.n1w AS DOUBLE) / na.n1all)
+               END), 6) AS DECIMAL(28,6)) AS lp
+      FROM pos p
+      JOIN cont USING (term)
+      LEFT JOIN bf ON p.prev = bf.prev AND p.term = bf.term
+      LEFT JOIN ctx ON p.prev = ctx.prev, na
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           {exact_mean_round_sql("SUM(lp)", "COUNT(*)", 6)}
+             AS kn_logprob
+    FROM sc GROUP BY doc_id
+    """,
+)
+def q193_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import kneser_ney_bigram_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    return kneser_ney_bigram_scores(docs, discount=0.75)

@@ -1,0 +1,67 @@
+"""exact_mean_round: the cross-engine integer mean (functions/numeric.py).
+
+The seed case is q193's sf0.01 failure: sum=-43.704522, n=12 → mean
+exactly -3.6420435, a .5 boundary in the 7th digit where Spark's
+BigDecimal HALF_UP of the double quotient and DuckDB's scaled round
+disagreed. The integer formula must give round-half-away (-3.642044)
+on BOTH engines.
+"""
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_pyspark_jobs_spark.functions.numeric import (
+    exact_mean_round,
+    exact_mean_round_sql,
+)
+
+CASES = [
+    # (sum as string, n, digits, sum_scale)
+    ("-43.704522", 12, 6, 6),  # the q193 boundary doc
+    ("43.704522", 12, 6, 6),  # positive mirror
+    ("-0.000001", 2, 6, 6),  # -0.0000005 boundary -> -0.000001 half-away
+    ("0.000001", 2, 6, 6),
+    ("0.000000", 5, 6, 6),  # zero stays +0.0
+    ("-123.456789", 7, 6, 6),
+    ("-10.123450", 3, 4, 6),  # sum_scale > digits (q96's 6->4 shape)
+    ("99.999950", 10, 4, 6),  # 9.999995 -> 10.0000 half-away
+    ("-7.000005", 1, 5, 6),
+]
+
+
+def _expected(s: str, n: int, digits: int) -> float:
+    q = (Decimal(s) / n).quantize(Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP)
+    # ROUND_HALF_UP in Decimal is half-away-from-zero for signed values
+    return float(q)
+
+
+@pytest.mark.parametrize("s,n,digits,sum_scale", CASES)
+def test_exact_mean_round_spark(spark, s, n, digits, sum_scale):
+    df = spark.range(1).select(
+        exact_mean_round(
+            F.lit(s).cast(f"decimal(18,{sum_scale})"), F.lit(n), digits, sum_scale
+        ).alias("m")
+    )
+    got = df.collect()[0]["m"]
+    assert got == _expected(s, n, digits)
+    # never negative zero
+    assert repr(got) != "-0.0"
+
+
+@pytest.mark.parametrize("s,n,digits,sum_scale", CASES)
+def test_exact_mean_round_sql_duckdb(s, n, digits, sum_scale):
+    expr = exact_mean_round_sql(
+        f"CAST('{s}' AS DECIMAL(18,{sum_scale}))", str(n), digits, sum_scale
+    )
+    got = duckdb.sql(f"SELECT {expr} AS m").fetchone()[0]
+    assert got == _expected(s, n, digits)
+
+
+def test_sum_scale_below_digits_rejected(spark):
+    with pytest.raises(ValueError):
+        exact_mean_round(F.lit("1.0"), F.lit(1), digits=6, sum_scale=4)
+    with pytest.raises(ValueError):
+        exact_mean_round_sql("1.0", "1", digits=6, sum_scale=4)
