@@ -904,3 +904,102 @@ def kmv_intersections(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (Flajolet et al. 2007) — unlike q65's opaque
+# Spark-internal DataSketches HLL, every piece here is SQL arithmetic
+# (md5 hash, bit shifts, binary-string length), so registers, merge
+# AND estimate replay exactly in DuckDB: the estimator itself becomes
+# oracle-hashable.
+# ---------------------------------------------------------------------------
+def hll_registers(
+    df: DataFrame, group_cols: list[str], key_col: str, p: int = 4
+) -> DataFrame:
+    """Per-group portable-HLL registers of ``key_col``: ``m = 2^p``
+    rows per group, one per bucket, ``register = max rho`` where
+    ``rho = (32-p) - bitlen(h >> p) + 1`` over the group's md5-uniform
+    32-bit hashes (``bitlen`` via ``length(bin(w))`` — identical in
+    Spark and DuckDB; ``w = 0`` -> ``rho = 33-p``). Empty buckets are
+    densified to register 0 so the register vector is always complete
+    (merge = element-wise max, estimate = fixed-length fold).
+
+    Scale shape: hashing is scan-side; one groupBy on (group, bucket)
+    with a max partial agg (map-side combinable); the bucket spine is
+    a per-group ``explode(sequence(0, m-1))`` on the distinct-group
+    frame — sketch-sized, never corpus-sized. Register arithmetic is
+    pure integers, so stored register tables merge across any scope.
+    """
+    from airbnb_pyspark_jobs_spark.functions.text import portable_hash_int
+
+    m = 1 << p
+    hashed = df.select(
+        *group_cols,
+        portable_hash_int(F.col(key_col).cast("string")).alias("__h"),
+    )
+    w = F.shiftright(F.col("__h"), p)
+    rho = F.when(w == 0, F.lit(33 - p)).otherwise(
+        F.lit(33 - p) - F.length(F.bin(w))
+    )
+    got = (
+        hashed.select(
+            *group_cols, (F.col("__h") % m).alias("bucket"), rho.alias("__rho")
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("__rho").alias("register"))
+    )
+    spine = (
+        df.select(*group_cols)
+        .distinct()
+        .select(*group_cols, F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("bucket"))
+    )
+    return spine.join(got, [*group_cols, "bucket"], "left").select(
+        *group_cols,
+        F.col("bucket").cast("int").alias("bucket"),
+        F.coalesce("register", F.lit(0)).cast("int").alias("register"),
+    )
+
+
+def hll_estimate_from_registers(
+    registers: DataFrame, group_cols: list[str], p: int = 4, digits: int = 4
+) -> DataFrame:
+    """Fold a complete register vector into the HLL estimate:
+    ``E = alpha_m * m^2 / sum_j 2^(-M_j)``, with the standard
+    small-range linear-counting correction ``m * ln(m/V)`` when
+    ``E <= 2.5m`` and some register is zero (V = zero-register count).
+
+    Cross-engine exactness: each ``2^(-M_j)`` is an exact power of two
+    (looked up from a literal array, no libm pow), so the register sum
+    is EXACT in double regardless of aggregation order (all partials
+    are multiples of 2^(p-33) bounded by m — inside one ulp window);
+    the branch predicate therefore agrees bitwise across engines, and
+    the only libm op left is the correction path's single ``ln``
+    (rounded to ``digits``). alpha is computed in-plan with the same
+    double-op order both sides.
+    """
+    m = 1 << p
+    # exact powers of two 2^0 .. 2^-(33-p); python floats are exact here
+    pow2 = F.array(*[F.lit(2.0**-i) for i in range(34 - p)])
+    alpha = (
+        F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+        if m >= 128
+        else F.lit({16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.673))
+    )
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.element_at(pow2, F.col("register") + 1)).alias("__z"),
+        F.sum(F.when(F.col("register") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_registers"),
+    )
+    raw = alpha * F.lit(float(m)) * F.lit(float(m)) / F.col("__z")
+    lin = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / F.col("n_zero_registers").cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5) * F.lit(float(m))) & (F.col("n_zero_registers") > 0), lin
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        "n_zero_registers",
+        F.round(est, digits).alias("est_distinct"),
+    )

@@ -399,3 +399,32 @@ def binned_interval_point_join(
         )
         .drop("__bin")
     )
+
+
+def grouped_cusum(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    dev_scaled_col: str,
+) -> DataFrame:
+    """One-sided (upper) CUSUM per key over an ordered series, in
+    EXACT integer arithmetic: given per-step scaled deviations
+    ``y_i = (x_i - target)·10^s`` as BIGINT, the Page (1954) recurrence
+    ``S_i = max(0, S_{i-1} + y_i)`` is computed NON-recursively via the
+    prefix-sum identity ``S_i = P_i - min(0, min_{j<=i} P_j)`` with
+    ``P_i = y_1 + ... + y_i`` — two stacked windows (cumulative sum,
+    running min) instead of a sequential fold, so it parallelizes and
+    replays exactly in SQL (no float accumulation at all).
+
+    Adds ``cusum_scaled`` (BIGINT). Scale: both windows partition by
+    ``key_cols`` — per-key series are calendar-bounded post-aggregation
+    frames, never corpus-sized; no global window anywhere.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_p = df.withColumn("__pfx", F.sum(dev_scaled_col).over(frame))
+    run_min = F.min("__pfx").over(frame)
+    return with_p.withColumn(
+        "cusum_scaled",
+        (F.col("__pfx") - F.least(run_min, F.lit(0))).cast("bigint"),
+    ).drop("__pfx")

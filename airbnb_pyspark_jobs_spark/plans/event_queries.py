@@ -1932,3 +1932,191 @@ def q182_purchase_session_concurrency(
     return per_p.groupBy("n_active_sessions").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_purchases")
     )
+
+
+# ---------------------------------------------------------------------------
+# q194 portable HLL daily users: the oracle-hashable HyperLogLog that
+# closes q65's rows-only gap — q65 demonstrates Spark's built-in
+# DataSketches HLL (estimator internals opaque to DuckDB), q194 builds
+# the SAME sketch shape from SQL arithmetic (md5 hash -> bucket via
+# low bits, rho via length(bin(h >> p)), register = max rho), so the
+# registers, the register-wise-max merge (scope='ALL') AND the
+# Flajolet estimate with linear-counting small-range correction all
+# replay exactly. Register sums are exact doubles (powers of two), so
+# even the correction-branch predicate agrees bitwise across engines.
+# ---------------------------------------------------------------------------
+_HLL_P = 4  # m = 16 registers: small enough that sf0.01 exercises BOTH
+#             the raw-estimate path (daily ~140 users > 2.5m) and, at
+#             sf0.001, the linear-counting path.
+
+
+def _q194_oracle() -> str:
+    p = _HLL_P
+    m = 1 << p
+    return f"""
+    WITH h AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS scope,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+      FROM events
+    ),
+    rho AS (
+      SELECT scope, hv % {m} AS bucket,
+             CASE WHEN (hv >> {p}) = 0 THEN {33 - p}
+                  ELSE {33 - p} - length(bin(hv >> {p})) END AS r
+      FROM h
+    ),
+    spine AS (
+      SELECT scope, i AS bucket
+      FROM (SELECT DISTINCT scope FROM h), UNNEST(range({m})) AS u(i)
+    ),
+    regs AS (
+      SELECT spine.scope, spine.bucket,
+             COALESCE(MAX(rho.r), 0) AS register
+      FROM spine LEFT JOIN rho
+        ON rho.scope = spine.scope AND rho.bucket = spine.bucket
+      GROUP BY spine.scope, spine.bucket
+    ),
+    merged AS (
+      SELECT 'ALL' AS scope, bucket, MAX(register) AS register
+      FROM regs GROUP BY bucket
+    ),
+    allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM merged),
+    folded AS (
+      SELECT scope,
+             SUM(1.0 / CAST(CAST(1 AS BIGINT) << register AS DOUBLE)) AS z,
+             CAST(SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_registers
+      FROM allregs GROUP BY scope
+    ),
+    est AS (
+      SELECT scope, n_zero_registers,
+             CASE WHEN ((CAST(0.673 AS DOUBLE) * CAST({m} AS DOUBLE))
+                          * CAST({m} AS DOUBLE)) / z
+                        <= CAST(2.5 AS DOUBLE) * CAST({m} AS DOUBLE)
+                   AND n_zero_registers > 0
+                  THEN CAST({m} AS DOUBLE)
+                       * ln(CAST({m} AS DOUBLE)
+                            / CAST(n_zero_registers AS DOUBLE))
+                  ELSE ((CAST(0.673 AS DOUBLE) * CAST({m} AS DOUBLE))
+                          * CAST({m} AS DOUBLE)) / z
+             END AS e
+      FROM folded
+    ),
+    exacts AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS scope,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY 1
+      UNION ALL
+      SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+    )
+    SELECT est.scope, est.n_zero_registers,
+           round(est.e, 4) AS est_distinct, exacts.exact_distinct
+    FROM est JOIN exacts ON est.scope = exacts.scope
+    """
+
+
+@query("q194_hll_portable_users", oracle=_q194_oracle())
+def q194_hll_portable_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    days = events.select(
+        F.to_date("ts").cast("string").alias("scope"), "user_id"
+    )
+    regs = hll_registers(days, ["scope"], "user_id", p=_HLL_P)
+    merged = regs.groupBy("bucket").agg(F.max("register").alias("register")).select(
+        F.lit("ALL").alias("scope"), "bucket", "register"
+    )
+    allregs = regs.unionByName(merged)
+    est = hll_estimate_from_registers(allregs, ["scope"], p=_HLL_P)
+    exact = (
+        days.groupBy("scope")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
+        .unionByName(
+            days.agg(
+                F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+            ).select(F.lit("ALL").alias("scope"), "exact_distinct")
+        )
+    )
+    return est.join(exact, "scope").select(
+        "scope", "n_zero_registers", "est_distinct", "exact_distinct"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q195 CUSUM changepoint detection on daily event volumes (Page 1954 —
+# the classic sequential drift detector, here as a batch operator for
+# pipeline monitoring): per event_type, cumulate daily-count excess
+# over the type's mean daily volume and alert when the cumulative
+# excess passes two mean-days. The recurrence max(0, S+y) is computed
+# non-recursively as prefix-sum minus running-min (grouped_cusum), and
+# EVERYTHING is scaled-integer arithmetic (mean at 1e-4 via the
+# round-half-away integer quotient, deviations/prefixes/threshold all
+# BIGINT) — zero float accumulation, so the oracle replays it exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "q195_cusum_event_volumes",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type,
+             CAST(((2 * SUM(n_events) * 10000 + COUNT(*))
+                   - (2 * SUM(n_events) * 10000 + COUNT(*)) % (2 * COUNT(*)))
+                  // (2 * COUNT(*)) AS BIGINT) AS q
+      FROM daily GROUP BY event_type
+    ),
+    y AS (
+      SELECT d.event_type, d.day, d.n_events, t.q,
+             d.n_events * 10000 - t.q AS ydev
+      FROM daily d JOIN t USING (event_type)
+    ),
+    p AS (
+      SELECT *, SUM(ydev) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
+      FROM y
+    ),
+    c AS (
+      SELECT *, pfx - LEAST(MIN(pfx) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cs
+      FROM p
+    )
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day, n_events,
+           CAST(q AS DOUBLE) / 10000 AS target_daily,
+           CAST(cs AS DOUBLE) / 10000 AS cusum,
+           cs > 2 * q AS alert
+    FROM c
+    """,
+)
+def q195_cusum_event_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.windows import grouped_cusum
+
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("__day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    # per-type scaled mean daily volume: round-half-away integer of
+    # sum*1e4/n — same formula family as functions/numeric.py
+    x = 2 * F.sum("n_events") * 10000 + F.count(F.lit(1))
+    d = 2 * F.count(F.lit(1))
+    target = daily.groupBy("event_type").agg(
+        ((x - x % d) / d).cast("bigint").alias("__q")
+    )
+    dev = daily.join(F.broadcast(target), "event_type").withColumn(
+        "__ydev", F.col("n_events") * 10000 - F.col("__q")
+    )
+    cs = grouped_cusum(dev, ["event_type"], "__day", "__ydev")
+    return cs.select(
+        "event_type",
+        F.col("__day").cast("timestamp").alias("day"),
+        "n_events",
+        (F.col("__q").cast("double") / 10000).alias("target_daily"),
+        (F.col("cusum_scaled").cast("double") / 10000).alias("cusum"),
+        (F.col("cusum_scaled") > 2 * F.col("__q")).alias("alert"),
+    )

@@ -20,7 +20,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airbnb_pyspark_jobs_spark.functions import text as TX
-from airbnb_pyspark_jobs_spark.functions.numeric import exact_mean_round_sql
+from airbnb_pyspark_jobs_spark.functions.numeric import (
+    exact_mean_round,
+    exact_mean_round_sql,
+)
 from airbnb_pyspark_jobs_spark.operators import dedupe as DD
 from airbnb_pyspark_jobs_spark.plans.queries import query
 from airbnb_pyspark_jobs_spark.sources.registry import load_table
@@ -4229,3 +4232,57 @@ def q193_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return kneser_ney_bigram_scores(docs, discount=0.75)
+
+
+# ---------------------------------------------------------------------------
+# q196 n-gram novelty scores: per document, the share of its DISTINCT
+# 3-shingles that appear in NO other document (df == 1) — the
+# memorization/novelty signal of Lee et al.'s dedup analysis, and the
+# doc-level complement of q103's span coverage (which localizes the
+# duplicated text; this ranks documents by how much of them is unique
+# corpus-wide). Integer counts + one rounded division; the df table is
+# the same shingle groupBy every dedup query shuffles on.
+# ---------------------------------------------------------------------------
+@query(
+    "q196_ngram_novelty",
+    oracle=rf"""
+    WITH {_D_SHINGLES},
+    df AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           {exact_mean_round_sql(
+               "CAST(SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS DECIMAL(18,6))",
+               "COUNT(*)", 6)} AS novelty
+    FROM sh JOIN df USING (s)
+    GROUP BY sh.doc_id
+    """,
+)
+def q196_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.explode(TX.shingles_from_tokens(TX.tokens("text"), 3)).alias("s"),
+    )
+    df_tab = sh.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("__d"))
+    return (
+        sh.join(df_tab, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("__d") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            exact_mean_round(
+                F.col("n_novel").cast("decimal(18,6)"), F.col("n_shingles"), 6
+            ).alias("novelty"),
+        )
+    )

@@ -538,3 +538,38 @@ def test_q192_power_iteration_never_materializes_covariance(spark):
     assert "CartesianProduct" not in plan
     from airbnb_pyspark_jobs_spark.caching import release_owned_caches
     release_owned_caches()
+
+
+def test_q194_hll_registers_partial_aggregate_no_global_window(spark):
+    """Portable HLL: register build must partial-aggregate map-side
+    (max is combinable) and never use a window or a sort — the sketch
+    is groupBy-only; the bucket spine join stays broadcast-or-small."""
+    df = QUERIES["q194_hll_portable_users"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "partial_max" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q195_cusum_windows_are_partitioned(spark):
+    """CUSUM's two stacked windows must both partition by event_type —
+    never an unpartitioned global window."""
+    df = QUERIES["q195_cusum_event_volumes"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    import re
+
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert specs, plan  # regex must actually see the Window nodes
+    for spec in specs:
+        assert "event_type" in spec, plan
+    assert "partial_count" in plan  # daily counts combine map-side
+
+
+def test_q196_novelty_single_shingle_shuffle(spark):
+    """Novelty is one shingle-keyed equi-join: no window, no cartesian,
+    map-side partial counts on both the df table and the per-doc agg."""
+    df = QUERIES["q196_ngram_novelty"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
