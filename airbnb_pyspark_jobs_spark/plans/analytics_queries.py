@@ -1960,3 +1960,170 @@ def q191_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_share_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q197 Benford first-digit audit on l_extendedprice — the classic
+# data-forensics screen (fabricated/synthetic numeric columns deviate
+# from Benford's log distribution). Digit extraction is pure integer:
+# price -> exact cents BIGINT -> first character of the integer's
+# string (BIGINT->VARCHAR is identical across engines; no double
+# formatting, no log10 of the value). Expected shares ln(1+1/d)/ln(10)
+# are rounded to 8 digits on BOTH engines before the chi-square terms,
+# so the one libm op is pinned before any arithmetic fan-out.
+# ---------------------------------------------------------------------------
+@query(
+    "q197_benford_first_digit",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      FROM lineitem
+    ),
+    d AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM cents
+    ),
+    obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+    terms AS (
+      SELECT obs.digit, obs.n_obs,
+             round(CAST(obs.n_obs AS DOUBLE) / CAST(tot.n AS DOUBLE), 8)
+               AS obs_share,
+             round(ln(CAST(1.0 AS DOUBLE)
+                      + CAST(1.0 AS DOUBLE) / CAST(obs.digit AS DOUBLE))
+                   / ln(CAST(10.0 AS DOUBLE)), 8) AS exp_share
+      FROM obs, tot
+    )
+    SELECT digit, n_obs, obs_share, exp_share,
+           round((obs_share - exp_share) * (obs_share - exp_share)
+                 / exp_share, 8) AS chi2_term
+    FROM terms
+    """,
+)
+def q197_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    cents = li.select(
+        (_dec("l_extendedprice", 12) * 100).cast("bigint").alias("__c")
+    )
+    obs = (
+        cents.select(
+            F.substring(F.col("__c").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("__n"))
+    exp_share = F.round(
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+        / F.log(F.lit(10.0)),
+        8,
+    )
+    terms = obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs").cast("double") / F.col("__n").cast("double"), 8).alias(
+            "obs_share"
+        ),
+        exp_share.alias("exp_share"),
+    )
+    return terms.select(
+        "digit",
+        "n_obs",
+        "obs_share",
+        "exp_share",
+        F.round(
+            (F.col("obs_share") - F.col("exp_share"))
+            * (F.col("obs_share") - F.col("exp_share"))
+            / F.col("exp_share"),
+            8,
+        ).alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q198 pairwise Welch t-test on l_extendedprice across l_returnflag
+# groups — the two-sample significance screen for A/B-style dataset
+# comparisons. Per-group moments (n, sum, sum-of-squares) are
+# DECIMAL-exact (price as DECIMAL(12,2), squares as DECIMAL(28,4), so
+# aggregation order cannot matter); the t statistic is then one fixed
+# double-op chain per pair — mean difference over sqrt(v1/n1 + v2/n2)
+# with the unbiased variance (ssq - sum^2/n)/(n-1) — and sqrt is
+# correctly rounded (the one libm-safe root). The pair join is a
+# 3-row broadcast self-join: bounded at any corpus size.
+# ---------------------------------------------------------------------------
+@query(
+    "q198_welch_pairs",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag AS flag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+               AS s,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * CAST(l_extendedprice AS DECIMAL(12,2))
+                           AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS ssq
+      FROM lineitem GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.flag AS flag_a, b.flag AS flag_b,
+             a.n AS na, b.n AS nb,
+             CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS ma,
+             CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS mb,
+             (CAST(a.ssq AS DOUBLE)
+              - (CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE))
+                / CAST(a.n AS DOUBLE)) / CAST(a.n - 1 AS DOUBLE) AS va,
+             (CAST(b.ssq AS DOUBLE)
+              - (CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE))
+                / CAST(b.n AS DOUBLE)) / CAST(b.n - 1 AS DOUBLE) AS vb
+      FROM m a JOIN m b ON a.flag < b.flag
+    )
+    SELECT flag_a, flag_b, na, nb,
+           round(ma - mb, 4) AS mean_diff,
+           round((ma - mb) / sqrt(va / CAST(na AS DOUBLE)
+                                  + vb / CAST(nb AS DOUBLE)), 4) AS t_stat,
+           abs((ma - mb) / sqrt(va / CAST(na AS DOUBLE)
+                                + vb / CAST(nb AS DOUBLE)))
+             > CAST(1.96 AS DOUBLE) AS significant
+    FROM pairs
+    """,
+)
+def q198_welch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    price = _dec("l_extendedprice", 12)
+    m = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(price).cast("decimal(38,2)").alias("s"),
+        F.sum((price * price).cast("decimal(28,4)"))
+        .cast("decimal(38,4)")
+        .alias("ssq"),
+    )
+    a = m.select(*[F.col(c).alias(f"{c}_a") for c in m.columns])
+    b = m.select(*[F.col(c).alias(f"{c}_b") for c in m.columns])
+    pairs = a.join(F.broadcast(b), F.col("flag_a") < F.col("flag_b"))
+
+    def _mv(side: str):
+        s = F.col(f"s_{side}").cast("double")
+        n = F.col(f"n_{side}").cast("double")
+        ssq = F.col(f"ssq_{side}").cast("double")
+        mean = s / n
+        var = (ssq - (s * s) / n) / (F.col(f"n_{side}") - 1).cast("double")
+        return mean, var
+
+    ma, va = _mv("a")
+    mb, vb = _mv("b")
+    t = (ma - mb) / F.sqrt(
+        va / F.col("n_a").cast("double") + vb / F.col("n_b").cast("double")
+    )
+    return pairs.select(
+        F.col("flag_a"),
+        F.col("flag_b"),
+        F.col("n_a").alias("na"),
+        F.col("n_b").alias("nb"),
+        F.round(ma - mb, 4).alias("mean_diff"),
+        F.round(t, 4).alias("t_stat"),
+        (F.abs(t) > F.lit(1.96)).alias("significant"),
+    )

@@ -573,3 +573,26 @@ def test_q196_novelty_single_shingle_shuffle(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_q197_benford_digit_scan_side_two_narrow_aggs(spark):
+    """Benford audit reads ONE column (pruned scan), digit extraction is
+    scan-side, both aggregates partial-combine map-side."""
+    df = QUERIES["q197_benford_first_digit"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "partial_count" in plan
+    assert "Window" not in plan
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all(s == "l_extendedprice:double" for s in schemas), schemas
+
+
+def test_q198_welch_pair_join_is_broadcast(spark):
+    """The 3-row moment self-join must broadcast (never sort-merge) and
+    the moments must partial-aggregate map-side."""
+    df = QUERIES["q198_welch_pairs"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
