@@ -2127,3 +2127,88 @@ def q198_welch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t, 4).alias("t_stat"),
         (F.abs(t) > F.lit(1.96)).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q200 delete-propagation audit (GDPR right-to-erasure dry run): given
+# a deterministic forget-set of users (user_id % 7 = 0), count the
+# rows each table would lose — events directly, orders via customer
+# key, lineitem via the affected orders' keys. The governance
+# complement of q143's referential-integrity audit: RI asks "do child
+# rows dangle?", this asks "how far does a subject erasure cascade?".
+# Scale: every hop is a keyed LEFT SEMI join (shuffle on the key, AQE
+# handles skew); counts partial-aggregate map-side; no collects.
+# ---------------------------------------------------------------------------
+@query(
+    "q200_delete_propagation",
+    oracle="""
+    WITH forget AS (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0),
+    ev AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS aff FROM events
+      WHERE user_id IN (SELECT user_id FROM forget)
+    ),
+    od AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS aff FROM orders
+      WHERE o_custkey IN (SELECT user_id FROM forget)
+    ),
+    li AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS aff FROM lineitem
+      WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT user_id FROM forget))
+    ),
+    tot AS (
+      SELECT 'events' AS table_name, (SELECT aff FROM ev) AS n_affected,
+             CAST(COUNT(*) AS BIGINT) AS n_total FROM events
+      UNION ALL
+      SELECT 'orders', (SELECT aff FROM od), CAST(COUNT(*) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem', (SELECT aff FROM li), CAST(COUNT(*) AS BIGINT)
+      FROM lineitem
+    )
+    SELECT table_name, n_affected, n_total,
+           round(CAST(n_affected AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+             AS affected_share
+    FROM tot
+    """,
+)
+def q200_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    forget = events.select("user_id").filter(F.col("user_id") % 7 == 0).distinct()
+
+    ev_aff = events.join(
+        F.broadcast(forget), events["user_id"] == forget["user_id"], "left_semi"
+    )
+    od_aff = orders.join(
+        F.broadcast(forget), orders["o_custkey"] == forget["user_id"], "left_semi"
+    )
+    li_aff = lineitem.join(
+        od_aff.select("o_orderkey"),
+        lineitem["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    )
+
+    def row(name: str, aff, tot) -> DataFrame:
+        return (
+            aff.agg(F.count(F.lit(1)).cast("bigint").alias("n_affected"))
+            .crossJoin(tot.agg(F.count(F.lit(1)).cast("bigint").alias("n_total")))
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_affected",
+                "n_total",
+                F.round(
+                    F.col("n_affected").cast("double")
+                    / F.col("n_total").cast("double"),
+                    6,
+                ).alias("affected_share"),
+            )
+        )
+
+    return (
+        row("events", ev_aff, events)
+        .unionByName(row("orders", od_aff, orders))
+        .unionByName(row("lineitem", li_aff, lineitem))
+    )

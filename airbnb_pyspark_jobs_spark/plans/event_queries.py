@@ -2120,3 +2120,101 @@ def q195_cusum_event_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cusum_scaled").cast("double") / 10000).alias("cusum"),
         (F.col("cusum_scaled") > 2 * F.col("__q")).alias("alert"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q199 lead-lag cross-correlation between event-type daily volumes:
+# Pearson r of (type_a at day d) vs (type_b at day d+lag) for lags
+# -3..3 — the ops/monitoring question "does error volume lead purchase
+# dips?". All Pearson moments are INTEGER (daily counts): r =
+# (n·sxy - sx·sy) / (sqrt(n·sxx - sx^2) · sqrt(n·syy - sy^2)) has
+# exact-integer numerator and radicands, sqrt is correctly rounded,
+# so the only float ops are two sqrts, one multiply, one divide in
+# fixed order. The lag align is an equi-join on (day + lag); series
+# are per-type daily aggregates — calendar-bounded, broadcastable.
+# ---------------------------------------------------------------------------
+@query(
+    "q199_leadlag_correlation",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    lags AS (SELECT i - 3 AS lag FROM UNNEST(range(7)) AS u(i)),
+    j AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, lags.lag,
+             a.n_events AS x, b.n_events AS y
+      FROM daily a
+      CROSS JOIN lags
+      JOIN daily b
+        ON b.event_type <> a.event_type
+       AND b.day = a.day + CAST(lags.lag AS INTEGER)
+      WHERE a.event_type < b.event_type
+    ),
+    m AS (
+      SELECT type_a, type_b, lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM j GROUP BY 1, 2, 3
+    )
+    SELECT type_a, type_b, lag, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r
+    FROM m
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def q199_leadlag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("__day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    lags = spark.range(7).select((F.col("id") - 3).cast("int").alias("lag"))
+    a = daily.select(
+        F.col("event_type").alias("type_a"),
+        F.col("__day").alias("__day_a"),
+        F.col("__n").alias("__x"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("__day").alias("__day_b"),
+        F.col("__n").alias("__y"),
+    )
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("__day_want", F.date_add("__day_a", F.col("lag")))
+        .join(
+            F.broadcast(b),
+            (F.col("__day_b") == F.col("__day_want"))
+            & (F.col("type_b") != F.col("type_a")),
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    m = j.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__x").cast("bigint").alias("sx"),
+        F.sum("__y").cast("bigint").alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast("bigint").alias("syy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("bigint").alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return (
+        m.filter((vx > 0) & (vy > 0))
+        .select(
+            "type_a",
+            "type_b",
+            "lag",
+            "n",
+            F.round(
+                num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))), 6
+            ).alias("r"),
+        )
+    )

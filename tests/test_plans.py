@@ -596,3 +596,23 @@ def test_q198_welch_pair_join_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "partial_sum" in plan
+
+
+def test_q199_leadlag_series_joins_broadcast(spark):
+    """Lead-lag correlation joins calendar-bounded per-type series —
+    both the lag spine and the b-side series must broadcast; no
+    sort-merge join, no cartesian against the raw events."""
+    df = QUERIES["q199_leadlag_correlation"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_q200_delete_propagation_semi_joins(spark):
+    """Every cascade hop must be a LEFT SEMI join (never inner+distinct
+    or a count-in-driver), and the total counts partial-aggregate."""
+    df = QUERIES["q200_delete_propagation"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert plan.count("LeftSemi") >= 3
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
