@@ -428,3 +428,29 @@ def grouped_cusum(
         "cusum_scaled",
         (F.col("__pfx") - F.least(run_min, F.lit(0))).cast("bigint"),
     ).drop("__pfx")
+
+
+def cusum_daily_volumes(daily: DataFrame) -> DataFrame:
+    """q195's core, shared by the batch query and the streaming rollup
+    (streaming/aggregates.read_cusum_rollup): given per-(event_type,
+    day) counts ``event_type, __day, n_events``, compute the per-type
+    scaled mean target, integer deviations, and the CUSUM/alert
+    columns. Daily counts are algebraic (streaming partials re-sum to
+    the same frame), so batch/stream parity is exact."""
+    x = 2 * F.sum("n_events") * 10000 + F.count(F.lit(1))
+    d = 2 * F.count(F.lit(1))
+    target = daily.groupBy("event_type").agg(
+        ((x - x % d) / d).cast("bigint").alias("__q")
+    )
+    dev = daily.join(F.broadcast(target), "event_type").withColumn(
+        "__ydev", F.col("n_events") * 10000 - F.col("__q")
+    )
+    cs = grouped_cusum(dev, ["event_type"], "__day", "__ydev")
+    return cs.select(
+        "event_type",
+        F.col("__day").cast("timestamp").alias("day"),
+        "n_events",
+        (F.col("__q").cast("double") / 10000).alias("target_daily"),
+        (F.col("cusum_scaled").cast("double") / 10000).alias("cusum"),
+        (F.col("cusum_scaled") > 2 * F.col("__q")).alias("alert"),
+    )

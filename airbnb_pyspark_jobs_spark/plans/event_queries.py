@@ -2095,31 +2095,13 @@ def q194_hll_portable_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q195_cusum_event_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from airbnb_pyspark_jobs_spark.operators.windows import grouped_cusum
+    from airbnb_pyspark_jobs_spark.operators.windows import cusum_daily_volumes
 
     events = load_table(spark, "events", sf_dir)
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("__day")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
-    # per-type scaled mean daily volume: round-half-away integer of
-    # sum*1e4/n — same formula family as functions/numeric.py
-    x = 2 * F.sum("n_events") * 10000 + F.count(F.lit(1))
-    d = 2 * F.count(F.lit(1))
-    target = daily.groupBy("event_type").agg(
-        ((x - x % d) / d).cast("bigint").alias("__q")
-    )
-    dev = daily.join(F.broadcast(target), "event_type").withColumn(
-        "__ydev", F.col("n_events") * 10000 - F.col("__q")
-    )
-    cs = grouped_cusum(dev, ["event_type"], "__day", "__ydev")
-    return cs.select(
-        "event_type",
-        F.col("__day").cast("timestamp").alias("day"),
-        "n_events",
-        (F.col("__q").cast("double") / 10000).alias("target_daily"),
-        (F.col("cusum_scaled").cast("double") / 10000).alias("cusum"),
-        (F.col("cusum_scaled") > 2 * F.col("__q")).alias("alert"),
-    )
+    return cusum_daily_volumes(daily)
 
 
 # ---------------------------------------------------------------------------

@@ -4262,21 +4262,32 @@ def q193_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q196_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
     docs = load_table(spark, "documents", sf_dir)
-    sh = docs.select(
-        "doc_id",
-        F.explode(TX.shingles_from_tokens(TX.tokens("text"), 3)).alias("s"),
+    # shingle_table stages tokens into a column (split runs once per
+    # row, not per shingle lambda reference); persist because the frame
+    # feeds BOTH the df table and the join probe — unpersisted, Spark
+    # re-tokenizes the corpus twice (measured 13.4 s -> ~2 s at sf0.1).
+    sh = owned_persist(DD.shingle_table(docs, "doc_id", "text", 3))
+    # No corpus-scale join back on the shingle key: per-doc shingle
+    # sets are DISTINCT, so a df==1 shingle has exactly one (doc, s)
+    # row and min(doc_id) rides the same groupBy(s) shuffle — novelty
+    # attribution costs one extra tiny doc-keyed aggregate instead of
+    # a string-keyed shuffle join of the whole shingle table.
+    tot = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
     )
-    df_tab = sh.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("__d"))
-    return (
-        sh.join(df_tab, "s")
+    nov = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("__d"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("__d") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-            F.sum(F.when(F.col("__d") == 1, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_novel"),
-        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    return (
+        tot.join(nov, "doc_id", "left")
+        .withColumn("n_novel", F.coalesce("n_novel", F.lit(0)).cast("bigint"))
         .select(
             "doc_id",
             "n_shingles",

@@ -349,3 +349,49 @@ def read_cms_counters(spark: SparkSession, path: str) -> DataFrame:
         partials.groupBy("r", "b")
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
+
+
+def write_partial_event_counts(
+    batch: DataFrame, batch_id: int, path: str, ts_col: str = "ts"
+) -> None:
+    """Count ONE micro-batch per (event_type, day) and overwrite its
+    batch-id-keyed subdirectory. Counts are algebraic: the rollup
+    re-sums partials, so late/out-of-order batches need no ordering
+    guarantee; deterministic content + fixed location = idempotent
+    under foreachBatch retries (same-batch rewrite lands on itself)."""
+    partial = batch.groupBy(
+        "event_type", F.to_date(ts_col).alias("__day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    partial.write.mode("overwrite").parquet(
+        os.path.join(path, PARTIAL_DIRNAME.format(n=batch_id))
+    )
+
+
+def materialize_cusum_stream(
+    stream: DataFrame, path: str, checkpoint: str, ts_col: str = "ts"
+):
+    """Wire a stream into the per-day count-partial sink; returns the
+    DataStreamWriter (caller picks the trigger and starts it)."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        write_partial_event_counts(batch, batch_id, path, ts_col)
+
+    return stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+
+
+def read_cusum_rollup(spark: SparkSession, path: str) -> DataFrame:
+    """Current CUSUM monitor state from all partials: re-sum the
+    per-batch daily counts (algebraic merge — identical to the batch
+    daily frame by commutativity), then run the SAME
+    cusum_daily_volumes core as q195. Batch/stream parity is exact
+    because everything downstream of the counts is integer arithmetic.
+    Shuffles only partial-sized rows (days x types x batches)."""
+    from airbnb_pyspark_jobs_spark.operators.windows import cusum_daily_volumes
+
+    partials = spark.read.option("basePath", path).parquet(path)
+    daily = partials.groupBy("event_type", "__day").agg(
+        F.sum("n_events").cast("bigint").alias("n_events")
+    )
+    return cusum_daily_volumes(daily)

@@ -235,6 +235,20 @@ EXTENDED_QUERIES = [
     "q190_dominant_suppliers",
     # TPC-H Q14 shape: conditional-sum promo share per month
     "q191_promo_revenue_share",
+    # distributed PCA top component (power iteration, narrow passes)
+    "q192_pca_power_iteration",
+    # Kneser-Ney bigram LM scores (continuation-prob backoff)
+    "q193_kneser_ney_scores",
+    # portable HLL daily users (oracle-hashable estimator + merge)
+    "q194_hll_portable_users",
+    # CUSUM changepoints (integer prefix-sum minus running-min)
+    "q195_cusum_event_volumes",
+    # n-gram novelty (corpus-unique shingle share per doc)
+    "q196_ngram_novelty",
+    # Benford first-digit audit (integer digit extraction)
+    "q197_benford_first_digit",
+    # pairwise Welch t-test (decimal-exact moments, broadcast pairs)
+    "q198_welch_pairs",
 ]
 
 

@@ -348,3 +348,64 @@ def test_cms_stream_converges_to_batch_sketch(spark, tmp_path):
     )
     again = {(r.r, r.b): r.cnt for r in read_cms_counters(spark, sink).collect()}
     assert again == got
+
+
+def test_cusum_stream_converges_to_batch_monitor(spark, tmp_path):
+    """CUSUM monitor maintained from per-batch count partials must equal
+    the batch q195 output row-for-row: daily counts are algebraic (sum
+    of per-batch counts == one-pass counts regardless of batch split or
+    arrival order), and everything downstream is integer arithmetic.
+    A same-content partial rewrite (at-least-once retry) changes
+    nothing because the partial overwrites its own directory."""
+    from airbnb_pyspark_jobs_spark.plans import QUERIES
+    from airbnb_pyspark_jobs_spark.streaming.aggregates import (
+        materialize_cusum_stream,
+        read_cusum_rollup,
+        write_partial_event_counts,
+    )
+
+    events = load_table(spark, "events", SF_DIR)
+    src = str(tmp_path / "src")
+    events.repartition(3).write.mode("overwrite").parquet(src)
+
+    rollup = str(tmp_path / "cusum")
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        materialize_cusum_stream(stream, rollup, str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def key(df):
+        return sorted(
+            (r.event_type, str(r.day), r.n_events, r.target_daily, r.cusum, r.alert)
+            for r in df.collect()
+        )
+
+    got = key(read_cusum_rollup(spark, rollup))
+    want = key(QUERIES["q195_cusum_event_volumes"](spark, SF_DIR))
+    assert got == want
+    # retry idempotence: rewrite batch 0's partial from the source file
+    # that PRODUCED it (identified by matching derived content — file
+    # order is not batch order) — the rollup must not move
+    import glob
+
+    want0 = sorted(
+        (r["event_type"], str(r["__day"]), r["n_events"])
+        for r in spark.read.parquet(rollup + "/batch_id=0").collect()
+    )
+    for f in glob.glob(src + "/part-*.parquet"):
+        batch = spark.read.parquet(f)
+        counts = sorted(
+            (r.event_type, str(r.d), r.n)
+            for r in batch.groupBy(
+                "event_type", F.to_date("ts").alias("d")
+            ).agg(F.count(F.lit(1)).cast("bigint").alias("n")).collect()
+        )
+        if counts == want0:
+            write_partial_event_counts(batch, 0, rollup)
+            break
+    else:
+        raise AssertionError("no source file matches batch 0's partial")
+    assert key(read_cusum_rollup(spark, rollup)) == got
