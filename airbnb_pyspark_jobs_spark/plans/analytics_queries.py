@@ -2212,3 +2212,96 @@ def q200_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("orders", od_aff, orders))
         .unionByName(row("lineitem", li_aff, lineitem))
     )
+
+
+# ---------------------------------------------------------------------------
+# q201 join-key skew doctor: the pre-flight diagnosis for any keyed
+# shuffle at 100 TB — key-frequency quantiles (exact, type-1), the
+# Gini concentration of rows over keys, and the recommended salt
+# factor ceil(max_freq · P / n_rows) that q32's salting machinery
+# takes as input. The frequency table can be key-cardinality-sized,
+# so its global rank is the range-bucketed two-phase rank (q102
+# machinery), never a single-partition window; Gini is a ratio of
+# exact integers ((2·Σ rank·f − (n+1)·Σf) / (n·Σf)) with ties
+# rank-invariant because tied frequencies commute in the sum.
+# ---------------------------------------------------------------------------
+_Q201_PARTS = 32  # planning target: executor-slot count the salt is sized for
+
+
+@query(
+    "q201_join_key_skew_doctor",
+    oracle=f"""
+    WITH freq AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS f
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f ASC, user_id ASC) AS BIGINT)
+               AS rk
+      FROM freq
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(f) AS BIGINT) AS n_rows,
+             CAST(MAX(f) AS BIGINT) AS max_freq,
+             CAST(SUM(rk * f) AS BIGINT) AS s_rf
+      FROM r
+    )
+    SELECT s.n_rows, s.n_keys, s.max_freq,
+           (SELECT f FROM r, s WHERE rk = (50 * s.n_keys + 99) // 100)
+             AS p50_freq,
+           (SELECT f FROM r, s WHERE rk = (99 * s.n_keys + 99) // 100)
+             AS p99_freq,
+           round(CAST(2 * s_rf - (n_keys + 1) * n_rows AS DOUBLE)
+                 / CAST(n_keys * n_rows AS DOUBLE), 6) AS gini,
+           greatest(CAST(1 AS BIGINT),
+                    (max_freq * {_Q201_PARTS} + n_rows - 1) // n_rows)
+             AS salt_factor
+    FROM s
+    """,
+)
+def q201_join_key_skew_doctor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sampling import two_phase_numeric_rank
+
+    events = load_table(spark, "events", sf_dir)
+    freq = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    ranked = two_phase_numeric_rank(freq, "f", "user_id", "rk")
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("f").cast("bigint").alias("n_rows"),
+        F.max("f").cast("bigint").alias("max_freq"),
+        F.sum(F.col("rk") * F.col("f")).cast("bigint").alias("s_rf"),
+    )
+    t50 = (50 * F.col("n_keys") + 99) - (50 * F.col("n_keys") + 99) % 100
+    t99 = (99 * F.col("n_keys") + 99) - (99 * F.col("n_keys") + 99) % 100
+    picks = (
+        ranked.crossJoin(F.broadcast(s))
+        .filter(
+            (F.col("rk") * 100 == t50) | (F.col("rk") * 100 == t99)
+        )
+        .agg(
+            F.max(F.when(F.col("rk") * 100 == t50, F.col("f"))).alias("p50_freq"),
+            F.max(F.when(F.col("rk") * 100 == t99, F.col("f"))).alias("p99_freq"),
+        )
+    )
+    gini = F.round(
+        (2 * F.col("s_rf") - (F.col("n_keys") + 1) * F.col("n_rows")).cast("double")
+        / (F.col("n_keys") * F.col("n_rows")).cast("double"),
+        6,
+    )
+    salt_num = F.col("max_freq") * _Q201_PARTS + F.col("n_rows") - 1
+    salt = F.greatest(
+        F.lit(1).cast("bigint"),
+        ((salt_num - salt_num % F.col("n_rows")) / F.col("n_rows")).cast("bigint"),
+    )
+    return s.crossJoin(F.broadcast(picks)).select(
+        "n_rows",
+        "n_keys",
+        "max_freq",
+        "p50_freq",
+        "p99_freq",
+        gini.alias("gini"),
+        salt.alias("salt_factor"),
+    )

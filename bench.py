@@ -249,6 +249,10 @@ EXTENDED_QUERIES = [
     "q197_benford_first_digit",
     # pairwise Welch t-test (decimal-exact moments, broadcast pairs)
     "q198_welch_pairs",
+    # lead-lag cross-correlation between event-type daily series
+    "q199_leadlag_correlation",
+    # GDPR delete-propagation audit (semi-join cascade)
+    "q200_delete_propagation",
 ]
 
 

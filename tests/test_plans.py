@@ -616,3 +616,16 @@ def test_q200_delete_propagation_semi_joins(spark):
     assert plan.count("LeftSemi") >= 3
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q201_skew_doctor_rank_is_two_phase(spark):
+    """The key-frequency global rank must be the range-bucketed
+    two-phase rank: every row_number window partitions by the value
+    bucket, and offsets broadcast back (q94 discipline on a
+    key-cardinality-sized frame)."""
+    df = QUERIES["q201_join_key_skew_doctor"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "windowspecdefinition(__b" in line, line
+    assert "BroadcastExchange" in plan
