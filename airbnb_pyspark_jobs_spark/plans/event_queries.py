@@ -2200,3 +2200,120 @@ def q199_leadlag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q203 HLL precision sweep: the estimator tuning table for q194's
+# portable HyperLogLog — one corpus-wide distinct-user estimate per
+# register-count p in {4, 6, 8}, with the exact count and the signed
+# relative error, so the memory/accuracy tradeoff (m = 2^p registers
+# vs ~1.04/sqrt(m) expected error) is measured, not quoted. Same
+# integer register pipeline as q194; alpha switches to the analytic
+# 0.7213/(1 + 1.079/m) form at m >= 128 on both engines.
+# ---------------------------------------------------------------------------
+_HLL_SWEEP_PS = (4, 6, 8)
+
+
+def _q203_oracle() -> str:
+    blocks = []
+    for p in _HLL_SWEEP_PS:
+        m = 1 << p
+        if m >= 128:
+            alpha = (
+                f"(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+                f" + CAST(1.079 AS DOUBLE) / CAST({m} AS DOUBLE)))"
+            )
+        else:
+            alpha = f"CAST({ {16: 0.673, 32: 0.697, 64: 0.709}[m] } AS DOUBLE)"
+        blocks.append(
+            f"""
+    rho{p} AS (
+      SELECT hv % {m} AS bucket,
+             CASE WHEN (hv >> {p}) = 0 THEN {33 - p}
+                  ELSE {33 - p} - length(bin(hv >> {p})) END AS r
+      FROM h
+    ),
+    regs{p} AS (
+      SELECT i AS bucket, COALESCE(MAX(rho{p}.r), 0) AS register
+      FROM UNNEST(range({m})) AS u(i)
+      LEFT JOIN rho{p} ON rho{p}.bucket = i
+      GROUP BY i
+    ),
+    folded{p} AS (
+      SELECT SUM(1.0 / CAST(CAST(1 AS BIGINT) << register AS DOUBLE)) AS z,
+             CAST(SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero
+      FROM regs{p}
+    ),
+    est{p} AS (
+      SELECT CAST({p} AS INT) AS p, n_zero AS n_zero_registers,
+             round(CASE WHEN (({alpha} * CAST({m} AS DOUBLE))
+                             * CAST({m} AS DOUBLE)) / z
+                          <= CAST(2.5 AS DOUBLE) * CAST({m} AS DOUBLE)
+                     AND n_zero > 0
+                    THEN CAST({m} AS DOUBLE)
+                         * ln(CAST({m} AS DOUBLE) / CAST(n_zero AS DOUBLE))
+                    ELSE (({alpha} * CAST({m} AS DOUBLE))
+                            * CAST({m} AS DOUBLE)) / z
+               END, 4) AS est_distinct
+      FROM folded{p}
+    )"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"""SELECT est{p}.p, est{p}.n_zero_registers, est{p}.est_distinct,
+       ex.exact_distinct,
+       round((est{p}.est_distinct - CAST(ex.exact_distinct AS DOUBLE))
+             / CAST(ex.exact_distinct AS DOUBLE), 4) AS rel_error
+FROM est{p}, ex"""
+        for p in _HLL_SWEEP_PS
+    )
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+               AS hv
+      FROM events
+    ),
+    ex AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events
+    ),{",".join(blocks)}
+    {sel}
+    """
+
+
+@query("q203_hll_precision_sweep", oracle=_q203_oracle())
+def q203_hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    keyed = events.select(F.lit(1).alias("__g"), "user_id")
+    exact = events.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    out = None
+    for p in _HLL_SWEEP_PS:
+        regs = hll_registers(keyed, ["__g"], "user_id", p=p)
+        est = hll_estimate_from_registers(regs, ["__g"], p=p).drop("__g")
+        row = (
+            est.crossJoin(F.broadcast(exact))
+            .select(
+                F.lit(p).cast("int").alias("p"),
+                "n_zero_registers",
+                "est_distinct",
+                "exact_distinct",
+                F.round(
+                    (
+                        F.col("est_distinct")
+                        - F.col("exact_distinct").cast("double")
+                    )
+                    / F.col("exact_distinct").cast("double"),
+                    4,
+                ).alias("rel_error"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

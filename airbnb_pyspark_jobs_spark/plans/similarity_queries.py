@@ -1757,3 +1757,118 @@ def q192_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, dims=_Q192_DIMS, iters=_Q192_ITERS, digits=_Q192_DIGITS
     )
     return proj
+
+
+# ---------------------------------------------------------------------------
+# q202 IVF probe-sweep recall curve: the ANN tuning table — recall@3
+# vs n_probe in {1, 2, 4} against the brute-force ground truth, with
+# ONE shared deterministic-Lloyd training run (centroids trained once,
+# passed into every probe level — both engines replay the identical
+# trajectory, so the curve isolates the probe knob). The q164
+# threshold-curve idea applied to the IVF family: at 100 TB you pick
+# n_probe from this table, trading scan fraction (~n_probe/n_cells)
+# for recall. Oracle shares the q53 kmeans CTE chain and probes a
+# single crn<=4 assignment superset per level.
+# ---------------------------------------------------------------------------
+_SWEEP_PROBES = (1, 2, 4)
+_K_SWEEP = 3
+
+
+def _q202_oracle() -> str:
+    parts = [
+        f"""
+WITH {_D_UNIT},
+{_kmeans_ctes(_NCENT, _ITERS)},
+c_assign AS (
+  SELECT a.vec_id AS neighbor_id, e.v AS cv, a.cid FROM (
+    SELECT u.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                         ORDER BY {_ASSIGN_SIM} DESC, c.cid ASC) AS crn
+    FROM u, cu{_ITERS} c
+  ) a JOIN e ON e.vec_id = a.vec_id WHERE a.crn = 1
+),
+q_probe AS (
+  SELECT a.vec_id AS query_id, e.v AS qv, a.cid, a.crn FROM (
+    SELECT u.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                         ORDER BY {_ASSIGN_SIM} DESC, c.cid ASC) AS crn
+    FROM u, cu{_ITERS} c
+    WHERE u.vec_id < {_NQ}
+  ) a JOIN e ON e.vec_id = a.vec_id WHERE a.crn <= {max(_SWEEP_PROBES)}
+),
+gt AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY round(list_dot_product(q.vn, c.vn), 4) DESC,
+                 c.vec_id ASC) AS rn
+    FROM u q, u c
+    WHERE q.vec_id < {_NQ} AND q.vec_id != c.vec_id
+  ) WHERE rn <= {_K_SWEEP}
+),
+gtn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gt FROM gt)"""
+    ]
+    selects = []
+    for np_ in _SWEEP_PROBES:
+        parts.append(
+            f""",
+r{np_} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        ORDER BY {_D_COS.format(a="q.qv", b="c.cv")} DESC,
+                 c.neighbor_id ASC) AS rn
+    FROM q_probe q JOIN c_assign c USING (cid)
+    WHERE q.crn <= {np_} AND q.query_id != c.neighbor_id
+  ) WHERE rn <= {_K_SWEEP}
+),
+h{np_} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM r{np_} JOIN gt USING (query_id, neighbor_id)
+)"""
+        )
+        selects.append(
+            f"""SELECT CAST({np_} AS INT) AS n_probe, h{np_}.n_hits, gtn.n_gt,
+       round(CAST(h{np_}.n_hits AS DOUBLE) / CAST(gtn.n_gt AS DOUBLE), 4)
+         AS recall
+FROM h{np_}, gtn"""
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
+@query("q202_ivf_probe_sweep", oracle=_q202_oracle())
+def q202_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < _NQ)
+    cents = SIM.kmeans_centroids(emb, k=_NCENT, iters=_ITERS)
+    gt = SIM.knn_bruteforce(emb, queries, k=_K_SWEEP).select(
+        "query_id", "neighbor_id"
+    )
+    gtn = gt.agg(F.count(F.lit(1)).cast("bigint").alias("n_gt"))
+    out = None
+    for np_ in _SWEEP_PROBES:
+        ap = SIM.ivf_ann(
+            emb,
+            queries,
+            k=_K_SWEEP,
+            n_centroids=_NCENT,
+            n_probe=np_,
+            centroids=cents,
+        ).select("query_id", "neighbor_id")
+        row = (
+            gt.join(ap, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+            .crossJoin(F.broadcast(gtn))
+            .select(
+                F.lit(np_).cast("int").alias("n_probe"),
+                "n_hits",
+                "n_gt",
+                F.round(
+                    F.col("n_hits").cast("double") / F.col("n_gt").cast("double"),
+                    4,
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -253,6 +253,12 @@ EXTENDED_QUERIES = [
     "q199_leadlag_correlation",
     # GDPR delete-propagation audit (semi-join cascade)
     "q200_delete_propagation",
+    # join-key skew doctor (two-phase freq rank, Gini, salt factor)
+    "q201_join_key_skew_doctor",
+    # IVF probe-sweep recall curve (shared training run)
+    "q202_ivf_probe_sweep",
+    # HLL precision sweep (m=16/64/256 vs exact)
+    "q203_hll_precision_sweep",
 ]
 
 
