@@ -4297,3 +4297,81 @@ def q196_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q204 packing-efficiency report: the governance readout for q36's
+# greedy sequence packer — per-shard bin-fill deciles, overall
+# utilization (packed token mass / bins×budget) and the wasted-token
+# mass, so the budget/stride tradeoff is measured corpus-wide. A bin's
+# fill decile is pure integer arithmetic (10·tokens div budget,
+# clamped to 9 for exactly-full bins); utilization is one rounded
+# division of exact integers. Composes the verified q36 oracle.
+# ---------------------------------------------------------------------------
+def _q204_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q36 = ORACLES["q36_pack_sequences"]
+    return f"""
+    WITH packs AS ({q36}),
+    -- the LAST pack per shard is legitimately part-filled (stream
+    -- tail); exclude none — the report covers every bin
+    d AS (
+      SELECT pack_tokens,
+             least((10 * pack_tokens) // {_PACK_BUDGET}, 9) AS fill_decile
+      FROM packs
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+             CAST(SUM(pack_tokens) AS BIGINT) AS packed_tokens
+      FROM d
+    )
+    SELECT d.fill_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(d.pack_tokens) AS BIGINT) AS bin_tokens,
+           round(CAST(tot.packed_tokens AS DOUBLE)
+                 / CAST(tot.n_bins * {_PACK_BUDGET} AS DOUBLE), 6)
+             AS overall_utilization,
+           CAST(tot.n_bins * {_PACK_BUDGET} - tot.packed_tokens AS BIGINT)
+             AS wasted_tokens
+    FROM d, tot
+    GROUP BY d.fill_decile, tot.n_bins, tot.packed_tokens
+    """
+
+
+@query("q204_packing_efficiency", oracle=_q204_oracle())
+def q204_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packs = q36_pack_sequences(spark, sf_dir).select("pack_tokens")
+    d = packs.select(
+        "pack_tokens",
+        F.least(
+            F.floor((10 * F.col("pack_tokens")) / _PACK_BUDGET), F.lit(9)
+        )
+        .cast("bigint")
+        .alias("fill_decile"),
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_bins"),
+        F.sum("pack_tokens").cast("bigint").alias("__packed"),
+    )
+    return (
+        d.groupBy("fill_decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.sum("pack_tokens").cast("bigint").alias("bin_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fill_decile",
+            "n_bins",
+            "bin_tokens",
+            F.round(
+                F.col("__packed").cast("double")
+                / (F.col("__n_bins") * _PACK_BUDGET).cast("double"),
+                6,
+            ).alias("overall_utilization"),
+            (F.col("__n_bins") * _PACK_BUDGET - F.col("__packed"))
+            .cast("bigint")
+            .alias("wasted_tokens"),
+        )
+    )
