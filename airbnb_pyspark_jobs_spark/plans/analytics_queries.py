@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from airbnb_pyspark_jobs_spark.functions.numeric import exact_mean_round_sql
 from airbnb_pyspark_jobs_spark.plans.queries import query, _dec, _money
 from airbnb_pyspark_jobs_spark.sources.registry import load_table
 
@@ -2304,4 +2305,86 @@ def q201_join_key_skew_doctor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p99_freq",
         gini.alias("gini"),
         salt.alias("salt_factor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q206 shipping-delay profile per order priority: integer day deltas
+# l_shipdate − o_orderdate rolled up to n / mean (exact integer mean,
+# functions/numeric.py) / p50 / p90 / max per o_orderpriority — the
+# ops-SLA readout of the TPC-H schema. Quantiles are the range-
+# bucketed exact_quantiles_by (never a whole-group percentile buffer);
+# the orders join is the natural o_orderkey equi-join.
+# ---------------------------------------------------------------------------
+@query(
+    "q206_shipping_delay_profile",
+    oracle=f"""
+    WITH d AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS delay_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    r AS (
+      SELECT priority, delay_days,
+             ROW_NUMBER() OVER (PARTITION BY priority ORDER BY delay_days)
+               AS rank,
+             COUNT(*) OVER (PARTITION BY priority) AS n
+      FROM d
+    ),
+    q AS (
+      SELECT priority,
+             MAX(CASE WHEN rank = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))
+                      THEN delay_days END) AS p50_days,
+             MAX(CASE WHEN rank = GREATEST(1, CAST(CEIL(0.9 * n) AS BIGINT))
+                      THEN delay_days END) AS p90_days
+      FROM r GROUP BY priority
+    ),
+    m AS (
+      SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             {exact_mean_round_sql("SUM(delay_days)", "COUNT(*)", 4)}
+               AS mean_days,
+             CAST(MAX(delay_days) AS BIGINT) AS max_days
+      FROM d GROUP BY priority
+    )
+    SELECT m.priority, m.n_lines, m.mean_days,
+           CAST(q.p50_days AS BIGINT) AS p50_days,
+           CAST(q.p90_days AS BIGINT) AS p90_days,
+           m.max_days
+    FROM m JOIN q USING (priority)
+    """,
+)
+def q206_shipping_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.numeric import exact_mean_round
+    from airbnb_pyspark_jobs_spark.operators.sketches import exact_quantiles_by
+
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    d = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "delay_days"
+        ),
+    )
+    qt = (
+        exact_quantiles_by(d, ["priority"], "delay_days", [0.5, 0.9])
+        .groupBy("priority")
+        .agg(
+            F.max(F.when(F.col("p") == 0.5, F.col("value")))
+            .cast("bigint")
+            .alias("p50_days"),
+            F.max(F.when(F.col("p") == 0.9, F.col("value")))
+            .cast("bigint")
+            .alias("p90_days"),
+        )
+    )
+    m = d.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        exact_mean_round(
+            F.sum("delay_days").cast("decimal(18,4)"), F.count(F.lit(1)), 4
+        ).alias("mean_days"),
+        F.max("delay_days").cast("bigint").alias("max_days"),
+    )
+    return m.join(qt, "priority").select(
+        "priority", "n_lines", "mean_days", "p50_days", "p90_days", "max_days"
     )

@@ -2317,3 +2317,91 @@ def q203_hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q205 multi-touch attribution with ACCOUNTING-EXACT credit: each
+# purchase's value (exact cents) splits linearly across the same
+# user's view events in the preceding hour — per-touch credit is the
+# integer quotient cents div n with the REMAINDER assigned to the
+# earliest touch (ts, event_id tie-break), so per-purchase credits sum
+# to the purchase's cents exactly (the penny-allocation rule; float
+# shares leak pennies and flip on last-ulp division). The range join
+# is the q69 bucketed equi-join (never a nested loop); the touch-rank
+# window partitions per purchase.
+# ---------------------------------------------------------------------------
+@query(
+    "q205_multitouch_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             ts - INTERVAL 1 HOUR AS w_start, ts AS w_end
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT event_id AS view_id, user_id, ts
+      FROM events WHERE event_type = 'view'
+    ),
+    t AS (
+      SELECT p.purchase_id, p.cents, v.view_id,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                ORDER BY v.ts ASC, v.view_id ASC) AS touch_rank,
+             COUNT(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+      FROM p JOIN v
+        ON v.user_id = p.user_id AND v.ts >= p.w_start AND v.ts < p.w_end
+    )
+    SELECT purchase_id, view_id,
+           CAST(touch_rank AS BIGINT) AS touch_rank,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST((cents - cents % n_touches) // n_touches
+                + CASE WHEN touch_rank = 1 THEN cents % n_touches
+                       ELSE 0 END AS BIGINT) AS credit_cents
+    FROM t
+    """,
+)
+def q205_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.operators.asof import bucketed_range_join
+
+    events = load_table(spark, "events", sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("__p_user"),
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("__cents"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id"), F.col("ts")
+    )
+    joined = bucketed_range_join(
+        views, purchases, "ts", "w_start", "w_end", bucket_seconds=3600
+    ).filter(F.col("user_id") == F.col("__p_user"))
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("ts").asc(), F.col("view_id").asc()
+    )
+    wn = Window.partitionBy("purchase_id")
+    t = joined.select(
+        "purchase_id",
+        "view_id",
+        "__cents",
+        F.row_number().over(w).cast("bigint").alias("touch_rank"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n_touches"),
+    )
+    base = (F.col("__cents") - F.col("__cents") % F.col("n_touches")) / F.col(
+        "n_touches"
+    )
+    rem = F.col("__cents") % F.col("n_touches")
+    return t.select(
+        "purchase_id",
+        "view_id",
+        "touch_rank",
+        "n_touches",
+        (base + F.when(F.col("touch_rank") == 1, rem).otherwise(0))
+        .cast("bigint")
+        .alias("credit_cents"),
+    )
