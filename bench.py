@@ -259,6 +259,12 @@ EXTENDED_QUERIES = [
     "q202_ivf_probe_sweep",
     # HLL precision sweep (m=16/64/256 vs exact)
     "q203_hll_precision_sweep",
+    # packing-efficiency report (bin-fill deciles over q36)
+    "q204_packing_efficiency",
+    # accounting-exact multi-touch attribution (bucketed range join)
+    "q205_multitouch_attribution",
+    # shipping-delay SLA profile (exact grouped quantiles)
+    "q206_shipping_delay_profile",
 ]
 
 

@@ -629,3 +629,26 @@ def test_q201_skew_doctor_rank_is_two_phase(spark):
         if "row_number()" in line:
             assert "windowspecdefinition(__b" in line, line
     assert "BroadcastExchange" in plan
+
+
+def test_q205_attribution_range_join_is_equi(spark):
+    """The touch range join must be the bucketed equi-join — never a
+    nested-loop range join; credit windows partition per purchase."""
+    df = QUERIES["q205_multitouch_attribution"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(purchase_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_q206_delay_quantiles_are_range_bucketed(spark):
+    """Grouped delay quantiles must ride the range-bucketed rank:
+    every row_number window partitions by (group, value-bucket), and
+    no whole-group percentile buffer appears."""
+    df = QUERIES["q206_shipping_delay_profile"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "percentile" not in plan.lower()
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "__b" in line, line
