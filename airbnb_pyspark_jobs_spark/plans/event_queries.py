@@ -2405,3 +2405,76 @@ def q205_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("credit_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q207 daily conversion rate with a Wilson 95% lower bound — the
+# uncertainty-aware funnel readout (a raw k/n ratio over a quiet day
+# ranks above a busy day on noise; the Wilson bound does not). k and n
+# are exact distinct counts; the bound is ONE fixed double-op chain
+# ((p + z²/2n − z·sqrt(p(1−p)/n + z²/4n²)) / (1 + z²/n), z = 1.96
+# literal both engines, sqrt correctly rounded), rounded at 6.
+# ---------------------------------------------------------------------------
+@query(
+    "q207_conversion_wilson",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+             CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                      THEN user_id END) AS BIGINT)
+               AS n_purchasers
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, n_active, n_purchasers,
+           round(CAST(n_purchasers AS DOUBLE) / CAST(n_active AS DOUBLE), 6)
+             AS conv_rate,
+           round((CAST(n_purchasers AS DOUBLE) / CAST(n_active AS DOUBLE)
+                  + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                    / (CAST(2 AS DOUBLE) * CAST(n_active AS DOUBLE))
+                  - CAST(1.96 AS DOUBLE)
+                    * sqrt((CAST(n_purchasers AS DOUBLE)
+                            / CAST(n_active AS DOUBLE))
+                           * (CAST(1.0 AS DOUBLE)
+                              - CAST(n_purchasers AS DOUBLE)
+                                / CAST(n_active AS DOUBLE))
+                           / CAST(n_active AS DOUBLE)
+                           + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                             / (CAST(4 AS DOUBLE)
+                                * CAST(n_active AS DOUBLE)
+                                * CAST(n_active AS DOUBLE))))
+                 / (CAST(1.0 AS DOUBLE)
+                    + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                      / CAST(n_active AS DOUBLE)), 6) AS wilson_low
+    FROM d
+    """,
+)
+def q207_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    d = events.groupBy(F.to_date("ts").alias("__day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_active"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("n_purchasers"),
+    )
+    z = F.lit(1.96)
+    n = F.col("n_active").cast("double")
+    p = F.col("n_purchasers").cast("double") / n
+    wilson = (
+        p
+        + z * z / (F.lit(2.0) * n)
+        - z
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / n
+            + z * z / (F.lit(4.0) * n * n)
+        )
+    ) / (F.lit(1.0) + z * z / n)
+    return d.select(
+        F.col("__day").cast("timestamp").alias("day"),
+        "n_active",
+        "n_purchasers",
+        F.round(p, 6).alias("conv_rate"),
+        F.round(wilson, 6).alias("wilson_low"),
+    )
