@@ -395,3 +395,62 @@ def read_cusum_rollup(spark: SparkSession, path: str) -> DataFrame:
         F.sum("n_events").cast("bigint").alias("n_events")
     )
     return cusum_daily_volumes(daily)
+
+
+def write_partial_hll(
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    p: int = 4,
+) -> None:
+    """Sketch ONE micro-batch into per-day portable-HLL registers and
+    overwrite its batch-id-keyed subdirectory. Registers are integer
+    MAXes — idempotent and mergeable across any batch split, the
+    property KMV gets from set union and counts do NOT have (a count
+    partial re-added double-counts; a register re-maxed is a no-op)."""
+    from airbnb_pyspark_jobs_spark.operators.sketches import hll_registers
+
+    days = batch.select(
+        F.to_date(ts_col).cast("string").alias("scope"), key_col
+    )
+    partial = hll_registers(days, ["scope"], key_col, p=p)
+    partial.write.mode("overwrite").parquet(
+        os.path.join(path, PARTIAL_DIRNAME.format(n=batch_id))
+    )
+
+
+def materialize_hll_stream(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    p: int = 4,
+):
+    """Wire a stream into the per-day HLL register sink; returns the
+    DataStreamWriter (caller picks the trigger and starts it)."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        write_partial_hll(batch, batch_id, path, ts_col, key_col, p)
+
+    return stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+
+
+def read_hll_rollup(spark: SparkSession, path: str, p: int = 4) -> DataFrame:
+    """Current per-day distinct estimates from all register partials:
+    element-wise MAX per (day, bucket) — register merge closure — then
+    the same exact-arithmetic estimate as q194. Shuffles only
+    register-sized rows (days x 2^p x batches)."""
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        hll_estimate_from_registers,
+    )
+
+    partials = spark.read.option("basePath", path).parquet(path)
+    merged = partials.groupBy("scope", "bucket").agg(
+        F.max("register").cast("int").alias("register")
+    )
+    return hll_estimate_from_registers(merged, ["scope"], p=p)

@@ -409,3 +409,53 @@ def test_cusum_stream_converges_to_batch_monitor(spark, tmp_path):
     else:
         raise AssertionError("no source file matches batch 0's partial")
     assert key(read_cusum_rollup(spark, rollup)) == got
+
+
+def test_hll_stream_converges_to_batch_sketch(spark, tmp_path):
+    """Per-day HLL registers maintained from per-batch partials must
+    equal the one-pass batch registers exactly (max-merge closure),
+    and a WORST-CASE at-least-once replay — rewriting batch 0's
+    partial from the FULL data superset — must change nothing, because
+    registers merge by MAX (counts would double, sets would not; this
+    is the property that makes HLL the ingest-side sketch)."""
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+    from airbnb_pyspark_jobs_spark.streaming.aggregates import (
+        materialize_hll_stream,
+        read_hll_rollup,
+        write_partial_hll,
+    )
+
+    events = load_table(spark, "events", SF_DIR)
+    src = str(tmp_path / "src")
+    events.repartition(3).write.mode("overwrite").parquet(src)
+
+    rollup = str(tmp_path / "hll")
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        materialize_hll_stream(stream, rollup, str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def key(df):
+        return sorted(
+            (r.scope, r.n_zero_registers, r.est_distinct) for r in df.collect()
+        )
+
+    got = key(read_hll_rollup(spark, rollup))
+    days = events.select(
+        F.to_date("ts").cast("string").alias("scope"), "user_id"
+    )
+    want = key(
+        hll_estimate_from_registers(
+            hll_registers(days, ["scope"], "user_id", p=4), ["scope"], p=4
+        )
+    )
+    assert got == want
+    # superset replay: re-write batch 0's partial from ALL events
+    write_partial_hll(events, 0, rollup)
+    assert key(read_hll_rollup(spark, rollup)) == got
