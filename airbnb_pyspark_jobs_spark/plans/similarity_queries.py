@@ -1872,3 +1872,89 @@ def q202_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q208 label cohesion WITHOUT a self-join: for unit vectors,
+# Σ_{i≠j} u_i·u_j = |Σu|² − n, so the mean intra-label pairwise cosine
+# is (|S|² − n) / (n(n−1)) from ONE scan — the identity that replaces
+# an O(n²) pairs join with a per-dim sum at any scale. Determinism:
+# unit components are rounded to 6 digits and cast DECIMAL so the
+# per-dim sums are aggregation-order-free; |S|² is then a fixed-order
+# fold over the 64 per-dim sums (sorted array, both engines). Also
+# emits the mean resultant length |S|/n — the directional-statistics
+# dispersion measure (→1 = tight cluster).
+# ---------------------------------------------------------------------------
+@query(
+    "q208_label_cohesion",
+    oracle=f"""
+    WITH {_D_UNIT},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    comp AS (
+      SELECT l.label, generate_subscripts(u.vn, 1) AS d,
+             CAST(round(unnest(u.vn), 6) AS DECIMAL(18,6)) AS c
+      FROM u JOIN lab l ON u.vec_id = l.vec_id
+    ),
+    dims AS (
+      SELECT label, d, CAST(SUM(c) AS DECIMAL(38,6)) AS s
+      FROM comp GROUP BY label, d
+    ),
+    vecs AS (
+      SELECT label, list(CAST(s AS DOUBLE) ORDER BY d) AS sv
+      FROM dims GROUP BY label
+    ),
+    ns AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM lab GROUP BY label)
+    SELECT ns.label, ns.n,
+           round((list_dot_product(v.sv, v.sv) - CAST(ns.n AS DOUBLE))
+                 / (CAST(ns.n AS DOUBLE) * CAST(ns.n - 1 AS DOUBLE)), 6)
+             AS mean_pairwise_cos,
+           round(sqrt(list_dot_product(v.sv, v.sv)) / CAST(ns.n AS DOUBLE), 6)
+             AS resultant_length
+    FROM vecs v JOIN ns ON v.label = ns.label
+    """,
+)
+def q208_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    u = SIM.unit_vectors(emb, "vec_id", "embedding", "vec_id", "vn")
+    lab = emb.select("vec_id", "label")
+    comp = (
+        u.join(lab, "vec_id")
+        .select("label", F.posexplode("vn").alias("d", "__x"))
+        .select(
+            "label",
+            "d",
+            F.round(F.col("__x"), 6).cast("decimal(18,6)").alias("__c"),
+        )
+    )
+    dims = comp.groupBy("label", "d").agg(
+        F.sum("__c").cast("decimal(38,6)").alias("__s")
+    )
+    vecs = dims.groupBy("label").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("d"), F.col("__s")))
+            ),
+            lambda e: e["__s"].cast("double"),
+        ).alias("__sv")
+    )
+    ns = lab.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dot = F.aggregate(
+        F.zip_with(F.col("__sv"), F.col("__sv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        vecs.join(ns, "label")
+        .select(
+            "label",
+            "n",
+            F.round(
+                (dot - F.col("n").cast("double"))
+                / (F.col("n").cast("double") * (F.col("n") - 1).cast("double")),
+                6,
+            ).alias("mean_pairwise_cos"),
+            F.round(F.sqrt(dot) / F.col("n").cast("double"), 6).alias(
+                "resultant_length"
+            ),
+        )
+    )

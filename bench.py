@@ -265,6 +265,10 @@ EXTENDED_QUERIES = [
     "q205_multitouch_attribution",
     # shipping-delay SLA profile (exact grouped quantiles)
     "q206_shipping_delay_profile",
+    # Wilson-bound daily conversion rates
+    "q207_conversion_wilson",
+    # label cohesion via centroid-norm identity (no self-join)
+    "q208_label_cohesion",
 ]
 
 
