@@ -562,3 +562,42 @@ def test_grouped_trend_flat_negative_slope_never_negative_zero(spark):
     ).collect()[0]
     assert out["slope_cents"] == 0.0
     assert math.copysign(1.0, out["slope_cents"]) == 1.0
+
+
+def test_hll_register_merge_closure(spark):
+    """Element-wise MAX of two halves' registers must equal the whole
+    corpus's registers (the merge property the streaming twin relies
+    on), and the estimate from merged registers must equal the
+    one-pass estimate."""
+    from pyspark.sql import functions as F
+
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [(1, f"user{i}") for i in range(200)], "g int, k string"
+    )
+    a = df.filter(F.length("k") <= 6)   # user0..user99
+    b = df.filter(F.length("k") > 6)    # user100..user199
+    whole = {
+        (r.bucket): r.register
+        for r in hll_registers(df, ["g"], "k", p=4).collect()
+    }
+    ra = hll_registers(a, ["g"], "k", p=4)
+    rb = hll_registers(b, ["g"], "k", p=4)
+    merged = {
+        r.bucket: r.register
+        for r in ra.unionByName(rb)
+        .groupBy("g", "bucket")
+        .agg(F.max("register").alias("register"))
+        .collect()
+    }
+    assert merged == whole
+    est_whole = hll_estimate_from_registers(
+        hll_registers(df, ["g"], "k", p=4), ["g"], p=4
+    ).collect()[0]
+    # estimate within the ~1.04/sqrt(16)=26% band of 200 (typical draw;
+    # the bound is statistical, not a hash-specific pin)
+    assert abs(est_whole.est_distinct - 200) / 200 < 0.6

@@ -194,3 +194,37 @@ def test_binned_interval_point_join_matches_naive_range_join(spark):
         points, intervals, "p_ms", "s_ms", "e_ms", bin_ms=H
     )
     assert joined.count() == len(naive)
+
+
+def test_grouped_cusum_matches_sequential_recurrence(spark):
+    """The prefix-sum-minus-running-min formulation must equal Page's
+    sequential recurrence S_i = max(0, S_{i-1} + y_i) on a mixed
+    positive/negative series, per key."""
+    rows = [
+        ("a", 1, 5), ("a", 2, -3), ("a", 3, -9), ("a", 4, 4), ("a", 5, 2),
+        ("b", 1, -1), ("b", 2, -1), ("b", 3, 10), ("b", 4, -20), ("b", 5, 7),
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, y long")
+    from airbnb_pyspark_jobs_spark.operators.windows import grouped_cusum
+
+    got = {
+        (r.k, r.t): r.cusum_scaled
+        for r in grouped_cusum(df, ["k"], "t", "y").collect()
+    }
+    want = {}
+    for k in ("a", "b"):
+        s = 0
+        for t, y in sorted((t, y) for kk, t, y in rows if kk == k):
+            s = max(0, s + y)
+            want[(k, t)] = s
+    assert got == want
+
+
+def test_grouped_cusum_all_negative_stays_zero(spark):
+    df = spark.createDataFrame(
+        [("a", i, -5) for i in range(1, 6)], "k string, t int, y long"
+    )
+    from airbnb_pyspark_jobs_spark.operators.windows import grouped_cusum
+
+    vals = [r.cusum_scaled for r in grouped_cusum(df, ["k"], "t", "y").collect()]
+    assert vals == [0, 0, 0, 0, 0]
