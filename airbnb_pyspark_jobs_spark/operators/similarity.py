@@ -335,6 +335,36 @@ def kmeans_centroids(
     return cents
 
 
+def ivf_corpus_lists(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Build the IVF inverted lists once: every corpus vector assigned
+    to its single nearest TRAINED centroid (the q53 tie-break
+    discipline). Returns ``neighbor_id, cid, __cv``. Callers sweeping
+    a search knob (q202's n_probe levels) persist THIS frame and pass
+    it to :func:`ivf_ann` via ``corpus_lists`` — one corpus scan
+    instead of one per sweep point."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__cv")
+    )
+    cents_u = [(cid, _py_unit(vec)) for cid, vec in centroids]
+    cu = unit_vectors(corpus, id_col, vec_col, "neighbor_id", "vn")
+    sims = centroid_unit_sims(cu, cents_u, id_alias="neighbor_id")
+    w = Window.partitionBy("neighbor_id").orderBy(
+        F.round("__rsim", round_digits).desc(), F.col("cid").asc()
+    )
+    assigned = (
+        sims.withColumn("__crn", F.row_number().over(w))
+        .filter(F.col("__crn") == 1)
+        .select("neighbor_id", "cid")
+    )
+    return assigned.join(c, "neighbor_id")
+
+
 def ivf_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -346,6 +376,7 @@ def ivf_ann(
     round_digits: int = 4,
     centroids: list[tuple[int, list[float]]] | None = None,
     train_iters: int = 3,
+    corpus_lists: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: inverted lists by nearest TRAINED centroid.
 
@@ -393,7 +424,10 @@ def ivf_ann(
             .select(idcol, "cid")
         )
 
-    c_assigned = assign(cu, "neighbor_id", 1).join(c, "neighbor_id")
+    if corpus_lists is None:
+        c_assigned = assign(cu, "neighbor_id", 1).join(c, "neighbor_id")
+    else:
+        c_assigned = corpus_lists  # prebuilt by ivf_corpus_lists (same centroids!)
     q_probes = assign(qu, "query_id", n_probe).join(q, "query_id")
 
     sims = (

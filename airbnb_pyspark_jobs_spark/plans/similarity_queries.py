@@ -1839,9 +1839,14 @@ FROM h{np_}, gtn"""
 
 @query("q202_ivf_probe_sweep", oracle=_q202_oracle())
 def q202_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < _NQ)
     cents = SIM.kmeans_centroids(emb, k=_NCENT, iters=_ITERS)
+    # ONE corpus assignment shared by every probe level (persisted —
+    # otherwise each sweep point re-scans and re-assigns the corpus)
+    lists = owned_persist(SIM.ivf_corpus_lists(emb, cents))
     gt = SIM.knn_bruteforce(emb, queries, k=_K_SWEEP).select(
         "query_id", "neighbor_id"
     )
@@ -1855,6 +1860,7 @@ def q202_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_centroids=_NCENT,
             n_probe=np_,
             centroids=cents,
+            corpus_lists=lists,
         ).select("query_id", "neighbor_id")
         row = (
             gt.join(ap, ["query_id", "neighbor_id"], "left_semi")
