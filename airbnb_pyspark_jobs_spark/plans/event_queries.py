@@ -2478,3 +2478,133 @@ def q207_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("conv_rate"),
         F.round(wilson, 6).alias("wilson_low"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q209 two-regressor OLS in EXACT integer arithmetic: regress daily
+# purchase counts on daily view and error counts (the "does error
+# volume depress conversions, controlling for traffic" question). The
+# normal-equation matrix entries are integer sums; Cramer determinants
+# are exact DECIMAL(38,0)/HUGEINT cross-products (the q71 discipline —
+# no float normal equations, which lose rank on ill-conditioned sums);
+# the only doubles are the three final det ratios, rounded at 6.
+# Fits on a calendar-bounded frame (30 rows) after one corpus-scale
+# pivot aggregate — the regression itself costs nothing at any SF.
+# ---------------------------------------------------------------------------
+@query(
+    "q209_multivar_ols",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                  AS BIGINT) AS v,
+             CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+                  AS BIGINT) AS e,
+             CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(v) AS HUGEINT) AS sv, CAST(SUM(e) AS HUGEINT) AS se,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(v * v) AS HUGEINT) AS svv,
+             CAST(SUM(e * e) AS HUGEINT) AS see,
+             CAST(SUM(v * e) AS HUGEINT) AS sve,
+             CAST(SUM(v * y) AS HUGEINT) AS svy,
+             CAST(SUM(e * y) AS HUGEINT) AS sey
+      FROM daily
+    ),
+    d AS (
+      SELECT n, sv, se, sy, svv, see, sve, svy, sey,
+             n * (svv * see - sve * sve)
+               - sv * (sv * see - sve * se)
+               + se * (sv * sve - svv * se) AS det,
+             sy * (svv * see - sve * sve)
+               - sv * (svy * see - sve * sey)
+               + se * (svy * sve - svv * sey) AS det0,
+             n * (svy * see - sve * sey)
+               - sy * (sv * see - sve * se)
+               + se * (sv * sey - svy * se) AS det1,
+             n * (svv * sey - svy * sve)
+               - sv * (sv * sey - svy * se)
+               + sy * (sv * sve - svv * se) AS det2
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS intercept,
+           round(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS beta_views,
+           round(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS beta_errors
+    FROM d WHERE det != 0
+    """,
+)
+def q209_multivar_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(F.to_date("ts").alias("__day")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("bigint")
+        .alias("v"),
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .cast("bigint")
+        .alias("e"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("y"),
+    )
+    D = "decimal(38,0)"
+    s = daily.agg(
+        F.count(F.lit(1)).cast(D).alias("n"),
+        F.sum("v").cast(D).alias("sv"),
+        F.sum("e").cast(D).alias("se"),
+        F.sum("y").cast(D).alias("sy"),
+        F.sum(F.col("v") * F.col("v")).cast(D).alias("svv"),
+        F.sum(F.col("e") * F.col("e")).cast(D).alias("see"),
+        F.sum(F.col("v") * F.col("e")).cast(D).alias("sve"),
+        F.sum(F.col("v") * F.col("y")).cast(D).alias("svy"),
+        F.sum(F.col("e") * F.col("y")).cast(D).alias("sey"),
+    )
+    n, sv, se, sy = F.col("n"), F.col("sv"), F.col("se"), F.col("sy")
+    svv, see, sve = F.col("svv"), F.col("see"), F.col("sve")
+    svy, sey = F.col("svy"), F.col("sey")
+    det = (
+        n * (svv * see - sve * sve)
+        - sv * (sv * see - sve * se)
+        + se * (sv * sve - svv * se)
+    )
+    det0 = (
+        sy * (svv * see - sve * sve)
+        - sv * (svy * see - sve * sey)
+        + se * (svy * sve - svv * sey)
+    )
+    det1 = (
+        n * (svy * see - sve * sey)
+        - sy * (sv * see - sve * se)
+        + se * (sv * sey - svy * se)
+    )
+    det2 = (
+        n * (svv * sey - svy * sve)
+        - sv * (sv * sey - svy * se)
+        + sy * (sv * sve - svv * se)
+    )
+    return (
+        s.select(
+            n.cast("bigint").alias("n_days"),
+            det.alias("__det"),
+            det0.alias("__det0"),
+            det1.alias("__det1"),
+            det2.alias("__det2"),
+        )
+        .filter(F.col("__det") != 0)
+        .select(
+            "n_days",
+            F.round(
+                F.col("__det0").cast("double") / F.col("__det").cast("double"), 6
+            ).alias("intercept"),
+            F.round(
+                F.col("__det1").cast("double") / F.col("__det").cast("double"), 6
+            ).alias("beta_views"),
+            F.round(
+                F.col("__det2").cast("double") / F.col("__det").cast("double"), 6
+            ).alias("beta_errors"),
+        )
+    )

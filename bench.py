@@ -269,6 +269,8 @@ EXTENDED_QUERIES = [
     "q207_conversion_wilson",
     # label cohesion via centroid-norm identity (no self-join)
     "q208_label_cohesion",
+    # exact-integer two-regressor OLS (Cramer over HUGEINT sums)
+    "q209_multivar_ols",
 ]
 
 
