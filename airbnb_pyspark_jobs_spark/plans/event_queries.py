@@ -2608,3 +2608,129 @@ def q209_multivar_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("beta_errors"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q210 cumulative distinct-user growth curve: the q194 portable-HLL
+# registers rolled FORWARD — day d's sketch of "users seen so far" is
+# the element-wise running MAX of daily registers (one tiny window per
+# bucket; never a rescan of history), compared against the exact
+# cumulative count, which itself avoids any rescan: each user's FIRST
+# day (one groupBy min) feeds a running sum of first-appearance
+# counts. The incremental-ingest shape: both curves are one pass over
+# events plus sketch/calendar-sized state.
+# ---------------------------------------------------------------------------
+def _q210_oracle() -> str:
+    p = _HLL_P
+    m = 1 << p
+    return f"""
+    WITH h AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS scope,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+      FROM events
+    ),
+    rho AS (
+      SELECT scope, hv % {m} AS bucket,
+             CASE WHEN (hv >> {p}) = 0 THEN {33 - p}
+                  ELSE {33 - p} - length(bin(hv >> {p})) END AS r
+      FROM h
+    ),
+    spine AS (
+      SELECT scope, i AS bucket
+      FROM (SELECT DISTINCT scope FROM h), UNNEST(range({m})) AS u(i)
+    ),
+    regs AS (
+      SELECT spine.scope, spine.bucket, COALESCE(MAX(rho.r), 0) AS register
+      FROM spine LEFT JOIN rho
+        ON rho.scope = spine.scope AND rho.bucket = spine.bucket
+      GROUP BY spine.scope, spine.bucket
+    ),
+    cum AS (
+      SELECT scope, bucket,
+             MAX(register) OVER (PARTITION BY bucket ORDER BY scope
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS register
+      FROM regs
+    ),
+    folded AS (
+      SELECT scope,
+             SUM(1.0 / CAST(CAST(1 AS BIGINT) << register AS DOUBLE)) AS z,
+             CAST(SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero
+      FROM cum GROUP BY scope
+    ),
+    est AS (
+      SELECT scope,
+             round(CASE WHEN ((CAST(0.673 AS DOUBLE) * CAST({m} AS DOUBLE))
+                              * CAST({m} AS DOUBLE)) / z
+                         <= CAST(2.5 AS DOUBLE) * CAST({m} AS DOUBLE)
+                    AND n_zero > 0
+                   THEN CAST({m} AS DOUBLE)
+                        * ln(CAST({m} AS DOUBLE) / CAST(n_zero AS DOUBLE))
+                   ELSE ((CAST(0.673 AS DOUBLE) * CAST({m} AS DOUBLE))
+                           * CAST({m} AS DOUBLE)) / z
+              END, 4) AS est_cum
+      FROM folded
+    ),
+    fd AS (
+      SELECT CAST(MIN(CAST(ts AS DATE)) AS VARCHAR) AS scope,
+             user_id
+      FROM events GROUP BY user_id
+    ),
+    nu AS (SELECT scope, CAST(COUNT(*) AS BIGINT) AS new_users FROM fd GROUP BY scope),
+    days AS (SELECT DISTINCT scope FROM h),
+    exact AS (
+      SELECT d.scope,
+             COALESCE(nu.new_users, 0) AS new_users,
+             CAST(SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY d.scope
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS exact_cum
+      FROM days d LEFT JOIN nu ON nu.scope = d.scope
+    )
+    SELECT est.scope, exact.new_users, exact.exact_cum, est.est_cum
+    FROM est JOIN exact ON est.scope = exact.scope
+    """
+
+
+@query("q210_user_growth_curve", oracle=_q210_oracle())
+def q210_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    days = events.select(
+        F.to_date("ts").cast("string").alias("scope"), "user_id"
+    )
+    regs = hll_registers(days, ["scope"], "user_id", p=_HLL_P)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("scope")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = regs.select(
+        "scope", "bucket", F.max("register").over(w).cast("int").alias("register")
+    )
+    est = hll_estimate_from_registers(cum, ["scope"], p=_HLL_P).select(
+        "scope", F.col("est_distinct").alias("est_cum")
+    )
+    first_day = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).cast("string").alias("scope")
+    )
+    nu = first_day.groupBy("scope").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    day_spine = days.select("scope").distinct()
+    w_cum = Window.orderBy("scope").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    exact = (
+        day_spine.join(nu, "scope", "left")
+        .withColumn("new_users", F.coalesce("new_users", F.lit(0)).cast("bigint"))
+        .withColumn("exact_cum", F.sum("new_users").over(w_cum).cast("bigint"))
+    )
+    return exact.join(est, "scope").select(
+        "scope", "new_users", "exact_cum", "est_cum"
+    )

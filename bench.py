@@ -271,6 +271,8 @@ EXTENDED_QUERIES = [
     "q208_label_cohesion",
     # exact-integer two-regressor OLS (Cramer over HUGEINT sums)
     "q209_multivar_ols",
+    # cumulative distinct growth curve (running HLL register max)
+    "q210_user_growth_curve",
 ]
 
 
