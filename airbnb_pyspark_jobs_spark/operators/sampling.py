@@ -248,6 +248,13 @@ def two_phase_numeric_rank(
     ORIGINAL column — bucket assignment only has to respect ordering,
     which monotone casts do. ``order_col`` must be non-null (filter
     first). Zero driver actions: stats stay a broadcast 1-row frame."""
+    _reserved = {"__b", "__rn", "__off", "__run", "__mn", "__mx", "__cnt"}
+    _clash = _reserved & set(df.columns)
+    if _clash:
+        raise ValueError(
+            f"input columns collide with two-phase internals: {sorted(_clash)}"
+            " (rename them; the helper would silently clobber them)"
+        )
     from pyspark.sql.window import Window
 
     ord_d = F.col(order_col).cast("double")
@@ -304,6 +311,13 @@ def two_phase_numeric_cumsum(
     -cutoff primitive ("take documents in quality order until N
     tokens"). ``order_col`` must be non-null; ``value_col`` is summed
     as bigint (cast first for decimals)."""
+    _reserved = {"__b", "__rn", "__off", "__run", "__mn", "__mx", "__cnt"}
+    _clash = _reserved & set(df.columns)
+    if _clash:
+        raise ValueError(
+            f"input columns collide with two-phase internals: {sorted(_clash)}"
+            " (rename them; the helper would silently clobber them)"
+        )
     from pyspark.sql.window import Window
 
     ord_d = F.col(order_col).cast("double")

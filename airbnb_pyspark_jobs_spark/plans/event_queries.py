@@ -2734,3 +2734,205 @@ def q210_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "scope").select(
         "scope", "new_users", "exact_cum", "est_cum"
     )
+
+
+# ---------------------------------------------------------------------------
+# q211 mutual information between event_type and hour-of-day — the
+# information-theoretic dependence screen (is event mix time-of-day
+# dependent?). MI = Σ_xy (n_xy/N)·ln(n_xy·N/(n_x·n_y)): every ln
+# argument is an exact ratio of BIGINT products (one double division),
+# each term's ln is rounded and DECIMAL-summed (order-free) — the
+# q117 log-determinism recipe applied to contingency tables. The
+# contingency table is one corpus-scale groupBy; margins broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "q211_event_time_mi",
+    oracle="""
+    WITH xy AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS nxy
+      FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT event_type, CAST(SUM(nxy) AS BIGINT) AS nx FROM xy GROUP BY 1),
+    my AS (SELECT hr, CAST(SUM(nxy) AS BIGINT) AS ny FROM xy GROUP BY 1),
+    tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM xy),
+    terms AS (
+      SELECT xy.event_type, xy.hr,
+             CAST(round((CAST(xy.nxy AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                        * ln(CAST(xy.nxy * tot.n AS DOUBLE)
+                             / CAST(mx.nx * my.ny AS DOUBLE)), 10)
+                  AS DECIMAL(28,10)) AS term
+      FROM xy JOIN mx USING (event_type) JOIN my USING (hr), tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           round(CAST(SUM(term) AS DOUBLE), 6) AS mutual_information
+    FROM terms
+    """,
+)
+def q211_event_time_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    xy = events.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("nxy"))
+    mx = xy.groupBy("event_type").agg(F.sum("nxy").cast("bigint").alias("nx"))
+    my = xy.groupBy("hr").agg(F.sum("nxy").cast("bigint").alias("ny"))
+    tot = xy.agg(F.sum("nxy").cast("bigint").alias("n"))
+    term = F.round(
+        (F.col("nxy").cast("double") / F.col("n").cast("double"))
+        * F.log(
+            (F.col("nxy") * F.col("n")).cast("double")
+            / (F.col("nx") * F.col("ny")).cast("double")
+        ),
+        10,
+    ).cast("decimal(28,10)")
+    return (
+        xy.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "hr")
+        .crossJoin(F.broadcast(tot))
+        .select(term.alias("__term"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.round(F.sum("__term").cast("double"), 6).alias(
+                "mutual_information"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q212 chi-square independence test of event_type × day-of-week with
+# EXACT integer terms: chi² = Σ (n·obs − rt·ct)² / (n·rt·ct) — every
+# numerator/denominator is a HUGEINT/DECIMAL(38,0) cross-product, so
+# no float "expected count" ever exists; each cell's one double
+# division is rounded and DECIMAL-summed. Same discipline as q71's
+# integer z-test, applied to a contingency test.
+# ---------------------------------------------------------------------------
+@query(
+    "q212_chi2_independence",
+    oracle="""
+    WITH xy AS (
+      SELECT event_type, CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT event_type, CAST(SUM(obs) AS HUGEINT) AS rt FROM xy GROUP BY 1),
+    my AS (SELECT dow, CAST(SUM(obs) AS HUGEINT) AS ct FROM xy GROUP BY 1),
+    tot AS (SELECT CAST(SUM(obs) AS HUGEINT) AS n FROM xy),
+    terms AS (
+      SELECT CAST(round(
+               CAST((tot.n * xy.obs - mx.rt * my.ct)
+                    * (tot.n * xy.obs - mx.rt * my.ct) AS DOUBLE)
+               / CAST(tot.n * mx.rt * my.ct AS DOUBLE), 10)
+             AS DECIMAL(28,10)) AS term
+      FROM xy JOIN mx USING (event_type) JOIN my USING (dow), tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           round(CAST(SUM(term) AS DOUBLE), 6) AS chi2
+    FROM terms
+    """,
+)
+def q212_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    D = "decimal(38,0)"
+    xy = events.groupBy(
+        "event_type", F.dayofweek(F.to_date("ts")).cast("bigint").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    mx = xy.groupBy("event_type").agg(F.sum("obs").cast(D).alias("rt"))
+    my = xy.groupBy("dow").agg(F.sum("obs").cast(D).alias("ct"))
+    tot = xy.agg(F.sum("obs").cast(D).alias("n"))
+    num = F.col("n") * F.col("obs") - F.col("rt") * F.col("ct")
+    term = F.round(
+        (num * num).cast("double")
+        / (F.col("n") * F.col("rt") * F.col("ct")).cast("double"),
+        10,
+    ).cast("decimal(28,10)")
+    return (
+        xy.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(term.alias("__term"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.round(F.sum("__term").cast("double"), 6).alias("chi2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q213 two-sample Kolmogorov–Smirnov statistic, EXACT: D = max over
+# pooled values of |F1 − F2| = max |c1·n2 − c2·n1| / (n1·n2) — the
+# running per-sample counts c1, c2 are TWO two-phase range-bucketed
+# cumsums over the distinct-value frame (a continuous value column
+# makes that frame corpus-sized, so a plain global window would be the
+# single-task hazard; the q149 budget-cutoff machinery isn't), and the
+# max is an integer comparison scaled by n1·n2 — the float CDF never
+# exists. Compares purchase vs view `value` distributions.
+# ---------------------------------------------------------------------------
+@query(
+    "q213_ks_two_sample",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(value AS DECIMAL(12,2)) AS v,
+             CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS a,
+             CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS b
+      FROM events WHERE event_type IN ('purchase', 'view')
+      GROUP BY 1
+    ),
+    n AS (SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2 FROM s),
+    c AS (
+      SELECT SUM(a) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+             SUM(b) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+      FROM s
+    )
+    SELECT n.n1, n.n2,
+           round(CAST(MAX(abs(c.c1 * n.n2 - c.c2 * n.n1)) AS DOUBLE)
+                 / CAST(n.n1 * n.n2 AS DOUBLE), 6) AS ks_d
+    FROM c, n
+    GROUP BY n.n1, n.n2
+    """,
+)
+def q213_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        two_phase_numeric_cumsum,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    s = owned_persist(
+        events.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy(F.col("value").cast("decimal(12,2)").alias("__v"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("bigint")
+            .alias("__cnt_a"),
+            F.count(F.when(F.col("event_type") == "view", 1))
+            .cast("bigint")
+            .alias("__cnt_b"),
+        )
+    )
+    n = s.agg(
+        F.sum("__cnt_a").cast("bigint").alias("n1"),
+        F.sum("__cnt_b").cast("bigint").alias("n2"),
+    )
+    c = two_phase_numeric_cumsum(
+        two_phase_numeric_cumsum(s, "__v", "__v", "__cnt_a", "__c1"),
+        "__v",
+        "__v",
+        "__cnt_b",
+        "__c2",
+    )
+    return (
+        c.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(F.col("__c1") * F.col("n2") - F.col("__c2") * F.col("n1"))
+                ).cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"),
+                6,
+            ).alias("ks_d")
+        )
+    )

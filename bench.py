@@ -273,6 +273,10 @@ EXTENDED_QUERIES = [
     "q209_multivar_ols",
     # cumulative distinct growth curve (running HLL register max)
     "q210_user_growth_curve",
+    # contingency MI / chi-square / two-sample KS (exact integer terms)
+    "q211_event_time_mi",
+    "q212_chi2_independence",
+    "q213_ks_two_sample",
 ]
 
 

@@ -604,3 +604,22 @@ def test_pmi_ranks_exclusive_pair_above_independent(spark):
     # pmi(tea, the) = ln(6*12/(6*12)) = 0
     assert out[("tea", "the")].pmi == 0.0
     assert out[("pot", "tea")].rn < out[("tea", "the")].rn
+
+
+def test_two_phase_helpers_reject_reserved_columns(spark):
+    """The range-bucket helpers use __b/__run/... internally; an input
+    frame carrying those names used to be silently clobbered (q213's
+    first draft lost its counts column to the bucket id). Now they
+    raise."""
+    import pytest
+
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        two_phase_numeric_cumsum,
+        two_phase_numeric_rank,
+    )
+
+    df = spark.createDataFrame([(1.0, 2)], "v double, __b long")
+    with pytest.raises(ValueError, match="__b"):
+        two_phase_numeric_rank(df, "v", "v", "rk")
+    with pytest.raises(ValueError, match="__b"):
+        two_phase_numeric_cumsum(df, "v", "v", "__b", "c")
