@@ -2936,3 +2936,48 @@ def q213_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_d")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q215 top event trigram paths: the 3-step journey extension of q131's
+# transition matrix — per user, consecutive (a → b → c) event triples
+# by time (event_id tie-break), counted corpus-wide. The triple build
+# is two leads over a user-partitioned window (per-user ordering;
+# never a global sort); output is the full path histogram (bounded:
+# |types|³ rows).
+# ---------------------------------------------------------------------------
+@query(
+    "q215_event_trigram_paths",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS b,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS c
+      FROM events
+    )
+    SELECT event_type || '>' || b || '>' || c AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM o WHERE b IS NOT NULL AND c IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q215_event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = events.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("__b"),
+        F.lead("event_type", 2).over(w).alias("__c"),
+    )
+    return (
+        o.filter(F.col("__b").isNotNull() & F.col("__c").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "__b", "__c").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

@@ -4375,3 +4375,50 @@ def q204_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("wasted_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q214 conjunctive boolean search (AND of query terms) — the exact
+# posting-list intersection under BM25's ranked retrieval (q122):
+# docs containing EVERY query term, found by counting matched DISTINCT
+# terms per doc (one semi-join-shaped aggregate over the postings;
+# never a per-term join chain, whose depth would scale with query
+# length). Returns the matched docs with their total query-term
+# frequency as a secondary signal.
+# ---------------------------------------------------------------------------
+_Q214_TERMS = ("data", "group", "hash")
+
+
+@query(
+    "q214_boolean_and_search",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, lower(t) AS term
+      FROM (SELECT doc_id, UNNEST({_D_TOKENS}) AS t FROM documents)
+    ),
+    hits AS (
+      SELECT doc_id,
+             CAST(COUNT(DISTINCT term) AS BIGINT) AS n_matched,
+             CAST(COUNT(*) AS BIGINT) AS total_tf
+      FROM tok
+      WHERE term IN ('data', 'group', 'hash')
+      GROUP BY doc_id
+    )
+    SELECT doc_id, total_tf FROM hits WHERE n_matched = 3
+    """,
+)
+def q214_boolean_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens("text")).alias("__t")
+    ).select("doc_id", F.lower("__t").alias("__term"))
+    return (
+        tok.filter(F.col("__term").isin(*_Q214_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("__term").alias("__nm"),
+            F.count(F.lit(1)).cast("bigint").alias("total_tf"),
+        )
+        .filter(F.col("__nm") == len(_Q214_TERMS))
+        .select("doc_id", "total_tf")
+    )

@@ -277,6 +277,9 @@ EXTENDED_QUERIES = [
     "q211_event_time_mi",
     "q212_chi2_independence",
     "q213_ks_two_sample",
+    # conjunctive posting intersection; trigram journey histogram
+    "q214_boolean_and_search",
+    "q215_event_trigram_paths",
 ]
 
 
