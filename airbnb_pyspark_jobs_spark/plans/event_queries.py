@@ -2981,3 +2981,54 @@ def q215_event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("path")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q217 activity streaks (gaps-and-islands): each user's longest run of
+# CONSECUTIVE active days — distinct (user, day), day minus the
+# per-user day-rank is constant within a consecutive run, so one
+# user-partitioned rank + one group size = the streak table with zero
+# self-joins (the q107 run-reassembly shape on the calendar). Output
+# per user: n_active_days, longest_streak, n_streaks.
+# ---------------------------------------------------------------------------
+@query(
+    "q217_activity_streaks",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    r AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INTEGER) AS grp
+      FROM d
+    ),
+    runs AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM r GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(run_len) AS BIGINT) AS n_active_days,
+           CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY user_id
+    """,
+)
+def q217_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, "events", sf_dir)
+    d = events.select("user_id", F.to_date("ts").alias("__day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("__day")
+    r = d.select(
+        "user_id",
+        F.date_sub("__day", F.row_number().over(w)).alias("__grp"),
+    )
+    runs = r.groupBy("user_id", "__grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("__len").cast("bigint").alias("n_active_days"),
+        F.max("__len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+    )

@@ -4422,3 +4422,55 @@ def q214_boolean_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__nm") == len(_Q214_TERMS))
         .select("doc_id", "total_tf")
     )
+
+
+# ---------------------------------------------------------------------------
+# q216 k-fold split balance audit: deterministic md5 fold assignment
+# (the q43 hash-split recipe at k=5) with a per-(fold, lang) census
+# and each fold's share of its language — the check that a hash split
+# didn't skew any stratum (folds should hold ~1/k of every language).
+# Pure integer counts + one rounded share division.
+# ---------------------------------------------------------------------------
+@query(
+    "q216_kfold_balance",
+    oracle="""
+    WITH f AS (
+      SELECT lang,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 5 AS BIGINT) AS fold
+      FROM documents
+    ),
+    cell AS (
+      SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM f GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang FROM cell GROUP BY 1)
+    SELECT cell.fold, cell.lang, cell.n_docs, tot.n_lang,
+           round(CAST(cell.n_docs AS DOUBLE) / CAST(tot.n_lang AS DOUBLE), 6)
+             AS fold_share
+    FROM cell JOIN tot USING (lang)
+    """,
+)
+def q216_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.text import portable_hash_int
+
+    docs = load_table(spark, "documents", sf_dir)
+    f = docs.select(
+        "lang",
+        (portable_hash_int(F.col("doc_id").cast("string")) % 5)
+        .cast("bigint")
+        .alias("fold"),
+    )
+    cell = f.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = cell.groupBy("lang").agg(F.sum("n_docs").cast("bigint").alias("n_lang"))
+    return cell.join(F.broadcast(tot), "lang").select(
+        "fold",
+        "lang",
+        "n_docs",
+        "n_lang",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("n_lang").cast("double"), 6
+        ).alias("fold_share"),
+    )

@@ -280,6 +280,9 @@ EXTENDED_QUERIES = [
     # conjunctive posting intersection; trigram journey histogram
     "q214_boolean_and_search",
     "q215_event_trigram_paths",
+    # k-fold stratum balance; gaps-and-islands activity streaks
+    "q216_kfold_balance",
+    "q217_activity_streaks",
 ]
 
 
