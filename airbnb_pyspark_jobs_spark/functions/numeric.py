@@ -37,18 +37,18 @@ def exact_mean_round(
 ) -> Column:
     """Round-half-away mean ``sum/count`` at ``digits`` decimals, computed
     in exact integer arithmetic. ``sum_col`` must be a DECIMAL column
-    with scale ``sum_scale`` (default ``digits``; must be >= ``digits``
-    so ``mean·10^digits = S / (n·10^(sum_scale-digits))`` stays an
-    integer ratio of BIGINTs under 2^53)."""
+    with scale ``sum_scale`` (default ``digits``). For ``sum_scale >
+    digits`` the denominator scales up; for ``sum_scale < digits`` the
+    numerator does — either way ``mean·10^digits`` is an integer ratio
+    of BIGINTs under 2^53."""
     if sum_scale is None:
         sum_scale = digits
-    if sum_scale < digits:
-        raise ValueError("sum_scale must be >= digits for exactness")
     sc = 10**digits
-    m = 10 ** (sum_scale - digits)
+    up = 10 ** max(0, digits - sum_scale)
+    m = 10 ** max(0, sum_scale - digits)
     s = (sum_col.cast(f"decimal(18,{sum_scale})") * F.lit(10**sum_scale)).cast("bigint")
     n = count_col.cast("bigint")
-    x = F.abs(s) * F.lit(2) + n * F.lit(m)
+    x = F.abs(s) * F.lit(2 * up) + n * F.lit(m)
     d = n * F.lit(2 * m)
     q = (x - x % d) / d  # exactly divisible, operands < 2^53 -> exact double
     return (F.when(s < 0, -q).otherwise(q) / F.lit(float(sc))).alias("mean")
@@ -61,13 +61,12 @@ def exact_mean_round_sql(
     formula, so oracle values are bit-identical to the Spark plan."""
     if sum_scale is None:
         sum_scale = digits
-    if sum_scale < digits:
-        raise ValueError("sum_scale must be >= digits for exactness")
     sc = 10**digits
-    m = 10 ** (sum_scale - digits)
+    up = 10 ** max(0, digits - sum_scale)
+    m = 10 ** max(0, sum_scale - digits)
     s = f"CAST(CAST(({sum_expr}) AS DECIMAL(18,{sum_scale})) * {10**sum_scale} AS BIGINT)"
     n = f"CAST(({count_expr}) AS BIGINT)"
-    x = f"(2 * abs({s}) + {m} * {n})"
+    x = f"(2 * {up} * abs({s}) + {m} * {n})"
     d = f"(2 * {m} * {n})"
     q = f"(({x} - {x} % {d}) / {d})"
     return f"(CASE WHEN {s} < 0 THEN -{q} ELSE {q} END) / CAST({sc} AS DOUBLE)"

@@ -2388,3 +2388,117 @@ def q206_shipping_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.join(qt, "priority").select(
         "priority", "n_lines", "mean_days", "p50_days", "p90_days", "max_days"
     )
+
+
+# ---------------------------------------------------------------------------
+# q218 Poisson bootstrap of the mean (Chamandy et al.'s distributed
+# bootstrap — the resampling scheme that needs NO shuffling of the
+# sample: each row independently draws a Poisson(1) replication count
+# per replicate). Here the draw is DETERMINISTIC: u = md5(row, r) as a
+# 32-bit uniform, inverted through the Poisson(1) CDF literals (same
+# decimal strings both engines -> same doubles -> same comparisons),
+# so all 16 replicate means replay exactly. Sums are DECIMAL-exact;
+# each replicate mean is the integer round-half-away quotient.
+# Replicate fan-out is a scan-side explode — no shuffle beyond one
+# 16-group aggregate.
+# ---------------------------------------------------------------------------
+_Q218_R = 16
+_POIS_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+
+
+def _q218_pois_case(u: str) -> str:
+    branches = "".join(
+        f" WHEN {u} < CAST({p} AS DOUBLE) THEN {k}"
+        for k, p in enumerate(_POIS_CDF)
+    )
+    return f"CASE{branches} ELSE 6 END"
+
+
+@query(
+    "q218_bootstrap_mean",
+    oracle=f"""
+    WITH x AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+      FROM lineitem
+    ),
+    reps AS (
+      SELECT x.*, r FROM x, UNNEST(range({_Q218_R})) AS t(r)
+    ),
+    drawn AS (
+      SELECT r, price,
+             {_q218_pois_case(
+                 "CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' "
+                 "|| CAST(l_linenumber AS VARCHAR) || '|' "
+                 "|| CAST(r AS VARCHAR)), 1, 8) AS BIGINT) "
+                 "/ CAST(4294967296 AS DOUBLE)")} AS c
+      FROM reps
+    ),
+    agg AS (
+      SELECT CAST(r AS INT) AS replicate,
+             CAST(SUM(c) AS BIGINT) AS n_eff,
+             CAST(SUM(c * price) AS DECIMAL(38,2)) AS s
+      FROM drawn GROUP BY r
+    )
+    SELECT replicate, n_eff,
+           {exact_mean_round_sql("s", "n_eff", 4, sum_scale=2)} AS boot_mean
+    FROM agg
+    """,
+)
+def q218_bootstrap_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.numeric import exact_mean_round
+
+    li = load_table(spark, "lineitem", sf_dir)
+    x = li.select(
+        "l_orderkey", "l_linenumber", _dec("l_extendedprice", 12).alias("__price")
+    )
+    reps = x.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(_Q218_R - 1))).alias("__r")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                        F.col("__r").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    c = F.when(u < float(_POIS_CDF[0]), 0)
+    for k, p in enumerate(_POIS_CDF[1:], start=1):
+        c = c.when(u < float(p), k)
+    c = c.otherwise(6)
+    drawn = reps.select("__r", "__price", c.alias("__c"))
+    return (
+        drawn.groupBy(F.col("__r").cast("int").alias("replicate"))
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_eff"),
+            F.sum(F.col("__c") * F.col("__price"))
+            .cast("decimal(38,2)")
+            .alias("__s"),
+        )
+        .select(
+            "replicate",
+            "n_eff",
+            exact_mean_round(
+                F.col("__s"), F.col("n_eff"), 4, sum_scale=2
+            ).alias("boot_mean"),
+        )
+    )

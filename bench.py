@@ -283,6 +283,8 @@ EXTENDED_QUERIES = [
     # k-fold stratum balance; gaps-and-islands activity streaks
     "q216_kfold_balance",
     "q217_activity_streaks",
+    # deterministic Poisson bootstrap of the mean (16 replicates)
+    "q218_bootstrap_mean",
 ]
 
 

@@ -27,6 +27,9 @@ CASES = [
     ("0.000000", 5, 6, 6),  # zero stays +0.0
     ("-123.456789", 7, 6, 6),
     ("-10.123450", 3, 4, 6),  # sum_scale > digits (q96's 6->4 shape)
+    ("123.45", 7, 4, 2),  # sum_scale < digits (q218's cents->4 shape)
+    ("-0.03", 4, 4, 2),  # -0.0075 -> -0.0075 exactly at 4
+    ("0.05", 4, 4, 2),  # 0.0125 boundary at 4: half-away -> 0.0125
     ("99.999950", 10, 4, 6),  # 9.999995 -> 10.0000 half-away
     ("-7.000005", 1, 5, 6),
 ]
@@ -60,8 +63,20 @@ def test_exact_mean_round_sql_duckdb(s, n, digits, sum_scale):
     assert got == _expected(s, n, digits)
 
 
-def test_sum_scale_below_digits_rejected(spark):
-    with pytest.raises(ValueError):
-        exact_mean_round(F.lit("1.0"), F.lit(1), digits=6, sum_scale=4)
-    with pytest.raises(ValueError):
-        exact_mean_round_sql("1.0", "1", digits=6, sum_scale=4)
+def test_sum_scale_below_digits_scales_numerator(spark):
+    # 1.00 / 3 at 6 digits = 0.333333 (truncating the sum first would
+    # give a different answer; the numerator scales up instead)
+    got = (
+        spark.range(1)
+        .select(
+            exact_mean_round(
+                F.lit("1.00").cast("decimal(18,2)"), F.lit(3), 6, 2
+            ).alias("m")
+        )
+        .collect()[0]["m"]
+    )
+    assert got == 0.333333
+    import duckdb
+
+    expr = exact_mean_round_sql("CAST('1.00' AS DECIMAL(18,2))", "3", 6, 2)
+    assert duckdb.sql(f"SELECT {expr} AS m").fetchone()[0] == 0.333333
