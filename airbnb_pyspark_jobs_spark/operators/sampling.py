@@ -293,6 +293,90 @@ def two_phase_numeric_rank(
     return out.drop("__b", "__rn", "__off")
 
 
+def two_phase_numeric_cumsum_multi(
+    df: DataFrame,
+    order_col: str,
+    tie_col: str,
+    value_cols: list[str],
+    out_cols: list[str],
+    descending: bool = False,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Running sums of SEVERAL value columns in one shared global
+    (``order_col``, ``tie_col``) order — one stats scan, one bucket
+    assignment, one window pass computing every running sum (q213's
+    two CDFs previously paid the full two-phase machinery twice).
+    Semantics per column identical to :func:`two_phase_numeric_cumsum`."""
+    from pyspark.sql.window import Window
+
+    _reserved = {"__b", "__rn", "__off", "__run", "__mn", "__mx", "__cnt"}
+    _clash = _reserved & set(df.columns)
+    if _clash:
+        raise ValueError(
+            f"input columns collide with two-phase internals: {sorted(_clash)}"
+            " (rename them; the helper would silently clobber them)"
+        )
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_cols and out_cols must align")
+    ord_d = F.col(order_col).cast("double")
+    stats = df.agg(F.min(ord_d).alias("__mn"), F.max(ord_d).alias("__mx"))
+    width = F.greatest(
+        (F.col("__mx") - F.col("__mn")) / F.lit(float(n_buckets)),
+        F.lit(1e-300),
+    )
+    keyed = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__b",
+            F.least(
+                F.floor((ord_d - F.col("__mn")) / width),
+                F.lit(n_buckets - 1),
+            ).cast("bigint"),
+        )
+        .drop("__mn", "__mx")
+    )
+    order_in = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        F.col(tie_col).asc(),
+    ]
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(*order_in)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = keyed
+    for vc, oc in zip(value_cols, out_cols):
+        ranked = ranked.withColumn(
+            f"__run_{oc}", F.sum(F.col(vc).cast("bigint")).over(w_in)
+        )
+    counts = keyed.groupBy("__b").agg(
+        *[
+            F.sum(F.col(vc).cast("bigint")).alias(f"__cnt_{oc}")
+            for vc, oc in zip(value_cols, out_cols)
+        ]
+    )
+    w_off = Window.orderBy(
+        F.col("__b").desc() if descending else F.col("__b").asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b",
+        *[
+            F.coalesce(F.sum(f"__cnt_{oc}").over(w_off), F.lit(0)).alias(
+                f"__off_{oc}"
+            )
+            for oc in out_cols
+        ],
+    )
+    out = ranked.join(F.broadcast(offsets), "__b")
+    for oc in out_cols:
+        out = out.withColumn(
+            oc, (F.col(f"__off_{oc}") + F.col(f"__run_{oc}")).cast("bigint")
+        )
+    return out.drop(
+        "__b", *[f"__run_{oc}" for oc in out_cols], *[f"__off_{oc}" for oc in out_cols]
+    )
+
+
 def two_phase_numeric_cumsum(
     df: DataFrame,
     order_col: str,

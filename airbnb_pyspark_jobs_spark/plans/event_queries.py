@@ -2896,7 +2896,7 @@ def q212_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q213_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbnb_pyspark_jobs_spark.caching import owned_persist
     from airbnb_pyspark_jobs_spark.operators.sampling import (
-        two_phase_numeric_cumsum,
+        two_phase_numeric_cumsum_multi,
     )
 
     events = load_table(spark, "events", sf_dir)
@@ -2916,12 +2916,8 @@ def q213_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__cnt_a").cast("bigint").alias("n1"),
         F.sum("__cnt_b").cast("bigint").alias("n2"),
     )
-    c = two_phase_numeric_cumsum(
-        two_phase_numeric_cumsum(s, "__v", "__v", "__cnt_a", "__c1"),
-        "__v",
-        "__v",
-        "__cnt_b",
-        "__c2",
+    c = two_phase_numeric_cumsum_multi(
+        s, "__v", "__v", ["__cnt_a", "__cnt_b"], ["__c1", "__c2"]
     )
     return (
         c.crossJoin(F.broadcast(n))

@@ -623,3 +623,34 @@ def test_two_phase_helpers_reject_reserved_columns(spark):
         two_phase_numeric_rank(df, "v", "v", "rk")
     with pytest.raises(ValueError, match="__b"):
         two_phase_numeric_cumsum(df, "v", "v", "__b", "c")
+
+
+def test_cumsum_multi_equals_stacked_singles(spark):
+    """One bucket pass over several value columns must equal the
+    twice-applied single-column helper row-for-row."""
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        two_phase_numeric_cumsum,
+        two_phase_numeric_cumsum_multi,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i % 7), i, i % 3, (i * 2) % 5) for i in range(200)],
+        "v double, id long, a long, b long",
+    )
+    multi = {
+        (r.v, r.id): (r.c1, r.c2)
+        for r in two_phase_numeric_cumsum_multi(
+            df, "v", "id", ["a", "b"], ["c1", "c2"]
+        ).collect()
+    }
+    single = {
+        (r.v, r.id): (r.c1, r.c2)
+        for r in two_phase_numeric_cumsum(
+            two_phase_numeric_cumsum(df, "v", "id", "a", "c1"),
+            "v",
+            "id",
+            "b",
+            "c2",
+        ).collect()
+    }
+    assert multi == single
