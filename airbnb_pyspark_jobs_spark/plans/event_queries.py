@@ -3028,3 +3028,112 @@ def q217_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("__len").cast("bigint").alias("longest_streak"),
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q219 time-windowed conversion matrix: for every ordered event-type
+# pair (a, b), the share of a-events followed by >=1 b-event from the
+# SAME user within one hour — the full pairwise generalization of
+# q67's fixed funnel. ONE bucketed range join (epoch-hour equi-buckets
+# + user equality; never a nested-loop time join) covers all 25 pairs;
+# conversion is a distinct-(a_event, b_type) count over exact
+# integers, densified to the full type x type grid.
+# ---------------------------------------------------------------------------
+@query(
+    "q219_conversion_matrix",
+    oracle="""
+    WITH a AS (
+      SELECT event_id AS a_id, event_type AS a_type, user_id, ts
+      FROM events
+    ),
+    b AS (
+      SELECT event_id AS b_id, event_type AS b_type, user_id, ts
+      FROM events
+    ),
+    m AS (
+      SELECT DISTINCT a.a_id, a.a_type, b.b_type
+      FROM a JOIN b
+        ON b.user_id = a.user_id
+       AND b.ts > a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+       AND b.b_id != a.a_id
+    ),
+    conv AS (
+      SELECT a_type, b_type, CAST(COUNT(*) AS BIGINT) AS n_converted
+      FROM m GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type AS a_type, CAST(COUNT(*) AS BIGINT) AS n_a
+      FROM events GROUP BY 1
+    ),
+    types AS (SELECT DISTINCT event_type AS t FROM events),
+    grid AS (
+      SELECT t1.t AS a_type, t2.t AS b_type FROM types t1, types t2
+    )
+    SELECT g.a_type, g.b_type, tot.n_a,
+           COALESCE(conv.n_converted, 0) AS n_converted,
+           round(CAST(COALESCE(conv.n_converted, 0) AS DOUBLE)
+                 / CAST(tot.n_a AS DOUBLE), 6) AS conv_rate
+    FROM grid g
+    JOIN tot ON tot.a_type = g.a_type
+    LEFT JOIN conv ON conv.a_type = g.a_type AND conv.b_type = g.b_type
+    """,
+)
+def q219_conversion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.asof import bucketed_range_join
+
+    events = load_table(spark, "events", sf_dir)
+    intervals = events.select(
+        F.col("event_id").alias("__a_id"),
+        F.col("event_type").alias("a_type"),
+        F.col("user_id").alias("__a_user"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    points = events.select(
+        F.col("event_id").alias("__b_id"),
+        F.col("event_type").alias("b_type"),
+        F.col("user_id").alias("__b_user"),
+        F.col("ts").alias("__b_ts"),
+    )
+    joined = bucketed_range_join(
+        points,
+        intervals,
+        "__b_ts",
+        "w_start",
+        "w_end",
+        bucket_seconds=3600,
+        extra_equi=[("__b_user", "__a_user")],
+    )
+    m = (
+        joined.filter(
+            (F.col("__b_ts") > F.col("w_start"))
+            & (F.col("__b_id") != F.col("__a_id"))
+        )
+        .select("__a_id", "a_type", "b_type")
+        .distinct()
+    )
+    conv = m.groupBy("a_type", "b_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted")
+    )
+    tot = events.groupBy(F.col("event_type").alias("a_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a")
+    )
+    types = events.select(F.col("event_type").alias("t")).distinct()
+    grid = types.select(F.col("t").alias("a_type")).crossJoin(
+        F.broadcast(types.select(F.col("t").alias("b_type")))
+    )
+    return (
+        grid.join(F.broadcast(tot), "a_type")
+        .join(F.broadcast(conv), ["a_type", "b_type"], "left")
+        .withColumn("n_converted", F.coalesce("n_converted", F.lit(0)).cast("bigint"))
+        .select(
+            "a_type",
+            "b_type",
+            "n_a",
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double") / F.col("n_a").cast("double"),
+                6,
+            ).alias("conv_rate"),
+        )
+    )

@@ -285,6 +285,8 @@ EXTENDED_QUERIES = [
     "q217_activity_streaks",
     # deterministic Poisson bootstrap of the mean (16 replicates)
     "q218_bootstrap_mean",
+    # pairwise 1h conversion matrix (one bucketed range join)
+    "q219_conversion_matrix",
 ]
 
 
