@@ -3137,3 +3137,114 @@ def q219_conversion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conv_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q220 Mann-Whitney U rank-sum test: purchase vs view `value`
+# distributions. Completes the nonparametric-test family (q198 Welch,
+# q212 chi-square, q213 KS): the rank-sum is computed from the GROUPED
+# value histogram, never from per-row ranks — per distinct value v with
+# group counts (a_v, b_v), ties share the midrank
+# C_v + (t_v + 1)/2 where C_v is the count of strictly-smaller rows, so
+#   2*R1 = sum_v a_v * (2*C_v + t_v + 1)
+# is an exact integer. C_v comes from the two-phase partitioned
+# cumulative sum (q213's machinery) — no global single-task window.
+# Tie-corrected normal approximation:
+#   var U = n1*n2/12 * ((n+1) - sum(t^3 - t) / (n*(n-1)))
+#   z     = (U1 - n1*n2/2) / sqrt(var U)
+# All moments are exact integers (tie cubes summed in decimal(38,0) —
+# bigint would overflow near 10^6-row ties); the single int->double
+# conversion per term keeps both engines bitwise identical before the
+# final round. At 100 TB the histogram is |distinct values| rows
+# (bounded: decimal(12,2) grid), the scan is one map-side-combinable
+# groupBy.
+# ---------------------------------------------------------------------------
+@query(
+    "q220_mann_whitney_u",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(value AS DECIMAL(12,2)) AS v,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS a,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS b
+      FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1
+    ),
+    c AS (
+      SELECT a, b, a + b AS t,
+             CAST(SUM(a + b) OVER (ORDER BY v) AS BIGINT) - (a + b) AS cb
+      FROM s
+    ),
+    agg AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n1,
+             CAST(SUM(b) AS BIGINT) AS n2,
+             CAST(SUM(a * (2 * cb + t + 1)) AS BIGINT) AS r1x2,
+             CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS DECIMAL(38,0)) AS tie3
+      FROM c
+    )
+    SELECT n1, n2,
+           CAST(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS DOUBLE) AS u1,
+           ROUND(
+             (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
+              - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             / (2.0 * SQRT(
+                 CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                 * (CAST(n1 + n2 + 1 AS DOUBLE)
+                    - CAST(tie3 AS DOUBLE)
+                      / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))),
+             6) AS z
+    FROM agg
+    """,
+)
+def q220_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        two_phase_numeric_cumsum_multi,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    s = owned_persist(
+        events.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy(F.col("value").cast("decimal(12,2)").alias("__v"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("bigint")
+            .alias("__ca"),
+            F.count(F.when(F.col("event_type") == "view", 1))
+            .cast("bigint")
+            .alias("__cb"),
+        )
+        .withColumn("__t", (F.col("__ca") + F.col("__cb")).cast("bigint"))
+    )
+    c = two_phase_numeric_cumsum_multi(s, "__v", "__v", ["__t"], ["__ct"])
+    agg = c.agg(
+        F.sum("__ca").cast("bigint").alias("n1"),
+        F.sum("__cb").cast("bigint").alias("n2"),
+        F.sum(
+            F.col("__ca")
+            * (2 * (F.col("__ct") - F.col("__t")) + F.col("__t") + 1)
+        )
+        .cast("bigint")
+        .alias("__r1x2"),
+        F.sum(
+            F.col("__t").cast("decimal(38,0)") * F.col("__t") * F.col("__t")
+            - F.col("__t")
+        )
+        .cast("decimal(38,0)")
+        .alias("__tie3"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1x2_d = (F.col("__r1x2") - n1 * (n1 + 1)).cast("double")
+    n1d, n2d = n1.cast("double"), n2.cast("double")
+    var_u = (
+        n1d * n2d / F.lit(12.0)
+        * (
+            (n1 + n2 + 1).cast("double")
+            - F.col("__tie3").cast("double")
+            / ((n1 + n2).cast("double") * (n1 + n2 - 1).cast("double"))
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        (u1x2_d / F.lit(2.0)).cast("double").alias("u1"),
+        F.round((u1x2_d - n1d * n2d) / (F.lit(2.0) * F.sqrt(var_u)), 6).alias("z"),
+    )

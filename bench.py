@@ -287,6 +287,8 @@ EXTENDED_QUERIES = [
     "q218_bootstrap_mean",
     # pairwise 1h conversion matrix (one bucketed range join)
     "q219_conversion_matrix",
+    # Mann-Whitney rank-sum from the grouped value histogram
+    "q220_mann_whitney_u",
 ]
 
 

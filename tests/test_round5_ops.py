@@ -342,3 +342,37 @@ def test_ivf_label_purity_pure_cell_entropy_positive_zero(spark):
     assert math.copysign(1.0, pure.label_entropy) == 1.0
     mixed = out[1]
     assert mixed.n_labels == 2 and mixed.label_entropy > 0.6
+
+
+def test_q220_mann_whitney_matches_naive_midranks(spark):
+    # Recompute U1 and the tie-corrected z from raw rows with naive
+    # per-row midranks (pandas average ranks) and compare to the
+    # grouped-histogram plan — same statistic, independent derivation.
+    import math
+    import os
+
+    import pandas as pd
+
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    got = QUERIES["q220_mann_whitney_u"](spark, sf_dir).collect()[0]
+
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = ev[ev.event_type.isin(["purchase", "view"])].copy()
+    v = ev.value.round(2)
+    ranks = v.rank(method="average")
+    a = ev.event_type == "purchase"
+    n1, n2 = int(a.sum()), int((~a).sum())
+    r1 = float(ranks[a].sum())
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    t = v.value_counts()
+    tie3 = float((t**3 - t).sum())
+    n = n1 + n2
+    var_u = n1 * n2 / 12.0 * ((n + 1) - tie3 / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2.0) / math.sqrt(var_u)
+    assert (got.n1, got.n2) == (n1, n2)
+    assert got.u1 == u1
+    assert abs(got.z - z) < 1e-6
