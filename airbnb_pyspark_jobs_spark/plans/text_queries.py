@@ -4474,3 +4474,109 @@ def q216_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double") / F.col("n_lang").cast("double"), 6
         ).alias("fold_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q221 decile lift & gains table — the ranking-quality twin of q171's
+# reliability diagram: order docs by the q147 classifier score (p DESC,
+# doc_id tie-break), decile = ((rank-1)*10) div N, then per decile the
+# positive rate, lift vs the base rate, and cumulative capture of all
+# positives. The global order comes from the two-phase partitioned
+# rank (never a single-task window); the only unpartitioned window is
+# the cumulative sum over the 10 post-aggregation decile rows (bounded
+# at any scale). Every ratio goes through exact_mean_round — integer
+# numerators/denominators, round-half-away in BIGINT arithmetic, one
+# final exact double divide (the q193 boundary-gotcha discipline).
+# Lift is a ratio of integer PRODUCTS (n_pos·N)/(n_docs·P), still
+# exact integer math.
+# ---------------------------------------------------------------------------
+def _q221_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q147 = ORACLES["q147_quality_classifier_gd"]
+    pos_rate = exact_mean_round_sql("n_pos", "n_docs", 6, sum_scale=0)
+    lift = exact_mean_round_sql(
+        "n_pos * n_all", "n_docs * pos_all", 6, sum_scale=0
+    )
+    capture = exact_mean_round_sql("cum_pos", "pos_all", 6, sum_scale=0)
+    return f"""
+    WITH clf AS ({q147}),
+    r AS (
+      SELECT doc_id, p, CAST(y AS BIGINT) AS y,
+             ROW_NUMBER() OVER (ORDER BY p DESC, doc_id) AS rk
+      FROM clf
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(y) AS BIGINT) AS pos_all
+      FROM r
+    ),
+    g AS (
+      SELECT CAST((rk - 1) * 10 // n_all AS BIGINT) + 1 AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             MAX(n_all) AS n_all, MAX(pos_all) AS pos_all
+      FROM r CROSS JOIN t GROUP BY 1
+    ),
+    c AS (
+      SELECT g.*, CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+      FROM g
+    )
+    SELECT decile, n_docs, n_pos,
+           {pos_rate} AS pos_rate,
+           {lift} AS lift,
+           cum_pos,
+           {capture} AS capture
+    FROM c
+    """
+
+
+@query("q221_decile_lift", oracle=_q221_oracle())
+def q221_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        two_phase_numeric_rank,
+    )
+
+    clf = q147_quality_classifier_gd(spark, sf_dir).select(
+        "doc_id", "p", F.col("y").cast("bigint").alias("__y")
+    )
+    r = two_phase_numeric_rank(clf, "p", "doc_id", "__rk", descending=True)
+    t = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_all"),
+        F.sum("__y").cast("bigint").alias("__pos_all"),
+    )
+    g = (
+        r.crossJoin(F.broadcast(t))
+        .withColumn(
+            "decile", F.expr("((__rk - 1) * 10) div __n_all") + F.lit(1)
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__y").cast("bigint").alias("n_pos"),
+            F.max("__n_all").alias("__n_all"),
+            F.max("__pos_all").alias("__pos_all"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.withColumn("cum_pos", F.sum("n_pos").over(w).cast("bigint"))
+    return c.select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        exact_mean_round(F.col("n_pos"), F.col("n_docs"), 6, sum_scale=0).alias(
+            "pos_rate"
+        ),
+        exact_mean_round(
+            F.col("n_pos") * F.col("__n_all"),
+            F.col("n_docs") * F.col("__pos_all"),
+            6,
+            sum_scale=0,
+        ).alias("lift"),
+        "cum_pos",
+        exact_mean_round(
+            F.col("cum_pos"), F.col("__pos_all"), 6, sum_scale=0
+        ).alias("capture"),
+    )

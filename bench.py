@@ -289,6 +289,8 @@ EXTENDED_QUERIES = [
     "q219_conversion_matrix",
     # Mann-Whitney rank-sum from the grouped value histogram
     "q220_mann_whitney_u",
+    # classifier decile lift & gains (two-phase rank over p)
+    "q221_decile_lift",
 ]
 
 

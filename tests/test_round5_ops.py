@@ -376,3 +376,34 @@ def test_q220_mann_whitney_matches_naive_midranks(spark):
     assert (got.n1, got.n2) == (n1, n2)
     assert got.u1 == u1
     assert abs(got.z - z) < 1e-6
+
+
+def test_q221_decile_lift_invariants(spark):
+    # Structural invariants of a gains table: deciles 1..10 partition
+    # the corpus (sizes differ by <=1), cum_pos ends at the total
+    # positive count, final capture is exactly 1.0, and the
+    # n_docs-weighted mean of pos_rate recovers the base rate.
+    import os
+
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    rows = sorted(
+        QUERIES["q221_decile_lift"](spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    total_pos = sum(r.n_pos for r in rows)
+    assert rows[-1].cum_pos == total_pos
+    assert rows[-1].capture == 1.0
+    n = sum(sizes)
+    base = total_pos / n
+    weighted = sum(r.pos_rate * r.n_docs for r in rows) / n
+    assert abs(weighted - base) < 1e-4
+    # lift of 1.0 overall: weighted mean of lift ~= 1
+    wl = sum(r.lift * r.n_docs for r in rows) / n
+    assert abs(wl - 1.0) < 1e-3
