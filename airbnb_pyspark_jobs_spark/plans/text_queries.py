@@ -4580,3 +4580,102 @@ def q221_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_pos"), F.col("__pos_all"), 6, sum_scale=0
         ).alias("capture"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q222 cross-source duplication modularity — is near-duplication
+# mostly WITHIN a source (high modularity: dedup per-source suffices)
+# or cross-source (low: global dedup required)? Newman modularity of
+# the source partition over the q45 exact-verified near-dup graph:
+#   Q = sum_c [ e_c/m - (d_c / 2m)^2 ]
+# with e_c = intra-source edges, d_c = degree mass of source c,
+# m = |edges|. Per-source contribution emitted as the exact integer
+# ratio (4·m·e_c - d_c^2) / (4·m^2) through exact_mean_round (handles
+# the negative-contribution case); summing the column IS Q. The edge
+# frame is persisted once and feeds the total, the incidence rollup
+# and nothing else — one LSH pipeline run, two small aggregations.
+# ---------------------------------------------------------------------------
+def _q222_oracle() -> str:
+    contrib = exact_mean_round_sql(
+        "4 * m * e_in - d_sum * d_sum", "4 * m * m", 6, sum_scale=0
+    )
+    return f"""
+    WITH pairs AS ({_Q45_ORACLE}),
+    e AS (
+      SELECT da.source AS sa, db.source AS sb,
+             p.doc_id_a, p.doc_id_b
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_id_a
+      JOIN documents db ON db.doc_id = p.doc_id_b
+    ),
+    mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+    inc AS (
+      SELECT sa AS source, doc_id_a AS node,
+             CASE WHEN sa = sb THEN 1 ELSE 0 END AS ih FROM e
+      UNION ALL
+      SELECT sb AS source, doc_id_b AS node,
+             CASE WHEN sa = sb THEN 1 ELSE 0 END AS ih FROM e
+    ),
+    g AS (
+      SELECT source,
+             CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes,
+             CAST(COUNT(*) AS BIGINT) AS d_sum,
+             CAST(SUM(ih) // 2 AS BIGINT) AS e_in
+      FROM inc GROUP BY source
+    )
+    SELECT source, n_nodes, d_sum, e_in,
+           {contrib} AS contribution
+    FROM g CROSS JOIN mt
+    """
+
+
+@query("q222_dup_modularity", oracle=_q222_oracle())
+def q222_dup_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    pairs = q45_minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    e = owned_persist(
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("doc_id_a"), F.col("source").alias("__sa")
+            ),
+            "doc_id_a",
+        ).join(
+            docs.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("source").alias("__sb")
+            ),
+            "doc_id_b",
+        )
+    )
+    mt = e.agg(F.count(F.lit(1)).cast("bigint").alias("__m"))
+    ih = F.when(F.col("__sa") == F.col("__sb"), 1).otherwise(0)
+    inc = e.select(
+        F.col("__sa").alias("source"), F.col("doc_id_a").alias("__node"), ih.alias("__ih")
+    ).unionByName(
+        e.select(
+            F.col("__sb").alias("source"),
+            F.col("doc_id_b").alias("__node"),
+            ih.alias("__ih"),
+        )
+    )
+    g = inc.groupBy("source").agg(
+        F.countDistinct("__node").cast("bigint").alias("n_nodes"),
+        F.count(F.lit(1)).cast("bigint").alias("d_sum"),
+        # every intra-source edge contributes exactly two halves, so the
+        # sum is even and the /2 double divide is exact
+        (F.sum("__ih") / F.lit(2)).cast("bigint").alias("e_in"),
+    )
+    return g.crossJoin(F.broadcast(mt)).select(
+        "source",
+        "n_nodes",
+        "d_sum",
+        "e_in",
+        exact_mean_round(
+            F.lit(4) * F.col("__m") * F.col("e_in")
+            - F.col("d_sum") * F.col("d_sum"),
+            F.lit(4) * F.col("__m") * F.col("__m"),
+            6,
+            sum_scale=0,
+        ).alias("contribution"),
+    )

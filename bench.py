@@ -291,6 +291,8 @@ EXTENDED_QUERIES = [
     "q220_mann_whitney_u",
     # classifier decile lift & gains (two-phase rank over p)
     "q221_decile_lift",
+    # cross-source modularity of the near-dup graph
+    "q222_dup_modularity",
 ]
 
 

@@ -407,3 +407,22 @@ def test_q221_decile_lift_invariants(spark):
     # lift of 1.0 overall: weighted mean of lift ~= 1
     wl = sum(r.lift * r.n_docs for r in rows) / n
     assert abs(wl - 1.0) < 1e-3
+
+
+def test_q222_modularity_invariants(spark):
+    # Degree mass sums to 2m, intra-source edges never exceed m, and
+    # modularity Q = sum(contribution) lies in [-0.5, 1].
+    import os
+
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    rows = QUERIES["q222_dup_modularity"](spark, sf_dir).collect()
+    m2 = sum(r.d_sum for r in rows)
+    assert m2 % 2 == 0 and m2 > 0
+    m = m2 // 2
+    assert sum(r.e_in for r in rows) <= m
+    q = sum(r.contribution for r in rows)
+    assert -0.5 <= q <= 1.0
