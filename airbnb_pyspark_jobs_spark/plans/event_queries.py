@@ -3248,3 +3248,126 @@ def q220_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         (u1x2_d / F.lit(2.0)).cast("double").alias("u1"),
         F.round((u1x2_d - n1d * n2d) / (F.lit(2.0) * F.sqrt(var_u)), 6).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q223 autocorrelation function (ACF) of daily event volumes, lags
+# 1..7, per event type — the seasonality-detection companion of q176
+# (day-of-week profile) and q199 (cross-type lead-lag): lag-7 spikes
+# betray weekly cycles. The series is the ZERO-FILLED per-type day
+# spine (a missing day is a 0-count observation, not an absent row —
+# q34's spine discipline), pairs come from a per-type equi-join on
+# (type, day + lag) — partitioned by type, never a global sort. All
+# Pearson moments are exact BIGINT sums of integer counts; the two
+# variance factors are cast to double BEFORE multiplying (their
+# product overflows bigint at ~10^10 daily volumes) and the identical
+# sqrt·sqrt expression runs on both engines. Zero-variance series
+# yield NULL.
+# ---------------------------------------------------------------------------
+@query(
+    "q223_daily_acf",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type,
+             CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ),
+    dense AS (
+      SELECT s.event_type, s.d, COALESCE(daily.n, 0) AS n
+      FROM spine s
+      LEFT JOIN daily ON daily.event_type = s.event_type AND daily.d = s.d
+    ),
+    lags AS (SELECT UNNEST([1, 2, 3, 4, 5, 6, 7]) AS lag),
+    p AS (
+      SELECT a.event_type, lags.lag, a.n AS x, b.n AS y
+      FROM dense a
+      CROSS JOIN lags
+      JOIN dense b
+        ON b.event_type = a.event_type AND b.d = a.d + lags.lag
+    ),
+    m AS (
+      SELECT event_type, CAST(lag AS BIGINT) AS lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sx2,
+             CAST(SUM(y * y) AS BIGINT) AS sy2
+      FROM p GROUP BY 1, 2
+    )
+    SELECT event_type, lag, n_pairs,
+           CASE WHEN n_pairs * sx2 - sx * sx > 0
+                 AND n_pairs * sy2 - sy * sy > 0
+             THEN ROUND(
+               CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+               / (SQRT(CAST(n_pairs * sx2 - sx * sx AS DOUBLE))
+                  * SQRT(CAST(n_pairs * sy2 - sy * sy AS DOUBLE))),
+               6) + CAST(0 AS DOUBLE)
+             ELSE NULL END AS acf
+    FROM m
+    """,
+)
+def q223_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d"),
+    )
+    dense = owned_persist(
+        spine.join(daily, ["event_type", "d"], "left").select(
+            "event_type", "d", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+        )
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("bigint").alias("lag"))
+    a = dense.crossJoin(F.broadcast(lags)).select(
+        "event_type", "lag", F.col("n").alias("__x"),
+        F.date_add("d", F.col("lag").cast("int")).alias("__dy"),
+    )
+    b = dense.select(
+        "event_type", F.col("d").alias("__dy"), F.col("n").alias("__y")
+    )
+    m = (
+        a.join(b, ["event_type", "__dy"])
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("__x").cast("bigint").alias("__sx"),
+            F.sum("__y").cast("bigint").alias("__sy"),
+            F.sum(F.col("__x") * F.col("__y")).cast("bigint").alias("__sxy"),
+            F.sum(F.col("__x") * F.col("__x")).cast("bigint").alias("__sx2"),
+            F.sum(F.col("__y") * F.col("__y")).cast("bigint").alias("__sy2"),
+        )
+    )
+    np_, sx, sy = F.col("n_pairs"), F.col("__sx"), F.col("__sy")
+    dx = np_ * F.col("__sx2") - sx * sx
+    dy = np_ * F.col("__sy2") - sy * sy
+    num = np_ * F.col("__sxy") - sx * sy
+    return m.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(
+                num.cast("double")
+                / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("acf"),
+    )

@@ -293,6 +293,8 @@ EXTENDED_QUERIES = [
     "q221_decile_lift",
     # cross-source modularity of the near-dup graph
     "q222_dup_modularity",
+    # per-type daily-volume autocorrelation, lags 1..7
+    "q223_daily_acf",
 ]
 
 

@@ -426,3 +426,37 @@ def test_q222_modularity_invariants(spark):
     assert sum(r.e_in for r in rows) <= m
     q = sum(r.contribution for r in rows)
     assert -0.5 <= q <= 1.0
+
+
+def test_q223_daily_acf_matches_naive_pandas(spark):
+    # Recompute the zero-filled per-type daily series and lag-L Pearson
+    # correlations naively in pandas; compare every (type, lag) cell.
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    got = {
+        (r.event_type, r.lag): r
+        for r in QUERIES["q223_daily_acf"](spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ev["d"] = pd.to_datetime(ev.ts).dt.normalize()
+    for typ, grp in ev.groupby("event_type"):
+        daily = grp.groupby("d").size()
+        idx = pd.date_range(daily.index.min(), daily.index.max(), freq="D")
+        s = daily.reindex(idx, fill_value=0).to_numpy(dtype=float)
+        for lag in range(1, 8):
+            x, y = s[:-lag], s[lag:]
+            r = got[(typ, lag)]
+            assert r.n_pairs == len(x)
+            if x.std() == 0 or y.std() == 0:
+                assert r.acf is None
+                continue
+            expected = float(np.corrcoef(x, y)[0, 1])
+            assert abs(r.acf - expected) < 1e-6, (typ, lag)
