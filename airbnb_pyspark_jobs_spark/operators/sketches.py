@@ -1003,3 +1003,98 @@ def hll_estimate_from_registers(
         "n_zero_registers",
         F.round(est, digits).alias("est_distinct"),
     )
+
+
+def gini_by(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tie_col: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-group EXACT Gini coefficient of a non-negative BIGINT
+    ``value_col`` (e.g. revenue in cents), fully in-plan.
+
+    With per-group values sorted ascending (``tie_col`` breaks ties —
+    tie order cannot change the result, equal values contribute equal
+    products under any permutation of their ranks) and 1-based rank i:
+
+        G = (2·sum(i·x_i) - (n+1)·S) / (n·S),  S = sum(x)
+
+    an exact ratio of integers. The rank is the grouped two-phase
+    bucketed rank (``exact_quantiles_by`` discipline): per-group range
+    buckets from a broadcast (min, max) table, per-bucket partitioned
+    ``row_number``, cumulative bucket offsets — no per-group
+    single-task window, so a group with 10^9 members still ranks in
+    parallel. The rounded ratio is computed with the integer
+    round-half-away quotient ``(2·10^d·num + den) div (2·den)`` —
+    exact while ``10^d·num`` fits BIGINT (num ≤ 2·n·S; document the
+    cents magnitude at your scale). Groups with S = 0 yield NULL.
+
+    Returns ``*group_cols, n, total, gini`` (gini at 6 decimals).
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("bigint")
+    base = df.filter(v.isNotNull()).select(
+        *group_cols, v.alias("__v"), F.col(tie_col).alias("__tie")
+    )
+    stats = base.groupBy(*group_cols).agg(
+        F.min("__v").alias("__mn"),
+        F.max("__v").alias("__mx"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    width = F.greatest(
+        (F.col("__mx") - F.col("__mn")).cast("double") / F.lit(float(n_buckets)),
+        F.lit(1e-300),
+    )
+    bucketed = base.join(F.broadcast(stats), group_cols).withColumn(
+        "__b",
+        F.least(
+            F.floor((F.col("__v") - F.col("__mn")).cast("double") / width),
+            F.lit(n_buckets - 1),
+        ).cast("bigint"),
+    )
+    counts = bucketed.groupBy(*group_cols, "__b").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *group_cols,
+        "__b",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy(*group_cols, "__b").orderBy("__v", "__tie")
+    ranked = (
+        bucketed.withColumn("__rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), [*group_cols, "__b"])
+        .withColumn("__rank", (F.col("__off") + F.col("__rn")).cast("bigint"))
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__v").cast("bigint").alias("total"),
+        F.sum(F.col("__rank") * F.col("__v")).cast("bigint").alias("__ix"),
+    )
+    # round-half-away of 10^6 * num/den in DECIMAL(38,0) arithmetic —
+    # 10^6 * num reaches ~10^21 at 10^12-cent group totals, past BIGINT;
+    # decimal holds 38 digits and (x - x % d) / d is an exact integer
+    # quotient <= 10^6, representable exactly at any decimal scale.
+    d38 = "decimal(38,0)"
+    num = (
+        F.lit(2).cast(d38) * F.col("__ix")
+        - (F.col("n") + 1).cast(d38) * F.col("total")
+    ).cast(d38)
+    den = (F.col("n").cast(d38) * F.col("total")).cast(d38)
+    x = (F.lit(2000000).cast(d38) * num + den).cast(d38)
+    d = (F.lit(2).cast(d38) * den).cast(d38)
+    q6 = ((x - x % d) / d).cast("bigint")
+    return agg.select(
+        *group_cols,
+        "n",
+        "total",
+        F.when(den > 0, q6.cast("double") / F.lit(1000000.0)).alias("gini"),
+    )

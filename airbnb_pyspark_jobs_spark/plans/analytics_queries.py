@@ -2502,3 +2502,68 @@ def q218_bootstrap_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boot_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q224 revenue concentration: per-mktsegment EXACT Gini coefficient of
+# customer lifetime revenue (order-less customers count as zeros — the
+# concentration question includes them). Revenue is summed in exact
+# cents; the rank-weighted sum comes from the grouped two-phase
+# bucketed rank inside operators.sketches.gini_by (a 10^9-customer
+# segment ranks in parallel — segments are constant-cardinality, so a
+# segment-partitioned window would be the q141 single-task hazard).
+# The rounded ratio is an integer round-half-away quotient carried in
+# DECIMAL(38,0) / HUGEINT — 10^6·num overflows BIGINT at real cent
+# magnitudes.
+# ---------------------------------------------------------------------------
+@query(
+    "q224_revenue_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS mktsegment, c.c_custkey AS custkey,
+             CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100), 0)
+                  AS BIGINT) AS cents
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT mktsegment, cents,
+             ROW_NUMBER() OVER (PARTITION BY mktsegment
+                                ORDER BY cents, custkey) AS i
+      FROM rev
+    ),
+    a AS (
+      SELECT mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total,
+             CAST(SUM(i * cents) AS BIGINT) AS ix
+      FROM r GROUP BY 1
+    )
+    SELECT mktsegment, n, total,
+           CASE WHEN n * total > 0 THEN
+             CAST((2000000 * CAST(2 * ix - (n + 1) * total AS HUGEINT)
+                   + CAST(n AS HUGEINT) * total)
+                  // (2 * CAST(n AS HUGEINT) * total) AS BIGINT)
+             / CAST(1000000 AS DOUBLE)
+           ELSE NULL END AS gini
+    FROM a
+    """,
+)
+def q224_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sketches import gini_by
+
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    rev = (
+        customer.select("c_custkey", "c_mktsegment")
+        .join(
+            orders.select(
+                F.col("o_custkey").alias("c_custkey"),
+                (_dec("o_totalprice", 12) * 100).cast("bigint").alias("__cents"),
+            ),
+            "c_custkey",
+            "left",
+        )
+        .groupBy("c_custkey", F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.coalesce(F.sum("__cents"), F.lit(0)).cast("bigint").alias("cents"))
+    )
+    return gini_by(rev, ["mktsegment"], "cents", "c_custkey")

@@ -295,6 +295,8 @@ EXTENDED_QUERIES = [
     "q222_dup_modularity",
     # per-type daily-volume autocorrelation, lags 1..7
     "q223_daily_acf",
+    # per-segment exact Gini of customer revenue (grouped two-phase rank)
+    "q224_revenue_gini",
 ]
 
 

@@ -601,3 +601,38 @@ def test_hll_register_merge_closure(spark):
     # estimate within the ~1.04/sqrt(16)=26% band of 200 (typical draw;
     # the bound is statistical, not a hash-specific pin)
     assert abs(est_whole.est_distinct - 200) / 200 < 0.6
+
+
+def test_gini_by_known_values(spark):
+    from airbnb_pyspark_jobs_spark.operators.sketches import gini_by
+
+    rows = (
+        [("equal", i, 5) for i in range(4)]
+        + [("concentrated", i, 0) for i in range(3)]
+        + [("concentrated", 3, 10)]
+        + [("zeros", i, 0) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, ["g", "k", "cents"])
+    out = {r.g: r for r in gini_by(df, ["g"], "cents", "k").collect()}
+    assert out["equal"].gini == 0.0
+    # one holder takes all: G = (n-1)/n = 0.75
+    assert out["concentrated"].gini == 0.75
+    assert out["concentrated"].total == 10
+    assert out["zeros"].gini is None
+
+
+def test_gini_by_matches_naive(spark):
+    import random
+
+    from airbnb_pyspark_jobs_spark.operators.sketches import gini_by
+
+    rng = random.Random(7)
+    rows = [("a", i, rng.randrange(0, 10_000)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["g", "k", "cents"])
+    got = gini_by(df, ["g"], "cents", "k").collect()[0]
+    xs = sorted(c for _, _, c in rows)
+    n, s = len(xs), sum(xs)
+    ix = sum((i + 1) * x for i, x in enumerate(xs))
+    num, den = 2 * ix - (n + 1) * s, n * s
+    expected = ((2_000_000 * num + den) // (2 * den)) / 1_000_000
+    assert got.gini == expected and got.n == n and got.total == s
