@@ -2106,3 +2106,97 @@ def power_iteration_top_component(
         F.round(V.dot(F.col("__v"), vlit), 4).alias("proj"),
     )
     return v, proj
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    k: int = 8,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein) diverse
+    top-k selection — the retrieval/RAG re-ranking primitive: greedily
+    pick the candidate maximizing
+
+        lam * rel(d) - (1 - lam) * max_{s in selected} cos(d, s)
+
+    where rel is cosine similarity to the query vector (here: the
+    corpus vector with the lowest id, the q157 seed discipline; pass a
+    pre-filtered candidate frame in production).
+
+    Same determinism recipe as :func:`kcenter_coreset`: unit vectors,
+    similarities rounded to ``round_digits`` BEFORE entering the
+    running max / blend, the blend written as ``lit(lam)*rel -
+    (lit(1.0)-lit(lam))*ms`` so the oracle can replay the identical
+    IEEE ops, argmax tie-break on lowest id. k-1 bounded rounds, each
+    one narrow scan (cosine to the newly selected vector, broadcast as
+    literals) + TakeOrdered(1); running-max state localCheckpointed
+    per round (O(1) lineage). Cost O(k·n) dot products.
+
+    Returns ``sel_round, vec_id, rel, max_sim, mmr_score`` (max_sim /
+    mmr_score NULL for the first pick, which is pure-relevance).
+    """
+    u = unit_vectors(corpus, id_col, vec_col, "vec_id", "__uv").localCheckpoint()
+    qrow = u.orderBy("vec_id").limit(1).head()
+    schema = (
+        "sel_round bigint, vec_id bigint, rel double,"
+        " max_sim double, mmr_score double"
+    )
+    if qrow is None:
+        return u.sparkSession.createDataFrame([], schema=schema)
+    qv = F.array(*[F.lit(float(x)) for x in qrow["__uv"]])
+    cand = u.filter(F.col("vec_id") != int(qrow["vec_id"])).select(
+        "vec_id",
+        "__uv",
+        F.round(dot(F.col("__uv"), qv), round_digits).alias("__rel"),
+    )
+    first = cand.orderBy(F.col("__rel").desc(), F.col("vec_id").asc()).limit(1).head()
+    if first is None:
+        return u.sparkSession.createDataFrame([], schema=schema)
+    picked: list[tuple] = [(0, int(first["vec_id"]), float(first["__rel"]), None, None)]
+    center = F.array(*[F.lit(float(x)) for x in first["__uv"]])
+    state = cand.select(
+        "vec_id",
+        "__uv",
+        "__rel",
+        F.round(dot(F.col("__uv"), center), round_digits).alias("__ms"),
+    ).localCheckpoint()
+    lam_c = F.lit(float(lam))
+    om_c = F.lit(1.0) - F.lit(float(lam))
+    for t in range(1, k):
+        sel_ids = [p[1] for p in picked]
+        nxt = (
+            state.filter(~F.col("vec_id").isin(sel_ids))
+            .withColumn("__score", lam_c * F.col("__rel") - om_c * F.col("__ms"))
+            .withColumn(
+                "__score_r", F.round(F.col("__score"), 6) + F.lit(0.0)
+            )
+            .orderBy(F.col("__score").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .head()
+        )
+        if nxt is None:
+            break
+        picked.append(
+            (
+                t,
+                int(nxt["vec_id"]),
+                float(nxt["__rel"]),
+                float(nxt["__ms"]),
+                float(nxt["__score_r"]),
+            )
+        )
+        if t < k - 1:
+            center = F.array(*[F.lit(float(x)) for x in nxt["__uv"]])
+            state = state.select(
+                "vec_id",
+                "__uv",
+                "__rel",
+                F.greatest(
+                    F.col("__ms"),
+                    F.round(dot(F.col("__uv"), center), round_digits),
+                ).alias("__ms"),
+            ).localCheckpoint()
+    return u.sparkSession.createDataFrame(picked, schema=schema)

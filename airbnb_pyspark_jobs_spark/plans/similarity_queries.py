@@ -1964,3 +1964,72 @@ def q208_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q225 MMR diverse top-k — the RAG re-ranking step after retrieval:
+# rather than the k most-similar results (often near-duplicates of
+# each other), greedily select by lam·relevance − (1−lam)·redundancy.
+# Query = lowest vec_id (q157 seed discipline), candidates = the rest.
+# Oracle replays the greedy trajectory as unrolled CTEs: similarities
+# rounded to 4 before the running greatest(), the blend spelled with
+# the exact same double arithmetic (CAST(1.0)−CAST(0.7), never the
+# collapsed python constant — the q138 teleport gotcha), argmax =
+# ORDER BY score DESC, vec_id LIMIT 1.
+# ---------------------------------------------------------------------------
+_MMR_K, _MMR_LAM = 8, 0.7
+
+
+def _q225_oracle() -> str:
+    lam = f"CAST({_MMR_LAM} AS DOUBLE)"
+    om = f"(CAST(1.0 AS DOUBLE) - CAST({_MMR_LAM} AS DOUBLE))"
+    parts = [
+        f"WITH {_D_UNIT},",
+        "q0 AS (SELECT MIN(vec_id) AS id FROM u),",
+        "qv AS (SELECT u.vn AS vn FROM u, q0 WHERE u.vec_id = q0.id),",
+        "r AS MATERIALIZED (SELECT u.vec_id, round(list_dot_product(u.vn, qv.vn), 4) AS rel"
+        " FROM u, qv, q0 WHERE u.vec_id != q0.id),",
+        "p0 AS (SELECT vec_id AS id, rel FROM r"
+        " ORDER BY rel DESC, vec_id ASC LIMIT 1),",
+        "c0 AS (SELECT u.vn AS vn FROM u, p0 WHERE u.vec_id = p0.id),",
+        "m1 AS MATERIALIZED (SELECT r.vec_id, r.rel,"
+        " round(list_dot_product(u.vn, c0.vn), 4) AS ms"
+        " FROM r JOIN u USING (vec_id), c0),",
+    ]
+    union = [
+        "SELECT CAST(0 AS BIGINT) AS sel_round, p0.id AS vec_id, p0.rel,"
+        " CAST(NULL AS DOUBLE) AS max_sim, CAST(NULL AS DOUBLE) AS mmr_score"
+        " FROM p0"
+    ]
+    excl = "SELECT id FROM p0"
+    for t in range(1, _MMR_K):
+        parts.append(
+            f"p{t} AS MATERIALIZED (SELECT vec_id AS id, rel, ms,"
+            f" {lam} * rel - {om} * ms AS score FROM m{t}"
+            f" WHERE vec_id NOT IN ({excl})"
+            " ORDER BY score DESC, vec_id ASC LIMIT 1),"
+        )
+        excl += f" UNION ALL SELECT id FROM p{t}"
+        if t < _MMR_K - 1:
+            parts.append(
+                f"c{t} AS (SELECT u.vn AS vn FROM u, p{t}"
+                f" WHERE u.vec_id = p{t}.id),"
+            )
+            parts.append(
+                f"m{t + 1} AS MATERIALIZED (SELECT m{t}.vec_id, m{t}.rel,"
+                f" greatest(m{t}.ms,"
+                f" round(list_dot_product(u.vn, c{t}.vn), 4)) AS ms"
+                f" FROM m{t} JOIN u USING (vec_id), c{t}),"
+            )
+        union.append(
+            f"SELECT CAST({t} AS BIGINT), p{t}.id, p{t}.rel, p{t}.ms,"
+            f" round(p{t}.score, 6) + CAST(0 AS DOUBLE) FROM p{t}"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts) + "\n" + "\nUNION ALL ".join(union)
+
+
+@query("q225_mmr_diverse_topk", oracle=_q225_oracle())
+def q225_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.mmr_topk(emb, k=_MMR_K, lam=_MMR_LAM)

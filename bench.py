@@ -297,6 +297,8 @@ EXTENDED_QUERIES = [
     "q223_daily_acf",
     # per-segment exact Gini of customer revenue (grouped two-phase rank)
     "q224_revenue_gini",
+    # MMR diverse top-k re-ranking (greedy, k bounded rounds)
+    "q225_mmr_diverse_topk",
 ]
 
 

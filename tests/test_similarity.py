@@ -370,3 +370,26 @@ def test_hard_negatives_excludes_same_label(spark):
     assert [r.neighbor_id for r in out] == [2, 4, 3]
     assert all(r.neighbor_label != 0 for r in out)
     assert all(r.anchor_id == 0 for r in out)
+
+
+def test_mmr_topk_lambda_tradeoff(spark):
+    # query = vec 0 = [1,0]; near-duplicate candidates 1,2 point the
+    # same way, candidate 3 is orthogonal. High lambda (relevance)
+    # picks the near-dups first; low lambda (diversity) picks the
+    # orthogonal doc second despite zero relevance.
+    from airbnb_pyspark_jobs_spark.operators.similarity import mmr_topk
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.995, 0.1]),
+        (2, [0.99, 0.14]),
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    rel_first = [r.vec_id for r in mmr_topk(df, k=3, lam=0.9).collect()]
+    div_first = [r.vec_id for r in mmr_topk(df, k=3, lam=0.3).collect()]
+    assert rel_first == [1, 2, 3]
+    assert div_first == [1, 3, 2]
+    out = mmr_topk(df, k=3, lam=0.9).collect()
+    assert out[0].max_sim is None and out[0].mmr_score is None
+    assert all(o.max_sim is not None for o in out[1:])
