@@ -70,3 +70,39 @@ def exact_mean_round_sql(
     d = f"(2 * {m} * {n})"
     q = f"(({x} - {x} % {d}) / {d})"
     return f"(CASE WHEN {s} < 0 THEN -{q} ELSE {q} END) / CAST({sc} AS DOUBLE)"
+
+
+def decimal_ratio_round(num: Column, den: Column, digits: int = 6) -> Column:
+    """Round-half-away ``num/den`` at ``digits`` decimals for integer
+    inputs whose products overflow BIGINT — the DECIMAL(38,0) big
+    sibling of :func:`exact_mean_round` (which is limited to
+    ``|sum| < 10^12`` by its BIGINT staging). ``den`` must be > 0.
+
+        q = (2·10^d·|num| + den) div (2·den)     -- DECIMAL(38,0), exact
+        ratio = sign(num) · q / 10^d             -- one exact double divide
+
+    The decimal quotient ``(x - x % d) / d`` is an exactly-divisible
+    integer; Spark renders it at scale 6, exact while ``|q| < 10^15``
+    (i.e. |num/den| < 10^(15-digits)). The DuckDB mirror
+    (:func:`decimal_ratio_round_sql`) runs the same formula in
+    HUGEINT, so both engines emit the identical double.
+    """
+    d38 = "decimal(38,0)"
+    n_ = num.cast(d38)
+    d_ = den.cast(d38)
+    x = (F.lit(2 * 10**digits).cast(d38) * F.abs(n_) + d_).cast(d38)
+    dd = (F.lit(2).cast(d38) * d_).cast(d38)
+    q = ((x - x % dd) / dd).cast("bigint")
+    signed = F.when(n_ < 0, -q).otherwise(q)
+    return signed.cast("double") / F.lit(float(10**digits))
+
+
+def decimal_ratio_round_sql(num_expr: str, den_expr: str, digits: int = 6) -> str:
+    """DuckDB/HUGEINT mirror of :func:`decimal_ratio_round`."""
+    n = f"CAST(({num_expr}) AS HUGEINT)"
+    d = f"CAST(({den_expr}) AS HUGEINT)"
+    q = f"((2 * {10**digits} * abs({n}) + {d}) // (2 * {d}))"
+    return (
+        f"CAST(CASE WHEN {n} < 0 THEN -{q} ELSE {q} END AS DOUBLE)"
+        f" / CAST({10**digits} AS DOUBLE)"
+    )

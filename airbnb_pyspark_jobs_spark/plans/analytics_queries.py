@@ -12,7 +12,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from airbnb_pyspark_jobs_spark.functions.numeric import exact_mean_round_sql
+from airbnb_pyspark_jobs_spark.functions.numeric import (
+    decimal_ratio_round_sql,
+    exact_mean_round_sql,
+)
 from airbnb_pyspark_jobs_spark.plans.queries import query, _dec, _money
 from airbnb_pyspark_jobs_spark.sources.registry import load_table
 
@@ -2567,3 +2570,144 @@ def q224_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.coalesce(F.sum("__cents"), F.lit(0)).cast("bigint").alias("cents"))
     )
     return gini_by(rev, ["mktsegment"], "cents", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# q226 Theil index decomposition — the decomposable-inequality
+# companion of q224's Gini: customer revenue inequality split into
+# WITHIN-nation and BETWEEN-nation parts (T = Σ s_g·T_g + Σ s_g·
+# ln(μ_g/μ), s_g = revenue share). Per-row ln terms follow the q116
+# discipline — each ln is computed on an exact-integer-ratio double,
+# scaled by 10^6, rounded ONCE, and summed in HUGEINT/DECIMAL(38,0)
+# (order-independent); every output ratio goes through
+# decimal_ratio_round (BIGINT products overflow exact_mean_round's
+# staging at cent magnitudes). Bounds: x·n_g and s_g·n must stay
+# < 2^53 for the exact double ratio (holds through ~10^15 cents;
+# widen to a two-step divide beyond). Customers without orders are
+# excluded (Theil needs x > 0).
+# ---------------------------------------------------------------------------
+def _q226_oracle() -> str:
+    share = decimal_ratio_round_sql("g.s_g", "t.s")
+    within = decimal_ratio_round_sql("d.dg", "CAST(g.s_g AS HUGEINT) * 1000000")
+    between = decimal_ratio_round_sql(
+        "CAST(g.s_g AS HUGEINT) * bt.lb", "CAST(t.s AS HUGEINT) * 1000000"
+    )
+    return f"""
+    WITH rev AS (
+      SELECT c.c_custkey AS custkey, n.n_name AS nation,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS x
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+      HAVING SUM(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100) > 0
+    ),
+    g AS (
+      SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(x) AS BIGINT) AS s_g
+      FROM rev GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s_g) AS BIGINT) AS s
+      FROM g
+    ),
+    d AS (
+      SELECT rev.nation,
+             CAST(SUM(CAST(rev.x AS HUGEINT)
+                  * CAST(round(ln(CAST(rev.x * g.n_g AS DOUBLE)
+                                  / CAST(g.s_g AS DOUBLE)) * 1000000)
+                         AS BIGINT)) AS HUGEINT) AS dg
+      FROM rev JOIN g USING (nation) GROUP BY 1
+    ),
+    bt AS (
+      SELECT g.nation,
+             CAST(round(ln(CAST(g.s_g * t.n AS DOUBLE)
+                           / CAST(t.s * g.n_g AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS lb
+      FROM g CROSS JOIN t
+    )
+    SELECT g.nation, g.n_g AS n_customers, g.s_g AS total_cents,
+           {share} AS rev_share,
+           {within} AS theil_within,
+           {between} AS between_term
+    FROM g JOIN d USING (nation) JOIN bt USING (nation) CROSS JOIN t
+    """
+
+
+@query("q226_theil_decomposition", oracle=_q226_oracle())
+def q226_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    d38 = "decimal(38,0)"
+    rev = owned_persist(
+        customer.select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                nation.select("n_nationkey", F.col("n_name").alias("nation"))
+            ),
+            customer.c_nationkey == F.col("n_nationkey"),
+        )
+        .join(
+            orders.select(
+                F.col("o_custkey").alias("c_custkey"),
+                (_dec("o_totalprice", 12) * 100).cast("bigint").alias("__cents"),
+            ),
+            "c_custkey",
+        )
+        .groupBy("c_custkey", "nation")
+        .agg(F.sum("__cents").cast("bigint").alias("__x"))
+        .filter(F.col("__x") > 0)
+    )
+    g = rev.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("__x").cast("bigint").alias("total_cents"),
+    )
+    t = g.agg(
+        F.sum("n_customers").cast("bigint").alias("__n"),
+        F.sum("total_cents").cast("bigint").alias("__s"),
+    )
+    lterm = F.round(
+        F.log(
+            (F.col("__x") * F.col("n_customers")).cast("double")
+            / F.col("total_cents").cast("double")
+        )
+        * 1000000
+    ).cast("bigint")
+    d = (
+        rev.join(F.broadcast(g), "nation")
+        .groupBy("nation")
+        .agg(
+            F.sum(F.col("__x").cast(d38) * lterm).cast(d38).alias("__dg")
+        )
+    )
+    lb = F.round(
+        F.log(
+            (F.col("total_cents") * F.col("__n")).cast("double")
+            / (F.col("__s") * F.col("n_customers")).cast("double")
+        )
+        * 1000000
+    ).cast("bigint")
+    return (
+        g.join(d, "nation")
+        .crossJoin(F.broadcast(t))
+        .withColumn("__lb", lb)
+        .select(
+            "nation",
+            "n_customers",
+            "total_cents",
+            decimal_ratio_round(F.col("total_cents"), F.col("__s")).alias(
+                "rev_share"
+            ),
+            decimal_ratio_round(
+                F.col("__dg"), F.col("total_cents").cast(d38) * 1000000
+            ).alias("theil_within"),
+            decimal_ratio_round(
+                F.col("total_cents").cast(d38) * F.col("__lb"),
+                F.col("__s").cast(d38) * 1000000,
+            ).alias("between_term"),
+        )
+    )

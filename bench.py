@@ -299,6 +299,8 @@ EXTENDED_QUERIES = [
     "q224_revenue_gini",
     # MMR diverse top-k re-ranking (greedy, k bounded rounds)
     "q225_mmr_diverse_topk",
+    # Theil inequality decomposition (within/between nations)
+    "q226_theil_decomposition",
 ]
 
 

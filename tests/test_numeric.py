@@ -80,3 +80,73 @@ def test_sum_scale_below_digits_scales_numerator(spark):
 
     expr = exact_mean_round_sql("CAST('1.00' AS DECIMAL(18,2))", "3", 6, 2)
     assert duckdb.sql(f"SELECT {expr} AS m").fetchone()[0] == 0.333333
+
+
+def test_decimal_ratio_round_spark_sql_parity(spark):
+    # Same rounded ratio from the Spark decimal formula and the DuckDB
+    # HUGEINT mirror, including negatives and half-boundary cases that
+    # plain double round() gets wrong cross-engine.
+    import duckdb
+
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round,
+        decimal_ratio_round_sql,
+    )
+    from pyspark.sql import functions as F
+
+    cases = [
+        (1, 3), (-1, 3), (2, 3), (1, 2_000_000), (3, 2_000_000),
+        (-3, 2_000_000), (0, 5), (7, 7),
+        (123456789012345, 987654321),
+    ]
+    df = spark.createDataFrame(cases, ["num", "den"])
+    got = [
+        r.r
+        for r in df.select(
+            decimal_ratio_round(F.col("num"), F.col("den")).alias("r")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"SELECT {decimal_ratio_round_sql(str(n), str(d))}"
+        ).fetchone()[0]
+        for n, d in cases
+    ]
+    assert got == want
+
+
+def test_q226_theil_decomposition_identity(spark):
+    # T_total (naive, pandas) == sum(s_g * T_g) + sum(between_term)
+    # up to the 1e-6 per-term rounding.
+    import math
+    import os
+
+    import pandas as pd
+
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    rows = QUERIES["q226_theil_decomposition"](spark, sf_dir).collect()
+    total = sum(r.total_cents for r in rows)
+    decomposed = sum(
+        (r.total_cents / total) * r.theil_within for r in rows
+    ) + sum(r.between_term for r in rows)
+
+    orders = pd.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+    x = (
+        (orders.o_totalprice.round(2) * 100)
+        .round()
+        .astype("int64")
+        .groupby(orders.o_custkey)
+        .sum()
+    )
+    x = x[x > 0].to_numpy(dtype=float)
+    mu = x.mean()
+    t_naive = float((x / mu * [math.log(v / mu) for v in x]).mean()) if False else (
+        sum((v / mu) * math.log(v / mu) for v in x) / len(x)
+    )
+    assert abs(decomposed - t_naive) < 1e-3
+    assert abs(sum(r.rev_share for r in rows) - 1.0) < 1e-4
