@@ -624,31 +624,31 @@ def _pq_chain(
     for s in range(m):
         a, b = s * sub + 1, (s + 1) * sub
         parts.append(f"""
-{p}es{s} AS (
+{p}es{s} AS MATERIALIZED (
   SELECT vec_id, ({vec_expr})[{a}:{b}] AS sv FROM {src}
 ),
-{p}ca{s}_0 AS (
+{p}ca{s}_0 AS MATERIALIZED (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, sv AS cenv
   FROM (SELECT vec_id, sv FROM {p}es{s} ORDER BY vec_id LIMIT {k})
 )""")
         for i in range(1, iters + 1):
             parts.append(f""",
-{p}asg{s}_{i} AS (
+{p}asg{s}_{i} AS MATERIALIZED (
   SELECT vec_id, sv, cid FROM (
     SELECT e.vec_id, e.sv, c.cid,
       ROW_NUMBER() OVER (PARTITION BY e.vec_id
                          ORDER BY {d2("e", "c")} ASC, c.cid ASC) AS rn
     FROM {p}es{s} e, {p}ca{s}_{i - 1} c) WHERE rn = 1
 ),
-{p}m{s}_{i} AS (
+{p}m{s}_{i} AS MATERIALIZED (
   SELECT cid, d, round(AVG(x), 6) AS cx
   FROM (SELECT cid, generate_subscripts(sv, 1) AS d, unnest(sv) AS x
         FROM {p}asg{s}_{i})
   GROUP BY cid, d
 ),
-{p}ca{s}_{i} AS (SELECT cid, list(cx ORDER BY d) AS cenv FROM {p}m{s}_{i} GROUP BY cid)""")
+{p}ca{s}_{i} AS MATERIALIZED (SELECT cid, list(cx ORDER BY d) AS cenv FROM {p}m{s}_{i} GROUP BY cid)""")
         parts.append(f""",
-{p}enc{s} AS (
+{p}enc{s} AS MATERIALIZED (
   SELECT vec_id, cid AS code{s}, dist AS err{s} FROM (
     SELECT e.vec_id, c.cid, {d2("e", "c")} AS dist,
       ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -777,7 +777,7 @@ def _q85_oracle() -> str:
         )
     )
     parts.append(f""",
-rsd AS (
+rsd AS MATERIALIZED (
   SELECT e.vec_id,
          list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cenv),
                         x -> x[1] - x[2]) AS v,
@@ -1099,7 +1099,7 @@ def _cp_ctes() -> str:
         _cp_bucket_subquery(h) for h in range(_CP_M * _CP_SIDES)
     )
     side_ctes = ",\n".join(
-        f"""ps{s} AS (
+        f"""ps{s} AS MATERIALIZED (
   SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
   FROM bl a JOIN bl b ON a.h = b.h AND a.bkt = b.bkt AND a.vec_id < b.vec_id
   WHERE a.h >= {s * _CP_M} AND a.h < {(s + 1) * _CP_M}
@@ -1109,11 +1109,11 @@ def _cp_ctes() -> str:
     joins = " ".join(
         f"JOIN ps{s} USING (vec_id_a, vec_id_b)" for s in range(1, _CP_SIDES)
     )
-    return f"""bl AS (
+    return f"""bl AS MATERIALIZED (
   {band_union}
 ),
 {side_ctes},
-cand AS (SELECT vec_id_a, vec_id_b FROM ps0 {joins})"""
+cand AS MATERIALIZED (SELECT vec_id_a, vec_id_b FROM ps0 {joins})"""
 
 
 def _q105_oracle() -> str:
@@ -1535,7 +1535,7 @@ def _q157_oracle() -> str:
         f"WITH {_D_UNIT},",
         "p0 AS (SELECT MIN(vec_id) AS id FROM u),",
         "c0 AS (SELECT u.vn AS vn FROM u, p0 WHERE u.vec_id = p0.id),",
-        "m1 AS (SELECT u.vec_id, round(CAST(1.0 AS DOUBLE)"
+        "m1 AS MATERIALIZED (SELECT u.vec_id, round(CAST(1.0 AS DOUBLE)"
         " - list_dot_product(u.vn, c0.vn), 4) AS md FROM u, c0),",
     ]
     union = [
@@ -1545,7 +1545,7 @@ def _q157_oracle() -> str:
     excl = "SELECT id FROM p0"
     for t in range(1, _KC_K):
         parts.append(
-            f"p{t} AS (SELECT vec_id AS id, md FROM m{t}"
+            f"p{t} AS MATERIALIZED (SELECT vec_id AS id, md FROM m{t}"
             f" WHERE vec_id NOT IN ({excl})"
             " ORDER BY md DESC, vec_id ASC LIMIT 1),"
         )
@@ -1556,7 +1556,7 @@ def _q157_oracle() -> str:
                 f" WHERE u.vec_id = p{t}.id),"
             )
             parts.append(
-                f"m{t + 1} AS (SELECT m{t}.vec_id,"
+                f"m{t + 1} AS MATERIALIZED (SELECT m{t}.vec_id,"
                 f" least(m{t}.md, round(CAST(1.0 AS DOUBLE)"
                 f" - list_dot_product(u.vn, c{t}.vn), 4)) AS md"
                 f" FROM m{t} JOIN u USING (vec_id), c{t}),"
