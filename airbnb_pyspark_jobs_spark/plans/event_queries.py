@@ -3371,3 +3371,93 @@ def q223_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0),
         ).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q227 transition conditional entropy — the predictability rollup of
+# q131's Markov matrix: per from-state a, H(next | a) = log2(n_a) -
+# (1/n_a)·Σ_b n_ab·log2(n_ab) (the q115 identity: each log2 is scaled
+# by 1e9, rounded ONCE to BIGINT, and the weighted sum is exact
+# integer — the only floats are the final fixed-order divisions). The
+# p(a)-weighted contributions sum to the process entropy rate
+# H(next|current). One user-partitioned lag window + two bounded
+# groupBys (|types|² rows).
+# ---------------------------------------------------------------------------
+@query(
+    "q227_transition_entropy",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS to_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      FROM events
+    ),
+    counts AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE from_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    g AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from,
+             CAST(SUM(n * CAST(round(log2(n) * 1e9) AS BIGINT)) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_targets
+      FROM counts GROUP BY from_type
+    ),
+    t AS (SELECT CAST(SUM(n_from) AS BIGINT) AS total FROM g),
+    h AS (
+      SELECT from_type, n_from, n_targets,
+             round(log2(n_from)
+                   - CAST(s AS DOUBLE) / (CAST(n_from AS DOUBLE) * 1e9), 6)
+               + CAST(0 AS DOUBLE) AS h_cond
+      FROM g
+    )
+    SELECT h.from_type, h.n_from, h.n_targets, h.h_cond,
+           round((CAST(h.n_from AS DOUBLE) / CAST(t.total AS DOUBLE))
+                 * h.h_cond, 6) + CAST(0 AS DOUBLE) AS rate_contribution
+    FROM h CROSS JOIN t
+    """,
+)
+def q227_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = ordered.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    g = counts.groupBy("from_type").agg(
+        F.sum("__n").cast("bigint").alias("n_from"),
+        F.sum(
+            F.col("__n")
+            * F.round(F.log2("__n") * F.lit(1e9)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("__s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_targets"),
+    )
+    t = g.agg(F.sum("n_from").cast("bigint").alias("__total"))
+    h_cond = F.round(
+        F.log2("n_from")
+        - F.col("__s").cast("double")
+        / (F.col("n_from").cast("double") * F.lit(1e9)),
+        6,
+    ) + F.lit(0.0)
+    h = g.select("from_type", "n_from", "n_targets", h_cond.alias("h_cond"))
+    return h.crossJoin(F.broadcast(t)).select(
+        "from_type",
+        "n_from",
+        "n_targets",
+        "h_cond",
+        (
+            F.round(
+                (F.col("n_from").cast("double") / F.col("__total").cast("double"))
+                * F.col("h_cond"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("rate_contribution"),
+    )

@@ -301,6 +301,8 @@ EXTENDED_QUERIES = [
     "q225_mmr_diverse_topk",
     # Theil inequality decomposition (within/between nations)
     "q226_theil_decomposition",
+    # transition conditional entropy / process entropy rate
+    "q227_transition_entropy",
 ]
 
 

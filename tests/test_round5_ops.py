@@ -460,3 +460,37 @@ def test_q223_daily_acf_matches_naive_pandas(spark):
                 continue
             expected = float(np.corrcoef(x, y)[0, 1])
             assert abs(r.acf - expected) < 1e-6, (typ, lag)
+
+
+def test_q227_transition_entropy_bounds_and_identity(spark):
+    # 0 <= H(next|a) <= log2(n_targets); contributions sum to the
+    # naive pandas entropy rate of the transition matrix.
+    import math
+    import os
+
+    import pandas as pd
+
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    rows = QUERIES["q227_transition_entropy"](spark, sf_dir).collect()
+    for r in rows:
+        assert -1e-9 <= r.h_cond <= math.log2(r.n_targets) + 1e-9
+
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["from"] = ev.groupby("user_id").event_type.shift()
+    pairs = ev.dropna(subset=["from"])
+    n = len(pairs)
+    rate = 0.0
+    for a, grp in pairs.groupby("from"):
+        na = len(grp)
+        h = -sum(
+            (c / na) * math.log2(c / na)
+            for c in grp.event_type.value_counts()
+        )
+        rate += (na / n) * h
+    got_rate = sum(r.rate_contribution for r in rows)
+    assert abs(got_rate - rate) < 1e-4
