@@ -2033,3 +2033,103 @@ def _q225_oracle() -> str:
 def q225_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return SIM.mmr_topk(emb, k=_MMR_K, lam=_MMR_LAM)
+
+
+# ---------------------------------------------------------------------------
+# q228 embedding QA audit — the ingest gate for the vector column
+# itself (the q33 dq-profile discipline applied to embeddings):
+# degenerate vectors (near-zero norm breaks every cosine operator
+# upstream), dimension consistency, and heavy-tailed norms flagged by
+# the exact-median/MAD rule (q135 machinery on round(norm·1e6) BIGINT
+# keys — medians from the range-bucketed two-phase rank, never a
+# global sort; the 5·MAD flag is an integer compare). One persisted
+# norm scan feeds both quantile passes and the final rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "q228_embedding_qa",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (
+      SELECT vec_id, len(v) AS dims,
+             CAST(round(sqrt(list_dot_product(v, v)) * 1e6) AS BIGINT) AS v6
+      FROM e
+    ),
+    n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+    r1 AS (SELECT v6, ROW_NUMBER() OVER (ORDER BY v6) AS rk FROM b),
+    med AS (SELECT r1.v6 AS m FROM r1, n1 WHERE r1.rk = (n1.n + 1) // 2),
+    dv AS (SELECT b.v6, abs(b.v6 - med.m) AS dev FROM b, med),
+    r2 AS (SELECT dev, ROW_NUMBER() OVER (ORDER BY dev) AS rk FROM dv),
+    mad AS (SELECT r2.dev AS md FROM r2, n1 WHERE r2.rk = (n1.n + 1) // 2)
+    SELECT n1.n AS n_vecs,
+           (SELECT CAST(COUNT(DISTINCT dims) AS BIGINT) FROM b) AS n_dims_distinct,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b WHERE v6 < 1) AS n_zero_norm,
+           round(CAST(med.m AS DOUBLE) / 1e6, 6) AS median_norm,
+           round(CAST(mad.md AS DOUBLE) / 1e6, 6) AS mad_norm,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dv WHERE dv.dev > 5 * mad.md)
+             AS n_outliers,
+           (SELECT round(CAST(MIN(v6) AS DOUBLE) / 1e6, 6) FROM b) AS min_norm,
+           (SELECT round(CAST(MAX(v6) AS DOUBLE) / 1e6, 6) FROM b) AS max_norm
+    FROM n1, med, mad
+    """,
+)
+def q228_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.operators.sketches import exact_quantiles
+    from airbnb_pyspark_jobs_spark.operators.similarity import (
+        norm,
+        to_double_array,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    staged = emb.select(
+        "vec_id",
+        to_double_array("embedding").alias("__v"),
+        F.size("embedding").alias("__dims"),
+    )
+    b = owned_persist(
+        staged.select(
+            "vec_id",
+            "__dims",
+            F.round(norm(F.col("__v")) * F.lit(1e6)).cast("bigint").alias("__v6"),
+        )
+    )
+    med = (
+        exact_quantiles(b, "__v6", [0.5])
+        .select(F.col("value").cast("bigint").alias("__m"))
+    )
+    dv = owned_persist(
+        b.crossJoin(F.broadcast(med)).withColumn(
+            "__dev", F.abs(F.col("__v6") - F.col("__m")).cast("bigint")
+        )
+    )
+    mad = (
+        exact_quantiles(dv, "__dev", [0.5])
+        .select(F.col("value").cast("bigint").alias("__md"))
+    )
+    return (
+        dv.crossJoin(F.broadcast(mad))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.countDistinct("__dims").cast("bigint").alias("n_dims_distinct"),
+            F.sum(F.when(F.col("__v6") < 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero_norm"),
+            F.round(F.max("__m").cast("double") / F.lit(1e6), 6).alias(
+                "median_norm"
+            ),
+            F.round(F.max("__md").cast("double") / F.lit(1e6), 6).alias(
+                "mad_norm"
+            ),
+            F.sum(
+                F.when(F.col("__dev") > F.lit(5) * F.col("__md"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.round(F.min("__v6").cast("double") / F.lit(1e6), 6).alias(
+                "min_norm"
+            ),
+            F.round(F.max("__v6").cast("double") / F.lit(1e6), 6).alias(
+                "max_norm"
+            ),
+        )
+    )

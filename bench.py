@@ -303,6 +303,8 @@ EXTENDED_QUERIES = [
     "q226_theil_decomposition",
     # transition conditional entropy / process entropy rate
     "q227_transition_entropy",
+    # embedding-column QA: zero norms, dim drift, MAD norm outliers
+    "q228_embedding_qa",
 ]
 
 

@@ -494,3 +494,26 @@ def test_q227_transition_entropy_bounds_and_identity(spark):
         rate += (na / n) * h
     got_rate = sum(r.rate_contribution for r in rows)
     assert abs(got_rate - rate) < 1e-4
+
+
+def test_q228_embedding_qa_flags_constructed_degenerates(spark, tmp_path):
+    # A corpus with one zero vector and one 100x-norm vector: the audit
+    # must count the zero, flag the outlier, and report dims=1 distinct.
+    import os
+
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+
+    base = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)]
+    rows = base + [(100, [0.0, 0.0, 0.0, 0.0]), (101, [100.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    d = str(tmp_path / "emb")
+    df.write.parquet(os.path.join(d, "embeddings.parquet"))
+    out = QUERIES["q228_embedding_qa"](spark, d).collect()[0]
+    assert out.n_vecs == 42
+    assert out.n_dims_distinct == 1
+    assert out.n_zero_norm == 1
+    assert out.median_norm == 1.0
+    assert out.mad_norm == 0.0
+    # zero-vector and the 100x vector both deviate > 5*MAD (= 0)
+    assert out.n_outliers == 2
+    assert out.max_norm == 100.0 and out.min_norm == 0.0
