@@ -1098,3 +1098,81 @@ def gini_by(
         "total",
         F.when(den > 0, q6.cast("double") / F.lit(1000000.0)).alias("gini"),
     )
+
+
+def weighted_median_by(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-group EXACT weighted (lower) median of a BIGINT value with
+    BIGINT weights: the smallest v with 2·cumweight(v) >= W. The
+    frame first collapses to one row per (group, v) — weighted
+    quantiles are tie-order-free by construction — then runs the
+    grouped two-phase bucketed rank with WEIGHT sums instead of row
+    counts (`exact_quantiles_by` discipline: per-group range buckets
+    from a broadcast stats table, per-bucket cumulative weight
+    offsets, within-bucket running sums; no per-group single-task
+    window). The pick is a plain conditional MIN — no final join.
+
+    Returns ``*group_cols, total_weight, weighted_median`` (median as
+    BIGINT, the original value scale).
+    """
+    from pyspark.sql.window import Window
+
+    b = (
+        df.filter(
+            F.col(value_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+        .groupBy(*group_cols, F.col(value_col).cast("bigint").alias("__v"))
+        .agg(F.sum(F.col(weight_col).cast("bigint")).alias("__w"))
+    )
+    stats = b.groupBy(*group_cols).agg(
+        F.min("__v").alias("__mn"),
+        F.max("__v").alias("__mx"),
+        F.sum("__w").alias("__wt"),
+    )
+    width = F.greatest(
+        (F.col("__mx") - F.col("__mn")).cast("double") / F.lit(float(n_buckets)),
+        F.lit(1e-300),
+    )
+    bucketed = b.join(F.broadcast(stats), group_cols).withColumn(
+        "__b",
+        F.least(
+            F.floor((F.col("__v") - F.col("__mn")).cast("double") / width),
+            F.lit(n_buckets - 1),
+        ).cast("bigint"),
+    )
+    counts = bucketed.groupBy(*group_cols, "__b").agg(
+        F.sum("__w").alias("__bw")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *group_cols,
+        "__b",
+        F.coalesce(F.sum("__bw").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = (
+        Window.partitionBy(*group_cols, "__b")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        bucketed.withColumn("__run", F.sum("__w").over(w_in))
+        .join(F.broadcast(offsets), [*group_cols, "__b"])
+        .withColumn("__cum", (F.col("__off") + F.col("__run")).cast("bigint"))
+    )
+    return cum.groupBy(*group_cols).agg(
+        F.max("__wt").cast("bigint").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("__cum") >= F.col("__wt"), F.col("__v"))
+        )
+        .cast("bigint")
+        .alias("weighted_median"),
+    )

@@ -2711,3 +2711,56 @@ def q226_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("between_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q229 weighted median — quantity-weighted median unit price per
+# return flag: "the price of the median UNIT shipped", not the median
+# line item (big-quantity lines pull the weighted median toward bulk
+# pricing). Exact integers end to end: cents values, integral
+# weights, and operators.sketches.weighted_median_by's grouped
+# two-phase WEIGHT-cumulative rank (per-group range buckets; no
+# per-group single-task window — return flags are constant-
+# cardinality, the q141 hazard shape). Pick = smallest v with
+# 2·cumweight >= W.
+# ---------------------------------------------------------------------------
+@query(
+    "q229_weighted_median_price",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag AS returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+             CAST(round(l_quantity) AS BIGINT) AS w
+      FROM lineitem WHERE l_quantity > 0
+    ),
+    g AS (SELECT returnflag, v, CAST(SUM(w) AS BIGINT) AS w
+          FROM b GROUP BY 1, 2),
+    c AS (SELECT returnflag, v, w,
+            CAST(SUM(w) OVER (PARTITION BY returnflag ORDER BY v) AS BIGINT)
+              AS cum
+          FROM g),
+    t AS (SELECT returnflag, CAST(SUM(w) AS BIGINT) AS wt FROM g GROUP BY 1)
+    SELECT c.returnflag, t.wt AS total_weight,
+           round(CAST(MIN(CASE WHEN 2 * c.cum >= t.wt THEN c.v END)
+                      AS DOUBLE) / 100.0, 2) AS weighted_median_price
+    FROM c JOIN t USING (returnflag)
+    GROUP BY c.returnflag, t.wt
+    """,
+)
+def q229_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sketches import weighted_median_by
+
+    li = load_table(spark, "lineitem", sf_dir)
+    base = li.filter(F.col("l_quantity") > 0).select(
+        F.col("l_returnflag").alias("returnflag"),
+        (_dec("l_extendedprice", 12) * 100).cast("bigint").alias("__v"),
+        F.round("l_quantity").cast("bigint").alias("__w"),
+    )
+    out = weighted_median_by(base, ["returnflag"], "__v", "__w")
+    return out.select(
+        "returnflag",
+        "total_weight",
+        F.round(
+            F.col("weighted_median").cast("double") / F.lit(100.0), 2
+        ).alias("weighted_median_price"),
+    )

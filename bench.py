@@ -305,6 +305,8 @@ EXTENDED_QUERIES = [
     "q227_transition_entropy",
     # embedding-column QA: zero norms, dim drift, MAD norm outliers
     "q228_embedding_qa",
+    # quantity-weighted exact median unit price (grouped weight-rank)
+    "q229_weighted_median_price",
 ]
 
 

@@ -636,3 +636,35 @@ def test_gini_by_matches_naive(spark):
     num, den = 2 * ix - (n + 1) * s, n * s
     expected = ((2_000_000 * num + den) // (2 * den)) / 1_000_000
     assert got.gini == expected and got.n == n and got.total == s
+
+
+def test_weighted_median_by_known_values(spark):
+    from airbnb_pyspark_jobs_spark.operators.sketches import weighted_median_by
+
+    # group a: values 1..4 with weights 1,1,1,7 -> W=10, first v with
+    # 2*cum>=10 is 4 (cum at 3 = 3). group b: equal weights -> lower
+    # median. group c: one huge-weight low value dominates.
+    rows = (
+        [("a", 1, 1), ("a", 2, 1), ("a", 3, 1), ("a", 4, 7)]
+        + [("b", 10, 2), ("b", 20, 2)]
+        + [("c", 5, 100), ("c", 50, 1)]
+    )
+    df = spark.createDataFrame(rows, ["g", "v", "w"])
+    out = {r.g: r for r in weighted_median_by(df, ["g"], "v", "w").collect()}
+    assert out["a"].weighted_median == 4 and out["a"].total_weight == 10
+    assert out["b"].weighted_median == 10
+    assert out["c"].weighted_median == 5
+
+
+def test_weighted_median_by_unit_weights_equals_lower_median(spark):
+    import random
+
+    from airbnb_pyspark_jobs_spark.operators.sketches import weighted_median_by
+
+    rng = random.Random(11)
+    vals = [rng.randrange(0, 1000) for _ in range(301)]
+    df = spark.createDataFrame([("g", v, 1) for v in vals], ["g", "v", "w"])
+    got = weighted_median_by(df, ["g"], "v", "w").collect()[0]
+    xs = sorted(vals)
+    # lower weighted median with unit weights = element at ceil(n/2)
+    assert got.weighted_median == xs[(len(xs) + 1) // 2 - 1]
