@@ -15,6 +15,7 @@ from airbnb_pyspark_jobs_spark.operators.windows import (
     sessionize,
     tumbling_agg,
 )
+from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round_sql
 from airbnb_pyspark_jobs_spark.plans.queries import query, _dec, _money
 from airbnb_pyspark_jobs_spark.sources.registry import load_table
 
@@ -3460,4 +3461,113 @@ def q227_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + F.lit(0.0)
         ).alias("rate_contribution"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q230 daily-volume dispersion — Fano factor (variance/mean of daily
+# counts) and Burstiness B = (σ−μ)/(σ+μ) per event type, the
+# overdispersion companion of q223's ACF: Poisson arrivals give
+# F ≈ 1 / B ≈ −… , bursty traffic F ≫ 1. Same zero-filled per-type
+# day spine as q223 (a missing day is a 0 observation). Moments are
+# exact BIGINTs; mean/variance/fano are exact integer ratios through
+# decimal_ratio_round; σ is the one sqrt, taken on the ALREADY-
+# ROUNDED variance so both engines draw it from the identical double
+# (then B from rounded σ/μ, round 6, −0.0-normalized).
+# ---------------------------------------------------------------------------
+def _q230_oracle() -> str:
+    mean = decimal_ratio_round_sql("sx", "n")
+    var = decimal_ratio_round_sql("n * sx2 - sx * sx", "n * (n - 1)")
+    fano = decimal_ratio_round_sql(
+        "n * (n * sx2 - sx * sx)", "n * (n - 1) * sx"
+    )
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type,
+             CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ),
+    dense AS (
+      SELECT s.event_type, COALESCE(daily.n, 0) AS x
+      FROM spine s
+      LEFT JOIN daily ON daily.event_type = s.event_type AND daily.d = s.d
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sx2
+      FROM dense GROUP BY 1
+    ),
+    r AS (
+      SELECT event_type, n AS n_days,
+             {mean} AS mean_daily,
+             {var} AS variance,
+             {fano} AS fano
+      FROM m WHERE n > 1 AND sx > 0
+    )
+    SELECT event_type, n_days, mean_daily, variance, fano,
+           round((sqrt(variance) - mean_daily)
+                 / (sqrt(variance) + mean_daily), 6)
+             + CAST(0 AS DOUBLE) AS burstiness
+    FROM r
+    """
+
+
+@query("q230_daily_dispersion", oracle=_q230_oracle())
+def q230_daily_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d"),
+    )
+    dense = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", F.coalesce("n", F.lit(0)).cast("bigint").alias("__x")
+    )
+    m = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__x").cast("bigint").alias("__sx"),
+        F.sum(F.col("__x") * F.col("__x")).cast("bigint").alias("__sx2"),
+    )
+    n, sx, sx2 = F.col("__n"), F.col("__sx"), F.col("__sx2")
+    r = m.filter((n > 1) & (sx > 0)).select(
+        "event_type",
+        n.alias("n_days"),
+        decimal_ratio_round(sx, n).alias("mean_daily"),
+        decimal_ratio_round(n * sx2 - sx * sx, n * (n - 1)).alias("variance"),
+        decimal_ratio_round(
+            n.cast("decimal(38,0)") * (n * sx2 - sx * sx),
+            n.cast("decimal(38,0)") * (n - 1) * sx,
+        ).alias("fano"),
+    )
+    return r.select(
+        "event_type",
+        "n_days",
+        "mean_daily",
+        "variance",
+        "fano",
+        (
+            F.round(
+                (F.sqrt("variance") - F.col("mean_daily"))
+                / (F.sqrt("variance") + F.col("mean_daily")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("burstiness"),
     )

@@ -307,6 +307,8 @@ EXTENDED_QUERIES = [
     "q228_embedding_qa",
     # quantity-weighted exact median unit price (grouped weight-rank)
     "q229_weighted_median_price",
+    # Fano factor / burstiness of daily volumes (zero-filled spine)
+    "q230_daily_dispersion",
 ]
 
 

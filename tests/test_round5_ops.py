@@ -517,3 +517,30 @@ def test_q228_embedding_qa_flags_constructed_degenerates(spark, tmp_path):
     # zero-vector and the 100x vector both deviate > 5*MAD (= 0)
     assert out.n_outliers == 2
     assert out.max_norm == 100.0 and out.min_norm == 0.0
+
+
+def test_q230_dispersion_matches_naive_pandas(spark):
+    import os
+
+    import pandas as pd
+
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    got = {
+        r.event_type: r
+        for r in QUERIES["q230_daily_dispersion"](spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ev["d"] = pd.to_datetime(ev.ts).dt.normalize()
+    for typ, grp in ev.groupby("event_type"):
+        daily = grp.groupby("d").size()
+        idx = pd.date_range(daily.index.min(), daily.index.max(), freq="D")
+        s = daily.reindex(idx, fill_value=0).astype(float)
+        r = got[typ]
+        assert r.n_days == len(s)
+        assert abs(r.mean_daily - s.mean()) < 1e-5
+        assert abs(r.variance - s.var(ddof=1)) < 1e-5
+        assert abs(r.fano - s.var(ddof=1) / s.mean()) < 1e-5
