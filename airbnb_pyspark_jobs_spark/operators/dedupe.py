@@ -1455,3 +1455,89 @@ def minhash_estimate_calibration(
             "abs_err"
         ),
     )
+
+
+def soft_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_shingle_df: int | None = 50,
+) -> DataFrame:
+    """IDF-weighted ("soft") Jaccard near-dup pairs: shared BOILERPLATE
+    shingles barely count, shared RARE shingles dominate —
+    sim(A,B) = Σ_{s∈A∩B} idf(s) / Σ_{s∈A∪B} idf(s), the weighted
+    refinement of :func:`ngram_jaccard_pairs` (which scores all
+    shingles equally and so over-merges template-heavy corpora).
+
+    idf(s) = round(ln(N/df(s))·10^6) held as BIGINT, so intersection
+    and union masses are EXACT integers and the threshold test
+    ``sim >= threshold_num/threshold_den`` is the integer
+    cross-multiplication ``den·inter >= num·union`` — no float
+    compare anywhere; the reported similarity is the exact integer
+    ratio (decimal_ratio_round). df comes from a count window
+    partitioned by shingle — the same shuffle the pair self-join
+    reuses (the q44 discipline); ``max_shingle_df`` caps the join
+    fan-out exactly as in the unweighted operator.
+    """
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    sh = owned_persist(shingle_table(docs, id_col, text_col, n))
+    nd = sh.select(id_col).distinct().count()
+    dfw = sh.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    )
+    if max_shingle_df is not None:
+        dfw = dfw.filter(F.col("__df") <= max_shingle_df)
+    shw = owned_persist(
+        dfw.withColumn(
+            "__w6",
+            F.round(
+                F.log(F.lit(float(nd)) / F.col("__df").cast("double"))
+                * F.lit(1e6)
+            ).cast("bigint"),
+        ).drop("__df")
+    )
+    cnt = shw.groupBy(id_col).agg(F.sum("__w6").cast("bigint").alias("__wt"))
+    a = shw.select(
+        F.col(id_col).alias("doc_id_a"), "s", F.col("__w6").alias("__wa")
+    )
+    b = shw.select(F.col(id_col).alias("doc_id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.sum("__wa").cast("bigint").alias("__iw"))
+    )
+    j = (
+        inter.join(
+            cnt.select(F.col(id_col).alias("doc_id_a"), F.col("__wt").alias("__ta")),
+            "doc_id_a",
+        )
+        .join(
+            cnt.select(F.col(id_col).alias("doc_id_b"), F.col("__wt").alias("__tb")),
+            "doc_id_b",
+        )
+        .withColumn("__un", F.col("__ta") + F.col("__tb") - F.col("__iw"))
+    )
+    return (
+        j.filter(
+            (F.col("__un") > 0)
+            & (
+                F.lit(threshold_den) * F.col("__iw")
+                >= F.lit(threshold_num) * F.col("__un")
+            )
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            decimal_ratio_round(F.col("__iw"), F.col("__un")).alias(
+                "soft_jaccard"
+            ),
+        )
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from airbnb_pyspark_jobs_spark.functions import text as TX
 from airbnb_pyspark_jobs_spark.functions.numeric import (
+    decimal_ratio_round_sql,
     exact_mean_round,
     exact_mean_round_sql,
 )
@@ -4678,4 +4679,48 @@ def q222_dup_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
             sum_scale=0,
         ).alias("contribution"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q231 IDF-weighted (soft) Jaccard near-dup pairs — boilerplate-robust
+# dedup: q44 scores every shared shingle equally, so template-heavy
+# corpora over-merge; here shared shingles are weighted by
+# round(ln(N/df)·10^6) BIGINT idf, the threshold is the integer
+# cross-multiply 2·inter >= union (no float compare), and the
+# similarity is the exact integer ratio. Same df<=50 fan-out cap and
+# shingle-partitioned shuffle reuse as q44.
+# ---------------------------------------------------------------------------
+def _q231_oracle() -> str:
+    ratio = decimal_ratio_round_sql("iw", "ca.wt + cb.wt - iw")
+    return f"""
+    WITH {_D_SHINGLES},
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM sh),
+    dft AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY s),
+    w AS (
+      SELECT dft.s,
+             CAST(round(ln(CAST(nd.n AS DOUBLE) / CAST(dft.df AS DOUBLE))
+                        * 1e6) AS BIGINT) AS w6
+      FROM dft, nd WHERE dft.df <= 50
+    ),
+    shf AS (SELECT sh.doc_id, sh.s, w.w6 FROM sh JOIN w ON sh.s = w.s),
+    cnt AS (SELECT doc_id, CAST(SUM(w6) AS BIGINT) AS wt FROM shf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST(SUM(a.w6) AS BIGINT) AS iw
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b, {ratio} AS soft_jaccard
+    FROM inter
+    JOIN cnt ca ON doc_id_a = ca.doc_id
+    JOIN cnt cb ON doc_id_b = cb.doc_id
+    WHERE ca.wt + cb.wt - iw > 0 AND 2 * iw >= ca.wt + cb.wt - iw
+    """
+
+
+@query("q231_soft_jaccard_pairs", oracle=_q231_oracle())
+def q231_soft_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.soft_jaccard_pairs(
+        load_table(spark, "documents", sf_dir), max_shingle_df=50
     )

@@ -309,6 +309,8 @@ EXTENDED_QUERIES = [
     "q229_weighted_median_price",
     # Fano factor / burstiness of daily volumes (zero-filled spine)
     "q230_daily_dispersion",
+    # IDF-weighted soft Jaccard near-dup pairs (integer threshold)
+    "q231_soft_jaccard_pairs",
 ]
 
 

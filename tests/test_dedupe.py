@@ -434,3 +434,39 @@ def test_pagerank_deterministic_across_runs(spark):
     a = sorted(map(tuple, pagerank(edges, "src", "dst").collect()))
     b = sorted(map(tuple, pagerank(edges, "src", "dst").collect()))
     assert a == b
+
+
+def test_soft_jaccard_downweights_boilerplate(spark):
+    # Docs 1/2 share ONLY the boilerplate header (present in all docs,
+    # idf ~ 0); docs 3/4 share rare content. Unweighted Jaccard scores
+    # both pairs equally (1 shared / 3 total shingles each); the
+    # IDF-weighted score keeps the rare-content pair and drops the
+    # boilerplate-only pair.
+    from airbnb_pyspark_jobs_spark.operators.dedupe import (
+        ngram_jaccard_pairs,
+        soft_jaccard_pairs,
+    )
+
+    header = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, header + " alpha beta gamma"),
+            (2, header + " delta epsilon zeta"),
+            (3, header + " quantum flux capacitor overdrive"),
+            (4, header + " quantum flux capacitor overdrive"),
+        ],
+        ["doc_id", "text"],
+    )
+    soft = {
+        (r.doc_id_a, r.doc_id_b): r.soft_jaccard
+        for r in soft_jaccard_pairs(docs, max_shingle_df=None).collect()
+    }
+    assert (3, 4) in soft
+    assert (1, 2) not in soft
+    hard = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    # the unweighted score cannot separate the two pairs as decisively:
+    # boilerplate pair scores > 0 there
+    assert hard[(1, 2)] > 0
