@@ -15,7 +15,10 @@ from airbnb_pyspark_jobs_spark.operators.windows import (
     sessionize,
     tumbling_agg,
 )
-from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round_sql
+from airbnb_pyspark_jobs_spark.functions.numeric import (
+    decimal_ratio_round_sql,
+    exact_mean_round_sql,
+)
 from airbnb_pyspark_jobs_spark.plans.queries import query, _dec, _money
 from airbnb_pyspark_jobs_spark.sources.registry import load_table
 
@@ -3570,4 +3573,96 @@ def q230_daily_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + F.lit(0.0)
         ).alias("burstiness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q232 session bounce-rate by entry type — the funnel-health rollup of
+# q61's sessions: per session ENTRY event type (the deterministic
+# first event by ts, event_id), how many sessions bounce (one event)
+# and how deep the rest go. Session assignment reuses the sessionize
+# operator (30-min gap, per-user windows); the entry pick is a
+# row_number over (user, session) partitions — per-session
+# cardinality, never global. Ratios are exact integer means
+# (exact_mean_round: counts are far inside its 10^12 staging bound).
+# ---------------------------------------------------------------------------
+@query(
+    "q232_session_bounce_rate",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+        CASE WHEN lag(ts) OVER w IS NULL THEN 1
+             WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1
+             ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts, event_type,
+        CAST(SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_seq
+      FROM flagged
+    ),
+    g AS (
+      SELECT user_id, session_seq,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MIN(ts) AS t0
+      FROM sess GROUP BY 1, 2
+    ),
+    entry AS (
+      SELECT user_id, session_seq, event_type AS entry_type FROM (
+        SELECT user_id, session_seq, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                                  ORDER BY ts, event_id) AS rn
+        FROM sess) WHERE rn = 1
+    )
+    SELECT e.entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN g.n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           {exact_mean_round_sql(
+               "SUM(CASE WHEN g.n_events = 1 THEN 1 ELSE 0 END)",
+               "COUNT(*)", 6, sum_scale=0)} AS bounce_rate,
+           {exact_mean_round_sql("SUM(g.n_events)", "COUNT(*)", 6, sum_scale=0)}
+             AS mean_session_events
+    FROM g JOIN entry e USING (user_id, session_seq)
+    GROUP BY e.entry_type
+    """,
+)
+def q232_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.functions.numeric import exact_mean_round
+
+    events = load_table(spark, "events", sf_dir)
+    sess = sessionize(events, gap="30 minutes")
+    g = sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_events")
+    )
+    w = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    entry = (
+        sess.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "session_seq", F.col("event_type").alias("entry_type"))
+    )
+    return (
+        g.join(entry, ["user_id", "session_seq"])
+        .groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("__n_events") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bounces"),
+            exact_mean_round(
+                F.sum(F.when(F.col("__n_events") == 1, 1).otherwise(0)),
+                F.count(F.lit(1)),
+                6,
+                sum_scale=0,
+            ).alias("bounce_rate"),
+            exact_mean_round(
+                F.sum("__n_events"), F.count(F.lit(1)), 6, sum_scale=0
+            ).alias("mean_session_events"),
+        )
     )

@@ -311,6 +311,8 @@ EXTENDED_QUERIES = [
     "q230_daily_dispersion",
     # IDF-weighted soft Jaccard near-dup pairs (integer threshold)
     "q231_soft_jaccard_pairs",
+    # session bounce rate by entry type (sessionize rollup)
+    "q232_session_bounce_rate",
 ]
 
 

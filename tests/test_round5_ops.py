@@ -544,3 +544,37 @@ def test_q230_dispersion_matches_naive_pandas(spark):
         assert abs(r.mean_daily - s.mean()) < 1e-5
         assert abs(r.variance - s.var(ddof=1)) < 1e-5
         assert abs(r.fano - s.var(ddof=1) / s.mean()) < 1e-5
+
+
+def test_q232_bounce_rate_constructed_sessions(spark, tmp_path):
+    # user 1: [view] alone (bounce), then 40 min later [click,purchase]
+    # (not a bounce, entry=click). user 2: single [view] (bounce).
+    import datetime as dt
+    import os
+
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def r(eid, ts, uid, typ):
+        return (eid, ts, uid, typ, 1.0, "{}")
+
+    rows = [
+        r(1, t0, 1, "view"),
+        r(2, t0 + dt.timedelta(minutes=40), 1, "click"),
+        r(3, t0 + dt.timedelta(minutes=41), 1, "purchase"),
+        r(4, t0, 2, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = str(tmp_path / "ev")
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    out = {
+        x.entry_type: x
+        for x in QUERIES["q232_session_bounce_rate"](spark, d).collect()
+    }
+    assert out["view"].n_sessions == 2 and out["view"].n_bounces == 2
+    assert out["view"].bounce_rate == 1.0
+    assert out["click"].n_sessions == 1 and out["click"].n_bounces == 0
+    assert out["click"].mean_session_events == 2.0
