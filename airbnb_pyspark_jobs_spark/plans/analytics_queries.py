@@ -2764,3 +2764,86 @@ def q229_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("weighted_median").cast("double") / F.lit(100.0), 2
         ).alias("weighted_median_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q233 co-purchase lift (market-basket association): part pairs
+# appearing in the same order, scored by lift = N·n_ab/(n_a·n_b).
+# The pair fan-out is bounded by construction — an order has at most
+# 7 line items, so the per-order self-join emits <= C(7,2) = 21 pairs
+# regardless of corpus size (the safe shape of a basket join; a
+# customer-level basket would need a cap first). Counts are exact
+# integers; lift is the exact integer-product ratio via
+# decimal_ratio_round. Support floor n_ab >= 2 keeps the output the
+# actually-associated tail.
+# ---------------------------------------------------------------------------
+def _q233_oracle() -> str:
+    lift = decimal_ratio_round_sql(
+        "CAST(t.n AS HUGEINT) * p.n_ab", "CAST(ca.n_a AS HUGEINT) * cb.n_a"
+    )
+    return f"""
+    WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    t AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM b),
+    c AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_a FROM b GROUP BY p),
+    p AS (
+      SELECT a.p AS part_a, b2.p AS part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT p.part_a, p.part_b, p.n_ab,
+           ca.n_a AS n_orders_a, cb.n_a AS n_orders_b,
+           {lift} AS lift
+    FROM p
+    JOIN c ca ON ca.p = p.part_a
+    JOIN c cb ON cb.p = p.part_b
+    CROSS JOIN t
+    """
+
+
+@query("q233_copurchase_lift", oracle=_q233_oracle())
+def q233_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    li = load_table(spark, "lineitem", sf_dir)
+    b = owned_persist(
+        li.select(
+            F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("__p")
+        ).distinct()
+    )
+    t = b.agg(F.countDistinct("__o").cast("bigint").alias("__n"))
+    c = b.groupBy(F.col("__p")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_a")
+    )
+    pairs = (
+        b.alias("a")
+        .join(b.alias("b2"), "__o")
+        .filter(F.col("a.__p") < F.col("b2.__p"))
+        .groupBy(
+            F.col("a.__p").alias("part_a"), F.col("b2.__p").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    return (
+        pairs.join(
+            c.select(F.col("__p").alias("part_a"), F.col("__n_a").alias("n_orders_a")),
+            "part_a",
+        )
+        .join(
+            c.select(F.col("__p").alias("part_b"), F.col("__n_a").alias("n_orders_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_orders_a",
+            "n_orders_b",
+            decimal_ratio_round(
+                F.col("__n").cast("decimal(38,0)") * F.col("n_ab"),
+                F.col("n_orders_a").cast("decimal(38,0)") * F.col("n_orders_b"),
+            ).alias("lift"),
+        )
+    )

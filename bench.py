@@ -313,6 +313,8 @@ EXTENDED_QUERIES = [
     "q231_soft_jaccard_pairs",
     # session bounce rate by entry type (sessionize rollup)
     "q232_session_bounce_rate",
+    # market-basket co-purchase lift (bounded per-order fan-out)
+    "q233_copurchase_lift",
 ]
 
 

@@ -578,3 +578,19 @@ def test_q232_bounce_rate_constructed_sessions(spark, tmp_path):
     assert out["view"].bounce_rate == 1.0
     assert out["click"].n_sessions == 1 and out["click"].n_bounces == 0
     assert out["click"].mean_session_events == 2.0
+
+
+def test_q233_copurchase_lift_symmetric_and_bounded(spark):
+    import os
+
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    rows = QUERIES["q233_copurchase_lift"](spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        assert r.part_a < r.part_b
+        assert 2 <= r.n_ab <= min(r.n_orders_a, r.n_orders_b)
+        assert r.lift > 0
