@@ -4724,3 +4724,54 @@ def q231_soft_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.soft_jaccard_pairs(
         load_table(spark, "documents", sf_dir), max_shingle_df=50
     )
+
+
+# ---------------------------------------------------------------------------
+# q234 tokenizer fertility audit — the per-source health check of the
+# learned BPE tokenizer (q89/q90): fertility = BPE tokens per word
+# and chars per BPE token. A source whose fertility spikes is one the
+# vocabulary underfits (costly to train on, over-segmented); this is
+# the number tokenizer papers report per language/domain. Oracle
+# composes the verified q90 per-doc segmentation; ratios are exact
+# integer means (decimal_ratio_round).
+# ---------------------------------------------------------------------------
+def _q234_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q90 = ORACLES["q90_bpe_tokenize"]
+    fertility = decimal_ratio_round_sql("SUM(b.n_bpe_tokens)", "SUM(b.n_words)")
+    cpt = decimal_ratio_round_sql("SUM(d.n_chars)", "SUM(b.n_bpe_tokens)")
+    return f"""
+    WITH b AS ({q90})
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(b.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+           {fertility} AS fertility,
+           {cpt} AS chars_per_token
+    FROM b JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@query("q234_tokenizer_fertility", oracle=_q234_oracle())
+def q234_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    docs = load_table(spark, "documents", sf_dir)
+    b = q90_bpe_tokenize(spark, sf_dir)
+    return (
+        b.join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+            decimal_ratio_round(
+                F.sum("n_bpe_tokens"), F.sum("n_words")
+            ).alias("fertility"),
+            decimal_ratio_round(
+                F.sum("n_chars"), F.sum("n_bpe_tokens")
+            ).alias("chars_per_token"),
+        )
+    )

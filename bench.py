@@ -315,6 +315,8 @@ EXTENDED_QUERIES = [
     "q232_session_bounce_rate",
     # market-basket co-purchase lift (bounded per-order fan-out)
     "q233_copurchase_lift",
+    # BPE tokenizer fertility per source (tokens/word, chars/token)
+    "q234_tokenizer_fertility",
 ]
 
 

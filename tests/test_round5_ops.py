@@ -594,3 +594,21 @@ def test_q233_copurchase_lift_symmetric_and_bounded(spark):
         assert r.part_a < r.part_b
         assert 2 <= r.n_ab <= min(r.n_orders_a, r.n_orders_b)
         assert r.lift > 0
+
+
+def test_q234_fertility_bounds(spark):
+    # fertility >= 1 (a word is at least one BPE token); chars per
+    # token is positive and below the raw chars-per-word.
+    import os
+
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    rows = QUERIES["q234_tokenizer_fertility"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.fertility >= 1.0
+        assert 0 < r.chars_per_token
+        assert r.n_bpe_tokens >= r.n_words
