@@ -3666,3 +3666,63 @@ def q232_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_session_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q236 weekly purchase-value percentile bands — the monitoring time
+# series for value drift: per ISO week, exact p10/p50/p90 of purchase
+# values pivoted into band columns. Exact type-1 quantiles come from
+# the grouped two-phase bucketed rank (exact_quantiles_by: per-week
+# range buckets, no per-group single-task sort — weeks are few but a
+# week of events at 100 TB is huge). Week keys are TIMESTAMPs (the
+# DATE round-trip gotcha); band pivot is three conditional MAXes.
+# ---------------------------------------------------------------------------
+@query(
+    "q236_weekly_value_bands",
+    oracle="""
+    WITH v AS (
+      SELECT date_trunc('week', ts) AS week_start, CAST(value AS DOUBLE) AS value
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    r AS (
+      SELECT week_start, value,
+             ROW_NUMBER() OVER (PARTITION BY week_start ORDER BY value) AS rk,
+             COUNT(*) OVER (PARTITION BY week_start) AS n
+      FROM v
+    ),
+    t AS (SELECT UNNEST([0.1, 0.5, 0.9]) AS p),
+    q AS (
+      SELECT week_start, t.p, r.value, r.n
+      FROM t JOIN r
+        ON r.rk = GREATEST(1, CAST(CEIL(CAST(t.p AS DOUBLE) * r.n) AS BIGINT))
+    )
+    SELECT week_start,
+           CAST(MAX(n) AS BIGINT) AS n_purchases,
+           MAX(CASE WHEN p = 0.1 THEN value END) AS p10,
+           MAX(CASE WHEN p = 0.5 THEN value END) AS p50,
+           MAX(CASE WHEN p = 0.9 THEN value END) AS p90
+    FROM q GROUP BY week_start
+    """,
+)
+def q236_weekly_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sketches import exact_quantiles_by
+
+    events = load_table(spark, "events", sf_dir)
+    v = events.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.date_trunc("week", "ts").alias("week_start"),
+        F.col("value").cast("double").alias("value"),
+    )
+    q = exact_quantiles_by(v, ["week_start"], "value", [0.1, 0.5, 0.9])
+    n = v.groupBy("week_start").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases")
+    )
+    bands = q.groupBy("week_start").agg(
+        F.max(F.when(F.col("p") == 0.1, F.col("value"))).alias("p10"),
+        F.max(F.when(F.col("p") == 0.5, F.col("value"))).alias("p50"),
+        F.max(F.when(F.col("p") == 0.9, F.col("value"))).alias("p90"),
+    )
+    return bands.join(F.broadcast(n), "week_start").select(
+        "week_start", "n_purchases", "p10", "p50", "p90"
+    )

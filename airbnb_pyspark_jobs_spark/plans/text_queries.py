@@ -4775,3 +4775,80 @@ def q234_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q235 document-length lognormal profile — length drift detection per
+# source: doc lengths are approximately lognormal, so the stable
+# monitoring statistics are mean/std of ln(n_chars) (plus the implied
+# lognormal median exp(mu)). Each ln is scaled by 10^6 and rounded
+# ONCE to BIGINT (the q116 discipline) so first/second moments are
+# exact integers; mu and sigma^2 are exact integer ratios
+# (decimal_ratio_round — the second moment's products overflow
+# exact_mean_round's BIGINT staging), and sigma/exp appear only in
+# the final identical-on-both-engines double expressions.
+# ---------------------------------------------------------------------------
+def _q235_oracle() -> str:
+    mu = decimal_ratio_round_sql("s1", "n * 1000000")
+    var = decimal_ratio_round_sql(
+        "CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1",
+        "CAST(n AS HUGEINT) * (n - 1) * 1000000000000",
+    )
+    return f"""
+    WITH b AS (
+      SELECT source,
+             CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1e6) AS BIGINT) AS l6
+      FROM documents WHERE n_chars > 0
+    ),
+    m AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(l6) AS BIGINT) AS s1,
+             CAST(SUM(CAST(l6 AS HUGEINT) * l6) AS HUGEINT) AS s2
+      FROM b GROUP BY source
+    ),
+    r AS (
+      SELECT source, n AS n_docs, {mu} AS mu_log, {var} AS var_log
+      FROM m WHERE n > 1
+    )
+    SELECT source, n_docs, mu_log, var_log,
+           round(sqrt(var_log), 6) + CAST(0 AS DOUBLE) AS sigma_log,
+           round(exp(mu_log), 2) AS lognormal_median_chars
+    FROM r
+    """
+
+
+@query("q235_doc_length_profile", oracle=_q235_oracle())
+def q235_doc_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    docs = load_table(spark, "documents", sf_dir)
+    b = docs.filter(F.col("n_chars") > 0).select(
+        "source",
+        F.round(F.log(F.col("n_chars").cast("double")) * F.lit(1e6))
+        .cast("bigint")
+        .alias("__l6"),
+    )
+    d38 = "decimal(38,0)"
+    m = b.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__l6").cast("bigint").alias("__s1"),
+        F.sum(F.col("__l6").cast(d38) * F.col("__l6")).cast(d38).alias("__s2"),
+    )
+    n, s1, s2 = F.col("__n"), F.col("__s1"), F.col("__s2")
+    r = m.filter(n > 1).select(
+        "source",
+        n.alias("n_docs"),
+        decimal_ratio_round(s1, n * 1000000).alias("mu_log"),
+        decimal_ratio_round(
+            n.cast(d38) * s2 - s1.cast(d38) * s1,
+            n.cast(d38) * (n - 1) * F.lit(1000000000000).cast(d38),
+        ).alias("var_log"),
+    )
+    return r.select(
+        "source",
+        "n_docs",
+        "mu_log",
+        "var_log",
+        (F.round(F.sqrt("var_log"), 6) + F.lit(0.0)).alias("sigma_log"),
+        F.round(F.exp("mu_log"), 2).alias("lognormal_median_chars"),
+    )

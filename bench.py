@@ -317,6 +317,10 @@ EXTENDED_QUERIES = [
     "q233_copurchase_lift",
     # BPE tokenizer fertility per source (tokens/word, chars/token)
     "q234_tokenizer_fertility",
+    # lognormal doc-length drift profile per source
+    "q235_doc_length_profile",
+    # weekly exact p10/p50/p90 purchase-value bands
+    "q236_weekly_value_bands",
 ]
 
 

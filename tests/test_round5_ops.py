@@ -612,3 +612,19 @@ def test_q234_fertility_bounds(spark):
         assert r.fertility >= 1.0
         assert 0 < r.chars_per_token
         assert r.n_bpe_tokens >= r.n_words
+
+
+def test_q236_weekly_bands_ordered(spark):
+    import os
+
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    rows = QUERIES["q236_weekly_value_bands"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p10 <= r.p50 <= r.p90
+        assert r.n_purchases > 0
+        assert r.week_start.weekday() == 0  # ISO Monday on both engines
