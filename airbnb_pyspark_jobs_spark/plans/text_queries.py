@@ -4852,3 +4852,141 @@ def q235_doc_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.sqrt("var_log"), 6) + F.lit(0.0)).alias("sigma_log"),
         F.round(F.exp("mu_log"), 2).alias("lognormal_median_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q237 pairwise Jensen-Shannon divergence between source vocabularies
+# — the symmetric, bounded completion of q161's KL drift monitor (KL
+# needs a designated reference corpus and explodes on disjoint
+# support; JSD is the mixture-comparison both directions). Identity
+# used: terms outside the intersection contribute exactly
+# p_t·ln2 (since m_t = p_t/2), so
+#   JSD = 0.5·Σ_∩ [p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+#       + 0.5·(2 − cov_a − cov_b)·ln2
+# and only the INTERSECTION term join is ever materialized (never a
+# per-pair full-outer over the union vocabulary). Per-term doubles
+# follow the q161 recipe — inner ln rounded to 6, term rounded to 12,
+# summed as DECIMAL(32,12); coverages are exact integer ratios; ln2
+# enters as the rounded literal 0.693147 on both engines (a raw
+# libm ln(2) could differ in the last ulp).
+# ---------------------------------------------------------------------------
+@query(
+    "q237_source_jsd_matrix",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT source, lower(t) AS term
+      FROM (SELECT source, UNNEST({_D_TOKENS}) AS t FROM documents)
+    ),
+    st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cst
+           FROM toks GROUP BY 1, 2),
+    stot AS (SELECT source, CAST(SUM(cst) AS BIGINT) AS ns FROM st GROUP BY 1),
+    pr AS (
+      SELECT a.source AS sa, b.source AS sb, a.cst AS ca, b.cst AS cb,
+             ta.ns AS na, tb.ns AS nb
+      FROM st a
+      JOIN st b ON a.term = b.term AND a.source < b.source
+      JOIN stot ta ON ta.source = a.source
+      JOIN stot tb ON tb.source = b.source
+    ),
+    j AS (
+      SELECT sa, sb, MAX(na) AS na, MAX(nb) AS nb,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+             CAST(SUM(ca) AS BIGINT) AS ia, CAST(SUM(cb) AS BIGINT) AS ib,
+             CAST(SUM(CAST(round(
+               (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+               * round(ln(CAST(2.0 AS DOUBLE)
+                          * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                          / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                             + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))), 6),
+               12) AS DECIMAL(32,12))) AS DECIMAL(32,12)) AS s1,
+             CAST(SUM(CAST(round(
+               (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+               * round(ln(CAST(2.0 AS DOUBLE)
+                          * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                          / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                             + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))), 6),
+               12) AS DECIMAL(32,12))) AS DECIMAL(32,12)) AS s2
+      FROM pr GROUP BY sa, sb
+    )
+    SELECT sa AS source_a, sb AS source_b, n_shared_terms,
+           round(CAST(0.5 AS DOUBLE) * CAST(s1 + s2 AS DOUBLE)
+                 + CAST(0.5 AS DOUBLE)
+                   * (CAST(2.0 AS DOUBLE)
+                      - CAST(ia AS DOUBLE) / CAST(na AS DOUBLE)
+                      - CAST(ib AS DOUBLE) / CAST(nb AS DOUBLE))
+                   * CAST(0.693147 AS DOUBLE), 6)
+             + CAST(0 AS DOUBLE) AS jsd
+    FROM j
+    """,
+)
+def q237_source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source", F.explode(TX.tokens("text")).alias("__t")
+    ).select("source", F.lower("__t").alias("term"))
+    st = owned_persist(
+        toks.groupBy("source", "term").agg(
+            F.count(F.lit(1)).cast("bigint").alias("__c")
+        )
+    )
+    stot = st.groupBy("source").agg(F.sum("__c").cast("bigint").alias("__ns"))
+    a = st.select(
+        F.col("source").alias("__sa"), "term", F.col("__c").alias("__ca")
+    )
+    b = st.select(
+        F.col("source").alias("__sb"), "term", F.col("__c").alias("__cb")
+    )
+    pr = (
+        a.join(b, "term")
+        .filter(F.col("__sa") < F.col("__sb"))
+        .join(
+            F.broadcast(
+                stot.select(F.col("source").alias("__sa"), F.col("__ns").alias("__na"))
+            ),
+            "__sa",
+        )
+        .join(
+            F.broadcast(
+                stot.select(F.col("source").alias("__sb"), F.col("__ns").alias("__nb"))
+            ),
+            "__sb",
+        )
+    )
+    p = F.col("__ca").cast("double") / F.col("__na").cast("double")
+    q = F.col("__cb").cast("double") / F.col("__nb").cast("double")
+    t1 = F.round(
+        p * F.round(F.log(F.lit(2.0) * p / (p + q)), 6), 12
+    ).cast("decimal(32,12)")
+    t2 = F.round(
+        q * F.round(F.log(F.lit(2.0) * q / (p + q)), 6), 12
+    ).cast("decimal(32,12)")
+    j = pr.groupBy("__sa", "__sb").agg(
+        F.max("__na").alias("__na"),
+        F.max("__nb").alias("__nb"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
+        F.sum("__ca").cast("bigint").alias("__ia"),
+        F.sum("__cb").cast("bigint").alias("__ib"),
+        F.sum(t1).cast("decimal(32,12)").alias("__s1"),
+        F.sum(t2).cast("decimal(32,12)").alias("__s2"),
+    )
+    return j.select(
+        F.col("__sa").alias("source_a"),
+        F.col("__sb").alias("source_b"),
+        "n_shared_terms",
+        (
+            F.round(
+                F.lit(0.5) * (F.col("__s1") + F.col("__s2")).cast("double")
+                + F.lit(0.5)
+                * (
+                    F.lit(2.0)
+                    - F.col("__ia").cast("double") / F.col("__na").cast("double")
+                    - F.col("__ib").cast("double") / F.col("__nb").cast("double")
+                )
+                * F.lit(0.693147),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("jsd"),
+    )

@@ -321,6 +321,8 @@ EXTENDED_QUERIES = [
     "q235_doc_length_profile",
     # weekly exact p10/p50/p90 purchase-value bands
     "q236_weekly_value_bands",
+    # pairwise Jensen-Shannon divergence between source vocabularies
+    "q237_source_jsd_matrix",
 ]
 
 

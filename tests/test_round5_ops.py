@@ -628,3 +628,46 @@ def test_q236_weekly_bands_ordered(spark):
         assert r.p10 <= r.p50 <= r.p90
         assert r.n_purchases > 0
         assert r.week_start.weekday() == 0  # ISO Monday on both engines
+
+
+def test_q237_jsd_bounds_and_naive_parity(spark):
+    # 0 <= JSD <= ln 2; spot-check one pair against a naive pandas
+    # mixture computation (tolerance covers the 1e-6 per-term
+    # rounding and the rounded ln2 constant).
+    import math
+    import os
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    rows = QUERIES["q237_source_jsd_matrix"](spark, sf_dir).collect()
+    ln2 = math.log(2)
+    for r in rows:
+        assert -1e-6 <= r.jsd <= ln2 + 1e-6
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    pair = (rows[0].source_a, rows[0].source_b)
+
+    def dist(src):
+        c = Counter()
+        for t in docs[docs.source == src].text:
+            c.update(w.lower() for w in re.split(r"\s+", t.strip()) if w)
+        n = sum(c.values())
+        return {k: v / n for k, v in c.items()}
+
+    p, q = dist(pair[0]), dist(pair[1])
+    jsd = 0.0
+    for t in set(p) | set(q):
+        pt, qt = p.get(t, 0.0), q.get(t, 0.0)
+        m = (pt + qt) / 2
+        if pt:
+            jsd += 0.5 * pt * math.log(pt / m)
+        if qt:
+            jsd += 0.5 * qt * math.log(qt / m)
+    assert abs(rows[0].jsd - jsd) < 1e-3
