@@ -3726,3 +3726,113 @@ def q236_weekly_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bands.join(F.broadcast(n), "week_start").select(
         "week_start", "n_purchases", "p10", "p50", "p90"
     )
+
+
+# ---------------------------------------------------------------------------
+# q238 session-level event-type PMI — which behaviors co-occur in the
+# SAME session more than chance (the behavioral twin of q137's token
+# collocations): sessions from the q61 sessionize shape, per-session
+# DISTINCT type sets (<= 5 types, so the per-session pair fan-out is
+# bounded at C(5,2)), PMI = ln(N·n_ab/(n_a·n_b)) with all counts
+# exact integers and ONE rounded ln at the end (identical arg both
+# engines: ratio of exact-integer products in double).
+# ---------------------------------------------------------------------------
+@query(
+    "q238_session_type_pmi",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+        CASE WHEN lag(ts) OVER w IS NULL THEN 1
+             WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1
+             ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type,
+        CAST(SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_seq
+      FROM flagged
+    ),
+    su AS (SELECT DISTINCT user_id, session_seq, event_type FROM sess),
+    n1 AS (SELECT CAST(COUNT(DISTINCT (user_id, session_seq)) AS BIGINT) AS n
+           FROM su),
+    c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_a
+          FROM su GROUP BY 1),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM su a
+      JOIN su b ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+              AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_ab, ca.n_a AS n_sessions_a,
+           cb.n_a AS n_sessions_b,
+           round(ln((CAST(n1.n AS DOUBLE) * CAST(p.n_ab AS DOUBLE))
+                    / (CAST(ca.n_a AS DOUBLE) * CAST(cb.n_a AS DOUBLE))), 6)
+             + CAST(0 AS DOUBLE) AS pmi
+    FROM p
+    JOIN c ca ON ca.event_type = p.type_a
+    JOIN c cb ON cb.event_type = p.type_b
+    CROSS JOIN n1
+    """,
+)
+def q238_session_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    events = load_table(spark, "events", sf_dir)
+    su = owned_persist(
+        sessionize(events, gap="30 minutes")
+        .select("user_id", "session_seq", "event_type")
+        .distinct()
+    )
+    n1 = su.select("user_id", "session_seq").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    c = su.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_a")
+    )
+    a = su.select("user_id", "session_seq", F.col("event_type").alias("type_a"))
+    b = su.select("user_id", "session_seq", F.col("event_type").alias("type_b"))
+    p = (
+        a.join(b, ["user_id", "session_seq"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    return (
+        p.join(
+            F.broadcast(c.select(F.col("event_type").alias("type_a"),
+                                 F.col("__n_a").alias("n_sessions_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(c.select(F.col("event_type").alias("type_b"),
+                                 F.col("__n_a").alias("n_sessions_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_sessions_a",
+            "n_sessions_b",
+            (
+                F.round(
+                    F.log(
+                        (F.col("__n").cast("double") * F.col("n_ab").cast("double"))
+                        / (
+                            F.col("n_sessions_a").cast("double")
+                            * F.col("n_sessions_b").cast("double")
+                        )
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("pmi"),
+        )
+    )

@@ -4990,3 +4990,65 @@ def q237_source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("jsd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q239 text hygiene audit — the encoding-health gate that runs BEFORE
+# any tokenization: per source, documents that are empty/whitespace,
+# carry C0 control bytes, U+FFFD replacement chars (mojibake from a
+# bad decode), carriage returns, or a non-ASCII-heavy payload
+# (> 30% of chars outside ASCII: integer cross-multiply, no float).
+# Pure scan-side integer counts — one pass, one groupBy; the regexes
+# avoid backreferences so they run identically on Java regex (Spark)
+# and RE2 (DuckDB).
+# ---------------------------------------------------------------------------
+@query(
+    "q239_text_hygiene",
+    oracle=r"""
+    WITH b AS (
+      SELECT source,
+        CASE WHEN trim(text) = '' THEN 1 ELSE 0 END AS is_blank,
+        CASE WHEN regexp_matches(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')
+             THEN 1 ELSE 0 END AS has_control,
+        CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END AS has_replacement,
+        CASE WHEN contains(text, chr(13)) THEN 1 ELSE 0 END AS has_cr,
+        length(text) AS n_chars_total,
+        length(regexp_replace(text, '[^\x00-\x7f]', '', 'g')) AS n_ascii
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_blank) AS BIGINT) AS n_blank,
+           CAST(SUM(has_control) AS BIGINT) AS n_control,
+           CAST(SUM(has_replacement) AS BIGINT) AS n_replacement,
+           CAST(SUM(has_cr) AS BIGINT) AS n_cr,
+           CAST(SUM(CASE WHEN 10 * (n_chars_total - n_ascii) > 3 * n_chars_total
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nonascii_heavy
+    FROM b GROUP BY source
+    """,
+)
+def q239_text_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+    n_total = F.length(text)
+    n_ascii = F.length(F.regexp_replace(text, r"[^\x00-\x7f]", ""))
+    b = docs.select(
+        "source",
+        F.when(F.trim(text) == "", 1).otherwise(0).alias("__blank"),
+        F.when(text.rlike(r"[\x00-\x08\x0b\x0c\x0e-\x1f]"), 1)
+        .otherwise(0)
+        .alias("__control"),
+        F.when(text.contains("�"), 1).otherwise(0).alias("__replacement"),
+        F.when(text.contains("\r"), 1).otherwise(0).alias("__cr"),
+        F.when(10 * (n_total - n_ascii) > 3 * n_total, 1)
+        .otherwise(0)
+        .alias("__heavy"),
+    )
+    return b.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__blank").cast("bigint").alias("n_blank"),
+        F.sum("__control").cast("bigint").alias("n_control"),
+        F.sum("__replacement").cast("bigint").alias("n_replacement"),
+        F.sum("__cr").cast("bigint").alias("n_cr"),
+        F.sum("__heavy").cast("bigint").alias("n_nonascii_heavy"),
+    )

@@ -323,6 +323,10 @@ EXTENDED_QUERIES = [
     "q236_weekly_value_bands",
     # pairwise Jensen-Shannon divergence between source vocabularies
     "q237_source_jsd_matrix",
+    # session-level event-type PMI (bounded per-session fan-out)
+    "q238_session_type_pmi",
+    # encoding/hygiene audit per source (control chars, mojibake)
+    "q239_text_hygiene",
 ]
 
 

@@ -671,3 +671,30 @@ def test_q237_jsd_bounds_and_naive_parity(spark):
         if qt:
             jsd += 0.5 * qt * math.log(qt / m)
     assert abs(rows[0].jsd - jsd) < 1e-3
+
+
+def test_q239_text_hygiene_constructed(spark, tmp_path):
+    import os
+
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+
+    rows = [
+        (1, "clean ascii text", "en", "s0", 16),
+        (2, "   ", "en", "s0", 3),
+        (3, "ctrl\x07here", "en", "s0", 9),
+        (4, "moji�bake", "en", "s0", 9),
+        (5, "dos\r\nline", "en", "s0", 9),
+        (6, "你好世界 ok", "en", "s0", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = str(tmp_path / "docs")
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+    out = QUERIES["q239_text_hygiene"](spark, d).collect()[0]
+    assert out.n_docs == 6
+    assert out.n_blank == 1
+    assert out.n_control == 1
+    assert out.n_replacement == 1
+    assert out.n_cr == 1
+    assert out.n_nonascii_heavy == 1  # 4 CJK of 7 chars > 30%
