@@ -1176,3 +1176,62 @@ def weighted_median_by(
         .cast("bigint")
         .alias("weighted_median"),
     )
+
+
+def grouped_two_phase_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tie_col: str,
+    out_col: str = "rank",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-group 1-based row_number by a numeric ``value_col``
+    (``tie_col`` ascending tie-break) WITHOUT a per-group single-task
+    window — the exposed form of the rank stage shared by
+    ``exact_quantiles_by`` / ``gini_by`` / ``weighted_median_by``:
+    per-group range buckets from a broadcast (min, max) table,
+    within-bucket partitioned row_number, cumulative bucket-count
+    offsets. Returns the input rows (value and tie columns preserved)
+    plus ``out_col``; nulls excluded.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("bigint")
+    base = df.filter(v.isNotNull()).select(
+        *group_cols, v.alias("__v"), F.col(tie_col).alias("__tie")
+    )
+    stats = base.groupBy(*group_cols).agg(
+        F.min("__v").alias("__mn"), F.max("__v").alias("__mx")
+    )
+    width = F.greatest(
+        (F.col("__mx") - F.col("__mn")).cast("double") / F.lit(float(n_buckets)),
+        F.lit(1e-300),
+    )
+    bucketed = base.join(F.broadcast(stats), group_cols).withColumn(
+        "__b",
+        F.least(
+            F.floor((F.col("__v") - F.col("__mn")).cast("double") / width),
+            F.lit(n_buckets - 1),
+        ).cast("bigint"),
+    )
+    counts = bucketed.groupBy(*group_cols, "__b").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *group_cols,
+        "__b",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy(*group_cols, "__b").orderBy("__v", "__tie")
+    return (
+        bucketed.withColumn("__rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), [*group_cols, "__b"])
+        .withColumn(out_col, (F.col("__off") + F.col("__rn")).cast("bigint"))
+        .drop("__b", "__rn", "__off", "__mn", "__mx")
+    )

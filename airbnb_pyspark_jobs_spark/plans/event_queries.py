@@ -3836,3 +3836,86 @@ def q238_session_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q240 exact trimmed mean — the robust-mean sibling of q114's
+# winsorized stats: drop the k = floor(n/20) smallest and largest
+# values per event type (5% symmetric trim BY COUNT — an integer, so
+# the kept multiset is deterministic regardless of tie order) and take
+# the exact mean of the rest. Ranks come from the shared grouped
+# two-phase bucketed rank (grouped_two_phase_rank — no per-group
+# single-task window); the mean is exact_mean_round over cent
+# integers. Reported beside the untrimmed mean so the output shows
+# what the tails were doing.
+# ---------------------------------------------------------------------------
+@query(
+    "q240_trimmed_mean",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY v, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM b
+    ),
+    k AS (SELECT event_type, CAST(MAX(n) // 20 AS BIGINT) AS k,
+                 CAST(MAX(n) AS BIGINT) AS n
+          FROM r GROUP BY event_type)
+    SELECT r.event_type, k.n, k.k AS n_trimmed_each_side,
+           {exact_mean_round_sql(
+               "SUM(CASE WHEN r.rk > k.k AND r.rk <= k.n - k.k THEN r.v ELSE 0 END)",
+               "(k.n - 2 * k.k) * 100", 6, sum_scale=0)} AS trimmed_mean,
+           {exact_mean_round_sql("SUM(r.v)", "k.n * 100", 6, sum_scale=0)}
+             AS raw_mean
+    FROM r JOIN k USING (event_type)
+    GROUP BY r.event_type, k.n, k.k
+    """,
+)
+def q240_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.numeric import exact_mean_round
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        grouped_two_phase_rank,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    b = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("__cents"),
+    )
+    r = grouped_two_phase_rank(
+        b, ["event_type"], "__cents", "event_id", out_col="__rk"
+    )
+    k = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    ).withColumn("__k", F.expr("__n div 20").cast("bigint"))
+    j = r.join(F.broadcast(k), "event_type")
+    kept_sum = F.sum(
+        F.when(
+            (F.col("__rk") > F.col("__k"))
+            & (F.col("__rk") <= F.col("__n") - F.col("__k")),
+            F.col("__v"),
+        ).otherwise(0)
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.max("__n").alias("n"),
+            F.max("__k").alias("n_trimmed_each_side"),
+            exact_mean_round(
+                kept_sum,
+                (F.max("__n") - 2 * F.max("__k")) * 100,
+                6,
+                sum_scale=0,
+            ).alias("trimmed_mean"),
+            exact_mean_round(
+                F.sum("__v"), F.max("__n") * 100, 6, sum_scale=0
+            ).alias("raw_mean"),
+        )
+    )

@@ -327,6 +327,8 @@ EXTENDED_QUERIES = [
     "q238_session_type_pmi",
     # encoding/hygiene audit per source (control chars, mojibake)
     "q239_text_hygiene",
+    # exact 5%-trimmed mean per type (grouped two-phase rank)
+    "q240_trimmed_mean",
 ]
 
 

@@ -668,3 +668,23 @@ def test_weighted_median_by_unit_weights_equals_lower_median(spark):
     xs = sorted(vals)
     # lower weighted median with unit weights = element at ceil(n/2)
     assert got.weighted_median == xs[(len(xs) + 1) // 2 - 1]
+
+
+def test_grouped_two_phase_rank_is_permutation(spark):
+    import random
+
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        grouped_two_phase_rank,
+    )
+
+    rng = random.Random(3)
+    rows = [(g, i, rng.randrange(0, 50)) for g in ("a", "b") for i in range(400)]
+    df = spark.createDataFrame(rows, ["g", "tid", "v"])
+    out = grouped_two_phase_rank(df, ["g"], "v", "tid", out_col="rk").collect()
+    for g in ("a", "b"):
+        sub = sorted(
+            [(r.rk, r["__v"], r["__tie"]) for r in out if r.g == g]
+        )
+        assert [x[0] for x in sub] == list(range(1, 401))
+        # ranks follow (value, tie) order
+        assert sub == sorted(sub, key=lambda x: (x[1], x[2]))
