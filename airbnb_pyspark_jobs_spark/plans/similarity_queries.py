@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from airbnb_pyspark_jobs_spark.functions.numeric import exact_mean_round_sql
 from airbnb_pyspark_jobs_spark.operators import similarity as SIM
 from airbnb_pyspark_jobs_spark.plans.queries import query
 from airbnb_pyspark_jobs_spark.sources.registry import load_table
@@ -2131,5 +2132,113 @@ def q228_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("__v6").cast("double") / F.lit(1e6), 6).alias(
                 "max_norm"
             ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q241 incremental IVF assignment — the ANN index-maintenance twin of
+# q111's incremental MinHash: centroids are trained ONCE on the stored
+# corpus (vec_id % 5 != 0), and the new ingest batch (vec_id % 5 = 0)
+# is assigned to the FROZEN index — scan-side, no retraining, the
+# production ingest path. Per cell the audit reports old/new member
+# counts, the new batch's share, and mean member-to-centroid cosine of
+# each population (rounded-sim DECIMAL means) — a cell whose new mean
+# sim collapses is the signal to retrain. Oracle replays the Lloyd
+# trajectory on the OLD slice only (the q53 unrolled CTEs over
+# filtered e/u) and both assignment passes.
+# ---------------------------------------------------------------------------
+def _q241_oracle() -> str:
+    mean_old = exact_mean_round_sql(
+        "SUM(CAST(sim AS DECIMAL(10,4)))", "COUNT(*)", 6, sum_scale=4
+    )
+    return f"""
+WITH eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (SELECT * FROM eall WHERE vec_id % 5 != 0),
+nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+u AS (SELECT vec_id, list_transform(v, x -> x / n) AS vn FROM nrm),
+en AS (SELECT * FROM eall WHERE vec_id % 5 = 0),
+nrmn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM en),
+un AS (SELECT vec_id, list_transform(v, x -> x / n) AS vn FROM nrmn),
+{_kmeans_ctes(_NCENT, _ITERS)},
+ao AS (
+  SELECT cid, sim FROM (
+    SELECT u.vec_id, c.cid, {_ASSIGN_SIM} AS sim,
+      ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                         ORDER BY {_ASSIGN_SIM} DESC, c.cid ASC) AS rn
+    FROM u, cu{_ITERS} c) WHERE rn = 1
+),
+an AS (
+  SELECT cid, sim FROM (
+    SELECT u.vec_id, c.cid,
+      round(list_dot_product(u.vn, c.cnv), 4) AS sim,
+      ROW_NUMBER() OVER (PARTITION BY u.vec_id
+        ORDER BY round(list_dot_product(u.vn, c.cnv), 4) DESC, c.cid ASC) AS rn
+    FROM un u, cu{_ITERS} c) WHERE rn = 1
+),
+go AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_old,
+         {mean_old} AS mean_sim_old
+  FROM ao GROUP BY cid
+),
+gn AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_new,
+         {mean_old} AS mean_sim_new
+  FROM an GROUP BY cid
+)
+SELECT go.cid, go.n_old, COALESCE(gn.n_new, 0) AS n_new,
+       round(CAST(COALESCE(gn.n_new, 0) AS DOUBLE)
+             / CAST(go.n_old + COALESCE(gn.n_new, 0) AS DOUBLE), 6)
+         AS new_share,
+       go.mean_sim_old, gn.mean_sim_new
+FROM go LEFT JOIN gn USING (cid)
+"""
+
+
+@query("q241_ivf_incremental_assign", oracle=_q241_oracle())
+def q241_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.numeric import exact_mean_round
+    from airbnb_pyspark_jobs_spark.operators.similarity import (
+        _ivf_best_assignment,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = SIM.kmeans_centroids(old, k=_NCENT, iters=_ITERS)
+    ao = _ivf_best_assignment(
+        old, _NCENT, _ITERS, "vec_id", "embedding", 4, cents
+    )
+    an = _ivf_best_assignment(
+        new, _NCENT, _ITERS, "vec_id", "embedding", 4, cents
+    )
+
+    def roll(df: DataFrame, n_name: str, m_name: str) -> DataFrame:
+        return df.groupBy("cid").agg(
+            F.count(F.lit(1)).cast("bigint").alias(n_name),
+            exact_mean_round(
+                F.sum(F.col("__sim").cast("decimal(10,4)")),
+                F.count(F.lit(1)),
+                6,
+                sum_scale=4,
+            ).alias(m_name),
+        )
+
+    go = roll(ao, "n_old", "mean_sim_old")
+    gn = roll(an, "n_new", "mean_sim_new")
+    return (
+        go.join(gn, "cid", "left")
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)).cast("bigint"))
+        .select(
+            "cid",
+            "n_old",
+            "n_new",
+            F.round(
+                F.col("n_new").cast("double")
+                / (F.col("n_old") + F.col("n_new")).cast("double"),
+                6,
+            ).alias("new_share"),
+            "mean_sim_old",
+            "mean_sim_new",
         )
     )

@@ -329,6 +329,8 @@ EXTENDED_QUERIES = [
     "q239_text_hygiene",
     # exact 5%-trimmed mean per type (grouped two-phase rank)
     "q240_trimmed_mean",
+    # incremental IVF: frozen-index assignment of a new ingest batch
+    "q241_ivf_incremental_assign",
 ]
 
 

@@ -393,3 +393,24 @@ def test_mmr_topk_lambda_tradeoff(spark):
     out = mmr_topk(df, k=3, lam=0.9).collect()
     assert out[0].max_sim is None and out[0].mmr_score is None
     assert all(o.max_sim is not None for o in out[1:])
+
+
+def test_q241_incremental_assign_covers_both_populations(spark):
+    import os
+
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    import pandas as pd
+
+    emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_old = int((emb.vec_id % 5 != 0).sum())
+    n_new = int((emb.vec_id % 5 == 0).sum())
+    rows = QUERIES["q241_ivf_incremental_assign"](spark, sf_dir).collect()
+    assert sum(r.n_old for r in rows) == n_old
+    assert sum(r.n_new for r in rows) == n_new
+    for r in rows:
+        assert 0.0 <= r.new_share <= 1.0
+        assert -1.0 <= r.mean_sim_old <= 1.0
