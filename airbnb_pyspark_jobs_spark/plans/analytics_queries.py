@@ -2847,3 +2847,145 @@ def q233_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q244 Z-order layout audit — the data-LAYOUT optimization that drives
+# min/max data skipping at 100 TB: write lineitem in Morton (Z-curve)
+# order over (l_partkey, l_suppkey) instead of natural arrival order,
+# and every fixed-size file block covers a small rectangle of BOTH key
+# domains, so a scan filtered on either key prunes most files from
+# their parquet footer stats alone. The audit materializes that claim
+# as a number: split each layout into 64 equal row blocks (a stand-in
+# for maxRecordsPerFile) and report the mean fraction of each key's
+# domain a block spans — ~1.0 for natural order, ~1/8 per dimension
+# for the Z-curve (sqrt of 1/64).
+#
+# Everything is integer arithmetic: keys are normalized to a 1024-cell
+# grid by integer cross-multiply, the 20-bit Morton code is a sum of
+# (x div 2^j) % 2 shifted terms (emitted from one template for both
+# engines), the global sort position comes from the two-phase numeric
+# rank (no single-task window — at scale you'd repartitionByRange on
+# the same z key and sortWithinPartitions), and the span fractions are
+# exact decimal ratios. rowid = orderkey·8 + linenumber (linenumber
+# ≤ 7) is the deterministic tie-break and the "arrival order" key.
+# ---------------------------------------------------------------------------
+def _morton20(x: str, y: str, intdiv: str) -> str:
+    """Σ_j bit_j(x)·4^j + bit_j(y)·2·4^j for 10-bit x, y — the same
+    expression text works as Spark SQL (`div`) and DuckDB (`//`)."""
+    terms = []
+    for j in range(10):
+        terms.append(f"(({x} {intdiv} {1 << j}) % 2) * {1 << (2 * j)}")
+        terms.append(f"(({y} {intdiv} {1 << j}) % 2) * {1 << (2 * j + 1)}")
+    return " + ".join(terms)
+
+
+def _q244_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    z = _morton20("gx", "gy", "//")
+    frac_x = _drr("SUM(bx)", "64 * MAX(ex)", 6)
+    frac_y = _drr("SUM(by_)", "64 * MAX(ey)", 6)
+    return f"""
+    WITH st AS (
+      SELECT CAST(MIN(l_partkey) AS BIGINT) AS mnx,
+             CAST(MAX(l_partkey) - MIN(l_partkey) + 1 AS BIGINT) AS ex,
+             CAST(MIN(l_suppkey) AS BIGINT) AS mny,
+             CAST(MAX(l_suppkey) - MIN(l_suppkey) + 1 AS BIGINT) AS ey,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem
+    ),
+    b AS (
+      SELECT l_partkey AS x, l_suppkey AS y,
+             l_orderkey * 8 + l_linenumber AS rowid,
+             (l_partkey - st.mnx) * 1024 // st.ex AS gx,
+             (l_suppkey - st.mny) * 1024 // st.ey AS gy,
+             st.ex, st.ey, st.n
+      FROM lineitem, st
+    ),
+    keyed AS (SELECT *, {z} AS zval FROM b),
+    ranked AS (
+      SELECT 'zorder' AS layout, x, y, ex, ey, n,
+             ROW_NUMBER() OVER (ORDER BY zval, rowid) AS rk
+      FROM keyed
+      UNION ALL
+      SELECT 'natural' AS layout, x, y, ex, ey, n,
+             ROW_NUMBER() OVER (ORDER BY rowid) AS rk
+      FROM keyed
+    ),
+    blocks AS (
+      SELECT layout, (rk - 1) * 64 // n AS blk,
+             CAST(MAX(x) - MIN(x) + 1 AS BIGINT) AS bx,
+             CAST(MAX(y) - MIN(y) + 1 AS BIGINT) AS by_,
+             MAX(ex) AS ex, MAX(ey) AS ey
+      FROM ranked GROUP BY layout, (rk - 1) * 64 // n
+    )
+    SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           {frac_x} AS avg_partkey_span_frac,
+           {frac_y} AS avg_suppkey_span_frac
+    FROM blocks GROUP BY layout
+    """
+
+
+@query("q244_zorder_layout_audit", oracle=_q244_oracle())
+def q244_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        two_phase_numeric_rank,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    st = li.agg(
+        F.min("l_partkey").cast("bigint").alias("__mnx"),
+        (F.max("l_partkey") - F.min("l_partkey") + 1).cast("bigint").alias("__ex"),
+        F.min("l_suppkey").cast("bigint").alias("__mny"),
+        (F.max("l_suppkey") - F.min("l_suppkey") + 1).cast("bigint").alias("__ey"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+    )
+    keyed = owned_persist(
+        li.select("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber")
+        .crossJoin(F.broadcast(st))
+        .withColumn("__rowid", F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+        .withColumn("__gx", F.expr("(l_partkey - __mnx) * 1024 div __ex"))
+        .withColumn("__gy", F.expr("(l_suppkey - __mny) * 1024 div __ey"))
+        .withColumn("__z", F.expr(_morton20("__gx", "__gy", "div")))
+        .select(
+            F.col("l_partkey").alias("__x"),
+            F.col("l_suppkey").alias("__y"),
+            "__rowid",
+            "__z",
+            "__ex",
+            "__ey",
+            "__n",
+        )
+    )
+
+    def _blocks(df: DataFrame, order_col: str, layout: str) -> DataFrame:
+        ranked = two_phase_numeric_rank(df, order_col, "__rowid", "__rk")
+        return (
+            ranked.withColumn("__blk", F.expr("(__rk - 1) * 64 div __n"))
+            .groupBy("__blk")
+            .agg(
+                (F.max("__x") - F.min("__x") + 1).cast("bigint").alias("__bx"),
+                (F.max("__y") - F.min("__y") + 1).cast("bigint").alias("__by"),
+                F.max("__ex").alias("__ex"),
+                F.max("__ey").alias("__ey"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+                decimal_ratio_round(
+                    F.sum("__bx"), F.lit(64).cast("bigint") * F.max("__ex"), 6
+                ).alias("avg_partkey_span_frac"),
+                decimal_ratio_round(
+                    F.sum("__by"), F.lit(64).cast("bigint") * F.max("__ey"), 6
+                ).alias("avg_suppkey_span_frac"),
+            )
+            .select(F.lit(layout).alias("layout"), "*")
+        )
+
+    return _blocks(keyed, "__z", "zorder").unionByName(
+        _blocks(keyed, "__rowid", "natural")
+    )

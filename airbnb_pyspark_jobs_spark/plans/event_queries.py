@@ -3919,3 +3919,128 @@ def q240_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("raw_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q243 Kaplan-Meier survival curve of time-to-first-purchase — the
+# censoring-aware sibling of q168 (time-to-convert percentiles, which
+# silently drops users who never converted): every user enters at
+# their first event; users with a purchase are "events" at
+# dur = floor(Δ/86400 s) days, users without one are right-CENSORED at
+# the corpus max timestamp. Per distinct day t:
+#   n_at_risk(t) = N − Σ_{u<t} leavers(u),   S(t) = Π_{u≤t} (1 − d_u/n_u).
+# Durations are exact integer microsecond arithmetic (unix_micros /
+# epoch_us — no seconds truncation ambiguity); the hazard factor is
+# pinned to a deterministic double via decimal_ratio_round(·, 9)
+# BEFORE ln(), so both engines exponentiate identical inputs; d_u = n_u
+# (everyone leaves) is guarded to −1e9 so exp() underflows to 0.0
+# instead of ln(0) diverging between engines. The leavers cumulative is
+# the two-phase partitioned cumsum; the survival window runs over the
+# per-DAY frame, whose row count is the calendar span — bounded at any
+# corpus scale (3.7k rows for a decade), the documented exception to
+# the no-global-window rule (cf. analytics_queries month spine).
+# ---------------------------------------------------------------------------
+def _q243_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    ratio9 = _drr("c.n_risk - c.d", "c.n_risk", 9)
+    return f"""
+    WITH f AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    p AS (
+      SELECT user_id, MIN(ts) AS tp FROM events
+      WHERE user_id IS NOT NULL AND event_type = 'purchase' GROUP BY user_id
+    ),
+    mx AS (SELECT MAX(ts) AS mts FROM events),
+    s AS (
+      SELECT f.user_id,
+             CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS ev,
+             CAST((epoch_us(COALESCE(p.tp, mx.mts)) - epoch_us(f.t0))
+                  // 86400000000 AS BIGINT) AS dur
+      FROM f LEFT JOIN p USING (user_id), mx
+    ),
+    g AS (
+      SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS nt
+      FROM s GROUP BY dur
+    ),
+    c AS (
+      SELECT dur, d, nt,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s)
+               - CAST(SUM(nt) OVER (ORDER BY dur) AS BIGINT) + nt AS n_risk
+      FROM g
+    ),
+    k AS (
+      SELECT c.dur, c.d, c.nt, c.n_risk,
+             SUM(CASE WHEN c.n_risk - c.d > 0 THEN ln({ratio9})
+                      ELSE -1e9 END) OVER (ORDER BY c.dur) AS ls
+      FROM c
+    )
+    SELECT dur AS t_days, n_risk AS n_at_risk, d AS n_events,
+           nt - d AS n_censored, round(exp(ls), 6) AS survival
+    FROM k
+    """
+
+
+@query("q243_kaplan_meier", oracle=_q243_oracle())
+def q243_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        two_phase_numeric_cumsum_multi,
+    )
+
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    firsts = events.groupBy("user_id").agg(F.min("ts").alias("__t0"))
+    purch = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__tp"))
+    )
+    mx = events.agg(F.max("ts").alias("__mts"))
+    subj = (
+        firsts.join(purch, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(F.col("__tp").isNotNull(), 1).otherwise(0).alias("__ev"),
+            F.expr(
+                "(unix_micros(coalesce(__tp, __mts)) - unix_micros(__t0))"
+                " div 86400000000"
+            )
+            .cast("bigint")
+            .alias("__dur"),
+        )
+    )
+    g = subj.groupBy("__dur").agg(
+        F.sum("__ev").cast("bigint").alias("__d"),
+        F.count(F.lit(1)).cast("bigint").alias("__nt"),
+    )
+    c = two_phase_numeric_cumsum_multi(g, "__dur", "__dur", ["__nt"], ["__cl"])
+    n_tot = g.agg(F.sum("__nt").cast("bigint").alias("__n"))
+    c = c.crossJoin(F.broadcast(n_tot)).withColumn(
+        "__n_risk", F.col("__n") - F.col("__cl") + F.col("__nt")
+    )
+    factor9 = decimal_ratio_round(
+        F.col("__n_risk") - F.col("__d"), F.col("__n_risk"), 9
+    )
+    # Bounded global window: one row per calendar DAY of corpus span.
+    w = Window.orderBy("__dur").rowsBetween(Window.unboundedPreceding, 0)
+    ls = F.sum(
+        F.when(F.col("__n_risk") - F.col("__d") > 0, F.log(factor9)).otherwise(
+            F.lit(-1e9)
+        )
+    ).over(w)
+    return c.select(
+        F.col("__dur").alias("t_days"),
+        F.col("__n_risk").alias("n_at_risk"),
+        F.col("__d").alias("n_events"),
+        (F.col("__nt") - F.col("__d")).alias("n_censored"),
+        F.round(F.exp(ls), 6).alias("survival"),
+    )

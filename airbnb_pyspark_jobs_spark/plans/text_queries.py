@@ -5052,3 +5052,135 @@ def q239_text_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__cr").cast("bigint").alias("n_cr"),
         F.sum("__heavy").cast("bigint").alias("n_nonascii_heavy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q242 classifier ROC summary — exact AUC, Gini and KS statistic for
+# the q147 in-engine classifier, completing its eval suite (q171 is
+# calibration, q221 is lift). Everything is computed from the GROUPED
+# score histogram (one row per distinct rounded probability), never
+# from per-row ranks:
+#   AUC  = U1 / (n1·n2) with midrank tie handling — 2·R1 =
+#          Σ_v a_v·(2·C_v + t_v + 1) is an exact integer (q220's
+#          rank-sum identity, reused verbatim);
+#   KS   = max_v |CA_v·n2 − CB_v·n1| / (n1·n2)  (integer cross-
+#          multiply; the arg-max threshold is tie-broken to the
+#          smallest score via a struct max);
+#   Gini = 2·AUC − 1 as its own exact ratio.
+# Cumulatives come from the two-phase partitioned cumsum (no global
+# single-task window); products are staged through DECIMAL(38,0) /
+# HUGEINT so 10^9-row classes cannot overflow. One final
+# decimal_ratio_round per metric keeps both engines bit-identical.
+# ---------------------------------------------------------------------------
+def _q242_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q147 = ORACLES["q147_quality_classifier_gd"]
+    return f"""
+    WITH clf AS ({q147}),
+    s AS (
+      SELECT CAST(p AS DECIMAL(10,6)) AS v,
+             CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS a,
+             CAST(SUM(1 - CAST(y AS BIGINT)) AS BIGINT) AS b
+      FROM clf GROUP BY 1
+    ),
+    c AS (
+      SELECT v, a, b, a + b AS t,
+             CAST(SUM(a + b) OVER (ORDER BY v) AS BIGINT) AS ct,
+             CAST(SUM(a) OVER (ORDER BY v) AS BIGINT) AS ca,
+             CAST(SUM(b) OVER (ORDER BY v) AS BIGINT) AS cb
+      FROM s
+    ),
+    tot AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n1,
+             CAST(SUM(b) AS BIGINT) AS n2,
+             CAST(SUM(CAST(a AS HUGEINT) * (2 * (ct - t) + t + 1))
+                  AS HUGEINT) AS r1x2
+      FROM c
+    ),
+    kbest AS (
+      SELECT c.v,
+             abs(CAST(c.ca AS HUGEINT) * t.n2
+                 - CAST(c.cb AS HUGEINT) * t.n1) AS dnum
+      FROM c, tot t
+      ORDER BY dnum DESC, c.v ASC LIMIT 1
+    )
+    SELECT t.n1 AS n_pos, t.n2 AS n_neg,
+           {_drr("t.r1x2 - CAST(t.n1 AS HUGEINT) * (t.n1 + 1)",
+                 "2 * CAST(t.n1 AS HUGEINT) * t.n2", 6)} AS auc,
+           {_drr("t.r1x2 - CAST(t.n1 AS HUGEINT) * (t.n1 + 1)"
+                 " - CAST(t.n1 AS HUGEINT) * t.n2",
+                 "CAST(t.n1 AS HUGEINT) * t.n2", 6)} AS gini,
+           {_drr("k.dnum", "CAST(t.n1 AS HUGEINT) * t.n2", 6)} AS ks,
+           CAST(k.v AS DOUBLE) AS ks_score
+    FROM tot t, kbest k
+    """
+
+
+@query("q242_classifier_roc_auc", oracle=_q242_oracle())
+def q242_classifier_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        two_phase_numeric_cumsum_multi,
+    )
+
+    clf = q147_quality_classifier_gd(spark, sf_dir)
+    s = owned_persist(
+        clf.groupBy(F.col("p").cast("decimal(10,6)").alias("__v"))
+        .agg(
+            F.sum(F.col("y").cast("bigint")).cast("bigint").alias("__na"),
+            F.sum(F.lit(1) - F.col("y").cast("bigint"))
+            .cast("bigint")
+            .alias("__nb"),
+        )
+        .withColumn("__t", (F.col("__na") + F.col("__nb")).cast("bigint"))
+    )
+    c = two_phase_numeric_cumsum_multi(
+        s, "__v", "__v", ["__t", "__na", "__nb"], ["__ct", "__ca", "__cb"]
+    )
+    d38 = "decimal(38,0)"
+    tot = c.agg(
+        F.sum("__na").cast("bigint").alias("__n1"),
+        F.sum("__nb").cast("bigint").alias("__n2"),
+        F.sum(
+            F.col("__na").cast(d38)
+            * (2 * (F.col("__ct") - F.col("__t")) + F.col("__t") + 1)
+        )
+        .cast(d38)
+        .alias("__r1x2"),
+    )
+    kbest = (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "__v",
+            F.abs(
+                F.col("__ca").cast(d38) * F.col("__n2")
+                - F.col("__cb").cast(d38) * F.col("__n1")
+            ).alias("__d"),
+        )
+        .agg(
+            F.max(
+                F.struct(F.col("__d").alias("d"), (-F.col("__v")).alias("nv"))
+            ).alias("__best")
+        )
+        .select(
+            F.col("__best.d").alias("__dnum"),
+            (-F.col("__best.nv")).cast("double").alias("ks_score"),
+        )
+    )
+    n1, n2 = F.col("__n1").cast(d38), F.col("__n2").cast(d38)
+    r1x2 = F.col("__r1x2")
+    return tot.crossJoin(F.broadcast(kbest)).select(
+        F.col("__n1").alias("n_pos"),
+        F.col("__n2").alias("n_neg"),
+        decimal_ratio_round(r1x2 - n1 * (n1 + 1), F.lit(2).cast(d38) * n1 * n2, 6).alias(
+            "auc"
+        ),
+        decimal_ratio_round(r1x2 - n1 * (n1 + 1) - n1 * n2, n1 * n2, 6).alias("gini"),
+        decimal_ratio_round(F.col("__dnum"), n1 * n2, 6).alias("ks"),
+        "ks_score",
+    )

@@ -331,6 +331,12 @@ EXTENDED_QUERIES = [
     "q240_trimmed_mean",
     # incremental IVF: frozen-index assignment of a new ingest batch
     "q241_ivf_incremental_assign",
+    # exact AUC/Gini/KS from the grouped score histogram
+    "q242_classifier_roc_auc",
+    # Kaplan-Meier time-to-purchase with right censoring
+    "q243_kaplan_meier",
+    # Morton-order layout audit: per-block key-span fractions
+    "q244_zorder_layout_audit",
 ]
 
 

@@ -698,3 +698,68 @@ def test_q239_text_hygiene_constructed(spark, tmp_path):
     assert out.n_replacement == 1
     assert out.n_cr == 1
     assert out.n_nonascii_heavy == 1  # 4 CJK of 7 chars > 30%
+
+
+def test_q242_auc_matches_manual_rank_sum(spark):
+    """AUC/Gini/KS invariants plus a brute-force pairwise AUC replay:
+    AUC must equal (#(pos>neg) + 0.5·#ties) / (n1·n0) over all
+    (pos, neg) score pairs of the q147 classifier output."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    out = QUERIES["q242_classifier_roc_auc"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= out.auc <= 1.0
+    assert abs(out.gini - (2 * out.auc - 1)) < 2e-6
+    assert 0.0 <= out.ks <= 1.0
+
+    scored = QUERIES["q147_quality_classifier_gd"](spark, SF_DIR).collect()
+    pos = sorted(round(r.p, 6) for r in scored if r.y == 1.0)
+    neg = sorted(round(r.p, 6) for r in scored if r.y == 0.0)
+    assert out.n_pos == len(pos) and out.n_neg == len(neg)
+    import bisect
+
+    wins = sum(bisect.bisect_left(neg, p) for p in pos)
+    ties = sum(
+        bisect.bisect_right(neg, p) - bisect.bisect_left(neg, p) for p in pos
+    )
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(out.auc - auc) < 2e-6
+
+
+def test_q243_kaplan_meier_invariants(spark):
+    """Survival starts ≤ 1, is non-increasing in t, n_at_risk strictly
+    decreases, and the t=0 row sees every subject at risk."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        QUERIES["q243_kaplan_meier"](spark, SF_DIR).collect(),
+        key=lambda r: r.t_days,
+    )
+    assert rows, "no survival rows"
+    n_subjects = sum(r.n_events + r.n_censored for r in rows)
+    assert rows[0].n_at_risk == n_subjects
+    last_s, last_n = 1.0 + 1e-9, n_subjects + 1
+    for r in rows:
+        assert r.survival <= last_s + 1e-9
+        assert r.n_at_risk < last_n
+        assert r.n_events + r.n_censored >= 1
+        last_s, last_n = r.survival, r.n_at_risk
+    # every subject leaves exactly once
+    assert sum(r.n_events + r.n_censored for r in rows) == n_subjects
+
+
+def test_q244_zorder_beats_natural_layout(spark):
+    """The point of the Morton layout: per-block key-span fractions
+    must be materially tighter than arrival order on BOTH dimensions."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = {
+        r.layout: r
+        for r in QUERIES["q244_zorder_layout_audit"](spark, SF_DIR).collect()
+    }
+    z, nat = rows["zorder"], rows["natural"]
+    assert z.n_blocks == nat.n_blocks == 64
+    assert z.avg_partkey_span_frac < 0.5 * nat.avg_partkey_span_frac
+    assert z.avg_suppkey_span_frac < 0.5 * nat.avg_suppkey_span_frac
