@@ -2989,3 +2989,67 @@ def q244_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _blocks(keyed, "__z", "zorder").unionByName(
         _blocks(keyed, "__rowid", "natural")
     )
+
+
+# ---------------------------------------------------------------------------
+# q246 entity resolution end-to-end — the record-linkage pipeline q75
+# only starts: fuzzy pair generation (first-token blocking + exact
+# levenshtein ≤ 3, precision 1.0) feeds min-label connected components
+# (pointer-jumping, O(log diameter) rounds — dedupe.dedup_components,
+# the q58 machinery reused on NAME nodes), then every part row maps to
+# its entity and multi-name entities are rolled up with a canonical
+# name (= component min, same ASCII order both engines) and exact
+# DECIMAL money totals. This is the master-data dedup shape: spelling
+# variants of the same product collapse to one golden record. The
+# oracle replays blocking + closure as a recursive CTE.
+# ---------------------------------------------------------------------------
+@query(
+    "q246_entity_resolution",
+    oracle=r"""
+    WITH RECURSIVE d AS (SELECT DISTINCT p_name AS name FROM part),
+    b AS (SELECT name, lower(string_split_regex(name, '\s+')[1]) AS w FROM d),
+    prs AS (
+      SELECT a.name AS na, c.name AS nb
+      FROM b a JOIN b c ON a.w = c.w AND a.name < c.name
+      WHERE levenshtein(a.name, c.name) <= 3
+    ),
+    edges AS (SELECT na AS a, nb AS b FROM prs
+              UNION SELECT nb, na FROM prs),
+    reach(src, dst) AS (
+      SELECT name, name FROM d
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    lbl AS (SELECT src AS name, MIN(dst) AS comp FROM reach GROUP BY src)
+    SELECT l.comp AS canonical_name,
+           CAST(COUNT(DISTINCT p.p_name) AS BIGINT) AS n_names,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_retailprice
+    FROM part p JOIN lbl l ON p.p_name = l.name
+    GROUP BY 1
+    HAVING COUNT(DISTINCT p.p_name) >= 2
+    """,
+)
+def q246_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.dedupe import dedup_components
+    from airbnb_pyspark_jobs_spark.operators.linkage import blocked_fuzzy_pairs
+
+    part = load_table(spark, "part", sf_dir)
+    pairs = blocked_fuzzy_pairs(
+        part.select("p_name"), "p_name", max_distance=3
+    ).select(
+        F.col("name_a").alias("doc_id_a"), F.col("name_b").alias("doc_id_b")
+    )
+    names = part.select(F.col("p_name").alias("doc_id")).distinct()
+    comp = dedup_components(names, pairs)
+    return (
+        part.join(comp, part["p_name"] == comp["doc_id"])
+        .groupBy(F.col("component_id").alias("canonical_name"))
+        .agg(
+            F.count_distinct("p_name").cast("bigint").alias("n_names"),
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            _money(F.sum(_dec("p_retailprice", 12)), "total_retailprice"),
+        )
+        .filter(F.col("n_names") >= 2)
+    )

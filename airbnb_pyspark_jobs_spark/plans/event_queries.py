@@ -4044,3 +4044,141 @@ def q243_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("__nt") - F.col("__d")).alias("n_censored"),
         F.round(F.exp(ls), 6).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q245 Markov stationary distribution — the long-run answer to q131's
+# one-step transition matrix: where does a user session SPEND its time
+# if the observed dynamics run forever? Twelve synchronous power-
+# iteration steps of d·P from the uniform start, entirely in-plan:
+# the matrix is |types|² rows (bounded — broadcast on every step, no
+# driver collect), each step is one tiny join + groupBy. Determinism
+# discipline for an iterated float recurrence: transition probs and
+# every iterate are pinned to exact 9-dp doubles (decimal_ratio_round
+# / exact_mean_round over 12-dp-rounded term DECIMALs), so both
+# engines multiply and sum IDENTICAL doubles at every step and the
+# oracle replays the trajectory verbatim in unrolled CTEs (q192's
+# pattern). Types with no outgoing transitions would leak mass (the
+# standard absorbing-row caveat) — every type self-transitions in this
+# corpus; the invariant test asserts Σw ≈ 1.
+# ---------------------------------------------------------------------------
+_Q245_ITERS = 12
+
+
+def _q245_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+        exact_mean_round_sql as _emr,
+    )
+
+    p9 = _drr("c.n", "t.t", 9)
+    u9 = _drr("1", "k.k", 9)
+    step = _emr(
+        "SUM(CAST(round(m.p * d.w, 12) AS DECIMAL(28,12)))", "1", 9,
+        sum_scale=12,
+    )
+    parts = [
+        f"""
+    WITH ordered AS (
+      SELECT user_id, event_type AS to_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      FROM events
+    ),
+    counts AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE from_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    totals AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS t
+               FROM counts GROUP BY from_type),
+    m AS (
+      SELECT c.from_type, c.to_type, c.n, {p9} AS p
+      FROM counts c JOIN totals t ON c.from_type = t.from_type
+    ),
+    k AS (SELECT CAST(COUNT(DISTINCT from_type) AS BIGINT) AS k FROM m),
+    d0 AS (SELECT DISTINCT from_type AS event_type, {u9} AS w FROM m, k)"""
+    ]
+    for i in range(1, _Q245_ITERS + 1):
+        parts.append(
+            f""",
+    d{i} AS (
+      SELECT m.to_type AS event_type, {step} AS w
+      FROM m JOIN d{i - 1} d ON m.from_type = d.event_type
+      GROUP BY m.to_type
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT d.event_type, t.t AS n_out_transitions, d.w AS stationary_prob
+    FROM d{_Q245_ITERS} d JOIN totals t ON d.event_type = t.from_type
+    """
+    )
+    return "".join(parts)
+
+
+@query("q245_markov_stationary", oracle=_q245_oracle())
+def q245_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round,
+        exact_mean_round,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        F.col("event_type").alias("__to"),
+        F.lag("event_type").over(w_user).alias("__from"),
+    ).filter(F.col("__from").isNotNull())
+    counts = ordered.groupBy("__from", "__to").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    totals = counts.groupBy("__from").agg(
+        F.sum("__n").cast("bigint").alias("__t")
+    )
+    m = owned_persist(
+        counts.join(F.broadcast(totals), "__from").select(
+            "__from",
+            "__to",
+            decimal_ratio_round(F.col("__n"), F.col("__t"), 9).alias("__p"),
+        )
+    )
+    k = m.agg(F.count_distinct("__from").cast("bigint").alias("__k"))
+    d = (
+        m.select("__from")
+        .distinct()
+        .crossJoin(F.broadcast(k))
+        .select(
+            F.col("__from").alias("__type"),
+            decimal_ratio_round(F.lit(1).cast("bigint"), F.col("__k"), 9).alias(
+                "__w"
+            ),
+        )
+    )
+    for _ in range(_Q245_ITERS):
+        d = (
+            m.join(F.broadcast(d), m["__from"] == d["__type"])
+            .groupBy(F.col("__to").alias("__type"))
+            .agg(
+                exact_mean_round(
+                    F.sum(
+                        F.round(F.col("__p") * F.col("__w"), 12).cast(
+                            "decimal(28,12)"
+                        )
+                    ),
+                    F.lit(1).cast("bigint"),
+                    9,
+                    sum_scale=12,
+                ).alias("__w")
+            )
+        )
+    return d.join(
+        F.broadcast(totals), d["__type"] == totals["__from"]
+    ).select(
+        F.col("__type").alias("event_type"),
+        F.col("__t").alias("n_out_transitions"),
+        F.col("__w").alias("stationary_prob"),
+    )

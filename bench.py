@@ -337,6 +337,10 @@ EXTENDED_QUERIES = [
     "q243_kaplan_meier",
     # Morton-order layout audit: per-block key-span fractions
     "q244_zorder_layout_audit",
+    # 12-step in-plan power iteration over the transition matrix
+    "q245_markov_stationary",
+    # fuzzy pairs -> components -> golden-record rollup
+    "q246_entity_resolution",
 ]
 
 

@@ -763,3 +763,61 @@ def test_q244_zorder_beats_natural_layout(spark):
     assert z.n_blocks == nat.n_blocks == 64
     assert z.avg_partkey_span_frac < 0.5 * nat.avg_partkey_span_frac
     assert z.avg_suppkey_span_frac < 0.5 * nat.avg_suppkey_span_frac
+
+
+def test_q245_stationary_is_a_distribution_and_fixpoint(spark):
+    """The 12-step power iterate must be a probability distribution and
+    (this matrix mixes fast) a numerical fixpoint of d·P replayed in
+    python floats from the q131 transition matrix."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q245_markov_stationary"](spark, SF_DIR).collect()
+    w = {r.event_type: r.stationary_prob for r in rows}
+    assert abs(sum(w.values()) - 1.0) < 1e-4
+    assert all(v > 0 for v in w.values())
+
+    trans = QUERIES["q131_event_transitions"](spark, SF_DIR).collect()
+    tot = {}
+    for t in trans:
+        tot[t.from_type] = tot.get(t.from_type, 0) + t.n
+    p = {(t.from_type, t.to_type): t.n / tot[t.from_type] for t in trans}
+    nxt = {
+        to: sum(w[fr] * p.get((fr, to), 0.0) for fr in w) for to in w
+    }
+    for to in w:
+        assert abs(nxt[to] - w[to]) < 1e-3, (to, nxt[to], w[to])
+
+
+def test_q246_entities_group_spelling_variants(spark):
+    """Every reported entity has >= 2 distinct names, all members are
+    within the blocking contract (same first token), and the canonical
+    name is the lexicographic component min."""
+    from airbnb_pyspark_jobs_spark.operators.dedupe import dedup_components
+    from airbnb_pyspark_jobs_spark.operators.linkage import blocked_fuzzy_pairs
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from airbnb_pyspark_jobs_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    ents = QUERIES["q246_entity_resolution"](spark, SF_DIR).collect()
+    assert all(e.n_names >= 2 for e in ents)
+    assert all(e.n_parts >= e.n_names for e in ents)
+
+    part = load_table(spark, "part", SF_DIR)
+    pairs = blocked_fuzzy_pairs(
+        part.select("p_name"), "p_name", max_distance=3
+    ).select(
+        F.col("name_a").alias("doc_id_a"), F.col("name_b").alias("doc_id_b")
+    )
+    comp = dedup_components(
+        part.select(F.col("p_name").alias("doc_id")).distinct(), pairs
+    ).collect()
+    members = {}
+    for r in comp:
+        members.setdefault(r.component_id, []).append(r.doc_id)
+    for e in ents:
+        ms = members[e.canonical_name]
+        assert min(ms) == e.canonical_name
+        assert len(ms) == e.n_names
