@@ -4182,3 +4182,165 @@ def q245_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__t").alias("n_out_transitions"),
         F.col("__w").alias("stationary_prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q247 sliding-window engagement (DAU / 7-day WAU / stickiness): the
+# rolling-distinct problem is NOT decomposable (you cannot merge daily
+# distinct counts), and the scalable exact answer is the BOUNDED
+# FAN-OUT identity: a user active on day d is a member of exactly the
+# 7 windows ending d..d+6, so explode each distinct (user, day)
+# presence 7× (fixed small constant), dedupe to (user, window) and
+# count — shuffles scale with presences×7, never with users², and the
+# same shape handles any window length. Stickiness = DAU/WAU as an
+# exact integer ratio. Day keys stay TIMESTAMP end-to-end (DATE
+# round-trips differ across engines — verify-skill gotcha).
+# ---------------------------------------------------------------------------
+def _q247_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    return f"""
+    WITH p AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    mx AS (SELECT MAX(d) AS mxd FROM p),
+    w AS (
+      SELECT DISTINCT user_id, d + CAST(i AS INTEGER) AS wd
+      FROM p, UNNEST(range(0, 7)) AS u(i), mx
+      WHERE d + CAST(i AS INTEGER) <= mx.mxd
+    ),
+    wau AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS wau FROM w GROUP BY wd),
+    dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM p GROUP BY d)
+    SELECT CAST(w.wd AS TIMESTAMP) AS day,
+           COALESCE(d.dau, 0) AS dau, w.wau,
+           {_drr("COALESCE(d.dau, 0)", "w.wau", 6)} AS stickiness
+    FROM wau w LEFT JOIN dau d ON w.wd = d.d
+    """
+
+
+@query("q247_sliding_distinct_users", oracle=_q247_oracle())
+def q247_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    p = owned_persist(
+        events.select(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("__d")
+        ).distinct()
+    )
+    mx = p.agg(F.max("__d").alias("__mxd"))
+    w = (
+        p.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("__i"),
+            "__d",
+            "__mxd",
+        )
+        .select(
+            "user_id", F.date_add(F.col("__d"), F.col("__i")).alias("__wd"), "__mxd"
+        )
+        .filter(F.col("__wd") <= F.col("__mxd"))
+        .select("user_id", "__wd")
+        .distinct()
+    )
+    wau = w.groupBy("__wd").agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
+    dau = p.groupBy(F.col("__d").alias("__wd")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__dau")
+    )
+    return (
+        wau.join(dau, "__wd", "left")
+        .select(
+            F.col("__wd").cast("timestamp").alias("day"),
+            F.coalesce("__dau", F.lit(0)).cast("bigint").alias("dau"),
+            "wau",
+            decimal_ratio_round(
+                F.coalesce("__dau", F.lit(0)).cast("bigint"), F.col("wau"), 6
+            ).alias("stickiness"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q248 cohort LTV triangle — the revenue companion of q68's retention
+# cohorts: group users by first-purchase week, then for each
+# (cohort, weeks-since-cohort) cell report active purchasers, exact
+# DECIMAL revenue, and the running cumulative LTV per cohort. The
+# cumulative window is partitioned by cohort over the weeks axis —
+# bounded by the calendar (52 rows/cohort/year), never corpus-sized.
+# Week keys come from date_trunc('week') (ISO Monday in both engines)
+# and stay TIMESTAMP; weeks_since is exact integer day arithmetic.
+# ---------------------------------------------------------------------------
+@query(
+    "q248_cohort_ltv",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id, ts, value FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    first AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS DATE) AS cw
+      FROM pu GROUP BY user_id
+    ),
+    cell AS (
+      SELECT f.cw,
+             CAST((CAST(date_trunc('week', p.ts) AS DATE) - f.cw) // 7
+                  AS BIGINT) AS weeks_since,
+             p.user_id, CAST(p.value AS DECIMAL(12,2)) AS v
+      FROM pu p JOIN first f ON p.user_id = f.user_id
+    ),
+    g AS (
+      SELECT cw, weeks_since,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+             SUM(v) AS rev
+      FROM cell GROUP BY cw, weeks_since
+    )
+    SELECT CAST(cw AS TIMESTAMP) AS cohort_week, weeks_since, n_active,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(rev) OVER (
+             PARTITION BY cw ORDER BY weeks_since), 2) AS DOUBLE)
+             AS cumulative_revenue
+    FROM g
+    """,
+)
+def q248_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    pu = load_table(spark, "events", sf_dir).filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    )
+    first = pu.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("__cw")
+    )
+    cell = pu.join(first, "user_id").select(
+        "__cw",
+        (
+            F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("__cw"))
+            / 7
+        )
+        .cast("bigint")
+        .alias("weeks_since"),
+        "user_id",
+        F.col("value").cast("decimal(12,2)").alias("__v"),
+    )
+    g = cell.groupBy("__cw", "weeks_since").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_active"),
+        F.sum("__v").alias("__rev"),
+    )
+    w = Window.partitionBy("__cw").orderBy("weeks_since")
+    return g.select(
+        F.col("__cw").cast("timestamp").alias("cohort_week"),
+        "weeks_since",
+        "n_active",
+        F.round(F.col("__rev"), 2).cast("double").alias("revenue"),
+        F.round(F.sum("__rev").over(w), 2).cast("double").alias(
+            "cumulative_revenue"
+        ),
+    )

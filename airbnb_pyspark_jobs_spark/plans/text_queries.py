@@ -5184,3 +5184,75 @@ def q242_classifier_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         decimal_ratio_round(F.col("__dnum"), n1 * n2, 6).alias("ks"),
         "ks_score",
     )
+
+
+# ---------------------------------------------------------------------------
+# q249 shuffle-quality run audit — did the epoch shuffle actually
+# interleave sources? Training order matters: long same-source runs in
+# the shuffled stream recreate curriculum drift. Runs are found with
+# ZERO sequential scan via the rank-difference gaps-and-islands
+# identity: with pos = q94's global shuffle position and sr = the
+# per-source rank in that same order, (pos − sr) is constant exactly
+# within a maximal same-source run — so runs fall out of one groupBy.
+# Both ranks come from two-phase machinery (the global one IS q94's
+# verified output; the per-source one is grouped_two_phase_rank) — no
+# corpus-wide window, no self-join on pos+1. Mean run length per
+# source is an exact integer ratio; a perfectly interleaved shuffle
+# has mean ≈ 1/(1−share), long tails flag clumping.
+# ---------------------------------------------------------------------------
+def _q249_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q94 = ORACLES["q94_epoch_shuffle"]
+    return f"""
+    WITH sh AS ({q94}),
+    j AS (
+      SELECT sh.epoch_pos, d.source
+      FROM sh JOIN documents d ON sh.doc_id = d.doc_id
+    ),
+    r AS (
+      SELECT source, epoch_pos,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY epoch_pos) AS sr
+      FROM j
+    ),
+    runs AS (
+      SELECT source, epoch_pos + 1 - sr AS island,
+             CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM r GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(run_len) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           {_drr("SUM(run_len)", "COUNT(*)", 6)} AS mean_run_len,
+           CAST(MAX(run_len) AS BIGINT) AS max_run_len
+    FROM runs GROUP BY source
+    """
+
+
+@query("q249_shuffle_run_audit", oracle=_q249_oracle())
+def q249_shuffle_run_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        grouped_two_phase_rank,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    sh = q94_epoch_shuffle(spark, sf_dir).select("doc_id", "epoch_pos")
+    j = owned_persist(sh.join(docs, "doc_id").select("epoch_pos", "source"))
+    # the helper exposes the ranked value as __v (= epoch_pos here)
+    r = grouped_two_phase_rank(j, ["source"], "epoch_pos", "epoch_pos", out_col="__sr")
+    runs = r.groupBy(
+        "source", (F.col("__v") + 1 - F.col("__sr")).alias("__island")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__run_len"))
+    return runs.groupBy("source").agg(
+        F.sum("__run_len").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        decimal_ratio_round(
+            F.sum("__run_len").cast("bigint"), F.count(F.lit(1)).cast("bigint"), 6
+        ).alias("mean_run_len"),
+        F.max("__run_len").cast("bigint").alias("max_run_len"),
+    )

@@ -341,6 +341,12 @@ EXTENDED_QUERIES = [
     "q245_markov_stationary",
     # fuzzy pairs -> components -> golden-record rollup
     "q246_entity_resolution",
+    # bounded 7x fan-out rolling distinct (DAU/WAU/stickiness)
+    "q247_sliding_distinct_users",
+    # first-purchase-week cohorts x weeks LTV triangle
+    "q248_cohort_ltv",
+    # rank-difference gaps-and-islands over the epoch shuffle
+    "q249_shuffle_run_audit",
 ]
 
 

@@ -821,3 +821,49 @@ def test_q246_entities_group_spelling_variants(spark):
         ms = members[e.canonical_name]
         assert min(ms) == e.canonical_name
         assert len(ms) == e.n_names
+
+
+def test_q247_window_contains_daily(spark):
+    """WAU(d) >= DAU(d), every presence lands in exactly 7 windows
+    (minus truncation at the right edge), stickiness in (0, 1]."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q247_sliding_distinct_users"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.wau >= r.dau >= 0
+        assert 0.0 <= r.stickiness <= 1.0
+
+
+def test_q248_cumulative_ltv_monotone(spark):
+    """Per cohort, cumulative revenue is non-decreasing in weeks_since
+    and the first cell matches its own revenue."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q248_cohort_ltv"](spark, SF_DIR).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    for cells in by_cohort.values():
+        cells.sort(key=lambda r: r.weeks_since)
+        assert abs(cells[0].cumulative_revenue - cells[0].revenue) < 1e-6
+        for a, b in zip(cells, cells[1:]):
+            assert b.cumulative_revenue >= a.cumulative_revenue - 1e-6
+            assert a.n_active >= 1
+
+
+def test_q249_runs_tile_the_stream(spark):
+    """Σ n_docs over sources equals the corpus, every mean run length
+    is >= 1, and max_run_len <= n_docs."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from airbnb_pyspark_jobs_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q249_shuffle_run_audit"](spark, SF_DIR).collect()
+    n_docs = load_table(spark, "documents", SF_DIR).count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.n_runs >= 1 and r.max_run_len <= r.n_docs
+        assert r.mean_run_len >= 1.0
