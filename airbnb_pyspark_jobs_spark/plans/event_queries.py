@@ -4344,3 +4344,234 @@ def q248_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cumulative_revenue"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q250 error-burst detection — MATCH_RECOGNIZE-style CEP ("3+ errors
+# from one user, each within 24 h of the previous") expressed as
+# time-constrained gaps-and-islands: per user, an error starts a NEW
+# burst when its gap from the previous error exceeds the window
+# (lag + running sum of break
+# flags, both over USER-partitioned windows — scales with the key, no
+# global sort). Burst rows with n ≥ 3 report exact integer-microsecond
+# durations. This is the alerting shape Flink CEP / SQL
+# MATCH_RECOGNIZE covers; Spark expresses it in two windows.
+# ---------------------------------------------------------------------------
+@query(
+    "q250_error_bursts",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events
+      WHERE event_type = 'error' AND user_id IS NOT NULL
+    ),
+    b AS (
+      SELECT user_id, ts, event_id,
+             CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 86400000000
+                           THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS burst_id
+      FROM e
+    ),
+    g AS (
+      SELECT user_id, burst_id,
+             CAST(COUNT(*) AS BIGINT) AS n_errors,
+             MIN(ts) AS burst_start,
+             CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000
+                  AS BIGINT) AS duration_seconds
+      FROM b GROUP BY user_id, burst_id
+    )
+    SELECT user_id, burst_start, n_errors, duration_seconds
+    FROM g WHERE n_errors >= 3
+    """,
+)
+def q250_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, "events", sf_dir).filter(
+        (F.col("event_type") == "error") & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 86_400_000_000), 1).otherwise(0).alias("__brk"),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    bursts = flagged.withColumn(
+        "__burst", F.sum("__brk").over(wrun).cast("bigint")
+    )
+    return (
+        bursts.groupBy("user_id", "__burst")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_errors"),
+            F.min("ts").alias("burst_start"),
+            (
+                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+                / F.lit(1_000_000)
+            )
+            .cast("bigint")
+            .alias("duration_seconds"),
+        )
+        .filter(F.col("n_errors") >= 3)
+        .select("user_id", "burst_start", "n_errors", "duration_seconds")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q251 population stability index (PSI) — THE production drift gate
+# for model inputs: per event type, compare the `value` distribution
+# of the corpus's first half-window against its second half over 10
+# equal-width cent buckets;
+#   PSI = Σ_i (p_i − q_i)·ln(p_i / q_i)
+# with Laplace-smoothed cell shares p_i=(n_i+1)/(N+10) so empty cells
+# stay finite. Split point and bucket edges are exact integer
+# arithmetic from ONE broadcast stats row (micros midpoint, cent
+# min/max); shares are pinned to 9-dp doubles (decimal_ratio_round)
+# before ln, each term is rounded to 12 dp and summed as DECIMAL, and
+# the PSI finishes through the integer round-half-away path — fully
+# deterministic across engines despite the logs. PSI < 0.1 is the
+# conventional "stable" band; the oracle replays every step.
+# ---------------------------------------------------------------------------
+def _q251_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+        exact_mean_round_sql as _emr,
+    )
+
+    p9 = _drr("rc.n_ref + 1", "t.n_ref + 10", 9)
+    q9 = _drr("rc.n_cur + 1", "t.n_cur + 10", 9)
+    psi = _emr(
+        "SUM(CAST(round((p - q) * ln(p / q), 12) AS DECIMAL(28,12)))",
+        "1", 6, sum_scale=12,
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL
+    ),
+    st AS (
+      SELECT MIN(us) + (MAX(us) - MIN(us)) // 2 AS mid,
+             MIN(vc) AS mn, MAX(vc) - MIN(vc) + 1 AS ext
+      FROM base
+    ),
+    lab AS (
+      SELECT event_type,
+             CASE WHEN us <= st.mid THEN 0 ELSE 1 END AS is_cur,
+             LEAST((vc - st.mn) * 10 // st.ext, 9) AS b
+      FROM base, st
+    ),
+    grid AS (
+      SELECT DISTINCT event_type FROM lab
+    ),
+    cells AS (
+      SELECT g.event_type, gb.b,
+             CAST(COALESCE(SUM(CASE WHEN l.is_cur = 0 THEN 1 END), 0)
+                  AS BIGINT) AS n_ref,
+             CAST(COALESCE(SUM(CASE WHEN l.is_cur = 1 THEN 1 END), 0)
+                  AS BIGINT) AS n_cur
+      FROM grid g
+      CROSS JOIN (SELECT UNNEST(range(0, 10)) AS b) gb
+      LEFT JOIN lab l ON l.event_type = g.event_type AND l.b = gb.b
+      GROUP BY g.event_type, gb.b
+    ),
+    tots AS (
+      SELECT event_type, CAST(SUM(n_ref) AS BIGINT) AS n_ref,
+             CAST(SUM(n_cur) AS BIGINT) AS n_cur
+      FROM cells GROUP BY event_type
+    ),
+    shares AS (
+      SELECT rc.event_type, t.n_ref, t.n_cur,
+             {p9} AS p, {q9} AS q
+      FROM cells rc JOIN tots t USING (event_type)
+    )
+    SELECT event_type, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+           {psi} AS psi
+    FROM shares GROUP BY event_type
+    """
+
+
+@query("q251_psi_drift", oracle=_q251_oracle())
+def q251_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round,
+        exact_mean_round,
+    )
+
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull()
+    )
+    base = events.select(
+        "event_type",
+        F.unix_micros("ts").alias("__us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("__vc"),
+    )
+    st = base.agg(
+        (F.min("__us") + F.expr("(max(__us) - min(__us)) div 2")).alias("__mid"),
+        F.min("__vc").alias("__mn"),
+        (F.max("__vc") - F.min("__vc") + 1).alias("__ext"),
+    )
+    lab = base.crossJoin(F.broadcast(st)).select(
+        "event_type",
+        F.when(F.col("__us") <= F.col("__mid"), 0).otherwise(1).alias("__is_cur"),
+        F.least(
+            F.expr("(__vc - __mn) * 10 div __ext"), F.lit(9)
+        ).cast("bigint").alias("__b"),
+    )
+    grid = (
+        lab.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(10).select(F.col("id").cast("bigint").alias("__b"))
+            )
+        )
+    )
+    counts = lab.groupBy("event_type", "__b").agg(
+        F.sum(F.when(F.col("__is_cur") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__nr"),
+        F.sum(F.when(F.col("__is_cur") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__nc"),
+    )
+    cells = owned_persist(
+        grid.join(counts, ["event_type", "__b"], "left").select(
+            "event_type",
+            "__b",
+            F.coalesce("__nr", F.lit(0)).cast("bigint").alias("__nr"),
+            F.coalesce("__nc", F.lit(0)).cast("bigint").alias("__nc"),
+        )
+    )
+    tots = cells.groupBy("event_type").agg(
+        F.sum("__nr").cast("bigint").alias("__tnr"),
+        F.sum("__nc").cast("bigint").alias("__tnc"),
+    )
+    shares = cells.join(F.broadcast(tots), "event_type").select(
+        "event_type",
+        "__tnr",
+        "__tnc",
+        decimal_ratio_round(F.col("__nr") + 1, F.col("__tnr") + 10, 9).alias("__p"),
+        decimal_ratio_round(F.col("__nc") + 1, F.col("__tnc") + 10, 9).alias("__q"),
+    )
+    return shares.groupBy("event_type").agg(
+        F.max("__tnr").alias("n_ref"),
+        F.max("__tnc").alias("n_cur"),
+        exact_mean_round(
+            F.sum(
+                F.round(
+                    (F.col("__p") - F.col("__q")) * F.log(F.col("__p") / F.col("__q")),
+                    12,
+                ).cast("decimal(28,12)")
+            ),
+            F.lit(1).cast("bigint"),
+            6,
+            sum_scale=12,
+        ).alias("psi"),
+    )

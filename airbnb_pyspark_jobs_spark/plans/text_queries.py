@@ -2882,14 +2882,9 @@ def _q147_oracle() -> str:
     return "".join(parts)
 
 
-@query("q147_quality_classifier_gd", oracle=_q147_oracle())
-def q147_quality_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from airbnb_pyspark_jobs_spark.operators.classifier import (
-        score_fast_sigmoid,
-        train_gd_fast_sigmoid,
-    )
-
-    docs = load_table(spark, "documents", sf_dir)
+def _q147_features(docs: DataFrame) -> DataFrame:
+    """The q147 feature frame (doc_id, y, x0..x3) — shared by the GD
+    classifier itself and the feature audits built on it (q252 IV)."""
     staged = docs.select(
         "doc_id",
         (F.col("lang") == "en").cast("double").alias("y"),
@@ -2904,7 +2899,7 @@ def q147_quality_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("__n_stop"),
         F.size(F.array_distinct("__toks")).cast("bigint").alias("__n_dist"),
     )
-    feats = counted.select(
+    return counted.select(
         "doc_id",
         "y",
         F.lit(1.0).alias("x0"),
@@ -2916,6 +2911,16 @@ def q147_quality_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__n_dist").cast("double") / F.col("__n_tok").cast("double"), 6
         ).alias("x3"),
     )
+
+
+@query("q147_quality_classifier_gd", oracle=_q147_oracle())
+def q147_quality_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.classifier import (
+        score_fast_sigmoid,
+        train_gd_fast_sigmoid,
+    )
+
+    feats = _q147_features(load_table(spark, "documents", sf_dir))
     w = train_gd_fast_sigmoid(
         feats, _Q147_FEATS, "y", iters=_Q147_ITERS, lr=_Q147_LR
     )
@@ -5255,4 +5260,167 @@ def q249_shuffle_run_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__run_len").cast("bigint"), F.count(F.lit(1)).cast("bigint"), 6
         ).alias("mean_run_len"),
         F.max("__run_len").cast("bigint").alias("max_run_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q252 feature information value (IV) — the credit-scoring-standard
+# predictive-power audit for the q147 classifier features, BEFORE any
+# training: decile-bin each feature by its own distribution (grouped
+# two-phase rank — no per-feature single-task window), then
+#   IV = Σ_bins (pct_pos_i − pct_neg_i) · ln(pct_pos_i / pct_neg_i)
+# with Laplace-smoothed shares so empty cells stay finite. Features are
+# stacked LONG (one rank machinery pass for all of them); everything is
+# exact integers up to the 9-dp-pinned shares, terms rounded to 12 dp,
+# DECIMAL-summed, integer-finished (the q251 PSI discipline — IV is
+# PSI with pos/neg playing ref/cur). Rule of thumb: IV < 0.02 useless,
+# > 0.3 strong — the audit says which q147 inputs carry signal.
+# ---------------------------------------------------------------------------
+def _q252_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+        exact_mean_round_sql as _emr,
+    )
+
+    stop = ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"])
+    pp = _drr("c.pos + 1", "t.tp + 10", 9)
+    pn = _drr("c.neg + 1", "t.tn + 10", 9)
+    iv = _emr(
+        "SUM(CAST(round((pp - pn) * ln(pp / pn), 12) AS DECIMAL(28,12)))",
+        "1", 6, sum_scale=12,
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lower(t) AS term
+      FROM (SELECT doc_id, UNNEST({_D_TOKENS}) AS t FROM documents)
+    ),
+    tc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(CASE WHEN term IN ({stop}) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_stop,
+             CAST(COUNT(DISTINCT term) AS BIGINT) AS n_dist
+      FROM tok GROUP BY doc_id
+    ),
+    feats AS (
+      SELECT d.doc_id,
+        CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+        round(CAST(tc.n_tok AS DOUBLE) / CAST(50.0 AS DOUBLE), 6) AS x1,
+        round(CAST(tc.n_stop AS DOUBLE) / CAST(tc.n_tok AS DOUBLE), 6) AS x2,
+        round(CAST(tc.n_dist AS DOUBLE) / CAST(tc.n_tok AS DOUBLE), 6) AS x3
+      FROM documents d JOIN tc ON d.doc_id = tc.doc_id
+    ),
+    lng AS (
+      SELECT 'x1_len' AS feature, doc_id, y,
+             CAST(round(x1 * 1000000) AS BIGINT) AS v6 FROM feats
+      UNION ALL
+      SELECT 'x2_stopword_ratio', doc_id, y,
+             CAST(round(x2 * 1000000) AS BIGINT) FROM feats
+      UNION ALL
+      SELECT 'x3_distinct_ratio', doc_id, y,
+             CAST(round(x3 * 1000000) AS BIGINT) FROM feats
+    ),
+    r AS (
+      SELECT feature, y,
+             ROW_NUMBER() OVER (
+               PARTITION BY feature ORDER BY v6, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY feature) AS n
+      FROM lng
+    ),
+    cells AS (
+      SELECT feature, (rk - 1) * 10 // n AS b,
+             CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+      FROM r GROUP BY 1, 2
+    ),
+    tots AS (
+      SELECT feature, CAST(SUM(pos) AS BIGINT) AS tp,
+             CAST(SUM(neg) AS BIGINT) AS tn
+      FROM cells GROUP BY feature
+    ),
+    sh AS (
+      SELECT c.feature, t.tp, t.tn, {pp} AS pp, {pn} AS pn
+      FROM cells c JOIN tots t USING (feature)
+    )
+    SELECT feature, MAX(tp) AS n_pos, MAX(tn) AS n_neg, {iv} AS iv
+    FROM sh GROUP BY feature
+    """
+
+
+@query("q252_feature_iv", oracle=_q252_oracle())
+def q252_feature_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round,
+        exact_mean_round,
+    )
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        grouped_two_phase_rank,
+    )
+
+    feats = _q147_features(load_table(spark, "documents", sf_dir))
+    parts = [
+        feats.select(
+            F.lit(name).alias("feature"),
+            "doc_id",
+            F.col("y").cast("bigint").alias("__y"),
+            F.round(F.col(x) * 1000000).cast("bigint").alias("__v6"),
+        )
+        for name, x in [
+            ("x1_len", "x1"),
+            ("x2_stopword_ratio", "x2"),
+            ("x3_distinct_ratio", "x3"),
+        ]
+    ]
+    lng = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    # grouped_two_phase_rank keeps only (group, __v, __tie, rank) — carry
+    # y through the tie column? No: re-join on (feature, doc_id).
+    r = grouped_two_phase_rank(
+        lng.select("feature", "doc_id", "__v6"),
+        ["feature"],
+        "__v6",
+        "doc_id",
+        out_col="__rk",
+    ).select("feature", F.col("__tie").alias("doc_id"), "__rk")
+    n = lng.groupBy("feature").agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    binned = (
+        r.join(lng.select("feature", "doc_id", "__y"), ["feature", "doc_id"])
+        .join(F.broadcast(n), "feature")
+        .select(
+            "feature",
+            F.expr("(__rk - 1) * 10 div __n").cast("bigint").alias("__b"),
+            "__y",
+        )
+    )
+    cells = owned_persist(
+        binned.groupBy("feature", "__b").agg(
+            F.sum("__y").cast("bigint").alias("__pos"),
+            (F.count(F.lit(1)) - F.sum("__y")).cast("bigint").alias("__neg"),
+        )
+    )
+    tots = cells.groupBy("feature").agg(
+        F.sum("__pos").cast("bigint").alias("__tp"),
+        F.sum("__neg").cast("bigint").alias("__tn"),
+    )
+    sh = cells.join(F.broadcast(tots), "feature").select(
+        "feature",
+        "__tp",
+        "__tn",
+        decimal_ratio_round(F.col("__pos") + 1, F.col("__tp") + 10, 9).alias("__pp"),
+        decimal_ratio_round(F.col("__neg") + 1, F.col("__tn") + 10, 9).alias("__pn"),
+    )
+    return sh.groupBy("feature").agg(
+        F.max("__tp").alias("n_pos"),
+        F.max("__tn").alias("n_neg"),
+        exact_mean_round(
+            F.sum(
+                F.round(
+                    (F.col("__pp") - F.col("__pn"))
+                    * F.log(F.col("__pp") / F.col("__pn")),
+                    12,
+                ).cast("decimal(28,12)")
+            ),
+            F.lit(1).cast("bigint"),
+            6,
+            sum_scale=12,
+        ).alias("iv"),
     )

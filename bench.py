@@ -347,6 +347,12 @@ EXTENDED_QUERIES = [
     "q248_cohort_ltv",
     # rank-difference gaps-and-islands over the epoch shuffle
     "q249_shuffle_run_audit",
+    # CEP: time-constrained gaps-and-islands error bursts
+    "q250_error_bursts",
+    # population stability index, first vs second half-window
+    "q251_psi_drift",
+    # decile-binned information value per classifier feature
+    "q252_feature_iv",
 ]
 
 

@@ -867,3 +867,68 @@ def test_q249_runs_tile_the_stream(spark):
     for r in rows:
         assert r.n_runs >= 1 and r.max_run_len <= r.n_docs
         assert r.mean_run_len >= 1.0
+
+
+def test_q250_bursts_are_consistent(spark):
+    """Every reported burst has >= 3 errors; a user's total burst
+    errors never exceed their error count; durations non-negative."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from airbnb_pyspark_jobs_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    bursts = QUERIES["q250_error_bursts"](spark, SF_DIR).collect()
+    errs = {
+        r.user_id: r.n
+        for r in load_table(spark, "events", SF_DIR)
+        .filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    per_user = {}
+    for b in bursts:
+        assert b.n_errors >= 3 and b.duration_seconds >= 0
+        per_user[b.user_id] = per_user.get(b.user_id, 0) + b.n_errors
+    for u, n in per_user.items():
+        assert n <= errs[u]
+
+
+def test_q251_psi_zero_on_identical_halves(spark, tmp_path):
+    """A constructed corpus whose two halves have IDENTICAL value
+    histograms per type must score PSI = 0 exactly."""
+    import datetime as dt
+    import os
+
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+
+    rows = []
+    eid = 0
+    for half, day in ((0, 1), (1, 20)):
+        for v in [1.0, 2.0, 2.0, 5.0, 9.0]:
+            rows.append(
+                (eid, dt.datetime(2024, 1, day), 1, "view", v, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = str(tmp_path / "ev")
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    out = QUERIES["q251_psi_drift"](spark, d).collect()
+    assert len(out) == 1
+    assert out[0].psi == 0.0
+    assert out[0].n_ref == 5 and out[0].n_cur == 5
+
+
+def test_q252_iv_nonnegative_and_label_feature_dominates(spark):
+    """IV is non-negative by construction (sum of (p-q)ln(p/q) terms);
+    the stopword-ratio feature (the lang signal q147 learns from) must
+    carry more IV than doc length."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = {r.feature: r for r in QUERIES["q252_feature_iv"](spark, SF_DIR).collect()}
+    assert set(rows) == {"x1_len", "x2_stopword_ratio", "x3_distinct_ratio"}
+    for r in rows.values():
+        assert r.iv >= 0.0
