@@ -2108,6 +2108,117 @@ def power_iteration_top_component(
     return v, proj
 
 
+def power_iteration_top2(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    iters: int = 4,
+    digits: int = 6,
+) -> tuple[list[float], list[float], DataFrame]:
+    """Top TWO principal directions by power iteration with Hotelling
+    DEFLATION — the multi-component extension of
+    :func:`power_iteration_top_component`: after v1 converges, the
+    second direction iterates the same w = Xᵀ(Xw) two-pass recurrence
+    but orthogonalizes each iterate against v1 IN-PLAN before
+    normalizing:
+
+        c   = Σ_j round(m_j · v1_j, digits)       (exact DECIMAL sum)
+        m'_j = round(m_j − c · v1_j, digits)
+
+    so w converges to the top eigenvector of (I − v1v1ᵀ)·XᵀX — the
+    second component — without ever forming the d×d matrix. Every
+    intermediate is pinned to ``digits`` decimals and every sum is
+    DECIMAL (order-independent), so both engines replay the identical
+    trajectory; the d-row orthogonalization is a broadcast-scalar pass,
+    never a shuffle. Returns ``(v1, v2, projections)`` with
+    ``projections = (id_col, proj1, proj2)`` rounded to 4 — the 2-D
+    PCA feature per vector. Same scale shape as the 1-component op:
+    per iteration one corpus scan + one d-group aggregate.
+    """
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions import vectors as V
+
+    v1, _ = power_iteration_top_component(
+        emb, id_col=id_col, vec_col=vec_col, dims=dims, iters=iters, digits=digits
+    )
+    base = owned_persist(
+        emb.select(
+            F.col(id_col).alias("__id"),
+            V.to_double_array(vec_col).alias("__v"),
+        )
+    )
+    dec = f"decimal(28,{digits})"
+    import math
+
+    v1lit = F.array(*[F.lit(float(x)) for x in v1])
+    w = [round(1.0 / math.sqrt(dims), digits)] * dims
+    # a v1-orthogonal deterministic start: deflate the uniform vector
+    # through the same in-plan formula the loop uses (driver-side here
+    # is fine — it replays in the oracle with identical rounding)
+    for _ in range(iters):
+        wlit = F.array(*[F.lit(float(x)) for x in w])
+        s = base.select(
+            "__id", "__v", F.round(V.dot(F.col("__v"), wlit), digits).alias("__s")
+        )
+        terms = s.select(
+            F.posexplode("__v").alias("__j", "__x"),
+            F.col("__s"),
+        ).select(
+            "__j",
+            F.round(F.col("__s") * F.col("__x"), digits).cast(dec).alias("__t"),
+        )
+        mk = terms.groupBy("__j").agg(F.sum("__t").alias("__m"))
+        c = mk.agg(
+            F.sum(
+                F.round(
+                    F.col("__m").cast("double")
+                    * F.element_at(v1lit, F.col("__j").cast("int") + 1),
+                    digits,
+                ).cast(dec)
+            ).alias("__c")
+        )
+        md = mk.crossJoin(F.broadcast(c)).select(
+            "__j",
+            F.round(
+                F.col("__m").cast("double")
+                - F.col("__c").cast("double")
+                * F.element_at(v1lit, F.col("__j").cast("int") + 1),
+                digits,
+            ).alias("__m2"),
+        )
+        n2 = md.agg(
+            F.sum(
+                (
+                    F.col("__m2").cast(f"decimal(18,{digits})")
+                    * F.col("__m2").cast(f"decimal(18,{digits})")
+                ).cast(f"decimal(38,{2 * digits})")
+            ).alias("__n2")
+        )
+        rows = (
+            md.crossJoin(F.broadcast(n2))
+            .select(
+                "__j",
+                F.round(
+                    F.col("__m2") / F.sqrt(F.col("__n2").cast("double")),
+                    digits,
+                ).alias("__wj"),
+            )
+            .collect()
+        )
+        w = [0.0] * dims
+        for r in rows:
+            w[r["__j"]] = r["__wj"]
+    v1lit = F.array(*[F.lit(float(x)) for x in v1])
+    wlit = F.array(*[F.lit(float(x)) for x in w])
+    proj = base.select(
+        F.col("__id").alias(id_col),
+        F.round(V.dot(F.col("__v"), v1lit), 4).alias("proj1"),
+        F.round(V.dot(F.col("__v"), wlit), 4).alias("proj2"),
+    )
+    return v1, w, proj
+
+
 def mmr_topk(
     corpus: DataFrame,
     k: int = 8,

@@ -4575,3 +4575,119 @@ def q251_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_scale=12,
         ).alias("psi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q253 item-item collaborative filtering — the Amazon-style "users who
+# touched X also touched Y" similarity, the recommendation primitive
+# over implicit feedback: cosine between item interaction-count vectors
+# indexed by user. The scale discipline is the per-user CAP: each
+# user keeps only their top-50 items (count desc, item asc — fully
+# deterministic), so the user self-join fan-out is ≤ C²/user no matter
+# how hyperactive the tail user is (uncapped, one 10⁶-item crawler
+# user alone generates 10¹² pairs). Dots and squared norms are exact
+# BIGINT; cosine = dot / (√a·√b) — two separately-rounded IEEE sqrts
+# and one divide on identical integers-as-doubles, bit-identical
+# across engines, then round(6). Support floor n_common_users ≥ 3
+# prunes coincidence pairs.
+# ---------------------------------------------------------------------------
+@query(
+    "q253_item_cosine_cf",
+    oracle="""
+    WITH ui AS (
+      SELECT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      WHERE user_id IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    capped AS (
+      SELECT user_id, item, n FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY n DESC, item ASC) AS rk
+        FROM ui
+      ) WHERE rk <= 50
+    ),
+    norms AS (
+      SELECT item, CAST(SUM(n * n) AS BIGINT) AS ss FROM capped GROUP BY item
+    ),
+    dots AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(SUM(a.n * b.n) AS BIGINT) AS dot,
+             CAST(COUNT(*) AS BIGINT) AS n_common_users
+      FROM capped a JOIN capped b
+        ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+    )
+    SELECT d.item_a, d.item_b, d.n_common_users, d.dot,
+           round(CAST(d.dot AS DOUBLE)
+                 / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))),
+                 6) AS cosine
+    FROM dots d
+    JOIN norms na ON d.item_a = na.item
+    JOIN norms nb ON d.item_b = nb.item
+    WHERE d.n_common_users >= 3
+    """,
+)
+def q253_item_cosine_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    events = load_table(spark, "events", sf_dir)
+    ui = (
+        events.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .filter(F.col("user_id").isNotNull() & F.col("item").isNotNull())
+        .groupBy("user_id", "item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("__n").desc(), F.col("item").asc()
+    )
+    capped = owned_persist(
+        ui.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= 50)
+    )
+    norms = capped.groupBy("item").agg(
+        F.sum(F.col("__n") * F.col("__n")).cast("bigint").alias("__ss")
+    )
+    a = capped.select(
+        "user_id", F.col("item").alias("item_a"), F.col("__n").alias("__na")
+    )
+    b = capped.select(
+        "user_id", F.col("item").alias("item_b"), F.col("__n").alias("__nb")
+    )
+    dots = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.sum(F.col("__na") * F.col("__nb")).cast("bigint").alias("dot"),
+            F.count(F.lit(1)).cast("bigint").alias("n_common_users"),
+        )
+        .filter(F.col("n_common_users") >= 3)
+    )
+    na = norms.select(F.col("item").alias("item_a"), F.col("__ss").alias("__sa"))
+    nb = norms.select(F.col("item").alias("item_b"), F.col("__ss").alias("__sb"))
+    return (
+        dots.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_common_users",
+            "dot",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("__sa").cast("double"))
+                    * F.sqrt(F.col("__sb").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )

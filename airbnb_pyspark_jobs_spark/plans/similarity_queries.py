@@ -2242,3 +2242,85 @@ def q241_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_sim_new",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q254 two-component PCA by power iteration + Hotelling deflation —
+# q192's top-direction recurrence extended to a 2-D embedding: v1 from
+# the verified q192 trajectory, then the second direction runs the
+# same w = Xᵀ(Xw) two-pass loop with an IN-PLAN orthogonalization
+# against v1 before each normalization (exact DECIMAL projection
+# coefficient, d-row broadcast pass — the covariance matrix is never
+# formed). Both trajectories replay in unrolled SQL CTEs; output is
+# the per-vector (proj1, proj2) plane, the actual "plot your corpus"
+# feature. The invariant test checks v1·v2 ≈ 0.
+# ---------------------------------------------------------------------------
+_Q254_ITERS, _Q254_DIGITS, _Q254_DIMS = 4, 6, 64
+
+
+def _q254_oracle() -> str:
+    d = _Q254_DIGITS
+    u0 = ", ".join(["0.125"] * _Q254_DIMS)
+    parts = [
+        f"""
+    WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    v0 AS MATERIALIZED (SELECT [{u0}]::DOUBLE[] AS vk)"""
+    ]
+    for k in range(1, _Q254_ITERS + 1):
+        parts.append(
+            f""",
+    s{k} AS MATERIALIZED (SELECT vec_id, v, round(list_dot_product(v, vk), {d}) AS s
+             FROM e CROSS JOIN v{k - 1}),
+    t{k} AS MATERIALIZED (SELECT j, CAST(round(s * x, {d}) AS DECIMAL(28,{d})) AS t
+             FROM (SELECT s, UNNEST(v) AS x, generate_subscripts(v, 1) AS j
+                   FROM s{k})),
+    m{k} AS MATERIALIZED (SELECT j, SUM(t) AS m FROM t{k} GROUP BY j),
+    n{k} AS MATERIALIZED (SELECT SUM(CAST(CAST(m AS DECIMAL(18,{d})) * CAST(m AS DECIMAL(18,{d}))
+                        AS DECIMAL(38,{2 * d}))) AS n2 FROM m{k}),
+    v{k} AS MATERIALIZED (SELECT list(round(CAST(m AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)), {d})
+                         ORDER BY j) AS vk
+             FROM m{k} CROSS JOIN n{k})"""
+        )
+    kf = _Q254_ITERS
+    parts.append(
+        f""",
+    w0 AS MATERIALIZED (SELECT [{u0}]::DOUBLE[] AS wk)"""
+    )
+    for k in range(1, _Q254_ITERS + 1):
+        parts.append(
+            f""",
+    ws{k} AS MATERIALIZED (SELECT vec_id, v, round(list_dot_product(v, wk), {d}) AS s
+              FROM e CROSS JOIN w{k - 1}),
+    wt{k} AS MATERIALIZED (SELECT j, CAST(round(s * x, {d}) AS DECIMAL(28,{d})) AS t
+              FROM (SELECT s, UNNEST(v) AS x, generate_subscripts(v, 1) AS j
+                    FROM ws{k})),
+    wm{k} AS MATERIALIZED (SELECT j, SUM(t) AS m FROM wt{k} GROUP BY j),
+    wc{k} AS MATERIALIZED (SELECT SUM(CAST(round(CAST(m AS DOUBLE) * vk[j], {d})
+                              AS DECIMAL(28,{d}))) AS c
+              FROM wm{k} CROSS JOIN v{kf}),
+    wd{k} AS MATERIALIZED (SELECT j, round(CAST(m AS DOUBLE) - CAST(c AS DOUBLE) * vk[j], {d})
+                       AS m2
+              FROM wm{k} CROSS JOIN wc{k} CROSS JOIN v{kf}),
+    wn{k} AS MATERIALIZED (SELECT SUM(CAST(CAST(m2 AS DECIMAL(18,{d})) * CAST(m2 AS DECIMAL(18,{d}))
+                         AS DECIMAL(38,{2 * d}))) AS n2 FROM wd{k}),
+    w{k} AS MATERIALIZED (SELECT list(round(m2 / sqrt(CAST(n2 AS DOUBLE)), {d})
+                         ORDER BY j) AS wk
+             FROM wd{k} CROSS JOIN wn{k})"""
+        )
+    parts.append(
+        f"""
+    SELECT vec_id, round(list_dot_product(v, vk), 4) AS proj1,
+           round(list_dot_product(v, wk), 4) AS proj2
+    FROM e CROSS JOIN v{kf} CROSS JOIN w{kf}
+    """
+    )
+    return "".join(parts)
+
+
+@query("q254_pca_top2", oracle=_q254_oracle())
+def q254_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    _v1, _v2, proj = SIM.power_iteration_top2(
+        emb, dims=_Q254_DIMS, iters=_Q254_ITERS, digits=_Q254_DIGITS
+    )
+    return proj

@@ -353,6 +353,10 @@ EXTENDED_QUERIES = [
     "q251_psi_drift",
     # decile-binned information value per classifier feature
     "q252_feature_iv",
+    # item-item CF: capped per-user fan-out, exact integer dots
+    "q253_item_cosine_cf",
+    # two-component PCA: deflated power iteration (8 scan passes)
+    "q254_pca_top2",
 ]
 
 

@@ -932,3 +932,39 @@ def test_q252_iv_nonnegative_and_label_feature_dominates(spark):
     assert set(rows) == {"x1_len", "x2_stopword_ratio", "x3_distinct_ratio"}
     for r in rows.values():
         assert r.iv >= 0.0
+
+
+def test_q253_cosine_bounds_and_symmetric_support(spark):
+    """Cosines in (0, 1], pairs ordered item_a < item_b, and the dot
+    never exceeds what Cauchy-Schwarz allows for integer vectors."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q253_item_cosine_cf"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.item_a < r.item_b
+        assert 0.0 < r.cosine <= 1.0 + 1e-9
+        assert r.n_common_users >= 3
+        assert r.dot >= r.n_common_users  # each common user adds >= 1
+
+
+def test_q254_components_are_orthonormal(spark):
+    """v1 and v2 from the deflated power iteration must be unit-norm
+    and orthogonal (up to the 6-dp pinning)."""
+    from airbnb_pyspark_jobs_spark.operators.similarity import (
+        power_iteration_top2,
+    )
+    from airbnb_pyspark_jobs_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    v1, v2, proj = power_iteration_top2(emb, dims=64, iters=4, digits=6)
+    n1 = sum(x * x for x in v1)
+    n2 = sum(x * x for x in v2)
+    d12 = sum(a * b for a, b in zip(v1, v2))
+    assert abs(n1 - 1.0) < 1e-4 and abs(n2 - 1.0) < 1e-4
+    assert abs(d12) < 1e-2
+    rows = proj.limit(5).collect()
+    assert {c for c in proj.columns} == {"vec_id", "proj1", "proj2"}
+    assert len(rows) == 5
