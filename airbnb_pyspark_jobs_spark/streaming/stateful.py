@@ -163,3 +163,97 @@ def running_user_totals_tws(stream: DataFrame, ttl_ms: int | None = None) -> Dat
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CEP: error-burst alerts — the stateful twin of the batch
+# q250 gaps-and-islands detector, as a production alert stream: per
+# user, a run of errors each within `gap_us` of the previous; when the
+# run reaches `min_errors` the operator emits (and keeps updating) an
+# alert row keyed by the burst's start. State is three longs per user
+# (last error, burst start, run length) in the state store — hash-
+# partitioned by user_id once, never re-shuffled across micro-batches.
+# A burst that ends (gap exceeded) is emitted in its FINAL size before
+# the state resets, so replaying the event stream yields exactly the
+# batch q250 rows (asserted in tests incl. a cross-batch restart).
+# Rows within a micro-batch are sorted by (ts, event_id) in the Arrow
+# batch — cross-batch order is the source's responsibility (file
+# sources: one file per trigger, checkpointed).
+# ---------------------------------------------------------------------------
+BURST_ALERT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("burst_start", T.TimestampType()),
+        T.StructField("n_errors", T.LongType()),
+    ]
+)
+
+_BURST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("run", T.LongType()),
+    ]
+)
+
+
+def error_burst_alerts(
+    stream: DataFrame,
+    gap_us: int = 86_400_000_000,
+    min_errors: int = 3,
+) -> DataFrame:
+    """Alert stream of per-user error bursts (>= ``min_errors`` errors,
+    consecutive gaps <= ``gap_us``). Update output mode: an alert row
+    re-emits with its growing ``n_errors`` while the burst is alive and
+    once more at its final size when a later event closes it."""
+
+    def update(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        (user_id,) = key
+        last_us, start_us, run = (
+            state.get if state.exists else (None, None, 0)
+        )
+        out_starts: list[int] = []
+        out_ns: list[int] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                us = int(pd.Timestamp(ts).value // 1000)
+                if last_us is None or us - last_us > gap_us:
+                    if run >= min_errors:
+                        # finalize the burst that just closed
+                        out_starts.append(start_us)
+                        out_ns.append(run)
+                    start_us, run = us, 1
+                else:
+                    run += 1
+                last_us = us
+        if run >= min_errors:
+            out_starts.append(start_us)
+            out_ns.append(run)
+        state.update((last_us, start_us, run))
+        if not out_starts:
+            return
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out_starts),
+                "burst_start": [
+                    pd.Timestamp(s * 1000, unit="ns") for s in out_starts
+                ],
+                "n_errors": out_ns,
+            }
+        )
+
+    return (
+        stream.filter("event_type = 'error' AND user_id IS NOT NULL")
+        .select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=BURST_ALERT_SCHEMA,
+            stateStructType=_BURST_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

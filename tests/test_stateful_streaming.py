@@ -98,3 +98,67 @@ def test_transform_with_state_accumulates_across_batches(spark, tmp_path):
     assert not off, f"users with wrong final totals: {off[:5]}"
     # ValueState really persisted across micro-batches
     assert any(v[2] >= 2 for v in last.values())
+
+
+def test_error_burst_alerts_match_batch_cep(spark, tmp_path):
+    """Streaming CEP parity: replaying the event stream in two
+    time-ordered micro-batch runs (restart with the same checkpoint —
+    the deterministic-order pattern) must reproduce EXACTLY the batch
+    q250 burst rows, including bursts that straddle the batch split."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from airbnb_pyspark_jobs_spark.streaming.stateful import error_burst_alerts
+
+    events = load_table(spark, "events", SF_DIR)
+    mid = events.agg(
+        (F.min(F.unix_micros("ts")) + F.expr(
+            "(max(unix_micros(ts)) - min(unix_micros(ts))) div 2"
+        )).alias("m")
+    ).collect()[0].m
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "ckpt_burst")
+    events.filter(F.unix_micros("ts") <= mid).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    out_dir = str(tmp_path / "burst_alerts")
+
+    def run_once(run_tag):
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("run_tag", F.lit(run_tag)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q = (
+            error_burst_alerts(read_event_stream(spark, src))
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once("a")
+    events.filter(F.unix_micros("ts") > mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once("b")
+
+    emitted = spark.read.parquet(out_dir).collect()
+    first = [r for r in emitted if r.run_tag == "a"]
+    second = [r for r in emitted if r.run_tag == "b"]
+    got = {}
+    for r in emitted:
+        key = (r.user_id, r.burst_start)
+        got[key] = max(got.get(key, 0), r.n_errors)
+
+    want = {
+        (r.user_id, r.burst_start): r.n_errors
+        for r in QUERIES["q250_error_bursts"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    # the split really exercised cross-batch state: at least one burst
+    # must have been emitted in both runs (alive at the boundary)
+    a_keys = {(r.user_id, r.burst_start) for r in first}
+    b_keys = {(r.user_id, r.burst_start) for r in second}
+    assert a_keys & b_keys or not want, "no burst straddled the batch split"
