@@ -4691,3 +4691,254 @@ def q253_item_cosine_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q255 Hill tail-index estimator — the heavy-tail diagnostic that
+# completes the distribution-shape family (q181 Zipf exponent, q235
+# lognormal profile): per event type, over the top k = n/20 order
+# statistics of `value`,
+#   α̂ = k / Σ_{i<k} ln( x_(n−i) / x_(n−k) )
+# α̂ ≈ 1-2 flags power-law tails (means barely exist), α̂ large means
+# thin tails. Order statistics come from the grouped two-phase rank
+# (descending via negated cents — no per-group single-task sort); each
+# log ratio is ln of an exactly-divided pair of BIGINT cents (one
+# correctly-rounded IEEE divide → identical input to ln on both
+# engines), terms rounded to 12 dp and DECIMAL-summed, and the final
+# k/S division is one exact-double op, round(6).
+# ---------------------------------------------------------------------------
+@query(
+    "q255_hill_tail_index",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND value > 0
+    ),
+    r AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY v DESC, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM b
+    ),
+    k AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                 GREATEST(CAST(MAX(n) // 20 AS BIGINT), 2) AS k
+          FROM r GROUP BY event_type),
+    thr AS (
+      SELECT r.event_type, r.v AS xk
+      FROM r JOIN k USING (event_type) WHERE r.rk = k.k
+    ),
+    s AS (
+      SELECT r.event_type, k.n, k.k,
+             SUM(CASE WHEN r.rk < k.k THEN
+                   CAST(round(ln(CAST(r.v AS DOUBLE) / CAST(t.xk AS DOUBLE)), 12)
+                        AS DECIMAL(28,12))
+                 ELSE CAST(0 AS DECIMAL(28,12)) END) AS lsum
+      FROM r JOIN k USING (event_type) JOIN thr t USING (event_type)
+      GROUP BY r.event_type, k.n, k.k
+    )
+    SELECT event_type, n, k,
+           round(CAST(k - 1 AS DOUBLE) / CAST(lsum AS DOUBLE), 6) AS hill_alpha
+    FROM s WHERE CAST(lsum AS DOUBLE) > 0
+    """,
+)
+def q255_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        grouped_two_phase_rank,
+    )
+
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    b = events.select(
+        "event_type",
+        "event_id",
+        (-F.round(F.col("value") * 100).cast("bigint")).alias("__negv"),
+    )
+    # descending order statistics: rank the NEGATED cents ascending
+    r = owned_persist(
+        grouped_two_phase_rank(
+            b, ["event_type"], "__negv", "event_id", out_col="__rk"
+        ).select("event_type", (-F.col("__v")).alias("__cents"), "__rk")
+    )
+    k = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.greatest(
+            F.expr("count(1) div 20").cast("bigint"), F.lit(2).cast("bigint")
+        ).alias("k"),
+    )
+    thr = (
+        r.join(F.broadcast(k), "event_type")
+        .filter(F.col("__rk") == F.col("k"))
+        .select("event_type", F.col("__cents").alias("__xk"))
+    )
+    s = (
+        r.join(F.broadcast(k), "event_type")
+        .join(F.broadcast(thr), "event_type")
+        .groupBy("event_type", "n", "k")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__rk") < F.col("k"),
+                    F.round(
+                        F.log(
+                            F.col("__cents").cast("double")
+                            / F.col("__xk").cast("double")
+                        ),
+                        12,
+                    ).cast("decimal(28,12)"),
+                ).otherwise(F.lit(0).cast("decimal(28,12)"))
+            ).alias("__lsum")
+        )
+    )
+    return s.filter(F.col("__lsum").cast("double") > 0).select(
+        "event_type",
+        "n",
+        "k",
+        F.round(
+            (F.col("k") - 1).cast("double") / F.col("__lsum").cast("double"), 6
+        ).alias("hill_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q256 capture-recapture population estimate (Chapman) — "how many
+# users does this product REALLY have?" from two observation windows:
+# users seen in the first half-window are the marked sample (n1), the
+# second half recaptures n2 of which m overlap;
+#   N̂ = (n1+1)(n2+1)/(m+1) − 1
+# is Chapman's bias-corrected estimator, here per event type plus an
+# honest comparison column with the true distinct count (the synthetic
+# corpus observes everyone — at 100 TB with sampled telemetry it
+# wouldn't). Everything is semi-join counts + one exact integer ratio.
+# ---------------------------------------------------------------------------
+def _q256_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    nhat = _drr("(n1 + 1) * (n2 + 1) - (m + 1)", "m + 1", 2)
+    return f"""
+    WITH st AS (
+      SELECT MIN(epoch_us(ts)) + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2
+               AS mid
+      FROM events
+    ),
+    lab AS (
+      SELECT DISTINCT event_type, user_id,
+             CASE WHEN epoch_us(ts) <= st.mid THEN 0 ELSE 1 END AS h
+      FROM events, st WHERE user_id IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT CASE WHEN h = 0 THEN user_id END) AS BIGINT) AS n1,
+             CAST(COUNT(DISTINCT CASE WHEN h = 1 THEN user_id END) AS BIGINT) AS n2,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_true
+      FROM lab GROUP BY event_type
+    ),
+    wm AS (
+      SELECT event_type, n1, n2, n_true, n1 + n2 - n_true AS m FROM g
+    )
+    SELECT event_type, n1, n2, m, n_true, {nhat} AS n_hat
+    FROM wm
+    """
+
+
+@query("q256_capture_recapture", oracle=_q256_oracle())
+def q256_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    st = events.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + F.expr("(max(unix_micros(ts)) - min(unix_micros(ts))) div 2")
+        ).alias("__mid")
+    )
+    lab = (
+        events.crossJoin(F.broadcast(st))
+        .select(
+            "event_type",
+            "user_id",
+            F.when(F.unix_micros("ts") <= F.col("__mid"), 0)
+            .otherwise(1)
+            .alias("__h"),
+        )
+        .distinct()
+    )
+    g = lab.groupBy("event_type").agg(
+        F.count_distinct(F.when(F.col("__h") == 0, F.col("user_id")))
+        .cast("bigint")
+        .alias("n1"),
+        F.count_distinct(F.when(F.col("__h") == 1, F.col("user_id")))
+        .cast("bigint")
+        .alias("n2"),
+        F.count_distinct("user_id").cast("bigint").alias("n_true"),
+    )
+    wm = g.withColumn("m", F.col("n1") + F.col("n2") - F.col("n_true"))
+    return wm.select(
+        "event_type",
+        "n1",
+        "n2",
+        "m",
+        "n_true",
+        decimal_ratio_round(
+            (F.col("n1") + 1) * (F.col("n2") + 1) - (F.col("m") + 1),
+            F.col("m") + 1,
+            2,
+        ).alias("n_hat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q257 trending items per day — windowed top-k with deterministic
+# ties: for every (day, item) count events, keep each day's top 3
+# items (count desc, item asc). The rank window partitions by DAY —
+# group cardinality is items/day, never corpus-sized — making this the
+# bounded-window sibling of the two-phase global ranks. Day keys stay
+# TIMESTAMP.
+# ---------------------------------------------------------------------------
+@query(
+    "q257_trending_items",
+    oracle="""
+    WITH di AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT d, item, n,
+             ROW_NUMBER() OVER (PARTITION BY d ORDER BY n DESC, item ASC)
+               AS rank
+      FROM di
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day, item, n, rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def q257_trending_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, "events", sf_dir)
+    di = (
+        events.select(
+            F.date_trunc("day", "ts").cast("date").alias("__d"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .groupBy("__d", "item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("__d").orderBy(F.col("n").desc(), F.col("item").asc())
+    return (
+        di.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select(F.col("__d").cast("timestamp").alias("day"), "item", "n", "rank")
+    )

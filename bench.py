@@ -357,6 +357,12 @@ EXTENDED_QUERIES = [
     "q253_item_cosine_cf",
     # two-component PCA: deflated power iteration (8 scan passes)
     "q254_pca_top2",
+    # Hill tail-index per type (descending two-phase order stats)
+    "q255_hill_tail_index",
+    # Chapman capture-recapture population estimate
+    "q256_capture_recapture",
+    # windowed top-3 items per day (day-partitioned rank)
+    "q257_trending_items",
 ]
 
 

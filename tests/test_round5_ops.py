@@ -968,3 +968,64 @@ def test_q254_components_are_orthonormal(spark):
     rows = proj.limit(5).collect()
     assert {c for c in proj.columns} == {"vec_id", "proj1", "proj2"}
     assert len(rows) == 5
+
+
+def test_q255_hill_alpha_positive_and_ranked(spark):
+    """α̂ > 0 always (top-k values >= the k-th order statistic) and a
+    constructed Pareto(α=2) sample must estimate near 2."""
+    import math
+
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    for r in QUERIES["q255_hill_tail_index"](spark, SF_DIR).collect():
+        assert r.hill_alpha > 0
+        assert r.k >= 2 and r.n >= r.k
+
+    # analytic check: x = (1-u)^(-1/2) is Pareto with alpha = 2
+    import datetime as dt
+    import os
+
+    xs = [(1 - (i + 0.5) / 4000) ** (-0.5) * 100 for i in range(4000)]
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i % 28), 1, "view", x, "{}")
+        for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = QUERIES["q255_hill_tail_index"](spark, d).collect()[0]
+        assert abs(out.hill_alpha - 2.0) < 0.35, out.hill_alpha
+
+
+def test_q256_chapman_bounds(spark):
+    """m <= min(n1, n2); with full observation the estimate lands at
+    (or below) the true count up to Chapman's bias correction."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    for r in QUERIES["q256_capture_recapture"](spark, SF_DIR).collect():
+        assert r.m <= min(r.n1, r.n2)
+        assert r.n_true <= r.n1 + r.n2
+        assert r.n_hat > 0
+
+
+def test_q257_topk_per_day(spark):
+    """Exactly <= 3 rows per day, ranks 1..3 without gaps, counts
+    non-increasing within a day."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q257_trending_items"](spark, SF_DIR).collect()
+    days = {}
+    for r in rows:
+        days.setdefault(r.day, []).append(r)
+    for d, rs in days.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert all(a.n >= b.n for a, b in zip(rs, rs[1:]))
+        assert len(rs) <= 3
