@@ -3053,3 +3053,94 @@ def q246_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_names") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# q259 share-of-parent rollup — the OLAP drill path with RATIOS at
+# every level: nation revenue as a share of its region and of the
+# world, region share of the world. Levels aggregate once each (the
+# rollup lattice, no re-scan per level); shares are exact integer-cent
+# ratios against broadcast parent totals. The shape behind every
+# "contribution" treemap.
+# ---------------------------------------------------------------------------
+def _q259_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    return f"""
+    WITH base AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ),
+    reg AS (SELECT region, CAST(SUM(cents) AS BIGINT) AS rcents
+            FROM base GROUP BY region),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS tcents FROM base)
+    SELECT b.region, b.nation,
+           CAST(ROUND(CAST(b.cents AS DECIMAL(18,0)) / 100, 2) AS DOUBLE)
+             AS revenue,
+           {_drr("b.cents", "r.rcents", 6)} AS share_of_region,
+           {_drr("b.cents", "t.tcents", 6)} AS share_of_total,
+           {_drr("r.rcents", "t.tcents", 6)} AS region_share_of_total
+    FROM base b JOIN reg r USING (region) CROSS JOIN tot t
+    """
+
+
+@query("q259_share_of_parent", oracle=_q259_oracle())
+def q259_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    base = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("__cents")
+        )
+    )
+    reg = base.groupBy("region").agg(
+        F.sum("__cents").cast("bigint").alias("__rcents")
+    )
+    tot = base.agg(F.sum("__cents").cast("bigint").alias("__tcents"))
+    return (
+        base.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            F.round(F.col("__cents").cast("decimal(18,0)") / 100, 2)
+            .cast("double")
+            .alias("revenue"),
+            decimal_ratio_round(F.col("__cents"), F.col("__rcents"), 6).alias(
+                "share_of_region"
+            ),
+            decimal_ratio_round(F.col("__cents"), F.col("__tcents"), 6).alias(
+                "share_of_total"
+            ),
+            decimal_ratio_round(F.col("__rcents"), F.col("__tcents"), 6).alias(
+                "region_share_of_total"
+            ),
+        )
+    )

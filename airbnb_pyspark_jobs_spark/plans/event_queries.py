@@ -4942,3 +4942,107 @@ def q257_trending_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select(F.col("__d").cast("timestamp").alias("day"), "item", "n", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q258 value-decile migration matrix — the churn-aware "where did my
+# best users go" product question: rank every user's purchase revenue
+# into deciles separately for the first and second half-window, then
+# cross-tab the movement, with decile 0 holding users absent from that
+# half (new vs churned). Each half's decile comes from the GLOBAL
+# two-phase numeric rank over (cents, user_id) — two bounded rank
+# passes, one full-outer join on user, one |11×11|-bounded groupBy.
+# Top-left persistence vs off-diagonal drift is the retention KPI.
+# ---------------------------------------------------------------------------
+@query(
+    "q258_value_decile_migration",
+    oracle="""
+    WITH st AS (
+      SELECT MIN(epoch_us(ts)) + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2
+               AS mid
+      FROM events
+    ),
+    pu AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) <= st.mid THEN 0 ELSE 1 END AS h,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events, st
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        AND value IS NOT NULL
+    ),
+    g AS (
+      SELECT h, user_id, CAST(SUM(vc) AS BIGINT) AS rev
+      FROM pu GROUP BY h, user_id
+    ),
+    r AS (
+      SELECT h, user_id,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY rev, user_id) AS rk,
+             COUNT(*) OVER (PARTITION BY h) AS n
+      FROM g
+    ),
+    d AS (
+      SELECT h, user_id,
+             CAST((rk - 1) * 10 // n + 1 AS BIGINT) AS decile
+      FROM r
+    )
+    SELECT COALESCE(a.decile, 0) AS decile_ref,
+           COALESCE(b.decile, 0) AS decile_cur,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM (SELECT user_id, decile FROM d WHERE h = 0) a
+    FULL OUTER JOIN (SELECT user_id, decile FROM d WHERE h = 1) b
+      ON a.user_id = b.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q258_value_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        grouped_two_phase_rank,
+    )
+
+    events = load_table(spark, "events", sf_dir).filter(
+        (F.col("event_type") == "purchase")
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    st = events.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + F.expr("(max(unix_micros(ts)) - min(unix_micros(ts))) div 2")
+        ).alias("__mid")
+    )
+    g = owned_persist(
+        events.crossJoin(F.broadcast(st))
+        .select(
+            F.when(F.unix_micros("ts") <= F.col("__mid"), 0)
+            .otherwise(1)
+            .alias("__h"),
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("__vc"),
+        )
+        .groupBy("__h", "user_id")
+        .agg(F.sum("__vc").cast("bigint").alias("__rev"))
+    )
+    r = grouped_two_phase_rank(
+        g, ["__h"], "__rev", "user_id", out_col="__rk"
+    ).select("__h", F.col("__tie").alias("user_id"), "__rk")
+    n = g.groupBy("__h").agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    d = r.join(F.broadcast(n), "__h").select(
+        "__h",
+        "user_id",
+        (F.expr("(__rk - 1) * 10 div __n") + 1).cast("bigint").alias("__decile"),
+    )
+    a = d.filter(F.col("__h") == 0).select(
+        "user_id", F.col("__decile").alias("__da")
+    )
+    b = d.filter(F.col("__h") == 1).select(
+        "user_id", F.col("__decile").alias("__db")
+    )
+    return (
+        a.join(b, "user_id", "full_outer")
+        .groupBy(
+            F.coalesce("__da", F.lit(0)).cast("bigint").alias("decile_ref"),
+            F.coalesce("__db", F.lit(0)).cast("bigint").alias("decile_cur"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )

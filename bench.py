@@ -363,6 +363,10 @@ EXTENDED_QUERIES = [
     "q256_capture_recapture",
     # windowed top-3 items per day (day-partitioned rank)
     "q257_trending_items",
+    # decile migration: two grouped ranks + full-outer on user
+    "q258_value_decile_migration",
+    # rollup lattice with exact share-of-parent ratios
+    "q259_share_of_parent",
 ]
 
 

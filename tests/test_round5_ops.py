@@ -1029,3 +1029,52 @@ def test_q257_topk_per_day(spark):
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         assert all(a.n >= b.n for a, b in zip(rs, rs[1:]))
         assert len(rs) <= 3
+
+
+def test_q258_migration_matrix_is_consistent(spark):
+    """Row/column marginals count each half's users exactly once;
+    decile 0 never pairs with itself (a user absent from BOTH halves
+    does not exist)."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q258_value_decile_migration"](spark, SF_DIR).collect()
+    assert all(not (r.decile_ref == 0 and r.decile_cur == 0) for r in rows)
+    ref_users = sum(r.n_users for r in rows if r.decile_ref > 0)
+    cur_users = sum(r.n_users for r in rows if r.decile_cur > 0)
+    # each populated decile 1..10 holds ~n/10 users per half
+    from collections import Counter
+
+    ref_by_decile = Counter()
+    for r in rows:
+        if r.decile_ref > 0:
+            ref_by_decile[r.decile_ref] += r.n_users
+    if ref_by_decile:
+        lo, hi = min(ref_by_decile.values()), max(ref_by_decile.values())
+        assert hi - lo <= 1, ref_by_decile
+    assert ref_users > 0 and cur_users > 0
+
+
+def test_q259_shares_sum_to_one(spark):
+    """Nation shares within a region sum to 1, region shares of total
+    sum to 1, and share_of_total = share_of_region × region share (up
+    to independent rounding)."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q259_share_of_parent"](spark, SF_DIR).collect()
+    by_region = {}
+    regions = {}
+    total = 0.0
+    for r in rows:
+        by_region.setdefault(r.region, 0.0)
+        by_region[r.region] += r.share_of_region
+        regions[r.region] = r.region_share_of_total
+        total += r.share_of_total
+        assert abs(
+            r.share_of_total - r.share_of_region * r.region_share_of_total
+        ) < 1e-3
+    for v in by_region.values():
+        assert abs(v - 1.0) < 1e-4
+    assert abs(sum(regions.values()) - 1.0) < 1e-4
+    assert abs(total - 1.0) < 1e-4
