@@ -1541,3 +1541,46 @@ def soft_jaccard_pairs(
             ),
         )
     )
+
+
+def self_repetition_coverage(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document coverage by WITHIN-doc repeated n-gram windows —
+    the cut-oriented companion of ``corpus.repetition_signals`` and the
+    intra-doc sibling of :func:`duplicated_span_coverage` (cross-doc,
+    Lee et al. 2022): a token position is "self-repeated" iff it lies
+    inside an n-token window whose text already occurred at an EARLIER
+    position of the SAME document (first occurrence kept — exactly the
+    spans a dedup cut would remove to stop an LM from looping on its
+    own boilerplate). Shares ``_positioned_shingles``; the repeat test
+    is one (doc, shingle) groupBy min — doc-local, no corpus-wide
+    shuffle beyond the shingle hash — and coverage is the same
+    explode(sequence) interval union as the cross-doc path.
+
+    Returns ``(doc_id, n_tokens, n_repeated)``."""
+    sized, posed = _positioned_shingles(docs, n, id_col, text_col)
+    firsts = posed.groupBy("doc_id", "s").agg(F.min("p").alias("__minp"))
+    covered = (
+        posed.join(firsts, ["doc_id", "s"])
+        .filter(F.col("p") > F.col("__minp"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).alias("__pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_repeated"))
+    )
+    return (
+        sized.select("doc_id", "n_tokens")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_repeated", F.lit(0)).cast("bigint").alias("n_repeated"),
+        )
+    )

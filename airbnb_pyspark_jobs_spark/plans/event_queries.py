@@ -5046,3 +5046,79 @@ def q258_value_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q260 two-level order statistics — "the median user's median gap":
+# per-user exact LOWER-median inter-event gap (user-partitioned window
+# — group = key, scales horizontally), then exact global deciles of
+# those medians via the range-bucketed two-phase rank. Nested order
+# statistics are the canonical "can't do this with one percentile()"
+# shape: the inner statistic must materialize per key before the outer
+# one ranks the keys. All integer seconds end-to-end.
+# ---------------------------------------------------------------------------
+@query(
+    "q260_user_gap_percentiles",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id))) // 1000000
+               AS gap_s
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    r AS (
+      SELECT user_id, gap_s,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap_s) AS rk,
+             COUNT(*) OVER (PARTITION BY user_id) AS m
+      FROM g WHERE gap_s IS NOT NULL
+    ),
+    med AS (
+      SELECT user_id, CAST(gap_s AS BIGINT) AS med_gap_s
+      FROM r WHERE rk = (m + 1) // 2
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM med),
+    mr AS (
+      SELECT med_gap_s,
+             ROW_NUMBER() OVER (ORDER BY med_gap_s, user_id) AS rk
+      FROM med
+    )
+    SELECT CAST(p AS DOUBLE) / 10 AS p,
+           CAST(CEIL(CAST(p AS DOUBLE) / 10 * n.n) AS BIGINT) AS rank,
+           mr.med_gap_s AS value
+    FROM (SELECT UNNEST(range(1, 10)) AS p) ps
+    CROSS JOIN n
+    JOIN mr ON mr.rk = CAST(CEIL(CAST(p AS DOUBLE) / 10 * n.n) AS BIGINT)
+    """,
+)
+def q260_user_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.operators.sketches import exact_quantiles
+
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = events.select(
+        "user_id",
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("__gap_s"),
+    ).filter(F.col("__gap_s").isNotNull())
+    wr = Window.partitionBy("user_id").orderBy("__gap_s")
+    r = g.select(
+        "user_id",
+        "__gap_s",
+        F.row_number().over(wr).alias("__rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("__m"),
+    )
+    med = r.filter(F.col("__rk") == F.expr("(__m + 1) div 2")).select(
+        F.col("__gap_s").cast("bigint").alias("med_gap_s")
+    )
+    return exact_quantiles(
+        med, "med_gap_s", [i / 10 for i in range(1, 10)]
+    )

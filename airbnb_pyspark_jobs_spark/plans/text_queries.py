@@ -5424,3 +5424,77 @@ def q252_feature_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_scale=12,
         ).alias("iv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q261 self-repetition coverage per source — the within-doc dedup-cut
+# signal (first occurrence kept, later verbatim 3-gram windows counted
+# as repeated): per source, how much of the token mass is a document
+# repeating itself? Complements q39 (repetition ratios as quality
+# signals) with the POSITIONAL cut semantics of q103/q107, restricted
+# to doc-local windows — the groupBy key is (doc, shingle), so the
+# heavy lifting shuffles on doc-local keys and the ratio is an exact
+# integer division.
+# ---------------------------------------------------------------------------
+def _q261_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    return f"""
+    WITH tok AS (SELECT doc_id, source, {_D_TOKENS} AS ts FROM documents),
+    sized AS (SELECT doc_id, source, len(ts) AS n_tokens FROM tok),
+    posed AS (
+      SELECT doc_id, i AS p, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+      FROM tok, UNNEST(range(1, len(ts) - 1)) AS u(i)
+    ),
+    firsts AS (SELECT doc_id, s, MIN(p) AS minp FROM posed GROUP BY 1, 2),
+    cov AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT p.doc_id, UNNEST(range(p.p, p.p + 3)) AS pos
+        FROM posed p JOIN firsts f
+          ON p.doc_id = f.doc_id AND p.s = f.s AND p.p > f.minp
+      )
+    ),
+    per_doc AS (
+      SELECT s.doc_id, s.source, s.n_tokens,
+             CAST(COALESCE(c.n, 0) AS BIGINT) AS n_repeated
+      FROM sized s LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY doc_id
+      ) c ON s.doc_id = c.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_repeated) AS BIGINT) AS repeated_tokens,
+           CAST(SUM(CASE WHEN n_repeated > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_with_repeats,
+           {_drr("SUM(n_repeated)", "SUM(n_tokens)", 6)} AS repeated_ratio
+    FROM per_doc GROUP BY source
+    """
+
+
+@query("q261_self_repetition", oracle=_q261_oracle())
+def q261_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    docs = load_table(spark, "documents", sf_dir)
+    per_doc = DD.self_repetition_coverage(docs, n=3)
+    src = docs.select("doc_id", "source")
+    return (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_repeated").cast("bigint").alias("repeated_tokens"),
+            F.sum(F.when(F.col("n_repeated") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_with_repeats"),
+            decimal_ratio_round(
+                F.sum("n_repeated").cast("bigint"),
+                F.sum("n_tokens").cast("bigint"),
+                6,
+            ).alias("repeated_ratio"),
+        )
+    )

@@ -367,6 +367,10 @@ EXTENDED_QUERIES = [
     "q258_value_decile_migration",
     # rollup lattice with exact share-of-parent ratios
     "q259_share_of_parent",
+    # nested order stats: per-user median gap -> global deciles
+    "q260_user_gap_percentiles",
+    # within-doc repeated-window coverage (self-repetition cut signal)
+    "q261_self_repetition",
 ]
 
 

@@ -1078,3 +1078,37 @@ def test_q259_shares_sum_to_one(spark):
         assert abs(v - 1.0) < 1e-4
     assert abs(sum(regions.values()) - 1.0) < 1e-4
     assert abs(total - 1.0) < 1e-4
+
+
+def test_q260_percentiles_monotone(spark):
+    """Decile values non-decreasing in p; ranks within [1, n]."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        QUERIES["q260_user_gap_percentiles"](spark, SF_DIR).collect(),
+        key=lambda r: r.p,
+    )
+    assert len(rows) == 9
+    for a, b in zip(rows, rows[1:]):
+        assert b.value >= a.value
+        assert b.rank >= a.rank >= 1
+
+
+def test_self_repetition_coverage_constructed(spark):
+    """A doc that repeats a 3-gram covers exactly the repeated window's
+    positions; a no-repeat doc covers none."""
+    from airbnb_pyspark_jobs_spark.operators.dedupe import (
+        self_repetition_coverage,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x a b c"),   # 'a b c' repeats at p=4: covers 4,5,6
+            (2, "all tokens here differ fully"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in self_repetition_coverage(df, n=3).collect()}
+    assert out[1].n_tokens == 7 and out[1].n_repeated == 3
+    assert out[2].n_tokens == 5 and out[2].n_repeated == 0
