@@ -5498,3 +5498,189 @@ def q261_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("repeated_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q262 degree assortativity of the near-dup graph — do highly-
+# duplicated docs link to other highly-duplicated docs (template
+# families, r > 0) or to one hub copy (star shapes, r < 0)? Newman's
+# assortativity = Pearson correlation of endpoint degrees over the
+# DIRECTED edge list (each undirected edge contributes both
+# orientations). Every moment is an exact HUGEINT/DECIMAL(38) integer
+# sum; the finish is two IEEE sqrts and one divide on identical
+# doubles, with the zero-variance degenerate guarded to NULL on both
+# engines. Edge set = the verified q44/q58 Jaccard≥0.5 pairs.
+# ---------------------------------------------------------------------------
+@query(
+    "q262_dup_graph_assortativity",
+    oracle=f"""
+    WITH {_D_SHINGLES},
+    rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+    shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT doc_id_a, doc_id_b FROM inter
+      JOIN cnt ca ON doc_id_a = ca.doc_id
+      JOIN cnt cb ON doc_id_b = cb.doc_id
+      WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_id_a AS a, doc_id_b AS b FROM prs
+      UNION SELECT doc_id_b, doc_id_a FROM prs
+    ),
+    deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY 1),
+    ed AS (
+      SELECT da.d AS x, db.d AS y
+      FROM edges e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(y * y) AS HUGEINT) AS syy
+      FROM ed
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           CAST(n // 2 AS BIGINT) AS n_edges,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+             THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                        / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                           * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             ELSE NULL END AS assortativity
+    FROM s
+    """,
+)
+def q262_dup_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=50)
+    edges = pairs.select(
+        F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
+    ).unionByName(
+        pairs.select(F.col("doc_id_b").alias("a"), F.col("doc_id_a").alias("b"))
+    )
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ed = (
+        edges.join(deg.select(F.col("node").alias("a"), F.col("d").alias("__x")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("__y")), "b")
+        .select("__x", "__y")
+    )
+    D = "decimal(38,0)"
+    s = ed.agg(
+        F.count(F.lit(1)).cast(D).alias("__n"),
+        F.sum("__x").cast(D).alias("__sx"),
+        F.sum("__y").cast(D).alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast(D).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast(D).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast(D).alias("__syy"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    vx = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    return s.crossJoin(F.broadcast(n_nodes)).select(
+        "n_nodes",
+        (F.col("__n") / 2).cast("bigint").alias("n_edges"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                num.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+                6,
+            ),
+        ).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q263 Cramér's V for lang × source — "how much does source determine
+# language?" as a normalized effect size in [0, 1], the governance
+# companion of q212's raw chi² (which grows with n and says nothing
+# about strength): V = sqrt(χ² / (n·min(r−1, c−1))). χ² keeps the
+# q212 discipline — HUGEINT cross-products, per-cell single double
+# division rounded and DECIMAL-summed — and the normalization divides
+# by exact integers before one sqrt.
+# ---------------------------------------------------------------------------
+@query(
+    "q263_cramers_v",
+    oracle="""
+    WITH xy AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+      FROM documents GROUP BY 1, 2
+    ),
+    mx AS (SELECT lang, CAST(SUM(obs) AS HUGEINT) AS rt FROM xy GROUP BY 1),
+    my AS (SELECT source, CAST(SUM(obs) AS HUGEINT) AS ct FROM xy GROUP BY 1),
+    tot AS (SELECT CAST(SUM(obs) AS HUGEINT) AS n FROM xy),
+    dims AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM mx) AS r,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM my) AS c
+    ),
+    terms AS (
+      SELECT CAST(round(
+               CAST((tot.n * xy.obs - mx.rt * my.ct)
+                    * (tot.n * xy.obs - mx.rt * my.ct) AS DOUBLE)
+               / CAST(tot.n * mx.rt * my.ct AS DOUBLE), 10)
+             AS DECIMAL(28,10)) AS term
+      FROM xy JOIN mx USING (lang) JOIN my USING (source), tot
+    ),
+    chi AS (SELECT round(CAST(SUM(term) AS DOUBLE), 6) AS chi2 FROM terms)
+    SELECT d.r AS n_langs, d.c AS n_sources,
+           CAST(t.n AS BIGINT) AS n_docs, chi.chi2,
+           round(sqrt(chi.chi2
+                      / CAST(t.n * LEAST(d.r - 1, d.c - 1) AS DOUBLE)), 6)
+             AS cramers_v
+    FROM chi, dims d, tot t
+    """,
+)
+def q263_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    D = "decimal(38,0)"
+    xy = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    mx = xy.groupBy("lang").agg(F.sum("obs").cast(D).alias("rt"))
+    my = xy.groupBy("source").agg(F.sum("obs").cast(D).alias("ct"))
+    tot = xy.agg(F.sum("obs").cast(D).alias("n"))
+    dims = mx.agg(F.count(F.lit(1)).cast("bigint").alias("r")).crossJoin(
+        F.broadcast(my.agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    )
+    num = F.col("n") * F.col("obs") - F.col("rt") * F.col("ct")
+    term = F.round(
+        (num * num).cast("double")
+        / (F.col("n") * F.col("rt") * F.col("ct")).cast("double"),
+        10,
+    ).cast("decimal(28,10)")
+    chi = (
+        xy.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(term.alias("__term"))
+        .agg(F.round(F.sum("__term").cast("double"), 6).alias("chi2"))
+    )
+    return (
+        chi.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").alias("n_langs"),
+            F.col("c").alias("n_sources"),
+            F.col("n").cast("bigint").alias("n_docs"),
+            "chi2",
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1)
+                    ).cast("double")
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )

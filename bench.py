@@ -371,6 +371,10 @@ EXTENDED_QUERIES = [
     "q260_user_gap_percentiles",
     # within-doc repeated-window coverage (self-repetition cut signal)
     "q261_self_repetition",
+    # Newman degree assortativity of the near-dup graph
+    "q262_dup_graph_assortativity",
+    # lang x source effect size (chi2 normalized)
+    "q263_cramers_v",
 ]
 
 

