@@ -3144,3 +3144,73 @@ def q259_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q264 sorted-neighborhood entity matching — the OTHER classic ER
+# blocking family (Hernández-Stolfo): sort all names once, compare
+# each name only to its w = 3 lexicographic neighbors, verify with
+# exact levenshtein ≤ 3. Complements q75's first-token blocking —
+# sorted-neighborhood catches pairs whose FIRST token differs (q75's
+# structural blind spot) as long as they sort nearby; the
+# found_by_token_block flag measures exactly that recall difference.
+# The global sort position comes from the prefix-bucketed two-phase
+# rank (lexicographic prefix buckets are order-consistent for any
+# string), and "adjacent within w" is w co-partitioned equi-joins on
+# rank+d — never a corpus window or a range self-join.
+# ---------------------------------------------------------------------------
+@query(
+    "q264_sorted_neighborhood_pairs",
+    oracle=r"""
+    WITH d AS (SELECT DISTINCT p_name AS name FROM part),
+    r AS (
+      SELECT name, ROW_NUMBER() OVER (ORDER BY name) AS rk,
+             lower(string_split_regex(name, '\s+')[1]) AS w
+      FROM d
+    ),
+    cand AS (
+      SELECT a.name AS name_a, b.name AS name_b,
+             a.w = b.w AS found_by_token_block
+      FROM r a JOIN r b
+        ON b.rk - a.rk BETWEEN 1 AND 3
+    )
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev,
+           found_by_token_block
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 3
+    """,
+)
+def q264_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.operators.sampling import _two_phase_rank
+
+    part = load_table(spark, "part", sf_dir)
+    d = part.select(F.col("p_name").alias("name")).distinct()
+    ranked = owned_persist(
+        _two_phase_rank(d, "name", "name", "__rk").select(
+            "name",
+            "__rk",
+            F.lower(F.split(F.col("name"), r"\s+").getItem(0)).alias("__w"),
+        )
+    )
+    a = ranked.select(
+        F.col("name").alias("name_a"),
+        F.col("__rk").alias("__ra"),
+        F.col("__w").alias("__wa"),
+    ).withColumn("__d", F.explode(F.sequence(F.lit(1), F.lit(3))))
+    b = ranked.select(
+        F.col("name").alias("name_b"),
+        F.col("__rk").alias("__rb"),
+        F.col("__w").alias("__wb"),
+    )
+    cand = a.join(b, (F.col("__ra") + F.col("__d")) == F.col("__rb"))
+    return (
+        cand.select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("lev"),
+            (F.col("__wa") == F.col("__wb")).alias("found_by_token_block"),
+        )
+        .filter(F.col("lev") <= 3)
+    )

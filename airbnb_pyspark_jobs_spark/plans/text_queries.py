@@ -5684,3 +5684,116 @@ def q263_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q265 k-core peeling of the near-dup graph — template families vs
+# incidental pairs: the 2-core (every member keeps ≥ 2 in-core
+# neighbors) is what survives iterative peeling of degree-1 leaves;
+# the trajectory (nodes/edges per peel round) shows how much of the
+# graph is tree-like fringe vs dense core. Five synchronous peel
+# rounds, UNROLLED identically in both engines (fixed-round semantics,
+# like q245's power steps — convergence typically needs ≤ diameter
+# rounds; the last two rows going flat certifies the fixpoint on this
+# corpus). Each round is one degree groupBy + two semi-joins on the
+# persisted round edges; no driver-side graph.
+# ---------------------------------------------------------------------------
+_Q265_K, _Q265_ROUNDS = 2, 5
+
+
+def _q265_oracle() -> str:
+    parts = [
+        f"""
+    WITH {_D_SHINGLES},
+    rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+    shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT doc_id_a, doc_id_b FROM inter
+      JOIN cnt ca ON doc_id_a = ca.doc_id
+      JOIN cnt cb ON doc_id_b = cb.doc_id
+      WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.5
+    ),
+    e0 AS MATERIALIZED (SELECT doc_id_a AS a, doc_id_b AS b FROM prs)"""
+    ]
+    for r in range(1, _Q265_ROUNDS + 1):
+        parts.append(
+            f""",
+    d{r} AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS node FROM e{r - 1} UNION ALL SELECT b FROM e{r - 1}
+      ) GROUP BY node
+    ),
+    keep{r} AS (SELECT node FROM d{r} WHERE deg >= {_Q265_K}),
+    e{r} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{r - 1} e
+      JOIN keep{r} ka ON e.a = ka.node
+      JOIN keep{r} kb ON e.b = kb.node
+    )"""
+        )
+    rounds_sql = "\n      UNION ALL\n      ".join(
+        f"""SELECT {r} AS round,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                SELECT DISTINCT node FROM (
+                  SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r}
+                ))) AS n_nodes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r}) AS n_edges"""
+        for r in range(0, _Q265_ROUNDS + 1)
+    )
+    parts.append(f"""
+    SELECT * FROM ({rounds_sql})
+    """)
+    return "".join(parts)
+
+
+@query("q265_kcore_peeling", oracle=_q265_oracle())
+def q265_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=50)
+    # localCheckpoint, not persist: each peel round references the prior
+    # round 3x (degree union + both semi-joins) and the stats rows once
+    # more, so an un-truncated lineage re-nests the whole shingle
+    # pipeline 3^R times at ANALYSIS time (the q138 plan-explosion
+    # trap, in loop form).
+    edges = pairs.select(
+        F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
+    ).localCheckpoint(eager=True)
+    spark_rounds = []
+
+    def stats(e: DataFrame, rnd: int) -> DataFrame:
+        nodes = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        )
+        return nodes.crossJoin(
+            F.broadcast(e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
+        ).select(F.lit(rnd).cast("bigint").alias("round"), "n_nodes", "n_edges")
+
+    spark_rounds.append(stats(edges, 0))
+    cur = edges
+    for r in range(1, _Q265_ROUNDS + 1):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionByName(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__deg"))
+        )
+        keep = deg.filter(F.col("__deg") >= _Q265_K).select("node")
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        spark_rounds.append(stats(cur, r))
+    out = spark_rounds[0]
+    for fr in spark_rounds[1:]:
+        out = out.unionByName(fr)
+    return out

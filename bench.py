@@ -375,6 +375,10 @@ EXTENDED_QUERIES = [
     "q262_dup_graph_assortativity",
     # lang x source effect size (chi2 normalized)
     "q263_cramers_v",
+    # sorted-neighborhood ER pass (rank-adjacency equi-joins)
+    "q264_sorted_neighborhood_pairs",
+    # 2-core peel trajectory, 5 unrolled rounds, per-round checkpoint
+    "q265_kcore_peeling",
 ]
 
 

@@ -1139,3 +1139,34 @@ def test_q263_cramers_v_bounds(spark):
     assert r.n_sources == docs.select("source").distinct().count()
     assert r.chi2 >= 0
     assert 0.0 <= r.cramers_v <= 1.0 + 1e-9
+
+
+def test_q264_sorted_neighborhood_finds_cross_block_pairs(spark):
+    """Every pair verifies at lev <= 3, names ordered by rank (a < b in
+    sort order), and the flag distinguishes token-block coverage."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q264_sorted_neighborhood_pairs"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r.lev <= 3
+        assert r.name_a < r.name_b  # rank order = lexicographic order
+
+
+def test_q265_peeling_monotone_to_fixpoint(spark):
+    """Node/edge counts never increase across peel rounds; the 2-core
+    keeps min degree >= 2 (edges >= nodes when nonempty)."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        QUERIES["q265_kcore_peeling"](spark, SF_DIR).collect(),
+        key=lambda r: r.round,
+    )
+    assert rows[0].round == 0 and len(rows) == 6
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_nodes <= a.n_nodes and b.n_edges <= a.n_edges
+    last = rows[-1]
+    if last.n_nodes:
+        # sum of degrees = 2*edges >= 2*nodes  =>  edges >= nodes
+        assert last.n_edges >= last.n_nodes
