@@ -5797,3 +5797,140 @@ def q265_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in spark_rounds[1:]:
         out = out.unionByName(fr)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q266 "Fightin' Words" distinctive terms (Monroe, Colaresi & Quinn
+# 2008, public): per source, the top-3 terms whose informative-
+# Dirichlet-prior log-odds z-score vs the REST of the corpus is
+# largest — the principled corpus-comparison method (raw tf-idf over-
+# weights rare flukes; the prior shrinks them):
+#   δ_w = ln((y_sw+α_w)/(n_s+α0−y_sw−α_w)) − ln((y_rw+α_w)/(n_r+α0−y_rw−α_w))
+#   σ²  ≈ 1/(y_sw+α_w) + 1/(y_rw+α_w),  z = δ/√σ²,  α_w = α0·y_w/N.
+# All counts are exact integers; the prior is pinned to a 9-dp double
+# (decimal_ratio_round) and z is rounded to 6 BEFORE ranking so both
+# engines rank identical values (term tie-break). Per-source top-3
+# come from the grouped two-phase rank on the negated micro-scaled z —
+# vocab-sized groups never hit a single-task sort.
+# ---------------------------------------------------------------------------
+_Q266_A0, _Q266_TOPK = 10, 3
+
+
+def _q266_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    aw = _drr(f"{_Q266_A0} * g.cf", "g.n", 9)
+    return f"""
+    WITH toks AS (
+      SELECT source, lower(t) AS term
+      FROM (SELECT source, UNNEST({_D_TOKENS}) AS t FROM documents)
+    ),
+    ysw AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS y
+            FROM toks GROUP BY 1, 2),
+    ns AS (SELECT source, CAST(SUM(y) AS BIGINT) AS n FROM ysw GROUP BY 1),
+    gw AS (SELECT term, CAST(SUM(y) AS BIGINT) AS cf FROM ysw GROUP BY 1),
+    nt AS (SELECT CAST(SUM(y) AS BIGINT) AS n FROM ysw),
+    pri AS (
+      SELECT g.term, g.cf, {aw} AS a
+      FROM (SELECT gw.term, gw.cf, nt.n FROM gw, nt) g
+    ),
+    z AS (
+      SELECT s.source, s.term, s.y,
+        round(
+          (ln((s.y + p.a) / (n1.n + {_Q266_A0} - s.y - p.a))
+           - ln((p.cf - s.y + p.a)
+                / (nt.n - n1.n + {_Q266_A0} - (p.cf - s.y) - p.a)))
+          / sqrt(1.0 / (s.y + p.a) + 1.0 / (p.cf - s.y + p.a)),
+        6) AS z
+      FROM ysw s
+      JOIN pri p ON s.term = p.term
+      JOIN ns n1 ON s.source = n1.source
+      CROSS JOIN nt
+    ),
+    r AS (
+      SELECT source, term, y, z,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY z DESC, term ASC) AS rank
+      FROM z
+    )
+    SELECT source, term, y AS n_in_source, z, rank
+    FROM r WHERE rank <= {_Q266_TOPK}
+    """
+
+
+@query("q266_fightin_words", oracle=_q266_oracle())
+def q266_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        grouped_two_phase_rank,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source",
+        F.explode(F.transform(TX.tokens("text"), lambda t: F.lower(t))).alias(
+            "term"
+        ),
+    )
+    ysw = owned_persist(
+        toks.groupBy("source", "term").agg(
+            F.count(F.lit(1)).cast("bigint").alias("__y")
+        )
+    )
+    ns = ysw.groupBy("source").agg(F.sum("__y").cast("bigint").alias("__ns"))
+    gw = ysw.groupBy("term").agg(F.sum("__y").cast("bigint").alias("__cf"))
+    nt = ysw.agg(F.sum("__y").cast("bigint").alias("__nt"))
+    pri = gw.crossJoin(F.broadcast(nt)).select(
+        "term",
+        "__cf",
+        "__nt",
+        decimal_ratio_round(
+            F.lit(_Q266_A0).cast("bigint") * F.col("__cf"), F.col("__nt"), 9
+        ).alias("__a"),
+    )
+    a0 = F.lit(float(_Q266_A0))
+    y, a, cf, n1, ntot = (
+        F.col("__y"),
+        F.col("__a"),
+        F.col("__cf"),
+        F.col("__ns"),
+        F.col("__nt"),
+    )
+    delta = F.log((y + a) / (n1 + a0 - y - a)) - F.log(
+        (cf - y + a) / (ntot - n1 + a0 - (cf - y) - a)
+    )
+    sig2 = F.lit(1.0) / (y + a) + F.lit(1.0) / (cf - y + a)
+    z = owned_persist(
+        ysw.join(pri, "term")
+        .join(F.broadcast(ns), "source")
+        .select(
+            "source",
+            "term",
+            "__y",
+            F.round(delta / F.sqrt(sig2), 6).alias("__z"),
+        )
+        .withColumn(
+            "__negzi", (-F.round(F.col("__z") * 1000000).cast("bigint"))
+        )
+    )
+    r = grouped_two_phase_rank(
+        z.select("source", "term", "__negzi"),
+        ["source"],
+        "__negzi",
+        "term",
+        out_col="__rank",
+    ).select("source", F.col("__tie").alias("term"), "__rank")
+    return (
+        r.filter(F.col("__rank") <= _Q266_TOPK)
+        .join(z.select("source", "term", "__y", "__z"), ["source", "term"])
+        .select(
+            "source",
+            "term",
+            F.col("__y").alias("n_in_source"),
+            F.col("__z").alias("z"),
+            F.col("__rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -454,3 +454,136 @@ def read_hll_rollup(spark: SparkSession, path: str, p: int = 4) -> DataFrame:
         F.max("register").cast("int").alias("register")
     )
     return hll_estimate_from_registers(merged, ["scope"], p=p)
+
+
+# ---------------------------------------------------------------------------
+# Streaming PSI drift monitor — the incremental twin of batch q251:
+# bucket counts are ALGEBRAIC (sums merge), so the monitor keeps
+# idempotent per-batch partial histograms (the write_partial_aggregate
+# pattern: batch-id-keyed overwrite = retry-safe) against a FROZEN
+# reference histogram + bucket edges captured at profiling time, and
+# the read side merges partials and finishes the exact q251 PSI math
+# (Laplace-smoothed 9-dp shares, 12-dp DECIMAL-summed ln terms,
+# integer round-half-away). Replaying the current window through any
+# batch split yields the identical PSI to the batch query — asserted
+# in tests.
+# ---------------------------------------------------------------------------
+def psi_bucket_counts(
+    df: DataFrame, mn_cents: int, ext_cents: int, n_buckets: int = 10
+) -> DataFrame:
+    """(event_type, bucket) value-histogram with the FROZEN integer
+    edges: bucket = least((cents − mn)·B div ext, B−1)."""
+    return (
+        df.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.least(
+                F.expr(
+                    f"(cast(round(value * 100) as bigint) - {int(mn_cents)})"
+                    f" * {int(n_buckets)} div {int(ext_cents)}"
+                ),
+                F.lit(int(n_buckets) - 1),
+            )
+            .cast("bigint")
+            .alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def materialize_psi_stream(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    mn_cents: int,
+    ext_cents: int,
+    n_buckets: int = 10,
+):
+    """Wire an event stream into per-batch partial histograms; returns
+    the DataStreamWriter (caller starts it)."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        psi_bucket_counts(batch, mn_cents, ext_cents, n_buckets).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, PARTIAL_DIRNAME.format(n=batch_id)))
+
+    return stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+
+
+def read_psi_drift(
+    spark: SparkSession,
+    path: str,
+    reference: DataFrame,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Merge the partial histograms and score PSI per event type
+    against ``reference`` (a (event_type, bucket, n) frame frozen at
+    profiling time). Identical numeric path to q251."""
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round,
+        exact_mean_round,
+    )
+
+    cur = (
+        spark.read.option("basePath", path)
+        .parquet(path)
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("n").cast("bigint").alias("__nc"))
+    )
+    ref = reference.select(
+        "event_type", "bucket", F.col("n").cast("bigint").alias("__nr")
+    )
+    types = (
+        ref.select("event_type")
+        .unionByName(cur.select("event_type"))
+        .distinct()
+    )
+    grid = types.crossJoin(
+        F.broadcast(
+            spark.range(n_buckets).select(F.col("id").cast("bigint").alias("bucket"))
+        )
+    )
+    cells = (
+        grid.join(ref, ["event_type", "bucket"], "left")
+        .join(cur, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("__nr", F.lit(0)).cast("bigint").alias("__nr"),
+            F.coalesce("__nc", F.lit(0)).cast("bigint").alias("__nc"),
+        )
+    )
+    tots = cells.groupBy("event_type").agg(
+        F.sum("__nr").cast("bigint").alias("__tnr"),
+        F.sum("__nc").cast("bigint").alias("__tnc"),
+    )
+    shares = cells.join(F.broadcast(tots), "event_type").select(
+        "event_type",
+        "__tnr",
+        "__tnc",
+        decimal_ratio_round(
+            F.col("__nr") + 1, F.col("__tnr") + n_buckets, 9
+        ).alias("__p"),
+        decimal_ratio_round(
+            F.col("__nc") + 1, F.col("__tnc") + n_buckets, 9
+        ).alias("__q"),
+    )
+    return shares.groupBy("event_type").agg(
+        F.max("__tnr").alias("n_ref"),
+        F.max("__tnc").alias("n_cur"),
+        exact_mean_round(
+            F.sum(
+                F.round(
+                    (F.col("__p") - F.col("__q"))
+                    * F.log(F.col("__p") / F.col("__q")),
+                    12,
+                ).cast("decimal(28,12)")
+            ),
+            F.lit(1).cast("bigint"),
+            6,
+            sum_scale=12,
+        ).alias("psi"),
+    )

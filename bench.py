@@ -379,6 +379,8 @@ EXTENDED_QUERIES = [
     "q264_sorted_neighborhood_pairs",
     # 2-core peel trajectory, 5 unrolled rounds, per-round checkpoint
     "q265_kcore_peeling",
+    # Monroe et al. log-odds distinctive terms per source
+    "q266_fightin_words",
 ]
 
 

@@ -1170,3 +1170,40 @@ def test_q265_peeling_monotone_to_fixpoint(spark):
     if last.n_nodes:
         # sum of degrees = 2*edges >= 2*nodes  =>  edges >= nodes
         assert last.n_edges >= last.n_nodes
+
+
+def test_q266_fightin_words_are_distinctive(spark):
+    """Exactly top-3 rows per source with rank 1..3, z descending, and
+    each top term genuinely over-represented: its in-source rate
+    exceeds its rest-of-corpus rate."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from airbnb_pyspark_jobs_spark.sources.registry import load_table
+    from airbnb_pyspark_jobs_spark.functions import text as TX
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q266_fightin_words"](spark, SF_DIR).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    docs = load_table(spark, "documents", SF_DIR)
+    toks = docs.select(
+        "source",
+        F.explode(F.transform(TX.tokens("text"), lambda t: F.lower(t))).alias("t"),
+    )
+    counts = {}
+    for rr in toks.groupBy("source", "t").count().collect():
+        counts[(rr.source, rr.t)] = rr["count"]
+    n_by_src = {}
+    for (s, _t), c in counts.items():
+        n_by_src[s] = n_by_src.get(s, 0) + c
+    n_total = sum(n_by_src.values())
+    for s, rs in by_src.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3]
+        assert all(a.z >= b.z for a, b in zip(rs, rs[1:]))
+        top = rs[0]
+        cf = sum(c for (s2, t2), c in counts.items() if t2 == top.term)
+        in_rate = top.n_in_source / n_by_src[s]
+        rest_rate = (cf - top.n_in_source) / (n_total - n_by_src[s])
+        assert in_rate > rest_rate, (s, top.term)

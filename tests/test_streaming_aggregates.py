@@ -459,3 +459,70 @@ def test_hll_stream_converges_to_batch_sketch(spark, tmp_path):
     # superset replay: re-write batch 0's partial from ALL events
     write_partial_hll(events, 0, rollup)
     assert key(read_hll_rollup(spark, rollup)) == got
+
+
+def test_streaming_psi_matches_batch_q251(spark, tmp_path):
+    """Incremental PSI parity: freeze the reference histogram on the
+    first half-window, stream the second half through TWO micro-batches
+    of partial histograms, and the merged read-side PSI must equal the
+    batch q251 values exactly (same edges, same numeric path)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from airbnb_pyspark_jobs_spark.sources.registry import load_table
+    from airbnb_pyspark_jobs_spark.streaming.aggregates import (
+        materialize_psi_stream,
+        psi_bucket_counts,
+        read_psi_drift,
+    )
+    from airbnb_pyspark_jobs_spark.streaming.events import read_event_stream
+    from tests.conftest import SF_DIR
+
+    events = load_table(spark, "events", SF_DIR).filter(
+        F.col("value").isNotNull()
+    )
+    st = events.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + F.expr("(max(unix_micros(ts)) - min(unix_micros(ts))) div 2")
+        ).alias("mid"),
+        F.min(F.round(F.col("value") * 100).cast("bigint")).alias("mn"),
+        (
+            F.max(F.round(F.col("value") * 100).cast("bigint"))
+            - F.min(F.round(F.col("value") * 100).cast("bigint"))
+            + 1
+        ).alias("ext"),
+    ).collect()[0]
+
+    ref = psi_bucket_counts(
+        events.filter(F.unix_micros("ts") <= st.mid), int(st.mn), int(st.ext)
+    ).select("event_type", "bucket", F.col("n"))
+
+    src = str(tmp_path / "cur_src")
+    events.filter(F.unix_micros("ts") > st.mid).repartition(2).write.parquet(src)
+    part_dir = str(tmp_path / "psi_partials")
+    q = (
+        materialize_psi_stream(
+            read_event_stream(spark, src, max_files_per_trigger=1),
+            part_dir,
+            str(tmp_path / "ckpt_psi"),
+            int(st.mn),
+            int(st.ext),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(os.listdir(part_dir)) >= 2, "expected >= 2 partial dirs"
+
+    got = {
+        r.event_type: (r.n_ref, r.n_cur, r.psi)
+        for r in read_psi_drift(spark, part_dir, ref).collect()
+    }
+    want = {
+        r.event_type: (r.n_ref, r.n_cur, r.psi)
+        for r in QUERIES["q251_psi_drift"](spark, SF_DIR).collect()
+    }
+    assert got == want
