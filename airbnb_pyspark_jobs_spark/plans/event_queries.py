@@ -5122,3 +5122,162 @@ def q260_user_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles(
         med, "med_gap_s", [i / 10 for i in range(1, 10)]
     )
+
+
+# ---------------------------------------------------------------------------
+# q267 absorption probabilities — the conversion-modeling question on
+# top of q131/q245: starting from each NON-absorbing event type, what
+# is the probability the user's next-event chain hits `purchase`
+# before `error`? Absorbing-chain identity x = b + Q·x (b = one-step
+# P(→purchase), Q = transient→transient block), solved by 20
+# synchronous fixed-point steps fully in-plan (x₀ = 0, monotone
+# non-decreasing — the iterate is exact for chains that absorb within
+# 20 steps and a certified lower bound otherwise). Determinism: q245's
+# discipline — P pinned to 9-dp, products rounded to 12 dp, DECIMAL
+# sums, integer round-half-away back to 9 dp each step; the oracle
+# replays all 20 steps in unrolled CTEs.
+# ---------------------------------------------------------------------------
+_Q267_ITERS = 20
+_Q267_WIN, _Q267_LOSE = "purchase", "error"
+
+
+def _q267_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+        exact_mean_round_sql as _emr,
+    )
+
+    p9 = _drr("c.n", "t.t", 9)
+    step = _emr(
+        "COALESCE(SUM(CAST(round(q.p * x.w, 12) AS DECIMAL(28,12))), 0)"
+        " + CAST(b.b AS DECIMAL(28,12))",
+        "1", 9, sum_scale=12,
+    )
+    parts = [
+        f"""
+    WITH ordered AS (
+      SELECT user_id, event_type AS to_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      FROM events
+    ),
+    counts AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE from_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    totals AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS t
+               FROM counts GROUP BY from_type),
+    m AS MATERIALIZED (
+      SELECT c.from_type, c.to_type, c.n, {p9} AS p
+      FROM counts c JOIN totals t ON c.from_type = t.from_type
+      WHERE c.from_type NOT IN ('{_Q267_WIN}', '{_Q267_LOSE}')
+    ),
+    bvec AS MATERIALIZED (
+      SELECT t.from_type,
+             COALESCE(MAX(CASE WHEN m.to_type = '{_Q267_WIN}'
+                               THEN m.p END), 0.0) AS b
+      FROM (SELECT DISTINCT from_type FROM m) t
+      LEFT JOIN m ON t.from_type = m.from_type
+      GROUP BY t.from_type
+    ),
+    qm AS MATERIALIZED (
+      SELECT from_type, to_type, p FROM m
+      WHERE to_type NOT IN ('{_Q267_WIN}', '{_Q267_LOSE}')
+    ),
+    x0 AS (SELECT from_type AS event_type, CAST(0.0 AS DOUBLE) AS w
+           FROM bvec)"""
+    ]
+    for i in range(1, _Q267_ITERS + 1):
+        parts.append(
+            f""",
+    x{i} AS MATERIALIZED (
+      SELECT b.from_type AS event_type, {step} AS w
+      FROM bvec b
+      LEFT JOIN qm q ON q.from_type = b.from_type
+      LEFT JOIN x{i - 1} x ON q.to_type = x.event_type
+      GROUP BY b.from_type, b.b
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT x.event_type, t.t AS n_out_transitions,
+           x.w AS p_purchase_before_error
+    FROM x{_Q267_ITERS} x JOIN totals t ON x.event_type = t.from_type
+    """
+    )
+    return "".join(parts)
+
+
+@query("q267_absorption_prob", oracle=_q267_oracle())
+def q267_absorption_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round,
+        exact_mean_round,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        F.col("event_type").alias("__to"),
+        F.lag("event_type").over(w_user).alias("__from"),
+    ).filter(F.col("__from").isNotNull())
+    counts = ordered.groupBy("__from", "__to").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    totals = counts.groupBy("__from").agg(
+        F.sum("__n").cast("bigint").alias("__t")
+    )
+    m = owned_persist(
+        counts.join(F.broadcast(totals), "__from")
+        .filter(~F.col("__from").isin(_Q267_WIN, _Q267_LOSE))
+        .select(
+            "__from",
+            "__to",
+            decimal_ratio_round(F.col("__n"), F.col("__t"), 9).alias("__p"),
+        )
+    )
+    bvec = owned_persist(
+        m.groupBy("__from").agg(
+            F.coalesce(
+                F.max(F.when(F.col("__to") == _Q267_WIN, F.col("__p"))),
+                F.lit(0.0),
+            ).alias("__b")
+        )
+    )
+    qm = m.filter(~F.col("__to").isin(_Q267_WIN, _Q267_LOSE))
+    x = bvec.select(
+        F.col("__from").alias("__type"), F.lit(0.0).alias("__w")
+    )
+    for _ in range(_Q267_ITERS):
+        joined = bvec.join(
+            F.broadcast(qm), "__from", "left"
+        ).join(
+            F.broadcast(x), F.col("__to") == F.col("__type"), "left"
+        )
+        x = joined.groupBy(F.col("__from"), F.col("__b")).agg(
+            exact_mean_round(
+                F.coalesce(
+                    F.sum(
+                        F.round(F.col("__p") * F.col("__w"), 12).cast(
+                            "decimal(28,12)"
+                        )
+                    ),
+                    F.lit(0).cast("decimal(28,12)"),
+                )
+                + F.col("__b").cast("decimal(28,12)"),
+                F.lit(1).cast("bigint"),
+                9,
+                sum_scale=12,
+            ).alias("__w")
+        ).select(F.col("__from").alias("__type"), "__w")
+    return x.join(
+        F.broadcast(totals), x["__type"] == totals["__from"]
+    ).select(
+        F.col("__type").alias("event_type"),
+        F.col("__t").alias("n_out_transitions"),
+        F.col("__w").alias("p_purchase_before_error"),
+    )

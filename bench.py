@@ -381,6 +381,8 @@ EXTENDED_QUERIES = [
     "q265_kcore_peeling",
     # Monroe et al. log-odds distinctive terms per source
     "q266_fightin_words",
+    # absorbing-chain fixed point: P(purchase before error)
+    "q267_absorption_prob",
 ]
 
 

@@ -652,3 +652,51 @@ def test_q206_delay_quantiles_are_range_bucketed(spark):
     for line in plan.splitlines():
         if "row_number()" in line:
             assert "__b" in line, line
+
+
+def test_q244_ranks_are_bucket_partitioned(spark):
+    """Both layout ranks in the Z-order audit must come from the
+    two-phase machinery: every row_number window partitions by the
+    range bucket, never a global sort."""
+    df = QUERIES["q244_zorder_layout_audit"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "windowspecdefinition(__b" in line, line
+
+
+def test_q252_feature_ranks_are_grouped_two_phase(spark):
+    """Feature decile ranks partition by (feature, bucket)."""
+    df = QUERIES["q252_feature_iv"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "windowspecdefinition(feature" in line, line
+
+
+def test_q258_migration_ranks_are_grouped_two_phase(spark):
+    """Per-half revenue ranks partition by (__h, bucket) — the decile
+    machinery never single-task-sorts the user dimension."""
+    df = QUERIES["q258_value_decile_migration"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "windowspecdefinition(__h" in line, line
+
+
+def test_q253_norm_joins_broadcast(spark):
+    """Item norms (bounded by the item vocabulary) broadcast into the
+    cosine finish — the only shuffle joins are the user-keyed pair
+    generation."""
+    df = QUERIES["q253_item_cosine_cf"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q247_fanout_is_bounded_explode(spark):
+    """The rolling-distinct plan carries the 7-way explode + dedupe —
+    no windowed distinct, no users² join."""
+    df = QUERIES["q247_sliding_distinct_users"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "Generate explode" in plan or "explode" in plan
+    assert "SortMergeJoin" not in plan.split("Generate")[0]

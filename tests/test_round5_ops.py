@@ -1207,3 +1207,25 @@ def test_q266_fightin_words_are_distinctive(spark):
         in_rate = top.n_in_source / n_by_src[s]
         rest_rate = (cf - top.n_in_source) / (n_total - n_by_src[s])
         assert in_rate > rest_rate, (s, top.term)
+
+
+def test_q267_absorption_probability_bounds(spark):
+    """0 <= p <= 1; the 20-step iterate dominates the one-step
+    conversion probability (x >= b, monotone fixed-point)."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    probs = {
+        r.event_type: r.p_purchase_before_error
+        for r in QUERIES["q267_absorption_prob"](spark, SF_DIR).collect()
+    }
+    assert probs and "purchase" not in probs and "error" not in probs
+    trans = QUERIES["q131_event_transitions"](spark, SF_DIR).collect()
+    b = {
+        t.from_type: t.p
+        for t in trans
+        if t.to_type == "purchase" and t.from_type in probs
+    }
+    for ty, p in probs.items():
+        assert 0.0 <= p <= 1.0
+        assert p >= b.get(ty, 0.0) - 1e-9
