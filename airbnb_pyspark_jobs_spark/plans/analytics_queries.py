@@ -3214,3 +3214,158 @@ def q264_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .filter(F.col("lev") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# q268 partial-aggregation doctor — the map-side-combine planning
+# heuristic made queryable (the q201 skew doctor's sibling): for each
+# candidate grouping column of lineitem, rows per distinct key =
+# the combine compression factor. Verdict bands: ≥ 100× combine is
+# essentially free aggregation; ≤ 2× partial aggregation only burns
+# memory (Spark still plans it — this report says when AQE/skew hints
+# matter more). One scan per column, all map-side-combinable counts.
+# ---------------------------------------------------------------------------
+def _q268_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    cols = ["l_returnflag", "l_linestatus", "l_partkey", "l_suppkey", "l_orderkey"]
+    unions = "\n      UNION ALL\n      ".join(
+        f"""SELECT '{c}' AS key_col,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_keys
+      FROM lineitem"""
+        for c in cols
+    )
+    ratio = _drr("n_rows", "n_keys", 2)
+    return f"""
+    WITH s AS ({unions})
+    SELECT key_col, n_rows, n_keys, {ratio} AS combine_factor,
+           CASE WHEN n_rows >= 100 * n_keys THEN 'combine-wins'
+                WHEN n_rows >= 2 * n_keys THEN 'moderate'
+                ELSE 'combine-useless' END AS verdict
+    FROM s
+    """
+
+
+@query("q268_combine_doctor", oracle=_q268_oracle())
+def q268_combine_doctor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    li = load_table(spark, "lineitem", sf_dir)
+    cols = ["l_returnflag", "l_linestatus", "l_partkey", "l_suppkey", "l_orderkey"]
+    out = None
+    for c in cols:
+        s = li.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct(F.col(c)).cast("bigint").alias("n_keys"),
+        ).select(F.lit(c).alias("key_col"), "n_rows", "n_keys")
+        out = s if out is None else out.unionByName(s)
+    return out.select(
+        "key_col",
+        "n_rows",
+        "n_keys",
+        decimal_ratio_round(F.col("n_rows"), F.col("n_keys"), 2).alias(
+            "combine_factor"
+        ),
+        F.when(F.col("n_rows") >= 100 * F.col("n_keys"), "combine-wins")
+        .when(F.col("n_rows") >= 2 * F.col("n_keys"), "moderate")
+        .otherwise("combine-useless")
+        .alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q269 revenue concentration (Pareto curve points) — "do 20% of
+# customers carry 80% of revenue?": rank customers by exact cent
+# revenue DESCENDING (negated two-phase rank — never a single-task
+# sort of the customer dimension), then read the cumulative revenue
+# share at the top-1/5/10/20/50% customer cutoffs via the two-phase
+# cumulative sum. Exact integer ratios; the q224 Gini's operational
+# cousin (a curve you can act on instead of one coefficient).
+# ---------------------------------------------------------------------------
+def _q269_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    share = _drr("c.crev", "t.trev", 6)
+    cust_share = _drr("c.rk", "t.n", 6)
+    return f"""
+    WITH g AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey ASC) AS rk,
+             CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey ASC)
+                  AS BIGINT) AS crev
+      FROM g
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS trev FROM g),
+    pts AS (SELECT UNNEST([1, 5, 10, 20, 50]) AS pct)
+    SELECT p.pct AS top_pct,
+           c.rk AS n_customers,
+           {cust_share} AS customer_share,
+           {share} AS revenue_share
+    FROM pts p, t
+    JOIN r c ON c.rk = GREATEST(CAST(p.pct * t.n // 100 AS BIGINT), 1)
+    """
+
+
+@query("q269_pareto_revenue", oracle=_q269_oracle())
+def q269_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        two_phase_numeric_cumsum_multi,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    g = owned_persist(
+        orders.groupBy("o_custkey").agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("__cents")
+        ).withColumn("__neg", -F.col("__cents"))
+        .withColumn("__one", F.lit(1).cast("bigint"))
+    )
+    # one pass computes BOTH running revenue and running rank (sum of 1s)
+    c = two_phase_numeric_cumsum_multi(
+        g, "__neg", "o_custkey", ["__cents", "__one"], ["__crev", "__rk"]
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__cents").cast("bigint").alias("__trev"),
+    )
+    pts = orders.sparkSession.createDataFrame(
+        [(1,), (5,), (10,), (20,), (50,)], ["top_pct"]
+    ).select(F.col("top_pct").cast("bigint").alias("top_pct"))
+    targets = pts.crossJoin(F.broadcast(t)).select(
+        "top_pct",
+        "__n",
+        "__trev",
+        F.greatest(
+            F.expr("top_pct * __n div 100").cast("bigint"), F.lit(1).cast("bigint")
+        ).alias("__target"),
+    )
+    return (
+        targets.join(
+            c.select("__rk", "__crev"), F.col("__target") == F.col("__rk")
+        )
+        .select(
+            "top_pct",
+            F.col("__rk").alias("n_customers"),
+            decimal_ratio_round(F.col("__rk"), F.col("__n"), 6).alias(
+                "customer_share"
+            ),
+            decimal_ratio_round(F.col("__crev"), F.col("__trev"), 6).alias(
+                "revenue_share"
+            ),
+        )
+    )

@@ -383,6 +383,10 @@ EXTENDED_QUERIES = [
     "q266_fightin_words",
     # absorbing-chain fixed point: P(purchase before error)
     "q267_absorption_prob",
+    # map-side-combine compression report per candidate key
+    "q268_combine_doctor",
+    # Pareto curve points from one descending two-phase cumsum
+    "q269_pareto_revenue",
 ]
 
 

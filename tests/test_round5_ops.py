@@ -1229,3 +1229,39 @@ def test_q267_absorption_probability_bounds(spark):
     for ty, p in probs.items():
         assert 0.0 <= p <= 1.0
         assert p >= b.get(ty, 0.0) - 1e-9
+
+
+def test_q268_combine_factor_sane(spark):
+    """combine_factor >= 1 always; the enum columns compress orders of
+    magnitude harder than the key columns."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = {r.key_col: r for r in QUERIES["q268_combine_doctor"](spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "l_returnflag", "l_linestatus", "l_partkey", "l_suppkey", "l_orderkey"
+    }
+    for r in rows.values():
+        assert r.combine_factor >= 1.0
+        assert r.n_keys <= r.n_rows
+    assert rows["l_returnflag"].combine_factor > rows["l_orderkey"].combine_factor
+    assert rows["l_returnflag"].verdict == "combine-wins"
+
+
+def test_q269_pareto_curve_monotone_and_concentrated(spark):
+    """Revenue share grows with top_pct, always >= customer share
+    (descending-rank cumulative dominates uniform), both in (0, 1]."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        QUERIES["q269_pareto_revenue"](spark, SF_DIR).collect(),
+        key=lambda r: r.top_pct,
+    )
+    assert [r.top_pct for r in rows] == [1, 5, 10, 20, 50]
+    for a, b in zip(rows, rows[1:]):
+        assert b.revenue_share >= a.revenue_share
+        assert b.n_customers >= a.n_customers
+    for r in rows:
+        assert 0.0 < r.revenue_share <= 1.0
+        assert r.revenue_share >= r.customer_share - 1e-9
