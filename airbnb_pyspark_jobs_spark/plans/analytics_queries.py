@@ -3369,3 +3369,70 @@ def q269_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q271 supplier concentration (HHI) per part brand — the antitrust
+# metric as a sourcing-risk report: per brand, the Herfindahl index of
+# supplier revenue shares, HHI = Σ_s share_s² = Σ c_s² / (Σ c_s)²,
+# computed entirely as one exact HUGEINT cross-multiplied ratio per
+# brand (shares never exist as floats). HHI > 0.25 = concentrated
+# sourcing; equal split over m suppliers gives exactly 1/m (tested).
+# ---------------------------------------------------------------------------
+def _q271_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    hhi = _drr("sq", "tot * tot", 6)
+    return f"""
+    WITH s AS (
+      SELECT p.p_brand, l.l_suppkey,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS HUGEINT) AS c
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(c) AS HUGEINT) AS tot,
+             CAST(SUM(c * c) AS HUGEINT) AS sq
+      FROM s GROUP BY p_brand
+    )
+    SELECT p_brand, n_suppliers, {hhi} AS hhi
+    FROM g
+    """
+
+
+@query("q271_supplier_hhi", oracle=_q271_oracle())
+def q271_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    D = "decimal(38,0)"
+    s = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast(D)
+            .alias("__c")
+        )
+    )
+    g = s.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("__c").cast(D).alias("__tot"),
+        F.sum(F.col("__c") * F.col("__c")).cast(D).alias("__sq"),
+    )
+    return g.select(
+        "p_brand",
+        "n_suppliers",
+        decimal_ratio_round(
+            F.col("__sq"), F.col("__tot") * F.col("__tot"), 6
+        ).alias("hhi"),
+    )

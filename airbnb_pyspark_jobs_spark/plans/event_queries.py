@@ -5281,3 +5281,89 @@ def q267_absorption_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__t").alias("n_out_transitions"),
         F.col("__w").alias("p_purchase_before_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q270 one-way ANOVA F — does mean `value` differ ACROSS ALL event
+# types at once? Completes the testing family (q198 Welch is pairwise,
+# q220 rank-sum, q212 χ², q213 KS): with cents c_i and group sums
+# exact BIGINT/DECIMAL(38),
+#   SSB = Σ_g T_g²/n_g − T²/n,   SSW = Σ c² − Σ_g T_g²/n_g,
+#   F = (SSB/(k−1)) / (SSW/(n−k)).
+# The only nonexact steps are the two final double divisions on
+# identical integers-as-doubles; per-group T_g²/n_g is pinned at 6 dp
+# and DECIMAL-summed, so both engines carry the same grand totals.
+# ---------------------------------------------------------------------------
+@query(
+    "q270_anova_f",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, CAST(SUM(c) AS HUGEINT) AS tg,
+             CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+      FROM b GROUP BY event_type
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ng) AS BIGINT) AS n,
+             CAST(SUM(tg) AS HUGEINT) AS t,
+             CAST(SUM(ss) AS HUGEINT) AS sstot,
+             CAST(SUM(CAST(round(CAST(tg * tg AS DOUBLE) / CAST(ng AS DOUBLE), 6)
+                           AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sgs
+      FROM g
+    )
+    SELECT k, n,
+      round(
+        (CAST(sgs AS DOUBLE) - CAST(t * t AS DOUBLE) / CAST(n AS DOUBLE))
+          / CAST(k - 1 AS DOUBLE)
+        / ((CAST(sstot AS DOUBLE) - CAST(sgs AS DOUBLE))
+           / CAST(n - k AS DOUBLE)),
+      6) AS f_stat
+    FROM agg
+    """,
+)
+def q270_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull()
+    )
+    D = "decimal(38,0)"
+    b = events.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("__c")
+    )
+    g = b.groupBy("event_type").agg(
+        F.sum("__c").cast(D).alias("__tg"),
+        F.count(F.lit(1)).cast("bigint").alias("__ng"),
+        F.sum(F.col("__c").cast(D) * F.col("__c")).cast(D).alias("__ss"),
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__ng").cast("bigint").alias("n"),
+        F.sum("__tg").cast(D).alias("__t"),
+        F.sum("__ss").cast(D).alias("__sstot"),
+        F.sum(
+            F.round(
+                (F.col("__tg") * F.col("__tg")).cast("double")
+                / F.col("__ng").cast("double"),
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("decimal(38,6)")
+        .alias("__sgs"),
+    )
+    ssb = F.col("__sgs").cast("double") - (
+        F.col("__t") * F.col("__t")
+    ).cast("double") / F.col("n").cast("double")
+    ssw = F.col("__sstot").cast("double") - F.col("__sgs").cast("double")
+    return agg.select(
+        "k",
+        "n",
+        F.round(
+            (ssb / (F.col("k") - 1).cast("double"))
+            / (ssw / (F.col("n") - F.col("k")).cast("double")),
+            6,
+        ).alias("f_stat"),
+    )

@@ -387,6 +387,10 @@ EXTENDED_QUERIES = [
     "q268_combine_doctor",
     # Pareto curve points from one descending two-phase cumsum
     "q269_pareto_revenue",
+    # one-way ANOVA F across all event types (exact moments)
+    "q270_anova_f",
+    # Herfindahl supplier concentration per brand (exact ratio)
+    "q271_supplier_hhi",
 ]
 
 

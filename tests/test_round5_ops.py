@@ -1265,3 +1265,65 @@ def test_q269_pareto_curve_monotone_and_concentrated(spark):
     for r in rows:
         assert 0.0 < r.revenue_share <= 1.0
         assert r.revenue_share >= r.customer_share - 1e-9
+
+
+def test_q270_anova_f_positive_and_matches_numpy(spark):
+    """F > 0 and equals a float replay of the classic SSB/SSW formula
+    within rounding tolerance."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from airbnb_pyspark_jobs_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    out = QUERIES["q270_anova_f"](spark, SF_DIR).collect()[0]
+    assert out.f_stat > 0
+    rows = (
+        load_table(spark, "events", SF_DIR)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.round(F.col("value") * 100).alias("c"))
+        .collect()
+    )
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.event_type, []).append(r.c)
+    n = sum(len(v) for v in groups.values())
+    k = len(groups)
+    grand = sum(sum(v) for v in groups.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in groups.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert abs(out.f_stat - f) < max(1e-4 * abs(f), 1e-4)
+
+
+def test_q271_hhi_equal_split_identity(spark, tmp_path):
+    """A constructed brand with m equal-revenue suppliers must score
+    HHI = 1/m exactly."""
+    import os
+
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+
+    li_rows = [
+        (1, 1, s, 1, 1.0, 250.00, 0.0, 0.0, "N", "O", "2024-01-01")
+        for s in range(4)
+    ]
+    li = spark.createDataFrame(
+        li_rows,
+        [
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+    )
+    part = spark.createDataFrame(
+        [(1, "widget one", "BrandX", "T", 1, 250.0)],
+        ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    )
+    d = str(tmp_path / "hhi")
+    li.write.parquet(os.path.join(d, "lineitem.parquet"))
+    part.write.parquet(os.path.join(d, "part.parquet"))
+    out = QUERIES["q271_supplier_hhi"](spark, d).collect()
+    assert len(out) == 1
+    assert out[0].n_suppliers == 4
+    assert out[0].hhi == 0.25
