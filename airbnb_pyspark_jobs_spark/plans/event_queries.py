@@ -5085,7 +5085,7 @@ def q258_value_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(p AS DOUBLE) / 10 AS p,
            CAST(CEIL(CAST(p AS DOUBLE) / 10 * n.n) AS BIGINT) AS rank,
-           mr.med_gap_s AS value
+           CAST(mr.med_gap_s AS DOUBLE) AS value
     FROM (SELECT UNNEST(range(1, 10)) AS p) ps
     CROSS JOIN n
     JOIN mr ON mr.rk = CAST(CEIL(CAST(p AS DOUBLE) / 10 * n.n) AS BIGINT)

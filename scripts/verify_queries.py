@@ -37,6 +37,16 @@ def norm(v):
         return "NaN"
     if isinstance(v, (pd.Timestamp, dt.datetime, dt.date)):
         return v.isoformat()
+    # type-STRICT numbers: the driver hashes values, so int 5 != float
+    # 5.0 there — python tuple equality would silently pass it here
+    # (q260 shipped a BIGINT-vs-DOUBLE oracle mismatch that only the
+    # strict pytest harness caught).
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, (int,)):
+        return ("i", v)
+    if isinstance(v, float):
+        return ("f", v)
     return v
 
 
