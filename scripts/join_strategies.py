@@ -28,9 +28,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HINTS = ["BROADCAST", "MERGE", "SHUFFLE_HASH"]
 
 
-def shape(spark, dim_name, dim_key, fact_key):
+def shape(spark, dim_name, dim_key, fact_key, amplify=1, aqe=True):
     fact = load_table(spark, "lineitem", SF_DIR)
+    if amplify > 1:
+        # synthetic fan-out: replicate the fact rows (distinct keys kept)
+        fact = fact.crossJoin(
+            spark.range(amplify).select(F.col("id").alias("__rep"))
+        ).drop("__rep")
     dim = load_table(spark, dim_name, SF_DIR)
+    spark.conf.set("spark.sql.adaptive.enabled", "true" if aqe else "false")
     out = {}
     for hint in HINTS + ["auto"]:
         d = dim if hint == "auto" else dim.hint(hint)
@@ -44,6 +50,14 @@ def shape(spark, dim_name, dim_key, fact_key):
                 ),
             )
         )
+        times = []
+        rows = None
+        for _ in range(2):
+            t0 = time.time()
+            rows = sorted(map(tuple, j.collect()))
+            times.append(round(time.time() - t0, 3))
+        # read the plan AFTER execution: with AQE on, the final adaptive
+        # plan can differ from the hinted initial plan (SMJ -> BHJ)
         plan = j._jdf.queryExecution().executedPlan().toString()
         phys = (
             "BroadcastHashJoin"
@@ -54,12 +68,6 @@ def shape(spark, dim_name, dim_key, fact_key):
             if "SortMergeJoin" in plan
             else "?"
         )
-        times = []
-        rows = None
-        for _ in range(2):
-            t0 = time.time()
-            rows = sorted(map(tuple, j.collect()))
-            times.append(round(time.time() - t0, 3))
         out[hint] = {"physical": phys, "sec_min": min(times), "rows": rows}
     checks = {k: v["rows"] for k, v in out.items()}
     base = next(iter(checks.values()))
@@ -77,7 +85,17 @@ def main():
         "lineitem_x_supplier(1k dim)": shape(
             spark, "supplier", "s_suppkey", "l_suppkey"
         ),
+        "8x_lineitem_x_orders(150k dim)": shape(
+            spark, "orders", "o_orderkey", "l_orderkey", amplify=8
+        ),
+        "8x_lineitem_x_part(20k dim)": shape(
+            spark, "part", "p_partkey", "l_partkey", amplify=8
+        ),
+        "8x_orders_AQE_OFF": shape(
+            spark, "orders", "o_orderkey", "l_orderkey", amplify=8, aqe=False
+        ),
     }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     print(json.dumps(report, indent=1))
     spark.stop()
 
