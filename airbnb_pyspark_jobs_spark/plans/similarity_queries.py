@@ -2324,3 +2324,142 @@ def q254_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, dims=_Q254_DIMS, iters=_Q254_ITERS, digits=_Q254_DIGITS
     )
     return proj
+
+
+# ---------------------------------------------------------------------------
+# q272 triplet-violation audit — the metric-learning data check run
+# BEFORE training a contrastive model on these labels: for
+# deterministic triplets (anchor, positive = next same-label vector in
+# md5 order, negative = next vector in the anchor's hash bucket when
+# its label differs), how often does cos(a,p) < cos(a,n)? High
+# violation = the label structure is not recoverable from the
+# embedding geometry. Every window partitions by label or by the
+# 16-way hash bucket (never corpus-global); positives wrap cyclically
+# so every 2+-member label contributes; cosines are unit-normalized
+# index-order dot folds rounded to 4 (the q50 discipline) so the
+# strict < compares identical doubles in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q272_triplet_violations",
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             md5(CAST(vec_id AS VARCHAR)) AS k
+      FROM embeddings
+    ),
+    u AS MATERIALIZED (
+      SELECT vec_id, label, k,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+      FROM e
+    ),
+    pos AS (
+      SELECT vec_id, label, k, uv,
+             COALESCE(
+               LEAD(vec_id) OVER (PARTITION BY label ORDER BY k, vec_id),
+               FIRST_VALUE(vec_id) OVER (
+                 PARTITION BY label ORDER BY k, vec_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+               AS pos_id
+      FROM u
+    ),
+    neg AS (
+      SELECT vec_id,
+             COALESCE(
+               LEAD(vec_id) OVER (PARTITION BY substr(k, 1, 1)
+                                  ORDER BY k, vec_id),
+               FIRST_VALUE(vec_id) OVER (
+                 PARTITION BY substr(k, 1, 1) ORDER BY k, vec_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+               AS neg_id
+      FROM u
+    ),
+    tri AS (
+      SELECT p.vec_id, p.label, p.uv, p.pos_id, n.neg_id
+      FROM pos p JOIN neg n ON p.vec_id = n.vec_id
+      WHERE p.pos_id <> p.vec_id AND n.neg_id <> p.vec_id
+    ),
+    scored AS (
+      SELECT t.label,
+             round(list_dot_product(t.uv, up.uv), 4) AS cos_ap,
+             round(list_dot_product(t.uv, un.uv), 4) AS cos_an
+      FROM tri t
+      JOIN u up ON t.pos_id = up.vec_id
+      JOIN u un ON t.neg_id = un.vec_id
+      WHERE un.label <> t.label
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_triplets,
+           CAST(SUM(CASE WHEN cos_ap < cos_an THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM scored GROUP BY label
+    """,
+)
+def q272_triplet_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions import vectors as V
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = emb.select(
+        "vec_id",
+        "label",
+        V.to_double_array("embedding").alias("__v"),
+        F.md5(F.col("vec_id").cast("string")).alias("__k"),
+    )
+    u = owned_persist(
+        e.withColumn("__n", V.norm(F.col("__v"))).select(
+            "vec_id",
+            "label",
+            "__k",
+            F.transform(F.col("__v"), lambda x: x / F.col("__n")).alias("__uv"),
+        )
+    )
+    wl = Window.partitionBy("label").orderBy("__k", "vec_id")
+    wl_full = wl.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pos = u.select(
+        "vec_id",
+        "label",
+        "__uv",
+        F.coalesce(
+            F.lead("vec_id").over(wl), F.first("vec_id").over(wl_full)
+        ).alias("__pos_id"),
+    )
+    wb = Window.partitionBy(F.substring("__k", 1, 1)).orderBy("__k", "vec_id")
+    wb_full = wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    neg = u.select(
+        "vec_id",
+        F.coalesce(
+            F.lead("vec_id").over(wb), F.first("vec_id").over(wb_full)
+        ).alias("__neg_id"),
+    )
+    tri = (
+        pos.join(neg, "vec_id")
+        .filter(
+            (F.col("__pos_id") != F.col("vec_id"))
+            & (F.col("__neg_id") != F.col("vec_id"))
+        )
+    )
+    up = u.select(
+        F.col("vec_id").alias("__pos_id"), F.col("__uv").alias("__uvp")
+    )
+    un = u.select(
+        F.col("vec_id").alias("__neg_id"),
+        F.col("__uv").alias("__uvn"),
+        F.col("label").alias("__nlabel"),
+    )
+    scored = (
+        tri.join(up, "__pos_id")
+        .join(un, "__neg_id")
+        .filter(F.col("__nlabel") != F.col("label"))
+        .select(
+            "label",
+            F.round(V.dot(F.col("__uv"), F.col("__uvp")), 4).alias("__cap"),
+            F.round(V.dot(F.col("__uv"), F.col("__uvn")), 4).alias("__can"),
+        )
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triplets"),
+        F.sum(F.when(F.col("__cap") < F.col("__can"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violations"),
+    )

@@ -5934,3 +5934,75 @@ def q266_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q273 transitivity-gap audit — how much work is the transitive
+# closure doing to my dedup clusters? Components imply C = Σ n·(n−1)/2
+# intra-cluster pairs but the detector only OBSERVED D direct pairs;
+# gap = 1 − D/C is the fraction of merges that rest on chains rather
+# than direct evidence (a high gap at an aggressive threshold is the
+# classic over-merging smell — chains A~B~C collapsing unrelated A,C).
+# Reuses the verified q44 pairs + q58 components; exact integer ratio.
+# ---------------------------------------------------------------------------
+def _q273_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q58 = ORACLES["q58_dedup_components"]
+    q44 = ORACLES["q44_ngram_jaccard_pairs"]
+    gap = _drr("c.implied - d.direct", "c.implied", 6)
+    return f"""
+    WITH comp AS MATERIALIZED ({q58}),
+    direct AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS direct FROM ({q44})
+    ),
+    sizes AS (
+      SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM comp GROUP BY component_id HAVING COUNT(*) >= 2
+    ),
+    cl AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(MAX(n) AS BIGINT) AS max_cluster,
+             CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS implied
+      FROM sizes
+    )
+    SELECT d.direct AS n_direct_pairs, c.implied AS n_implied_pairs,
+           c.n_clusters AS n_clusters_ge2, c.max_cluster,
+           {gap} AS transitivity_gap
+    FROM cl c, direct d
+    """
+
+
+@query("q273_transitivity_gap", oracle=_q273_oracle())
+def q273_transitivity_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = owned_persist(
+        DD.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=50)
+    )
+    comp = DD.dedup_components(docs, pairs)
+    direct = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("__direct"))
+    sizes = (
+        comp.groupBy("component_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+        .filter(F.col("__n") >= 2)
+    )
+    cl = sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters_ge2"),
+        F.max("__n").cast("bigint").alias("max_cluster"),
+        F.sum(F.col("__n") * (F.col("__n") - 1) / 2).cast("bigint").alias("__implied"),
+    )
+    return cl.crossJoin(F.broadcast(direct)).select(
+        F.col("__direct").alias("n_direct_pairs"),
+        F.col("__implied").alias("n_implied_pairs"),
+        "n_clusters_ge2",
+        "max_cluster",
+        decimal_ratio_round(
+            F.col("__implied") - F.col("__direct"), F.col("__implied"), 6
+        ).alias("transitivity_gap"),
+    )

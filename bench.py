@@ -391,6 +391,10 @@ EXTENDED_QUERIES = [
     "q270_anova_f",
     # Herfindahl supplier concentration per brand (exact ratio)
     "q271_supplier_hhi",
+    # metric-learning triplet violation audit (label/bucket windows)
+    "q272_triplet_violations",
+    # implied-vs-direct dedup pair gap (over-merge smell)
+    "q273_transitivity_gap",
 ]
 
 

@@ -1327,3 +1327,46 @@ def test_q271_hhi_equal_split_identity(spark, tmp_path):
     assert len(out) == 1
     assert out[0].n_suppliers == 4
     assert out[0].hhi == 0.25
+
+
+def test_q272_triplets_are_valid(spark):
+    """Violations never exceed triplet counts; the label-structured
+    synthetic embeddings should violate on a minority of triplets."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q272_triplet_violations"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_violations <= r.n_triplets
+
+    # constructed perfectly-separated clusters => zero violations
+    import os
+    import tempfile
+
+    def vec(axis):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        return [v[i] + (0.01 if i == 63 else 0.0) for i in range(64)]
+
+    rows2 = [(i, vec(0), 0) for i in range(8)] + [
+        (100 + i, vec(1), 1) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows2, ["vec_id", "embedding", "label"])
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = QUERIES["q272_triplet_violations"](spark, d).collect()
+        assert sum(r.n_violations for r in out) == 0
+        assert sum(r.n_triplets for r in out) > 0
+
+
+def test_q273_gap_bounds(spark):
+    """0 <= gap < 1; implied pairs dominate direct pairs; max cluster
+    is consistent with the implied-pair count."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    r = QUERIES["q273_transitivity_gap"](spark, SF_DIR).collect()[0]
+    assert r.n_implied_pairs >= r.n_direct_pairs >= 1
+    assert 0.0 <= r.transitivity_gap < 1.0
+    assert r.max_cluster * (r.max_cluster - 1) // 2 <= r.n_implied_pairs
