@@ -5367,3 +5367,280 @@ def q270_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q274 exact 1-D earth-mover distance (Wasserstein-1) between the
+# purchase and view `value` distributions — the magnitude-aware
+# complement of q213's KS (max CDF gap) and q251's PSI (bucketed):
+#   EMD = ∫|F1 − F2| dv = Σ over consecutive distinct values
+#         |c1·n2 − c2·n1| · Δv / (n1·n2)
+# computed EXACTLY: per-distinct-value class counts, two-phase
+# cumulative sums for c1/c2, the Δv neighbor gap from a rank self-join
+# (rank+1 equi-join over the distinct-value frame — no corpus-global
+# window), and one final HUGEINT ratio in dollars.
+# ---------------------------------------------------------------------------
+def _q274_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    emd = _drr("SUM(term)", "t.n1 * t.n2 * 100", 6)
+    return f"""
+    WITH s AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS BIGINT) AS a,
+             CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                  AS BIGINT) AS b
+      FROM events
+      WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT v,
+             CAST(SUM(a) OVER (ORDER BY v) AS BIGINT) AS c1,
+             CAST(SUM(b) OVER (ORDER BY v) AS BIGINT) AS c2,
+             LEAD(v) OVER (ORDER BY v) AS nv
+      FROM s
+    ),
+    t AS (SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2
+          FROM s),
+    terms AS (
+      SELECT CAST(abs(CAST(c1 AS HUGEINT) * t.n2 - CAST(c2 AS HUGEINT) * t.n1)
+                  * (nv - v) AS HUGEINT) AS term
+      FROM c, t WHERE nv IS NOT NULL
+    )
+    SELECT t.n1, t.n2, {emd} AS emd_dollars
+    FROM terms, t
+    GROUP BY t.n1, t.n2
+    """
+
+
+@query("q274_earth_mover_distance", oracle=_q274_oracle())
+def q274_earth_mover_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        two_phase_numeric_cumsum_multi,
+        two_phase_numeric_rank,
+    )
+
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
+    )
+    s = owned_persist(
+        events.groupBy(
+            F.round(F.col("value") * 100).cast("bigint").alias("__v")
+        ).agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("bigint")
+            .alias("__a"),
+            F.count(F.when(F.col("event_type") == "view", 1))
+            .cast("bigint")
+            .alias("__b2"),
+        )
+    )
+    c = two_phase_numeric_cumsum_multi(
+        s, "__v", "__v", ["__a", "__b2"], ["__c1", "__c2"]
+    )
+    ranked = owned_persist(
+        two_phase_numeric_rank(
+            c.select("__v", "__c1", "__c2"), "__v", "__v", "__rk"
+        )
+    )
+    nxt = ranked.select(
+        (F.col("__rk") - 1).alias("__rk"), F.col("__v").alias("__nv")
+    )
+    t = s.agg(
+        F.sum("__a").cast("bigint").alias("__n1"),
+        F.sum("__b2").cast("bigint").alias("__n2"),
+    )
+    D = "decimal(38,0)"
+    terms = (
+        ranked.join(nxt, "__rk")
+        .crossJoin(F.broadcast(t))
+        .select(
+            (
+                F.abs(
+                    F.col("__c1").cast(D) * F.col("__n2")
+                    - F.col("__c2").cast(D) * F.col("__n1")
+                )
+                * (F.col("__nv") - F.col("__v"))
+            )
+            .cast(D)
+            .alias("__term"),
+            "__n1",
+            "__n2",
+        )
+    )
+    return terms.groupBy("__n1", "__n2").agg(
+        decimal_ratio_round(
+            F.sum("__term").cast(D),
+            F.col("__n1").cast(D) * F.col("__n2") * 100,
+            6,
+        ).alias("emd_dollars")
+    ).select(
+        F.col("__n1").alias("n1"), F.col("__n2").alias("n2"), "emd_dollars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q275 decile-shift table — WHERE do two distributions differ? q213
+# says IF (max CDF gap), q274 says HOW MUCH (mass transport); this
+# gives the quantile-by-quantile picture analysts act on: exact
+# deciles of purchase vs view values side by side with the per-decile
+# shift. Two range-bucketed exact-quantile passes, one broadcast join
+# on p; everything integer cents until the final dollar casts.
+# ---------------------------------------------------------------------------
+@query(
+    "q275_decile_shift",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+             event_id
+      FROM events
+      WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id)
+               AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM b
+    ),
+    pts AS (SELECT UNNEST(range(1, 10)) AS d),
+    q AS (
+      SELECT r.event_type, CAST(p.d AS DOUBLE) / 10 AS p, r.v
+      FROM pts p JOIN r
+        ON r.rk = CAST(CEIL(CAST(p.d AS DOUBLE) / 10 * r.n) AS BIGINT)
+    )
+    SELECT a.p,
+           CAST(a.v AS DOUBLE) / 100 AS purchase_value,
+           CAST(b.v AS DOUBLE) / 100 AS view_value,
+           CAST(a.v - b.v AS DOUBLE) / 100 AS shift_dollars
+    FROM (SELECT p, v FROM q WHERE event_type = 'purchase') a
+    JOIN (SELECT p, v FROM q WHERE event_type = 'view') b USING (p)
+    """,
+)
+def q275_decile_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sketches import exact_quantiles
+
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull()
+    )
+    probs = [i / 10 for i in range(1, 10)]
+
+    def dec(t: str, out: str) -> DataFrame:
+        f = events.filter(F.col("event_type") == t).select(
+            F.round(F.col("value") * 100).cast("bigint").alias("__cents")
+        )
+        return exact_quantiles(f, "__cents", probs).select(
+            "p", F.col("value").alias(out)
+        )
+
+    a = dec("purchase", "__pv")
+    b = dec("view", "__vv")
+    return a.join(F.broadcast(b), "p").select(
+        "p",
+        (F.col("__pv") / 100).cast("double").alias("purchase_value"),
+        (F.col("__vv") / 100).cast("double").alias("view_value"),
+        ((F.col("__pv") - F.col("__vv")) / 100)
+        .cast("double")
+        .alias("shift_dollars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q276 seasonal decomposition of daily event volume — the classic
+# trend + day-of-week + residual split that turns "volume looks weird"
+# into a number per component: trend = centered 7-day moving average
+# (exact window-sum / window-count ratio, truncated at the edges), dow
+# effect = exact mean of the detrended series per weekday, residual =
+# the rest. Every window runs over the per-DAY frame (calendar-
+# bounded); the residual is what q167's anomaly flags should be fed at
+# scale. All ratios integer-exact before one final rounding.
+# ---------------------------------------------------------------------------
+def _q276_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+        exact_mean_round_sql as _emr,
+    )
+
+    trend = _drr(
+        "SUM(n) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)",
+        "COUNT(n) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)",
+        6,
+    )
+    eff = _emr(
+        "SUM(CAST(round(n - trend, 6) AS DECIMAL(28,6)))", "COUNT(*)", 6,
+        sum_scale=6,
+    )
+    return f"""
+    WITH b AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT d, n, dayofweek(d) + 1 AS dow, {trend} AS trend
+      FROM b
+    ),
+    eff AS (
+      SELECT dow, {eff} AS dow_effect FROM tr GROUP BY dow
+    )
+    SELECT CAST(t.d AS TIMESTAMP) AS day, t.n AS n_events, t.trend,
+           e.dow_effect,
+           round(t.n - t.trend - e.dow_effect, 6) AS residual
+    FROM tr t JOIN eff e USING (dow)
+    """
+
+
+@query("q276_seasonal_decompose", oracle=_q276_oracle())
+def q276_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round,
+        exact_mean_round,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    b = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("__d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    # bounded global window: one row per calendar day
+    w7 = Window.orderBy("__d").rowsBetween(-3, 3)
+    tr = owned_persist(
+        b.select(
+            "__d",
+            "__n",
+            (F.dayofweek("__d")).alias("__dow"),
+            decimal_ratio_round(
+                F.sum("__n").over(w7), F.count("__n").over(w7), 6
+            ).alias("__trend"),
+        )
+    )
+    eff = tr.groupBy("__dow").agg(
+        exact_mean_round(
+            F.sum(
+                F.round(F.col("__n") - F.col("__trend"), 6).cast(
+                    "decimal(28,6)"
+                )
+            ),
+            F.count(F.lit(1)).cast("bigint"),
+            6,
+            sum_scale=6,
+        ).alias("__eff")
+    )
+    return tr.join(F.broadcast(eff), "__dow").select(
+        F.col("__d").cast("timestamp").alias("day"),
+        F.col("__n").alias("n_events"),
+        F.col("__trend").alias("trend"),
+        F.col("__eff").alias("dow_effect"),
+        F.round(
+            F.col("__n") - F.col("__trend") - F.col("__eff"), 6
+        ).alias("residual"),
+    )

@@ -395,6 +395,12 @@ EXTENDED_QUERIES = [
     "q272_triplet_violations",
     # implied-vs-direct dedup pair gap (over-merge smell)
     "q273_transitivity_gap",
+    # exact Wasserstein-1 between value distributions
+    "q274_earth_mover_distance",
+    # per-decile distribution shift (two exact-quantile passes)
+    "q275_decile_shift",
+    # trend + day-of-week + residual split of daily volume
+    "q276_seasonal_decompose",
 ]
 
 

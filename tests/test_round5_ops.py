@@ -1370,3 +1370,58 @@ def test_q273_gap_bounds(spark):
     assert r.n_implied_pairs >= r.n_direct_pairs >= 1
     assert 0.0 <= r.transitivity_gap < 1.0
     assert r.max_cluster * (r.max_cluster - 1) // 2 <= r.n_implied_pairs
+
+
+def test_q274_emd_identity_and_positivity(spark, tmp_path):
+    """EMD > 0 on real data; identical distributions give exactly 0;
+    a constructed unit shift gives exactly the shift."""
+    import datetime as dt
+    import os
+
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    r = QUERIES["q274_earth_mover_distance"](spark, SF_DIR).collect()[0]
+    assert r.emd_dollars > 0
+
+    rows = []
+    eid = 0
+    for v, t in [(1.0, "purchase"), (2.0, "purchase"), (4.0, "view"), (5.0, "view")]:
+        rows.append((eid, dt.datetime(2024, 1, 1), 1, t, v, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = str(tmp_path / "emd")
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    out = QUERIES["q274_earth_mover_distance"](spark, d).collect()[0]
+    # both distributions are two atoms 3 dollars apart => EMD = 3.0
+    assert out.emd_dollars == 3.0
+
+
+def test_q275_deciles_monotone_both_sides(spark):
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        QUERIES["q275_decile_shift"](spark, SF_DIR).collect(),
+        key=lambda r: r.p,
+    )
+    assert len(rows) == 9
+    for a, b in zip(rows, rows[1:]):
+        assert b.purchase_value >= a.purchase_value
+        assert b.view_value >= a.view_value
+    for r in rows:
+        assert abs(r.shift_dollars - (r.purchase_value - r.view_value)) < 1e-9
+
+
+def test_q276_decomposition_reconstructs(spark):
+    """n = trend + dow_effect + residual (up to rounding) and the dow
+    effects roughly cancel across a whole week."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q276_seasonal_decompose"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.n_events - (r.trend + r.dow_effect + r.residual)) < 1e-5
