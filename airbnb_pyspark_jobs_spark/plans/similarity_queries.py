@@ -2463,3 +2463,119 @@ def q272_triplet_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_violations"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q279 intrinsic dimension (TwoNN, Facco et al. 2017, public) — "how
+# many dimensions does this embedding REALLY use?": the MLE
+#   ID = n / Σ ln(r2_i / r1_i)
+# over each anchor's 1st/2nd nearest-neighbor cosine distances. If ID
+# ≪ the ambient 64, most coordinates are redundant (JL projection /
+# PQ budgets can shrink). Anchors are the bounded q50 query set
+# (broadcast side — the brute pass is the oracle baseline, not the
+# prod path); distances are 1 − round(cos, 4) on unit vectors, ratios
+# of identical doubles, ln terms 12-dp DECIMAL-summed. Anchors with a
+# duplicate neighbor (r1 = 0) are excluded — counted honestly.
+# ---------------------------------------------------------------------------
+_Q279_NQ = 30
+
+
+def _q279_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    return f"""
+    WITH {_D_UNIT},
+    q AS (SELECT vec_id AS aid, vn AS qv FROM u WHERE vec_id < {_Q279_NQ}),
+    sims AS (
+      SELECT aid, vec_id,
+             CAST(1.0 AS DOUBLE) - round(list_dot_product(qv, vn), 4) AS dist
+      FROM q JOIN u ON vec_id <> aid
+    ),
+    r AS (
+      SELECT aid, dist,
+             ROW_NUMBER() OVER (PARTITION BY aid ORDER BY dist, vec_id) AS rn
+      FROM sims
+    ),
+    nn AS (
+      SELECT a.aid, a.dist AS r1, b.dist AS r2
+      FROM (SELECT aid, dist FROM r WHERE rn = 1) a
+      JOIN (SELECT aid, dist FROM r WHERE rn = 2) b USING (aid)
+    ),
+    kept AS (
+      SELECT CAST(round(ln(r2 / r1), 12) AS DECIMAL(28,12)) AS t
+      FROM nn WHERE r1 > 0 AND r2 > r1
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+             CAST(SUM(t) AS DECIMAL(28,12)) AS s
+      FROM kept
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nn) AS n_anchors, n_used,
+           round(CAST(n_used AS DOUBLE) / CAST(s AS DOUBLE), 4)
+             AS intrinsic_dimension
+    FROM agg
+    """
+
+
+@query("q279_intrinsic_dimension", oracle=_q279_oracle())
+def q279_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions import vectors as V
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = emb.select("vec_id", V.to_double_array("embedding").alias("__v"))
+    u = owned_persist(
+        e.withColumn("__n", V.norm(F.col("__v"))).select(
+            "vec_id",
+            F.transform(F.col("__v"), lambda x: x / F.col("__n")).alias("__vn"),
+        )
+    )
+    q = u.filter(F.col("vec_id") < _Q279_NQ).select(
+        F.col("vec_id").alias("__aid"), F.col("__vn").alias("__qv")
+    )
+    sims = (
+        u.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("__aid"))
+        .select(
+            "__aid",
+            "vec_id",
+            (
+                F.lit(1.0) - F.round(V.dot(F.col("__qv"), F.col("__vn")), 4)
+            ).alias("__dist"),
+        )
+    )
+    w = Window.partitionBy("__aid").orderBy("__dist", "vec_id")
+    r = sims.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= 2
+    )
+    nn = (
+        r.filter(F.col("__rn") == 1)
+        .select("__aid", F.col("__dist").alias("__r1"))
+        .join(
+            r.filter(F.col("__rn") == 2).select(
+                "__aid", F.col("__dist").alias("__r2")
+            ),
+            "__aid",
+        )
+    )
+    nn = owned_persist(nn)
+    kept = nn.filter((F.col("__r1") > 0) & (F.col("__r2") > F.col("__r1"))).select(
+        F.round(F.log(F.col("__r2") / F.col("__r1")), 12)
+        .cast("decimal(28,12)")
+        .alias("__t")
+    )
+    agg = kept.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        F.sum("__t").cast("decimal(28,12)").alias("__s"),
+    )
+    n_anchors = nn.agg(F.count(F.lit(1)).cast("bigint").alias("n_anchors"))
+    return agg.crossJoin(F.broadcast(n_anchors)).select(
+        "n_anchors",
+        "n_used",
+        F.round(
+            F.col("n_used").cast("double") / F.col("__s").cast("double"), 4
+        ).alias("intrinsic_dimension"),
+    )

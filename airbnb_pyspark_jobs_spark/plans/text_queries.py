@@ -6006,3 +6006,171 @@ def q273_transitivity_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__implied") - F.col("__direct"), F.col("__implied"), 6
         ).alias("transitivity_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q277 asymmetric containment pairs — quote/snippet detection, the
+# directional relation resemblance misses: containment(A→B) =
+# |S_A ∩ S_B| / |S_A| ≥ 0.8 with |S_A| ≤ |S_B| says A is (mostly)
+# INSIDE B even when Jaccard is tiny because B is much larger. Same
+# df-capped shingle-intersection machinery as q44, different
+# normalization; the threshold compares as an integer cross-multiply
+# (5·i ≥ 4·n_A — no float shares). Output is directed (contained →
+# container).
+# ---------------------------------------------------------------------------
+@query(
+    "q277_containment_pairs",
+    oracle=f"""
+    WITH {_D_SHINGLES},
+    rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+    shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST(COUNT(*) AS BIGINT) AS i
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_id_a AS contained_id, i.doc_id_b AS container_id,
+           ca.n AS n_shingles_contained, i.i AS n_common,
+           round(CAST(i.i AS DOUBLE) / CAST(ca.n AS DOUBLE), 6)
+             AS containment
+    FROM inter i
+    JOIN cnt ca ON i.doc_id_a = ca.doc_id
+    JOIN cnt cb ON i.doc_id_b = cb.doc_id
+    WHERE ca.n <= cb.n AND 5 * i.i >= 4 * ca.n
+      AND NOT (ca.n = cb.n AND i.doc_id_a > i.doc_id_b)
+    """,
+)
+def q277_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = owned_persist(DD.shingle_table(docs, n=3))
+    rare = (
+        base.groupBy("s")
+        .agg(F.count_distinct("doc_id").alias("__df"))
+        .filter(F.col("__df") <= 50)
+        .select("s")
+    )
+    shf = owned_persist(base.join(rare, "s", "left_semi"))
+    cnt = shf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    a = shf.select(F.col("doc_id").alias("doc_id_a"), "s")
+    b = shf.select(F.col("doc_id").alias("doc_id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_id_a") != F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__i"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_id_a"), F.col("__n").alias("__na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_id_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(F.broadcast(ca), "doc_id_a")
+        .join(F.broadcast(cb), "doc_id_b")
+        .filter(
+            (F.col("__na") <= F.col("__nb"))
+            & (5 * F.col("__i") >= 4 * F.col("__na"))
+            & ~(
+                (F.col("__na") == F.col("__nb"))
+                & (F.col("doc_id_a") > F.col("doc_id_b"))
+            )
+        )
+        .select(
+            F.col("doc_id_a").alias("contained_id"),
+            F.col("doc_id_b").alias("container_id"),
+            F.col("__na").alias("n_shingles_contained"),
+            F.col("__i").alias("n_common"),
+            F.round(
+                F.col("__i").cast("double") / F.col("__na").cast("double"), 6
+            ).alias("containment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q278 weighted Jaccard between source unigram profiles — the
+# frequency-aware overlap measure completing the source-similarity
+# family (q161 KL, q237 JSD, q129 shingle overlap):
+#   WJ(s,t) = Σ_w min(c_sw, c_tw) / Σ_w max(c_sw, c_tw)
+# exactly, as integer sums. The union-side Σmax is computed WITHOUT
+# materializing the full |sources|²×vocab grid: Σmax = N_s + N_t −
+# Σmin, so only the intersection terms ever join.
+# ---------------------------------------------------------------------------
+def _q278_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    wj = _drr(
+        "i.smin", "ns.n + nt.n - i.smin", 6
+    )
+    return f"""
+    WITH toks AS (
+      SELECT source, lower(t) AS term
+      FROM (SELECT source, UNNEST({_D_TOKENS}) AS t FROM documents)
+    ),
+    c AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n
+          FROM toks GROUP BY 1, 2),
+    ns AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n FROM c GROUP BY 1),
+    i AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(SUM(LEAST(a.n, b.n)) AS BIGINT) AS smin
+      FROM c a JOIN c b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, i.smin AS sum_min,
+           ns.n + nt.n - i.smin AS sum_max,
+           {wj} AS weighted_jaccard
+    FROM i
+    JOIN ns ON i.source_a = ns.source
+    JOIN ns nt ON i.source_b = nt.source
+    """
+
+
+@query("q278_source_weighted_jaccard", oracle=_q278_oracle())
+def q278_source_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source",
+        F.explode(F.transform(TX.tokens("text"), lambda t: F.lower(t))).alias(
+            "term"
+        ),
+    )
+    c = owned_persist(
+        toks.groupBy("source", "term").agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n")
+        )
+    )
+    ns = c.groupBy("source").agg(F.sum("__n").cast("bigint").alias("__tot"))
+    a = c.select(F.col("source").alias("source_a"), "term", F.col("__n").alias("__na"))
+    b = c.select(F.col("source").alias("source_b"), "term", F.col("__n").alias("__nb"))
+    i = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.least("__na", "__nb")).cast("bigint").alias("__smin"))
+    )
+    nsa = ns.select(F.col("source").alias("source_a"), F.col("__tot").alias("__ta"))
+    nsb = ns.select(F.col("source").alias("source_b"), F.col("__tot").alias("__tb"))
+    return (
+        i.join(F.broadcast(nsa), "source_a")
+        .join(F.broadcast(nsb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("__smin").alias("sum_min"),
+            (F.col("__ta") + F.col("__tb") - F.col("__smin")).alias("sum_max"),
+            decimal_ratio_round(
+                F.col("__smin"),
+                F.col("__ta") + F.col("__tb") - F.col("__smin"),
+                6,
+            ).alias("weighted_jaccard"),
+        )
+    )

