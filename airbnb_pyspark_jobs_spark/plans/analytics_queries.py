@@ -3436,3 +3436,61 @@ def q271_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__sq"), F.col("__tot") * F.col("__tot"), 6
         ).alias("hhi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q282 order cycle-time percentiles per priority — ops SLA reporting:
+# exact p50/p90/p99 of order→ship latency (days, exact integer from
+# the parquet DATE/TIMESTAMP pair) per o_orderpriority, via the
+# grouped range-bucketed rank (exact_quantiles_by — no per-group
+# value materialization, the percentile() OOM shape at 100 TB).
+# ---------------------------------------------------------------------------
+@query(
+    "q282_cycle_time_percentiles",
+    oracle="""
+    WITH b AS (
+      SELECT o.o_orderpriority,
+             CAST((epoch_us(CAST(l.l_shipdate AS TIMESTAMP))
+                   - epoch_us(o.o_orderdate)) // 86400000000 AS BIGINT)
+               AS days,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    r AS (
+      SELECT o_orderpriority, days,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY days, l_orderkey, l_linenumber) AS rk,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM b
+    ),
+    pts AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS p)
+    SELECT r.o_orderpriority, CAST(p.p AS DOUBLE) AS p,
+           CAST(CEIL(p.p * r.n) AS BIGINT) AS rank,
+           CAST(r.days AS DOUBLE) AS value
+    FROM pts p JOIN r ON r.rk = CAST(CEIL(p.p * r.n) AS BIGINT)
+    """,
+)
+def q282_cycle_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sketches import exact_quantiles_by
+
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    b = li.join(
+        orders.select("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "o_orderpriority",
+        F.expr(
+            "(unix_micros(cast(l_shipdate as timestamp))"
+            " - unix_micros(cast(o_orderdate as timestamp))) div 86400000000"
+        )
+        .cast("bigint")
+        .alias("__days"),
+    )
+    out = exact_quantiles_by(b, ["o_orderpriority"], "__days", [0.5, 0.9, 0.99])
+    return out.select(
+        "o_orderpriority",
+        F.col("p").cast("double").alias("p"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("value").cast("double").alias("value"),
+    )

@@ -6174,3 +6174,130 @@ def q278_source_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weighted_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q280 Cohen's kappa between the LM gate and the ensemble gate — the
+# chance-corrected summary of q172's raw 2×2 disagreement matrix: two
+# filters can "agree 88%" purely because both keep most docs; kappa =
+# (p_o − p_e)/(1 − p_e) subtracts that. Exact integer arithmetic via
+# cross-multiplied cell counts:
+#   kappa = (n·Σd − Σ_c r_c·c_c) / (n² − Σ_c r_c·c_c)
+# (Σd = diagonal, r/c = marginals), one decimal_ratio_round at the
+# end. Composes the verified q156/q169 oracles.
+# ---------------------------------------------------------------------------
+def _q280_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    kappa = _drr(
+        "CAST(n AS HUGEINT) * diag - pe_num",
+        "CAST(n AS HUGEINT) * n - pe_num", 6,
+    )
+    return f"""
+    WITH lm AS ({_q156_oracle()}),
+    ens AS ({_q169_oracle()}),
+    cells AS (
+      SELECT CAST(lm.keep AS BIGINT) AS a, CAST(ens.keep AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lm JOIN ens ON lm.doc_id = ens.doc_id
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS diag,
+             CAST(SUM(CASE WHEN a = 1 THEN n ELSE 0 END) AS HUGEINT)
+               * CAST(SUM(CASE WHEN b = 1 THEN n ELSE 0 END) AS HUGEINT)
+             + CAST(SUM(CASE WHEN a = 0 THEN n ELSE 0 END) AS HUGEINT)
+               * CAST(SUM(CASE WHEN b = 0 THEN n ELSE 0 END) AS HUGEINT)
+               AS pe_num
+      FROM cells
+    )
+    SELECT n, diag AS n_agree, {kappa} AS kappa
+    FROM m
+    """
+
+
+@query("q280_filter_kappa", oracle=_q280_oracle())
+def q280_filter_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    cells = q172_filter_disagreement(spark, sf_dir).select(
+        F.col("lm_keep").cast("bigint").alias("__a"),
+        F.col("ensemble_keep").cast("bigint").alias("__b"),
+        F.col("n_docs").alias("__n"),
+    )
+    D = "decimal(38,0)"
+    m = cells.agg(
+        F.sum("__n").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+        (
+            F.sum(F.when(F.col("__a") == 1, F.col("__n")).otherwise(0)).cast(D)
+            * F.sum(F.when(F.col("__b") == 1, F.col("__n")).otherwise(0)).cast(D)
+            + F.sum(F.when(F.col("__a") == 0, F.col("__n")).otherwise(0)).cast(D)
+            * F.sum(F.when(F.col("__b") == 0, F.col("__n")).otherwise(0)).cast(D)
+        )
+        .cast(D)
+        .alias("__pe"),
+    )
+    return m.select(
+        "n",
+        "n_agree",
+        decimal_ratio_round(
+            F.col("n").cast(D) * F.col("n_agree") - F.col("__pe"),
+            F.col("n").cast(D) * F.col("n") - F.col("__pe"),
+            6,
+        ).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q281 expected calibration error — the one-number summary of q171's
+# reliability diagram: ECE = Σ_b (n_b/n)·|mean_p_b − pos_rate_b|. The
+# per-bucket terms reuse q171's already-pinned 6-dp values, weighted
+# as exact DECIMAL products and finished through the integer
+# round-half-away path. ECE < ~0.05 = usable probabilities; bigger
+# means recalibrate (q140-style quantile mapping) before thresholding.
+# ---------------------------------------------------------------------------
+def _q281_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        exact_mean_round_sql as _emr,
+    )
+
+    ece = _emr(
+        "SUM(CAST(n_docs AS DECIMAL(28,6))"
+        " * CAST(abs(round(mean_p - pos_rate, 6)) AS DECIMAL(10,6)))",
+        "SUM(n_docs)", 6, sum_scale=6,
+    )
+    return f"""
+    WITH rel AS ({_q171_oracle()})
+    SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           {ece} AS ece
+    FROM rel
+    """
+
+
+@query("q281_calibration_ece", oracle=_q281_oracle())
+def q281_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.numeric import exact_mean_round
+
+    rel = q171_classifier_calibration(spark, sf_dir)
+    return rel.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        exact_mean_round(
+            F.sum(
+                F.col("n_docs").cast("decimal(28,6)")
+                * F.abs(
+                    F.round(F.col("mean_p") - F.col("pos_rate"), 6)
+                ).cast("decimal(10,6)")
+            ),
+            F.sum("n_docs").cast("bigint"),
+            6,
+            sum_scale=6,
+        ).alias("ece"),
+    )

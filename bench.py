@@ -407,6 +407,12 @@ EXTENDED_QUERIES = [
     "q278_source_weighted_jaccard",
     # TwoNN intrinsic-dimension estimate over bounded anchors
     "q279_intrinsic_dimension",
+    # chance-corrected filter agreement (integer cross-multiply)
+    "q280_filter_kappa",
+    # expected calibration error over the q171 diagram
+    "q281_calibration_ece",
+    # order->ship latency p50/p90/p99 per priority (grouped exact)
+    "q282_cycle_time_percentiles",
 ]
 
 

@@ -1470,3 +1470,44 @@ def test_q279_intrinsic_dimension_plausible(spark):
     r = QUERIES["q279_intrinsic_dimension"](spark, SF_DIR).collect()[0]
     assert 0 < r.n_used <= r.n_anchors
     assert 0.0 < r.intrinsic_dimension < 200.0
+
+
+def test_q280_kappa_bounds_and_agreement(spark):
+    """kappa in [-1, 1] and below raw agreement (chance correction
+    can only shrink it when p_e > 0)."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    r = QUERIES["q280_filter_kappa"](spark, SF_DIR).collect()[0]
+    assert -1.0 <= r.kappa <= 1.0
+    assert r.kappa <= r.n_agree / r.n + 1e-9
+
+
+def test_q281_ece_consistent_with_reliability_diagram(spark):
+    """ECE equals the doc-weighted mean |gap| recomputed from q171."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rel = QUERIES["q171_classifier_calibration"](spark, SF_DIR).collect()
+    n = sum(r.n_docs for r in rel)
+    ece = sum(r.n_docs * abs(round(r.mean_p - r.pos_rate, 6)) for r in rel) / n
+    out = QUERIES["q281_calibration_ece"](spark, SF_DIR).collect()[0]
+    assert out.n_docs == n
+    assert abs(out.ece - ece) < 2e-6
+    assert 0.0 <= out.ece <= 1.0
+
+
+def test_q282_percentiles_ordered(spark):
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q282_cycle_time_percentiles"](spark, SF_DIR).collect()
+    by_pri = {}
+    for r in rows:
+        by_pri.setdefault(r.o_orderpriority, []).append(r)
+    assert len(by_pri) == 5
+    for cells in by_pri.values():
+        cells.sort(key=lambda r: r.p)
+        assert [c.p for c in cells] == [0.5, 0.9, 0.99]
+        assert cells[0].value <= cells[1].value <= cells[2].value
+        assert all(c.value >= 0 for c in cells)
