@@ -5644,3 +5644,237 @@ def q276_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__n") - F.col("__trend") - F.col("__eff"), 6
         ).alias("residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q283 segment propensity — does the q258-style value segmentation
+# actually PREDICT anything? Users are decile-ranked on first-half
+# activity (event count; decile 0 = inactive in the first half), then
+# each decile reports its second-half purchase propensity with the
+# q207 Wilson 95% lower bound (deciles are small where it matters —
+# raw rates overrank sparse cells). Deciles from the grouped two-phase
+# rank; outcome is one semi-join-free boolean aggregate per user.
+# ---------------------------------------------------------------------------
+@query(
+    "q283_segment_propensity",
+    oracle="""
+    WITH st AS (
+      SELECT MIN(epoch_us(ts)) + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2
+               AS mid
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    act AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events, st
+      WHERE user_id IS NOT NULL AND epoch_us(ts) <= st.mid
+      GROUP BY user_id
+    ),
+    outc AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN event_type = 'purchase'
+                           AND epoch_us(ts) > st.mid THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted
+      FROM events, st WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (ORDER BY n, user_id) AS rk,
+             COUNT(*) OVER () AS cnt
+      FROM act
+    ),
+    seg AS (
+      SELECT o.user_id,
+             CAST(COALESCE((r.rk - 1) * 10 // r.cnt + 1, 0) AS BIGINT)
+               AS decile,
+             o.converted
+      FROM outc o LEFT JOIN r ON o.user_id = r.user_id
+    ),
+    g AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM seg GROUP BY decile
+    )
+    SELECT decile, n_users, n_converted,
+           round(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+             AS conv_rate,
+           round((CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)
+                  + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                    / (CAST(2 AS DOUBLE) * CAST(n_users AS DOUBLE))
+                  - CAST(1.96 AS DOUBLE)
+                    * sqrt((CAST(n_converted AS DOUBLE)
+                            / CAST(n_users AS DOUBLE))
+                           * (CAST(1.0 AS DOUBLE)
+                              - CAST(n_converted AS DOUBLE)
+                                / CAST(n_users AS DOUBLE))
+                           / CAST(n_users AS DOUBLE)
+                           + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                             / (CAST(4 AS DOUBLE)
+                                * CAST(n_users AS DOUBLE)
+                                * CAST(n_users AS DOUBLE))))
+                 / (CAST(1.0 AS DOUBLE)
+                    + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                      / CAST(n_users AS DOUBLE)), 6) AS wilson_low
+    FROM g
+    """,
+)
+def q283_segment_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        grouped_two_phase_rank,
+    )
+
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    st = events.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + F.expr("(max(unix_micros(ts)) - min(unix_micros(ts))) div 2")
+        ).alias("__mid")
+    )
+    lab = owned_persist(
+        events.crossJoin(F.broadcast(st)).select(
+            "user_id",
+            "event_type",
+            F.when(F.unix_micros("ts") <= F.col("__mid"), 0)
+            .otherwise(1)
+            .alias("__h"),
+        )
+    )
+    act = (
+        lab.filter(F.col("__h") == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+        .withColumn("__g", F.lit(1))
+    )
+    outc = lab.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("__h") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("__conv")
+    )
+    r = grouped_two_phase_rank(
+        act, ["__g"], "__n", "user_id", out_col="__rk"
+    ).select(F.col("__tie").alias("user_id"), "__rk")
+    cnt = act.agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+    seg = (
+        outc.join(r, "user_id", "left")
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            F.coalesce(
+                F.expr("(__rk - 1) * 10 div __cnt") + 1, F.lit(0)
+            )
+            .cast("bigint")
+            .alias("decile"),
+            "__conv",
+        )
+    )
+    g = seg.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("__conv").cast("bigint").alias("n_converted"),
+    )
+    z = F.lit(1.96)
+    n = F.col("n_users").cast("double")
+    p = F.col("n_converted").cast("double") / n
+    wilson = (
+        p
+        + z * z / (F.lit(2.0) * n)
+        - z * F.sqrt(p * (F.lit(1.0) - p) / n + z * z / (F.lit(4.0) * n * n))
+    ) / (F.lit(1.0) + z * z / n)
+    return g.select(
+        "decile",
+        "n_users",
+        "n_converted",
+        F.round(p, 6).alias("conv_rate"),
+        F.round(wilson, 6).alias("wilson_low"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q284 catalog novelty rate — how fast does the item catalog drift?
+# Per second-half day, the share of interactions touching items NEVER
+# seen in the first half (the cold-start load a recommender faces).
+# First-half item set is one distinct aggregate joined broadcast;
+# everything else is scan-side flags and exact ratios.
+# ---------------------------------------------------------------------------
+def _q284_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    rate = _drr("SUM(is_new)", "COUNT(*)", 6)
+    return f"""
+    WITH st AS (
+      SELECT MIN(epoch_us(ts)) + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2
+               AS mid
+      FROM events
+    ),
+    base AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+             epoch_us(ts) AS us
+      FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    seen AS (
+      SELECT DISTINCT item FROM base, st WHERE us <= st.mid
+    ),
+    cur AS (
+      SELECT b.d, b.item,
+             CASE WHEN s.item IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM base b LEFT JOIN seen s ON b.item = s.item, st
+      WHERE b.us > st.mid
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_interactions,
+           CAST(SUM(is_new) AS BIGINT) AS n_new_item_interactions,
+           {rate} AS novelty_rate
+    FROM cur GROUP BY d
+    """
+
+
+@query("q284_catalog_novelty", oracle=_q284_oracle())
+def q284_catalog_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    events = load_table(spark, "events", sf_dir)
+    base = owned_persist(
+        events.select(
+            F.date_trunc("day", "ts").cast("date").alias("__d"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("__item"),
+            F.unix_micros("ts").alias("__us"),
+        ).filter(F.col("__item").isNotNull())
+    )
+    st = base.agg(
+        (
+            F.min("__us") + F.expr("(max(__us) - min(__us)) div 2")
+        ).alias("__mid")
+    )
+    b = base.crossJoin(F.broadcast(st))
+    seen = (
+        b.filter(F.col("__us") <= F.col("__mid")).select("__item").distinct()
+    ).withColumn("__seen", F.lit(1))
+    cur = (
+        b.filter(F.col("__us") > F.col("__mid"))
+        .join(F.broadcast(seen), "__item", "left")
+        .select(
+            "__d",
+            F.when(F.col("__seen").isNull(), 1).otherwise(0).alias("__new"),
+        )
+    )
+    return cur.groupBy("__d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_interactions"),
+        F.sum("__new").cast("bigint").alias("n_new_item_interactions"),
+        decimal_ratio_round(
+            F.sum("__new").cast("bigint"), F.count(F.lit(1)).cast("bigint"), 6
+        ).alias("novelty_rate"),
+    ).select(
+        F.col("__d").cast("timestamp").alias("day"),
+        "n_interactions",
+        "n_new_item_interactions",
+        "novelty_rate",
+    )

@@ -413,6 +413,10 @@ EXTENDED_QUERIES = [
     "q281_calibration_ece",
     # order->ship latency p50/p90/p99 per priority (grouped exact)
     "q282_cycle_time_percentiles",
+    # first-half activity deciles -> second-half conversion + Wilson
+    "q283_segment_propensity",
+    # cold-start share of second-half item interactions
+    "q284_catalog_novelty",
 ]
 
 

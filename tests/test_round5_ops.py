@@ -1511,3 +1511,37 @@ def test_q282_percentiles_ordered(spark):
         assert [c.p for c in cells] == [0.5, 0.9, 0.99]
         assert cells[0].value <= cells[1].value <= cells[2].value
         assert all(c.value >= 0 for c in cells)
+
+
+def test_q283_deciles_partition_users(spark):
+    """Every user appears exactly once across deciles; Wilson lower
+    bound never exceeds the raw rate; decile 0 = users inactive in the
+    first half."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from airbnb_pyspark_jobs_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q283_segment_propensity"](spark, SF_DIR).collect()
+    n_users = (
+        load_table(spark, "events", SF_DIR)
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        assert 0 <= r.n_converted <= r.n_users
+        assert r.wilson_low <= r.conv_rate + 1e-9
+
+
+def test_q284_novelty_bounds(spark):
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q284_catalog_novelty"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_new_item_interactions <= r.n_interactions
+        assert 0.0 <= r.novelty_rate <= 1.0
