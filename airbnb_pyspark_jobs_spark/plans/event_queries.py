@@ -5878,3 +5878,110 @@ def q284_catalog_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new_item_interactions",
         "novelty_rate",
     )
+
+
+# ---------------------------------------------------------------------------
+# q286 distribution-free median CI — an exact-order-statistics 95%
+# confidence interval for each type's median `value`: by the binomial
+# argument the interval [x_(l), x_(u)] with
+#   l = floor(n/2 − 0.98·√n),  u = ceil(n/2 + 0.98·√n) + 1
+# covers the true median at ≈95% without ANY distributional
+# assumption (0.98 = 1.96/2). Rank bounds are deterministic arithmetic
+# on one broadcast (n) row; the two order statistics come from the
+# grouped two-phase rank — no per-group sort, no bootstrap resampling
+# (cf. q218, which bootstraps the MEAN).
+# ---------------------------------------------------------------------------
+@query(
+    "q286_median_ci",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY v, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM b
+    ),
+    k AS (
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             GREATEST(CAST(FLOOR(MAX(n) / 2.0
+                       - CAST(0.98 AS DOUBLE) * sqrt(MAX(n))) AS BIGINT), 1)
+               AS lo_rk,
+             LEAST(CAST(CEIL(MAX(n) / 2.0
+                       + CAST(0.98 AS DOUBLE) * sqrt(MAX(n))) AS BIGINT) + 1,
+                   CAST(MAX(n) AS BIGINT)) AS hi_rk,
+             CAST((MAX(n) + 1) // 2 AS BIGINT) AS med_rk
+      FROM r GROUP BY event_type
+    )
+    SELECT k.event_type, k.n,
+           CAST(m.v AS DOUBLE) / 100 AS median,
+           CAST(l.v AS DOUBLE) / 100 AS ci_low,
+           CAST(h.v AS DOUBLE) / 100 AS ci_high
+    FROM k
+    JOIN r m ON m.event_type = k.event_type AND m.rk = k.med_rk
+    JOIN r l ON l.event_type = k.event_type AND l.rk = k.lo_rk
+    JOIN r h ON h.event_type = k.event_type AND h.rk = k.hi_rk
+    """,
+)
+def q286_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.operators.sketches import (
+        grouped_two_phase_rank,
+    )
+
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull()
+    )
+    b = events.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("__cents"),
+    )
+    r = owned_persist(
+        grouped_two_phase_rank(
+            b, ["event_type"], "__cents", "event_id", out_col="__rk"
+        ).select("event_type", F.col("__v").alias("__cents"), "__rk")
+    )
+    nn = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    k = nn.select(
+        "event_type",
+        "n",
+        F.greatest(
+            F.floor(
+                F.col("n") / 2.0 - F.lit(0.98) * F.sqrt(F.col("n").cast("double"))
+            ).cast("bigint"),
+            F.lit(1).cast("bigint"),
+        ).alias("__lo"),
+        F.least(
+            F.ceil(
+                F.col("n") / 2.0 + F.lit(0.98) * F.sqrt(F.col("n").cast("double"))
+            ).cast("bigint")
+            + 1,
+            F.col("n"),
+        ).alias("__hi"),
+        F.expr("(n + 1) div 2").cast("bigint").alias("__med"),
+    )
+    kb = F.broadcast(k)
+
+    def pick(rk_col: str, out: str) -> DataFrame:
+        return (
+            r.join(kb, "event_type")
+            .filter(F.col("__rk") == F.col(rk_col))
+            .select(
+                "event_type",
+                (F.col("__cents").cast("double") / 100).alias(out),
+            )
+        )
+
+    return (
+        k.select("event_type", "n")
+        .join(pick("__med", "median"), "event_type")
+        .join(pick("__lo", "ci_low"), "event_type")
+        .join(pick("__hi", "ci_high"), "event_type")
+    )

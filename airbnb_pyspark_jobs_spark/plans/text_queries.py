@@ -6301,3 +6301,108 @@ def q281_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_scale=6,
         ).alias("ece"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q285 shingle-skew profile — the quantified WHY behind q44's
+# max_shingle_df=50 cap: the shingle-equality self-join does
+# Σ df·(df−1)/2 pair comparisons, so one boilerplate shingle with
+# df = 10⁵ costs 5·10⁹ pairs on its own. This audit reports the df
+# distribution (p50/p99/max from the df histogram — distinct-df-sized,
+# never corpus-sized) and the exact share of total pair work carried
+# by shingles ABOVE the cap: the fraction of join cost the cap deletes
+# (at the price of missing pairs only inside mega-common shingles).
+# ---------------------------------------------------------------------------
+_Q285_CAP = 50
+
+
+def _q285_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    share = _drr("SUM(CASE WHEN df > {cap} THEN pw ELSE 0 END)",
+                 "SUM(pw)", 6).format(cap=_Q285_CAP)
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+        FROM (SELECT doc_id, {_D_TOKENS} AS ts FROM documents),
+             UNNEST(range(1, len(ts) - 1)) AS u(i)
+      )
+    ),
+    dfs AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY s),
+    h AS (
+      SELECT df, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(df AS HUGEINT) * (df - 1) / 2 * COUNT(*) AS pw
+      FROM dfs GROUP BY df
+    ),
+    c AS (
+      SELECT df, cnt, CAST(SUM(cnt) OVER (ORDER BY df) AS BIGINT) AS crun
+      FROM h
+    ),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h),
+    p50 AS (SELECT MIN(df) AS v FROM c, n
+            WHERE crun >= CAST(CEIL(0.5 * n.n) AS BIGINT)),
+    p99 AS (SELECT MIN(df) AS v FROM c, n
+            WHERE crun >= CAST(CEIL(0.99 * n.n) AS BIGINT))
+    SELECT n.n AS n_shingles,
+           CAST(p50.v AS BIGINT) AS df_p50,
+           CAST(p99.v AS BIGINT) AS df_p99,
+           (SELECT CAST(MAX(df) AS BIGINT) FROM dfs) AS df_max,
+           (SELECT CAST(SUM(pw) AS BIGINT) FROM h) AS pairwork_total,
+           (SELECT {share} FROM h) AS pairwork_share_above_cap
+    FROM n, p50, p99
+    """
+
+
+@query("q285_shingle_skew_profile", oracle=_q285_oracle())
+def q285_shingle_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        two_phase_numeric_cumsum_multi,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    sh = DD.shingle_table(docs, n=3).distinct()
+    dfs = sh.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("__df"))
+    D = "decimal(38,0)"
+    h = owned_persist(
+        dfs.groupBy("__df").agg(
+            F.count(F.lit(1)).cast("bigint").alias("__hc"),
+        ).withColumn(
+            "__pw",
+            (
+                F.col("__df").cast(D) * (F.col("__df") - 1) / 2 * F.col("__hc")
+            ).cast(D),
+        )
+    )
+    c = two_phase_numeric_cumsum_multi(h, "__df", "__df", ["__hc"], ["__crun"])
+    n = h.agg(F.sum("__hc").cast("bigint").alias("__n"))
+    cn = c.crossJoin(F.broadcast(n))
+    p50 = cn.filter(
+        F.col("__crun") >= F.ceil(0.5 * F.col("__n")).cast("bigint")
+    ).agg(F.min("__df").alias("df_p50"))
+    p99 = cn.filter(
+        F.col("__crun") >= F.ceil(0.99 * F.col("__n")).cast("bigint")
+    ).agg(F.min("__df").alias("df_p99"))
+    tails = h.agg(
+        F.max("__df").cast("bigint").alias("df_max"),
+        F.sum("__pw").cast("bigint").alias("pairwork_total"),
+        decimal_ratio_round(
+            F.sum(
+                F.when(F.col("__df") > _Q285_CAP, F.col("__pw")).otherwise(
+                    F.lit(0).cast(D)
+                )
+            ).cast(D),
+            F.sum("__pw").cast(D),
+            6,
+        ).alias("pairwork_share_above_cap"),
+    )
+    return (
+        n.select(F.col("__n").alias("n_shingles"))
+        .crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p99))
+        .crossJoin(F.broadcast(tails))
+    )

@@ -417,6 +417,10 @@ EXTENDED_QUERIES = [
     "q283_segment_propensity",
     # cold-start share of second-half item interactions
     "q284_catalog_novelty",
+    # df-distribution + pair-work share above the q44 cap
+    "q285_shingle_skew_profile",
+    # exact order-statistics 95% CI for each type's median
+    "q286_median_ci",
 ]
 
 

@@ -1545,3 +1545,24 @@ def test_q284_novelty_bounds(spark):
     for r in rows:
         assert 0 <= r.n_new_item_interactions <= r.n_interactions
         assert 0.0 <= r.novelty_rate <= 1.0
+
+
+def test_q285_pairwork_share_and_quantiles(spark):
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    r = QUERIES["q285_shingle_skew_profile"](spark, SF_DIR).collect()[0]
+    assert 1 <= r.df_p50 <= r.df_p99 <= r.df_max
+    assert 0.0 <= r.pairwork_share_above_cap <= 1.0
+    assert r.pairwork_total >= 0 and r.n_shingles > 0
+
+
+def test_q286_ci_brackets_median(spark):
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q286_median_ci"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.ci_low <= r.median <= r.ci_high
+        assert r.n >= 1
