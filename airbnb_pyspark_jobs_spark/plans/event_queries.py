@@ -5985,3 +5985,109 @@ def q286_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pick("__lo", "ci_low"), "event_type")
         .join(pick("__hi", "ci_high"), "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q287 conversion-window sensitivity — how much does the "converted
+# within X" definition move the metric? Each view's time-to-NEXT-
+# purchase is computed ONCE (per-user descending running-min window —
+# scales with the user key), then every window bound is a post-hoc
+# filter over a 3-row threshold table: compute once, slice many —
+# never one range join per bound. Exact integer second gaps and
+# ratios.
+# ---------------------------------------------------------------------------
+@query(
+    "q287_conversion_window_sensitivity",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id, epoch_us(ts) AS us
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    nxt AS (
+      SELECT user_id, event_type, us,
+             MIN(CASE WHEN event_type = 'purchase' THEN us END) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_pus
+      FROM e
+    ),
+    v AS (
+      SELECT (next_pus - us) // 1000000 AS gap_s
+      FROM nxt WHERE event_type = 'view'
+    ),
+    w AS (SELECT UNNEST([600, 3600, 86400]) AS window_seconds)
+    SELECT CAST(w.window_seconds AS BIGINT) AS window_seconds,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_views,
+           CAST(COUNT(CASE WHEN v.gap_s IS NOT NULL
+                           AND v.gap_s <= w.window_seconds THEN 1 END)
+                AS BIGINT) AS n_converted,
+           round(CAST(COUNT(CASE WHEN v.gap_s IS NOT NULL
+                                 AND v.gap_s <= w.window_seconds THEN 1 END)
+                      AS DOUBLE)
+                 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM v), 6) AS conv_rate
+    FROM w, v
+    GROUP BY w.window_seconds
+    """,
+)
+def q287_conversion_window_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = events.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("__us"),
+    ).withColumn(
+        "__next_pus",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("__us"))
+        ).over(w),
+    )
+    v = owned_persist(
+        nxt.filter(F.col("event_type") == "view").select(
+            F.expr("(__next_pus - __us) div 1000000").cast("bigint").alias(
+                "__gap_s"
+            )
+        )
+    )
+    tot = v.agg(F.count(F.lit(1)).cast("bigint").alias("__n_views"))
+    ws = spark.createDataFrame(
+        [(600,), (3600,), (86400,)], ["window_seconds"]
+    ).select(F.col("window_seconds").cast("bigint").alias("window_seconds"))
+    return (
+        v.crossJoin(F.broadcast(ws))
+        .groupBy("window_seconds")
+        .agg(
+            F.count(
+                F.when(
+                    F.col("__gap_s").isNotNull()
+                    & (F.col("__gap_s") <= F.col("window_seconds")),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("n_converted")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "window_seconds",
+            F.col("__n_views").alias("n_views"),
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double")
+                / F.col("__n_views").cast("double"),
+                6,
+            ).alias("conv_rate"),
+        )
+    )

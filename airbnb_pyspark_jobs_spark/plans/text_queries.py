@@ -6406,3 +6406,154 @@ def q285_shingle_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(p99))
         .crossJoin(F.broadcast(tails))
     )
+
+
+# ---------------------------------------------------------------------------
+# q288 chunk-boundary stability under edits — the measured argument
+# for content-defined chunking: deterministically perturb every doc
+# (drop its first word) and count how many of its ORIGINAL chunk
+# hashes survive. CDC boundaries re-synchronize right after the edit
+# (survival ≈ 1 − O(1/#chunks)); fixed token windows all shift by one
+# word and survival collapses toward 0 — this is the dedup-store /
+# incremental-ingest justification for q86 over q42, as a number. Both
+# chunkers run on both variants through the SAME parameterized SQL/
+# plan (distinct chunk-hash sets per doc, set intersection by join).
+# ---------------------------------------------------------------------------
+def _q288_cdc_chunkset(src: str) -> str:
+    """DISTINCT (doc_id, chunk md5) CTE body for the CDC chunker over
+    ``src`` (a CTE with doc_id, text) — q86's verified SQL, source-
+    parameterized."""
+    return f"""
+      SELECT DISTINCT doc_id, m FROM (
+        SELECT doc_id,
+               md5(substr(text, CAST(bounds[CAST(j AS INT)] + 1 AS INT),
+                          CAST(bounds[CAST(j AS INT) + 1]
+                               - bounds[CAST(j AS INT)] AS INT))) AS m
+        FROM (
+          SELECT doc_id, text, bounds, UNNEST(range(1, len(bounds))) AS j
+          FROM (
+            SELECT doc_id, text, ([0] || cuts || [n]) AS bounds FROM (
+              SELECT doc_id, text, n,
+                     list_filter(
+                       list_transform(hs, (x, i) ->
+                         CASE WHEN x % {_CDC_D} = 0
+                              THEN i + {_CDC_K} - 1 END),
+                       v -> v IS NOT NULL AND v < n) AS cuts
+              FROM (
+                SELECT doc_id, text, length(text) AS n,
+                       list_transform(
+                         range(1, greatest(length(text) - {_CDC_K} + 1, 1) + 1),
+                         i -> CAST('0x' || substr(md5(substr(text,
+                                CAST(i AS INT), {_CDC_K})), 1, 8) AS BIGINT)
+                       ) AS hs
+                FROM {src})))))
+    """
+
+
+def _q288_fixed_chunkset(src: str) -> str:
+    toks = r"string_split_regex(trim(text), '\s+')"
+    return f"""
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(
+               ts[ci * {_STRIDE} + 1 : ci * {_STRIDE} + {_CHUNK}], ' ')) AS m
+      FROM (
+        SELECT doc_id, ts,
+               UNNEST(range(0, greatest((len(ts) - {_CHUNK} + {_STRIDE - 1})
+                                        // {_STRIDE}, 0) + 1)) AS ci
+        FROM (SELECT doc_id, {toks} AS ts FROM {src}))
+    """
+
+
+def _q288_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    share = _drr("SUM(n_kept)", "SUM(n_orig)", 6)
+    return rf"""
+    WITH orig AS (SELECT doc_id, text FROM documents),
+    pert AS (
+      SELECT doc_id, regexp_replace(text, '^\S+\s*', '') AS text
+      FROM documents
+    ),
+    cdo AS MATERIALIZED ({_q288_cdc_chunkset("orig")}),
+    cdp AS MATERIALIZED ({_q288_cdc_chunkset("pert")}),
+    fxo AS MATERIALIZED ({_q288_fixed_chunkset("orig")}),
+    fxp AS MATERIALIZED ({_q288_fixed_chunkset("pert")}),
+    per_doc AS (
+      SELECT 'cdc' AS method, o.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_orig,
+             CAST(COUNT(p.m) AS BIGINT) AS n_kept
+      FROM cdo o LEFT JOIN cdp p ON o.doc_id = p.doc_id AND o.m = p.m
+      GROUP BY o.doc_id
+      UNION ALL
+      SELECT 'fixed', o.doc_id, CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(p.m) AS BIGINT)
+      FROM fxo o LEFT JOIN fxp p ON o.doc_id = p.doc_id AND o.m = p.m
+      GROUP BY o.doc_id
+    )
+    SELECT method, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_orig) AS BIGINT) AS n_chunks_orig,
+           CAST(SUM(n_kept) AS BIGINT) AS n_chunks_preserved,
+           {share} AS preserved_share
+    FROM per_doc GROUP BY method
+    """
+
+
+@query("q288_chunking_stability", oracle=_q288_oracle())
+def q288_chunking_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+    from airbnb_pyspark_jobs_spark.operators.corpus import (
+        cdc_chunks,
+        chunk_documents,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    pert = docs.select(
+        "doc_id", F.regexp_replace("text", r"^\S+\s*", "").alias("text")
+    )
+
+    def cdc_set(d: DataFrame) -> DataFrame:
+        return (
+            cdc_chunks(d, k=_CDC_K, divisor=_CDC_D)
+            .select("doc_id", F.col("chunk_md5").alias("__m"))
+            .distinct()
+        )
+
+    def fixed_set(d: DataFrame) -> DataFrame:
+        return (
+            chunk_documents(d, chunk_tokens=_CHUNK, overlap=_OVERLAP)
+            .select("doc_id", F.md5("chunk_text").alias("__m"))
+            .distinct()
+        )
+
+    def survival(o: DataFrame, p: DataFrame, method: str) -> DataFrame:
+        o = owned_persist(o)
+        kept = (
+            o.join(
+                p.withColumnRenamed("__m", "__m2"),
+                (o["doc_id"] == p["doc_id"]) & (F.col("__m") == F.col("__m2")),
+                "left",
+            )
+            .select(o["doc_id"].alias("__did"), F.col("__m2"))
+            .groupBy("__did")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("__n_orig"),
+                F.count("__m2").cast("bigint").alias("__n_kept"),
+            )
+        )
+        return kept.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__n_orig").cast("bigint").alias("n_chunks_orig"),
+            F.sum("__n_kept").cast("bigint").alias("n_chunks_preserved"),
+            decimal_ratio_round(
+                F.sum("__n_kept").cast("bigint"),
+                F.sum("__n_orig").cast("bigint"),
+                6,
+            ).alias("preserved_share"),
+        ).select(F.lit(method).alias("method"), "*")
+
+    return survival(cdc_set(docs), cdc_set(pert), "cdc").unionByName(
+        survival(fixed_set(docs), fixed_set(pert), "fixed")
+    )

@@ -421,6 +421,10 @@ EXTENDED_QUERIES = [
     "q285_shingle_skew_profile",
     # exact order-statistics 95% CI for each type's median
     "q286_median_ci",
+    # compute-once slice-many conversion window sweep
+    "q287_conversion_window_sensitivity",
+    # CDC vs fixed chunk survival under a one-word edit
+    "q288_chunking_stability",
 ]
 
 

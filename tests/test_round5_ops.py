@@ -1566,3 +1566,38 @@ def test_q286_ci_brackets_median(spark):
     for r in rows:
         assert r.ci_low <= r.median <= r.ci_high
         assert r.n >= 1
+
+
+def test_q287_rates_monotone_in_window(spark):
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        QUERIES["q287_conversion_window_sensitivity"](spark, SF_DIR).collect(),
+        key=lambda r: r.window_seconds,
+    )
+    assert [r.window_seconds for r in rows] == [600, 3600, 86400]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_converted >= a.n_converted
+        assert b.n_views == a.n_views
+    for r in rows:
+        assert 0 <= r.n_converted <= r.n_views
+
+
+def test_q288_cdc_more_stable_than_fixed(spark):
+    """The whole point: CDC chunk survival under a one-word edit must
+    dominate fixed-window survival by a wide margin."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = {
+        r.method: r
+        for r in QUERIES["q288_chunking_stability"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"cdc", "fixed"}
+    for r in rows.values():
+        assert 0 <= r.n_chunks_preserved <= r.n_chunks_orig
+    assert rows["cdc"].preserved_share > rows["fixed"].preserved_share + 0.3, (
+        rows["cdc"].preserved_share,
+        rows["fixed"].preserved_share,
+    )
