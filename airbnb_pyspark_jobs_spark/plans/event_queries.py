@@ -6091,3 +6091,211 @@ def q287_conversion_window_sensitivity(
             ).alias("conv_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q289 CUPED-adjusted A/B readout — the experimentation-platform
+# primitive: users split deterministically (md5 parity) into A/B, the
+# experiment metric is second-half purchase value per user, and the
+# pre-period covariate (first-half value) absorbs between-user
+# variance: Y' = Y − θ·(X − X̄), θ = cov(X,Y)/var(X). All moments are
+# exact integer-cent sums (HUGEINT cross-products — the q133/q209
+# discipline); θ and the means are the only doubles, each pinned by
+# rounding before reuse. Reports the raw and adjusted treatment
+# deltas plus the variance-reduction factor 1 − ρ² that makes CUPED
+# worth running (ρ² here is large because pre- and post-period
+# behavior correlate).
+# ---------------------------------------------------------------------------
+@query(
+    "q289_cuped_ab",
+    oracle="""
+    WITH st AS (
+      SELECT MIN(epoch_us(ts)) + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2
+               AS mid
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(md5(CAST(user_id AS VARCHAR)) AS VARCHAR) AS h,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           AND epoch_us(ts) <= st.mid
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           AND epoch_us(ts) > st.mid
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events, st WHERE user_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY user_id
+    ),
+    g AS (
+      SELECT CASE WHEN CAST('0x' || substr(h, 1, 8) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm, x, y
+      FROM u
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM g
+    ),
+    th AS (
+      SELECT n,
+        round(CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS theta,
+        round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 9) AS xbar,
+        round(
+          (CAST(n * sxy - sx * sy AS DOUBLE)
+           * CAST(n * sxy - sx * sy AS DOUBLE))
+          / (CAST(n * sxx - sx * sx AS DOUBLE)
+             * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho2
+      FROM mom
+    ),
+    arms AS (
+      -- linearity: mean(y - theta*(x - xbar)) = ybar - theta*(xbar_arm
+      -- - xbar); integer-cent sums stay EXACT doubles (< 2^53), so no
+      -- order-dependent float accumulation ever happens
+      SELECT g.arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+             round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS raw_mean_cents,
+             round(CAST(SUM(y) AS DOUBLE) / COUNT(*)
+                   - th.theta * (CAST(SUM(x) AS DOUBLE) / COUNT(*) - th.xbar),
+                   6) AS cuped_mean_cents
+      FROM g, th GROUP BY g.arm, th.theta, th.xbar
+    )
+    SELECT a.n_users AS n_a, b.n_users AS n_b,
+           round(a.raw_mean_cents - b.raw_mean_cents, 6) AS raw_delta_cents,
+           round(a.cuped_mean_cents - b.cuped_mean_cents, 6)
+             AS cuped_delta_cents,
+           th.rho2 AS variance_reduction_rho2
+    FROM (SELECT * FROM arms WHERE arm = 'A') a,
+         (SELECT * FROM arms WHERE arm = 'B') b, th
+    """,
+)
+def q289_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    st = events.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + F.expr("(max(unix_micros(ts)) - min(unix_micros(ts))) div 2")
+        ).alias("__mid")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    u = owned_persist(
+        events.crossJoin(F.broadcast(st))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.unix_micros("ts") <= F.col("__mid")),
+                    cents,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("__x"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.unix_micros("ts") > F.col("__mid")),
+                    cents,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("__y"),
+        )
+        .select(
+            F.when(
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+                == 0,
+                "A",
+            )
+            .otherwise("B")
+            .alias("__arm"),
+            "__x",
+            "__y",
+        )
+    )
+    D = "decimal(38,0)"
+    mom = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__x").cast(D).alias("__sx"),
+        F.sum("__y").cast(D).alias("__sy"),
+        F.sum(F.col("__x").cast(D) * F.col("__y")).cast(D).alias("__sxy"),
+        F.sum(F.col("__x").cast(D) * F.col("__x")).cast(D).alias("__sxx"),
+        F.sum(F.col("__y").cast(D) * F.col("__y")).cast(D).alias("__syy"),
+    )
+    covn = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    varxn = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    varyn = F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    th = mom.select(
+        F.round(covn.cast("double") / varxn.cast("double"), 9).alias("__theta"),
+        F.round(
+            F.col("__sx").cast("double") / F.col("__n").cast("double"), 9
+        ).alias("__xbar"),
+        F.round(
+            (covn.cast("double") * covn.cast("double"))
+            / (varxn.cast("double") * varyn.cast("double")),
+            6,
+        ).alias("__rho2"),
+    )
+    arms = (
+        u.crossJoin(F.broadcast(th))
+        .groupBy("__arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__nu"),
+            F.max("__theta").alias("__th"),
+            F.max("__xbar").alias("__xb"),
+            F.sum("__y").cast("bigint").alias("__sy"),
+            F.sum("__x").cast("bigint").alias("__sxa"),
+        )
+        .select(
+            "__arm",
+            "__nu",
+            F.round(
+                F.col("__sy").cast("double") / F.col("__nu").cast("double"), 6
+            ).alias("__raw"),
+            F.round(
+                F.col("__sy").cast("double") / F.col("__nu").cast("double")
+                - F.col("__th")
+                * (
+                    F.col("__sxa").cast("double") / F.col("__nu").cast("double")
+                    - F.col("__xb")
+                ),
+                6,
+            ).alias("__cuped"),
+        )
+    )
+    a = arms.filter(F.col("__arm") == "A").select(
+        F.col("__nu").alias("n_a"),
+        F.col("__raw").alias("__ra"),
+        F.col("__cuped").alias("__ca"),
+    )
+    b = arms.filter(F.col("__arm") == "B").select(
+        F.col("__nu").alias("n_b"),
+        F.col("__raw").alias("__rb"),
+        F.col("__cuped").alias("__cb"),
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(th))
+        .select(
+            "n_a",
+            "n_b",
+            F.round(F.col("__ra") - F.col("__rb"), 6).alias("raw_delta_cents"),
+            F.round(F.col("__ca") - F.col("__cb"), 6).alias(
+                "cuped_delta_cents"
+            ),
+            F.col("__rho2").alias("variance_reduction_rho2"),
+        )
+    )

@@ -425,6 +425,8 @@ EXTENDED_QUERIES = [
     "q287_conversion_window_sensitivity",
     # CDC vs fixed chunk survival under a one-word edit
     "q288_chunking_stability",
+    # CUPED-adjusted A/B delta with exact-moment theta
+    "q289_cuped_ab",
 ]
 
 

@@ -1601,3 +1601,26 @@ def test_q288_cdc_more_stable_than_fixed(spark):
         rows["cdc"].preserved_share,
         rows["fixed"].preserved_share,
     )
+
+
+def test_q289_cuped_variance_reduction_valid(spark):
+    """rho2 in [0, 1]; arm sizes partition the user base; CUPED shifts
+    the delta without changing its scale wildly (sanity band)."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from airbnb_pyspark_jobs_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    r = QUERIES["q289_cuped_ab"](spark, SF_DIR).collect()[0]
+    n_users = (
+        load_table(spark, "events", SF_DIR)
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r.n_a + r.n_b == n_users
+    assert 0.0 <= r.variance_reduction_rho2 <= 1.0
+    # an md5-parity split of the same population: both deltas are noise
+    # around zero at this scale; just pin they are finite and computed
+    assert abs(r.raw_delta_cents) < 1e7 and abs(r.cuped_delta_cents) < 1e7
