@@ -3494,3 +3494,67 @@ def q282_cycle_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("bigint").alias("rank"),
         F.col("value").cast("double").alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q290 catalog statistics collector — the ANALYZE TABLE that feeds a
+# cost-based optimizer, as one query over the whole star schema: per
+# (table, column) exact row count, null count, NDV, and min/max
+# (stringified for a uniform schema; numeric columns keep their
+# natural ordering inside each engine because both stringify AFTER the
+# typed MIN/MAX). One pass per table, every aggregate map-side
+# combinable; these are exactly the statistics join reordering and
+# broadcast-threshold decisions consume at 100 TB.
+# ---------------------------------------------------------------------------
+_Q290_COLS = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_brand", "p_type", "p_size"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"],
+}
+
+
+def _q290_oracle() -> str:
+    parts = []
+    for t, cols in _Q290_COLS.items():
+        for c in cols:
+            parts.append(
+                f"""SELECT '{t}' AS table_name, '{c}' AS column_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+             CAST(MIN({c}) AS VARCHAR) AS min_value,
+             CAST(MAX({c}) AS VARCHAR) AS max_value
+      FROM {t}"""
+            )
+    return "\n      UNION ALL\n      ".join(parts)
+
+
+@query("q290_catalog_stats", oracle=_q290_oracle())
+def q290_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, cols in _Q290_COLS.items():
+        df = load_table(spark, t, sf_dir)
+        for c in cols:
+            s = df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(F.col(c)))
+                .cast("bigint")
+                .alias("n_nulls"),
+                F.count_distinct(F.col(c)).cast("bigint").alias("ndv"),
+                F.min(F.col(c)).cast("string").alias("min_value"),
+                F.max(F.col(c)).cast("string").alias("max_value"),
+            ).select(
+                F.lit(t).alias("table_name"),
+                F.lit(c).alias("column_name"),
+                "n_rows",
+                "n_nulls",
+                "ndv",
+                "min_value",
+                "max_value",
+            )
+            out = s if out is None else out.unionByName(s)
+    return out

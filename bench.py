@@ -427,6 +427,8 @@ EXTENDED_QUERIES = [
     "q288_chunking_stability",
     # CUPED-adjusted A/B delta with exact-moment theta
     "q289_cuped_ab",
+    # ANALYZE-TABLE statistics for the whole star schema
+    "q290_catalog_stats",
 ]
 
 

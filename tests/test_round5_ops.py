@@ -1624,3 +1624,19 @@ def test_q289_cuped_variance_reduction_valid(spark):
     # an md5-parity split of the same population: both deltas are noise
     # around zero at this scale; just pin they are finite and computed
     assert abs(r.raw_delta_cents) < 1e7 and abs(r.cuped_delta_cents) < 1e7
+
+
+def test_q290_stats_cover_schema_and_bound_ndv(spark):
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q290_catalog_stats"](spark, SF_DIR).collect()
+    assert len(rows) == 24
+    for r in rows:
+        assert 0 <= r.n_nulls <= r.n_rows
+        assert 1 <= r.ndv <= r.n_rows - r.n_nulls
+        assert r.min_value <= r.max_value or r.min_value is None
+    pk = {r.column_name: r for r in rows}
+    # primary keys are unique: ndv == n_rows
+    for key in ("c_custkey", "o_orderkey", "p_partkey", "s_suppkey"):
+        assert pk[key].ndv == pk[key].n_rows
