@@ -1635,7 +1635,12 @@ def test_q290_stats_cover_schema_and_bound_ndv(spark):
     for r in rows:
         assert 0 <= r.n_nulls <= r.n_rows
         assert 1 <= r.ndv <= r.n_rows - r.n_nulls
-        assert r.min_value <= r.max_value or r.min_value is None
+        # min/max are stringified AFTER the typed aggregate, so only
+        # compare numerically where the column is numeric
+        try:
+            assert float(r.min_value) <= float(r.max_value)
+        except ValueError:
+            assert r.min_value <= r.max_value
     pk = {r.column_name: r for r in rows}
     # primary keys are unique: ndv == n_rows
     for key in ("c_custkey", "o_orderkey", "p_partkey", "s_suppkey"):
