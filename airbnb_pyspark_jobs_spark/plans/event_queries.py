@@ -6299,3 +6299,94 @@ def q289_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__rho2").alias("variance_reduction_rho2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q291 session-strict funnel — q67 measures view→click→purchase over a
+# user's whole history; this one demands the stages happen in ORDER
+# INSIDE one 30-minute session (the "did this visit convert" product
+# number, immune to cross-day pollution). One sessionize pass
+# (user-partitioned gaps-and-islands), then per session three ordered
+# first-timestamps and two strict < comparisons — no joins at all
+# beyond the session groupBy. Stage counts are monotone by
+# construction (tested).
+# ---------------------------------------------------------------------------
+@query(
+    "q291_session_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    brk AS (
+      SELECT user_id, event_type, us,
+             CASE WHEN us - LAG(us) OVER (
+                    PARTITION BY user_id ORDER BY us, event_id)
+                  > 1800000000 OR LAG(us) OVER (
+                    PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS nb,
+             event_id
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, event_type, us,
+             CAST(SUM(nb) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS BIGINT) AS sid
+      FROM brk
+    ),
+    g AS (
+      SELECT user_id, sid,
+             MIN(CASE WHEN event_type = 'view' THEN us END) AS v,
+             MIN(CASE WHEN event_type = 'click' THEN us END) AS c,
+             MIN(CASE WHEN event_type = 'purchase' THEN us END) AS p
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(v) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND v < c
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(SUM(CASE WHEN v IS NOT NULL AND c IS NOT NULL
+                         AND p IS NOT NULL AND v < c AND c < p
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM g
+    """,
+)
+def q291_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.windows import sessionize
+
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    sess = sessionize(events, gap="30 minutes")
+    us = F.unix_micros("ts")
+    g = sess.groupBy("user_id", "session_seq").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("__v"),
+        F.min(F.when(F.col("event_type") == "click", us)).alias("__c"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("__p"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.count("__v").cast("bigint").alias("n_view"),
+        F.sum(
+            F.when(
+                F.col("__v").isNotNull()
+                & F.col("__c").isNotNull()
+                & (F.col("__v") < F.col("__c")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_view_click"),
+        F.sum(
+            F.when(
+                F.col("__v").isNotNull()
+                & F.col("__c").isNotNull()
+                & F.col("__p").isNotNull()
+                & (F.col("__v") < F.col("__c"))
+                & (F.col("__c") < F.col("__p")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_full_funnel"),
+    )

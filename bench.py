@@ -429,6 +429,8 @@ EXTENDED_QUERIES = [
     "q289_cuped_ab",
     # ANALYZE-TABLE statistics for the whole star schema
     "q290_catalog_stats",
+    # in-session ordered view->click->purchase funnel
+    "q291_session_funnel",
 ]
 
 

@@ -1645,3 +1645,11 @@ def test_q290_stats_cover_schema_and_bound_ndv(spark):
     # primary keys are unique: ndv == n_rows
     for key in ("c_custkey", "o_orderkey", "p_partkey", "s_suppkey"):
         assert pk[key].ndv == pk[key].n_rows
+
+
+def test_q291_funnel_monotone(spark):
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    r = QUERIES["q291_session_funnel"](spark, SF_DIR).collect()[0]
+    assert r.n_sessions >= r.n_view >= r.n_view_click >= r.n_full_funnel >= 0
