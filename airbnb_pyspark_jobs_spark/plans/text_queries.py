@@ -6557,3 +6557,58 @@ def q288_chunking_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survival(cdc_set(docs), cdc_set(pert), "cdc").unionByName(
         survival(fixed_set(docs), fixed_set(pert), "fixed")
     )
+
+
+# ---------------------------------------------------------------------------
+# q292 language-ID confusion matrix — the per-class eval q108's
+# row-level `agrees` flag can't show: which languages get confused
+# with which (the asymmetric failure modes that decide whether the
+# min_margin gate is tight enough). Composes the verified q108 output
+# into (label, predicted) cells with per-label recall as an exact
+# integer ratio; unreliable predictions (gate failures) surface as
+# their own `und` column rather than silently vanishing.
+# ---------------------------------------------------------------------------
+def _q292_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q108 = ORACLES["q108_language_id"]
+    recall = _drr(
+        "SUM(CASE WHEN pred_lang = label_lang THEN 1 ELSE 0 END)",
+        "COUNT(*)", 6,
+    )
+    return f"""
+    WITH lid AS ({q108})
+    SELECT label_lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           (SELECT {recall} FROM lid l2
+            WHERE l2.label_lang = lid.label_lang) AS label_recall
+    FROM lid
+    GROUP BY label_lang, pred_lang
+    """
+
+
+@query("q292_langid_confusion", oracle=_q292_oracle())
+def q292_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    lid = owned_persist(
+        q108_language_id(spark, sf_dir).select("label_lang", "pred_lang")
+    )
+    rec = lid.groupBy("label_lang").agg(
+        decimal_ratio_round(
+            F.sum(
+                F.when(F.col("pred_lang") == F.col("label_lang"), 1).otherwise(0)
+            ).cast("bigint"),
+            F.count(F.lit(1)).cast("bigint"),
+            6,
+        ).alias("label_recall")
+    )
+    return (
+        lid.groupBy("label_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .join(F.broadcast(rec), "label_lang")
+    )

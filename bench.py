@@ -431,6 +431,8 @@ EXTENDED_QUERIES = [
     "q290_catalog_stats",
     # in-session ordered view->click->purchase funnel
     "q291_session_funnel",
+    # language-ID confusion matrix with per-label recall
+    "q292_langid_confusion",
 ]
 
 

@@ -1653,3 +1653,28 @@ def test_q291_funnel_monotone(spark):
 
     r = QUERIES["q291_session_funnel"](spark, SF_DIR).collect()[0]
     assert r.n_sessions >= r.n_view >= r.n_view_click >= r.n_full_funnel >= 0
+
+
+def test_q292_confusion_marginals(spark):
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from airbnb_pyspark_jobs_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q292_langid_confusion"](spark, SF_DIR).collect()
+    n_docs = load_table(spark, "documents", SF_DIR).count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0.0 <= r.label_recall <= 1.0
+    # recall consistency: diagonal / label total
+    from collections import defaultdict
+
+    tot = defaultdict(int)
+    diag = defaultdict(int)
+    rec = {}
+    for r in rows:
+        tot[r.label_lang] += r.n_docs
+        if r.pred_lang == r.label_lang:
+            diag[r.label_lang] += r.n_docs
+        rec[r.label_lang] = r.label_recall
+    for lang in tot:
+        assert abs(rec[lang] - diag[lang] / tot[lang]) < 2e-6
