@@ -6390,3 +6390,166 @@ def q291_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_full_funnel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q294 repeat-revenue share per week — "how much of this week's
+# purchase value comes from customers we already had?": a purchaser is
+# REPEAT in week w iff they purchased in any earlier week, decided by
+# comparing each purchase's week to the user's FIRST purchase week
+# (one min over a user window — no self-join against history). Exact
+# cent sums and one exact ratio per week.
+# ---------------------------------------------------------------------------
+def _q294_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    share = _drr("SUM(CASE WHEN repeat THEN c ELSE 0 END)", "SUM(c)", 6)
+    return f"""
+    WITH p AS (
+      SELECT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS w,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        AND value IS NOT NULL
+    ),
+    f AS (
+      SELECT user_id, w, c,
+             MIN(w) OVER (PARTITION BY user_id) AS first_w
+      FROM p
+    ),
+    lab AS (SELECT w, c, w > first_w AS repeat FROM f)
+    SELECT CAST(w AS TIMESTAMP) AS week,
+           CAST(SUM(c) AS BIGINT) AS revenue_cents,
+           CAST(SUM(CASE WHEN repeat THEN c ELSE 0 END) AS BIGINT)
+             AS repeat_revenue_cents,
+           {share} AS repeat_share
+    FROM lab GROUP BY w
+    """
+
+
+@query("q294_repeat_revenue_share", oracle=_q294_oracle())
+def q294_repeat_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    p = load_table(spark, "events", sf_dir).filter(
+        (F.col("event_type") == "purchase")
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("__w"),
+        F.round(F.col("value") * 100).cast("bigint").alias("__c"),
+    )
+    f = p.withColumn(
+        "__first_w", F.min("__w").over(Window.partitionBy("user_id"))
+    )
+    lab = f.select(
+        "__w", "__c", (F.col("__w") > F.col("__first_w")).alias("__repeat")
+    )
+    return lab.groupBy("__w").agg(
+        F.sum("__c").cast("bigint").alias("revenue_cents"),
+        F.sum(F.when(F.col("__repeat"), F.col("__c")).otherwise(0))
+        .cast("bigint")
+        .alias("repeat_revenue_cents"),
+        decimal_ratio_round(
+            F.sum(F.when(F.col("__repeat"), F.col("__c")).otherwise(0)).cast(
+                "bigint"
+            ),
+            F.sum("__c").cast("bigint"),
+            6,
+        ).alias("repeat_share"),
+    ).select(
+        F.col("__w").cast("timestamp").alias("week"),
+        "revenue_cents",
+        "repeat_revenue_cents",
+        "repeat_share",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q295 log2-bucketed latency histogram — HDR-histogram-style view of
+# same-user inter-event gaps per type: bucket = floor(log2(gap_s + 1))
+# computed as the BINARY-STRING length of an integer (no float log —
+# Spark's log2 is ln(x)/ln(2) and floors wrong at powers of two), so
+# buckets are exact and mergeable at any scale; cumulative share tells
+# you instantly what fraction of transitions happen within ~2^k
+# seconds. The ops-facing summary q260's exact percentiles drill into.
+# ---------------------------------------------------------------------------
+def _q295_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    cum = _drr(
+        "SUM(n) OVER (PARTITION BY event_type ORDER BY bucket)",
+        "SUM(n) OVER (PARTITION BY event_type)", 6,
+    )
+    return f"""
+    WITH g AS (
+      SELECT event_type,
+             (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+               AS gap_s
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    h AS (
+      -- floor(log2(v)) as LENGTH(bin(v)) - 1: exact integer path; a
+      -- float log2 differs between engines exactly at powers of two
+      -- (Spark computes log2 as ln(x)/ln(2): ln(8)/ln(2) floors to 2)
+      SELECT event_type,
+             CAST(length(regexp_replace(bin(gap_s + 1), '^0+', ''))
+                  - 1 AS BIGINT) AS bucket
+      FROM g WHERE gap_s IS NOT NULL
+    ),
+    c AS (
+      SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM h GROUP BY 1, 2
+    )
+    SELECT event_type, bucket, n, {cum} AS cum_share
+    FROM c
+    """
+
+
+@query("q295_latency_histogram", oracle=_q295_oracle())
+def q295_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = events.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - lag(unix_micros(ts)) over "
+            "(partition by user_id order by ts, event_id)) div 1000000"
+        ).alias("__gap_s"),
+    ).filter(F.col("__gap_s").isNotNull())
+    h = g.select(
+        "event_type",
+        (F.length(F.conv((F.col("__gap_s") + 1).cast("string"), 10, 2)) - 1)
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    c = h.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wc = Window.partitionBy("event_type").orderBy("bucket")
+    wt = Window.partitionBy("event_type")
+    return c.select(
+        "event_type",
+        "bucket",
+        "n",
+        decimal_ratio_round(
+            F.sum("n").over(wc).cast("bigint"),
+            F.sum("n").over(wt).cast("bigint"),
+            6,
+        ).alias("cum_share"),
+    )

@@ -2579,3 +2579,107 @@ def q279_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_used").cast("double") / F.col("__s").cast("double"), 4
         ).alias("intrinsic_dimension"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q293 quantization-precision sweep — the storage/recall tradeoff
+# table for the embedding store: symmetric scalar quantization at
+# int8 (±127), int4 (±7) and sign (±1) levels, reporting corpus mean
+# and max per-vector reconstruction error at each level. 4× (8×)
+# smaller vectors cost a measurable error step — this query puts the
+# number next to the budget (q56 is the int8 point; q84/q92 the PQ
+# alternative). Per-vector errors are in-order folds rounded to 9 dp,
+# corpus means are exact DECIMAL sums — the q56 discipline swept
+# across levels via one stacked frame.
+# ---------------------------------------------------------------------------
+_Q293_LEVELS = [("int8", 127), ("int4", 7), ("sign", 1)]
+
+
+def _q293_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        exact_mean_round_sql as _emr,
+    )
+
+    # stage the mean at 6-dp DECIMAL: the emr BIGINT staging multiplies
+    # the unscaled decimal by 10^scale, so scale 9 with sums ~40
+    # overflows DuckDB's DECIMAL(18) intermediate (38e9 * 1e9 > 1e18)
+    mean = _emr(
+        "SUM(CAST(round(e9, 6) AS DECIMAL(28,6)))", "COUNT(*)", 6,
+        sum_scale=6,
+    )
+    branches = "\n      UNION ALL\n      ".join(
+        f"""SELECT '{name}' AS level, {lv} AS lv, vec_id, v, scale FROM s"""
+        for name, lv in _Q293_LEVELS
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+    lv AS ({branches}),
+    err AS (
+      SELECT level,
+             round(list_sum(list_transform(v,
+               x -> abs(x - round(x / scale * lv) * scale / lv)))
+               / len(v), 9) AS e9
+      FROM lv
+    )
+    SELECT level, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           {mean} AS mean_recon_err,
+           MAX(e9) AS max_recon_err
+    FROM err GROUP BY level
+    """
+
+
+@query("q293_quantization_sweep", oracle=_q293_oracle())
+def q293_quantization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import exact_mean_round
+    from airbnb_pyspark_jobs_spark.functions.vectors import (
+        abs_max,
+        to_double_array,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    staged = owned_persist(
+        emb.select("vec_id", to_double_array("embedding").alias("__v")).select(
+            "vec_id", "__v", abs_max(F.col("__v")).alias("__scale")
+        )
+    )
+    def _err_fn(lvf: float):
+        # a FACTORY returning a 1-arg lambda: pyspark's transform treats
+        # a 2-arg lambda as (element, index) — a default-arg capture
+        # (`lambda x, _lv=lvf`) silently binds the array INDEX to _lv
+        # (index 0 then divides by zero under ANSI; found the hard way)
+        return lambda x: F.when(F.col("__scale") == 0.0, F.lit(0.0)).otherwise(
+            F.abs(
+                x
+                - F.round(x / F.col("__scale") * lvf)
+                * F.col("__scale")
+                / lvf
+            )
+        )
+
+    parts = []
+    for name, lv in _Q293_LEVELS:
+        err = F.transform(F.col("__v"), _err_fn(float(lv)))
+        parts.append(
+            staged.select(
+                F.lit(name).alias("level"),
+                F.round(
+                    F.aggregate(err, F.lit(0.0), lambda a, x: a + x)
+                    / F.size("__v").cast("double"),
+                    9,
+                ).alias("__e9"),
+            )
+        )
+    lvf_all = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return lvf_all.groupBy("level").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        exact_mean_round(
+            F.sum(F.round(F.col("__e9"), 6).cast("decimal(28,6)")),
+            F.count(F.lit(1)).cast("bigint"),
+            6,
+            sum_scale=6,
+        ).alias("mean_recon_err"),
+        F.max("__e9").alias("max_recon_err"),
+    )

@@ -433,6 +433,12 @@ EXTENDED_QUERIES = [
     "q291_session_funnel",
     # language-ID confusion matrix with per-label recall
     "q292_langid_confusion",
+    # int8/int4/sign quantization error sweep
+    "q293_quantization_sweep",
+    # weekly repeat-vs-new purchase revenue split
+    "q294_repeat_revenue_share",
+    # integer-exact log2 latency histogram with cumulative shares
+    "q295_latency_histogram",
 ]
 
 

@@ -1678,3 +1678,55 @@ def test_q292_confusion_marginals(spark):
         rec[r.label_lang] = r.label_recall
     for lang in tot:
         assert abs(rec[lang] - diag[lang] / tot[lang]) < 2e-6
+
+
+def test_q293_error_grows_as_precision_drops(spark):
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = {r.level: r for r in QUERIES["q293_quantization_sweep"](spark, SF_DIR).collect()}
+    assert set(rows) == {"int8", "int4", "sign"}
+    assert rows["int8"].mean_recon_err < rows["int4"].mean_recon_err
+    assert rows["int4"].mean_recon_err < rows["sign"].mean_recon_err
+    for r in rows.values():
+        assert 0 <= r.mean_recon_err <= r.max_recon_err
+
+
+def test_q294_repeat_share_starts_at_zero(spark):
+    """The first week has no possible repeat purchasers."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        QUERIES["q294_repeat_revenue_share"](spark, SF_DIR).collect(),
+        key=lambda r: r.week,
+    )
+    assert rows[0].repeat_revenue_cents == 0
+    for r in rows:
+        assert 0 <= r.repeat_revenue_cents <= r.revenue_cents
+        assert 0.0 <= r.repeat_share <= 1.0
+
+
+def test_q295_log2_buckets_exact_and_cumulative(spark):
+    """Bucket of 2^k - 1 gap is exactly k (the power-of-two boundary a
+    float log2 would misfloor); cumulative shares end at 1."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q295_latency_histogram"](spark, SF_DIR).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for cells in by_type.values():
+        cells.sort(key=lambda r: r.bucket)
+        assert abs(cells[-1].cum_share - 1.0) < 1e-9
+        shares = [c.cum_share for c in cells]
+        assert shares == sorted(shares)
+
+    # unit check of the integer log2: bin-length of 8 is 4 -> bucket 3
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        (F.length(F.conv(F.lit(8).cast("string"), 10, 2)) - 1).alias("b")
+    )
+    assert df.collect()[0].b == 3
