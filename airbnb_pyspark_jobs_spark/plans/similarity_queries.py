@@ -2258,7 +2258,10 @@ def q241_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q254_ITERS, _Q254_DIGITS, _Q254_DIMS = 4, 6, 64
 
 
-def _q254_oracle() -> str:
+def _q254_chain() -> str:
+    """The shared WITH-body: embeddings + both unrolled power-iteration
+    trajectories (v{K} = top component, w{K} = deflated second). Used by
+    q254 (projections) and q297 (Rayleigh spectral estimates)."""
     d = _Q254_DIGITS
     u0 = ", ".join(["0.125"] * _Q254_DIMS)
     parts = [
@@ -2307,14 +2310,16 @@ def _q254_oracle() -> str:
                          ORDER BY j) AS wk
              FROM wd{k} CROSS JOIN wn{k})"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _q254_oracle() -> str:
+    kf = _Q254_ITERS
+    return f"""{_q254_chain()}
     SELECT vec_id, round(list_dot_product(v, vk), 4) AS proj1,
            round(list_dot_product(v, wk), 4) AS proj2
     FROM e CROSS JOIN v{kf} CROSS JOIN w{kf}
     """
-    )
-    return "".join(parts)
 
 
 @query("q254_pca_top2", oracle=_q254_oracle())
@@ -2682,4 +2687,94 @@ def q293_quantization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_scale=6,
         ).alias("mean_recon_err"),
         F.max("__e9").alias("max_recon_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q297 spectral estimates — the convergence/compressibility readout on
+# top of q254's two components: Rayleigh quotients
+#   λ_i = v_iᵀ(XᵀX)v_i = Σ_rows round(x·v_i, 6)²
+# (one scan pass per component, squares rounded to 9 dp, DECIMAL sums)
+# plus total energy Σ‖x‖² — so the output shows how much variance the
+# top-2 plane captures (energy share) and the spectral ratio λ2/λ1
+# that governs power-iteration convergence speed. Oracle composes the
+# shared q254 trajectory chain.
+# ---------------------------------------------------------------------------
+def _q297_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    kf = _Q254_ITERS
+    return f"""{_q254_chain()},
+    lam AS (
+      SELECT
+        (SELECT CAST(SUM(CAST(round(round(list_dot_product(e.v, v{kf}.vk), 6)
+                 * round(list_dot_product(e.v, v{kf}.vk), 6), 9)
+                 AS DECIMAL(28,9))) AS DECIMAL(28,9))
+         FROM e CROSS JOIN v{kf}) AS l1,
+        (SELECT CAST(SUM(CAST(round(round(list_dot_product(e.v, w{kf}.wk), 6)
+                 * round(list_dot_product(e.v, w{kf}.wk), 6), 9)
+                 AS DECIMAL(28,9))) AS DECIMAL(28,9))
+         FROM e CROSS JOIN w{kf}) AS l2,
+        (SELECT CAST(SUM(CAST(round(list_dot_product(v, v), 9)
+                 AS DECIMAL(28,9))) AS DECIMAL(28,9)) FROM e) AS energy,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n
+    )
+    SELECT n AS n_vectors,
+           round(CAST(l1 AS DOUBLE), 4) AS lambda1,
+           round(CAST(l2 AS DOUBLE), 4) AS lambda2,
+           round(CAST(l2 AS DOUBLE) / CAST(l1 AS DOUBLE), 6) AS spectral_ratio,
+           round((CAST(l1 AS DOUBLE) + CAST(l2 AS DOUBLE))
+                 / CAST(energy AS DOUBLE), 6) AS top2_energy_share
+    FROM lam
+    """
+
+
+@query("q297_spectral_estimates", oracle=_q297_oracle())
+def q297_spectral_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions import vectors as V
+    from airbnb_pyspark_jobs_spark.operators.similarity import (
+        power_iteration_top2,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    v1, v2, _proj = power_iteration_top2(
+        emb, dims=_Q254_DIMS, iters=_Q254_ITERS, digits=_Q254_DIGITS
+    )
+    base = owned_persist(
+        emb.select(V.to_double_array("embedding").alias("__v"))
+    )
+    v1lit = F.array(*[F.lit(float(x)) for x in v1])
+    v2lit = F.array(*[F.lit(float(x)) for x in v2])
+
+    def rayleigh(vlit) -> F.Column:
+        s = F.round(V.dot(F.col("__v"), vlit), 6)
+        return F.sum(F.round(s * s, 9).cast("decimal(28,9)")).cast(
+            "decimal(28,9)"
+        )
+
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        rayleigh(v1lit).alias("__l1"),
+        rayleigh(v2lit).alias("__l2"),
+        F.sum(
+            F.round(V.dot(F.col("__v"), F.col("__v")), 9).cast("decimal(28,9)")
+        )
+        .cast("decimal(28,9)")
+        .alias("__energy"),
+    )
+    return agg.select(
+        "n_vectors",
+        F.round(F.col("__l1").cast("double"), 4).alias("lambda1"),
+        F.round(F.col("__l2").cast("double"), 4).alias("lambda2"),
+        F.round(
+            F.col("__l2").cast("double") / F.col("__l1").cast("double"), 6
+        ).alias("spectral_ratio"),
+        F.round(
+            (F.col("__l1").cast("double") + F.col("__l2").cast("double"))
+            / F.col("__energy").cast("double"),
+            6,
+        ).alias("top2_energy_share"),
     )

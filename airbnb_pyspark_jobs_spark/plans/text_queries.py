@@ -6612,3 +6612,88 @@ def q292_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .join(F.broadcast(rec), "label_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q296 cross-source duplication rate — the governance number behind
+# q129's shingle overlap matrix, at DOC granularity: per source, how
+# many of its documents have a near-duplicate in a DIFFERENT source
+# (licensing/provenance risk: the "same doc arrived twice through two
+# vendors" case). Reuses the verified q44 pair set; one semi-join per
+# side; exact ratios.
+# ---------------------------------------------------------------------------
+def _q296_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q44 = ORACLES["q44_ngram_jaccard_pairs"]
+    rate = _drr("COUNT(DISTINCT x.doc_id)", "MAX(t.n_docs)", 6)
+    return f"""
+    WITH prs AS MATERIALIZED ({q44}),
+    ds AS (SELECT doc_id, source FROM documents),
+    xsrc AS (
+      SELECT p.doc_id_a AS doc_id FROM prs p
+      JOIN ds a ON p.doc_id_a = a.doc_id
+      JOIN ds b ON p.doc_id_b = b.doc_id
+      WHERE a.source <> b.source
+      UNION
+      SELECT p.doc_id_b FROM prs p
+      JOIN ds a ON p.doc_id_a = a.doc_id
+      JOIN ds b ON p.doc_id_b = b.doc_id
+      WHERE a.source <> b.source
+    ),
+    tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM ds GROUP BY source)
+    SELECT t.source, MAX(t.n_docs) AS n_docs,
+           CAST(COUNT(DISTINCT x.doc_id) AS BIGINT) AS n_cross_dup,
+           {rate} AS cross_dup_rate
+    FROM tot t
+    LEFT JOIN ds d ON d.source = t.source
+    LEFT JOIN xsrc x ON x.doc_id = d.doc_id
+    GROUP BY t.source
+    """
+
+
+@query("q296_cross_source_dup_rate", oracle=_q296_oracle())
+def q296_cross_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    docs = load_table(spark, "documents", sf_dir)
+    ds = owned_persist(docs.select("doc_id", "source"))
+    prs = DD.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=50)
+    j = (
+        prs.join(
+            ds.select(F.col("doc_id").alias("doc_id_a"), F.col("source").alias("__sa")),
+            "doc_id_a",
+        )
+        .join(
+            ds.select(F.col("doc_id").alias("doc_id_b"), F.col("source").alias("__sb")),
+            "doc_id_b",
+        )
+        .filter(F.col("__sa") != F.col("__sb"))
+    )
+    xsrc = (
+        j.select(F.col("doc_id_a").alias("doc_id"))
+        .unionByName(j.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    tot = ds.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    hits = (
+        ds.join(xsrc, "doc_id", "left")
+        .groupBy("source")
+        .agg(F.count("__hit").cast("bigint").alias("n_cross_dup"))
+    )
+    return tot.join(hits, "source").select(
+        "source",
+        "n_docs",
+        "n_cross_dup",
+        decimal_ratio_round(F.col("n_cross_dup"), F.col("n_docs"), 6).alias(
+            "cross_dup_rate"
+        ),
+    )

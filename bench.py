@@ -439,6 +439,10 @@ EXTENDED_QUERIES = [
     "q294_repeat_revenue_share",
     # integer-exact log2 latency histogram with cumulative shares
     "q295_latency_histogram",
+    # doc-level cross-source near-dup contamination per source
+    "q296_cross_source_dup_rate",
+    # Rayleigh lambda1/lambda2, spectral ratio, top-2 energy share
+    "q297_spectral_estimates",
 ]
 
 

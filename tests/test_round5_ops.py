@@ -1730,3 +1730,28 @@ def test_q295_log2_buckets_exact_and_cumulative(spark):
         (F.length(F.conv(F.lit(8).cast("string"), 10, 2)) - 1).alias("b")
     )
     assert df.collect()[0].b == 3
+
+
+def test_q296_rates_bounded_and_consistent(spark):
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from airbnb_pyspark_jobs_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q296_cross_source_dup_rate"](spark, SF_DIR).collect()
+    n_docs = load_table(spark, "documents", SF_DIR).count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.n_cross_dup <= r.n_docs
+        assert 0.0 <= r.cross_dup_rate <= 1.0
+
+
+def test_q297_spectral_sanity(spark):
+    """lambda1 >= lambda2 > 0 (deflation gives the SECOND component),
+    ratio in (0,1], top-2 energy share in (0,1]."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    r = QUERIES["q297_spectral_estimates"](spark, SF_DIR).collect()[0]
+    assert r.lambda1 >= r.lambda2 > 0
+    assert 0.0 < r.spectral_ratio <= 1.0
+    assert 0.0 < r.top2_energy_share <= 1.0
