@@ -6524,7 +6524,6 @@ def q295_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir).filter(
         F.col("user_id").isNotNull()
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     g = events.select(
         "event_type",
         F.expr(
