@@ -2778,3 +2778,113 @@ def q297_spectral_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top2_energy_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q298 1-NN leave-one-out label accuracy — the simplest honest
+# "do labels follow geometry" number (q272's triplet audit asks it
+# pairwise; this asks it the way a kNN classifier would): over the
+# bounded anchor set, does each vector's nearest OTHER neighbor share
+# its label? Per-label accuracy as exact ratios; ties broken by
+# neighbor id, distances pinned at 4 dp (the q50 discipline).
+# ---------------------------------------------------------------------------
+_Q298_NQ = 30
+
+
+def _q298_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    acc = _drr("SUM(CASE WHEN hit THEN 1 ELSE 0 END)", "COUNT(*)", 6)
+    return f"""
+    WITH {_D_UNIT},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    q AS (
+      SELECT u.vec_id AS aid, u.vn AS qv, l.label AS alabel
+      FROM u JOIN lab l ON u.vec_id = l.vec_id
+      WHERE u.vec_id < {_Q298_NQ}
+    ),
+    sims AS (
+      SELECT q.aid, q.alabel, u.vec_id, l.label,
+             round(list_dot_product(q.qv, u.vn), 4) AS cs
+      FROM q JOIN u ON u.vec_id <> q.aid
+      JOIN lab l ON u.vec_id = l.vec_id
+    ),
+    nn AS (
+      SELECT aid, alabel, label,
+             ROW_NUMBER() OVER (PARTITION BY aid
+                                ORDER BY cs DESC, vec_id ASC) AS rn
+      FROM sims
+    ),
+    hits AS (
+      SELECT alabel AS label, alabel = label AS hit
+      FROM nn WHERE rn = 1
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           {acc} AS accuracy
+    FROM hits GROUP BY label
+    """
+
+
+@query("q298_knn_loo_accuracy", oracle=_q298_oracle())
+def q298_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions import vectors as V
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    u = owned_persist(
+        emb.select(
+            "vec_id",
+            "label",
+            V.to_double_array("embedding").alias("__v"),
+        )
+        .withColumn("__n", V.norm(F.col("__v")))
+        .select(
+            "vec_id",
+            "label",
+            F.transform(F.col("__v"), lambda x: x / F.col("__n")).alias("__vn"),
+        )
+    )
+    q = u.filter(F.col("vec_id") < _Q298_NQ).select(
+        F.col("vec_id").alias("__aid"),
+        F.col("label").alias("__alabel"),
+        F.col("__vn").alias("__qv"),
+    )
+    sims = (
+        u.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("__aid"))
+        .select(
+            "__aid",
+            "__alabel",
+            "vec_id",
+            "label",
+            F.round(V.dot(F.col("__qv"), F.col("__vn")), 4).alias("__cs"),
+        )
+    )
+    w = Window.partitionBy("__aid").orderBy(
+        F.col("__cs").desc(), F.col("vec_id").asc()
+    )
+    hits = (
+        sims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__alabel").alias("label"),
+            (F.col("__alabel") == F.col("label")).alias("__hit"),
+        )
+    )
+    return hits.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+        F.sum(F.when(F.col("__hit"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        decimal_ratio_round(
+            F.sum(F.when(F.col("__hit"), 1).otherwise(0)).cast("bigint"),
+            F.count(F.lit(1)).cast("bigint"),
+            6,
+        ).alias("accuracy"),
+    )

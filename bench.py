@@ -443,6 +443,8 @@ EXTENDED_QUERIES = [
     "q296_cross_source_dup_rate",
     # Rayleigh lambda1/lambda2, spectral ratio, top-2 energy share
     "q297_spectral_estimates",
+    # 1-NN leave-one-out label accuracy over bounded anchors
+    "q298_knn_loo_accuracy",
 ]
 
 

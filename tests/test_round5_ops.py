@@ -1755,3 +1755,30 @@ def test_q297_spectral_sanity(spark):
     assert r.lambda1 >= r.lambda2 > 0
     assert 0.0 < r.spectral_ratio <= 1.0
     assert 0.0 < r.top2_energy_share <= 1.0
+
+
+def test_q298_accuracy_bounds_and_separable_identity(spark, tmp_path):
+    """Accuracy in [0,1]; constructed separable clusters score 1.0."""
+    import os
+
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    for r in QUERIES["q298_knn_loo_accuracy"](spark, SF_DIR).collect():
+        assert 0 <= r.n_correct <= r.n_anchors
+        assert 0.0 <= r.accuracy <= 1.0
+
+    def vec(axis, eps):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        v[5] = eps  # perturb so neighbors are distinct vectors
+        return v
+
+    rows = [(i, vec(0, 0.01 * (i + 1)), 0) for i in range(8)] + [
+        (100 + i, vec(1, 0.01 * (i + 1)), 1) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    d = str(tmp_path / "emb298")
+    df.write.parquet(os.path.join(d, "embeddings.parquet"))
+    out = QUERIES["q298_knn_loo_accuracy"](spark, d).collect()
+    assert all(r.accuracy == 1.0 for r in out)
