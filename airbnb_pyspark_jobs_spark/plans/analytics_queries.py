@@ -3558,3 +3558,36 @@ def q290_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             out = s if out is None else out.unionByName(s)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q299 order fan-out distribution — the TPC-H Q13 shape turned toward
+# the fact side: how many lineitems does an order carry? The histogram
+# that sizes the orders⨝lineitem join fan-out (q268's combine factor is
+# its mean); orders with zero items surface via the left join, exactly
+# the Q13 zero-cell discipline.
+# ---------------------------------------------------------------------------
+@query(
+    "q299_order_fanout_dist",
+    oracle="""
+    WITH g AS (
+      SELECT o.o_orderkey, CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_items
+      FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey
+    )
+    SELECT n_items, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM g GROUP BY n_items
+    """,
+)
+def q299_order_fanout_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    g = (
+        orders.select("o_orderkey")
+        .join(li.select("l_orderkey"), orders["o_orderkey"] == F.col("l_orderkey"), "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").cast("bigint").alias("n_items"))
+    )
+    return g.groupBy("n_items").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )

@@ -445,6 +445,8 @@ EXTENDED_QUERIES = [
     "q297_spectral_estimates",
     # 1-NN leave-one-out label accuracy over bounded anchors
     "q298_knn_loo_accuracy",
+    # order->lineitem fan-out histogram (Q13 shape, fact side)
+    "q299_order_fanout_dist",
 ]
 
 

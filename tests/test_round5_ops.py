@@ -1782,3 +1782,15 @@ def test_q298_accuracy_bounds_and_separable_identity(spark, tmp_path):
     df.write.parquet(os.path.join(d, "embeddings.parquet"))
     out = QUERIES["q298_knn_loo_accuracy"](spark, d).collect()
     assert all(r.accuracy == 1.0 for r in out)
+
+
+def test_q299_fanout_totals(spark):
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from airbnb_pyspark_jobs_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q299_order_fanout_dist"](spark, SF_DIR).collect()
+    n_orders = load_table(spark, "orders", SF_DIR).count()
+    n_items = load_table(spark, "lineitem", SF_DIR).count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert sum(r.n_items * r.n_orders for r in rows) == n_items
