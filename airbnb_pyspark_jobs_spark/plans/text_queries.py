@@ -6697,3 +6697,85 @@ def q296_cross_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cross_dup_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q300 corpus readiness report — the one-row dashboard a data lead
+# reads before green-lighting a training run, every number an exact
+# integer or pinned ratio from one documents scan + one distinct:
+# corpus size, token mass, exact-duplicate rate (md5 fingerprints),
+# majority-language share, empty/blank rate, and mean doc length. The
+# detailed drill-downs live in their own queries (q142 funnel, q162
+# savings, q239 hygiene, q292 langid); this is the cover page.
+# ---------------------------------------------------------------------------
+def _q300_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+        exact_mean_round_sql as _emr,
+    )
+
+    dup = _drr("t.n_docs - u.n_unique", "t.n_docs", 6)
+    en = _drr("t.n_en", "t.n_docs", 6)
+    blank = _drr("t.n_blank", "t.n_docs", 6)
+    mean_tok = _emr("t.n_tokens", "t.n_docs", 2, sum_scale=0)
+    return f"""
+    WITH t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({_D_TOKENS})) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en,
+             CAST(SUM(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_blank
+      FROM documents
+    ),
+    u AS (
+      SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+      FROM documents
+    )
+    SELECT t.n_docs, t.n_tokens, u.n_unique,
+           {dup} AS exact_dup_rate,
+           {en} AS en_share,
+           {blank} AS blank_rate,
+           {mean_tok} AS mean_tokens_per_doc
+    FROM t, u
+    """
+
+
+@query("q300_corpus_readiness", oracle=_q300_oracle())
+def q300_corpus_readiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round,
+        exact_mean_round,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(TX.tokens("text"))).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("__n_en"),
+        F.sum(F.when(F.trim("text") == "", 1).otherwise(0))
+        .cast("bigint")
+        .alias("__n_blank"),
+    )
+    u = docs.agg(
+        F.count_distinct(F.md5("text")).cast("bigint").alias("n_unique")
+    )
+    return t.crossJoin(F.broadcast(u)).select(
+        "n_docs",
+        "n_tokens",
+        "n_unique",
+        decimal_ratio_round(
+            F.col("n_docs") - F.col("n_unique"), F.col("n_docs"), 6
+        ).alias("exact_dup_rate"),
+        decimal_ratio_round(F.col("__n_en"), F.col("n_docs"), 6).alias(
+            "en_share"
+        ),
+        decimal_ratio_round(F.col("__n_blank"), F.col("n_docs"), 6).alias(
+            "blank_rate"
+        ),
+        exact_mean_round(
+            F.col("n_tokens"), F.col("n_docs"), 2, sum_scale=0
+        ).alias("mean_tokens_per_doc"),
+    )

@@ -447,6 +447,8 @@ EXTENDED_QUERIES = [
     "q298_knn_loo_accuracy",
     # order->lineitem fan-out histogram (Q13 shape, fact side)
     "q299_order_fanout_dist",
+    # one-row corpus readiness dashboard (cover page)
+    "q300_corpus_readiness",
 ]
 
 

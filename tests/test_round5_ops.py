@@ -1794,3 +1794,17 @@ def test_q299_fanout_totals(spark):
     n_items = load_table(spark, "lineitem", SF_DIR).count()
     assert sum(r.n_orders for r in rows) == n_orders
     assert sum(r.n_items * r.n_orders for r in rows) == n_items
+
+
+def test_q300_readiness_consistent(spark):
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERIES
+    from airbnb_pyspark_jobs_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    r = QUERIES["q300_corpus_readiness"](spark, SF_DIR).collect()[0]
+    docs = load_table(spark, "documents", SF_DIR)
+    assert r.n_docs == docs.count()
+    assert 1 <= r.n_unique <= r.n_docs
+    for v in (r.exact_dup_rate, r.en_share, r.blank_rate):
+        assert 0.0 <= v <= 1.0
+    assert r.mean_tokens_per_doc * r.n_docs >= r.n_tokens * 0.99
