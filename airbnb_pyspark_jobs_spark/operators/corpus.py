@@ -257,33 +257,59 @@ def vocabulary(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    digest_buckets: int = 64,
 ) -> DataFrame:
     """Corpus vocabulary / inverted-index build: one row per lowercased
     term with document frequency ``df``, collection frequency ``cf``,
-    ``idf = round(ln(N/df), 6)`` and ``postings_md5`` — the md5 of the
-    comma-joined, lexicographically-sorted distinct doc-id list. The
-    digest value-checks the FULL postings list cross-engine without
-    shipping arrays around (array columns don't round-trip a pandas
-    compare; a hash does).
+    ``idf = round(ln(N/df), 6)`` and ``postings_md5`` — a TREE hash of
+    the distinct doc-id posting list. The digest value-checks the FULL
+    postings list cross-engine without shipping arrays around (array
+    columns don't round-trip a pandas compare; a hash does).
+
+    Tree digest (hot-term safety): a flat per-term
+    ``collect_list(doc_id)`` puts a stopword-grade term's ENTIRE
+    posting list into one aggregation buffer in one task — ~10 GB for a
+    hot term at 10^9 docs, the textbook skewed-key OOM. Instead the
+    list is hashed in two bounded levels: doc-ids are bucketed by
+    ``pmod(md5-hash(doc_id), digest_buckets)``, level 1 md5-hashes each
+    (term, bucket) sub-list (buffer ≤ N/B ids in expectation — raise
+    ``digest_buckets`` with corpus size; B scales the hot-term buffer
+    down linearly), level 2 md5-hashes the lexicographically-sorted
+    bucket digests (buffer ≤ B fixed-width strings). Both levels are
+    deterministic set functions of the posting list, so the oracle
+    reproduces the digest exactly with the same two-level SQL.
 
     Plan: explode → one (term, doc) aggregate (collapses duplicate
-    occurrences while counting them for cf) → one per-term aggregate;
-    the corpus-size scalar joins in as a broadcast. Postings lists are
-    per-term aggregates — the natural term partitioning of a 100 TB
-    index build; a hot term's list is bounded by N docs, the same bound
-    any posting-list store accepts.
+    occurrences while counting them for cf) → TWO bounded grouped
+    aggregates for the tree digest; the corpus-size scalar joins in as
+    a broadcast.
     """
+    from airbnb_pyspark_jobs_spark.functions.text import portable_hash_int
+
     term_rows = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("t")
     ).select(F.col("doc_id").cast("string").alias("doc_id"), F.lower("t").alias("term"))
     per_doc = term_rows.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = docs.select(F.countDistinct(id_col).alias("__n"))
-    return (
-        per_doc.groupBy("term")
+    per_bucket = (
+        per_doc.withColumn(
+            "__b", F.pmod(portable_hash_int("doc_id"), F.lit(digest_buckets))
+        )
+        .groupBy("term", "__b")
         .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.sum("tf").alias("cf"),
+            F.count(F.lit(1)).alias("__df_part"),
+            F.sum("tf").alias("__cf_part"),
             F.md5(F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))).alias(
+                "__bdig"
+            ),
+        )
+    )
+    return (
+        per_bucket.groupBy("term")
+        .agg(
+            F.sum("__df_part").alias("df"),
+            F.sum("__cf_part").alias("cf"),
+            F.md5(F.concat_ws(",", F.sort_array(F.collect_list("__bdig")))).alias(
                 "postings_md5"
             ),
         )

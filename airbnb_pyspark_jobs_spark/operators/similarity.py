@@ -2153,9 +2153,10 @@ def power_iteration_top2(
 
     v1lit = F.array(*[F.lit(float(x)) for x in v1])
     w = [round(1.0 / math.sqrt(dims), digits)] * dims
-    # a v1-orthogonal deterministic start: deflate the uniform vector
-    # through the same in-plan formula the loop uses (driver-side here
-    # is fine — it replays in the oracle with identical rounding)
+    # deterministic start: the RAW uniform vector (matching the oracle
+    # chain's w0). No pre-deflation — orthogonalization against v1
+    # happens INSIDE each iteration (the c / __m2 steps below), which
+    # kills the v1 component after the first pass.
     for _ in range(iters):
         wlit = F.array(*[F.lit(float(x)) for x in w])
         s = base.select(
@@ -2199,8 +2200,14 @@ def power_iteration_top2(
             md.crossJoin(F.broadcast(n2))
             .select(
                 "__j",
+                # n2 == 0 (no second component) must surface as NULL —
+                # not an ANSI DIVIDE_BY_ZERO deep in a codegen stage —
+                # so the collect below can raise a clear diagnostic
                 F.round(
-                    F.col("__m2") / F.sqrt(F.col("__n2").cast("double")),
+                    F.when(
+                        F.col("__n2") > 0,
+                        F.col("__m2") / F.sqrt(F.col("__n2").cast("double")),
+                    ),
                     digits,
                 ).alias("__wj"),
             )
@@ -2208,6 +2215,16 @@ def power_iteration_top2(
         )
         w = [0.0] * dims
         for r in rows:
+            if r["__wj"] is None:
+                # n2 == 0: the deflated iterate vanished — the data has
+                # no second component (embeddings lie in span(v1)).
+                # Fail with a diagnostic instead of a downstream
+                # F.lit(None) TypeError.
+                raise ValueError(
+                    "power_iteration_top2: deflated iterate is the zero "
+                    "vector (all variance lies along v1); no second "
+                    "component exists for this data"
+                )
             w[r["__j"]] = r["__wj"]
     v1lit = F.array(*[F.lit(float(x)) for x in v1])
     wlit = F.array(*[F.lit(float(x)) for x in w])

@@ -754,11 +754,16 @@ def q37_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q38 vocabulary / inverted-index build: per-term df, cf, idf and an
-# md5 digest of the sorted postings list (value-checks the whole list
-# cross-engine without array round-trip). Two keyed shuffles plus a
-# broadcast scalar.
+# q38 vocabulary / inverted-index build: per-term df, cf, idf and a
+# two-level TREE md5 digest of the sorted postings list (value-checks
+# the whole list cross-engine without array round-trip, and no single
+# aggregation buffer ever holds a hot term's full doc-id list — the
+# stopword-at-10^9-docs OOM). Three keyed shuffles plus a broadcast
+# scalar; level-1 buffers are bounded by N/B, level-2 by B digests.
 # ---------------------------------------------------------------------------
+_VOCAB_B = 64
+
+
 @query(
     "q38_vocabulary",
     oracle=rf"""
@@ -767,20 +772,28 @@ def q37_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, UNNEST({_D_TOKENS}) AS t FROM documents)
     ),
     n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tr),
-    pd AS (SELECT term, doc_id, COUNT(*) AS tf FROM tr GROUP BY 1, 2)
+    pd AS (SELECT term, doc_id, COUNT(*) AS tf FROM tr GROUP BY 1, 2),
+    bd AS (
+      SELECT term,
+             CAST('0x' || substr(md5(doc_id), 1, 8) AS BIGINT) % {_VOCAB_B} AS b,
+             COUNT(*) AS df_part,
+             SUM(tf) AS cf_part,
+             md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS bdig
+      FROM pd GROUP BY 1, 2
+    )
     SELECT term,
-           CAST(COUNT(*) AS BIGINT) AS df,
-           CAST(SUM(tf) AS BIGINT) AS cf,
-           ROUND(LN((SELECT n FROM n) / CAST(COUNT(*) AS DOUBLE)), 6) AS idf,
-           md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS postings_md5
-    FROM pd GROUP BY term
+           CAST(SUM(df_part) AS BIGINT) AS df,
+           CAST(SUM(cf_part) AS BIGINT) AS cf,
+           ROUND(LN((SELECT n FROM n) / CAST(SUM(df_part) AS DOUBLE)), 6) AS idf,
+           md5(string_agg(bdig, ',' ORDER BY bdig)) AS postings_md5
+    FROM bd GROUP BY term
     """,
 )
 def q38_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbnb_pyspark_jobs_spark.operators.corpus import vocabulary
 
     docs = load_table(spark, "documents", sf_dir)
-    return vocabulary(docs)
+    return vocabulary(docs, digest_buckets=_VOCAB_B)
 
 
 # ---------------------------------------------------------------------------

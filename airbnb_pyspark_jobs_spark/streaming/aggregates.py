@@ -472,17 +472,25 @@ def psi_bucket_counts(
     df: DataFrame, mn_cents: int, ext_cents: int, n_buckets: int = 10
 ) -> DataFrame:
     """(event_type, bucket) value-histogram with the FROZEN integer
-    edges: bucket = least((cents − mn)·B div ext, B−1)."""
+    edges: bucket = greatest(0, least((cents − mn)·B div ext, B−1)).
+    The clamp is SYMMETRIC: values above the frozen range land in the
+    top bucket AND values below ``mn_cents`` land in bucket 0 — a
+    negative bucket would silently fall off read_psi_drift's 0..B−1
+    grid join, making a DOWNWARD distribution shift (exactly what a
+    PSI monitor must catch) invisible and under-counting n_cur."""
     return (
         df.filter(F.col("value").isNotNull())
         .select(
             "event_type",
-            F.least(
-                F.expr(
-                    f"(cast(round(value * 100) as bigint) - {int(mn_cents)})"
-                    f" * {int(n_buckets)} div {int(ext_cents)}"
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.least(
+                    F.expr(
+                        f"(cast(round(value * 100) as bigint) - {int(mn_cents)})"
+                        f" * {int(n_buckets)} div {int(ext_cents)}"
+                    ),
+                    F.lit(int(n_buckets) - 1),
                 ),
-                F.lit(int(n_buckets) - 1),
             )
             .cast("bigint")
             .alias("bucket"),

@@ -216,9 +216,18 @@ def error_burst_alerts(
         )
         out_starts: list[int] = []
         out_ns: list[int] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts in pdf["ts"]:
+        # A key's micro-batch data can span MULTIPLE Arrow chunks (that
+        # is why the API hands an iterator), and chunk order after the
+        # shuffle is not time order — materialize the whole key-batch
+        # and sort GLOBALLY before scanning, else out-of-order events
+        # across chunk boundaries fabricate gaps / split bursts for any
+        # user with more rows than arrow.maxRecordsPerBatch per trigger.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = (
+            pd.concat(chunks).sort_values(["ts", "event_id"]) if chunks else None
+        )
+        if batch is not None:
+            for ts in batch["ts"]:
                 us = int(pd.Timestamp(ts).value // 1000)
                 if last_us is None or us - last_us > gap_us:
                     if run >= min_errors:

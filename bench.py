@@ -451,6 +451,12 @@ EXTENDED_QUERIES = [
     "q300_corpus_readiness",
 ]
 
+# Full-coverage guarantee (VERDICT r5 "What's missing" #2): every
+# registry query not named above — the cheap-aggregate tail — is
+# benched too, computed from the registry itself so a new @query
+# registration gets a timing row on the next run without a list edit.
+TAIL_QUERIES = sorted(set(QUERIES) - set(BENCH_QUERIES) - set(EXTENDED_QUERIES))
+
 
 def _sf_from_dir(path: str) -> float:
     m = re.search(r"sf([0-9.]+)", path)
@@ -514,7 +520,7 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:200]
     total = round(sum(times.values()), 3)
     extended: dict[str, float] = {}
-    for name in (q for q in EXTENDED_QUERIES if q in QUERIES):
+    for name in [q for q in EXTENDED_QUERIES if q in QUERIES] + TAIL_QUERIES:
         try:
             extended[name] = round(min(run_query(spark, name) for _ in range(2)), 3)
         except Exception as e:

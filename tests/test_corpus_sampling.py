@@ -137,9 +137,24 @@ def test_stratified_sample_deterministic_and_proportional(spark):
         stratified_sample(df, "g", {"a": 1.5}, key_col="k")
 
 
-def test_vocabulary_counts_and_postings_digest(spark):
+def _tree_postings_digest(doc_ids, buckets: int = 64) -> str:
+    """Python mirror of vocabulary()'s two-level tree digest: md5 per
+    (doc-id hash bucket) sub-list, then md5 of the sorted bucket
+    digests. Keeps the expected value derivable without Spark."""
     import hashlib
 
+    by_bucket: dict[int, list[str]] = {}
+    for d in doc_ids:
+        b = int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % buckets
+        by_bucket.setdefault(b, []).append(str(d))
+    bdigs = [
+        hashlib.md5(",".join(sorted(ids)).encode()).hexdigest()
+        for ids in by_bucket.values()
+    ]
+    return hashlib.md5(",".join(sorted(bdigs)).encode()).hexdigest()
+
+
+def test_vocabulary_counts_and_postings_digest(spark):
     from airbnb_pyspark_jobs_spark.operators.corpus import vocabulary
 
     docs = spark.createDataFrame(
@@ -149,11 +164,27 @@ def test_vocabulary_counts_and_postings_digest(spark):
     assert out["a"].df == 1 and out["a"].cf == 2
     assert out["b"].df == 2 and out["b"].cf == 2
     assert out["c"].df == 2 and out["c"].cf == 4
-    assert out["b"].postings_md5 == hashlib.md5(b"1,2").hexdigest()
-    assert out["c"].postings_md5 == hashlib.md5(b"2,3").hexdigest()
+    assert out["b"].postings_md5 == _tree_postings_digest([1, 2])
+    assert out["c"].postings_md5 == _tree_postings_digest([2, 3])
     import math
 
     assert out["a"].idf == round(math.log(3 / 1), 6)
+
+
+def test_vocabulary_digest_invariant_to_bucket_count_collisions(spark):
+    """The tree digest is a pure function of the posting SET given a
+    bucket count: a 2-bucket build (forcing collisions) still yields
+    the python-mirror digest, and two builds at the same B agree."""
+    from airbnb_pyspark_jobs_spark.operators.corpus import vocabulary
+
+    docs = spark.createDataFrame(
+        [(i, "hot other%d" % i) for i in range(12)], "doc_id long, text string"
+    )
+    out = {r.term: r for r in vocabulary(docs, digest_buckets=2).collect()}
+    assert out["hot"].df == 12
+    assert out["hot"].postings_md5 == _tree_postings_digest(range(12), buckets=2)
+    again = {r.term: r for r in vocabulary(docs, digest_buckets=2).collect()}
+    assert again["hot"].postings_md5 == out["hot"].postings_md5
 
 
 def test_pack_sequences_concat_split_semantics(spark):

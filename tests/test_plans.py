@@ -700,3 +700,21 @@ def test_q247_fanout_is_bounded_explode(spark):
     plan = _executed_plan(df)
     assert "Generate explode" in plan or "explode" in plan
     assert "SortMergeJoin" not in plan.split("Generate")[0]
+
+
+def test_q38_postings_digest_is_two_level_tree(spark):
+    """The postings digest must never collect a term's full doc-id list
+    in one buffer (stopword at 10^9 docs = one-task OOM): every
+    collect_list over doc ids is grouped by (term, __b bucket), and the
+    term-level aggregate only collects the <=B bucket digests."""
+    df = QUERIES["q38_vocabulary"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    saw_bucketed, saw_bucket_digest = False, False
+    for line in plan.splitlines():
+        if "collect_list(doc_id" in line:
+            # the grouping keys precede functions=[...] on the agg line
+            assert "__b" in line.split("functions=")[0], line
+            saw_bucketed = True
+        if "collect_list(__bdig" in line:
+            saw_bucket_digest = True
+    assert saw_bucketed and saw_bucket_digest, plan[:2000]

@@ -1808,3 +1808,21 @@ def test_q300_readiness_consistent(spark):
     for v in (r.exact_dup_rate, r.en_share, r.blank_rate):
         assert 0.0 <= v <= 1.0
     assert r.mean_tokens_per_doc * r.n_docs >= r.n_tokens * 0.99
+
+
+def test_power_iteration_top2_rank1_data_raises_clear_error(spark):
+    """Rank-1 embeddings (all rows along one direction) have no second
+    component: the deflated iterate is the zero vector and the operator
+    must raise a diagnostic ValueError, not a F.lit(None) TypeError."""
+    import pytest
+
+    from airbnb_pyspark_jobs_spark.operators.similarity import power_iteration_top2
+
+    # vectors exactly along e1: v1 = [1,0,0] exactly, deflation zeroes
+    # the iterate with NO rounding residue -> n2 = 0 path
+    emb = spark.createDataFrame(
+        [(i, [2.0, 0.0, 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="no second component"):
+        power_iteration_top2(emb, dims=3, iters=2)

@@ -73,3 +73,73 @@ def test_upsert_parquet_update_insert_idempotent(spark, tmp_path):
         for r in upsert_parquet(spark, path, upd, ["k"]).collect()
     }
     assert again == got
+
+
+class _FakeWriter:
+    """DataFrameWriter test double capturing the option assembly."""
+
+    def __init__(self, fail_save: Exception | None = None):
+        self.fmt = None
+        self.options: dict = {}
+        self.mode_ = None
+        self.saved = False
+        self._fail = fail_save
+
+    def format(self, f):
+        self.fmt = f
+        return self
+
+    def option(self, k, v):
+        self.options[k] = v
+        return self
+
+    def mode(self, m):
+        self.mode_ = m
+        return self
+
+    def save(self):
+        if self._fail is not None:
+            raise self._fail
+        self.saved = True
+
+
+def test_bigquery_sink_option_assembly(spark, monkeypatch):
+    """The writer must receive EXACTLY the reference's connector options
+    (/root/reference jobs/final_dim_load.py:211-215,
+    jobs/final_fact_load.py:153-161): format=bigquery,
+    table=<dataset>.<table>, temporaryGcsBucket, maxParallelism,
+    mode=overwrite — asserted against a DataFrameWriter double so the
+    assembly is EXECUTED, not just import-gated."""
+    df = spark.range(3)
+    fake = _FakeWriter()
+    monkeypatch.setattr(type(df), "write", property(lambda self: fake))
+    BigQueryWarehouseSink(
+        dataset="analytics", temporary_gcs_bucket="tmp-bkt", max_parallelism=10
+    ).write(df, "dim_listing")
+    assert fake.fmt == "bigquery"
+    assert fake.options == {
+        "table": "analytics.dim_listing",
+        "temporaryGcsBucket": "tmp-bkt",
+        "maxParallelism": 10,
+    }
+    assert fake.mode_ == "overwrite" and fake.saved
+
+
+def test_bigquery_sink_omits_unset_parallelism(spark, monkeypatch):
+    df = spark.range(1)
+    fake = _FakeWriter()
+    monkeypatch.setattr(type(df), "write", property(lambda self: fake))
+    BigQueryWarehouseSink(
+        dataset="d", temporary_gcs_bucket="b", max_parallelism=None
+    ).write(df, "t")
+    assert "maxParallelism" not in fake.options and fake.saved
+
+
+def test_bigquery_sink_maps_missing_connector_to_clear_error(spark, monkeypatch):
+    df = spark.range(1)
+    fake = _FakeWriter(
+        fail_save=Exception("Failed to find data source: bigquery")
+    )
+    monkeypatch.setattr(type(df), "write", property(lambda self: fake))
+    with pytest.raises(RuntimeError, match="connector not on the classpath"):
+        BigQueryWarehouseSink(dataset="d", temporary_gcs_bucket="b").write(df, "t")

@@ -162,3 +162,56 @@ def test_error_burst_alerts_match_batch_cep(spark, tmp_path):
     a_keys = {(r.user_id, r.burst_start) for r in first}
     b_keys = {(r.user_id, r.burst_start) for r in second}
     assert a_keys & b_keys or not want, "no burst straddled the batch split"
+
+
+def test_error_burst_alerts_survive_multi_chunk_arrow_batches(spark, tmp_path):
+    """A key's micro-batch can span multiple Arrow chunks (the iterator
+    contract of applyInPandasWithState) in non-time order. With
+    arrow.maxRecordsPerBatch=2, one user's 6 scrambled error events
+    arrive as >=3 chunks — the operator must still see ONE contiguous
+    burst of 6, not chunk-local fragments with fabricated gaps."""
+    import datetime as dt
+
+    from airbnb_pyspark_jobs_spark.streaming.stateful import error_burst_alerts
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    # 6 error events 1 min apart, written in scrambled order
+    order = [4, 0, 5, 2, 1, 3]
+    rows = [
+        (i + 1, base + dt.timedelta(minutes=order[i]), 7, "error", 1.0, "{}")
+        for i in range(6)
+    ]
+    src = str(tmp_path / "events_src_chunks")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).coalesce(1).write.parquet(src)
+
+    out_dir = str(tmp_path / "burst_alerts_chunks")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        q = (
+            error_burst_alerts(
+                read_event_stream(spark, src), gap_us=120_000_000, min_errors=3
+            )
+            .writeStream.foreachBatch(
+                lambda b, _id: b.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_chunks"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    emitted = spark.read.parquet(out_dir).collect()
+    assert len(emitted) == 1, emitted
+    r = emitted[0]
+    assert (r.user_id, r.n_errors) == (7, 6)
+    assert r.burst_start == base

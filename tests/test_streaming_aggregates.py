@@ -526,3 +526,40 @@ def test_streaming_psi_matches_batch_q251(spark, tmp_path):
         for r in QUERIES["q251_psi_drift"](spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_streaming_psi_counts_below_range_values(spark, tmp_path):
+    """Downward drift must be VISIBLE: values below the frozen mn_cents
+    clamp into bucket 0 (mirroring the least(B-1) top clamp), so they
+    survive read_psi_drift's 0..B-1 grid join — n_cur counts every row
+    and the PSI moves. A negative bucket would silently vanish."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from airbnb_pyspark_jobs_spark.streaming.aggregates import (
+        PARTIAL_DIRNAME,
+        psi_bucket_counts,
+        read_psi_drift,
+    )
+
+    # frozen range [mn, mn+ext) = cents [100, 200), 10 buckets of 10c
+    mn, ext = 100, 100
+    ref = spark.createDataFrame(
+        [("a", b, 10) for b in range(10)], "event_type string, bucket bigint, n long"
+    )
+    # current window: ALL values below the frozen range (downward shift)
+    cur = spark.createDataFrame(
+        [("a", 0.05 * i) for i in range(1, 9)], "event_type string, value double"
+    )
+    hist = psi_bucket_counts(cur, mn, ext).collect()
+    assert all(0 <= r.bucket <= 9 for r in hist), hist
+    # 0.05..0.40 -> cents 5..40, all < mn -> every row clamps to bucket 0
+    assert {(r.bucket, r.n) for r in hist} == {(0, 8)}
+    part_dir = str(tmp_path / "psi_low")
+    psi_bucket_counts(cur, mn, ext).write.mode("overwrite").parquet(
+        os.path.join(part_dir, PARTIAL_DIRNAME.format(n=0))
+    )
+    out = read_psi_drift(spark, part_dir, ref).collect()
+    assert len(out) == 1 and out[0].n_cur == 8  # nothing dropped
+    assert out[0].psi > 0.25  # well past the standard major-shift bar
