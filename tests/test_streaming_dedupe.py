@@ -132,3 +132,94 @@ def test_streaming_dedup_resumes_from_stored_state(spark, tmp_path):
     assert accepted2 == {1, 2, 12}  # 11 rejected vs STORED doc 1
     dups = spark.read.parquet(os.path.join(warehouse, "dups"))
     assert dups.filter("doc_id_a = 1 AND doc_id_b = 11").count() == 1
+
+
+def test_streaming_dedup_restart_converges_to_uninterrupted_run(
+    spark, tmp_path, monkeypatch
+):
+    """Kill-and-restart-from-checkpoint (the test_stateful_streaming
+    pattern): a query KILLED mid-stream (batch 1 dies before any state
+    write — deterministic, injected via the pairing operator) and
+    restarted on the SAME checkpoint must converge to identical
+    accepted-set AND band-index state as an uninterrupted run over the
+    same source — the q111 incremental result is restart-invariant."""
+    src = str(tmp_path / "src")
+    rows_by_file = [
+        [(1, BASE), (2, DIFF)],
+        [(11, BASE), (12, NEAR), (13, "fresh unique text nothing shared at all")],
+        [(21, BASE), (22, DIFF), (23, "more singular content unlike anything")],
+    ]
+    for rows in rows_by_file:
+        _write_batch(spark, src, rows)
+
+    def drain(warehouse, ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_minhash_dedup(stream, warehouse, checkpoint=ckpt)
+        q.awaitTermination(180)
+
+    # uninterrupted reference run
+    wh_a, ckpt_a = str(tmp_path / "wh_a"), str(tmp_path / "ckpt_a")
+    drain(wh_a, ckpt_a)
+
+    # interrupted run: batch 0 commits, batch 1 dies BEFORE any state
+    # write (the pairing operator raises on its 2nd call) — the query
+    # fails mid-stream; restart on the same checkpoint replays batch 1
+    import airbnb_pyspark_jobs_spark.streaming.dedupe as sd_mod
+    from airbnb_pyspark_jobs_spark.operators.dedupe import (
+        incremental_minhash_pairs as real_pairs,
+    )
+
+    calls = {"n": 0}
+
+    def killer(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected mid-stream crash (batch 1)")
+        return real_pairs(*args, **kwargs)
+
+    monkeypatch.setattr(sd_mod, "incremental_minhash_pairs", killer)
+    wh_b, ckpt_b = str(tmp_path / "wh_b"), str(tmp_path / "ckpt_b")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_minhash_dedup(stream, wh_b, checkpoint=ckpt_b)
+    import pyspark.errors
+
+    try:
+        q.awaitTermination(180)
+    except pyspark.errors.StreamingQueryException:
+        pass
+    assert calls["n"] == 2, "the crash must hit batch 1 mid-stream"
+    monkeypatch.setattr(sd_mod, "incremental_minhash_pairs", real_pairs)
+    drain(wh_b, ckpt_b)  # restart from the same checkpoint, drain the rest
+
+    def state(warehouse):
+        acc = {
+            r.doc_id
+            for r in spark.read.parquet(os.path.join(warehouse, "accepted"))
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        idx = {
+            (r.doc_id, r.band_idx, r.band_hash)
+            for r in spark.read.parquet(os.path.join(warehouse, "index"))
+            .distinct()
+            .collect()
+        }
+        return acc, idx
+
+    acc_a, idx_a = state(wh_a)
+    acc_b, idx_b = state(wh_b)
+    assert acc_b == acc_a
+    assert idx_b == idx_a
+    # and the converged state is the batch-expected keep-first result
+    assert len(acc_a & {1, 11, 21}) == 1 and min({1, 11, 21} & acc_a) == 1
+    assert len(acc_a & {2, 22}) == 1 and 2 in acc_a
+    assert {13, 23} <= acc_a and 12 not in acc_a
