@@ -41,6 +41,31 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# name -> set of family tags, for `pytest -m <family>` selection (the
+# full 299-query oracle matrix is ~18 min; a family runs in minutes).
+# Module tag from the defining module + semantic tags by name pattern.
+QUERY_FAMILIES: dict[str, set[str]] = {}
+
+_MODULE_FAMILY = {
+    "queries": "core",
+    "text_queries": "text",
+    "similarity_queries": "similarity",
+    "event_queries": "events",
+    "analytics_queries": "analytics",
+    "multimodal_queries": "multimodal",
+}
+
+import re as _re  # noqa: E402
+
+_SEMANTIC_FAMILIES = {
+    "dedup": _re.compile(
+        r"dedup|minhash|_dup|dup_|jaccard|containment|substring|winnow"
+        r"|keeper|near_dup|transitivity|repetition|chunk"
+    ),
+    "ann": _re.compile(r"ann_|knn|ivf|lsh|pca|quantization|coreset|mmr|centroid"),
+    "sketch": _re.compile(r"hll|kmv|sketch|heavy_hitters|bloom"),
+}
+
 # Reentrancy depth of wrapped query invocations — cache release happens
 # only at depth 0 (see the `query` decorator).
 _ACTIVE_DEPTH = 0
@@ -80,6 +105,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
+        fams = {_MODULE_FAMILY.get(fn.__module__.rsplit(".", 1)[-1], "core")}
+        for fam, pat in _SEMANTIC_FAMILIES.items():
+            if pat.search(name):
+                fams.add(fam)
+        QUERY_FAMILIES[name] = fams
         return wrapped
 
     return deco

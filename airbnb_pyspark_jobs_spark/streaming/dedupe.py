@@ -13,10 +13,15 @@ docs append to the warehouse and their band rows extend the index;
 rejected pairs land in an audit log with their verified Jaccard.
 
 State lives in three parquet dirs (accepted/, index/, dups/) so a
-restarted query resumes from storage. The foreachBatch writes here are
-append-only parquet — idempotent replay of a retried batch needs a
-transactional table format (Delta/Iceberg) in production; the Spark
-plumbing (banding, index join, verification, keeper rule) is identical.
+restarted query resumes from storage. Writes are IDEMPOTENT without a
+transactional table format: each batch overwrites its own
+``batch_id=N`` partition directory (the write_partial_aggregate
+pattern from streaming/aggregates.py), and state reads prune to
+``batch_id < N`` — so a batch replayed after a mid-batch crash never
+sees its own partial output (which would self-reject every doc and
+lose the batch), and a re-run simply overwrites the same partitions.
+Batch decisions are a pure function of (committed history, batch
+content): exactly-once state semantics on plain parquet.
 """
 
 from __future__ import annotations
@@ -35,17 +40,28 @@ _INDEX_SCHEMA = "doc_id long, band_idx int, band_hash string"
 _DOCS_SCHEMA = "doc_id long, text string"
 
 
-def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    """First-batch bootstrap: a warehouse dir that does not exist YET
-    reads as empty. Probed through Spark's Hadoop-FS layer (not the
-    driver's local filesystem — hdfs:// and s3a:// warehouses must
-    resolve the same way the writes do); any error other than
-    path-not-found propagates, so a transiently unreachable store can
-    never silently disable dedup."""
+def _read_state(
+    spark: SparkSession, path: str, schema: str, before_batch: int
+) -> DataFrame:
+    """Committed-history read: state rows live under ``batch_id=N``
+    partition dirs; pruning to ``batch_id < before_batch`` excludes the
+    CURRENT batch's own partial output from a crashed earlier attempt
+    (reading it would self-reject every doc of the replay). A warehouse
+    dir that does not exist YET reads as empty — probed through Spark's
+    Hadoop-FS layer (not the driver's local filesystem — hdfs:// and
+    s3a:// warehouses must resolve the same way the writes do); any
+    error other than path-not-found propagates, so a transiently
+    unreachable store can never silently disable dedup."""
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.schema(schema).parquet(path)
+        return (
+            spark.read.option("basePath", path)
+            .schema(schema + ", batch_id long")
+            .parquet(path)
+            .filter(F.col("batch_id") < before_batch)
+            .drop("batch_id")
+        )
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e):
             return spark.createDataFrame([], schema=schema)
@@ -92,8 +108,8 @@ def streaming_minhash_dedup(
         )
         if batch.isEmpty():
             return
-        old_docs = _read_or_empty(spark, accepted_dir, _DOCS_SCHEMA)
-        old_index = _read_or_empty(spark, index_dir, _INDEX_SCHEMA)
+        old_docs = _read_state(spark, accepted_dir, _DOCS_SCHEMA, batch_id)
+        old_index = _read_state(spark, index_dir, _INDEX_SCHEMA, batch_id)
         pairs = incremental_minhash_pairs(
             batch,
             old_docs,
@@ -116,13 +132,17 @@ def streaming_minhash_dedup(
         )
         rejected = rej_vs_old.unionByName(rej_in_batch).distinct()
         accepted = batch.join(rejected, "doc_id", "left_anti").localCheckpoint()
-        accepted.write.mode("append").parquet(accepted_dir)
+        # idempotent per-batch state: overwrite THIS batch's partition
+        # dir (a replayed batch rewrites the same paths, never appends
+        # duplicates; see module docstring)
+        part = f"batch_id={batch_id}"
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(accepted_dir, part)
+        )
         minhash_band_index(
             accepted, n=n, num_hashes=num_hashes, bands=bands
-        ).write.mode("append").parquet(index_dir)
-        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(dups_dir)
+        ).write.mode("overwrite").parquet(os.path.join(index_dir, part))
+        pairs.write.mode("overwrite").parquet(os.path.join(dups_dir, part))
         release_owned_caches()
 
     return (

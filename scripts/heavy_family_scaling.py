@@ -1,0 +1,230 @@
+"""Scaling exponents for the round-5 heavy families (VERDICT r5 ask #5)
+plus the q38 tree-digest hot-term stress (ask #1).
+
+Fits alpha = log(t2/t1) / log(n2/n1) over ~10x input growth for:
+- q184 feature covariance (REAL operator, synthetic embeddings, d=32):
+  expected alpha ~ 1 (n·d²/2 scan-side products, d²-row shuffle);
+- q145 triangle counts (REAL operator, synthetic sparse graph):
+  expected alpha ~ 1 on bounded-degree graphs (degree-ordered wedges);
+- q218 Poisson-bootstrap mean (same plan SHAPE as
+  plans/analytics_queries.q218: 16x explode + md5 inverse-CDF draw +
+  one 16-group aggregate): expected alpha ~ 1 (scan-bound);
+- q38 vocabulary with a PLANTED hot term in EVERY doc: the tree digest
+  must stay ~linear, and its worst aggregation buffer is n/B doc-ids
+  vs the flat digest's n (reported side by side; the flat variant is
+  the pre-round-6 hazard shape, timed here only as the comparison).
+
+Usage: python scripts/heavy_family_scaling.py [sizes_csv] [ops_csv]
+(default sizes 100000,300000,1000000; default ops all of
+q184,q145,q218,q38 — pass e.g. `q145,q218` to push the cheap ops to
+larger n without paying for covariance)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from airbnb_pyspark_jobs_spark.caching import release_owned_caches  # noqa: E402
+from airbnb_pyspark_jobs_spark.session import get_spark  # noqa: E402
+from airbnb_pyspark_jobs_spark.sources.synthetic import register  # noqa: E402
+
+SIZES = (
+    [int(x) for x in sys.argv[1].split(",")]
+    if len(sys.argv) > 1
+    else [100_000, 300_000, 1_000_000]
+)
+OPS = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else {
+    "q184", "q145", "q218", "q38"
+}
+
+
+def run(label: str, thunk) -> float:
+    t0 = time.perf_counter()
+    thunk().write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    print(f"  {label}: {wall:.1f}s", flush=True)
+    return wall
+
+
+def synthetic_embeddings(spark, n: int, d: int = 32):
+    """Deterministic dense vectors: component j of row i derives from
+    md5-free integer mixing (cheap, JVM-side)."""
+    return (
+        spark.range(n)
+        .repartition(32)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"transform(sequence(0, {d - 1}), j -> "
+                "cast(pmod(hash(id, j), 1000) as double) / 1000.0)"
+            ).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+
+
+def synthetic_edges(spark, m: int):
+    """Sparse graph with ~m edges over m/4 nodes: each edge connects
+    hash-derived endpoints — bounded expected degree (~8), plus local
+    i->i+1 chains so triangles exist."""
+    nodes = m // 4
+    return (
+        spark.range(m)
+        .repartition(32)
+        .select(
+            F.pmod(F.hash(F.col("id")), F.lit(nodes)).cast("long").alias("src"),
+            F.pmod(F.hash(F.col("id") + 1_000_000_007), F.lit(nodes))
+            .cast("long")
+            .alias("dst"),
+        )
+        .localCheckpoint()
+    )
+
+
+def q218_shape(spark, n: int, reps: int = 16):
+    """The q218 plan shape over n synthetic (key, price) rows."""
+    from airbnb_pyspark_jobs_spark.plans.analytics_queries import _POIS_CDF
+
+    x = (
+        spark.range(n)
+        .repartition(32)
+        .select(
+            F.col("id").alias("k"),
+            (F.pmod(F.hash("id"), F.lit(10_000)).cast("decimal(12,2)") / 100).alias(
+                "__price"
+            ),
+        )
+    )
+    rep = x.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("__r")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("k").cast("string"), F.col("__r").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    c = F.when(u < float(_POIS_CDF[0]), 0)
+    for kk, p in enumerate(_POIS_CDF[1:], start=1):
+        c = c.when(u < float(p), kk)
+    c = c.otherwise(6)
+    drawn = rep.select("__r", "__price", c.alias("__c"))
+    return drawn.groupBy(F.col("__r").cast("int").alias("replicate")).agg(
+        F.sum("__c").cast("bigint").alias("n_eff"),
+        F.sum(F.col("__c") * F.col("__price")).cast("decimal(38,2)").alias("s"),
+    )
+
+
+def hot_corpus(spark, n: int):
+    """Synthetic docs where EVERY doc contains the planted term 'hotly'
+    (df = n — the stopword-grade skewed key)."""
+    return (
+        spark.read.format("synthetic_docs")
+        .option("n", n)
+        .option("partitions", 32)
+        .option("vocab_size", 5000)
+        .option("zipf_s", 1.1)
+        .load()
+        .select("doc_id", F.concat(F.lit("hotly "), F.col("text")).alias("text"))
+        .localCheckpoint()
+    )
+
+
+def flat_vocabulary(docs):
+    """The PRE-round-6 flat digest (single per-term collect_list) —
+    timed only as the hazard comparison; its worst buffer is the hot
+    term's FULL n-id list in one task."""
+    from airbnb_pyspark_jobs_spark.operators.corpus import tokens
+
+    term_rows = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(tokens("text")).alias("t"),
+    ).select("doc_id", F.lower("t").alias("term"))
+    per_doc = term_rows.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))).alias(
+            "postings_md5"
+        ),
+    )
+
+
+def main() -> None:
+    spark = get_spark(app_name="heavy_family_scaling", profile="local")
+    spark.sparkContext.setLogLevel("ERROR")
+    register(spark)
+    from airbnb_pyspark_jobs_spark.operators.corpus import vocabulary
+    from airbnb_pyspark_jobs_spark.operators.dedupe import triangle_counts
+    from airbnb_pyspark_jobs_spark.operators.similarity import feature_covariance
+
+    results: dict[str, dict[int, float]] = {}
+    for n in SIZES:
+        print(f"== n={n} ==", flush=True)
+        if "q184" in OPS:
+            spark.catalog.clearCache(); release_owned_caches()
+            emb = synthetic_embeddings(spark, n)
+            results.setdefault("q184_covariance_d32", {})[n] = run(
+                "q184 covariance", lambda: feature_covariance(emb)
+            )
+            emb.unpersist()
+        if "q145" in OPS:
+            spark.catalog.clearCache(); release_owned_caches()
+            edges = synthetic_edges(spark, n)
+            results.setdefault("q145_triangles", {})[n] = run(
+                "q145 triangles", lambda: triangle_counts(edges)
+            )
+            edges.unpersist()
+        if "q218" in OPS:
+            spark.catalog.clearCache(); release_owned_caches()
+            results.setdefault("q218_bootstrap_shape", {})[n] = run(
+                "q218 bootstrap", lambda: q218_shape(spark, n)
+            )
+        if "q38" in OPS:
+            spark.catalog.clearCache(); release_owned_caches()
+            docs = hot_corpus(spark, n)
+            results.setdefault("q38_tree_digest_hot", {})[n] = run(
+                "q38 tree digest (hot term df=n)", lambda: vocabulary(docs)
+            )
+            results.setdefault("q38_flat_digest_hot", {})[n] = run(
+                "q38 FLAT digest (hazard comparison)", lambda: flat_vocabulary(docs)
+            )
+            print(
+                f"  worst buffer: tree ~{n // 64} ids/bucket vs flat {n} ids",
+                flush=True,
+            )
+            docs.unpersist()
+    print("\n| op | " + " | ".join(f"n={n}" for n in SIZES) + " | exponents |")
+    for op, times in results.items():
+        ts = [times[n] for n in SIZES]
+        exps = [
+            round(
+                math.log(ts[i + 1] / ts[i]) / math.log(SIZES[i + 1] / SIZES[i]), 2
+            )
+            for i in range(len(SIZES) - 1)
+        ]
+        print("| " + op + " | " + " | ".join(f"{t:.1f}s" for t in ts) + f" | {exps} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

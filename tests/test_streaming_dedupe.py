@@ -223,3 +223,81 @@ def test_streaming_dedup_restart_converges_to_uninterrupted_run(
     assert len(acc_a & {1, 11, 21}) == 1 and min({1, 11, 21} & acc_a) == 1
     assert len(acc_a & {2, 22}) == 1 and 2 in acc_a
     assert {13, 23} <= acc_a and 12 not in acc_a
+
+
+def test_streaming_dedup_replay_after_partial_write_is_idempotent(
+    spark, tmp_path, monkeypatch
+):
+    """The WORST crash point: batch 1 dies AFTER its accepted rows are
+    written but BEFORE its index rows (injected: the band-index builder
+    raises on its batch-1 call). The replay must not see the partial
+    accepted state (it would self-reject the whole batch), and the
+    overwrite-by-batch layout must leave zero duplicate rows — final
+    state identical to an uninterrupted run."""
+    src = str(tmp_path / "src")
+    rows_by_file = [
+        [(1, BASE), (2, DIFF)],
+        [(11, BASE), (13, "fresh unique text nothing shared at all")],
+    ]
+    for rows in rows_by_file:
+        _write_batch(spark, src, rows)
+
+    def drain(warehouse, ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_minhash_dedup(stream, warehouse, checkpoint=ckpt)
+        q.awaitTermination(180)
+
+    wh_a, ckpt_a = str(tmp_path / "wh_a"), str(tmp_path / "ckpt_a")
+    drain(wh_a, ckpt_a)  # uninterrupted reference
+
+    import airbnb_pyspark_jobs_spark.streaming.dedupe as sd_mod
+    from airbnb_pyspark_jobs_spark.operators.dedupe import (
+        minhash_band_index as real_index,
+    )
+
+    calls = {"n": 0}
+
+    def killer(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:  # batch 1, AFTER accepted.write already ran
+            raise RuntimeError("injected crash between accepted and index writes")
+        return real_index(*args, **kwargs)
+
+    monkeypatch.setattr(sd_mod, "minhash_band_index", killer)
+    wh_b, ckpt_b = str(tmp_path / "wh_b"), str(tmp_path / "ckpt_b")
+    import pyspark.errors
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_minhash_dedup(stream, wh_b, checkpoint=ckpt_b)
+    try:
+        q.awaitTermination(180)
+    except pyspark.errors.StreamingQueryException:
+        pass
+    assert calls["n"] == 2
+    # the partial write really happened: batch 1's accepted dir exists,
+    # its index dir does not
+    assert os.path.exists(os.path.join(wh_b, "accepted", "batch_id=1"))
+    assert not os.path.exists(os.path.join(wh_b, "index", "batch_id=1"))
+    monkeypatch.setattr(sd_mod, "minhash_band_index", real_index)
+    drain(wh_b, ckpt_b)
+
+    def state(warehouse):
+        acc_df = spark.read.parquet(os.path.join(warehouse, "accepted"))
+        acc = sorted((r.doc_id, r.text) for r in acc_df.collect())  # NO distinct
+        idx = sorted(
+            (r.doc_id, r.band_idx, r.band_hash)
+            for r in spark.read.parquet(os.path.join(warehouse, "index")).collect()
+        )
+        return acc, idx
+
+    assert state(wh_b) == state(wh_a)
+    acc_ids = {d for d, _ in state(wh_a)[0]}
+    assert acc_ids == {1, 2, 13}  # 11 rejected vs stored doc 1
