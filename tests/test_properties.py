@@ -140,3 +140,34 @@ def test_doremi_weights_always_a_distribution(spark, scores):
     worst = max(rows, key=lambda r: r.excess)
     best = min(rows, key=lambda r: r.excess)
     assert worst.mix_weight >= best.mix_weight
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    doc_ids=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40, unique=True
+    ),
+    buckets=st.sampled_from([1, 2, 8, 64]),
+    seed=st.integers(min_value=0, max_value=3),
+)
+def test_vocabulary_tree_digest_is_order_and_partition_invariant(
+    spark, doc_ids, buckets, seed
+):
+    """The two-level postings digest is a pure SET function of the
+    posting list: any doc order, any partitioning, any bucket count B
+    yields exactly the python-mirror digest for that B."""
+    import random
+
+    from airbnb_pyspark_jobs_spark.operators.corpus import vocabulary
+    from tests.test_corpus_sampling import _tree_postings_digest
+
+    rng = random.Random(seed)
+    shuffled = list(doc_ids)
+    rng.shuffle(shuffled)
+    docs = spark.createDataFrame(
+        [(d, "tok") for d in shuffled], "doc_id long, text string"
+    ).repartition((seed % 3) + 1)
+    out = vocabulary(docs, digest_buckets=buckets).collect()
+    assert len(out) == 1
+    assert out[0].df == len(doc_ids)
+    assert out[0].postings_md5 == _tree_postings_digest(doc_ids, buckets=buckets)
