@@ -1086,6 +1086,142 @@ def bm25_topk(
     )
 
 
+def dcg_gain_micros(k: int) -> tuple[list[int], list[int]]:
+    """Binary-relevance DCG gains in integer MICRO-units plus their
+    prefix sums: ``g6[i-1] = round(1e6 · 1/log2(i+1))`` for ranks
+    i=1..k, ``cum6[r-1] = Σ g6[:r]``. Derived ONCE in python and
+    inlined as the SAME literals into the Spark plan and the SQL
+    oracle — rank-position gains are the one place libm ln parity
+    would otherwise matter, and k is bounded, so literals delete the
+    risk entirely (the q92/q138 shared-artifact recipe)."""
+    import math
+
+    g6 = [int(round(1e6 * math.log(2.0) / math.log(i + 1.0))) for i in range(1, k + 1)]
+    cum6 = [sum(g6[: r + 1]) for r in range(k)]
+    return g6, cum6
+
+
+def retrieval_metrics(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digits: int = 6,
+) -> DataFrame:
+    """Ranking-quality metrics for the BM25 retrieval stack — the eval
+    step of a RAG / retrieval data-curation pipeline: per query,
+    ``MRR@k``, ``nDCG@k`` (binary gains), ``precision_at_k`` and
+    ``recall_at_k`` of :func:`bm25_topk`'s ranking against boolean-AND
+    relevance (a document is relevant iff it contains EVERY distinct
+    query term — the conjunctive ground truth q214 searches).
+
+    Numeric recipe: DCG/IDCG rank gains are the shared integer-micro
+    literals of :func:`dcg_gain_micros` summed as BIGINTs; every
+    reported ratio (1/first_rank, DCG/IDCG, hits/k, hits/R) is the
+    round-half-away integer quotient of
+    :func:`~airbnb_pyspark_jobs_spark.functions.numeric.decimal_ratio_round`
+    — no float accumulation anywhere.
+
+    Scale: relevance is one scan-side semi-join of the distinct
+    (doc, term) pairs against the BROADCAST query-term table (bounded
+    by |queries|·|terms|), then |q|-bounded per-(query, doc) counts;
+    ranking work is bm25_topk's (postings shuffle once on term);
+    everything after is Q- and k-bounded. Returns one row per query:
+    ``query_id, n_relevant, n_hits, mrr, ndcg, precision_at_k,
+    recall_at_k``.
+    """
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+    from airbnb_pyspark_jobs_spark.functions.text import tokens
+
+    spark = docs.sparkSession
+    ranked = bm25_topk(
+        docs, queries, k1=k1, b=b, top_k=k, id_col=id_col, text_col=text_col
+    )
+    dterm = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("t"))
+        .select("doc_id", F.lower("t").alias("term"))
+        .distinct()
+    )
+    qt = spark.createDataFrame(
+        sorted({(qid, w.lower()) for qid, text in queries for w in text.split()}),
+        "query_id long, term string",
+    )
+    nq = qt.groupBy("query_id").agg(F.count(F.lit(1)).cast("bigint").alias("__nq"))
+    rel = (
+        dterm.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__m"))
+        .join(F.broadcast(nq), "query_id")
+        .filter(F.col("__m") == F.col("__nq"))
+        .select("query_id", "doc_id")
+    )
+    relq = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_relevant")
+    )
+    g6, cum6 = dcg_gain_micros(k)
+    gain = F.element_at(
+        F.array(*[F.lit(g).cast("bigint") for g in g6]), F.col("rn").cast("int")
+    )
+    hits = ranked.join(rel, ["query_id", "doc_id"])
+    hagg = hits.groupBy("query_id").agg(
+        F.min("rn").cast("bigint").alias("__first"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.sum(gain).cast("bigint").alias("__dcg6"),
+    )
+    qframe = spark.createDataFrame(
+        sorted({(qid,) for qid, _ in queries}), "query_id long"
+    )
+    cumarr = F.array(*[F.lit(c).cast("bigint") for c in cum6])
+    zero = F.lit(0.0)
+    out = (
+        qframe.join(F.broadcast(relq), "query_id", "left")
+        .join(F.broadcast(hagg), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_relevant", F.lit(0)).cast("bigint").alias("n_relevant"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            "__first",
+            "__dcg6",
+        )
+        .select(
+            "query_id",
+            "n_relevant",
+            "n_hits",
+            F.when(
+                F.col("__first").isNotNull(),
+                decimal_ratio_round(F.lit(1), F.col("__first"), digits),
+            )
+            .otherwise(zero)
+            .alias("mrr"),
+            F.when(
+                (F.col("n_relevant") > 0) & (F.col("n_hits") > 0),
+                decimal_ratio_round(
+                    F.col("__dcg6"),
+                    F.element_at(
+                        cumarr, F.least(F.col("n_relevant"), F.lit(k)).cast("int")
+                    ),
+                    digits,
+                ),
+            )
+            .otherwise(zero)
+            .alias("ndcg"),
+            decimal_ratio_round(F.col("n_hits"), F.lit(k), digits).alias(
+                "precision_at_k"
+            ),
+            F.when(
+                F.col("n_relevant") > 0,
+                decimal_ratio_round(F.col("n_hits"), F.col("n_relevant"), digits),
+            )
+            .otherwise(zero)
+            .alias("recall_at_k"),
+        )
+    )
+    return out
+
+
 def oov_rates(
     docs: DataFrame,
     vocab_size: int,

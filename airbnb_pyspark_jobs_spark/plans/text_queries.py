@@ -2269,10 +2269,10 @@ _BM25_QUERIES = [
 _BM25_TOPK = 10
 
 
-def _q122_oracle() -> str:
+def _q122_oracle(queries=None) -> str:
     vals = ", ".join(
         f"(CAST({qid} AS BIGINT), '{w}')"
-        for qid, text in _BM25_QUERIES
+        for qid, text in (queries if queries is not None else _BM25_QUERIES)
         for w in sorted(set(text.lower().split()))
     )
     return f"""
@@ -2320,6 +2320,108 @@ def q122_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return bm25_topk(docs, _BM25_QUERIES, k1=1.2, b=0.75, top_k=_BM25_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# q301 retrieval ranking metrics: MRR@k / nDCG@k / precision@k /
+# recall@k of the q122 BM25 ranking against boolean-AND relevance (doc
+# contains EVERY query term — the q214 conjunctive ground truth). DCG
+# rank gains are shared integer-micro literals (dcg_gain_micros), all
+# ratios are exact round-half-away integer quotients; the oracle
+# replays the FULL bm25 pipeline plus the relevance join and the same
+# gain VALUES table. Relevance work: one scan-side semi-join vs the
+# broadcast query-term table; everything past ranking is Q/k-bounded.
+# ---------------------------------------------------------------------------
+# q122's three queries saturate on this corpus (their 2-3 term ANDs
+# match hundreds of docs, so precision/MRR/nDCG pin at 1.0); the two
+# extra queries make every metric path non-vacuous: a 6-term
+# conjunction (rare relevance -> partial top-k hits) and an
+# out-of-vocabulary query (R=0 -> all-zero row, the guard path).
+_Q301_QUERIES = _BM25_QUERIES + [
+    (3, "dup spark join merge filter"),  # 'dup' df~5% -> R < k
+    (4, "warehouse zebra"),
+]
+
+
+def _q301_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round_sql
+    from airbnb_pyspark_jobs_spark.operators.corpus import dcg_gain_micros
+
+    k = _BM25_TOPK
+    g6, cum6 = dcg_gain_micros(k)
+    bm25 = _q122_oracle(_Q301_QUERIES)
+    gvals = ", ".join(
+        f"(CAST({i + 1} AS BIGINT), CAST({g} AS BIGINT))" for i, g in enumerate(g6)
+    )
+    cvals = ", ".join(
+        f"(CAST({r + 1} AS BIGINT), CAST({c} AS BIGINT))" for r, c in enumerate(cum6)
+    )
+    mrr = decimal_ratio_round_sql("1", "h.first_rel", 6)
+    ndcg = decimal_ratio_round_sql("h.dcg6", "iv.c6", 6)
+    prec = decimal_ratio_round_sql("COALESCE(h.n_hits, 0)", str(k), 6)
+    rec = decimal_ratio_round_sql("COALESCE(h.n_hits, 0)", "rq.n_relevant", 6)
+    return f"""
+    WITH ranked AS ({bm25}),
+    qterm AS (SELECT DISTINCT query_id, term FROM (SELECT * FROM (VALUES {_q301_qvals()}) AS t(query_id, term))),
+    qn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nq FROM qterm GROUP BY 1),
+    dterm AS (
+      SELECT DISTINCT doc_id, lower(t) AS term
+      FROM (SELECT doc_id, UNNEST({_D_TOKENS}) AS t FROM documents)
+    ),
+    rel AS (
+      SELECT m.query_id, m.doc_id
+      FROM (
+        SELECT qt.query_id, dt.doc_id, CAST(COUNT(*) AS BIGINT) AS nmatch
+        FROM qterm qt JOIN dterm dt USING (term)
+        GROUP BY 1, 2
+      ) m JOIN qn USING (query_id)
+      WHERE m.nmatch = qn.nq
+    ),
+    rq AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_relevant
+           FROM rel GROUP BY 1),
+    gv(i, g6) AS (VALUES {gvals}),
+    iv(r, c6) AS (VALUES {cvals}),
+    h AS (
+      SELECT ranked.query_id,
+             CAST(MIN(rn) AS BIGINT) AS first_rel,
+             CAST(COUNT(*) AS BIGINT) AS n_hits,
+             CAST(SUM(gv.g6) AS BIGINT) AS dcg6
+      FROM ranked JOIN rel USING (query_id, doc_id)
+                  JOIN gv ON gv.i = ranked.rn
+      GROUP BY 1
+    ),
+    qids AS (SELECT DISTINCT query_id FROM qterm)
+    SELECT qids.query_id,
+           CAST(COALESCE(rq.n_relevant, 0) AS BIGINT) AS n_relevant,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CASE WHEN h.first_rel IS NOT NULL THEN {mrr}
+                ELSE CAST(0 AS DOUBLE) END AS mrr,
+           CASE WHEN COALESCE(rq.n_relevant, 0) > 0 AND COALESCE(h.n_hits, 0) > 0
+                THEN {ndcg} ELSE CAST(0 AS DOUBLE) END AS ndcg,
+           {prec} AS precision_at_k,
+           CASE WHEN COALESCE(rq.n_relevant, 0) > 0 THEN {rec}
+                ELSE CAST(0 AS DOUBLE) END AS recall_at_k
+    FROM qids
+    LEFT JOIN rq USING (query_id)
+    LEFT JOIN h USING (query_id)
+    LEFT JOIN iv ON iv.r = least(COALESCE(rq.n_relevant, 0), {k})
+    """
+
+
+def _q301_qvals() -> str:
+    return ", ".join(
+        f"(CAST({qid} AS BIGINT), '{w}')"
+        for qid, text in _Q301_QUERIES
+        for w in sorted(set(text.lower().split()))
+    )
+
+
+@query("q301_bm25_retrieval_metrics", oracle=_q301_oracle())
+def q301_bm25_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import retrieval_metrics
+
+    docs = load_table(spark, "documents", sf_dir)
+    return retrieval_metrics(docs, _Q301_QUERIES, k=_BM25_TOPK)
 
 
 # ---------------------------------------------------------------------------

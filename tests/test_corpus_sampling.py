@@ -685,3 +685,57 @@ def test_cumsum_multi_equals_stacked_singles(spark):
         ).collect()
     }
     assert multi == single
+
+
+def test_retrieval_metrics_match_python_recompute(spark):
+    """retrieval_metrics' wiring is checked against an INDEPENDENT
+    python recompute: take bm25_topk's actual ranking + the boolean-AND
+    relevance set and re-derive MRR/nDCG/precision/recall with the same
+    integer-micro gains; a no-match query yields the all-zero row."""
+    from airbnb_pyspark_jobs_spark.operators.corpus import (
+        bm25_topk,
+        dcg_gain_micros,
+        retrieval_metrics,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b"),
+            (2, "a b a"),
+            (3, "a a a a a a a a"),
+            (4, "y z"),
+            (5, "b y"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = [(0, "a b"), (1, "q")]
+    k = 3
+    out = {r.query_id: r for r in retrieval_metrics(docs, queries, k=k).collect()}
+    assert set(out) == {0, 1}
+    # query 1 matches nothing
+    r1 = out[1]
+    assert (r1.n_relevant, r1.n_hits, r1.mrr, r1.ndcg) == (0, 0, 0.0, 0.0)
+    assert (r1.precision_at_k, r1.recall_at_k) == (0.0, 0.0)
+
+    # independent recompute for query 0
+    ranked = sorted(
+        (r.rn, r.doc_id)
+        for r in bm25_topk(docs, queries, top_k=k).collect()
+        if r.query_id == 0
+    )
+    rel = {1, 2}  # docs containing BOTH a and b
+    hits = [(rn, d) for rn, d in ranked if d in rel]
+    g6, cum6 = dcg_gain_micros(k)
+    dcg6 = sum(g6[rn - 1] for rn, _ in hits)
+    idcg6 = cum6[min(len(rel), k) - 1]
+
+    def ratio(num, den):  # round-half-away at 6, like decimal_ratio_round
+        q = (2 * 10**6 * abs(num) + den) // (2 * den)
+        return (q if num >= 0 else -q) / 1e6
+
+    r0 = out[0]
+    assert r0.n_relevant == 2 and r0.n_hits == len(hits)
+    assert r0.mrr == ratio(1, hits[0][0])
+    assert r0.ndcg == ratio(dcg6, idcg6)
+    assert r0.precision_at_k == ratio(len(hits), k)
+    assert r0.recall_at_k == ratio(len(hits), 2)
