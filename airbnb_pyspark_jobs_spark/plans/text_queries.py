@@ -3628,6 +3628,75 @@ def _q162_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# q302 keeper succession under deletion — the right-to-be-forgotten
+# audit against a DEDUP'D corpus: when deletes hit a near-dup
+# component (deterministic 25% hash sample stands in for the GDPR
+# delete feed), which keeper survives, which component needs a
+# SUCCESSOR keeper (next-lowest remaining member), and which
+# dissolves entirely. Composes the verified q58 component machinery;
+# one grouped aggregate after it — all integer/string columns, no
+# float path. Scale: the aggregate is component-keyed, the delete
+# flag is a scan-side hash; nothing beyond q58's own cost.
+# ---------------------------------------------------------------------------
+def _q302_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q58 = ORACLES["q58_dedup_components"]
+    return f"""
+    WITH comp AS ({q58}),
+    d AS (
+      SELECT doc_id, component_id,
+             CASE WHEN CAST('0x' || substr(md5('del:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 = 0
+                  THEN 1 ELSE 0 END AS del
+      FROM comp
+    )
+    SELECT component_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(del) AS BIGINT) AS n_deleted,
+           CAST(COUNT(*) - SUM(del) AS BIGINT) AS n_remaining,
+           MIN(CASE WHEN del = 0 THEN doc_id END) AS new_keeper,
+           CASE WHEN COUNT(*) - SUM(del) = 0 THEN 'dissolved'
+                WHEN MAX(CASE WHEN doc_id = component_id THEN del
+                              ELSE 0 END) = 1 THEN 'succeeded'
+                ELSE 'unchanged' END AS status
+    FROM d GROUP BY component_id
+    """
+
+
+@query("q302_keeper_succession", oracle=_q302_oracle())
+def q302_keeper_succession(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.text import portable_hash_int
+
+    comp = q58_dedup_components(spark, sf_dir)
+    is_del = (
+        F.pmod(portable_hash_int(F.col("doc_id").cast("string"), seed="del:"), F.lit(4))
+        == 0
+    ).cast("int")
+    d = comp.select("doc_id", "component_id", is_del.alias("__del"))
+    return d.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("__del").cast("bigint").alias("n_deleted"),
+        (F.count(F.lit(1)) - F.sum("__del")).cast("bigint").alias("n_remaining"),
+        F.min(F.when(F.col("__del") == 0, F.col("doc_id"))).alias("new_keeper"),
+        F.when(
+            (F.count(F.lit(1)) - F.sum("__del")) == 0, F.lit("dissolved")
+        )
+        .when(
+            F.max(
+                F.when(
+                    F.col("doc_id") == F.col("component_id"), F.col("__del")
+                ).otherwise(F.lit(0))
+            )
+            == 1,
+            F.lit("succeeded"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
 @query("q162_dedup_savings_report", oracle=_q162_oracle())
 def q162_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbnb_pyspark_jobs_spark.functions.text import token_count
