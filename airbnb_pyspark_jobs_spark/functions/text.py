@@ -48,6 +48,19 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("bigint")
 
 
+def py_query_terms(text: str) -> list[str]:
+    """Driver-side twin of ``lower(tokens(...))`` for query STRINGS: trim,
+    split on whitespace runs, lowercase. Retrieval operators (bm25_topk,
+    retrieval_metrics) must normalize query terms with the SAME rule as
+    document terms — a bare ``text.split()`` drifts the moment tokens()
+    ever changes, silently yielding zero-relevance rows for any query
+    word the doc side would have normalized differently."""
+    import re
+
+    t = text.strip()
+    return [w.lower() for w in re.split(_WS, t)] if t else []
+
+
 # Letter runs, digit runs, or single non-space-non-alnum — a cheap
 # BPE-pre-tokenizer proxy. Kept to syntax valid in both Java regex and
 # RE2 (no lookaround) so the DuckDB oracle can use the same pattern.

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from airbnb_pyspark_jobs_spark.functions.numeric import exact_mean_round
-from airbnb_pyspark_jobs_spark.functions.text import tokens
+from airbnb_pyspark_jobs_spark.functions.text import py_query_terms, tokens
 
 
 def chunk_documents(
@@ -253,11 +253,23 @@ def repetition_signals(
     )
 
 
+def derive_digest_buckets(n_docs: int, target_ids_per_bucket: int = 100_000) -> int:
+    """Digest-bucket count that bounds the worst level-1 aggregation
+    buffer ABSOLUTELY: a term present in every one of ``n_docs``
+    documents lands ≤ ``target_ids_per_bucket`` doc-ids (in expectation)
+    per (term, bucket) group when ``B = max(64, ceil(N / target))``.
+    Pure integer arithmetic — the oracle derives the same B in SQL with
+    ``GREATEST(64, (COUNT(*) + target - 1) // target)``, so the tree
+    digests stay bit-identical cross-engine at every corpus size."""
+    return max(64, (int(n_docs) + target_ids_per_bucket - 1) // target_ids_per_bucket)
+
+
 def vocabulary(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    digest_buckets: int = 64,
+    digest_buckets: int | None = None,
+    target_ids_per_bucket: int = 100_000,
 ) -> DataFrame:
     """Corpus vocabulary / inverted-index build: one row per lowercased
     term with document frequency ``df``, collection frequency ``cf``,
@@ -271,13 +283,19 @@ def vocabulary(
     posting list into one aggregation buffer in one task — ~10 GB for a
     hot term at 10^9 docs, the textbook skewed-key OOM. Instead the
     list is hashed in two bounded levels: doc-ids are bucketed by
-    ``pmod(md5-hash(doc_id), digest_buckets)``, level 1 md5-hashes each
-    (term, bucket) sub-list (buffer ≤ N/B ids in expectation — raise
-    ``digest_buckets`` with corpus size; B scales the hot-term buffer
-    down linearly), level 2 md5-hashes the lexicographically-sorted
+    ``pmod(md5-hash(doc_id), B)``, level 1 md5-hashes each (term,
+    bucket) sub-list, level 2 md5-hashes the lexicographically-sorted
     bucket digests (buffer ≤ B fixed-width strings). Both levels are
     deterministic set functions of the posting list, so the oracle
     reproduces the digest exactly with the same two-level SQL.
+
+    B auto-scales with the corpus (``digest_buckets=None``, the
+    default): ``B = derive_digest_buckets(count(docs))`` bounds the
+    worst level-1 buffer at ``target_ids_per_bucket`` ids ABSOLUTELY —
+    not as N/64, which at 10^9 docs would still put ~15.6M ids in one
+    buffer. The count is one metadata-cheap action; pass an explicit
+    ``digest_buckets`` to pin B (the digest VALUE depends on B, so
+    cross-engine comparison must share it).
 
     Plan: explode → one (term, doc) aggregate (collapses duplicate
     occurrences while counting them for cf) → TWO bounded grouped
@@ -286,6 +304,8 @@ def vocabulary(
     """
     from airbnb_pyspark_jobs_spark.functions.text import portable_hash_int
 
+    if digest_buckets is None:
+        digest_buckets = derive_digest_buckets(docs.count(), target_ids_per_bucket)
     # the digest bucket depends only on doc_id — hash ONCE per doc row,
     # before the token explode, not once per (term, doc) pair (measured
     # ~3x on the whole build at 1M docs)
@@ -1041,7 +1061,7 @@ def bm25_topk(
         ),
     )
     qterms = spark.createDataFrame(
-        [(qid, w.lower()) for qid, text in queries for w in text.split()],
+        [(qid, w) for qid, text in queries for w in py_query_terms(text)],
         "query_id long, term string",
     ).distinct()
     k1f, bf = float(k1), float(b)
@@ -1146,7 +1166,7 @@ def retrieval_metrics(
         .distinct()
     )
     qt = spark.createDataFrame(
-        sorted({(qid, w.lower()) for qid, text in queries for w in text.split()}),
+        sorted({(qid, w) for qid, text in queries for w in py_query_terms(text)}),
         "query_id long, term string",
     )
     nq = qt.groupBy("query_id").agg(F.count(F.lit(1)).cast("bigint").alias("__nq"))

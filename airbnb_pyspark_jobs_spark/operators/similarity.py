@@ -449,19 +449,39 @@ def ivf_ann(
     )
 
 
+class ExactBaselineSizeError(ValueError):
+    """An O(n²) exact-baseline operator was asked to run on a corpus
+    larger than its ``max_n`` contract — use the bucketed scale path
+    (or raise ``max_n`` deliberately for an offline audit)."""
+
+
 def cosine_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    max_n: int = 100_000,
 ) -> DataFrame:
     """EXACT embedding-cosine near-duplicate pairs (id_a < id_b,
     sim >= t) via an all-pairs self-join — the ground truth, O(n²), for
-    verification SFs and recall measurement. The scale path is
-    :func:`cosine_dup_pairs_lsh` (multi-table banded hyperplane LSH,
-    exact-verified candidates). Unit-normalized scan-side → one dot
-    fold per pair (2.9× measured on this shape)."""
+    verification SFs and recall measurement (q154/q164 require it). The
+    scale path is :func:`cosine_dup_pairs_lsh` (multi-table banded
+    hyperplane LSH, exact-verified candidates). Unit-normalized
+    scan-side → one dot fold per pair (2.9× measured on this shape).
+
+    O(n²) contract: this operator compares EVERY pair — 10ⁱ⁰ dot folds
+    at n=10⁵ already. ``max_n`` (one cheap count action) fails loudly
+    above that bound instead of quietly burning hours at a larger SF
+    (VERDICT r6 #3); raise it only for a deliberate offline audit."""
+    n = corpus.count()
+    if n > max_n:
+        raise ExactBaselineSizeError(
+            f"cosine_dup_pairs is the O(n²) exact ground-truth baseline: "
+            f"corpus has {n} rows > max_n={max_n}. Use cosine_dup_pairs_lsh "
+            "(banded LSH, exact-verified) at this scale, or raise max_n "
+            "explicitly for an offline audit."
+        )
     e = unit_vectors(corpus, id_col, vec_col, "id", "v")
     pairs = (
         e.alias("a")
@@ -1041,64 +1061,99 @@ def pq_train_codebooks(
     ROUNDED squared L2 in dot-product form ``v·v − 2·v·c + c·c`` (cid
     tie-break), and per-dim means are rounded — both roundings make the
     iterations reproducible verbatim in SQL (the q83 oracle unrolls
-    them). Training actions: m×iters small jobs, driver collects
-    k×(dims/m) floats each. At 100 TB train on an id-bounded sample,
-    like :func:`kmeans_centroids`.
+    them).
+
+    One pass per iteration over ALL subspaces (VERDICT r6 #2): each
+    vector explodes into m (s, subvector) rows ONCE (persisted), the
+    current centroids travel as a BROADCAST DataFrame equi-joined on
+    ``s`` (a BroadcastHashJoin — codebook size never touches the plan,
+    where the previous per-subspace literal-centroid plans cost m×iters
+    separate jobs and k·m·d literals), and one grouped aggregate per
+    iteration collects k·m tiny centroid rows. Training actions: 1 init
+    + iters jobs total. At 100 TB train on an id-bounded sample, like
+    :func:`kmeans_centroids`.
     """
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
     sub = dims // m
-    books: list[list[tuple[int, list[float]]]] = []
-    for s in range(m):
-        e = corpus.select(
-            F.col(id_col).alias("id"),
-            F.slice(to_double_array(vec_col), s * sub + 1, sub).alias("sv"),
-        ).withColumn("__vv", dot(F.col("sv"), F.col("sv")))
-        init = e.orderBy("id").limit(k).collect()
-        cents = [(i, [float(x) for x in r.sv]) for i, r in enumerate(init)]
-        for _ in range(iters):
-            cent_rows = F.array(
-                *[
-                    F.struct(
-                        F.lit(cid).cast("int").alias("cid"),
-                        F.array(*[F.lit(x) for x in vec]).alias("cenv"),
-                        F.lit(_py_sq_norm(vec)).alias("c2"),
-                    )
-                    for cid, vec in cents
-                ]
+    spark = corpus.sparkSession
+    e = owned_persist(
+        corpus.select(
+            F.col(id_col).alias("id"), to_double_array(vec_col).alias("__v")
+        )
+        .select(
+            "id",
+            F.posexplode(
+                F.array(*[F.slice("__v", s * sub + 1, sub) for s in range(m)])
+            ).alias("s", "sv"),
+        )
+        .withColumn("__vv", dot(F.col("sv"), F.col("sv")))
+    )
+    init = (
+        corpus.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(k)
+        .collect()
+    )
+    # cents[s] = [(cid, subvector)] — all m books advance together
+    cents: list[list[tuple[int, list[float]]]] = [
+        [
+            (i, [float(x) for x in r.v[s * sub : (s + 1) * sub]])
+            for i, r in enumerate(init)
+        ]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            [
+                (s, cid, vec, _py_sq_norm(vec))
+                for s in range(m)
+                for cid, vec in cents[s]
+            ],
+            "s int, cid int, cenv array<double>, c2 double",
+        )
+        assigned = e.join(F.broadcast(cent_df), "s").select(
+            "id",
+            "s",
+            "sv",
+            "cid",
+            F.round(
+                F.col("__vv")
+                - F.lit(2.0) * dot(F.col("sv"), F.col("cenv"))
+                + F.col("c2"),
+                dist_digits,
+            ).alias("__d2"),
+        )
+        # argmin by (rounded distance, cid tie-break) as ONE grouped
+        # min(struct(...)) — partial-aggregated map-side, where a
+        # row_number window would sort every (id, s) partition; cid is
+        # unique per group so the (d2, cid) prefix never ties
+        best = assigned.groupBy("id", "s").agg(
+            F.min(F.struct("__d2", "cid", "sv")).alias("__b")
+        )
+        means = (
+            best.select(
+                "s",
+                F.col("__b.cid").alias("cid"),
+                F.posexplode("__b.sv").alias("d", "x"),
             )
-            assigned = e.select(
-                "id", "sv", "__vv", F.explode(cent_rows).alias("c")
-            ).select(
-                "id",
-                "sv",
-                F.col("c.cid").alias("cid"),
-                F.round(
-                    F.col("__vv")
-                    - F.lit(2.0) * dot(F.col("sv"), F.col("c.cenv"))
-                    + F.col("c.c2"),
-                    dist_digits,
-                ).alias("__d2"),
-            )
-            w = Window.partitionBy("id").orderBy(
-                F.col("__d2").asc(), F.col("cid").asc()
-            )
-            best = assigned.withColumn("__rn", F.row_number().over(w)).filter(
-                F.col("__rn") == 1
-            )
-            means = (
-                best.select("cid", F.posexplode("sv").alias("d", "x"))
-                .groupBy("cid", "d")
-                .agg(F.round(F.avg("x"), mean_digits).alias("cx"))
-            )
-            rows = means.groupBy("cid").agg(
+            .groupBy("s", "cid", "d")
+            .agg(F.round(F.avg("x"), mean_digits).alias("cx"))
+        )
+        rows = (
+            means.groupBy("s", "cid")
+            .agg(
                 F.array_sort(
                     F.collect_list(F.struct(F.col("d"), F.col("cx")))
                 ).alias("dc")
-            ).collect()
-            cents = sorted(
-                (int(r.cid), [float(p.cx) for p in r.dc]) for r in rows
             )
-        books.append(cents)
-    return books
+            .collect()
+        )
+        cents = [[] for _ in range(m)]
+        for r in rows:
+            cents[int(r.s)].append((int(r.cid), [float(p.cx) for p in r.dc]))
+        cents = [sorted(cs) for cs in cents]
+    return cents
 
 
 def pq_encode(
@@ -1197,11 +1252,22 @@ def pq_adc_topk(
     dot-product-form distance as :func:`pq_encode`, computed with
     Python's left-fold (IEEE-identical to the engines' in-order
     folds), so results reproduce verbatim in the oracle.
+
+    Serving-path plan shape (VERDICT r6 #2): the per-query LUTs travel
+    as a BROADCAST DataFrame (one row per query, ``m`` cid-indexed
+    distance arrays), crossJoined with the coded corpus — a
+    BroadcastNestedLoopJoin, the sanctioned every-query-scores-every-
+    row shape (there is no equi key between the query set and the
+    corpus, so a hash join cannot apply). The previous |Q|-way
+    unionByName of literal-LUT branches duplicated the ENTIRE
+    pq_encode subtree per query: plan build was 14.4 s vs 2.8 s of
+    execution at |Q|=10, and grew with |Q|·k·m literal count. Now the
+    coded subtree appears ONCE and LUT size never touches the plan.
     """
     m = len(codebooks)
     coded = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
-    split = F.split(F.col("codes"), "-")
-    luts = []
+    spark = corpus.sparkSession
+    lut_rows = []
     for qid, subs in queries_subvecs:
         per_sub = []
         for s in range(m):
@@ -1217,26 +1283,31 @@ def pq_adc_topk(
                     dotqc += x * y
                 ents[cid] = round(qq - 2.0 * dotqc + _py_sq_norm(c), dist_digits)
             per_sub.append(ents)
-        luts.append((qid, per_sub))
-    out = None
-    for qid, per_sub in luts:
-        adc = F.lit(0.0)
-        for s in range(m):
-            lut = F.array(*[F.lit(v) for v in per_sub[s]])
-            adc = adc + F.element_at(
-                lut, F.element_at(split, s + 1).cast("int") + 1
-            )
-        scored = coded.select(
-            F.lit(qid).cast("bigint").alias("query_id"),
+        lut_rows.append((int(qid), per_sub))
+    lut_df = spark.createDataFrame(
+        lut_rows, "query_id bigint, __luts array<array<double>>"
+    )
+    split = F.split(F.col("codes"), "-")
+    adc = F.lit(0.0)
+    for s in range(m):  # fixed s=0..m-1 fold order, as the oracle sums
+        adc = adc + F.element_at(
+            F.element_at("__luts", s + 1),
+            F.element_at(split, s + 1).cast("int") + 1,
+        )
+    scored = (
+        coded.crossJoin(F.broadcast(lut_df))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
             F.col(id_col).alias("neighbor_id"),
             adc.alias("adc_dist"),
-        ).filter(F.col("neighbor_id") != qid)
-        out = scored if out is None else out.unionByName(scored)
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
     return (
-        out.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= k)
     )
 
@@ -1327,11 +1398,17 @@ def ivfpq_search(
     their members. Per (query, cell) the lookup table is built from the
     QUERY'S residual in that cell (q − cell centroid) — the asymmetric
     part of IVFADC. All driver-side math uses the same left-fold IEEE
-    ops as the engines, so the oracle reproduces rankings verbatim."""
+    ops as the engines, so the oracle reproduces rankings verbatim.
+
+    Serving-path plan shape (VERDICT r6 #2): the (query, probed cell)
+    LUTs travel as a BROADCAST DataFrame equi-joined on ``cell`` — a
+    BroadcastHashJoin against the coded corpus that prunes to the
+    probed inverted lists, replacing the |Q|·n_probe-way unionByName of
+    literal-LUT branches (each of which duplicated the whole coded
+    subtree in the plan). LUT size never touches the plan."""
     m = len(books)
-    sub = len(books[0][0][1])
-    split = F.split(F.col("codes"), "-")
-    out = None
+    spark = coded.sparkSession
+    probe_rows = []
     for qid, qvec in queries:
         qq = _py_sq_norm(qvec)
         cell_d = sorted(
@@ -1349,7 +1426,8 @@ def ivfpq_search(
         )[:n_probe]
         for _d, cell, cvec in cell_d:
             qr = [x - y for x, y in zip(qvec, cvec)]
-            adc = F.lit(0.0)
+            per_sub = []
+            sub = len(books[0][0][1])
             for s in range(m):
                 q = qr[s * sub : (s + 1) * sub]
                 qq_s = _py_sq_norm(q)
@@ -1359,22 +1437,32 @@ def ivfpq_search(
                     ents[cid] = round(
                         qq_s - 2.0 * sum_ip(q, c) + _py_sq_norm(c), dist_digits
                     )
-                adc = adc + F.element_at(
-                    F.array(*[F.lit(v) for v in ents]),
-                    F.element_at(split, s + 1).cast("int") + 1,
-                )
-            scored = coded.filter(F.col("cell") == cell).select(
-                F.lit(qid).cast("bigint").alias("query_id"),
-                F.col("vec_id").alias("neighbor_id"),
-                adc.alias("adc_dist"),
-            )
-            out = scored if out is None else out.unionByName(scored)
-    out = out.filter(F.col("neighbor_id") != F.col("query_id"))
+                per_sub.append(ents)
+            probe_rows.append((int(qid), int(cell), per_sub))
+    probe_df = spark.createDataFrame(
+        probe_rows, "query_id bigint, cell int, __luts array<array<double>>"
+    )
+    split = F.split(F.col("codes"), "-")
+    adc = F.lit(0.0)
+    for s in range(m):  # fixed s=0..m-1 fold order, as the oracle sums
+        adc = adc + F.element_at(
+            F.element_at("__luts", s + 1),
+            F.element_at(split, s + 1).cast("int") + 1,
+        )
+    scored = (
+        coded.join(F.broadcast(probe_df), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("adc_dist"),
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
     return (
-        out.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= k)
     )
 
@@ -1467,12 +1555,20 @@ def rotate_vectors(
     out_col: str = "rv",
     round_digits: int | None = None,
 ) -> DataFrame:
-    """Apply a literal rotation matrix: out[o] = dot(row_o, v), one
+    """Apply a rotation matrix: out[o] = dot(row_o, v), one
     in-index-order fold per output dim (bit-identical to the oracle's
-    ``list_dot_product`` on the same literals). Pure scan-side
+    ``list_dot_product`` on the same values). Pure scan-side
     projection — no shuffle, no UDF; the double-cast input vector is
     STAGED into a column once so the dims² multiply-adds read a single
     projected array, not dims copies of the cast expression.
+
+    The matrix travels as a BROADCAST single-row DataFrame (the
+    sanctioned broadcast-scalar crossJoin shape) rather than dims²
+    plan literals — at production dims the literal plan dominates
+    analysis time (VERDICT r6 #2: the q92 shape), while the broadcast
+    frame keeps plan size linear in dims and data out of the plan.
+    Rounded matrix entries round-trip exactly through the frame, so
+    values are identical to the previous literal inlining.
 
     ``round_digits`` rounds each rotated component. Use it whenever the
     rotated vectors feed further cross-engine-replayed computation
@@ -1481,18 +1577,23 @@ def rotate_vectors(
     flip a downstream rounded distance at the boundary and diverge the
     whole training replay — rounding here makes the training inputs
     bit-identical (the round-then-aggregate recipe)."""
+    spark = df.sparkSession
+    r_df = spark.createDataFrame(
+        [([list(map(float, row)) for row in rotation],)],
+        "__R array<array<double>>",
+    )
     staged = df.select(
         F.col(id_col), *extra_cols, to_double_array(vec_col).alias("__v")
-    )
+    ).crossJoin(F.broadcast(r_df))
 
-    def comp(row: list[float]) -> F.Column:
-        c = dot(F.col("__v"), F.array(*[F.lit(x) for x in row]))
+    def comp(o: int) -> F.Column:
+        c = dot(F.col("__v"), F.element_at("__R", o + 1))
         return F.round(c, round_digits) if round_digits is not None else c
 
     return staged.select(
         id_col,
         *extra_cols,
-        F.array(*[comp(row) for row in rotation]).alias(out_col),
+        F.array(*[comp(o) for o in range(len(rotation))]).alias(out_col),
     )
 
 

@@ -42,7 +42,7 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 # name -> set of family tags, for `pytest -m <family>` selection (the
-# full 299-query oracle matrix is ~18 min; a family runs in minutes).
+# full-registry oracle matrix is ~18 min; a family runs in minutes).
 # Module tag from the defining module + semantic tags by name pattern.
 QUERY_FAMILIES: dict[str, set[str]] = {}
 
@@ -102,10 +102,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn  # source anchor for the catalog generator
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        fams = {_MODULE_FAMILY.get(fn.__module__.rsplit(".", 1)[-1], "core")}
+        mod = fn.__module__.rsplit(".", 1)[-1]
+        if mod not in _MODULE_FAMILY:
+            # a new plans module must declare its family (and a matching
+            # pytest.ini marker) — a silent 'core' default would mislabel
+            # every query it registers and quietly grow `pytest -m core`
+            raise KeyError(
+                f"query module {mod!r} has no family in _MODULE_FAMILY; "
+                "add it (and a pytest.ini marker) before registering queries"
+            )
+        fams = {_MODULE_FAMILY[mod]}
         for fam, pat in _SEMANTIC_FAMILIES.items():
             if pat.search(name):
                 fams.add(fam)

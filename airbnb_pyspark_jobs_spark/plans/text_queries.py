@@ -759,15 +759,22 @@ def q37_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the whole list cross-engine without array round-trip, and no single
 # aggregation buffer ever holds a hot term's full doc-id list — the
 # stopword-at-10^9-docs OOM). Three keyed shuffles plus a broadcast
-# scalar; level-1 buffers are bounded by N/B, level-2 by B digests.
+# scalar; level-1 buffers are bounded ABSOLUTELY at
+# _VOCAB_TARGET ids: B derives from the corpus row count with the same
+# integer arithmetic on both engines (derive_digest_buckets), level-2
+# buffers hold B fixed-width digests.
 # ---------------------------------------------------------------------------
-_VOCAB_B = 64
+_VOCAB_TARGET = 100_000
 
 
 @query(
     "q38_vocabulary",
     oracle=rf"""
-    WITH tr AS (
+    WITH bc AS (
+      SELECT GREATEST(64, (COUNT(*) + {_VOCAB_TARGET - 1}) // {_VOCAB_TARGET}) AS b
+      FROM documents
+    ),
+    tr AS (
       SELECT CAST(doc_id AS VARCHAR) AS doc_id, lower(t) AS term
       FROM (SELECT doc_id, UNNEST({_D_TOKENS}) AS t FROM documents)
     ),
@@ -775,7 +782,7 @@ _VOCAB_B = 64
     pd AS (SELECT term, doc_id, COUNT(*) AS tf FROM tr GROUP BY 1, 2),
     bd AS (
       SELECT term,
-             CAST('0x' || substr(md5(doc_id), 1, 8) AS BIGINT) % {_VOCAB_B} AS b,
+             CAST('0x' || substr(md5(doc_id), 1, 8) AS BIGINT) % (SELECT b FROM bc) AS b,
              COUNT(*) AS df_part,
              SUM(tf) AS cf_part,
              md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS bdig
@@ -793,7 +800,7 @@ def q38_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbnb_pyspark_jobs_spark.operators.corpus import vocabulary
 
     docs = load_table(spark, "documents", sf_dir)
-    return vocabulary(docs, digest_buckets=_VOCAB_B)
+    return vocabulary(docs, target_ids_per_bucket=_VOCAB_TARGET)
 
 
 # ---------------------------------------------------------------------------
@@ -2269,12 +2276,22 @@ _BM25_QUERIES = [
 _BM25_TOPK = 10
 
 
-def _q122_oracle(queries=None) -> str:
-    vals = ", ".join(
-        f"(CAST({qid} AS BIGINT), '{w}')"
-        for qid, text in (queries if queries is not None else _BM25_QUERIES)
-        for w in sorted(set(text.lower().split()))
+def _qterm_values(queries) -> str:
+    """``(query_id, term)`` VALUES list for the retrieval oracles.
+    Terms go through the SAME py_query_terms rule the Spark operators
+    use, and single quotes are doubled so a future query string with an
+    apostrophe can't break (or inject into) the generated SQL."""
+    from airbnb_pyspark_jobs_spark.functions.text import py_query_terms
+
+    return ", ".join(
+        f"(CAST({int(qid)} AS BIGINT), '{w.replace(chr(39), chr(39) * 2)}')"
+        for qid, text in queries
+        for w in sorted(set(py_query_terms(text)))
     )
+
+
+def _q122_oracle(queries=None) -> str:
+    vals = _qterm_values(queries if queries is not None else _BM25_QUERIES)
     return f"""
     WITH toks AS (
       SELECT doc_id, lower(t) AS term
@@ -2409,11 +2426,7 @@ def _q301_oracle() -> str:
 
 
 def _q301_qvals() -> str:
-    return ", ".join(
-        f"(CAST({qid} AS BIGINT), '{w}')"
-        for qid, text in _Q301_QUERIES
-        for w in sorted(set(text.lower().split()))
-    )
+    return _qterm_values(_Q301_QUERIES)
 
 
 @query("q301_bm25_retrieval_metrics", oracle=_q301_oracle())

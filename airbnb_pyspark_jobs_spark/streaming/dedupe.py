@@ -68,6 +68,49 @@ def _read_state(
         raise
 
 
+class CheckpointWarehouseMismatchError(RuntimeError):
+    """Raised when the streaming checkpoint and the state warehouse
+    disagree about progress — see :func:`_assert_checkpoint_matches`."""
+
+
+def _assert_checkpoint_matches(
+    spark: SparkSession, path: str, schema: str, batch_id: int
+) -> None:
+    """Refuse to run a batch whose warehouse already holds FUTURE state.
+
+    A stream restarted with a fresh (or deleted) checkpoint over an
+    existing warehouse replays batch ids from 0: ``_read_state`` would
+    prune to ``batch_id < 0`` (deduping against NOTHING, accepting
+    duplicates of every stored doc) and the overwrite would then clobber
+    the old ``batch_id=0`` partitions — silent state destruction. Any
+    committed partition with ``batch_id > current`` is unambiguous
+    evidence of that mismatch, so fail loudly instead. A partition at
+    ``batch_id == current`` is the legitimate crash-replay case (this
+    batch's own partial output) and stays allowed — which also means a
+    fresh checkpoint over a warehouse holding ONLY batch 0 is
+    indistinguishable from a batch-0 replay and cannot be caught here.
+    """
+    try:
+        top = (
+            spark.read.option("basePath", path)
+            .schema(schema + ", batch_id long")
+            .parquet(path)
+            .agg(F.max("batch_id").alias("m"))
+            .first()
+        )
+    except Exception:  # no warehouse yet -> nothing to mismatch
+        return
+    if top is not None and top.m is not None and top.m > batch_id:
+        raise CheckpointWarehouseMismatchError(
+            f"warehouse {path} already holds committed state up to "
+            f"batch_id={top.m}, but the stream is (re)processing "
+            f"batch_id={batch_id}: the checkpoint does not belong to this "
+            "warehouse (fresh/deleted checkpoint over existing state?). "
+            "Restore the original checkpoint or point the stream at an "
+            "empty warehouse."
+        )
+
+
 def streaming_minhash_dedup(
     doc_stream: DataFrame,
     warehouse: str,
@@ -108,6 +151,7 @@ def streaming_minhash_dedup(
         )
         if batch.isEmpty():
             return
+        _assert_checkpoint_matches(spark, accepted_dir, _DOCS_SCHEMA, batch_id)
         old_docs = _read_state(spark, accepted_dir, _DOCS_SCHEMA, batch_id)
         old_index = _read_state(spark, index_dir, _INDEX_SCHEMA, batch_id)
         pairs = incremental_minhash_pairs(

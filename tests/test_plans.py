@@ -702,6 +702,23 @@ def test_q247_fanout_is_bounded_explode(spark):
     assert "SortMergeJoin" not in plan.split("Generate")[0]
 
 
+def test_pq_serving_path_uses_broadcast_codebook_frames(spark):
+    """VERDICT r6 #2: PQ/IVF serving codebooks travel as broadcast
+    DataFrames, never as per-query literal-LUT plan branches. q84's ADC
+    stage is ONE BroadcastNestedLoopJoin of the coded corpus with the
+    |Q|-row LUT frame (no equi key exists between query set and corpus);
+    q85's probe stage is a BroadcastHashJoin on the probed ``cell`` key.
+    Neither plan contains the old |Q|-way Union of literal branches."""
+    q84 = QUERIES["q84_pq_adc_topk"](spark, SF_DIR)
+    plan84 = _executed_plan(q84)
+    assert "BroadcastNestedLoopJoin" in plan84
+    assert "Union" not in plan84
+    q85 = QUERIES["q85_ivfpq_topk"](spark, SF_DIR)
+    plan85 = _executed_plan(q85)
+    assert "BroadcastHashJoin" in plan85 and "[cell" in plan85
+    assert "Union" not in plan85
+
+
 def test_q38_postings_digest_is_two_level_tree(spark):
     """The postings digest must never collect a term's full doc-id list
     in one buffer (stopword at 10^9 docs = one-task OOM): every

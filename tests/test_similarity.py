@@ -55,6 +55,26 @@ def test_planted_near_dups_found_and_precision_exact(spark):
     assert {(r.vec_id_a, r.vec_id_b, r.cos_sim) for r in lsh} <= exact_set
 
 
+def test_exact_baseline_max_n_guard(spark):
+    """The O(n²) ground-truth baseline must FAIL LOUDLY above its
+    max_n contract (VERDICT r6 #3) instead of quietly running all-pairs
+    at a large SF — and still run when the bound is raised."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    big = spark.range(0, 51).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") + i).cast("double") for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    with pytest.raises(SIM.ExactBaselineSizeError, match="max_n=50"):
+        SIM.cosine_dup_pairs(big, threshold=0.9, max_n=50)
+    # explicit raise of the bound re-enables the offline-audit path
+    assert SIM.cosine_dup_pairs(big, threshold=0.0, max_n=51).count() > 0
+
+
 def test_moderate_threshold_recall(spark):
     """The q55 configuration must keep recall >= 0.9 vs the exact pairs
     at t=0.45 (the regression the single-bucket mode failed: 0/14)."""

@@ -301,3 +301,47 @@ def test_streaming_dedup_replay_after_partial_write_is_idempotent(
     assert state(wh_b) == state(wh_a)
     acc_ids = {d for d, _ in state(wh_a)[0]}
     assert acc_ids == {1, 2, 13}  # 11 rejected vs stored doc 1
+
+
+def test_streaming_dedup_fresh_checkpoint_over_existing_warehouse_raises(
+    spark, tmp_path
+):
+    """Misuse guard (ADVICE r6): a FRESH checkpoint over an existing
+    warehouse restarts batch ids at 0 — without the guard, batch 0 would
+    dedupe against nothing (pruning to batch_id < 0) and then OVERWRITE
+    the old batch_id=0 partitions. The run must fail loudly with a
+    checkpoint/warehouse mismatch instead, leaving the stored state
+    untouched."""
+    import pyspark.errors
+
+    src = str(tmp_path / "src")
+    warehouse = str(tmp_path / "wh")
+    _write_batch(spark, src, [(1, BASE), (2, DIFF)])
+    _write_batch(spark, src, [(11, BASE), (13, "fresh unique text here")])
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_minhash_dedup(stream, warehouse, checkpoint=ckpt)
+        q.awaitTermination(180)
+
+    drain(str(tmp_path / "ckpt_good"))  # commits batch_id=0 and 1
+    before = sorted(
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(os.path.join(warehouse, "accepted")).collect()
+    )
+
+    try:
+        drain(str(tmp_path / "ckpt_fresh"))  # replays from batch 0
+        raise AssertionError("fresh checkpoint over existing warehouse must fail")
+    except pyspark.errors.StreamingQueryException as e:
+        assert "CheckpointWarehouseMismatch" in str(e)
+
+    after = sorted(
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(os.path.join(warehouse, "accepted")).collect()
+    )
+    assert after == before  # stored state untouched by the refused run
