@@ -111,6 +111,77 @@ def _assert_checkpoint_matches(
         )
 
 
+def dedup_batch(
+    batch_df: DataFrame,
+    warehouse: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame | None:
+    """One micro-batch of dedup-on-ingest: candidate generation vs the
+    STORED band index, exact-Jaccard verification, keep-first keeper
+    rule, and the three idempotent ``batch_id=N``-partitioned state
+    writes (accepted/index/dups — see module docstring). Returns the
+    batch's ACCEPTED docs (localCheckpointed) so composed pipelines
+    (streaming/pipeline.py) can chain further stages off the survivors;
+    returns None for an empty batch. Shared by
+    :func:`streaming_minhash_dedup` and the composed corpus pipeline —
+    the state layout and replay semantics are identical."""
+    spark = batch_df.sparkSession
+    accepted_dir = os.path.join(warehouse, "accepted")
+    index_dir = os.path.join(warehouse, "index")
+    dups_dir = os.path.join(warehouse, "dups")
+    batch = (
+        batch_df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+        .dropDuplicates(["doc_id"])
+        .localCheckpoint()  # stream sources can't be re-read per consumer
+    )
+    if batch.isEmpty():
+        return None
+    _assert_checkpoint_matches(spark, accepted_dir, _DOCS_SCHEMA, batch_id)
+    old_docs = _read_state(spark, accepted_dir, _DOCS_SCHEMA, batch_id)
+    old_index = _read_state(spark, index_dir, _INDEX_SCHEMA, batch_id)
+    pairs = incremental_minhash_pairs(
+        batch,
+        old_docs,
+        old_index,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    ).localCheckpoint()
+    new_ids = batch.select("doc_id")
+    # new doc paired with an accepted doc -> the NEW side is rejected
+    rej_vs_old = (
+        pairs.filter(F.col("kind") == "new_old")
+        .select(F.explode(F.array("doc_id_a", "doc_id_b")).alias("doc_id"))
+        .join(new_ids, "doc_id", "left_semi")
+    )
+    # within-batch pair -> keep the lowest id
+    rej_in_batch = pairs.filter(F.col("kind") == "new_new").select(
+        F.col("doc_id_b").alias("doc_id")
+    )
+    rejected = rej_vs_old.unionByName(rej_in_batch).distinct()
+    accepted = batch.join(rejected, "doc_id", "left_anti").localCheckpoint()
+    # idempotent per-batch state: overwrite THIS batch's partition
+    # dir (a replayed batch rewrites the same paths, never appends
+    # duplicates; see module docstring)
+    part = f"batch_id={batch_id}"
+    accepted.write.mode("overwrite").parquet(os.path.join(accepted_dir, part))
+    minhash_band_index(
+        accepted, n=n, num_hashes=num_hashes, bands=bands
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, part))
+    pairs.write.mode("overwrite").parquet(os.path.join(dups_dir, part))
+    return accepted
+
+
 def streaming_minhash_dedup(
     doc_stream: DataFrame,
     warehouse: str,
@@ -133,60 +204,20 @@ def streaming_minhash_dedup(
     over the new batch + only the candidate old docs (semi-join
     fetch); keeper rule keeps the first-accepted / lowest-id copy.
     """
-    accepted_dir = os.path.join(warehouse, "accepted")
-    index_dir = os.path.join(warehouse, "index")
-    dups_dir = os.path.join(warehouse, "dups")
-
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from airbnb_pyspark_jobs_spark.caching import release_owned_caches
 
-        spark = batch_df.sparkSession
-        batch = (
-            batch_df.select(
-                F.col(id_col).cast("long").alias("doc_id"),
-                F.col(text_col).alias("text"),
-            )
-            .dropDuplicates(["doc_id"])
-            .localCheckpoint()  # stream sources can't be re-read per consumer
-        )
-        if batch.isEmpty():
-            return
-        _assert_checkpoint_matches(spark, accepted_dir, _DOCS_SCHEMA, batch_id)
-        old_docs = _read_state(spark, accepted_dir, _DOCS_SCHEMA, batch_id)
-        old_index = _read_state(spark, index_dir, _INDEX_SCHEMA, batch_id)
-        pairs = incremental_minhash_pairs(
-            batch,
-            old_docs,
-            old_index,
+        dedup_batch(
+            batch_df,
+            warehouse,
+            batch_id,
+            id_col=id_col,
+            text_col=text_col,
             n=n,
             num_hashes=num_hashes,
             bands=bands,
             threshold=threshold,
-        ).localCheckpoint()
-        new_ids = batch.select("doc_id")
-        # new doc paired with an accepted doc -> the NEW side is rejected
-        rej_vs_old = (
-            pairs.filter(F.col("kind") == "new_old")
-            .select(F.explode(F.array("doc_id_a", "doc_id_b")).alias("doc_id"))
-            .join(new_ids, "doc_id", "left_semi")
         )
-        # within-batch pair -> keep the lowest id
-        rej_in_batch = pairs.filter(F.col("kind") == "new_new").select(
-            F.col("doc_id_b").alias("doc_id")
-        )
-        rejected = rej_vs_old.unionByName(rej_in_batch).distinct()
-        accepted = batch.join(rejected, "doc_id", "left_anti").localCheckpoint()
-        # idempotent per-batch state: overwrite THIS batch's partition
-        # dir (a replayed batch rewrites the same paths, never appends
-        # duplicates; see module docstring)
-        part = f"batch_id={batch_id}"
-        accepted.write.mode("overwrite").parquet(
-            os.path.join(accepted_dir, part)
-        )
-        minhash_band_index(
-            accepted, n=n, num_hashes=num_hashes, bands=bands
-        ).write.mode("overwrite").parquet(os.path.join(index_dir, part))
-        pairs.write.mode("overwrite").parquet(os.path.join(dups_dir, part))
         release_owned_caches()
 
     return (
