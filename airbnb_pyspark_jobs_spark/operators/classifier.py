@@ -115,3 +115,81 @@ def score_fast_sigmoid(
     return df.withColumn("p", p).withColumn(
         "pred", (F.col("p") >= 0.5).cast("bigint")
     )
+
+
+def confident_label_suspects(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    y_col: str = "y",
+    p_col: str = "p",
+    p_digits: int = 6,
+) -> DataFrame:
+    """Confident-learning label-noise candidates (Northcutt et al.
+    2021, binary case): per class ``j`` the self-confidence threshold
+    ``t_j`` is the MEAN predicted probability of class j among examples
+    LABELED j; an example is a noise suspect when its predicted
+    probability for the OPPOSITE class reaches that class's threshold.
+    This is the standard mislabeled-example miner over an in-engine
+    classifier's scores (q147) — the curation step before re-labeling
+    or dropping suspects from a training corpus.
+
+    Exact-integer arithmetic: ``p`` (rounded to ``p_digits``) converts
+    to integer micro-units, each threshold is the round-half-away
+    integer quotient ``(2·S + N) div (2·N)`` of BIGINT sums, and every
+    comparison happens in micro space — no float means, no cross-engine
+    boundary risk. Returns one row per suspect: ``{id_col}, y_label,
+    p, suspected_label, margin_micro`` (how far past the threshold in
+    micro-units). Scale: one scan-side projection, one tiny 2-class
+    aggregate broadcast back — no windows, no collects."""
+    scale = 10**p_digits
+    pm = F.round(F.col(p_col) * scale).cast("bigint")
+    staged = scored.select(
+        F.col(id_col),
+        F.col(y_col).cast("bigint").alias("y_label"),
+        F.col(p_col).alias("p"),
+        pm.alias("__pm"),
+    )
+    # S1/N1 over labeled-1 docs (confidence in class 1), S0/N0 over
+    # labeled-0 docs (confidence in class 0 = scale - pm)
+    th = staged.agg(
+        F.sum(F.when(F.col("y_label") == 1, F.col("__pm"))).alias("__s1"),
+        F.count(F.when(F.col("y_label") == 1, 1)).cast("bigint").alias("__n1"),
+        F.sum(F.when(F.col("y_label") == 0, F.lit(scale) - F.col("__pm"))).alias(
+            "__s0"
+        ),
+        F.count(F.when(F.col("y_label") == 0, 1)).cast("bigint").alias("__n0"),
+    ).select(
+        F.when(
+            F.col("__n1") > 0,
+            F.expr("(2 * __s1 + __n1) div (2 * __n1)"),
+        ).alias("__t1"),
+        F.when(
+            F.col("__n0") > 0,
+            F.expr("(2 * __s0 + __n0) div (2 * __n0)"),
+        ).alias("__t0"),
+    )
+    joined = staged.crossJoin(F.broadcast(th))
+    conf1 = F.col("__pm")  # confidence the doc is class 1
+    conf0 = F.lit(scale) - F.col("__pm")
+    return (
+        joined.select(
+            id_col,
+            "y_label",
+            "p",
+            F.when((F.col("y_label") == 0) & (conf1 >= F.col("__t1")), F.lit(1))
+            .when((F.col("y_label") == 1) & (conf0 >= F.col("__t0")), F.lit(0))
+            .cast("bigint")
+            .alias("suspected_label"),
+            F.when(
+                (F.col("y_label") == 0) & (conf1 >= F.col("__t1")),
+                conf1 - F.col("__t1"),
+            )
+            .when(
+                (F.col("y_label") == 1) & (conf0 >= F.col("__t0")),
+                conf0 - F.col("__t0"),
+            )
+            .cast("bigint")
+            .alias("margin_micro"),
+        )
+        .filter(F.col("suspected_label").isNotNull())
+    )

@@ -1106,6 +1106,156 @@ def bm25_topk(
     )
 
 
+def coverage_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boolean-coverage retriever: rank documents per query by (distinct
+    matched query terms DESC, total matched term frequency DESC, doc_id
+    ASC) — the cheap recall-oriented counterpart to BM25, and the
+    second list for reciprocal-rank fusion (q303). Integer-only
+    ranking, so orders are bit-identical cross-engine by construction.
+
+    Returns ``query_id, doc_id, n_matched, tf_matched, rn``. Scale: one
+    (doc, term) count shuffle; the query-term table broadcasts; the
+    rank window partitions by query and everything after the ranking is
+    Q- and k-bounded."""
+    spark = docs.sparkSession
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("t")
+        )
+        .select("doc_id", F.lower("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__tf"))
+    )
+    qt = spark.createDataFrame(
+        sorted({(qid, w) for qid, text in queries for w in py_query_terms(text)}),
+        "query_id long, term string",
+    )
+    per = (
+        tf.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            F.sum("__tf").cast("bigint").alias("tf_matched"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_matched").desc(), F.col("tf_matched").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= top_k)
+    )
+
+
+def rrf_gain_micros(rrf_k: int, max_rank: int) -> list[int]:
+    """Reciprocal-rank-fusion gains in integer MICRO-units:
+    ``g[r-1] = round(1e6 / (rrf_k + r))`` for ranks r=1..max_rank.
+    Derived once in python and inlined as the SAME literals into the
+    Spark plan and the SQL oracle (the dcg_gain_micros recipe) — rank
+    positions are bounded, so literals delete float-division parity
+    risk entirely."""
+    return [int(round(1e6 / (rrf_k + r))) for r in range(1, max_rank + 1)]
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    rrf_k: int = 60,
+    top_k: int = 5,
+    max_rank: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. SIGIR'09): fuse ranked
+    lists by ``score(d) = Σ_lists 1/(rrf_k + rank_list(d))`` — the
+    standard hybrid-retrieval combiner (BM25 + dense / coverage lists)
+    for RAG data curation. Each input frame carries ``query_id, doc_id,
+    rn`` (1-based, ≤ ``max_rank``); a doc absent from a list
+    contributes nothing.
+
+    Scores are summed in integer micro-units (:func:`rrf_gain_micros`)
+    so fusion is exact-integer end to end; the final rank orders by
+    (rrf_micro DESC, n_lists DESC, doc_id ASC). Returns ``query_id,
+    doc_id, rrf_micro, n_lists, rn``. Scale: the per-list inputs are
+    already Q·k-bounded, so the union + one grouped sum + the
+    query-partitioned rank window are all tiny regardless of corpus
+    size."""
+    gains = rrf_gain_micros(rrf_k, max_rank)
+    garr = F.array(*[F.lit(g).cast("bigint") for g in gains])
+    parts = None
+    for df in rankings:
+        part = df.select(
+            "query_id",
+            "doc_id",
+            F.element_at(garr, F.col("rn").cast("int")).alias("__g"),
+        )
+        parts = part if parts is None else parts.unionByName(part)
+    fused = parts.groupBy("query_id", "doc_id").agg(
+        F.sum("__g").cast("bigint").alias("rrf_micro"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("n_lists").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= top_k)
+    )
+
+
+def lexical_diversity(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group lexical-diversity profile — corpus-health signals a
+    mixing pipeline reads before weighting sources: type-token ratio,
+    hapax share (types occurring exactly once: the Zipf tail mass) and
+    mean word length. All counts are exact BIGINTs aggregated in two
+    bounded levels ((group, term) then group) and every reported ratio
+    is one exact integer quotient
+    (:func:`~airbnb_pyspark_jobs_spark.functions.numeric.decimal_ratio_round`).
+
+    Returns ``{group_col}, n_tokens, n_types, n_hapax, ttr,
+    hapax_share, mean_word_len``. Scale: one (group, term) shuffle —
+    the same postings shape as the vocabulary build; no windows, no
+    collects."""
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    term_counts = (
+        docs.select(F.col(group_col), F.explode(tokens(text_col)).alias("t"))
+        .select(group_col, F.lower("t").alias("term"))
+        .groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__tf"))
+    )
+    agg = term_counts.groupBy(group_col).agg(
+        F.sum("__tf").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("__tf") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.sum(F.length("term").cast("bigint") * F.col("__tf"))
+        .cast("bigint")
+        .alias("__chars"),
+    )
+    return agg.select(
+        group_col,
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        decimal_ratio_round(F.col("n_types"), F.col("n_tokens"), 6).alias("ttr"),
+        decimal_ratio_round(F.col("n_hapax"), F.col("n_types"), 6).alias(
+            "hapax_share"
+        ),
+        decimal_ratio_round(F.col("__chars"), F.col("n_tokens"), 6).alias(
+            "mean_word_len"
+        ),
+    )
+
+
 def dcg_gain_micros(k: int) -> tuple[list[int], list[int]]:
     """Binary-relevance DCG gains in integer MICRO-units plus their
     prefix sums: ``g6[i-1] = round(1e6 · 1/log2(i+1))`` for ranks

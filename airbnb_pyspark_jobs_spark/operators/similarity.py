@@ -106,6 +106,71 @@ def knn_bruteforce(
     )
 
 
+def matryoshka_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims_list: tuple[int, ...] = (8, 16, 32, 64),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    ratio_digits: int = 4,
+) -> DataFrame:
+    """Dimension-truncation (Matryoshka-style) retrieval-quality sweep:
+    for each prefix length ``d`` in ``dims_list``, rank by cosine over
+    the FIRST d dimensions only and measure recall@k against the
+    full-dimension exact top-k — the ablation a serving stack runs
+    before deciding how many dimensions its index actually needs
+    (truncating a Matryoshka-trained embedding is the cheapest 2-8×
+    index shrink; this measures what it costs on YOUR corpus).
+
+    Returns one row per d: ``trunc_dims, n_hits, n_expected,
+    recall_at_k`` (exact integer quotient). Determinism: each
+    truncated ranking is :func:`knn_bruteforce` on the sliced arrays
+    (rounded cosine + id tie-break); the full-dims entry audits itself
+    at recall 1.0. Scale: |dims_list| broadcast-query passes over the
+    corpus — same shape as the probe/quantization sweeps (q202/q293);
+    at 100 TB run it on the id-bounded audit sample like the other
+    recall audits (q154)."""
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    full = knn_bruteforce(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    ).select("query_id", "neighbor_id")
+    out = None
+    for d in dims_list:
+        tc = corpus.select(
+            F.col(id_col), F.slice(to_double_array(vec_col), 1, d).alias("__tv")
+        )
+        tq = queries.select(
+            F.col(id_col), F.slice(to_double_array(vec_col), 1, d).alias("__tv")
+        )
+        approx = knn_bruteforce(
+            tc, tq, k=k, id_col=id_col, vec_col="__tv",
+            round_digits=round_digits,
+        ).select("query_id", "neighbor_id")
+        row = (
+            full.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+            .crossJoin(
+                F.broadcast(
+                    full.agg(F.count(F.lit(1)).cast("bigint").alias("n_expected"))
+                )
+            )
+            .select(
+                F.lit(int(d)).cast("bigint").alias("trunc_dims"),
+                "n_hits",
+                "n_expected",
+                decimal_ratio_round(
+                    F.col("n_hits"), F.col("n_expected"), ratio_digits
+                ).alias("recall_at_k"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def lsh_bucket_ann(
     corpus: DataFrame,
     queries: DataFrame,

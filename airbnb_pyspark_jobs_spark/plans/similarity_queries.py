@@ -2888,3 +2888,67 @@ def q298_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q305 Matryoshka dimension-truncation sweep: recall@k of cosine
+# ranking over the first d dims (d = 8/16/32/64) vs the full-dim exact
+# top-k — the ablation that sizes a truncated-embedding index (the
+# cheapest 2-8x shrink when embeddings are Matryoshka-trained). Same
+# broadcast-query sweep shape as q202/q293; the full-dims row audits
+# itself at recall 1.0. Oracle replays each truncated ranking with
+# list slicing and the exact-integer recall quotient.
+# ---------------------------------------------------------------------------
+_MAT_DIMS = (8, 16, 32, 64)
+
+
+def _q305_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round_sql
+
+    def knn_sql(vexpr: str, name: str) -> str:
+        return f"""
+    {name}e AS (SELECT vec_id, {vexpr} AS v FROM embeddings),
+    {name}u AS (SELECT vec_id,
+                list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+                FROM {name}e),
+    {name}q AS (SELECT vec_id AS query_id, vn AS qv FROM {name}u
+                WHERE vec_id < {_NQ}),
+    {name}r AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, CAST(ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC)
+          AS BIGINT) AS rn
+        FROM (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 round(list_dot_product(q.qv, c.vn), 4) AS cos_sim
+          FROM {name}q q, {name}u c WHERE q.query_id != c.vec_id
+        )
+      ) WHERE rn <= {_K}
+    )"""
+
+    parts = ["WITH " + knn_sql("CAST(embedding AS DOUBLE[])", "gt").lstrip()]
+    selects = []
+    ratio = decimal_ratio_round_sql("n_hits", "n_expected", 4)
+    for d in _MAT_DIMS:
+        parts.append("," + knn_sql(f"(CAST(embedding AS DOUBLE[]))[1:{d}]", f"d{d}"))
+        selects.append(f"""
+    SELECT CAST({d} AS BIGINT) AS trunc_dims,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM gtr g
+            WHERE EXISTS (SELECT 1 FROM d{d}r a
+                          WHERE a.query_id = g.query_id
+                            AND a.neighbor_id = g.neighbor_id)) AS n_hits,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM gtr) AS n_expected""")
+    body = " UNION ALL ".join(
+        f"SELECT trunc_dims, n_hits, n_expected, {ratio} AS recall_at_k"
+        f" FROM ({s})"
+        for s in selects
+    )
+    return "".join(parts) + "\n" + body
+
+
+@query("q305_matryoshka_recall", oracle=_q305_oracle())
+def q305_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.matryoshka_recall(
+        emb, emb.filter(F.col("vec_id") < _NQ), dims_list=_MAT_DIMS, k=_K
+    )

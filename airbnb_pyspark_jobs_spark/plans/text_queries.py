@@ -6976,3 +6976,199 @@ def q300_corpus_readiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens"), F.col("n_docs"), 2, sum_scale=0
         ).alias("mean_tokens_per_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q303 reciprocal rank fusion: the hybrid-retrieval combiner (Cormack
+# et al. SIGIR'09) over two verified retrievers — q122's BM25 ranking
+# and the boolean-coverage ranking — with scores summed as shared
+# integer-micro literals (the q301 DCG recipe: rank positions are
+# k-bounded, so 1/(60+r) literals delete float parity risk). Both
+# input rankings are Q·k-bounded, so fusion is tiny at any corpus
+# size; the oracle replays BM25 in full plus the integer coverage
+# rank and the same gain VALUES.
+# ---------------------------------------------------------------------------
+_RRF_K, _RRF_TOPK, _RRF_MAXRANK = 60, 5, 10
+
+
+def _coverage_sql(qvals: str, top_k: int) -> str:
+    """Boolean-coverage retriever in SQL: rank by (distinct matched
+    terms DESC, matched tf DESC, doc_id ASC) — integer-only."""
+    return f"""
+    SELECT query_id, doc_id, rn FROM (
+      SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY n_matched DESC, tf_matched DESC, doc_id ASC) AS BIGINT) AS rn
+      FROM (
+        SELECT q.query_id, tf.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_matched,
+               CAST(SUM(tf.tf) AS BIGINT) AS tf_matched
+        FROM (
+          SELECT doc_id, lower(t) AS term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, UNNEST({_D_TOKENS}) AS t FROM documents)
+          GROUP BY 1, 2
+        ) tf JOIN (SELECT * FROM (VALUES {qvals}) AS t(query_id, term)) q
+          USING (term)
+        GROUP BY 1, 2
+      )
+    ) WHERE rn <= {top_k}
+    """
+
+
+def _q303_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.operators.corpus import rrf_gain_micros
+
+    gains = rrf_gain_micros(_RRF_K, _RRF_MAXRANK)
+    gvals = ", ".join(
+        f"(CAST({r + 1} AS BIGINT), CAST({g} AS BIGINT))"
+        for r, g in enumerate(gains)
+    )
+    qvals = _qterm_values(_BM25_QUERIES)
+    return f"""
+    WITH bm AS ({_q122_oracle()}),
+    cov AS ({_coverage_sql(qvals, _RRF_MAXRANK)}),
+    g(r, g6) AS (VALUES {gvals}),
+    u AS (
+      SELECT bm.query_id, bm.doc_id, g.g6 FROM bm JOIN g ON g.r = bm.rn
+      UNION ALL
+      SELECT cov.query_id, cov.doc_id, g.g6 FROM cov JOIN g ON g.r = cov.rn
+    ),
+    f AS (
+      SELECT query_id, doc_id, CAST(SUM(g6) AS BIGINT) AS rrf_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM u GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY rrf_micro DESC, n_lists DESC, doc_id ASC) AS BIGINT) AS rn
+      FROM f
+    )
+    SELECT query_id, doc_id, rrf_micro, n_lists, rn
+    FROM r WHERE rn <= {_RRF_TOPK}
+    """
+
+
+@query("q303_rrf_fusion", oracle=_q303_oracle())
+def q303_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import (
+        bm25_topk,
+        coverage_topk,
+        rrf_fuse,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    bm = bm25_topk(docs, _BM25_QUERIES, k1=1.2, b=0.75, top_k=_RRF_MAXRANK)
+    cov = coverage_topk(docs, _BM25_QUERIES, top_k=_RRF_MAXRANK)
+    return rrf_fuse(
+        [bm.select("query_id", "doc_id", "rn"), cov.select("query_id", "doc_id", "rn")],
+        rrf_k=_RRF_K,
+        top_k=_RRF_TOPK,
+        max_rank=_RRF_MAXRANK,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q304 lexical-diversity profile per source: type-token ratio, hapax
+# share and mean word length — the corpus-health signals a mixing
+# pipeline reads before weighting sources. One (source, term) shuffle
+# (the vocabulary shape), exact BIGINT counts, every ratio one exact
+# integer quotient.
+# ---------------------------------------------------------------------------
+def _q304_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round_sql
+
+    ttr = decimal_ratio_round_sql("n_types", "n_tokens", 6)
+    hap = decimal_ratio_round_sql("n_hapax", "n_types", 6)
+    mwl = decimal_ratio_round_sql("chars", "n_tokens", 6)
+    return f"""
+    WITH tc AS (
+      SELECT source, lower(t) AS term
+      FROM (SELECT source, UNNEST({_D_TOKENS}) AS t FROM documents)
+    ),
+    cnt AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tc GROUP BY 1, 2),
+    a AS (
+      SELECT source,
+             CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             CAST(SUM(CAST(length(term) AS BIGINT) * tf) AS BIGINT) AS chars
+      FROM cnt GROUP BY 1
+    )
+    SELECT source, n_tokens, n_types, n_hapax,
+           {ttr} AS ttr, {hap} AS hapax_share, {mwl} AS mean_word_len
+    FROM a
+    """
+
+
+@query("q304_lexical_diversity", oracle=_q304_oracle())
+def q304_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import lexical_diversity
+
+    docs = load_table(spark, "documents", sf_dir)
+    return lexical_diversity(docs, group_col="source")
+
+
+# ---------------------------------------------------------------------------
+# q306 confident-learning label-noise suspects (Northcutt et al. 2021)
+# over the q147 in-engine classifier's scores: per class the
+# self-confidence threshold is the mean predicted probability among
+# examples LABELED that class; an example whose opposite-class
+# confidence reaches the opposite threshold is a noise suspect — the
+# curation step before re-labeling or dropping. All-integer micro
+# arithmetic (thresholds are round-half-away BIGINT quotients), so the
+# flag set is bit-identical cross-engine; the oracle replays the full
+# q147 GD training plus the same threshold math.
+# ---------------------------------------------------------------------------
+def _q306_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q147 = ORACLES["q147_quality_classifier_gd"]
+    return f"""
+    WITH s AS ({q147}),
+    m AS (
+      SELECT doc_id, CAST(y AS BIGINT) AS y_label, p,
+             CAST(round(p * 1000000) AS BIGINT) AS pm
+      FROM s
+    ),
+    th AS (
+      SELECT
+        CASE WHEN COUNT(CASE WHEN y_label = 1 THEN 1 END) > 0 THEN
+          (2 * SUM(CASE WHEN y_label = 1 THEN pm END)
+             + COUNT(CASE WHEN y_label = 1 THEN 1 END))
+          // (2 * COUNT(CASE WHEN y_label = 1 THEN 1 END)) END AS t1,
+        CASE WHEN COUNT(CASE WHEN y_label = 0 THEN 1 END) > 0 THEN
+          (2 * SUM(CASE WHEN y_label = 0 THEN 1000000 - pm END)
+             + COUNT(CASE WHEN y_label = 0 THEN 1 END))
+          // (2 * COUNT(CASE WHEN y_label = 0 THEN 1 END)) END AS t0
+      FROM m
+    )
+    SELECT doc_id, y_label, p,
+           CAST(CASE WHEN y_label = 0 AND pm >= t1 THEN 1
+                     WHEN y_label = 1 AND (1000000 - pm) >= t0 THEN 0
+                END AS BIGINT) AS suspected_label,
+           CAST(CASE WHEN y_label = 0 AND pm >= t1 THEN pm - t1
+                     WHEN y_label = 1 AND (1000000 - pm) >= t0
+                       THEN (1000000 - pm) - t0
+                END AS BIGINT) AS margin_micro
+    FROM m, th
+    WHERE (y_label = 0 AND pm >= t1)
+       OR (y_label = 1 AND (1000000 - pm) >= t0)
+    """
+
+
+@query("q306_label_noise_suspects", oracle=_q306_oracle())
+def q306_label_noise_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.classifier import (
+        confident_label_suspects,
+        score_fast_sigmoid,
+        train_gd_fast_sigmoid,
+    )
+
+    feats = _q147_features(load_table(spark, "documents", sf_dir))
+    w = train_gd_fast_sigmoid(
+        feats, _Q147_FEATS, "y", iters=_Q147_ITERS, lr=_Q147_LR
+    )
+    scored = score_fast_sigmoid(feats, _Q147_FEATS, w).select("doc_id", "y", "p")
+    return confident_label_suspects(scored)
