@@ -1256,6 +1256,127 @@ def lexical_diversity(
     )
 
 
+def heaps_law_fit(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit per group: OLS of ln(V) on
+    ln(N) where, scanning documents in ``id_col`` order, N is the
+    cumulative token count and V the cumulative distinct-term count —
+    the growth exponent β (natural text ≈ 0.4-0.6; β → 1 smells
+    boilerplate/ID soup, β → 0 a closed template vocabulary). The
+    per-source sibling of the q181 Zipf fit, with the same determinism
+    recipe: each ln rounds to 3 decimals and scales to exact integer
+    MILLI-units; the regression runs through grouped_trend's exact
+    BIGINT moment sums; floats appear only in the final divisions.
+
+    Scale: a term's FIRST occurrence is one (group, term) min-
+    aggregate, per-doc token counts one (group, doc) aggregate, and
+    the two cumulatives come from ONE grouped two-phase range-bucketed
+    cumsum (:func:`~airbnb_pyspark_jobs_spark.operators.sampling.grouped_two_phase_cumsum_multi`)
+    — no group-sized window partitions anywhere. Returns ``{group_col},
+    n_docs, heaps_beta, heaps_intercept_milli, r2``."""
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        grouped_two_phase_cumsum_multi,
+    )
+    from airbnb_pyspark_jobs_spark.operators.sketches import grouped_trend
+
+    tr = docs.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__doc"),
+        F.explode(tokens(text_col)).alias("t"),
+    ).select("__g", "__doc", F.lower("t").alias("term"))
+    per_doc = tr.groupBy("__g", "__doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ntok")
+    )
+    first_occ = (
+        tr.groupBy("__g", "term")
+        .agg(F.min("__doc").alias("__doc"))
+        .groupBy("__g", "__doc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__nnew"))
+    )
+    frame = per_doc.join(first_occ, ["__g", "__doc"], "left").select(
+        "__g",
+        "__doc",
+        "__ntok",
+        F.coalesce("__nnew", F.lit(0)).cast("bigint").alias("__nnew"),
+    )
+    cum = grouped_two_phase_cumsum_multi(
+        frame, "__g", "__doc", "__doc", ["__ntok", "__nnew"], ["__cn", "__cv"]
+    )
+    xy = cum.select(
+        "__g",
+        F.round(
+            F.round(F.log(F.col("__cn").cast("double")), 3) * F.lit(1000)
+        ).alias("__x"),
+        F.round(
+            F.round(F.log(F.col("__cv").cast("double")), 3) * F.lit(1000)
+        ).alias("__y"),
+    )
+    out = grouped_trend(
+        xy, "__g", x_col=F.col("__x"), y_cents=F.col("__y"), out_digits=6
+    )
+    return out.select(
+        F.col("__g").alias(group_col),
+        F.col("n").alias("n_docs"),
+        F.col("slope_cents").alias("heaps_beta"),
+        F.col("intercept_cents").alias("heaps_intercept_milli"),
+        "r2",
+    )
+
+
+def retrieval_hard_negatives(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hard-negative mining for retrieval training: the top-``k`` BM25
+    documents per query that are NOT boolean-AND relevant (don't
+    contain every query term) — lexically confusable non-answers, the
+    standard negatives for training dense retrievers / rerankers
+    (DPR-style BM25 negatives). Relevance is q301's conjunctive ground
+    truth; ranking is q122's BM25.
+
+    Returns ``query_id, doc_id, score, rn`` (BM25's rank retained so
+    the training set keeps difficulty ordering). Scale: bm25_topk's
+    postings shuffle plus ONE scan-side relevance semi-join against the
+    broadcast query-term table; the anti-join runs on the Q·k-bounded
+    ranked frame."""
+    spark = docs.sparkSession
+    ranked = bm25_topk(
+        docs, queries, k1=k1, b=b, top_k=k, id_col=id_col, text_col=text_col
+    )
+    dterm = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("t")
+        )
+        .select("doc_id", F.lower("t").alias("term"))
+        .distinct()
+    )
+    qt = spark.createDataFrame(
+        sorted({(qid, w) for qid, text in queries for w in py_query_terms(text)}),
+        "query_id long, term string",
+    )
+    nq = qt.groupBy("query_id").agg(F.count(F.lit(1)).cast("bigint").alias("__nq"))
+    rel = (
+        dterm.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__m"))
+        .join(F.broadcast(nq), "query_id")
+        .filter(F.col("__m") == F.col("__nq"))
+        .select("query_id", "doc_id")
+    )
+    return ranked.join(rel, ["query_id", "doc_id"], "left_anti").select(
+        "query_id", "doc_id", "score", "rn"
+    )
+
+
 def dcg_gain_micros(k: int) -> tuple[list[int], list[int]]:
     """Binary-relevance DCG gains in integer MICRO-units plus their
     prefix sums: ``g6[i-1] = round(1e6 · 1/log2(i+1))`` for ranks

@@ -377,6 +377,95 @@ def two_phase_numeric_cumsum_multi(
     )
 
 
+def grouped_two_phase_cumsum_multi(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tie_col: str,
+    value_cols: list[str],
+    out_cols: list[str],
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-GROUP running sums of several value columns in (``order_col``,
+    ``tie_col``) order — the grouped sibling of
+    :func:`two_phase_numeric_cumsum_multi`. A plain
+    ``Window.partitionBy(group)`` cumsum puts one GROUP's entire history
+    into one task (a 10⁹-doc source = the single-partition sort hazard);
+    here the order column is range-bucketed WITHIN each group, running
+    sums are computed per (group, bucket) partition, and the cross-
+    bucket offsets come from an ``n_buckets``-row-per-group window —
+    both bounded. Order stats (min/max) are per group, broadcast back."""
+    from pyspark.sql.window import Window
+
+    _reserved = {"__b", "__rn", "__off", "__run", "__mn", "__mx", "__cnt"}
+    _clash = _reserved & set(df.columns)
+    if _clash:
+        raise ValueError(
+            f"input columns collide with two-phase internals: {sorted(_clash)}"
+            " (rename them; the helper would silently clobber them)"
+        )
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_cols and out_cols must align")
+    ord_d = F.col(order_col).cast("double")
+    stats = df.groupBy(group_col).agg(
+        F.min(ord_d).alias("__mn"), F.max(ord_d).alias("__mx")
+    )
+    width = F.greatest(
+        (F.col("__mx") - F.col("__mn")) / F.lit(float(n_buckets)),
+        F.lit(1e-300),
+    )
+    keyed = (
+        df.join(F.broadcast(stats), group_col)
+        .withColumn(
+            "__b",
+            F.least(
+                F.floor((ord_d - F.col("__mn")) / width),
+                F.lit(n_buckets - 1),
+            ).cast("bigint"),
+        )
+        .drop("__mn", "__mx")
+    )
+    w_in = (
+        Window.partitionBy(group_col, "__b")
+        .orderBy(F.col(order_col).asc(), F.col(tie_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = keyed
+    for vc, oc in zip(value_cols, out_cols):
+        ranked = ranked.withColumn(
+            f"__run_{oc}", F.sum(F.col(vc).cast("bigint")).over(w_in)
+        )
+    counts = keyed.groupBy(group_col, "__b").agg(
+        *[
+            F.sum(F.col(vc).cast("bigint")).alias(f"__cnt_{oc}")
+            for vc, oc in zip(value_cols, out_cols)
+        ]
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        group_col,
+        "__b",
+        *[
+            F.coalesce(F.sum(f"__cnt_{oc}").over(w_off), F.lit(0)).alias(
+                f"__off_{oc}"
+            )
+            for oc in out_cols
+        ],
+    )
+    out = ranked.join(offsets, [group_col, "__b"])
+    for oc in out_cols:
+        out = out.withColumn(
+            oc, (F.col(f"__off_{oc}") + F.col(f"__run_{oc}")).cast("bigint")
+        )
+    return out.drop(
+        "__b", *[f"__run_{oc}" for oc in out_cols], *[f"__off_{oc}" for oc in out_cols]
+    )
+
+
 def two_phase_numeric_cumsum(
     df: DataFrame,
     order_col: str,

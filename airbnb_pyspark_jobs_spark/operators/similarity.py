@@ -106,6 +106,96 @@ def knn_bruteforce(
     )
 
 
+def embedding_outliers(
+    emb: DataFrame,
+    top_k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_digits: int = 4,
+) -> DataFrame:
+    """Top-k embedding outliers by DIAGONAL Mahalanobis distance —
+    z-score each dimension against the corpus per-dim mean/std and sum
+    the squares. The cheap anomaly pass a curation pipeline runs to
+    surface corrupted vectors / encoder failures / domain aliens before
+    they poison nearest-neighbor structure (full-covariance Mahalanobis
+    needs the d×d inverse; the diagonal form is the standard first
+    filter and composes with q184's covariance audit).
+
+    Determinism recipe (the q184 moments pattern): components round(·,9)
+    after the double widening, per-dim Σx and Σx² accumulate as
+    DECIMAL(30,9) (order-independent, exact), mean/std finish in double
+    with a fixed op order (sqrt is correctly rounded IEEE — safe), and
+    the per-vector score is ``dot(z, z)`` — the verified index-order
+    fold both engines share — rounded to ``out_digits``. Zero-variance
+    dims contribute 0 (inv_std = 0).
+
+    Scale: one posexplode pass for the d-bounded moment table
+    (broadcast back as two d-length arrays in a single-row frame), one
+    scan-side score projection, then a global top-k via orderBy+limit
+    (TakeOrdered — no full sort); the rank window runs on ≤ top_k rows.
+    Returns ``{id_col}, md2, rn``."""
+    vr = emb.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> round(cast(x as double), 9))").alias(
+            "__v"
+        ),
+    )
+    mom = (
+        vr.select(F.posexplode("__v").alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            F.sum(F.col("x").cast("decimal(30,9)")).cast("double").alias("__sx"),
+            F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(30,9)"))
+            .cast("double")
+            .alias("__sxx"),
+            F.count(F.lit(1)).cast("double").alias("__n"),
+        )
+    )
+    st = mom.select(
+        "d",
+        (F.col("__sx") / F.col("__n")).alias("__mean"),
+        (
+            F.col("__sxx") / F.col("__n")
+            - (F.col("__sx") / F.col("__n")) * (F.col("__sx") / F.col("__n"))
+        ).alias("__var"),
+    ).select(
+        "d",
+        "__mean",
+        F.when(F.col("__var") > 0, F.lit(1.0) / F.sqrt("__var"))
+        .otherwise(F.lit(0.0))
+        .alias("__inv"),
+    )
+    arrs = st.agg(
+        F.array_sort(F.collect_list(F.struct("d", "__mean", "__inv"))).alias("__s")
+    ).select(
+        F.expr("transform(__s, s -> s.__mean)").alias("__means"),
+        F.expr("transform(__s, s -> s.__inv)").alias("__invs"),
+    )
+    # md2 = Σ z_i² as ONE index-order fold over a single z reference
+    # (same arithmetic as dot(z, z): per-element square then in-order
+    # add — the oracle's list_dot_product(z, z) reproduces it; a
+    # two-reference dot(z, z) would re-inline the zip_with chain twice)
+    zed = vr.crossJoin(F.broadcast(arrs)).select(
+        id_col,
+        F.zip_with(
+            F.zip_with("__v", "__means", lambda x, m: x - m),
+            F.col("__invs"),
+            lambda a, i: a * i,
+        ).alias("__z"),
+    )
+    scored = zed.select(
+        id_col,
+        F.round(
+            F.aggregate("__z", F.lit(0.0), lambda acc, x: acc + x * x),
+            out_digits,
+        ).alias("md2"),
+    )
+    top = scored.orderBy(F.col("md2").desc(), F.col(id_col).asc()).limit(top_k)
+    w = Window.orderBy(F.col("md2").desc(), F.col(id_col).asc())
+    # window over <= top_k rows (bounded by the limit above)
+    return top.withColumn("rn", F.row_number().over(w).cast("bigint"))
+
+
 def matryoshka_recall(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2952,3 +2952,53 @@ def q305_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.matryoshka_recall(
         emb, emb.filter(F.col("vec_id") < _NQ), dims_list=_MAT_DIMS, k=_K
     )
+
+
+# ---------------------------------------------------------------------------
+# q309 embedding outliers by diagonal Mahalanobis: z-score every dim
+# against the corpus per-dim mean/std (exact DECIMAL(30,9) moment
+# sums — the q184 recipe) and rank by the index-order-folded Σz² —
+# the cheap anomaly pass that surfaces corrupted vectors before they
+# poison neighbor structure. Global top-k via orderBy+limit
+# (TakeOrdered), rank window bounded by the limit.
+# ---------------------------------------------------------------------------
+_Q309_TOPK = 20
+
+_Q309_ORACLE = f"""
+WITH vr AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 9)) AS v
+  FROM embeddings
+),
+mx AS (
+  SELECT d,
+         CAST(SUM(CAST(x AS DECIMAL(30,9))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(30,9))) AS DOUBLE) AS sxx,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM (SELECT generate_subscripts(v, 1) AS d, UNNEST(v) AS x FROM vr)
+  GROUP BY d
+),
+st AS (SELECT d, sx / n AS mean, sxx / n - (sx / n) * (sx / n) AS var FROM mx),
+si AS (SELECT d, mean,
+              CASE WHEN var > 0 THEN CAST(1.0 AS DOUBLE) / sqrt(var)
+                   ELSE CAST(0.0 AS DOUBLE) END AS inv
+       FROM st),
+ar AS (SELECT list(mean ORDER BY d) AS means, list(inv ORDER BY d) AS invs
+       FROM si),
+z AS (
+  SELECT vec_id,
+         list_transform(list_zip(v, means, invs),
+                        s -> (s[1] - s[2]) * s[3]) AS z
+  FROM vr, ar
+),
+sc AS (SELECT vec_id, round(list_dot_product(z, z), 4) AS md2 FROM z),
+r AS (SELECT vec_id, md2, CAST(ROW_NUMBER() OVER (
+        ORDER BY md2 DESC, vec_id ASC) AS BIGINT) AS rn FROM sc)
+SELECT vec_id, md2, rn FROM r WHERE rn <= {_Q309_TOPK}
+"""
+
+
+@query("q309_embedding_outliers", oracle=_Q309_ORACLE)
+def q309_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.embedding_outliers(emb, top_k=_Q309_TOPK)

@@ -7172,3 +7172,122 @@ def q306_label_noise_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = score_fast_sigmoid(feats, _Q147_FEATS, w).select("doc_id", "y", "p")
     return confident_label_suspects(scored)
+
+
+# ---------------------------------------------------------------------------
+# q307 retrieval hard negatives (DPR-style BM25 negatives): the top-k
+# BM25 docs per query that are NOT boolean-AND relevant — lexically
+# confusable non-answers, the standard negatives for training dense
+# retrievers. Composes the verified q122 ranking and the q301
+# relevance rule; the anti-join runs on the Q·k-bounded ranked frame.
+# ---------------------------------------------------------------------------
+def _q307_oracle() -> str:
+    bm25 = _q122_oracle(_Q301_QUERIES)
+    return f"""
+    WITH ranked AS ({bm25}),
+    qterm AS (SELECT DISTINCT query_id, term
+              FROM (SELECT * FROM (VALUES {_q301_qvals()}) AS t(query_id, term))),
+    qn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nq FROM qterm GROUP BY 1),
+    dterm AS (
+      SELECT DISTINCT doc_id, lower(t) AS term
+      FROM (SELECT doc_id, UNNEST({_D_TOKENS}) AS t FROM documents)
+    ),
+    rel AS (
+      SELECT m.query_id, m.doc_id
+      FROM (
+        SELECT qt.query_id, dt.doc_id, CAST(COUNT(*) AS BIGINT) AS nmatch
+        FROM qterm qt JOIN dterm dt USING (term)
+        GROUP BY 1, 2
+      ) m JOIN qn USING (query_id)
+      WHERE m.nmatch = qn.nq
+    )
+    SELECT r.query_id, r.doc_id, r.score, r.rn
+    FROM ranked r
+    WHERE NOT EXISTS (SELECT 1 FROM rel
+                      WHERE rel.query_id = r.query_id
+                        AND rel.doc_id = r.doc_id)
+    """
+
+
+@query("q307_retrieval_hard_negatives", oracle=_q307_oracle())
+def q307_retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import retrieval_hard_negatives
+
+    docs = load_table(spark, "documents", sf_dir)
+    return retrieval_hard_negatives(docs, _Q301_QUERIES, k=_BM25_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# q308 Heaps'-law vocabulary growth per source: OLS of ln(cumulative
+# vocab) on ln(cumulative tokens) scanning docs in id order — the
+# growth exponent β (natural text ≈ 0.4-0.6; β→1 smells ID soup, β→0 a
+# closed template vocabulary). q181's determinism recipe (3-dp-rounded
+# ln → integer milli-units → exact-BIGINT OLS); the Spark cumulatives
+# come from the GROUPED two-phase range-bucketed cumsum — no
+# source-sized window partition (the oracle may window: it runs at
+# verification SFs only).
+# ---------------------------------------------------------------------------
+_Q308_ORACLE = f"""
+WITH tr AS (
+  SELECT source, doc_id, lower(t) AS term
+  FROM (SELECT source, doc_id, UNNEST({_D_TOKENS}) AS t FROM documents)
+),
+pd AS (SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS ntok
+       FROM tr GROUP BY 1, 2),
+fo AS (
+  SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS nnew
+  FROM (SELECT source, term, MIN(doc_id) AS doc_id FROM tr GROUP BY 1, 2)
+  GROUP BY 1, 2
+),
+fr AS (
+  SELECT p.source, p.doc_id, p.ntok, COALESCE(f.nnew, 0) AS nnew
+  FROM pd p LEFT JOIN fo f ON f.source = p.source AND f.doc_id = p.doc_id
+),
+cum AS (
+  SELECT source,
+         CAST(SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cn,
+         CAST(SUM(nnew) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cv
+  FROM fr
+),
+xy AS (
+  SELECT source,
+    CAST(round(round(ln(CAST(cn AS DOUBLE)), 3) * 1000) AS BIGINT) AS x,
+    CAST(round(round(ln(CAST(cv AS DOUBLE)), 3) * 1000) AS BIGINT) AS y
+  FROM cum
+),
+m AS (
+  SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM xy GROUP BY source
+)
+SELECT source, n AS n_docs,
+  CASE WHEN n * sxx - sx * sx > 0 THEN
+    round(CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE), 6) END
+    + CAST(0 AS DOUBLE) AS heaps_beta,
+  CASE WHEN n * sxx - sx * sx > 0 THEN
+    round((CAST(sy AS DOUBLE)
+           - (CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+          / CAST(n AS DOUBLE), 6) END
+    + CAST(0 AS DOUBLE) AS heaps_intercept_milli,
+  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+    round(CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0))
+               * CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS DOUBLE)
+          / CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0))
+                 * CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS DOUBLE), 6)
+  END + CAST(0 AS DOUBLE) AS r2
+FROM m
+"""
+
+
+@query("q308_heaps_law_fit", oracle=_Q308_ORACLE)
+def q308_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import heaps_law_fit
+
+    docs = load_table(spark, "documents", sf_dir)
+    return heaps_law_fit(docs, group_col="source")

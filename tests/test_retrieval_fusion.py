@@ -84,6 +84,55 @@ def test_matryoshka_full_dims_recall_is_one(spark):
     assert 0.0 <= out[2].recall_at_k <= 1.0
 
 
+def test_grouped_two_phase_cumsum_matches_window(spark):
+    """The grouped range-bucketed cumsum must equal the plain grouped
+    window cumsum (same values, no group-sized partition) — forced
+    through multiple buckets with a small n_buckets."""
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        grouped_two_phase_cumsum_multi,
+    )
+
+    rows = [
+        ("g%d" % (i % 3), i, i % 7 + 1, (i * 3) % 5) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, k long, a long, b long")
+    got = {
+        (r.g, r.k): (r.ca, r.cb)
+        for r in grouped_two_phase_cumsum_multi(
+            df, "g", "k", "k", ["a", "b"], ["ca", "cb"], n_buckets=8
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r.g, r.k): (r.ca, r.cb)
+        for r in df.select(
+            "g", "k", F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_heaps_fit_monotone_inputs(spark):
+    """Sanity: a corpus where every doc repeats one word (V flat) gets
+    beta ~ 0; a corpus of all-new words per doc gets beta ~ 1."""
+    from airbnb_pyspark_jobs_spark.operators.corpus import heaps_law_fit
+
+    flat = [("flat", i, "zz zz zz") for i in range(30)]
+    grow = [("grow", i, "w%da w%db w%dc" % (i, i, i)) for i in range(30)]
+    docs = spark.createDataFrame(
+        flat + grow, "source string, doc_id long, text string"
+    )
+    out = {r.source: r for r in heaps_law_fit(docs).collect()}
+    assert abs(out["grow"].heaps_beta - 1.0) < 0.01
+    assert abs(out["flat"].heaps_beta) < 0.05
+
+
 def test_confident_label_suspects_exact(spark):
     from airbnb_pyspark_jobs_spark.operators.classifier import (
         confident_label_suspects,
