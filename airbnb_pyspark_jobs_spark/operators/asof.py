@@ -37,14 +37,32 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """Left as-of join: every left row, plus the latest right row at or
-    before its timestamp (nulls when no prior right row exists).
+    """Left as-of join with pandas ``merge_asof`` semantics: every left
+    row, plus the right row matched by ``direction`` —
+
+    - ``backward`` (default): latest right row at or before the left
+      timestamp;
+    - ``forward``: earliest right row at or after it;
+    - ``nearest``: whichever of the two is closer in time (exact tie →
+      the backward match, pandas' rule).
+
+    ``tolerance_seconds`` (optional) nulls out a match farther than the
+    tolerance in the chosen direction — the guard that stops a stale
+    quote/state enriching an event from hours later.
 
     ``right_cols`` are the right-side payload columns to carry (default:
     everything except the key and timestamp); they come back suffixed,
     plus ``<right_ts><suffix>`` with the matched timestamp.
+
+    Scale: ONE union + key-partitioned ordered window per direction
+    (rows, not ranges — the merge-sorted carry-forward shape); nearest
+    runs both passes and picks scan-side. No range join, no fan-out.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
 
@@ -64,20 +82,58 @@ def asof_join(
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
     )
-    unioned = r.withColumn("__left", F.lit(None).cast(l.schema["__left"].dataType)).unionByName(l)
+    unioned = r.withColumn(
+        "__left", F.lit(None).cast(l.schema["__left"].dataType)
+    ).unionByName(l)
 
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__payload").asc_nulls_last())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.withColumn(
-        "__match", F.last("__payload", ignorenulls=True).over(w)
-    ).filter(F.col("__side") == 1)
+    def carry(forward: bool) -> F.Column:
+        # forward = the same carry-forward, scanning time DESCENDING:
+        # the last non-null payload at-or-above the row is the earliest
+        # right row at-or-after it. For right rows at EQUAL ts, __side
+        # ordering puts them before the left row in both scans, so
+        # equal-ts rights match in both directions (dt = 0).
+        ts_order = F.col("__ts").desc() if forward else F.col("__ts").asc()
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(
+                ts_order, F.col("__side").asc(), F.col("__payload").asc_nulls_last()
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        m = F.last("__payload", ignorenulls=True).over(w)
+        if tolerance_seconds is not None:
+            dt = (
+                m.getField("__rts").cast("double") - F.col("__ts").cast("double")
+                if forward
+                else F.col("__ts").cast("double") - m.getField("__rts").cast("double")
+            )
+            m = F.when(dt <= F.lit(float(tolerance_seconds)), m)
+        return m
+
+    # both carries run over the SAME union frame (duplicate-left-safe:
+    # no self-join; nearest costs one extra in-partition sort)
+    if direction == "backward":
+        staged = unioned.withColumn("__pick", carry(False))
+    elif direction == "forward":
+        staged = unioned.withColumn("__pick", carry(True))
+    else:
+        staged = unioned.withColumn("__mb", carry(False)).withColumn(
+            "__mf", carry(True)
+        )
+        db = F.col("__ts").cast("double") - F.col("__mb.__rts").cast("double")
+        df_ = F.col("__mf.__rts").cast("double") - F.col("__ts").cast("double")
+        staged = staged.withColumn(
+            "__pick",
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(db <= df_, F.col("__mb"))  # exact tie -> backward (pandas rule)
+            .otherwise(F.col("__mf")),
+        )
+    carried = staged.filter(F.col("__side") == 1)
 
     out_cols = [F.col(f"__left.{c}").alias(c) for c in left.columns]
-    out_cols.append(F.col("__match.__rts").alias(f"{right_ts}{suffix}"))
-    out_cols.extend(F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in right_cols)
+    out_cols.append(F.col("__pick.__rts").alias(f"{right_ts}{suffix}"))
+    out_cols.extend(F.col(f"__pick.{c}").alias(f"{c}{suffix}") for c in right_cols)
     return carried.select(*out_cols)
 
 

@@ -198,3 +198,137 @@ def bpe_segment_words(
     return out.select(
         "w", F.size(F.split(F.trim("s"), " ")).cast("bigint").alias("n_sym")
     )
+
+
+def unigram_lm_em(
+    docs: DataFrame,
+    vocab_size: int = 200,
+    max_piece_len: int = 6,
+    max_word_len: int = 12,
+    text_col: str = "text",
+    top_out: int = 50,
+) -> DataFrame:
+    """One EM step of unigram-LM tokenizer training (Kudo 2018 — the
+    SentencePiece algorithm, the other dominant subword tokenizer next
+    to BPE): seed a piece vocabulary from substring frequencies,
+    Viterbi-segment every word under the seed probabilities (E-step),
+    and re-count pieces from the segmentations (M-step). The returned
+    ``em_count`` column is what the next pruning round would rank by.
+
+    Deterministic cross-engine recipe:
+    - the corpus collapses to the DISTINCT word-frequency table first
+      (the BPE trick — iterations never touch corpus rows); words
+      longer than ``max_word_len`` or containing the ``/`` path
+      separator are excluded from training (SentencePiece's sentence
+      cap, stated honestly);
+    - the seed vocab is the top ``vocab_size`` multi-char substrings
+      (freq DESC, piece ASC — TakeOrdered over the piece-frequency
+      table) plus ALL single chars, so every word stays segmentable;
+    - seed log-probs are integer MICRO-units via the q181 recipe
+      (round(ln·, 6) → ·1e6 → BIGINT), so Viterbi scores are exact
+      integer sums;
+    - the Viterbi DP runs ``max_word_len`` relaxation rounds:
+      ``dp[i] = max(dp[i], max_j dp[j] + lnp(word[j:i]))`` held as
+      ``max(struct(score, path))`` — score ties break on the
+      lexicographically largest path, identically in both engines (the
+      oracle's ``ROW_NUMBER(ORDER BY score DESC, path DESC)``). Each
+      round's frame is localCheckpointed: dp feeds the next round
+      TWICE (carry + extend), so an unbroken lineage doubles per round
+      (the q138 2^k plan blowup).
+
+    Scale: substring fan-out is ≤ max_word_len · max_piece_len rows
+    per DISTINCT word; every DP round is one keyed join + one grouped
+    max over ≤ |words|·(max_word_len+1) rows; nothing ever scales with
+    corpus rows after the first aggregate. Returns the top ``top_out``
+    pieces: ``piece, piece_len, seed_freq, em_count``."""
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.text import tokens
+
+    L, K = int(max_piece_len), int(max_word_len)
+    wf = (
+        docs.select(F.explode(tokens(text_col)).alias("t"))
+        .select(F.lower("t").alias("word"))
+        .filter(
+            (F.length("word") > 0)
+            & (F.length("word") <= K)
+            & (~F.col("word").contains("/"))
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    wf = owned_persist(wf)
+    subs = wf.select(
+        "word",
+        "freq",
+        F.explode(
+            F.expr(
+                f"""
+                flatten(transform(sequence(0, length(word) - 1), j ->
+                  transform(sequence(1, least({L}, length(word) - j)), l ->
+                    struct(j AS j, j + l AS i,
+                           substring(word, j + 1, l) AS piece))))
+                """
+            )
+        ).alias("__s"),
+    ).select("word", "freq", "__s.j", "__s.i", "__s.piece")
+    seed = subs.groupBy("piece").agg(F.sum("freq").cast("bigint").alias("seed_freq"))
+    seed = owned_persist(seed)
+    multi = (
+        seed.filter(F.length("piece") >= 2)
+        .orderBy(F.col("seed_freq").desc(), F.col("piece").asc())
+        .limit(int(vocab_size))
+    )
+    vocab = seed.filter(F.length("piece") == 1).unionByName(multi)
+    total = vocab.agg(F.sum("seed_freq").cast("bigint").alias("__tot"))
+    ln_micro = lambda c: F.round(F.round(F.log(c.cast("double")), 6) * 1e6).cast(  # noqa: E731
+        "bigint"
+    )
+    vprob = vocab.crossJoin(F.broadcast(total)).select(
+        "piece",
+        "seed_freq",
+        (ln_micro(F.col("seed_freq")) - ln_micro(F.col("__tot"))).alias("__lnp"),
+    )
+    ssubs = owned_persist(
+        subs.join(vprob.select("piece", "__lnp"), "piece").select(
+            "word", "j", "i", "piece", "__lnp"
+        )
+    )
+    dp = wf.select(
+        "word",
+        F.lit(0).cast("int").alias("pos"),
+        F.struct(
+            F.lit(0).cast("bigint").alias("score"), F.lit("").alias("path")
+        ).alias("st"),
+    ).localCheckpoint()
+    for _ in range(K):
+        ext = dp.join(ssubs, (dp["word"] == ssubs["word"]) & (ssubs["j"] == dp["pos"])).select(
+            dp["word"],
+            ssubs["i"].cast("int").alias("pos"),
+            F.struct(
+                (F.col("st.score") + F.col("__lnp")).alias("score"),
+                F.concat("st.path", F.lit("/"), "piece").alias("path"),
+            ).alias("st"),
+        )
+        dp = (
+            dp.unionByName(ext)
+            .groupBy("word", "pos")
+            .agg(F.max("st").alias("st"))
+            .localCheckpoint()
+        )
+    best = dp.join(wf, "word").filter(F.col("pos") == F.length("word"))
+    pieces = best.select(
+        "freq", F.explode(F.split(F.substring(F.col("st.path"), 2, 1 << 30), "/")).alias("piece")
+    )
+    em = pieces.groupBy("piece").agg(F.sum("freq").cast("bigint").alias("em_count"))
+    out = (
+        em.join(vprob.select("piece", "seed_freq"), "piece")
+        .select(
+            "piece",
+            F.length("piece").cast("bigint").alias("piece_len"),
+            "seed_freq",
+            "em_count",
+        )
+        .orderBy(F.col("em_count").desc(), F.col("piece").asc())
+        .limit(int(top_out))
+    )
+    return out

@@ -6552,3 +6552,72 @@ def q295_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q310 nearest-event enrichment (merge_asof `nearest` + tolerance,
+# round 7): every purchase enriched with the NEAREST view by the same
+# user within 15 minutes — forward matches allowed (a view moments
+# AFTER the purchase still attributes), exact ties go backward
+# (pandas' rule), matches beyond tolerance null out without dropping
+# the purchase. Spark path: ONE union + two in-partition ordered
+# carries (no range join, no fan-out); the oracle ranks the bounded
+# candidate set by (|dt|, side, view_event_id DESC) — the same
+# deterministic tie chain the carries produce.
+# ---------------------------------------------------------------------------
+_Q310_TOL = 900
+
+
+@query(
+    "q310_nearest_view_enrichment",
+    oracle=f"""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS view_event_id, user_id, ts AS vts FROM events
+          WHERE event_type = 'view'),
+    cand AS (
+      SELECT p.event_id, p.user_id, p.ts, v.view_event_id, v.vts,
+             abs(epoch_us(p.ts) - epoch_us(v.vts)) AS adt,
+             CASE WHEN v.vts <= p.ts THEN 0 ELSE 1 END AS side
+      FROM p JOIN v ON v.user_id = p.user_id
+      WHERE abs(epoch_us(p.ts) - epoch_us(v.vts)) <= {_Q310_TOL} * 1000000
+    ),
+    best AS (
+      SELECT event_id, view_event_id, vts FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+          ORDER BY adt ASC, side ASC, view_event_id DESC) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    )
+    SELECT p.event_id, p.user_id,
+           b.view_event_id AS matched_view_id,
+           CAST(epoch_us(p.ts) - epoch_us(b.vts) AS BIGINT) AS dt_us
+    FROM p LEFT JOIN best b USING (event_id)
+    """,
+)
+def q310_nearest_view_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        p,
+        v,
+        on="user_id",
+        right_cols=["view_event_id"],
+        direction="nearest",
+        tolerance_seconds=_Q310_TOL,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("view_event_id_asof").alias("matched_view_id"),
+        (F.unix_micros("ts") - F.unix_micros("ts_asof"))
+        .cast("bigint")
+        .alias("dt_us"),
+    )

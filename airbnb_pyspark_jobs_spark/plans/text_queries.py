@@ -7291,3 +7291,100 @@ def q308_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return heaps_law_fit(docs, group_col="source")
+
+
+# ---------------------------------------------------------------------------
+# q311 unigram-LM tokenizer EM step (Kudo 2018 / SentencePiece — the
+# other dominant subword tokenizer next to BPE q89-q91): substring-
+# frequency seed vocab (+ all single chars), integer-micro seed
+# log-probs (q181 ln recipe), Viterbi segmentation of every DISTINCT
+# word as max_word_len unrolled relaxation rounds of
+# max(struct(score, path)), then the M-step piece re-count. The oracle
+# unrolls the identical DP as CTEs (the q83 k-means pattern) with
+# ROW_NUMBER(score DESC, path DESC) as the same tie chain.
+# ---------------------------------------------------------------------------
+_U_LM_L, _U_LM_K, _U_LM_V, _U_LM_TOP = 6, 12, 200, 50
+
+
+def _q311_oracle() -> str:
+    L, K, V, TOP = _U_LM_L, _U_LM_K, _U_LM_V, _U_LM_TOP
+    parts = [
+        f"""
+WITH wf AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT lower(t) AS word
+        FROM (SELECT UNNEST({_D_TOKENS}) AS t FROM documents))
+  WHERE length(word) > 0 AND length(word) <= {K} AND word NOT LIKE '%/%'
+  GROUP BY word
+),
+js AS (SELECT word, freq, UNNEST(range(0, length(word))) AS j FROM wf),
+subs AS MATERIALIZED (
+  SELECT word, freq, j, CAST(j + l AS INT) AS i, substr(word, j + 1, l) AS piece
+  FROM (SELECT word, freq, j,
+               UNNEST(range(1, least({L}, length(word) - j) + 1)) AS l
+        FROM js)
+),
+seed AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS seed_freq
+         FROM subs GROUP BY piece),
+multi AS (SELECT piece, seed_freq FROM seed WHERE length(piece) >= 2
+          ORDER BY seed_freq DESC, piece ASC LIMIT {V}),
+vocab AS (SELECT piece, seed_freq FROM seed WHERE length(piece) = 1
+          UNION ALL SELECT piece, seed_freq FROM multi),
+tot AS (SELECT CAST(SUM(seed_freq) AS BIGINT) AS t FROM vocab),
+vprob AS MATERIALIZED (
+  SELECT piece, seed_freq,
+    CAST(round(round(ln(CAST(seed_freq AS DOUBLE)), 6) * 1000000) AS BIGINT)
+    - (SELECT CAST(round(round(ln(CAST(t AS DOUBLE)), 6) * 1000000) AS BIGINT)
+       FROM tot) AS lnp
+  FROM vocab
+),
+ssubs AS MATERIALIZED (SELECT s.word, s.j, s.i, s.piece, v.lnp
+          FROM subs s JOIN vprob v USING (piece)),
+dp0 AS (SELECT word, CAST(0 AS INT) AS pos, CAST(0 AS BIGINT) AS score,
+               '' AS path FROM wf)"""
+    ]
+    for t in range(1, K + 1):
+        parts.append(f""",
+dp{t} AS MATERIALIZED (
+  SELECT word, pos, score, path FROM (
+    SELECT word, pos, score, path,
+           ROW_NUMBER() OVER (PARTITION BY word, pos
+                              ORDER BY score DESC, path DESC) AS rn
+    FROM (
+      SELECT word, pos, score, path FROM dp{t - 1}
+      UNION ALL
+      SELECT d.word, s.i AS pos, d.score + s.lnp AS score,
+             d.path || '/' || s.piece AS path
+      FROM dp{t - 1} d JOIN ssubs s ON s.word = d.word AND s.j = d.pos
+    )
+  ) WHERE rn = 1
+)""")
+    parts.append(f""",
+best AS (
+  SELECT d.word, w.freq, d.path
+  FROM dp{K} d JOIN wf w USING (word)
+  WHERE d.pos = length(d.word)
+),
+pcs AS (SELECT freq, UNNEST(string_split(substr(path, 2), '/')) AS piece
+        FROM best),
+em AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS em_count
+       FROM pcs GROUP BY piece)
+SELECT em.piece, CAST(length(em.piece) AS BIGINT) AS piece_len,
+       v.seed_freq, em.em_count
+FROM em JOIN vprob v ON v.piece = em.piece
+ORDER BY em_count DESC, em.piece ASC LIMIT {TOP}""")
+    return "".join(parts)
+
+
+@query("q311_unigram_tokenizer_em", oracle=_q311_oracle())
+def q311_unigram_tokenizer_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.bpe import unigram_lm_em
+
+    docs = load_table(spark, "documents", sf_dir)
+    return unigram_lm_em(
+        docs,
+        vocab_size=_U_LM_V,
+        max_piece_len=_U_LM_L,
+        max_word_len=_U_LM_K,
+        top_out=_U_LM_TOP,
+    )

@@ -43,7 +43,7 @@ SIZES = (
     else [100_000, 300_000, 1_000_000]
 )
 OPS = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else {
-    "q184", "q145", "q218", "q38"
+    "q184", "q145", "q218", "q38", "q308"
 }
 
 
@@ -199,6 +199,26 @@ def main() -> None:
             results.setdefault("q218_bootstrap_shape", {})[n] = run(
                 "q218 bootstrap", lambda: q218_shape(spark, n)
             )
+        if "q308" in OPS:
+            # Heaps-law fit (round 7): term explode + two keyed
+            # aggregates + the grouped two-phase cumsum + exact OLS —
+            # expected alpha ~ 1 (every stage scan- or key-bounded).
+            from airbnb_pyspark_jobs_spark.operators.corpus import heaps_law_fit
+
+            spark.catalog.clearCache(); release_owned_caches()
+            docs = (
+                spark.read.format("synthetic_docs")
+                .option("n", n).option("partitions", 32)
+                .option("vocab_size", 5000).option("zipf_s", 1.1)
+                .load()
+                .withColumn("source", F.pmod(F.hash("doc_id"), F.lit(8)))
+                .localCheckpoint()
+            )
+            results.setdefault("q308_heaps_fit", {})[n] = run(
+                "q308 Heaps-law fit (8 sources)",
+                lambda: heaps_law_fit(docs, group_col="source"),
+            )
+            docs.unpersist()
         if "q38" in OPS:
             spark.catalog.clearCache(); release_owned_caches()
             docs = hot_corpus(spark, n)

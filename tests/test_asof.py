@@ -34,6 +34,73 @@ def test_asof_matches_latest_at_or_before(spark):
     assert len(out) == 3  # every left row survives (left semantics)
 
 
+def test_asof_forward_nearest_and_tolerance(spark):
+    """merge_asof parity (round 7): forward = earliest at-or-after,
+    nearest = smaller |dt| with exact ties going backward, tolerance
+    nulls matches beyond the bound without dropping left rows."""
+    left = spark.createDataFrame(
+        [(1, _ts("10:00:00"), "L1"), (1, _ts("12:00:00"), "L2")],
+        "k long, ts string, lv string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (1, _ts("09:00:00"), "A"),   # 1h before L1
+            (1, _ts("10:30:00"), "B"),   # 30min after L1
+            (1, _ts("11:30:00"), "C"),   # 30min before L2
+            (1, _ts("12:30:00"), "D"),   # 30min after L2 (tie with C)
+        ],
+        "k long, ts string, rv string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    fwd = {
+        r.lv: r.rv_asof
+        for r in asof_join(left, right, on="k", direction="forward").collect()
+    }
+    assert fwd == {"L1": "B", "L2": "D"}
+
+    near = {
+        r.lv: r.rv_asof
+        for r in asof_join(left, right, on="k", direction="nearest").collect()
+    }
+    assert near["L1"] == "B"  # 30min after beats 1h before
+    assert near["L2"] == "C"  # exact tie (30min both sides) -> backward
+
+    tol = {
+        r.lv: r.rv_asof
+        for r in asof_join(
+            left, right, on="k", direction="backward", tolerance_seconds=1800
+        ).collect()
+    }
+    assert tol == {"L1": None, "L2": "C"}  # A is 1h back -> beyond tolerance
+
+    tolf = {
+        r.lv: r.rv_asof
+        for r in asof_join(
+            left, right, on="k", direction="nearest", tolerance_seconds=900
+        ).collect()
+    }
+    assert tolf == {"L1": None, "L2": None}  # nothing within 15min
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="k", direction="sideways")
+
+
+def test_asof_nearest_duplicate_left_rows_safe(spark):
+    """Identical left rows must each match once (the nearest path runs
+    both carries over ONE frame — no self-join fan-out)."""
+    left = spark.createDataFrame(
+        [(1, _ts("10:00:00"), "X"), (1, _ts("10:00:00"), "X")],
+        "k long, ts string, lv string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, _ts("09:00:00"), "A")], "k long, ts string, rv string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = asof_join(left, right, on="k", direction="nearest").collect()
+    assert len(rows) == 2 and all(r.rv_asof == "A" for r in rows)
+
+
 def test_asof_plan_has_single_shuffle(spark):
     left = spark.range(100).select(
         (F.col("id") % 5).alias("k"),

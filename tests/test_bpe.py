@@ -57,3 +57,33 @@ def test_bpe_merges_past_single_symbol_words(spark):
     seg = bpe_segment_words(docs, merges)
     rows = {r["w"]: r["n_sym"] for r in seg.collect()}
     assert rows["to"] == 1  # highest-frequency word: one symbol
+
+
+def test_unigram_lm_em_viterbi_prefers_frequent_pieces(spark):
+    """A corpus dominated by one word must segment it as one piece
+    (the full word is a top substring), while rare words fall back to
+    char pieces; EM counts weight by word frequency."""
+    from airbnb_pyspark_jobs_spark.operators.bpe import unigram_lm_em
+
+    rows = [("banana banana banana banana xy",)] * 5
+    docs = spark.createDataFrame(rows, "text string")
+    out = {r.piece: r for r in unigram_lm_em(docs, vocab_size=50, top_out=50).collect()}
+    # 'banana' is the highest-probability covering piece -> one-piece path
+    assert "banana" in out and out["banana"].em_count == 20
+    assert out["banana"].piece_len == 6
+    # every em_count piece also carries its seed frequency
+    assert out["banana"].seed_freq >= 20
+    # 'xy' (freq 5) segments via its own substring piece
+    assert "xy" in out and out["xy"].em_count == 5
+
+
+def test_unigram_lm_em_single_chars_guarantee_segmentability(spark):
+    """A word whose multi-char substrings are all pruned from the seed
+    vocab (vocab_size=0 multi pieces) still segments — as single
+    chars."""
+    from airbnb_pyspark_jobs_spark.operators.bpe import unigram_lm_em
+
+    docs = spark.createDataFrame([("abc abc ab",)], "text string")
+    out = {r.piece: r for r in unigram_lm_em(docs, vocab_size=0, top_out=50).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"].em_count == 3 and out["c"].em_count == 2
