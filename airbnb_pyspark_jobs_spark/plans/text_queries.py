@@ -7388,3 +7388,119 @@ def q311_unigram_tokenizer_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_word_len=_U_LM_K,
         top_out=_U_LM_TOP,
     )
+
+
+# ---------------------------------------------------------------------------
+# q312 source retrievability bias: how often each source lands in the
+# BM25 top-k across the query set — the retrieval-governance audit
+# that catches one source dominating RAG results (mirror of q150's
+# corpus share, measured at the RANKING). Composes the verified q122
+# ranking; everything after is Q·k-bounded. Exact integer counts +
+# one exact quotient per source.
+# ---------------------------------------------------------------------------
+def _q312_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round_sql
+
+    share = decimal_ratio_round_sql("n_hits", "(SELECT t FROM tot)", 6)
+    return f"""
+    WITH ranked AS ({_q122_oracle(_Q301_QUERIES)}),
+    j AS (SELECT r.query_id, d.source FROM ranked r
+          JOIN documents d ON d.doc_id = r.doc_id),
+    agg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_hits,
+             CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries_hit
+      FROM j GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_hits) AS BIGINT) AS t FROM agg)
+    SELECT source, n_hits, n_queries_hit, {share} AS hit_share
+    FROM agg
+    """
+
+
+@query("q312_source_retrievability", oracle=_q312_oracle())
+def q312_source_retrievability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+    from airbnb_pyspark_jobs_spark.operators.corpus import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    ranked = bm25_topk(docs, _Q301_QUERIES, k1=1.2, b=0.75, top_k=_BM25_TOPK)
+    j = ranked.join(docs.select("doc_id", "source"), "doc_id")
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.countDistinct("query_id").cast("bigint").alias("n_queries_hit"),
+    )
+    tot = agg.agg(F.sum("n_hits").cast("bigint").alias("__t"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_hits",
+        "n_queries_hit",
+        decimal_ratio_round(F.col("n_hits"), F.col("__t"), 6).alias("hit_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q313 split-migration matrix: re-dealing the train/val/test hash
+# split under a NEW seed — how many docs move between splits, as the
+# (old split × new split) contingency with row shares. The stability
+# audit run before rotating a split seed (a large diagonal = benign
+# rotation for cached eval sets; q43 is the single-seed split).
+# Scan-side double hashing, one tiny 9-cell aggregate.
+# ---------------------------------------------------------------------------
+_Q313_SEED_B = "r7"
+
+
+def _q313_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round_sql
+
+    def case(b: str) -> str:
+        return (
+            f"CASE WHEN {b} < 8000 THEN 'train' "
+            f"WHEN {b} < 9000 THEN 'val' ELSE 'test' END"
+        )
+
+    share = decimal_ratio_round_sql(
+        "n_docs", "SUM(n_docs) OVER (PARTITION BY split_old)", 6
+    )
+    return f"""
+    WITH b AS (
+      SELECT doc_id,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          % 10000 AS b_old,
+        CAST('0x' || substr(md5('{_Q313_SEED_B}' || CAST(doc_id AS VARCHAR)), 1, 8)
+          AS BIGINT) % 10000 AS b_new
+      FROM documents
+    ),
+    m AS (
+      SELECT {case("b_old")} AS split_old, {case("b_new")} AS split_new,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM b GROUP BY 1, 2
+    )
+    SELECT split_old, split_new, n_docs, {share} AS row_share FROM m
+    """
+
+
+@query("q313_split_migration_matrix", oracle=_q313_oracle())
+def q313_split_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+    from airbnb_pyspark_jobs_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    old = hash_split(docs, "doc_id", fr, split_col="split_old")
+    both = hash_split(
+        old, "doc_id", fr, seed=_Q313_SEED_B, split_col="split_new"
+    )
+    m = both.groupBy("split_old", "split_new").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w = Window.partitionBy("split_old")
+    return m.select(
+        "split_old",
+        "split_new",
+        "n_docs",
+        decimal_ratio_round(
+            F.col("n_docs"), F.sum("n_docs").over(w).cast("bigint"), 6
+        ).alias("row_share"),
+    )

@@ -719,6 +719,32 @@ def test_pq_serving_path_uses_broadcast_codebook_frames(spark):
     assert "Union" not in plan85
 
 
+def test_q308_cumsum_windows_are_bucket_partitioned(spark):
+    """The Heaps-fit cumulatives must come from the grouped two-phase
+    cumsum: the running-sum windows partition by (group, __b bucket) —
+    never by the group alone over data rows (a 10^9-doc source would
+    be one window partition)."""
+    df = QUERIES["q308_heaps_law_fit"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "__b" in plan  # bucketing engaged
+    for line in plan.splitlines():
+        if "windowspecdefinition(__g" in line:
+            # every group-partitioned window also carries the bucket
+            # key OR orders by the bucket id (the <=n_buckets offsets
+            # window) — never (group) over raw doc order
+            assert "__b" in line, line
+
+
+def test_q309_outliers_take_ordered_and_broadcast_stats(spark):
+    """Mahalanobis outliers: per-dim stats ride a broadcast single-row
+    frame (no shuffle into the scoring scan) and the global top-k is a
+    TakeOrdered, not a full sort."""
+    df = QUERIES["q309_embedding_outliers"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats crossJoin
+
+
 def test_q38_postings_digest_is_two_level_tree(spark):
     """The postings digest must never collect a term's full doc-id list
     in one buffer (stopword at 10^9 docs = one-task OOM): every
