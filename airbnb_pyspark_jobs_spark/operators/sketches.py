@@ -733,37 +733,47 @@ def grouped_trend(
     """Per-group simple linear regression (OLS y on x) from EXACT
     integer moment sums — trend estimation / drift profiling that
     needs no float accumulation: with integer x and integer-cents y,
-    ``Σx, Σy, Σxy, Σx², Σy²`` are exact BIGINTs, the slope/intercept/
-    R² numerators and denominators are exact integer (or DECIMAL(38))
-    combinations, and floats appear only in the final divisions.
+    per-row products stay BIGINT-exact and the moment sums ``Σx, Σy,
+    Σxy, Σx², Σy²`` accumulate as DECIMAL(38,0) (round-7 hardening:
+    BIGINT sums overflowed at ~3M rows/group with micro-scaled ln
+    inputs — the q308 Heaps stress caught it); the slope/intercept/R²
+    numerators and denominators are exact DECIMAL(38,0) combinations,
+    and floats appear only in the final divisions.
 
     ``slope = (nΣxy - ΣxΣy) / (nΣx² - (Σx)²)`` (cents per x-unit),
-    ``intercept = (Σy·Σx² - Σx·Σxy) / (n·(nΣx² - (Σx)²)) · n`` — we
-    use the standard ``(Σy - slope·Σx)/n`` double form with a fixed
-    op order; ``R² = (nΣxy - ΣxΣy)² / ((nΣx² - (Σx)²)(nΣy² - (Σy)²))``
-    via DECIMAL(38,0) squares. Exactness bound: moment sums stay
-    double-exact to |n·Σxy| < 2^53 (~100M rows/group at these value
-    ranges); the DECIMAL path carries R² further. NULL slope/R² for
-    degenerate groups (constant x; constant y → R² undefined).
+    ``intercept = (Σy - slope·Σx)/n`` in double with a fixed op order;
+    ``R² = (num/dx) · (num/dy)`` as a product of two exact-integer→
+    double ratios — the FACTORED form, because num² overflows any
+    exact width long before num does (num ~ 10²⁷ at 10⁹ rows; its
+    square needs 54 digits). Both engines compute the identical
+    factored expression, so parity holds to the last ulp. Exactness
+    bound: |num| < 10³⁸ (~10⁹ rows/group at micro-scaled values).
+    NULL slope/R² for degenerate groups (constant x; constant y → R²
+    undefined).
 
     Returns ``{group}, n, slope_cents, intercept_cents, r2``."""
     g = group_col
+    d38 = "decimal(38,0)"
     base = df.select(
         F.col(g),
         x_col.cast("bigint").alias("__x"),
         y_cents.cast("bigint").alias("__y"),
     )
+    # cast BEFORE multiplying: per-row products in DECIMAL too (a
+    # micro-scaled y ~ 6e9 already squares past int64)
+    xd, yd = F.col("__x").cast(d38), F.col("__y").cast(d38)
     m = base.groupBy(g).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("__x").cast("bigint").alias("__sx"),
-        F.sum("__y").cast("bigint").alias("__sy"),
-        F.sum(F.col("__x") * F.col("__y")).cast("bigint").alias("__sxy"),
-        F.sum(F.col("__x") * F.col("__x")).cast("bigint").alias("__sxx"),
-        F.sum(F.col("__y") * F.col("__y")).cast("bigint").alias("__syy"),
+        F.sum(xd).cast(d38).alias("__sx"),
+        F.sum(yd).cast(d38).alias("__sy"),
+        F.sum((xd * yd).cast(d38)).cast(d38).alias("__sxy"),
+        F.sum((xd * xd).cast(d38)).cast(d38).alias("__sxx"),
+        F.sum((yd * yd).cast(d38)).cast(d38).alias("__syy"),
     )
-    num = F.col("n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
-    dx = F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
-    dy = F.col("n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    nn = F.col("n").cast(d38)
+    num = (nn * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(d38)
+    dx = (nn * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(d38)
+    dy = (nn * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast(d38)
     slope = F.when(
         dx > 0, F.round(num.cast("double") / dx.cast("double"), out_digits)
     )
@@ -782,8 +792,8 @@ def grouped_trend(
     r2 = F.when(
         (dx > 0) & (dy > 0),
         F.round(
-            (num.cast("decimal(38,0)") * num.cast("decimal(38,0)")).cast("double")
-            / (dx.cast("decimal(38,0)") * dy.cast("decimal(38,0)")).cast("double"),
+            (num.cast("double") / dx.cast("double"))
+            * (num.cast("double") / dy.cast("double")),
             out_digits,
         ),
     )

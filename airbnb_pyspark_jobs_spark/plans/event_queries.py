@@ -1297,10 +1297,9 @@ def q131_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 9) END
              + CAST(0 AS DOUBLE) AS intercept_cents,
            CASE WHEN dx > 0 AND dy > 0 THEN
-             round(CAST(CAST(num AS DECIMAL(38,0)) * CAST(num AS DECIMAL(38,0))
-                        AS DOUBLE)
-                   / CAST(CAST(dx AS DECIMAL(38,0)) * CAST(dy AS DECIMAL(38,0))
-                          AS DOUBLE), 9) END + CAST(0 AS DOUBLE) AS r2
+             round((CAST(num AS DOUBLE) / CAST(dx AS DOUBLE))
+                   * (CAST(num AS DOUBLE) / CAST(dy AS DOUBLE)), 9)
+             END + CAST(0 AS DOUBLE) AS r2
     FROM d
     """,
 )

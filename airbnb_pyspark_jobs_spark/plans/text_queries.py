@@ -4275,10 +4275,10 @@ SELECT source, n AS n_terms,
           / CAST(n AS DOUBLE), 6) END
     + CAST(0 AS DOUBLE) AS zipf_intercept_milli,
   CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
-    round(CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0))
-               * CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS DOUBLE)
-          / CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0))
-                 * CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS DOUBLE), 6)
+    round((CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE))
+          * (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * syy - sy * sy AS DOUBLE)), 6)
   END + CAST(0 AS DOUBLE) AS r2
 FROM m
 """
@@ -7276,10 +7276,10 @@ SELECT source, n AS n_docs,
           / CAST(n AS DOUBLE), 6) END
     + CAST(0 AS DOUBLE) AS heaps_intercept_milli,
   CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
-    round(CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0))
-               * CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS DOUBLE)
-          / CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0))
-                 * CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS DOUBLE), 6)
+    round((CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE))
+          * (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * syy - sy * sy AS DOUBLE)), 6)
   END + CAST(0 AS DOUBLE) AS r2
 FROM m
 """

@@ -688,3 +688,23 @@ def test_grouped_two_phase_rank_is_permutation(spark):
         assert [x[0] for x in sub] == list(range(1, 401))
         # ranks follow (value, tie) order
         assert sub == sorted(sub, key=lambda x: (x[1], x[2]))
+
+
+def test_grouped_trend_survives_bigint_sum_overflow(spark):
+    """Round-7 regression: micro-scaled ln inputs overflowed the BIGINT
+    moment SUMS at ~3M rows/group (q308 stress) — ten rows of x ~ 3e9
+    already push sum(x*x) past int64; the DECIMAL(38,0) accumulation
+    must survive and still fit the exact line y = 2x."""
+    from pyspark.sql import functions as F
+
+    from airbnb_pyspark_jobs_spark.operators.sketches import grouped_trend
+
+    df = spark.range(1, 11).select(
+        F.lit("g").alias("g"),
+        (F.col("id") * 300_000_000).alias("x"),
+        (F.col("id") * 600_000_000).alias("y"),
+    )
+    # per-row x*x ~ 9e18 fits BIGINT; the 10-row sum (~3.5e20) does not
+    out = grouped_trend(df, "g", F.col("x"), F.col("y")).collect()
+    assert len(out) == 1
+    assert out[0].slope_cents == 2.0 and out[0].r2 == 1.0
