@@ -7504,3 +7504,72 @@ def q313_split_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs"), F.sum("n_docs").over(w).cast("bigint"), 6
         ).alias("row_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q314 importance-weight effective sample size per source: ESS =
+# (Σw)²/Σw² over the DSIR weights w = exp(avg_logratio) — the
+# diagnostic read BEFORE importance resampling (a low ESS/n says the
+# reweighted source contributes far fewer effective examples than its
+# row count). Weights convert to integer MICRO-units (round(exp·,6) —
+# the one libm exp, absorbed by the rounding as with ln everywhere
+# else), so Σw and Σw² are exact DECIMAL(38,0) sums and both reported
+# ratios are exact integer quotients. Composes the verified q116
+# scores; per-source work is one aggregate.
+# ---------------------------------------------------------------------------
+def _q314_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round_sql
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q116 = ORACLES["q116_dsir_importance"]
+    ess = decimal_ratio_round_sql("sw * sw", "sww", 4)
+    ratio = decimal_ratio_round_sql("sw * sw", "sww * n_docs", 6)
+    return f"""
+    WITH sc AS ({q116}),
+    w AS (
+      SELECT d.source,
+             CAST(round(exp(sc.avg_logratio) * 1000000) AS BIGINT) AS wm
+      FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+    ),
+    a AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(wm AS HUGEINT)) AS HUGEINT) AS sw,
+             CAST(SUM(CAST(wm AS HUGEINT) * CAST(wm AS HUGEINT)) AS HUGEINT) AS sww
+      FROM w GROUP BY source
+    )
+    SELECT source, n_docs, {ess} AS ess, {ratio} AS ess_ratio FROM a
+    """
+
+
+@query("q314_importance_weight_ess", oracle=_q314_oracle())
+def q314_importance_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+    from airbnb_pyspark_jobs_spark.operators.corpus import dsir_importance_weights
+
+    docs = load_table(spark, "documents", sf_dir)
+    sc = dsir_importance_weights(
+        docs, is_target=F.col("source") == _DSIR_TARGET_SRC, buckets=_DSIR_BUCKETS
+    )
+    d38 = "decimal(38,0)"
+    w = sc.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source",
+        F.round(F.exp("avg_logratio") * 1e6).cast("bigint").alias("__wm"),
+    )
+    wm = F.col("__wm").cast(d38)
+    a = w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(wm).cast(d38).alias("__sw"),
+        F.sum((wm * wm).cast(d38)).cast(d38).alias("__sww"),
+    )
+    return a.select(
+        "source",
+        "n_docs",
+        decimal_ratio_round(
+            (F.col("__sw") * F.col("__sw")).cast(d38), F.col("__sww"), 4
+        ).alias("ess"),
+        decimal_ratio_round(
+            (F.col("__sw") * F.col("__sw")).cast(d38),
+            (F.col("__sww") * F.col("n_docs").cast(d38)).cast(d38),
+            6,
+        ).alias("ess_ratio"),
+    )
