@@ -100,22 +100,31 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             finally:
                 _ACTIVE_DEPTH -= 1
 
+        # family resolution BEFORE any registry mutation, so a rejected
+        # registration leaves no stray entry behind
+        mod = fn.__module__.rsplit(".", 1)[-1]
+        if fn.__module__.startswith("airbnb_pyspark_jobs_spark.plans"):
+            if mod not in _MODULE_FAMILY:
+                # a new plans module must declare its family (and a
+                # matching pytest.ini marker) — a silent 'core' default
+                # would mislabel every query it registers and quietly
+                # grow `pytest -m core`
+                raise KeyError(
+                    f"query module {mod!r} has no family in _MODULE_FAMILY; "
+                    "add it (and a pytest.ini marker) before registering "
+                    "queries"
+                )
+            fams = {_MODULE_FAMILY[mod]}
+        else:
+            # registrations from outside the plans package (tests,
+            # ad-hoc sessions) are tagged external, never a pytest family
+            fams = {"external"}
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
         wrapped.__wrapped__ = fn  # source anchor for the catalog generator
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        mod = fn.__module__.rsplit(".", 1)[-1]
-        if mod not in _MODULE_FAMILY:
-            # a new plans module must declare its family (and a matching
-            # pytest.ini marker) — a silent 'core' default would mislabel
-            # every query it registers and quietly grow `pytest -m core`
-            raise KeyError(
-                f"query module {mod!r} has no family in _MODULE_FAMILY; "
-                "add it (and a pytest.ini marker) before registering queries"
-            )
-        fams = {_MODULE_FAMILY[mod]}
         for fam, pat in _SEMANTIC_FAMILIES.items():
             if pat.search(name):
                 fams.add(fam)

@@ -86,9 +86,10 @@ def main() -> None:
     multi = {
         "note": (
             "full-registry driver-mimic oracle compare at three scale "
-            "factors, one session (scripts/verify_queries.py, type-strict "
-            "norm); q65 is rows-only by design (Spark-internal "
-            "DataSketches HLL has no DuckDB twin)"
+            "factors (scripts/verify_queries.py --workers 4: process-"
+            "sharded, each shard its own Spark session + DuckDB "
+            "connection, type-strict norm); q65 is rows-only by design "
+            "(Spark-internal DataSketches HLL has no DuckDB twin)"
         ),
         "summary": summary,
     }

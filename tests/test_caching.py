@@ -99,7 +99,10 @@ def test_nested_query_invocation_keeps_composers_caches(spark):
         QUERIES["qtest_outer_composite"](spark, SF_DIR).collect()
         assert seen["cached_after_nested"] is True
     finally:
+        from airbnb_pyspark_jobs_spark.plans.queries import QUERY_FAMILIES
+
         for name in ("qtest_inner_noop", "qtest_outer_composite"):
             QUERIES.pop(name, None)
             ORACLES.pop(name, None)
+            QUERY_FAMILIES.pop(name, None)
         release_owned_caches()
