@@ -477,6 +477,9 @@ def measure_floor(spark, runs: int = 3) -> float:
         ).mode("overwrite").save()
         return time.perf_counter() - t0
 
+    one()  # discarded: the first probe pays the probe shape's own JIT/
+    # codegen (~0.22 s even on an idle box) and would mis-fire the
+    # load sentinel at the START probe every run
     return round(min(one() for _ in range(runs)), 3)
 
 
