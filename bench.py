@@ -554,14 +554,15 @@ def main() -> None:
         # `value_adjusted` = value - floor×N estimates pure plan cost —
         # compare THAT across rounds for regressions.
         "floor_sec_per_query": floor,
-        # load sentinel: floor probes bracket the run; above the
-        # quiet-box band (QUIET_FLOOR_MAX) the artifact marks itself
-        # suspect — slower totals then indicate box load, not code.
+        # load sentinel: floor probes bracket the run; the WARM end
+        # probe adjudicates (above QUIET_FLOOR_MAX = box load, not
+        # code). floor_start is recorded for visibility but measured
+        # consistently ~2x higher even on an idle box — early-session
+        # warmup (filesystem/footer/codegen caches), not load — so it
+        # does not gate.
         "floor_start": floor_start,
         "floor_end": floor_end,
-        "load_suspect": bool(
-            floor_start > QUIET_FLOOR_MAX or floor_end > QUIET_FLOOR_MAX
-        ),
+        "load_suspect": bool(floor_end > QUIET_FLOOR_MAX),
         "value_adjusted": round(max(0.0, total - floor * len(times)), 3),
         # medians: variance guard (see comment at the run loop).
         "value_median": round(sum(medians.values()), 3),
