@@ -57,8 +57,11 @@ def py_query_terms(text: str) -> list[str]:
     word the doc side would have normalized differently."""
     import re
 
+    # re.ASCII: Python's \s is Unicode-aware but Spark's F.split runs
+    # Java regex where \s is ASCII-only — a query containing a Unicode
+    # space (NBSP) must tokenize identically on both sides (ADVICE r7).
     t = text.strip()
-    return [w.lower() for w in re.split(_WS, t)] if t else []
+    return [w.lower() for w in re.split(_WS, t, flags=re.ASCII)] if t else []
 
 
 # Letter runs, digit runs, or single non-space-non-alnum — a cheap

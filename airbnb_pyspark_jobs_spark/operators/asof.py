@@ -29,6 +29,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _micros(c: Column) -> Column:
+    """Timestamp → exact BIGINT epoch microseconds (cast through
+    ``timestamp`` so TIMESTAMP_NTZ inputs resolve under the session TZ,
+    identity here — sessions run UTC)."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -102,12 +109,16 @@ def asof_join(
         )
         m = F.last("__payload", ignorenulls=True).over(w)
         if tolerance_seconds is not None:
+            # exact BIGINT microseconds — a double epoch-seconds cast
+            # loses ~2.4e-7 s at current epochs, enough to flip a match
+            # exactly at the tolerance boundary vs an integer-micro
+            # oracle (ADVICE r7).
             dt = (
-                m.getField("__rts").cast("double") - F.col("__ts").cast("double")
+                _micros(m.getField("__rts")) - _micros(F.col("__ts"))
                 if forward
-                else F.col("__ts").cast("double") - m.getField("__rts").cast("double")
+                else _micros(F.col("__ts")) - _micros(m.getField("__rts"))
             )
-            m = F.when(dt <= F.lit(float(tolerance_seconds)), m)
+            m = F.when(dt <= F.lit(int(tolerance_seconds) * 1_000_000), m)
         return m
 
     # both carries run over the SAME union frame (duplicate-left-safe:
@@ -120,8 +131,9 @@ def asof_join(
         staged = unioned.withColumn("__mb", carry(False)).withColumn(
             "__mf", carry(True)
         )
-        db = F.col("__ts").cast("double") - F.col("__mb.__rts").cast("double")
-        df_ = F.col("__mf.__rts").cast("double") - F.col("__ts").cast("double")
+        # exact-tie comparison in integer microseconds (see carry())
+        db = _micros(F.col("__ts")) - _micros(F.col("__mb.__rts"))
+        df_ = _micros(F.col("__mf.__rts")) - _micros(F.col("__ts"))
         staged = staged.withColumn(
             "__pick",
             F.when(F.col("__mb").isNull(), F.col("__mf"))

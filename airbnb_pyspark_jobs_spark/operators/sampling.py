@@ -226,6 +226,24 @@ def _two_phase_rank(
     return out.drop("__b", "__rn", "__off")
 
 
+def _check_reserved(df: DataFrame, out_cols: list[str] | None = None) -> None:
+    """Reject input columns that collide with two-phase working names.
+    The multi-column variants generate SUFFIXED working columns
+    (``__run_<out>`` / ``__off_<out>`` / ``__cnt_<out>``) — those exact
+    names must be checked, not just the bare prefixes, or an input
+    named e.g. ``__run_cn`` is silently clobbered despite the guard's
+    promise (ADVICE r7)."""
+    reserved = {"__b", "__rn", "__off", "__run", "__mn", "__mx", "__cnt"}
+    for oc in out_cols or []:
+        reserved |= {f"__run_{oc}", f"__off_{oc}", f"__cnt_{oc}"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with two-phase internals: {sorted(clash)}"
+            " (rename them; the helper would silently clobber them)"
+        )
+
+
 def two_phase_numeric_rank(
     df: DataFrame,
     order_col: str,
@@ -248,13 +266,7 @@ def two_phase_numeric_rank(
     ORIGINAL column — bucket assignment only has to respect ordering,
     which monotone casts do. ``order_col`` must be non-null (filter
     first). Zero driver actions: stats stay a broadcast 1-row frame."""
-    _reserved = {"__b", "__rn", "__off", "__run", "__mn", "__mx", "__cnt"}
-    _clash = _reserved & set(df.columns)
-    if _clash:
-        raise ValueError(
-            f"input columns collide with two-phase internals: {sorted(_clash)}"
-            " (rename them; the helper would silently clobber them)"
-        )
+    _check_reserved(df)
     from pyspark.sql.window import Window
 
     ord_d = F.col(order_col).cast("double")
@@ -309,13 +321,7 @@ def two_phase_numeric_cumsum_multi(
     Semantics per column identical to :func:`two_phase_numeric_cumsum`."""
     from pyspark.sql.window import Window
 
-    _reserved = {"__b", "__rn", "__off", "__run", "__mn", "__mx", "__cnt"}
-    _clash = _reserved & set(df.columns)
-    if _clash:
-        raise ValueError(
-            f"input columns collide with two-phase internals: {sorted(_clash)}"
-            " (rename them; the helper would silently clobber them)"
-        )
+    _check_reserved(df, out_cols)
     if len(value_cols) != len(out_cols):
         raise ValueError("value_cols and out_cols must align")
     ord_d = F.col(order_col).cast("double")
@@ -397,13 +403,7 @@ def grouped_two_phase_cumsum_multi(
     both bounded. Order stats (min/max) are per group, broadcast back."""
     from pyspark.sql.window import Window
 
-    _reserved = {"__b", "__rn", "__off", "__run", "__mn", "__mx", "__cnt"}
-    _clash = _reserved & set(df.columns)
-    if _clash:
-        raise ValueError(
-            f"input columns collide with two-phase internals: {sorted(_clash)}"
-            " (rename them; the helper would silently clobber them)"
-        )
+    _check_reserved(df, out_cols)
     if len(value_cols) != len(out_cols):
         raise ValueError("value_cols and out_cols must align")
     ord_d = F.col(order_col).cast("double")
@@ -484,13 +484,7 @@ def two_phase_numeric_cumsum(
     -cutoff primitive ("take documents in quality order until N
     tokens"). ``order_col`` must be non-null; ``value_col`` is summed
     as bigint (cast first for decimals)."""
-    _reserved = {"__b", "__rn", "__off", "__run", "__mn", "__mx", "__cnt"}
-    _clash = _reserved & set(df.columns)
-    if _clash:
-        raise ValueError(
-            f"input columns collide with two-phase internals: {sorted(_clash)}"
-            " (rename them; the helper would silently clobber them)"
-        )
+    _check_reserved(df)
     from pyspark.sql.window import Window
 
     ord_d = F.col(order_col).cast("double")

@@ -2290,8 +2290,12 @@ def _qterm_values(queries) -> str:
     )
 
 
-def _q122_oracle(queries=None) -> str:
+def _q122_oracle(queries=None, top_k: int | None = None) -> str:
     vals = _qterm_values(queries if queries is not None else _BM25_QUERIES)
+    # rank cutoff is a PARAMETER so composing oracles (q303 RRF) couple
+    # to their own constant structurally, not by _BM25_TOPK coincidence
+    # (ADVICE r7)
+    cutoff = _BM25_TOPK if top_k is None else int(top_k)
     return f"""
     WITH toks AS (
       SELECT doc_id, lower(t) AS term
@@ -2327,7 +2331,7 @@ def _q122_oracle(queries=None) -> str:
     r AS (SELECT *, CAST(ROW_NUMBER() OVER (
             PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rn
           FROM sc)
-    SELECT query_id, doc_id, score, rn FROM r WHERE rn <= {_BM25_TOPK}
+    SELECT query_id, doc_id, score, rn FROM r WHERE rn <= {cutoff}
     """
 
 
@@ -7025,7 +7029,7 @@ def _q303_oracle() -> str:
     )
     qvals = _qterm_values(_BM25_QUERIES)
     return f"""
-    WITH bm AS ({_q122_oracle()}),
+    WITH bm AS ({_q122_oracle(top_k=_RRF_MAXRANK)}),
     cov AS ({_coverage_sql(qvals, _RRF_MAXRANK)}),
     g(r, g6) AS (VALUES {gvals}),
     u AS (

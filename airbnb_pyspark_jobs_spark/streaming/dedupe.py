@@ -90,6 +90,8 @@ def _assert_checkpoint_matches(
     fresh checkpoint over a warehouse holding ONLY batch 0 is
     indistinguishable from a batch-0 replay and cannot be caught here.
     """
+    from pyspark.errors import AnalysisException
+
     try:
         top = (
             spark.read.option("basePath", path)
@@ -98,8 +100,13 @@ def _assert_checkpoint_matches(
             .agg(F.max("batch_id").alias("m"))
             .first()
         )
-    except Exception:  # no warehouse yet -> nothing to mismatch
-        return
+    except AnalysisException as e:
+        # only the missing-warehouse case means "nothing to mismatch";
+        # a corrupted/unreadable state dir must propagate, not silently
+        # disable the guard it exists to enforce (ADVICE r7)
+        if "PATH_NOT_FOUND" in str(e):
+            return
+        raise
     if top is not None and top.m is not None and top.m > batch_id:
         raise CheckpointWarehouseMismatchError(
             f"warehouse {path} already holds committed state up to "

@@ -491,6 +491,64 @@ def measure_floor(spark, runs: int = 3) -> float:
 # A/B (VERDICT r6 "What's wrong" #2).
 QUIET_FLOOR_MAX = 0.11
 
+# Ambient-CPU band (VERDICT r7 "What's wrong" #1): average CPU cores
+# consumed DURING the bench by processes OUTSIDE this process tree.
+# Kernel threads idle near 0 on a quiet box; anything sustained above
+# one full core means another workload shared the box for the whole
+# run and every timing above is suspect. (Documented in SCALE_NOTES.)
+AMBIENT_CORES_MAX = 1.0
+
+
+def _cpu_snapshot() -> tuple[int, int]:
+    """(total busy jiffies, OUR process-tree jiffies) from /proc.
+    The delta between two snapshots splits box CPU into "us" (this
+    python + its descendants, i.e. the Spark JVM) and "everyone else" —
+    measuring ambient load DURING the run, where a one-shot loadavg
+    only sees a 1-minute decay that our own work also inflates."""
+    with open("/proc/stat") as fh:
+        vals = [int(x) for x in fh.readline().split()[1:]]
+    busy = sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+    procs = []
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                st = fh.read()
+        except OSError:  # raced a process exit
+            continue
+        # comm may contain spaces/parens: fields restart after last ')'
+        rest = st[st.rindex(")") + 2 :].split()
+        procs.append((int(pid), int(rest[1]), int(rest[11]) + int(rest[12])))
+    tree = {os.getpid()}
+    grew = True
+    while grew:  # transitive children (py4j JVM and its workers)
+        grew = False
+        for pid, ppid, _ in procs:
+            if ppid in tree and pid not in tree:
+                tree.add(pid)
+                grew = True
+    ours = sum(j for pid, _, j in procs if pid in tree)
+    return busy, ours
+
+
+def _ambient_cores(
+    snap0: tuple[int, int], snap1: tuple[int, int], wall_sec: float
+) -> float:
+    """Average cores used by OTHER processes between two snapshots."""
+    if wall_sec <= 0:
+        return 0.0
+    tck = os.sysconf("SC_CLK_TCK")
+    other = max(0, (snap1[0] - snap0[0]) - (snap1[1] - snap0[1]))
+    return round(other / tck / wall_sec, 2)
+
+
+def _loadavg1() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return -1.0
+
 
 def run_query(spark, name: str) -> float:
     fn = QUERIES[name]
@@ -505,6 +563,9 @@ def run_query(spark, name: str) -> float:
 
 
 def main() -> None:
+    load_start = _loadavg1()
+    cpu0 = _cpu_snapshot()
+    t_wall0 = time.perf_counter()
     spark = get_spark(app_name="bench", profile="local")
     spark.sparkContext.setLogLevel("ERROR")
     bench = [q for q in BENCH_QUERIES if q in QUERIES]
@@ -535,6 +596,7 @@ def main() -> None:
         except Exception as e:  # a broken query must not sink the whole bench
             errors[name] = f"{type(e).__name__}: {e}"[:200]
     total = round(sum(times.values()), 3)
+    load_mid = _loadavg1()  # right after the headline loop
     extended: dict[str, float] = {}
     for name in [q for q in EXTENDED_QUERIES if q in QUERIES] + TAIL_QUERIES:
         try:
@@ -543,6 +605,8 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:200]
     floor_end = measure_floor(spark)
     floor = min(floor_start, floor_end)
+    load_end = _loadavg1()
+    ambient = _ambient_cores(cpu0, _cpu_snapshot(), time.perf_counter() - t_wall0)
     payload = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -562,7 +626,16 @@ def main() -> None:
         # does not gate.
         "floor_start": floor_start,
         "floor_end": floor_end,
-        "load_suspect": bool(floor_end > QUIET_FLOOR_MAX),
+        # ambient load DURING the whole run (VERDICT r7 #1): average
+        # CPU cores burned by processes outside this tree (/proc/stat
+        # delta minus our own tree's jiffies), plus the 1-min loadavg
+        # at start/mid/end for visibility. A box loaded during the
+        # measured runs but quiet at the end probe now still flags.
+        "ambient_cores": ambient,
+        "loadavg_1m": [load_start, load_mid, load_end],
+        "load_suspect": bool(
+            floor_end > QUIET_FLOOR_MAX or ambient > AMBIENT_CORES_MAX
+        ),
         "value_adjusted": round(max(0.0, total - floor * len(times)), 3),
         # medians: variance guard (see comment at the run loop).
         "value_median": round(sum(medians.values()), 3),

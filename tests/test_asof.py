@@ -87,6 +87,54 @@ def test_asof_forward_nearest_and_tolerance(spark):
         asof_join(left, right, on="k", direction="sideways")
 
 
+def test_asof_tolerance_exact_boundary_micros(spark):
+    """dt compares in exact BIGINT microseconds: a match EXACTLY at the
+    tolerance boundary (with sub-second micros on both rows) must match
+    — a double epoch-seconds cast loses ~2.4e-7 s and can flip it
+    (ADVICE r7)."""
+    left = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00.000123", "L1")], "k long, ts string, lv string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (1, "2026-01-01 09:45:00.000123", "EXACT"),   # exactly 900 s back
+            (1, "2026-01-01 09:45:00.000122", "BEYOND"),  # 900 s + 1 µs back
+        ],
+        "k long, ts string, rv string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r.lv: r.rv_asof
+        for r in asof_join(
+            left, right, on="k", direction="backward", tolerance_seconds=900
+        ).collect()
+    }
+    assert got == {"L1": "EXACT"}
+    # forward symmetric: exactly at the boundary matches
+    rightf = spark.createDataFrame(
+        [(1, "2026-01-01 10:15:00.000123", "FEXACT")], "k long, ts string, rv string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    gotf = {
+        r.lv: r.rv_asof
+        for r in asof_join(
+            left, rightf, on="k", direction="forward", tolerance_seconds=900
+        ).collect()
+    }
+    assert gotf == {"L1": "FEXACT"}
+    # nearest tie at ±1 µs resolution: backward wins only on EXACT ties
+    rightn = spark.createDataFrame(
+        [
+            (1, "2026-01-01 09:59:59.999999", "B"),  # 124 µs back
+            (1, "2026-01-01 10:00:00.000246", "FWD"),  # 123 µs forward
+        ],
+        "k long, ts string, rv string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    gotn = {
+        r.lv: r.rv_asof
+        for r in asof_join(left, rightn, on="k", direction="nearest").collect()
+    }
+    assert gotn == {"L1": "FWD"}  # 123 µs forward beats 124 µs back
+
+
 def test_asof_nearest_duplicate_left_rows_safe(spark):
     """Identical left rows must each match once (the nearest path runs
     both carries over ONE frame — no self-join fan-out)."""

@@ -215,6 +215,10 @@ def test_vocabulary_auto_buckets_match_explicit(spark):
     auto = {r.term: r for r in vocabulary(docs).collect()}
     pinned = {r.term: r for r in vocabulary(docs, digest_buckets=64).collect()}
     assert auto == pinned
+    # a caller-known corpus count pins B driver-side with the same
+    # arithmetic — no count action, identical digests (VERDICT r7 #5)
+    known = {r.term: r for r in vocabulary(docs, n_docs=10).collect()}
+    assert known == pinned
 
 
 def test_pack_sequences_concat_split_semantics(spark):

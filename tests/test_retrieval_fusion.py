@@ -118,6 +118,23 @@ def test_grouped_two_phase_cumsum_matches_window(spark):
     assert got == want
 
 
+def test_grouped_cumsum_rejects_suffixed_internal_clash(spark):
+    """The clash guard must catch the SUFFIXED working names the helper
+    actually generates (__run_<out>, not just bare __run) — an input
+    column named __run_ca was silently clobbered before (ADVICE r7)."""
+    import pytest
+
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        grouped_two_phase_cumsum_multi,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1, 1, 7)], "g string, k long, a long, __run_ca long"
+    )
+    with pytest.raises(ValueError, match="__run_ca"):
+        grouped_two_phase_cumsum_multi(df, "g", "k", "k", ["a"], ["ca"])
+
+
 def test_heaps_fit_monotone_inputs(spark):
     """Sanity: a corpus where every doc repeats one word (V flat) gets
     beta ~ 0; a corpus of all-new words per doc gets beta ~ 1."""

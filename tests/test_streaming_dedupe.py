@@ -303,6 +303,31 @@ def test_streaming_dedup_replay_after_partial_write_is_idempotent(
     assert acc_ids == {1, 2, 13}  # 11 rejected vs stored doc 1
 
 
+def test_checkpoint_guard_propagates_corrupt_warehouse_errors(spark, tmp_path):
+    """The mismatch guard may treat only a MISSING warehouse as
+    'nothing to mismatch' — an unreadable/corrupted state dir must
+    propagate, not silently disable the guard (ADVICE r7)."""
+    import pytest
+
+    from airbnb_pyspark_jobs_spark.streaming.dedupe import (
+        _DOCS_SCHEMA,
+        _assert_checkpoint_matches,
+    )
+
+    # missing path: fine, nothing to mismatch
+    _assert_checkpoint_matches(
+        spark, str(tmp_path / "nope"), _DOCS_SCHEMA, batch_id=0
+    )
+
+    # corrupt state: a junk file where parquet partitions should be
+    bad = tmp_path / "bad" / "batch_id=3"
+    bad.mkdir(parents=True)
+    (bad / "part-00000.parquet").write_text("this is not parquet")
+    with pytest.raises(Exception) as ei:
+        _assert_checkpoint_matches(spark, str(tmp_path / "bad"), _DOCS_SCHEMA, 0)
+    assert "PATH_NOT_FOUND" not in str(ei.value)
+
+
 def test_streaming_dedup_fresh_checkpoint_over_existing_warehouse_raises(
     spark, tmp_path
 ):
