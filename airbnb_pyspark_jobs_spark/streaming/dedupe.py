@@ -41,7 +41,11 @@ _DOCS_SCHEMA = "doc_id long, text string"
 
 
 def _read_state(
-    spark: SparkSession, path: str, schema: str, before_batch: int
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    before_batch: int,
+    keep_batch_id: bool = False,
 ) -> DataFrame:
     """Committed-history read: state rows live under ``batch_id=N``
     partition dirs; pruning to ``batch_id < before_batch`` excludes the
@@ -51,20 +55,25 @@ def _read_state(
     Hadoop-FS layer (not the driver's local filesystem — hdfs:// and
     s3a:// warehouses must resolve the same way the writes do); any
     error other than path-not-found propagates, so a transiently
-    unreachable store can never silently disable dedup."""
+    unreachable store can never silently disable dedup.
+
+    ``keep_batch_id=True`` retains the partition column for state
+    layouts where each batch writes only the keys it touched and the
+    reader needs latest-per-key by ``batch_id`` (streaming/cep.py)."""
     from pyspark.errors import AnalysisException
 
     try:
-        return (
+        out = (
             spark.read.option("basePath", path)
             .schema(schema + ", batch_id long")
             .parquet(path)
             .filter(F.col("batch_id") < before_batch)
-            .drop("batch_id")
         )
+        return out if keep_batch_id else out.drop("batch_id")
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e):
-            return spark.createDataFrame([], schema=schema)
+            full = schema + ", batch_id long" if keep_batch_id else schema
+            return spark.createDataFrame([], schema=full)
         raise
 
 

@@ -53,6 +53,25 @@ def latest_snapshot_per_key(
     )
 
 
+def scd2_upsert_batch(
+    snapshot: DataFrame, dim_path: str, spec: Scd2Spec, as_of
+) -> None:
+    """Merge ONE collapsed snapshot into the parquet dimension at
+    ``dim_path``: cold-start ``scd2_initial`` if the dimension doesn't
+    exist yet, else ``scd2_merge``, then an atomic temp-path swap.
+    Idempotent under replay: re-merging an identical snapshot detects
+    zero row-hash changes and rewrites the dimension byte-stable.
+    Shared by :func:`scd2_stream_upsert` and the composed corpus
+    pipeline (streaming/pipeline.py)."""
+    spark = snapshot.sparkSession
+    if os.path.exists(dim_path):
+        existing = spark.read.parquet(dim_path)
+        dim = scd2_merge(existing, snapshot, spec, as_of)
+    else:
+        dim = scd2_initial(snapshot, spec, as_of)
+    overwrite_with_barrier(dim, dim_path)
+
+
 def scd2_stream_upsert(
     snapshots: DataFrame,
     dim_path: str,
@@ -73,17 +92,10 @@ def scd2_stream_upsert(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
         snap = latest_snapshot_per_key(batch_df, spec, as_of_col)
         # one tiny batch-scoped action to stamp the merge's as-of time
         as_of = snap.agg(F.max(as_of_col)).first()[0]
-        as_of_lit = F.lit(as_of).cast("timestamp")
-        if os.path.exists(dim_path):
-            existing = spark.read.parquet(dim_path)
-            dim = scd2_merge(existing, snap, spec, as_of_lit)
-        else:
-            dim = scd2_initial(snap, spec, as_of_lit)
-        overwrite_with_barrier(dim, dim_path)
+        scd2_upsert_batch(snap, dim_path, spec, F.lit(as_of).cast("timestamp"))
 
     writer = (
         snapshots.writeStream.foreachBatch(merge_batch)

@@ -24,6 +24,24 @@ Per micro-batch:
    per-batch assignment equals batch assignment over the union.
    Rows land in ``{warehouse}/shards/batch_id=N``.
 
+With ``source_col`` set, two more stages run in the SAME foreachBatch
+(VERDICT r7 #3 — the CEP and SCD2-dimension streams previously ran
+solo):
+
+5. **SCD2 source dimension** (mirrors q22 via the same
+   :func:`operators.scd2.scd2_merge` the batch path uses): the batch
+   collapses to latest-per-source (by ``doc_id``) snapshots of the
+   tracked metadata columns, merged into ``{warehouse}/dim_source``
+   through :func:`streaming.dimensions.scd2_upsert_batch`. The merge's
+   as-of stamp is ``epoch + batch_id`` seconds — deterministic, so a
+   replayed batch re-merges an identical snapshot, detects zero
+   row-hash changes, and rewrites the dimension byte-stable.
+6. **CEP dup-flood alerts** (mirrors q250's gaps-and-islands via
+   :func:`streaming.cep.dup_burst_batch`): the batch's REJECTED
+   duplicates feed the parquet-state burst detector keyed by source —
+   alerts under ``{warehouse}/alerts/batch_id=N``, live burst state
+   under ``{warehouse}/cep_state/batch_id=N``.
+
 Replay semantics are the dedup stream's: every write overwrites its own
 ``batch_id=N`` partition dir and every stage is a pure function of
 (committed history, batch content) — a batch replayed after a
@@ -63,6 +81,10 @@ def streaming_corpus_pipeline(
     n_buckets: int = 10,
     split_fractions: dict[str, float] | None = None,
     split_seed: str = "pipeline",
+    source_col: str | None = None,
+    dim_tracked: tuple[str, ...] = ("lang",),
+    cep_gap: int = 5,
+    cep_min_run: int = 3,
 ):
     """Start the composed ingest pipeline; returns the StreamingQuery.
 
@@ -76,6 +98,19 @@ def streaming_corpus_pipeline(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from airbnb_pyspark_jobs_spark.caching import release_owned_caches
 
+        meta = None
+        if source_col is not None:
+            # one localCheckpoint so the stream source isn't re-read by
+            # the dim snapshot AND the CEP anti-join below
+            meta = (
+                batch_df.select(
+                    F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(source_col).cast("string").alias("source"),
+                    *[F.col(c) for c in dim_tracked],
+                )
+                .dropDuplicates(["doc_id"])
+                .localCheckpoint()
+            )
         accepted = dedup_batch(
             batch_df,
             warehouse,
@@ -115,6 +150,44 @@ def streaming_corpus_pipeline(
         hash_split(
             gated.select("doc_id"), "doc_id", fractions, seed=split_seed
         ).write.mode("overwrite").parquet(os.path.join(warehouse, "shards", part))
+        if meta is not None:
+            from pyspark.sql.window import Window
+
+            from airbnb_pyspark_jobs_spark.operators.scd2 import Scd2Spec
+            from airbnb_pyspark_jobs_spark.streaming.cep import dup_burst_batch
+            from airbnb_pyspark_jobs_spark.streaming.dimensions import (
+                scd2_upsert_batch,
+            )
+
+            # stage 5: latest-per-source snapshot -> SCD2 merge. The
+            # as-of stamp derives from batch_id alone (epoch+N sec), so
+            # replays merge an identical snapshot (see module doc).
+            w = Window.partitionBy("source").orderBy(F.col("doc_id").desc())
+            snap = (
+                meta.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "doc_id")
+            )
+            spec = Scd2Spec(
+                natural_key=["source"],
+                tracked_cols=list(dim_tracked),
+                surrogate_key="source_key",
+            )
+            scd2_upsert_batch(
+                snap,
+                os.path.join(warehouse, "dim_source"),
+                spec,
+                F.lit(int(batch_id)).cast("timestamp"),
+            )
+            # stage 6: CEP over this batch's REJECTED duplicates
+            rejected = meta.join(accepted.select("doc_id"), "doc_id", "left_anti")
+            dup_burst_batch(
+                rejected,
+                warehouse,
+                batch_id,
+                gap=cep_gap,
+                min_run=cep_min_run,
+            )
         release_owned_caches()
 
     return (
