@@ -697,6 +697,80 @@ def duplicated_span_coverage(
     )
 
 
+def dup_span_run_profile(
+    docs: DataFrame,
+    n: int = 8,
+    min_span_lens: tuple[int, ...] = (8, 12, 16, 24),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated-run length profile — the ``min_span_len``
+    sweep that documents what the fixed-``n`` shingle approximation of
+    exact-substring dedup (q103/q107) captures relative to the paper's
+    suffix-array formulation (Lee et al. 2022 build a suffix array and
+    mark maximal duplicated spans of ANY length >= a threshold; the
+    shingle approach marks positions covered by duplicated n-token
+    windows).
+
+    The two relate exactly at the position level: a span duplicated as
+    a whole of length L >= n covers the same positions as its L-n+1
+    duplicated n-windows. Where they differ, stated honestly: (a) a
+    window threshold n can never see duplicated spans SHORTER than n
+    (the suffix array at threshold t < n would); (b) a contiguous
+    covered RUN here may chain overlapping windows matched against
+    DIFFERENT partner docs, so run length is an UPPER bound on the
+    longest single two-document match inside it. This profile measures
+    (b)'s shape on the actual corpus: per ``min_span_len`` threshold S,
+    how many maximal covered runs reach S, how many positions (= what a
+    suffix-array-style cutter at threshold S would remove, bounded
+    above), over how many docs.
+
+    Returns one row per S: ``min_span_len, n_runs, n_positions,
+    n_docs, max_run_len`` (zeros when no run qualifies — every
+    requested threshold always appears). Exact integers end to end.
+
+    Shape: the q103 covered-position stage, one doc-partitioned
+    gaps-and-islands window (pos - row_number constant within a run —
+    bounded by doc length, never global), a broadcast |thresholds|-row
+    range join, and one tiny grouped aggregate. Scale: identical to
+    q103 plus an O(runs · |thresholds|) broadcast fan-out.
+    """
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    _sized, posed = _positioned_shingles(docs, n, id_col, text_col)
+    posed = owned_persist(posed)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = owned_persist(
+        _covered_positions(posed, n)
+        .withColumn("__rid", (F.col("pos") - F.row_number().over(w)).cast("bigint"))
+        .groupBy("doc_id", "__rid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("run_len"))
+    )
+    spark = docs.sparkSession
+    th = spark.createDataFrame(
+        [(int(s),) for s in min_span_lens], "min_span_len long"
+    )
+    agg = (
+        runs.join(F.broadcast(th), F.col("run_len") >= F.col("min_span_len"))
+        .groupBy("min_span_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+            F.sum("run_len").cast("bigint").alias("n_positions"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.max("run_len").cast("bigint").alias("max_run_len"),
+        )
+    )
+    return F.broadcast(th).join(agg, "min_span_len", "left").select(
+        "min_span_len",
+        F.coalesce("n_runs", F.lit(0)).cast("bigint").alias("n_runs"),
+        F.coalesce("n_positions", F.lit(0)).cast("bigint").alias("n_positions"),
+        F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+        F.coalesce("max_run_len", F.lit(0)).cast("bigint").alias("max_run_len"),
+    )
+
+
 def cut_duplicated_spans(
     docs: DataFrame,
     n: int = 8,

@@ -1897,6 +1897,74 @@ def q107_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q315 duplicated-span run-length profile (VERDICT r7 #7): the
+# min_span_len sweep relating q103/q107's fixed-n shingle approximation
+# to the suffix-array formulation of Lee et al. 2022 (maximal
+# duplicated spans of ANY length >= threshold). Gaps-and-islands over
+# the covered positions gives maximal covered-run lengths; one row per
+# swept threshold S with how many runs/positions/docs a
+# suffix-array-style cutter at S would touch (run length upper-bounds
+# the longest single two-doc match — see the operator docstring for
+# the honest delta). The oracle replays shingling, the interval
+# union, the run grouping and the threshold sweep exactly.
+# ---------------------------------------------------------------------------
+_SPAN_SWEEP = (8, 12, 16, 24)
+
+
+@query(
+    "q315_dup_span_profile",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, {_D_TOKENS} AS tk, CAST(len({_D_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, p, array_to_string(tk[p + 1:p + {_SPAN_N}], ' ') AS s
+      FROM toks, UNNEST(range(0, GREATEST(n_tokens - {_SPAN_N - 1}, 0))) AS u(p)
+    ),
+    dupes AS (
+      SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY s)
+      WHERE df >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, p2
+      FROM (SELECT doc_id, p FROM sh SEMI JOIN dupes USING (s)),
+           UNNEST(range(p, p + {_SPAN_N})) AS u(p2)
+    ),
+    runs AS (
+      SELECT doc_id, rid, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM (SELECT doc_id, p2,
+                   p2 - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p2) AS rid
+            FROM cov)
+      GROUP BY doc_id, rid
+    ),
+    th AS (SELECT CAST(s AS BIGINT) AS min_span_len
+           FROM (VALUES {", ".join(f"({s})" for s in _SPAN_SWEEP)}) AS v(s)),
+    agg AS (
+      SELECT th.min_span_len,
+             CAST(COUNT(*) AS BIGINT) AS n_runs,
+             CAST(SUM(run_len) AS BIGINT) AS n_positions,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(MAX(run_len) AS BIGINT) AS max_run_len
+      FROM runs JOIN th ON runs.run_len >= th.min_span_len
+      GROUP BY th.min_span_len
+    )
+    SELECT th.min_span_len,
+           CAST(COALESCE(agg.n_runs, 0) AS BIGINT) AS n_runs,
+           CAST(COALESCE(agg.n_positions, 0) AS BIGINT) AS n_positions,
+           CAST(COALESCE(agg.n_docs, 0) AS BIGINT) AS n_docs,
+           CAST(COALESCE(agg.max_run_len, 0) AS BIGINT) AS max_run_len
+    FROM th LEFT JOIN agg USING (min_span_len)
+    """,
+)
+def q315_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.dedupe import dup_span_run_profile
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dup_span_run_profile(docs, n=_SPAN_N, min_span_lens=_SPAN_SWEEP)
+
+
+# ---------------------------------------------------------------------------
 # q108 language-ID filter (CCNet/CLD-style stopword-profile + char-class
 # heuristic, operators/corpus.language_id): per-language stopword
 # ratios, non-ASCII ratio, argmax prediction with alphabetical

@@ -470,3 +470,41 @@ def test_soft_jaccard_downweights_boilerplate(spark):
     # the unweighted score cannot separate the two pairs as decisively:
     # boilerplate pair scores > 0 there
     assert hard[(1, 2)] > 0
+
+
+def test_dup_span_run_profile_thresholds_and_zero_fill(spark):
+    # docs 1 & 2 share a verbatim 5-token span -> with n=3 the covered
+    # run is exactly those 5 positions in each doc; doc 3 is clean
+    shared = "alpha beta gamma delta epsilon"
+    df = _docs(
+        spark,
+        [
+            (1, shared + " one two three"),
+            (2, "x y " + shared + " z"),
+            (3, "p q r s t u v w"),
+        ],
+    )
+    rows = {
+        r.min_span_len: (r.n_runs, r.n_positions, r.n_docs, r.max_run_len)
+        for r in DD.dup_span_run_profile(
+            df, n=3, min_span_lens=(3, 5, 6)
+        ).collect()
+    }
+    # runs of length 5 in docs 1 and 2 qualify at S=3 and S=5 ...
+    assert rows[3] == (2, 10, 2, 5)
+    assert rows[5] == (2, 10, 2, 5)
+    # ... and S=6 catches nothing, but the threshold row still appears
+    assert rows[6] == (0, 0, 0, 0)
+
+
+def test_dup_span_run_profile_monotone_on_corpus(spark):
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    prof = sorted(
+        (r.min_span_len, r.n_runs, r.n_positions)
+        for r in DD.dup_span_run_profile(docs).collect()
+    )
+    # sweeping the threshold up can only shrink runs/positions
+    for (s1, r1, p1), (s2, r2, p2) in zip(prof, prof[1:]):
+        assert s1 < s2 and r1 >= r2 and p1 >= p2
