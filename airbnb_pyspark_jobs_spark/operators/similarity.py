@@ -261,6 +261,219 @@ def matryoshka_recall(
     return out
 
 
+def knn_hubness_profile(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Hubness profile of the exact kNN graph (Radovanović et al. 2010,
+    "Hubs in Space"): for every vector, its k-occurrence N_k — how many
+    other vectors list it in THEIR top-k — then the histogram of N_k.
+    High-dimensional embedding spaces grow hubs (a few vectors in
+    thousands of neighbor lists) and anti-hubs (N_k = 0, unreachable by
+    retrieval); a right-skewed profile predicts degraded kNN label
+    quality and retrieval bias before any model sees the index.
+
+    Returns ``k_occurrences, n_vectors`` — one row per occurrence
+    count, INCLUDING the anti-hub row (vectors in zero lists are
+    0-filled via a left join from the corpus ids; they are the
+    diagnostic's whole point).
+
+    Determinism: the underlying ranking is :func:`knn_bruteforce`
+    (rounded cosine, id tie-breaks). Scale: all-pairs — run on the
+    id-bounded audit sample like the other exact audits (q154); at
+    100 TB derive N_k from the LSH/IVF candidate lists instead
+    (same groupBy shape over approximate neighbor lists)."""
+    nn = knn_bruteforce(
+        corpus, corpus, k=k, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    )
+    occ = nn.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_occurrences")
+    )
+    per_vec = (
+        corpus.select(F.col(id_col).alias("neighbor_id"))
+        .join(occ, "neighbor_id", "left")
+        .select(
+            F.coalesce("k_occurrences", F.lit(0)).cast("bigint").alias(
+                "k_occurrences"
+            )
+        )
+    )
+    return per_vec.groupBy("k_occurrences").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+
+
+def knn_dot_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k by RAW inner product (no normalization) — the
+    maximum-inner-product ranking a dot-product index serves. Same
+    shape and determinism discipline as :func:`knn_bruteforce`
+    (broadcast queries, rounded score, id tie-break); returns
+    ``query_id, neighbor_id, dot_score, rn``."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__qv")
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("__qv"), F.col("__cv")), round_digits).alias(
+                "dot_score"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_score").desc(), F.col("neighbor_id").asc()
+    )
+    return sims.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rn") <= k
+    )
+
+
+def metric_rank_agreement(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    ratio_digits: int = 4,
+) -> DataFrame:
+    """Top-k agreement between cosine and raw-dot-product ranking per
+    query — the diagnostic that decides whether an index can serve
+    un-normalized vectors as-is. The two rankings coincide exactly when
+    all corpus norms are equal; with varying norms, dot-product
+    retrieval systematically prefers long vectors and the overlap
+    drops. Returns ``query_id, n_common, k, overlap_at_k`` for EVERY
+    query (zero-overlap queries 0-filled). Scale: two broadcast-query
+    brute passes over the corpus (the q50 shape twice) + one k-bounded
+    join."""
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    cosk = knn_bruteforce(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    ).select("query_id", "neighbor_id")
+    dotk = knn_dot_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    ).select("query_id", "neighbor_id")
+    common = cosk.join(dotk, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    return (
+        queries.select(F.col(id_col).alias("query_id"))
+        .join(common, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+            F.lit(int(k)).cast("bigint").alias("k"),
+            decimal_ratio_round(
+                F.coalesce("n_common", F.lit(0)).cast("bigint"),
+                F.lit(int(k)),
+                ratio_digits,
+            ).alias("overlap_at_k"),
+        )
+    )
+
+
+def semantic_split_leakage(
+    corpus: DataFrame,
+    fractions: dict[str, float] | None = None,
+    threshold: float = 0.45,
+    train_split: str = "train",
+    eval_splits: tuple[str, ...] = ("val", "test"),
+    seed: str = "",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ratio_digits: int = 4,
+) -> DataFrame:
+    """SemDeDup-style cross-split contamination check: after the
+    standard hash split, how many EVAL vectors have an embedding
+    near-duplicate (cosine >= ``threshold``) in TRAIN? Shingle-level
+    leakage (q78) catches verbatim text reuse; this catches the
+    paraphrase/mirror leakage only the embedding space sees — the gap
+    between a clean eval set and one the model effectively memorized.
+
+    Returns one row per eval split (always, 0-filled): ``split,
+    n_vectors, n_leaked, leak_rate``. Exact-integer counts; leak_rate
+    via the decimal-exact ratio (0.0 for an empty split).
+
+    Scale: pair generation is :func:`cosine_dup_pairs` — run on the
+    id-bounded audit sample (q52's contract); at 100 TB swap in
+    :func:`cosine_dup_pairs_lsh` for the pair stage, the rest of the
+    plan (two key joins + two grouped counts) is unchanged."""
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+    from airbnb_pyspark_jobs_spark.operators.sampling import hash_split
+
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    splits = hash_split(corpus.select(id_col), id_col, fractions, seed=seed)
+    pairs = cosine_dup_pairs(
+        corpus, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+    sa = splits.select(
+        F.col(id_col).alias("vec_id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col(id_col).alias("vec_id_b"), F.col("split").alias("split_b")
+    )
+    x = pairs.join(sa, "vec_id_a").join(sb, "vec_id_b")
+    evals = list(eval_splits)
+    leaked = (
+        x.filter(
+            (F.col("split_a") == train_split) & F.col("split_b").isin(evals)
+        )
+        .select(F.col("vec_id_b").alias("vec_id"), F.col("split_b").alias("split"))
+        .unionByName(
+            x.filter(
+                (F.col("split_b") == train_split) & F.col("split_a").isin(evals)
+            ).select(
+                F.col("vec_id_a").alias("vec_id"), F.col("split_a").alias("split")
+            )
+        )
+        .distinct()
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaked"))
+    )
+    totals = (
+        splits.filter(F.col("split").isin(evals))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    )
+    base = corpus.sparkSession.createDataFrame(
+        [(s,) for s in evals], "split string"
+    )
+    n_vec = F.coalesce("n_vectors", F.lit(0)).cast("bigint")
+    n_leak = F.coalesce("n_leaked", F.lit(0)).cast("bigint")
+    return (
+        base.join(totals, "split", "left")
+        .join(leaked, "split", "left")
+        .select(
+            "split",
+            n_vec.alias("n_vectors"),
+            n_leak.alias("n_leaked"),
+            F.when(n_vec > 0, decimal_ratio_round(n_leak, n_vec, ratio_digits))
+            .otherwise(F.lit(0.0))
+            .alias("leak_rate"),
+        )
+    )
+
+
 def lsh_bucket_ann(
     corpus: DataFrame,
     queries: DataFrame,

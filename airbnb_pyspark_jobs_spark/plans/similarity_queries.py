@@ -3030,3 +3030,187 @@ SELECT vec_id, md2, rn FROM r WHERE rn <= {_Q309_TOPK}
 def q309_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return SIM.embedding_outliers(emb, top_k=_Q309_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# q316 kNN hubness profile (Radovanović et al. 2010): histogram of
+# k-occurrences N_k over the exact kNN graph on the id-bounded audit
+# sample — hubs (huge N_k) and anti-hubs (N_k = 0, the 0-filled row)
+# are the high-dimensional pathology an embedding index inherits. The
+# oracle replays the brute-force ranking, the occurrence count, the
+# anti-hub zero-fill and the histogram.
+# ---------------------------------------------------------------------------
+_HUB_SAMPLE, _HUB_K = 1000, 5
+
+_Q316_ORACLE = f"""
+WITH
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id < {_HUB_SAMPLE}),
+nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+u AS (SELECT vec_id, list_transform(v, x -> x / n) AS vn FROM nrm),
+sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.vn, b.vn), 4) AS cos_sim
+  FROM u a, u b WHERE a.vec_id != b.vec_id
+),
+topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+    FROM sims
+  ) WHERE rn <= {_HUB_K}
+),
+occ AS (SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS k_occurrences
+        FROM topk GROUP BY neighbor_id),
+per AS (
+  SELECT CAST(COALESCE(occ.k_occurrences, 0) AS BIGINT) AS k_occurrences
+  FROM e LEFT JOIN occ ON e.vec_id = occ.neighbor_id
+)
+SELECT k_occurrences, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM per GROUP BY k_occurrences
+"""
+
+
+@query("q316_knn_hubness", oracle=_Q316_ORACLE)
+def q316_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.knn_hubness_profile(
+        emb.filter(F.col("vec_id") < _HUB_SAMPLE), k=_HUB_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# q317 cosine-vs-dot-product rank agreement: top-k overlap per query
+# between the normalized (cosine) and raw inner-product rankings — the
+# ablation that decides whether an index can serve un-normalized
+# vectors (they agree iff corpus norms are ~equal; dot retrieval
+# favors long vectors otherwise). Zero-overlap queries still appear
+# (left join from the query set). The oracle replays both rankings,
+# the k-bounded intersection and the exact ratio.
+# ---------------------------------------------------------------------------
+
+
+def _q317_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    ratio = _drr("COALESCE(cm.n_common, 0)", str(_K), 4)
+    return f"""
+WITH {_D_UNIT},
+e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qc AS (SELECT vec_id AS query_id, vn AS qv FROM u WHERE vec_id < {_NQ}),
+cosr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.qv, c.vn), 4) DESC,
+                      c.vec_id ASC) AS rn
+    FROM qc q, u c WHERE q.query_id != c.vec_id
+  ) WHERE rn <= {_K}
+),
+qd AS (SELECT vec_id AS query_id, v AS qv FROM e2 WHERE vec_id < {_NQ}),
+dotr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.qv, c.v), 4) DESC,
+                      c.vec_id ASC) AS rn
+    FROM qd q, e2 c WHERE q.query_id != c.vec_id
+  ) WHERE rn <= {_K}
+),
+cm AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cosr JOIN dotr USING (query_id, neighbor_id)
+  GROUP BY query_id
+)
+SELECT qs.query_id,
+       CAST(COALESCE(cm.n_common, 0) AS BIGINT) AS n_common,
+       CAST({_K} AS BIGINT) AS k,
+       {ratio} AS overlap_at_k
+FROM (SELECT vec_id AS query_id FROM e2 WHERE vec_id < {_NQ}) qs
+LEFT JOIN cm USING (query_id)
+"""
+
+
+@query("q317_metric_rank_agreement", oracle=_q317_oracle())
+def q317_metric_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.metric_rank_agreement(
+        emb, emb.filter(F.col("vec_id") < _NQ), k=_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# q318 semantic split leakage (SemDeDup-style contamination check):
+# after the standard hash split, the fraction of each EVAL split's
+# vectors with an embedding near-duplicate (cosine >= 0.45) in TRAIN —
+# the paraphrase/mirror leakage shingle-level q78 cannot see. Runs on
+# the q52 audit sample with the q52 pair stage and the q43 split rule;
+# the oracle composes all three plus the zero-filled per-split rollup.
+# ---------------------------------------------------------------------------
+
+
+def _q318_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    ratio = _drr("COALESCE(lk.n_leaked, 0)", "tot.n_vectors", 4)
+    return f"""
+WITH {_D_UNIT_SAMPLED},
+p AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         round(list_dot_product(a.vn, b.vn), 4) AS cos_sim
+  FROM u a JOIN u b ON a.vec_id < b.vec_id
+),
+pr AS (SELECT vec_id_a, vec_id_b FROM p WHERE cos_sim >= {_DUP_T}),
+sp AS (
+  SELECT vec_id,
+         CASE WHEN bucket < 8000 THEN 'train'
+              WHEN bucket < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT vec_id,
+           CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+             % 10000 AS bucket
+    FROM e
+  )
+),
+x AS (
+  SELECT pr.vec_id_a, pr.vec_id_b, a.split AS split_a, b.split AS split_b
+  FROM pr JOIN sp a ON pr.vec_id_a = a.vec_id
+          JOIN sp b ON pr.vec_id_b = b.vec_id
+),
+lk AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_leaked FROM (
+    SELECT DISTINCT vec_id, split FROM (
+      SELECT vec_id_b AS vec_id, split_b AS split FROM x
+      WHERE split_a = 'train' AND split_b IN ('val', 'test')
+      UNION ALL
+      SELECT vec_id_a AS vec_id, split_a AS split FROM x
+      WHERE split_b = 'train' AND split_a IN ('val', 'test')
+    )
+  ) GROUP BY split
+),
+tot AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM sp WHERE split IN ('val', 'test') GROUP BY split)
+SELECT base.split,
+       CAST(COALESCE(tot.n_vectors, 0) AS BIGINT) AS n_vectors,
+       CAST(COALESCE(lk.n_leaked, 0) AS BIGINT) AS n_leaked,
+       CASE WHEN COALESCE(tot.n_vectors, 0) = 0 THEN CAST(0 AS DOUBLE)
+            ELSE {ratio} END AS leak_rate
+FROM (SELECT * FROM (VALUES ('val'), ('test')) AS t(split)) base
+LEFT JOIN tot USING (split)
+LEFT JOIN lk USING (split)
+"""
+
+
+@query("q318_semantic_split_leakage", oracle=_q318_oracle())
+def q318_semantic_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.semantic_split_leakage(
+        emb.filter(F.col("vec_id") < _EXACT_SAMPLE_MAX), threshold=_DUP_T
+    )

@@ -43,16 +43,24 @@ SIZES = (
     else [100_000, 300_000, 1_000_000]
 )
 OPS = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else {
-    "q184", "q145", "q218", "q38", "q308"
+    "q184", "q145", "q218", "q38", "q308", "q311", "q306", "q305"
 }
 
 
+REPS = int(os.environ.get("SCALING_REPS", "1"))
+
+
 def run(label: str, thunk) -> float:
-    t0 = time.perf_counter()
-    thunk().write.format("noop").mode("overwrite").save()
-    wall = time.perf_counter() - t0
-    print(f"  {label}: {wall:.1f}s", flush=True)
-    return wall
+    """Time thunk-to-noop-sink; with SCALING_REPS=k, best of k runs
+    (first-run JIT/codegen warmup otherwise dominates the cheap ends of
+    a ladder and can even make alpha come out negative)."""
+    best = float("inf")
+    for _ in range(max(1, REPS)):
+        t0 = time.perf_counter()
+        thunk().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    print(f"  {label}: {best:.1f}s" + (f" (best of {REPS})" if REPS > 1 else ""), flush=True)
+    return best
 
 
 def synthetic_embeddings(spark, n: int, d: int = 32):
@@ -219,6 +227,72 @@ def main() -> None:
                 lambda: heaps_law_fit(docs, group_col="source"),
             )
             docs.unpersist()
+        if "q311" in OPS:
+            # Unigram-LM EM step (round 7): cost = one corpus-scan word
+            # aggregate + DISTINCT-WORD-bounded substring lattice + DP.
+            # With a fixed synthetic vocab the word table saturates, so
+            # alpha should fall well below 1 past the first decade —
+            # the "nothing scales with corpus rows after the first
+            # aggregate" claim, measured.
+            from airbnb_pyspark_jobs_spark.operators.bpe import unigram_lm_em
+
+            spark.catalog.clearCache(); release_owned_caches()
+            docs = (
+                spark.read.format("synthetic_docs")
+                .option("n", n).option("partitions", 32)
+                .option("vocab_size", 5000).option("zipf_s", 1.1)
+                .load().localCheckpoint()
+            )
+            results.setdefault("q311_unigram_em", {})[n] = run(
+                "q311 unigram-LM EM step", lambda: unigram_lm_em(docs)
+            )
+            docs.unpersist()
+        if "q306" in OPS:
+            # Confident-learning suspects (round 7): one scan-side
+            # projection + a 2-row threshold aggregate broadcast back.
+            # Expected alpha ~ 1 (pure scan).
+            from airbnb_pyspark_jobs_spark.operators.classifier import (
+                confident_label_suspects,
+            )
+
+            spark.catalog.clearCache(); release_owned_caches()
+            scored = (
+                spark.range(n)
+                .repartition(32)
+                .select(
+                    F.col("id").alias("doc_id"),
+                    F.pmod(F.hash("id"), F.lit(2)).cast("bigint").alias("y"),
+                    (
+                        F.pmod(F.hash(F.col("id") + 7), F.lit(1_000_000)).cast(
+                            "double"
+                        )
+                        / 1e6
+                    ).alias("p"),
+                )
+                .localCheckpoint()
+            )
+            results.setdefault("q306_label_suspects", {})[n] = run(
+                "q306 confident-learning suspects",
+                lambda: confident_label_suspects(scored),
+            )
+            scored.unpersist()
+        if "q305" in OPS:
+            # Matryoshka truncation sweep (round 7): |dims_list|+1
+            # bounded-query brute passes (Q=10 broadcast queries) over
+            # the corpus. Expected alpha ~ 1 in corpus size — each pass
+            # is one n·d scan, no candidate blowup.
+            from airbnb_pyspark_jobs_spark.operators.similarity import (
+                matryoshka_recall,
+            )
+
+            spark.catalog.clearCache(); release_owned_caches()
+            emb = synthetic_embeddings(spark, n, d=64)
+            qs = emb.filter(F.col("vec_id") < 10).localCheckpoint()
+            results.setdefault("q305_matryoshka_d64_q10", {})[n] = run(
+                "q305 matryoshka sweep (d=64, Q=10)",
+                lambda: matryoshka_recall(emb, qs, dims_list=(8, 16, 32, 64)),
+            )
+            emb.unpersist()
         if "q38" in OPS:
             spark.catalog.clearCache(); release_owned_caches()
             docs = hot_corpus(spark, n)
