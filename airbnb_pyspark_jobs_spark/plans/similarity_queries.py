@@ -3084,10 +3084,19 @@ def q316_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # between the normalized (cosine) and raw inner-product rankings — the
 # ablation that decides whether an index can serve un-normalized
 # vectors (they agree iff corpus norms are ~equal; dot retrieval
-# favors long vectors otherwise). Zero-overlap queries still appear
-# (left join from the query set). The oracle replays both rankings,
-# the k-bounded intersection and the exact ratio.
+# favors long vectors otherwise). The synthetic embeddings happen to
+# be near-equal-norm (overlap 1.0 everywhere — a vacuous check), so
+# the query de-normalizes them DETERMINISTICALLY in-plan first:
+# scale_i = 1 + (vec_id % 7)/4, the production shape where norms vary
+# ~3x. Cosine is scale-invariant so the cosine ranking is unchanged;
+# the dot ranking now genuinely favors long vectors (overlap < 1 at
+# every SF). Zero-overlap queries still appear (left join from the
+# query set). The oracle replays the scaling, both rankings, the
+# k-bounded intersection and the exact ratio.
 # ---------------------------------------------------------------------------
+_Q317_SCALE_SQL = (
+    "CAST(1.0 AS DOUBLE) + CAST(vec_id % 7 AS DOUBLE) / CAST(4.0 AS DOUBLE)"
+)
 
 
 def _q317_oracle() -> str:
@@ -3097,9 +3106,15 @@ def _q317_oracle() -> str:
 
     ratio = _drr("COALESCE(cm.n_common, 0)", str(_K), 4)
     return f"""
-WITH {_D_UNIT},
-e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-qc AS (SELECT vec_id AS query_id, vn AS qv FROM u WHERE vec_id < {_NQ}),
+WITH e2 AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x * ({_Q317_SCALE_SQL})) AS v
+  FROM embeddings
+),
+nrm2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e2),
+u2 AS (SELECT vec_id, list_transform(v, x -> x / n) AS vn FROM nrm2),
+qc AS (SELECT vec_id AS query_id, vn AS qv FROM u2 WHERE vec_id < {_NQ}),
 cosr AS (
   SELECT query_id, neighbor_id FROM (
     SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -3107,7 +3122,7 @@ cosr AS (
              PARTITION BY q.query_id
              ORDER BY round(list_dot_product(q.qv, c.vn), 4) DESC,
                       c.vec_id ASC) AS rn
-    FROM qc q, u c WHERE q.query_id != c.vec_id
+    FROM qc q, u2 c WHERE q.query_id != c.vec_id
   ) WHERE rn <= {_K}
 ),
 qd AS (SELECT vec_id AS query_id, v AS qv FROM e2 WHERE vec_id < {_NQ}),
@@ -3137,9 +3152,23 @@ LEFT JOIN cm USING (query_id)
 
 @query("q317_metric_rank_agreement", oracle=_q317_oracle())
 def q317_metric_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.vectors import to_double_array
+
     emb = load_table(spark, "embeddings", sf_dir)
+    # deterministic de-normalization: scale projected into a column
+    # FIRST (lambda discipline), same arithmetic as the oracle literal
+    scale = (
+        F.lit(1.0)
+        + F.pmod(F.col("vec_id"), F.lit(7)).cast("double") / F.lit(4.0)
+    )
+    scaled = emb.select(
+        "vec_id", to_double_array("embedding").alias("__v"), scale.alias("__s")
+    ).select(
+        "vec_id",
+        F.transform("__v", lambda x: x * F.col("__s")).alias("embedding"),
+    )
     return SIM.metric_rank_agreement(
-        emb, emb.filter(F.col("vec_id") < _NQ), k=_K
+        scaled, scaled.filter(F.col("vec_id") < _NQ), k=_K
     )
 
 
