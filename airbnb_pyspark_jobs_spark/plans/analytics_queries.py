@@ -2397,15 +2397,23 @@ def q206_shipping_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q218 Poisson bootstrap of the mean (Chamandy et al.'s distributed
 # bootstrap — the resampling scheme that needs NO shuffling of the
 # sample: each row independently draws a Poisson(1) replication count
-# per replicate). Here the draw is DETERMINISTIC: u = md5(row, r) as a
-# 32-bit uniform, inverted through the Poisson(1) CDF literals (same
-# decimal strings both engines -> same doubles -> same comparisons),
-# so all 16 replicate means replay exactly. Sums are DECIMAL-exact;
-# each replicate mean is the integer round-half-away quotient.
-# Replicate fan-out is a scan-side explode — no shuffle beyond one
-# 16-group aggregate.
+# per replicate). The draw is DETERMINISTIC: a 32-bit uniform inverted
+# through the Poisson(1) CDF literals (same decimal strings both
+# engines -> same doubles -> same comparisons), so all 16 replicate
+# means replay exactly. Sums are DECIMAL-exact; each replicate mean is
+# the integer round-half-away quotient. Replicate fan-out is a
+# scan-side explode — no shuffle beyond one 16-group aggregate.
+#
+# r8 perf: ONE md5 digest carries FOUR independent 8-hex-char 32-bit
+# uniforms, so the 16 replicates need 4 md5 calls per row (seeded by
+# group g = r div 4; u_r = hex[8·(r mod 4) .. +8]) instead of 16 — the
+# digest hash was the dominant cost (measured 10.9 s at sf0.1, ~2.4×
+# less md5 work after). Draw VALUES change (a different deterministic
+# RNG), but both engines change together and each u stays a uniform
+# 32-bit lane of an md5 avalanche.
 # ---------------------------------------------------------------------------
 _Q218_R = 16
+_Q218_LANES = 4  # 8-hex-char uniforms per digest; groups = R / lanes
 _POIS_CDF = (
     "0.36787944117144233",
     "0.7357588823428847",
@@ -2432,17 +2440,19 @@ def _q218_pois_case(u: str) -> str:
              CAST(l_extendedprice AS DECIMAL(12,2)) AS price
       FROM lineitem
     ),
-    reps AS (
-      SELECT x.*, r FROM x, UNNEST(range({_Q218_R})) AS t(r)
+    hs AS (
+      SELECT price, g,
+             md5(CAST(l_orderkey AS VARCHAR) || '|'
+                 || CAST(l_linenumber AS VARCHAR) || '|'
+                 || CAST(g AS VARCHAR)) AS h
+      FROM x, UNNEST(range({_Q218_R // _Q218_LANES})) AS t(g)
     ),
     drawn AS (
-      SELECT r, price,
+      SELECT {_Q218_LANES} * g + j AS r, price,
              {_q218_pois_case(
-                 "CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' "
-                 "|| CAST(l_linenumber AS VARCHAR) || '|' "
-                 "|| CAST(r AS VARCHAR)), 1, 8) AS BIGINT) "
+                 f"CAST('0x' || substr(h, CAST(1 + 8 * j AS INT), 8) AS BIGINT) "
                  "/ CAST(4294967296 AS DOUBLE)")} AS c
-      FROM reps
+      FROM hs, UNNEST(range({_Q218_LANES})) AS t2(j)
     ),
     agg AS (
       SELECT CAST(r AS INT) AS replicate,
@@ -2462,22 +2472,37 @@ def q218_bootstrap_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = li.select(
         "l_orderkey", "l_linenumber", _dec("l_extendedprice", 12).alias("__price")
     )
-    reps = x.select(
-        "*", F.explode(F.sequence(F.lit(0), F.lit(_Q218_R - 1))).alias("__r")
+    groups = _Q218_R // _Q218_LANES
+    # one digest per (row, group) BELOW the lane explode: the 4 lanes
+    # copy the projected hash instead of re-hashing (md5 dominated the
+    # old 16-digest shape)
+    hs = x.select(
+        "__price",
+        F.explode(F.sequence(F.lit(0), F.lit(groups - 1))).alias("__g"),
+        "l_orderkey",
+        "l_linenumber",
+    ).select(
+        "__price",
+        "__g",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                F.col("__g").cast("string"),
+            )
+        ).alias("__h"),
+    )
+    lanes = hs.select(
+        "__price",
+        "__g",
+        "__h",
+        F.explode(F.sequence(F.lit(0), F.lit(_Q218_LANES - 1))).alias("__j"),
     )
     u = (
         F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        F.col("l_orderkey").cast("string"),
-                        F.col("l_linenumber").cast("string"),
-                        F.col("__r").cast("string"),
-                    )
-                ),
-                1,
-                8,
+            F.col("__h").substr(
+                (F.lit(1) + F.col("__j") * 8).cast("int"), F.lit(8)
             ),
             16,
             10,
@@ -2488,7 +2513,11 @@ def q218_bootstrap_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, p in enumerate(_POIS_CDF[1:], start=1):
         c = c.when(u < float(p), k)
     c = c.otherwise(6)
-    drawn = reps.select("__r", "__price", c.alias("__c"))
+    drawn = lanes.select(
+        (F.col("__g") * _Q218_LANES + F.col("__j")).alias("__r"),
+        "__price",
+        c.alias("__c"),
+    )
     return (
         drawn.groupBy(F.col("__r").cast("int").alias("replicate"))
         .agg(

@@ -98,8 +98,9 @@ def synthetic_edges(spark, m: int):
     )
 
 
-def q218_shape(spark, n: int, reps: int = 16):
-    """The q218 plan shape over n synthetic (key, price) rows."""
+def q218_shape(spark, n: int, reps: int = 16, lanes: int = 4):
+    """The q218 plan shape over n synthetic (key, price) rows (r8: one
+    md5 digest per (row, group) carries `lanes` 8-hex-char uniforms)."""
     from airbnb_pyspark_jobs_spark.plans.analytics_queries import _POIS_CDF
 
     x = (
@@ -112,20 +113,26 @@ def q218_shape(spark, n: int, reps: int = 16):
             ),
         )
     )
-    rep = x.select(
-        "*", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("__r")
+    hs = x.select(
+        "__price",
+        "k",
+        F.explode(F.sequence(F.lit(0), F.lit(reps // lanes - 1))).alias("__g"),
+    ).select(
+        "__price",
+        "__g",
+        F.md5(
+            F.concat_ws("|", F.col("k").cast("string"), F.col("__g").cast("string"))
+        ).alias("__h"),
+    )
+    rep = hs.select(
+        "__price",
+        "__g",
+        "__h",
+        F.explode(F.sequence(F.lit(0), F.lit(lanes - 1))).alias("__j"),
     )
     u = (
         F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "|", F.col("k").cast("string"), F.col("__r").cast("string")
-                    )
-                ),
-                1,
-                8,
-            ),
+            F.col("__h").substr((F.lit(1) + F.col("__j") * 8).cast("int"), F.lit(8)),
             16,
             10,
         ).cast("bigint")
@@ -135,7 +142,9 @@ def q218_shape(spark, n: int, reps: int = 16):
     for kk, p in enumerate(_POIS_CDF[1:], start=1):
         c = c.when(u < float(p), kk)
     c = c.otherwise(6)
-    drawn = rep.select("__r", "__price", c.alias("__c"))
+    drawn = rep.select(
+        (F.col("__g") * lanes + F.col("__j")).alias("__r"), "__price", c.alias("__c")
+    )
     return drawn.groupBy(F.col("__r").cast("int").alias("replicate")).agg(
         F.sum("__c").cast("bigint").alias("n_eff"),
         F.sum(F.col("__c") * F.col("__price")).cast("decimal(38,2)").alias("s"),
