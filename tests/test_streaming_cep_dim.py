@@ -245,3 +245,64 @@ def test_composed_dim_cep_restart_converges(spark, tmp_path, monkeypatch):
         r.doc_id for r in spark.read.parquet(os.path.join(wh, "accepted")).collect()
     )
     assert acc(wh_b) == acc(wh_a)
+
+
+def _run_cep(spark, tmp_path, name, batches, gap=5, min_run=3):
+    import os as _os
+
+    from airbnb_pyspark_jobs_spark.streaming.cep import dup_burst_batch
+
+    wh = str(tmp_path / name)
+    for bid, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "source string, doc_id long")
+        dup_burst_batch(df, wh, bid, gap=gap, min_run=min_run)
+    _os.makedirs(_os.path.join(wh, "cep_state"), exist_ok=True)
+    return sorted(
+        (r.source, r.burst_start, r.n_dups)
+        for r in read_dup_bursts(spark, wh, min_run=min_run).collect()
+    )
+
+
+def test_dup_burst_batching_invariance(spark, tmp_path):
+    """The final burst set is invariant to WHERE the micro-batch
+    boundaries fall (ids arrive in order per source) — one batch, two
+    batches at an arbitrary cut, and one-row-per-batch all agree."""
+    seq = [("s", i) for i in (1, 2, 3, 10, 11, 20, 21, 22, 23, 40)] + [
+        ("t", i) for i in (5, 6, 7, 8)
+    ]
+    one = _run_cep(spark, tmp_path, "one", [seq])
+    # expected islands: s:[1-3](3), s:[10,11](2<3), s:[20-23](4), s:[40](1); t:[5-8](4)
+    assert one == [("s", 1, 3), ("s", 20, 4), ("t", 5, 4)]
+    two = _run_cep(spark, tmp_path, "two", [seq[:5], seq[5:]])
+    rowwise = _run_cep(spark, tmp_path, "rw", [[r] for r in seq])
+    assert one == two == rowwise
+
+
+def test_dup_burst_batch_replay_idempotent(spark, tmp_path):
+    """Replaying a batch (crash-recovery) rewrites identical state and
+    alerts — reads prune to batch_id < N, so the replay never sees its
+    own partial output."""
+    import os as _os
+
+    from airbnb_pyspark_jobs_spark.streaming.cep import dup_burst_batch
+
+    wh = str(tmp_path / "replay")
+    b0 = [("s", 1), ("s", 2), ("s", 3)]
+    b1 = [("s", 4), ("s", 20)]
+    dup_burst_batch(spark.createDataFrame(b0, "source string, doc_id long"), wh, 0)
+    dup_burst_batch(spark.createDataFrame(b1, "source string, doc_id long"), wh, 1)
+    first = sorted(
+        (r.source, r.burst_start, r.n_dups)
+        for r in read_dup_bursts(spark, wh).collect()
+    )
+    # burst [1..4] closed by 20 at size 4; [20] alone below min_run
+    assert first == [("s", 1, 4)]
+    dup_burst_batch(  # replay batch 1
+        spark.createDataFrame(b1, "source string, doc_id long"), wh, 1
+    )
+    again = sorted(
+        (r.source, r.burst_start, r.n_dups)
+        for r in read_dup_bursts(spark, wh).collect()
+    )
+    assert again == first
+    assert _os.path.exists(_os.path.join(wh, "cep_state", "batch_id=1"))
