@@ -523,8 +523,17 @@ def simhash_pairs(
     ALL such pairs (this is exact, not probabilistic — unlike MinHash
     banding) and a bit_count(xor) verification filters to the
     threshold. Requires ``max_hamming < bands``. Candidate volume is
-    bands × per-band-collisions; at 100 TB widen SIMHASH_BITS and keep
-    bands > max_hamming. Returns ``doc_id_a, doc_id_b, hamming``.
+    bands × per-band-collisions — use the FEWEST bands the pigeonhole
+    allows (bands = max_hamming + 1 gives the widest band values,
+    hence fewest collisions: 4→2 bands measured 24.7M → 7.2M raw
+    candidates at sf0.1); at 100 TB widen SIMHASH_BITS too. Returns
+    ``doc_id_a, doc_id_b, hamming``.
+
+    The banded signature table feeds BOTH sides of the self-join, so
+    it is persisted via ``caching.owned_persist`` — without the
+    barrier the md5 token hashing + 16 bit-sum aggregation runs twice
+    (once per join input; the two sides shuffle on different keys so
+    no ReusedExchange applies).
     """
     if max_hamming >= bands:
         raise ValueError(
@@ -546,9 +555,13 @@ def simhash_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig.select(
-        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bv")
-    ).select("doc_id", "simhash", F.col("bv.band_idx"), F.col("bv.band_val"))
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    banded = owned_persist(
+        sig.select(
+            "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bv")
+        ).select("doc_id", "simhash", F.col("bv.band_idx"), F.col("bv.band_val"))
+    )
 
     cand = (
         banded.alias("a")

@@ -637,17 +637,23 @@ def q58_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q59 SimHash near-dup pairs — EXACT by pigeonhole: 16 bits in 4
-# bands; any pair within hamming distance 3 shares a whole band, so
-# the band-equality join generates every candidate and bit_count(xor)
-# verifies (max_hamming=1 here keeps this corpus's result moderate —
-# its ~31-word vocabulary collides signatures heavily, documented in
-# the operator's scale note). Completes the SimHash family: q46 builds
-# signatures, q59 pairs them.
+# q59 SimHash near-dup pairs — EXACT by pigeonhole: 16 bits split
+# into bands; any pair within hamming distance bands-1 shares a whole
+# band, so the band-equality join generates every candidate and
+# bit_count(xor) verifies (max_hamming=1 here keeps this corpus's
+# result moderate — its ~31-word vocabulary collides signatures
+# heavily, documented in the operator's scale note). With max_hamming
+# 1, TWO 8-bit bands suffice for exactness and prune ~3.4× harder
+# than the original four 4-bit bands (24.7M → 7.2M raw candidates at
+# sf0.1 — r8; widest bands the pigeonhole allows = fewest collisions).
+# Completes the SimHash family: q46 builds signatures, q59 pairs them.
 # ---------------------------------------------------------------------------
-_SH_BANDS, _SH_MAXHAM = 4, 1
+_SH_BANDS, _SH_MAXHAM = 2, 1
+_SH_BAND_BITS = 16 // _SH_BANDS
 _sh_band_union = "\n      UNION ALL\n      ".join(
-    f"SELECT doc_id, simhash, {b} AS band_idx, (simhash >> {b * 4}) & 15 AS band_val FROM sig"
+    f"SELECT doc_id, simhash, {b} AS band_idx, "
+    f"(simhash >> {b * _SH_BAND_BITS}) & {(1 << _SH_BAND_BITS) - 1} AS band_val "
+    "FROM sig"
     for b in range(_SH_BANDS)
 )
 
