@@ -3245,3 +3245,81 @@ def q318_semantic_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semantic_split_leakage(
         emb.filter(F.col("vec_id") < _EXACT_SAMPLE_MAX), threshold=_DUP_T
     )
+
+
+# ---------------------------------------------------------------------------
+# q319 PQ codebook utilization: per subspace, how many of the k codes
+# the corpus actually uses (dead codes = wasted index capacity and a
+# k-means-collapse symptom), the hottest code's mass, and the code
+# distribution's Shannon entropy (max log2(k) = perfectly spread) —
+# the post-training health check a PQ serving stack runs before
+# shipping an index. Composes the verified q83 encoder; entropy uses
+# the q115 integer-nano-log2 recipe (the only per-group float sum is
+# replaced by an exact BIGINT sum). Oracle embeds the q83 CTE chain.
+# ---------------------------------------------------------------------------
+
+
+def _q319_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    return f"""
+WITH q83 AS ({ORACLES["q83_pq_codes"]}),
+per AS (
+  SELECT s, CAST(string_split(codes, '-')[s + 1] AS BIGINT) AS code
+  FROM q83, UNNEST(range({_PQ_M})) AS t(s)
+),
+cnt AS (
+  SELECT s, code, CAST(COUNT(*) AS BIGINT) AS c FROM per GROUP BY s, code
+),
+agg AS (
+  SELECT s,
+         CAST(COUNT(*) AS BIGINT) AS n_used,
+         CAST(MAX(c) AS BIGINT) AS top_code_n,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * CAST(round(log2(c) * 1e9) AS BIGINT)) AS BIGINT) AS sl
+  FROM cnt GROUP BY s
+)
+SELECT CAST(s AS BIGINT) AS subspace,
+       n_used,
+       CAST({_PQ_K} - n_used AS BIGINT) AS n_dead,
+       top_code_n,
+       round(log2(n) - CAST(sl AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9), 6)
+         + CAST(0 AS DOUBLE) AS code_entropy
+FROM agg
+"""
+
+
+@query("q319_pq_code_utilization", oracle=_q319_oracle())
+def q319_pq_code_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes = q83_pq_codes(spark, sf_dir).select("codes")
+    per = codes.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("__s"), "codes"
+    ).select(
+        "__s",
+        F.element_at(F.split("codes", "-"), F.col("__s") + 1)
+        .cast("bigint")
+        .alias("__code"),
+    )
+    cnt = per.groupBy("__s", "__code").agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    agg = cnt.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        F.max("__c").cast("bigint").alias("top_code_n"),
+        F.sum("__c").cast("bigint").alias("__n"),
+        F.sum(F.col("__c") * F.round(F.log2("__c") * 1e9).cast("bigint"))
+        .cast("bigint")
+        .alias("__sl"),
+    )
+    return agg.select(
+        F.col("__s").cast("bigint").alias("subspace"),
+        "n_used",
+        (F.lit(_PQ_K) - F.col("n_used")).cast("bigint").alias("n_dead"),
+        "top_code_n",
+        (
+            F.round(
+                F.log2("__n")
+                - F.col("__sl").cast("double") / (F.col("__n").cast("double") * 1e9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("code_entropy"),
+    )

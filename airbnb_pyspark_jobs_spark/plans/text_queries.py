@@ -7651,3 +7651,82 @@ def q314_importance_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ess_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q320 template mining — boilerplate-cluster report: connected
+# components over the q155 MOSS-style fragment-overlap pairs (docs
+# sharing >= 8 rare winnowing fingerprints), restricted to docs that
+# appear in some pair; per cluster, member/edge counts and the shared-
+# fingerprint mass. This is the step that turns pairwise plagiarism
+# evidence into TEMPLATES (a mirror site, a boilerplate header farm)
+# you can delist as a unit instead of pair-by-pair. Pointer-jumping
+# components (the q58 operator); oracle = recursive closure over the
+# q155 pipeline (the q166 pattern).
+# ---------------------------------------------------------------------------
+
+
+def _q320_oracle() -> str:
+    return f"""
+WITH RECURSIVE p AS ({_q155_oracle()}),
+nodes AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id_a AS doc_id FROM p UNION ALL SELECT doc_id_b FROM p
+  )
+),
+edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM p
+  UNION SELECT doc_id_b, doc_id_a FROM p
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+nsz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM comp GROUP BY cluster_id),
+ez AS (
+  SELECT c.cluster_id,
+         CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(p.n_shared) AS BIGINT) AS total_shared,
+         CAST(MAX(p.n_shared) AS BIGINT) AS max_shared
+  FROM p JOIN comp c ON p.doc_id_a = c.doc_id
+  GROUP BY c.cluster_id
+)
+SELECT nsz.cluster_id, nsz.n_docs, ez.n_edges, ez.total_shared, ez.max_shared
+FROM nsz JOIN ez USING (cluster_id)
+"""
+
+
+@query("q320_template_clusters", oracle=_q320_oracle())
+def q320_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.operators.dedupe import dedup_components
+
+    pairs = owned_persist(q155_winnow_fragment_pairs(spark, sf_dir))
+    nodes = (
+        pairs.select(F.col("doc_id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    comp = dedup_components(nodes, pairs.select("doc_id_a", "doc_id_b"))
+    nsz = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    ez = (
+        pairs.join(comp, pairs.doc_id_a == comp.doc_id)
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum("n_shared").cast("bigint").alias("total_shared"),
+            F.max("n_shared").cast("bigint").alias("max_shared"),
+        )
+    )
+    return nsz.join(ez, "component_id").select(
+        F.col("component_id").alias("cluster_id"),
+        "n_docs",
+        "n_edges",
+        "total_shared",
+        "max_shared",
+    )
