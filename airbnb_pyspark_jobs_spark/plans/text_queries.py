@@ -7730,3 +7730,86 @@ def q320_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_shared",
         "max_shared",
     )
+
+
+# ---------------------------------------------------------------------------
+# q321 Neyman allocation — variance-proportional eval-set design
+# (classic survey sampling): allocate a fixed labeling/eval budget B
+# across sources with n_s ∝ N_s·σ_s, so high-variance sources get
+# proportionally more review — the statistically-optimal split for
+# estimating a corpus mean (here: token count as the measured
+# variable). Distinct from q165 (availability-clamped quotas from
+# DoReMi weights): the weights HERE come from within-source variance.
+# Exactness discipline: N_s·σ_s = sqrt(N_s·ΣX² − (ΣX)²) over exact
+# DECIMAL(38,0) moment sums (the q308 overflow lesson); the sqrt is
+# one correctly-rounded IEEE op, immediately rounded to integer
+# micro-units, so the budget shares are exact integer quotients —
+# no float sum ever crosses a group boundary. Quotas clamp to
+# availability with the shortfall reported (q165's honest-cap shape).
+# ---------------------------------------------------------------------------
+_NEYMAN_BUDGET = 1000
+
+
+def _q321_oracle() -> str:
+    return f"""
+WITH m AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(len({_D_TOKENS}) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(len({_D_TOKENS}) AS DECIMAL(38,0))
+                  * CAST(len({_D_TOKENS}) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs,
+         CAST(round(sqrt(CAST(n_docs * ss - s * s AS DOUBLE)) * 1e6) AS BIGINT)
+           AS w_micro
+  FROM m
+),
+t AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tw FROM w)
+SELECT w.source, w.n_docs, w.w_micro,
+       CAST(({_NEYMAN_BUDGET} * w.w_micro) // t.tw AS BIGINT) AS quota,
+       CAST(LEAST(({_NEYMAN_BUDGET} * w.w_micro) // t.tw, w.n_docs) AS BIGINT)
+         AS alloc,
+       CAST(GREATEST(({_NEYMAN_BUDGET} * w.w_micro) // t.tw - w.n_docs, 0)
+         AS BIGINT) AS shortfall
+FROM w, t
+"""
+
+
+@query("q321_neyman_allocation", oracle=_q321_oracle())
+def q321_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    tc = F.col("__t").cast("decimal(38,0)")
+    m = docs.select("source", token_count("text").alias("__t")).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(tc).cast("decimal(38,0)").alias("__s"),
+        F.sum(tc * tc).cast("decimal(38,0)").alias("__ss"),
+    )
+    w = m.select(
+        "source",
+        "n_docs",
+        F.round(
+            F.sqrt(
+                (F.col("n_docs") * F.col("__ss") - F.col("__s") * F.col("__s"))
+                .cast("double")
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    tw = w.agg(F.sum("w_micro").cast("bigint").alias("__tw"))
+    quota = F.expr(f"({_NEYMAN_BUDGET} * w_micro) div __tw")
+    return w.crossJoin(F.broadcast(tw)).select(
+        "source",
+        "n_docs",
+        "w_micro",
+        quota.cast("bigint").alias("quota"),
+        F.least(quota, F.col("n_docs")).cast("bigint").alias("alloc"),
+        F.greatest(quota - F.col("n_docs"), F.lit(0)).cast("bigint").alias(
+            "shortfall"
+        ),
+    )
