@@ -99,9 +99,18 @@ def compact_partials(
     path: str,
     key_cols: list[str],
     base_batch_id: int = -1,
+    fold=None,
 ) -> int:
     """Fold ALL partials (including any previous base) into one base
     partial, keeping read-side merge fan-in bounded.
+
+    ``fold`` customizes the merge algebra: a callable taking the
+    combined partial DataFrame (partition column ``batch_id``
+    included) and returning the folded frame WITHOUT ``batch_id``.
+    Default: the (n, total) additive rollup this module's count/sum
+    partials use. Latest-per-key state layouts (streaming/cep.py) pass
+    a max-batch_id fold instead — the crash-safe manifest swap is
+    identical either way.
 
     Long-running rollups accrete one partial per micro-batch; this
     maintenance pass re-aggregates every ``batch_id=*`` directory into
@@ -142,12 +151,15 @@ def compact_partials(
     partial_dirs = sorted(d for d in os.listdir(path) if d.startswith("batch_id="))
     if len(partial_dirs) <= 1:
         return 0
-    merged = (
-        spark.read.option("basePath", path)
-        .parquet(*[os.path.join(path, d) for d in partial_dirs])
-        .groupBy(*key_cols)
-        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+    combined = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, d) for d in partial_dirs]
     )
+    if fold is None:
+        merged = combined.groupBy(*key_cols).agg(
+            F.sum("n").alias("n"), F.sum("total").alias("total")
+        )
+    else:
+        merged = fold(combined)
     merged.write.mode("overwrite").parquet(tmp)
     with open(marker, "w") as fh:
         json.dump(partial_dirs, fh)

@@ -180,6 +180,36 @@ def dup_burst_batch(
     new_state.write.mode("overwrite").parquet(os.path.join(state_dir, part))
 
 
+def compact_cep_state(spark: SparkSession, warehouse: str) -> int:
+    """Fold the per-batch CEP state partitions into one base partition
+    (``batch_id=-1``), bounding ``_latest_state``'s read fan-in.
+
+    Each batch writes only its touched sources, so the partition count
+    grows with batch count and a long-running stream's every batch
+    re-reads the whole history. The fold keeps, per source, the row
+    with the highest committed ``batch_id`` — exactly what
+    ``_latest_state`` computes at read time — written below any real
+    batch id so subsequent ``batch_id < N`` pruning and later folds
+    stay correct (newer partials always win over the base). Reuses
+    :func:`streaming.aggregates.compact_partials`' crash-safe
+    temp-dir + manifest swap; run with the stream paused, like any
+    file-level maintenance on a non-transactional table. Returns the
+    number of partition dirs folded (0 = nothing to do)."""
+    from airbnb_pyspark_jobs_spark.streaming.aggregates import compact_partials
+
+    def fold(combined: DataFrame) -> DataFrame:
+        w = Window.partitionBy("source").orderBy(F.col("batch_id").desc())
+        return (
+            combined.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "batch_id")
+        )
+
+    return compact_partials(
+        spark, os.path.join(warehouse, "cep_state"), key_cols=["source"], fold=fold
+    )
+
+
 def read_dup_bursts(
     spark: SparkSession, warehouse: str, min_run: int = 3
 ) -> DataFrame:

@@ -306,3 +306,60 @@ def test_dup_burst_batch_replay_idempotent(spark, tmp_path):
     )
     assert again == first
     assert _os.path.exists(_os.path.join(wh, "cep_state", "batch_id=1"))
+
+
+def test_cep_state_compaction_preserves_semantics(spark, tmp_path):
+    """Folding the per-batch state partitions into the batch_id=-1 base
+    changes nothing the reader or subsequent batches can see, and the
+    partition count drops to one."""
+    import os as _os
+
+    from airbnb_pyspark_jobs_spark.streaming.cep import (
+        compact_cep_state,
+        dup_burst_batch,
+    )
+
+    wh = str(tmp_path / "wc")
+    batches = [
+        [("s", 1), ("s", 2), ("t", 100)],
+        [("s", 3)],          # s run -> 3 (open burst)
+        [("t", 101)],
+    ]
+    for bid, rows in enumerate(batches):
+        dup_burst_batch(
+            spark.createDataFrame(rows, "source string, doc_id long"), wh, bid
+        )
+    before = sorted(
+        (r.source, r.burst_start, r.n_dups)
+        for r in read_dup_bursts(spark, wh).collect()
+    )
+    assert before == [("s", 1, 3)]
+    n = compact_cep_state(spark, wh)
+    assert n == 3
+    state_dirs = [
+        d
+        for d in _os.listdir(_os.path.join(wh, "cep_state"))
+        if d.startswith("batch_id=")
+    ]
+    assert state_dirs == ["batch_id=-1"]
+    assert (
+        sorted(
+            (r.source, r.burst_start, r.n_dups)
+            for r in read_dup_bursts(spark, wh).collect()
+        )
+        == before
+    )
+    # the stream continues against the compacted base: s gap 4<=5
+    # continues the burst to 4; t reaches min_run via its carried state
+    dup_burst_batch(
+        spark.createDataFrame(
+            [("s", 7), ("t", 102)], "source string, doc_id long"
+        ),
+        wh,
+        3,
+    )
+    after = sorted(
+        (r.source, r.burst_start, r.n_dups)
+        for r in read_dup_bursts(spark, wh).collect()
+    )
+    assert after == [("s", 1, 4), ("t", 100, 3)]
