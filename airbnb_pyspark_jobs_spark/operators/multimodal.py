@@ -465,3 +465,67 @@ def audio_frame_energy(
         "media_id", "payload"
     )
     return audio.mapInPandas(run, schema=ENERGY_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = "media_id long, n_bytes long, energies array<long>"
+
+
+def audio_fingerprints(
+    df: DataFrame, n_windows: int = 8, window: int = 64
+) -> DataFrame:
+    """Acoustic-fingerprint SHAPE (Haitsma-Kalker 2002: bit w = sign of
+    the energy delta between consecutive windows) over binary payloads:
+    an Arrow-batched mapInPandas stage computes exact INTEGER window
+    energies (sum of squared centered samples; numpy vectorized), and
+    the fingerprint bits assemble IN-PLAN from those integers — so the
+    Python boundary ships only ``n_windows`` longs per clip and every
+    downstream comparison is exact cross-engine arithmetic.
+
+    Samples here are the 1-byte/sample convention of the fake decode
+    path (byte i, cycled modulo the payload length — the q70
+    byte-payload testbed, so the DuckDB oracle replays energies
+    relationally); a production deployment swaps the sample extraction
+    for :func:`_wav_decode_samples` with the same windowing. Empty /
+    NULL payloads fingerprint to 0 via all-zero energies.
+
+    Returns ``media_id, n_bytes, fingerprint`` (bigint; bit w set iff
+    energy[w+1] > energy[w]). Scale: one Arrow pass, no shuffle; the
+    spectrum/pairing consumers add one keyed aggregate.
+    """
+    nw, win = int(n_windows), int(window)
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            energies, sizes = [], []
+            for p in pdf["payload"]:
+                if p is None or len(p) == 0:
+                    energies.append([0] * nw)
+                    sizes.append(0)
+                    continue
+                s = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                idx = np.arange(nw * win) % len(s)
+                e = ((s[idx] - 96) ** 2).reshape(nw, win).sum(axis=1)
+                energies.append([int(x) for x in e])
+                sizes.append(len(s))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": sizes,
+                    "energies": energies,
+                }
+            )
+
+    eng = df.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+    fp = None
+    for w in range(nw - 1):
+        term = F.when(
+            F.element_at("energies", w + 2) > F.element_at("energies", w + 1),
+            F.lit(2**w),
+        ).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return eng.select(
+        "media_id", "n_bytes", fp.cast("bigint").alias("fingerprint")
+    )

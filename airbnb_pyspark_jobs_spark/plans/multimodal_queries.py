@@ -186,3 +186,62 @@ def q166_media_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.col("component_id")).alias("is_keeper"),
         "cluster_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# q322 audio-fingerprint collision spectrum: Haitsma-Kalker sign-of-
+# energy-delta fingerprints (the canonical acoustic-fingerprint bit
+# rule) over the byte-payload testbed, rolled up to the fingerprint
+# histogram — the collision spectrum an audio-dedup stage inspects
+# before trusting fingerprint-equality blocking (a flat spectrum
+# blocks well; a spiked one means the windows don't discriminate on
+# this corpus). Window energies are exact integers computed in ONE
+# Arrow mapInPandas pass (numpy); the bits assemble in-plan, so the
+# oracle replays the whole path relationally (512 byte-positions per
+# doc via UNNEST(range)).
+# ---------------------------------------------------------------------------
+_FP_W, _FP_WIN = 8, 64
+
+_q322_bits = " + ".join(
+    f"(CASE WHEN le[{w + 2}] > le[{w + 1}] THEN {2**w} ELSE 0 END)"
+    for w in range(_FP_W - 1)
+)
+
+_Q322_ORACLE = f"""
+WITH en AS (
+  SELECT doc_id, w,
+         CAST(SUM(CASE WHEN length(text) = 0 THEN 0
+                       ELSE (ord(substr(text,
+                              ((w * {_FP_WIN} + i) % GREATEST(length(text), 1)) + 1,
+                              1)) - 96)
+                            * (ord(substr(text,
+                              ((w * {_FP_WIN} + i) % GREATEST(length(text), 1)) + 1,
+                              1)) - 96) END) AS BIGINT) AS e
+  FROM documents,
+       UNNEST(range({_FP_W})) AS t(w),
+       UNNEST(range({_FP_WIN})) AS t2(i)
+  GROUP BY doc_id, w
+),
+fp AS (
+  SELECT doc_id, CAST({_q322_bits} AS BIGINT) AS fingerprint
+  FROM (SELECT doc_id, list(e ORDER BY w) AS le FROM en GROUP BY doc_id)
+)
+SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_media
+FROM fp GROUP BY fingerprint
+"""
+
+
+@query("q322_audio_fp_spectrum", oracle=_Q322_ORACLE)
+def q322_audio_fp_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.multimodal import audio_fingerprints
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    media = repartition_by_bytes(media, 4 << 20)
+    fp = audio_fingerprints(media, n_windows=_FP_W, window=_FP_WIN)
+    return fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media")
+    )
