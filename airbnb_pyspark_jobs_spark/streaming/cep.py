@@ -217,7 +217,15 @@ def read_dup_bursts(
     (emitted exactly once, in its closing batch) plus the still-open
     stored bursts that reached ``min_run``. Equals the one-pass
     gaps-and-islands over the full rejected stream (asserted in
-    tests/test_streaming_cep_dim.py)."""
+    tests/test_streaming_cep_dim.py).
+
+    A burst is identified by (source, burst_start); the result folds to
+    MAX(n_dups) per burst so a read during a crash window — a batch's
+    alerts committed but its state write lost — reports the in-flight
+    burst once at its newest size instead of twice (the orphan 'closed'
+    alert plus the stale live state). Replay then converges the
+    warehouse; at-rest reads are unaffected (distinct bursts never
+    share a start)."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -241,4 +249,8 @@ def read_dup_bursts(
         F.col("start_id").alias("burst_start"),
         F.col("run").alias("n_dups"),
     )
-    return closed.unionByName(live)
+    return (
+        closed.unionByName(live)
+        .groupBy("source", "burst_start")
+        .agg(F.max("n_dups").cast("bigint").alias("n_dups"))
+    )

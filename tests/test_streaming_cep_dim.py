@@ -363,3 +363,42 @@ def test_cep_state_compaction_preserves_semantics(spark, tmp_path):
         for r in read_dup_bursts(spark, wh).collect()
     )
     assert after == [("s", 1, 4), ("t", 100, 3)]
+
+
+def test_read_dup_bursts_sane_during_crash_window(spark, tmp_path):
+    """A batch's alerts committed but its state write lost (the write
+    order inside dup_burst_batch): a read before the replay reports the
+    in-flight burst ONCE at its newest size, not twice."""
+    import shutil
+
+    from airbnb_pyspark_jobs_spark.streaming.cep import dup_burst_batch
+
+    wh = str(tmp_path / "cw")
+    dup_burst_batch(
+        spark.createDataFrame(
+            [("s", 1), ("s", 2), ("s", 3)], "source string, doc_id long"
+        ),
+        wh,
+        0,
+    )
+    # batch 1 CLOSES the burst (gap 20-3 > 5): 'closed' alert written...
+    dup_burst_batch(
+        spark.createDataFrame([("s", 20)], "source string, doc_id long"), wh, 1
+    )
+    # ...then the crash window: batch 1's state write lost. Without the
+    # per-burst fold the read would report (s,1,3) TWICE - the orphan
+    # closed alert plus batch 0's still-live state row.
+    shutil.rmtree(os.path.join(wh, "cep_state", "batch_id=1"))
+    got = sorted(
+        (r.source, r.burst_start, r.n_dups)
+        for r in read_dup_bursts(spark, wh).collect()
+    )
+    assert got == [("s", 1, 3)]
+    # replay converges the warehouse; the at-rest read is identical
+    dup_burst_batch(
+        spark.createDataFrame([("s", 20)], "source string, doc_id long"), wh, 1
+    )
+    assert sorted(
+        (r.source, r.burst_start, r.n_dups)
+        for r in read_dup_bursts(spark, wh).collect()
+    ) == [("s", 1, 3)]
