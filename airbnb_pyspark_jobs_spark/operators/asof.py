@@ -195,9 +195,14 @@ def bucketed_range_join(
     w = int(bucket_seconds)
 
     def _bucket(c: str) -> Column:
-        # cast to double = epoch seconds incl. fractional microseconds;
-        # only bucket ASSIGNMENT uses it — the exact predicate below
-        # compares raw timestamps, so no precision is lost.
+        # cast to double = epoch seconds incl. fractional microseconds.
+        # A wrong bucket here would be a silent candidate MISS (the
+        # exact predicate below can't rescue a pair that never joins),
+        # so the assignment must be exact, and it is for µs data:
+        # integer multiples of w seconds are double-exact (< 2^53), and
+        # any other µs timestamp sits ≥ 1 µs from a boundary while the
+        # cast's worst error is a half-ulp ≈ 1.2e-7 s at epoch
+        # magnitude — two orders too small to cross it.
         return F.floor(F.col(c).cast("double") / F.lit(w)).cast("long")
 
     p = points.withColumn("__pb", _bucket(point_ts))

@@ -607,3 +607,31 @@ def read_psi_drift(
             sum_scale=12,
         ).alias("psi"),
     )
+
+
+def materialize_fingerprint_spectrum(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    n_windows: int = 8,
+    window: int = 64,
+):
+    """Streaming twin of the q322 audio-fingerprint collision spectrum:
+    each micro-batch fingerprints its media payloads
+    (:func:`..operators.multimodal.audio_fingerprints` — a pure per-row
+    function, so per-batch spectra SUM to the batch spectrum) and
+    writes one idempotent ``(fingerprint → n, total payload bytes)``
+    partial via :func:`write_partial_aggregate`. Read side:
+    :func:`read_rollup` with ``key_cols=["fingerprint"]``; long-running
+    streams bound fan-in with :func:`compact_partials` as usual.
+    Returns the DataStreamWriter (caller picks the trigger and starts).
+    """
+    from airbnb_pyspark_jobs_spark.operators.multimodal import audio_fingerprints
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        fp = audio_fingerprints(batch, n_windows=n_windows, window=window)
+        write_partial_aggregate(fp, batch_id, path, ["fingerprint"], "n_bytes")
+
+    return stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )

@@ -563,3 +563,60 @@ def test_streaming_psi_counts_below_range_values(spark, tmp_path):
     out = read_psi_drift(spark, part_dir, ref).collect()
     assert len(out) == 1 and out[0].n_cur == 8  # nothing dropped
     assert out[0].psi > 0.25  # well past the standard major-shift bar
+
+
+def test_streaming_fingerprint_spectrum_equals_batch(spark, tmp_path):
+    """Merged per-batch fingerprint partials == the one-shot q322
+    spectrum over the same corpus (fingerprinting is per-row, counts
+    are additive)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from airbnb_pyspark_jobs_spark.operators.multimodal import audio_fingerprints
+    from airbnb_pyspark_jobs_spark.streaming.aggregates import (
+        materialize_fingerprint_spectrum,
+        read_rollup,
+    )
+
+    rows = [
+        (i, ("the quick brown fox %d " % i) * (3 + i % 4)) for i in range(30)
+    ]
+    src = str(tmp_path / "src")
+    for lo in (0, 10, 20):  # three source files -> three micro-batches
+        spark.createDataFrame(
+            rows[lo : lo + 10], "media_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("media_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("media_id", F.encode("text", "UTF-8").alias("payload"))
+    )
+    path, ckpt = str(tmp_path / "spec"), str(tmp_path / "ckpt")
+    q = (
+        materialize_fingerprint_spectrum(stream, path, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert len([d for d in os.listdir(path) if d.startswith("batch_id=")]) == 3
+
+    merged = {
+        r.fingerprint: (r.n_events, r.total_value)
+        for r in read_rollup(spark, path, ["fingerprint"]).collect()
+    }
+    whole = spark.createDataFrame(rows, "media_id long, text string").select(
+        "media_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    expected = {
+        r.fingerprint: (r.n, float(r.tb))
+        for r in audio_fingerprints(whole)
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_bytes").cast("double")).alias("tb"),
+        )
+        .collect()
+    }
+    assert merged == expected
