@@ -43,7 +43,8 @@ SIZES = (
     else [100_000, 300_000, 1_000_000]
 )
 OPS = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else {
-    "q184", "q145", "q218", "q38", "q308", "q311", "q306", "q305"
+    "q184", "q145", "q218", "q38", "q308", "q311", "q306", "q305",
+    "q315", "q320",
 }
 
 
@@ -302,6 +303,95 @@ def main() -> None:
                 lambda: matryoshka_recall(emb, qs, dims_list=(8, 16, 32, 64)),
             )
             emb.unpersist()
+        if "q315" in OPS:
+            # Duplicated-span run profile (round 8): the q103 covered-
+            # position stage + one doc-partitioned gaps-and-islands
+            # window + a broadcast threshold join. Expected alpha ~ 1
+            # (same scan/keyed shape as the measured q103 family).
+            from airbnb_pyspark_jobs_spark.operators.dedupe import (
+                dup_span_run_profile,
+            )
+
+            spark.catalog.clearCache(); release_owned_caches()
+            docs = (
+                spark.read.format("synthetic_docs")
+                .option("n", n).option("partitions", 32)
+                .option("vocab_size", 5000).option("zipf_s", 1.1)
+                .load().localCheckpoint()
+            )
+            results.setdefault("q315_span_profile", {})[n] = run(
+                "q315 dup-span run profile", lambda: dup_span_run_profile(docs)
+            )
+            docs.unpersist()
+        if "q320" in OPS:
+            # Template clusters (round 8): winnowing fingerprints ->
+            # df-capped fragment pairs -> pointer-jumping components ->
+            # cluster stats. The df cap bounds the pair fan-out, so
+            # expected alpha ~ 1 despite the quadratic-looking join.
+            from airbnb_pyspark_jobs_spark.operators.dedupe import (
+                dedup_components,
+            )
+            from airbnb_pyspark_jobs_spark.functions import text as TX
+            from airbnb_pyspark_jobs_spark.plans.text_queries import (
+                _Q155_MAX_DF,
+                _Q155_MIN_SHARED,
+                _WK,
+                _WW,
+            )
+
+            spark.catalog.clearCache(); release_owned_caches()
+            docs = (
+                spark.read.format("synthetic_docs")
+                .option("n", n).option("partitions", 32)
+                .option("vocab_size", 5000).option("zipf_s", 1.1)
+                .load().localCheckpoint()
+            )
+
+            def template_clusters():
+                norm = docs.select("doc_id", TX.normalize_text("text").alias("__t"))
+                hashed = norm.select(
+                    "doc_id", TX.kgram_hashes("__t", k=_WK).alias("__h")
+                )
+                w = hashed.select(
+                    "doc_id", F.explode(TX.window_minima("__h", w=_WW)).alias("fp")
+                ).localCheckpoint()
+                rare = (
+                    w.groupBy("fp")
+                    .agg(F.count(F.lit(1)).alias("__df"))
+                    .filter(F.col("__df") <= _Q155_MAX_DF)
+                )
+                wf = w.join(rare.select("fp"), "fp")
+                pairs = (
+                    wf.alias("a")
+                    .join(
+                        wf.alias("b"),
+                        on=[
+                            F.col("a.fp") == F.col("b.fp"),
+                            F.col("a.doc_id") < F.col("b.doc_id"),
+                        ],
+                    )
+                    .groupBy(
+                        F.col("a.doc_id").alias("doc_id_a"),
+                        F.col("b.doc_id").alias("doc_id_b"),
+                    )
+                    .agg(F.count(F.lit(1)).alias("n_shared"))
+                    .filter(F.col("n_shared") >= _Q155_MIN_SHARED)
+                    .localCheckpoint()
+                )
+                nodes = (
+                    pairs.select(F.col("doc_id_a").alias("doc_id"))
+                    .unionByName(pairs.select(F.col("doc_id_b").alias("doc_id")))
+                    .distinct()
+                )
+                comp = dedup_components(nodes, pairs.select("doc_id_a", "doc_id_b"))
+                return comp.groupBy("component_id").agg(
+                    F.count(F.lit(1)).alias("n_docs")
+                )
+
+            results.setdefault("q320_template_clusters", {})[n] = run(
+                "q320 template clusters", template_clusters
+            )
+            docs.unpersist()
         if "q38" in OPS:
             spark.catalog.clearCache(); release_owned_caches()
             docs = hot_corpus(spark, n)
