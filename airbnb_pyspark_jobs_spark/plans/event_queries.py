@@ -6620,3 +6620,70 @@ def q310_nearest_view_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dt_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q323 semi-Markov holding times: per state (event_type), how long a
+# user DWELLS in it before the next event — the timing half of the
+# Markov picture whose structural half the registry already verifies
+# (q131 transition counts, q245 stationary distribution, q227
+# transition entropy). Holding time of a transition = the gap to the
+# user's next event, attributed to the FROM state; per state we report
+# transition count, mean hold (exact-integer micro sum → round(4)
+# seconds via the DECIMAL(38,0)/HUGEINT ratio — the micro sums blow
+# past exact_mean_round's BIGINT staging at sf0.1) and the min/max
+# holds. One user-partitioned lead pass + one keyed aggregate;
+# durations stay integer micros until the single final division (the
+# q310 exact-micros discipline).
+# ---------------------------------------------------------------------------
+from airbnb_pyspark_jobs_spark.functions.numeric import (  # noqa: E402
+    decimal_ratio_round_sql as _drr323,
+)
+
+_Q323_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         LEAD(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
+  FROM events WHERE user_id IS NOT NULL
+),
+g AS (
+  SELECT event_type, CAST(nxt - us AS BIGINT) AS hold_us
+  FROM e WHERE nxt IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       {_drr323("CAST(SUM(hold_us) AS BIGINT)", "COUNT(*) * 1000000", 4)}
+         AS mean_hold_sec,
+       CAST(MIN(hold_us) AS BIGINT) AS min_hold_us,
+       CAST(MAX(hold_us) AS BIGINT) AS max_hold_us
+FROM g GROUP BY event_type
+"""
+
+
+@query("q323_state_holding_times", oracle=_Q323_ORACLE)
+def q323_state_holding_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    e = events.filter(F.col("user_id").isNotNull()).select(
+        "event_type",
+        F.unix_micros("ts").alias("__us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("__nxt"),
+    )
+    g = e.filter(F.col("__nxt").isNotNull()).select(
+        "event_type", (F.col("__nxt") - F.col("__us")).cast("bigint").alias("__h")
+    )
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        decimal_ratio_round(
+            F.sum("__h").cast("bigint"),
+            F.count(F.lit(1)) * F.lit(1_000_000),
+            4,
+        ).alias("mean_hold_sec"),
+        F.min("__h").cast("bigint").alias("min_hold_us"),
+        F.max("__h").cast("bigint").alias("max_hold_us"),
+    )
