@@ -6653,7 +6653,7 @@ g AS (
 )
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_transitions,
-       {_drr323("CAST(SUM(hold_us) AS BIGINT)", "COUNT(*) * 1000000", 4)}
+       {_drr323("SUM(hold_us)", "COUNT(*) * 1000000", 4)}
          AS mean_hold_sec,
        CAST(MIN(hold_us) AS BIGINT) AS min_hold_us,
        CAST(MAX(hold_us) AS BIGINT) AS max_hold_us
@@ -6679,8 +6679,11 @@ def q323_state_holding_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return g.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        # the micro-gap SUM itself stages in DECIMAL(38,0) (DuckDB's
+        # SUM(BIGINT) is HUGEINT): a bigint staging would wrap silently
+        # in Spark's non-ANSI sum while DuckDB raised (ADVICE r8)
         decimal_ratio_round(
-            F.sum("__h").cast("bigint"),
+            F.sum(F.col("__h").cast("decimal(38,0)")),
             F.count(F.lit(1)) * F.lit(1_000_000),
             4,
         ).alias("mean_hold_sec"),

@@ -49,6 +49,54 @@ from airbnb_pyspark_jobs_spark.streaming.dedupe import _read_state
 
 _CEP_STATE_SCHEMA = "source string, last_id long, start_id long, run long"
 _ALERT_SCHEMA = "source string, burst_start long, n_dups long, status string"
+_PARAMS_SCHEMA = "gap long, min_run long"
+
+
+class CepParamsMismatchError(RuntimeError):
+    """A writer or reader used (gap, min_run) different from the values
+    the warehouse's state/alerts were written with — mixing thresholds
+    yields an inconsistent burst set (closed alerts reflect the writer's
+    min_run while live-state filtering uses the reader's)."""
+
+
+def _read_params(spark: SparkSession, warehouse: str) -> tuple[int, int] | None:
+    """The persisted (gap, min_run) this warehouse was written with, or
+    None for a warehouse that predates the params record."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = (
+            spark.read.schema(_PARAMS_SCHEMA)
+            .parquet(os.path.join(warehouse, "cep_params"))
+            .first()
+        )
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        return None
+    return None if row is None else (int(row["gap"]), int(row["min_run"]))
+
+
+def _ensure_params(
+    spark: SparkSession, warehouse: str, gap: int, min_run: int
+) -> None:
+    """First writer persists (gap, min_run) next to the state; later
+    writers must match — CEP thresholds are warehouse-level constants,
+    not per-batch knobs (ADVICE r8: a reader with a different min_run
+    silently mixed thresholds). Overwrite is idempotent under replay."""
+    stored = _read_params(spark, warehouse)
+    if stored is None:
+        spark.createDataFrame(
+            [(gap, min_run)], _PARAMS_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(warehouse, "cep_params")
+        )
+        return
+    if stored != (gap, min_run):
+        raise CepParamsMismatchError(
+            f"warehouse was written with (gap, min_run)={stored}, "
+            f"got ({gap}, {min_run})"
+        )
 
 
 def _latest_state(spark: SparkSession, state_dir: str, before_batch: int) -> DataFrame:
@@ -81,10 +129,20 @@ def dup_burst_batch(
     pass; the first island per source merges with the stored state when
     it continues the stored burst; the last island per source becomes
     the new stored state. Writes are the two idempotent ``batch_id=N``
-    partitions described in the module docstring."""
+    partitions described in the module docstring.
+
+    Cross-batch continuation requires ``0 <= i_start - last_id <= gap``:
+    a backward id (a source whose doc_ids are NOT monotone across
+    micro-batches) starts a NEW burst instead of silently merging into
+    the stored one, preserving the documented equality with the
+    one-pass gaps-and-islands over the id-sorted full stream (ADVICE
+    r8: the unsigned check admitted any out-of-order id). ``gap`` and
+    ``min_run`` are persisted on first write and later batches must
+    match (:class:`CepParamsMismatchError` otherwise)."""
     spark = rejected.sparkSession
     state_dir = os.path.join(warehouse, "cep_state")
     alerts_dir = os.path.join(warehouse, "alerts")
+    _ensure_params(spark, warehouse, gap, min_run)
 
     r = rejected.select(
         F.col(source_col).cast("string").alias("source"),
@@ -119,8 +177,11 @@ def dup_burst_batch(
     prior = _latest_state(spark, state_dir, batch_id)
     # first-island continuation check needs the prior state; islands>1
     # never continue (a same-batch earlier island already broke the gap)
-    cont = (F.col("island") == 1) & F.col("last_id").isNotNull() & (
-        (F.col("i_start") - F.col("last_id")) <= gap
+    cont = (
+        (F.col("island") == 1)
+        & F.col("last_id").isNotNull()
+        & ((F.col("i_start") - F.col("last_id")) >= 0)
+        & ((F.col("i_start") - F.col("last_id")) <= gap)
     )
     adj = (
         islands.join(prior, "source", "left")
@@ -211,13 +272,20 @@ def compact_cep_state(spark: SparkSession, warehouse: str) -> int:
 
 
 def read_dup_bursts(
-    spark: SparkSession, warehouse: str, min_run: int = 3
+    spark: SparkSession, warehouse: str, min_run: int | None = None
 ) -> DataFrame:
     """Final burst set after a drained stream: every 'closed' alert
     (emitted exactly once, in its closing batch) plus the still-open
     stored bursts that reached ``min_run``. Equals the one-pass
     gaps-and-islands over the full rejected stream (asserted in
     tests/test_streaming_cep_dim.py).
+
+    ``min_run`` defaults to the value PERSISTED by the writer
+    (``{warehouse}/cep_params``) — closed alerts were already filtered
+    at the writer's threshold, so a reader using a different one mixes
+    thresholds (ADVICE r8); passing it explicitly is allowed only when
+    it matches (:class:`CepParamsMismatchError` otherwise). Falls back
+    to 3 for a warehouse predating the params record.
 
     A burst is identified by (source, burst_start); the result folds to
     MAX(n_dups) per burst so a read during a crash window — a batch's
@@ -227,6 +295,14 @@ def read_dup_bursts(
     warehouse; at-rest reads are unaffected (distinct bursts never
     share a start)."""
     from pyspark.errors import AnalysisException
+
+    stored = _read_params(spark, warehouse)
+    if min_run is None:
+        min_run = stored[1] if stored is not None else 3
+    elif stored is not None and min_run != stored[1]:
+        raise CepParamsMismatchError(
+            f"warehouse was written with min_run={stored[1]}, got {min_run}"
+        )
 
     try:
         closed = (

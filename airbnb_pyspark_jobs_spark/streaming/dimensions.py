@@ -22,8 +22,6 @@ real deployment the same ``merge_batch`` body targets Delta/Iceberg
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -62,12 +60,25 @@ def scd2_upsert_batch(
     Idempotent under replay: re-merging an identical snapshot detects
     zero row-hash changes and rewrites the dimension byte-stable.
     Shared by :func:`scd2_stream_upsert` and the composed corpus
-    pipeline (streaming/pipeline.py)."""
+    pipeline (streaming/pipeline.py).
+
+    Dimension existence is probed through the read itself (catching the
+    path-not-found ``AnalysisException``), NOT ``os.path.exists`` — the
+    driver's local filesystem never sees an hdfs:// or s3a:// warehouse,
+    so a local-path check on a remote warehouse is always false and
+    every batch would silently re-run ``scd2_initial``, discarding
+    dimension history (ADVICE r8). Any other read error propagates: a
+    transiently unreachable store must fail the batch, not truncate the
+    dimension."""
+    from pyspark.errors import AnalysisException
+
     spark = snapshot.sparkSession
-    if os.path.exists(dim_path):
+    try:
         existing = spark.read.parquet(dim_path)
         dim = scd2_merge(existing, snapshot, spec, as_of)
-    else:
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
         dim = scd2_initial(snapshot, spec, as_of)
     overwrite_with_barrier(dim, dim_path)
 

@@ -402,3 +402,76 @@ def test_read_dup_bursts_sane_during_crash_window(spark, tmp_path):
         (r.source, r.burst_start, r.n_dups)
         for r in read_dup_bursts(spark, wh).collect()
     ) == [("s", 1, 3)]
+
+
+def test_dup_burst_backward_id_starts_new_burst(spark, tmp_path):
+    """An out-of-order (backward) id across micro-batches starts a NEW
+    burst instead of silently merging into the stored one (ADVICE r8:
+    the unsigned gap check was true for ANY backward id). The backward
+    batch also CLOSES the stored burst."""
+    from airbnb_pyspark_jobs_spark.streaming.cep import dup_burst_batch
+
+    wh = str(tmp_path / "bw")
+    dup_burst_batch(
+        spark.createDataFrame(
+            [("s", 10), ("s", 11), ("s", 12)], "source string, doc_id long"
+        ),
+        wh,
+        0,
+    )
+    # 7 < last_id=12: backward, must NOT extend [10..12] to run 4
+    dup_burst_batch(
+        spark.createDataFrame(
+            [("s", 7), ("s", 8)], "source string, doc_id long"
+        ),
+        wh,
+        1,
+    )
+    got = sorted(
+        (r.source, r.burst_start, r.n_dups)
+        for r in read_dup_bursts(spark, wh).collect()
+    )
+    # stored burst closed at its true size; [7,8] open below min_run
+    assert got == [("s", 10, 3)]
+
+
+def test_cep_params_persisted_and_enforced(spark, tmp_path):
+    """(gap, min_run) persist with the warehouse on first write; a
+    writer OR reader using different thresholds raises instead of
+    silently mixing alert sets (ADVICE r8). A reader passing nothing
+    gets the writer's threshold."""
+    import pytest
+
+    from airbnb_pyspark_jobs_spark.streaming.cep import (
+        CepParamsMismatchError,
+        dup_burst_batch,
+    )
+
+    wh = str(tmp_path / "pp")
+    dup_burst_batch(
+        spark.createDataFrame(
+            [("s", 1), ("s", 2)], "source string, doc_id long"
+        ),
+        wh,
+        0,
+        gap=5,
+        min_run=2,
+    )
+    # default reader picks up the persisted min_run=2
+    got = sorted(
+        (r.source, r.burst_start, r.n_dups)
+        for r in read_dup_bursts(spark, wh).collect()
+    )
+    assert got == [("s", 1, 2)]
+    # matching explicit value: fine
+    assert read_dup_bursts(spark, wh, min_run=2).count() == 1
+    with pytest.raises(CepParamsMismatchError):
+        read_dup_bursts(spark, wh, min_run=3)
+    with pytest.raises(CepParamsMismatchError):
+        dup_burst_batch(
+            spark.createDataFrame([("s", 3)], "source string, doc_id long"),
+            wh,
+            1,
+            gap=9,
+            min_run=2,
+        )
