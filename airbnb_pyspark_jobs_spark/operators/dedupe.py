@@ -332,31 +332,66 @@ SIMHASH_BITS = 16
 
 
 def simhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """Portable 16-bit SimHash over DISTINCT tokens.
+    """SimHash over DISTINCT tokens at a configurable signature width.
 
-    Token hash = first 8 md5 hex digits as int; bit b of the signature is
-    1 iff sum over tokens of (+1 if bit b of token-hash set else -1) > 0.
-    Everything is integer arithmetic on md5 — engine-independent.
+    Bit b of the signature is 1 iff sum over tokens of (+1 if bit b of
+    the token hash is set else -1) > 0. Two token-hash backends, the
+    same md5-portable/xxhash64-production split as
+    ``functions/hashing.py``:
+
+    - ``hash_fn="md5"`` (default): first 8 md5 hex digits as a 32-bit
+      int — pure integer arithmetic DuckDB can replay, so the oracle
+      queries (q46/q59/q183) stay at the portable default. ``bits``
+      must be ≤ 32.
+    - ``hash_fn="xxhash64"``: Spark's JVM-side 64-bit hash — no DuckDB
+      twin, PRODUCTION paths only. ``bits`` up to 64; at 64 the banded
+      self-join in :func:`simhash_pairs` gets 2^(64/bands) distinct
+      band values instead of 2^(16/bands), which is what keeps the
+      candidate baseline from degrading toward n²/2^band_bits at
+      corpus scale (VERDICT r8 #1 — width was a hard-coded constant).
+
+    Signature assembly is shiftleft+OR (not a sum of 2^b literals), so
+    bit 63 lands in the sign bit without overflow; hamming distance via
+    ``bit_count(xor)`` is sign-agnostic.
     """
+    if hash_fn == "md5":
+        if bits > 32:
+            raise ValueError(
+                f"md5-portable token hash carries 32 bits (got bits={bits}); "
+                "use hash_fn='xxhash64' for wider signatures"
+            )
+        h = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("bigint")
+    elif hash_fn == "xxhash64":
+        if bits > 64:
+            raise ValueError(f"bits must be <= 64 (got {bits})")
+        h = F.xxhash64(F.col("t"))
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64' (got {hash_fn!r})")
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens(text_col))).alias("t"),
     )
-    h = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("bigint")
     tok = tok.select("doc_id", h.alias("th"))
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"s{b}")
-        for b in range(SIMHASH_BITS)
+        for b in range(bits)
     ]
     agg = tok.groupBy("doc_id").agg(*bit_aggs)
     sim = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
-        sim = term if sim is None else (sim + term)
+    for b in range(bits):
+        term = F.when(
+            F.col(f"s{b}") > 0,
+            F.shiftleft(F.lit(1).cast("bigint"), b),
+        ).otherwise(F.lit(0).cast("bigint"))
+        sim = term if sim is None else sim.bitwiseOR(term)
     return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
@@ -514,24 +549,34 @@ def simhash_pairs(
     bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """EXACT SimHash near-dup pairs with hamming distance <= max_hamming.
 
-    Pigeonhole banding: the 16-bit signature splits into ``bands`` equal
-    bit-bands; pairs differing in at most ``bands - 1`` bits must agree
-    on at least one whole band, so a per-band equality join generates
-    ALL such pairs (this is exact, not probabilistic — unlike MinHash
-    banding) and a bit_count(xor) verification filters to the
-    threshold. Requires ``max_hamming < bands``. Candidate volume is
-    bands × per-band-collisions — use the FEWEST bands the pigeonhole
-    allows (bands = max_hamming + 1 gives the widest band values,
-    hence fewest collisions: 4→2 bands measured 24.7M → 7.2M raw
-    candidates at sf0.1); at 100 TB widen SIMHASH_BITS too. Returns
-    ``doc_id_a, doc_id_b, hamming``.
+    Pigeonhole banding: the ``bits``-wide signature splits into
+    ``bands`` equal bit-bands; pairs differing in at most ``bands - 1``
+    bits must agree on at least one whole band, so a per-band equality
+    join generates ALL such pairs (this is exact, not probabilistic —
+    unlike MinHash banding) and a bit_count(xor) verification filters
+    to the threshold. Requires ``max_hamming < bands``. Candidate
+    volume is bands × per-band-collisions — use the FEWEST bands the
+    pigeonhole allows (bands = max_hamming + 1 gives the widest band
+    values, hence fewest collisions: 4→2 bands measured 24.7M → 7.2M
+    raw candidates at sf0.1). Returns ``doc_id_a, doc_id_b, hamming``.
+
+    **Width is the scale lever** (VERDICT r8 #1): a band value carries
+    ``bits/bands`` bits, so the banded self-join's BASELINE candidate
+    volume — unrelated pairs landing in the same bucket by chance — is
+    ~bands·n²/2^(bits/bands). At 16 bits / 2 bands that is n²/256:
+    fine at bench scale, O(n²) at corpus scale. Production calls use
+    ``bits=64, hash_fn="xxhash64"`` (band values then carry 16–32
+    bits; measured on the synthetic ladder in SCALE_NOTES); the oracle
+    queries stay at the 16-bit md5-portable default DuckDB can replay.
 
     The banded signature table feeds BOTH sides of the self-join, so
     it is persisted via ``caching.owned_persist`` — without the
-    barrier the md5 token hashing + 16 bit-sum aggregation runs twice
+    barrier the token hashing + per-bit aggregation runs twice
     (once per join input; the two sides shuffle on different keys so
     no ReusedExchange applies).
     """
@@ -540,12 +585,12 @@ def simhash_pairs(
             f"pigeonhole exactness needs max_hamming < bands "
             f"(got {max_hamming} >= {bands})"
         )
-    if SIMHASH_BITS % bands != 0:
-        raise ValueError("bands must divide SIMHASH_BITS")
-    band_bits = SIMHASH_BITS // bands
+    if bits % bands != 0:
+        raise ValueError("bands must divide bits")
+    band_bits = bits // bands
     mask = (1 << band_bits) - 1
 
-    sig = simhash_signatures(docs, id_col, text_col)
+    sig = simhash_signatures(docs, id_col, text_col, bits=bits, hash_fn=hash_fn)
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),

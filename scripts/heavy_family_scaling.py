@@ -392,6 +392,65 @@ def main() -> None:
                 "q320 template clusters", template_clusters
             )
             docs.unpersist()
+        if "simhash" in OPS:
+            # SimHash width ladder (round 9, VERDICT r8 #1): RAW banded
+            # candidate volume and pair-op wall time at 16-bit md5
+            # (oracle-portable) vs 64-bit xxhash64 (production), q59's
+            # max_hamming=1 / bands=2 config. Candidate volume is
+            # computed WITHOUT materializing the join: sum over
+            # (band_idx, band_val) buckets of C(cnt, 2). Expected: the
+            # 16-bit baseline grows ~n²/2^8 per band while 64-bit band
+            # values carry 32 bits, so chance collisions vanish and
+            # volume tracks only REAL near-dups (~linear).
+            from airbnb_pyspark_jobs_spark.operators.dedupe import (
+                simhash_pairs,
+                simhash_signatures,
+            )
+
+            spark.catalog.clearCache(); release_owned_caches()
+            docs = (
+                spark.read.format("synthetic_docs")
+                .option("n", n).option("partitions", 32)
+                .option("vocab_size", 5000).option("zipf_s", 1.1)
+                .load().localCheckpoint()
+            )
+            for bits, hf in ((16, "md5"), (64, "xxhash64")):
+                band_bits = bits // 2
+                mask = (1 << band_bits) - 1
+                sig = simhash_signatures(docs, bits=bits, hash_fn=hf)
+                banded = sig.select(
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(b).alias("band_idx"),
+                                    F.shiftright(F.col("simhash"), b * band_bits)
+                                    .bitwiseAND(F.lit(mask))
+                                    .alias("band_val"),
+                                )
+                                for b in range(2)
+                            ]
+                        )
+                    ).alias("bv")
+                ).select("bv.band_idx", "bv.band_val")
+                raw = (
+                    banded.groupBy("band_idx", "band_val")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .agg(
+                        F.sum(
+                            (F.col("c") * (F.col("c") - 1) / 2).cast("bigint")
+                        ).alias("raw_pairs")
+                    )
+                    .first()["raw_pairs"]
+                )
+                print(f"  simhash bits={bits}: raw candidates {raw}", flush=True)
+                results.setdefault(f"simhash_pairs_b{bits}", {})[n] = run(
+                    f"simhash_pairs bits={bits} ({hf})",
+                    lambda bits=bits, hf=hf: simhash_pairs(
+                        docs, max_hamming=1, bands=2, bits=bits, hash_fn=hf
+                    ),
+                )
+            docs.unpersist()
         if "q38" in OPS:
             spark.catalog.clearCache(); release_owned_caches()
             docs = hot_corpus(spark, n)
@@ -408,14 +467,16 @@ def main() -> None:
             docs.unpersist()
     print("\n| op | " + " | ".join(f"n={n}" for n in SIZES) + " | exponents |")
     for op, times in results.items():
-        ts = [times[n] for n in SIZES]
+        sizes = [n for n in SIZES if n in times]
+        ts = [times[n] for n in sizes]
         exps = [
             round(
-                math.log(ts[i + 1] / ts[i]) / math.log(SIZES[i + 1] / SIZES[i]), 2
+                math.log(ts[i + 1] / ts[i]) / math.log(sizes[i + 1] / sizes[i]), 2
             )
-            for i in range(len(SIZES) - 1)
+            for i in range(len(sizes) - 1)
         ]
-        print("| " + op + " | " + " | ".join(f"{t:.1f}s" for t in ts) + f" | {exps} |")
+        cells = [f"{times[n]:.1f}s" if n in times else "-" for n in SIZES]
+        print("| " + op + " | " + " | ".join(cells) + f" | {exps} |")
     spark.stop()
 
 

@@ -147,6 +147,48 @@ def test_simhash_pairs_pigeonhole_exact(spark):
         DD.simhash_pairs(docs, max_hamming=4, bands=4)
 
 
+def test_simhash_pairs_64bit_production_pigeonhole_exact(spark):
+    """The 64-bit xxhash64 production variant (VERDICT r8 #1) keeps the
+    pigeonhole guarantee: banding finds EVERY pair within the hamming
+    bound, verified against brute-force all-pairs hamming over the
+    collected signatures (sign-bit-safe via a 64-bit mask)."""
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"w{j}" for j in range(i, i + 12))) for i in range(1, 30)],
+    )
+    # generous bound so the candidate set is non-trivial at 64 bits
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in DD.simhash_pairs(
+            docs, max_hamming=31, bands=32, bits=64, hash_fn="xxhash64"
+        ).collect()
+    }
+    sigs = {
+        r.doc_id: r.simhash
+        for r in DD.simhash_signatures(
+            docs, bits=64, hash_fn="xxhash64"
+        ).collect()
+    }
+    m64 = (1 << 64) - 1
+    ids = sorted(sigs)
+    want = {
+        (a, b): bin((sigs[a] ^ sigs[b]) & m64).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & m64).count("1") <= 31
+    }
+    assert got == want
+    # some signature must use the high bits (else the width is a no-op)
+    assert any(s < 0 or s > (1 << 32) for s in sigs.values())
+
+    import pytest
+
+    with pytest.raises(ValueError, match="32 bits"):
+        DD.simhash_signatures(docs, bits=64, hash_fn="md5")
+    with pytest.raises(ValueError, match="divide"):
+        DD.simhash_pairs(docs, max_hamming=2, bands=3, bits=64)
+
+
 def test_dedup_components_deep_chain_converges_in_log_rounds(spark):
     """A 60-hop path graph: neighbor-min alone needs 59 rounds (and the
     per-round nested lineage used to overflow the JVM stack before
