@@ -3323,3 +3323,96 @@ def q319_pq_code_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("code_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q324 approximate hubness from the IVF index (VERDICT r8 #3 — q316's
+# own docstring names this as the 100-TB path): approximate N_k derives
+# from the verified q53 serving pipeline (trained Lloyd centroids,
+# single-cell corpus assignment, n_probe query probing, in-list top-k)
+# with the audit sample as its own query set; the output is the JOINT
+# (exact_nk, approx_nk) histogram against q316's exact profile — the
+# hubness analog of q154's recall audit. The off-diagonal mass is the
+# honesty column: approx_nk = 0 < exact_nk rows are vectors the index
+# turns into FALSE anti-hubs (their cell never probed by the queries
+# that exactly rank them), the documented blind spot of cell-probing
+# ANN. The oracle replays the full Lloyd training (q53's unrolled-CTE
+# pattern on the sample), both rankings with their verified-twin
+# similarity forms (raw-cosine for IVF like q53, unit-dot for exact
+# like q316), both occurrence counts, the zero-fills, and the joint
+# group-by.
+# ---------------------------------------------------------------------------
+def _q324_oracle() -> str:
+    return f"""
+WITH
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id < {_HUB_SAMPLE}),
+nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+u AS (SELECT vec_id, list_transform(v, x -> x / n) AS vn FROM nrm),
+{_kmeans_ctes(_NCENT, _ITERS, prefix="h")},
+c_assign AS (
+  SELECT a.vec_id AS neighbor_id, e.v AS cv, a.cid FROM (
+    SELECT u.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                         ORDER BY {_ASSIGN_SIM} DESC, c.cid ASC) AS crn
+    FROM u, hcu{_ITERS} c
+  ) a JOIN e ON e.vec_id = a.vec_id WHERE a.crn = 1
+),
+q_probe AS (
+  SELECT a.vec_id AS query_id, e.v AS qv, a.cid FROM (
+    SELECT u.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                         ORDER BY {_ASSIGN_SIM} DESC, c.cid ASC) AS crn
+    FROM u, hcu{_ITERS} c
+  ) a JOIN e ON e.vec_id = a.vec_id WHERE a.crn <= {_NPROBE}
+),
+asims AS (
+  SELECT q.query_id, c.neighbor_id,
+    {_D_COS.format(a="q.qv", b="c.cv")} AS cos_sim
+  FROM q_probe q JOIN c_assign c USING (cid)
+  WHERE q.query_id != c.neighbor_id
+),
+atopk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+    FROM asims
+  ) WHERE rn <= {_HUB_K}
+),
+aocc AS (SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS approx_nk
+         FROM atopk GROUP BY neighbor_id),
+esims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.vn, b.vn), 4) AS cos_sim
+  FROM u a, u b WHERE a.vec_id != b.vec_id
+),
+etopk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+    FROM esims
+  ) WHERE rn <= {_HUB_K}
+),
+eocc AS (SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS exact_nk
+         FROM etopk GROUP BY neighbor_id),
+per AS (
+  SELECT CAST(COALESCE(eocc.exact_nk, 0) AS BIGINT) AS exact_nk,
+         CAST(COALESCE(aocc.approx_nk, 0) AS BIGINT) AS approx_nk
+  FROM e LEFT JOIN eocc ON e.vec_id = eocc.neighbor_id
+         LEFT JOIN aocc ON e.vec_id = aocc.neighbor_id
+)
+SELECT exact_nk, approx_nk, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM per GROUP BY exact_nk, approx_nk
+"""
+
+
+@query("q324_ann_hubness_audit", oracle=_q324_oracle())
+def q324_ann_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.ann_hubness_profile(
+        emb.filter(F.col("vec_id") < _HUB_SAMPLE),
+        k=_HUB_K,
+        n_centroids=_NCENT,
+        n_probe=_NPROBE,
+        train_iters=_ITERS,
+    )

@@ -142,12 +142,24 @@ def compact_partials(
     marker = os.path.join(tmp, "_FOLDED.json")
 
     def finish(folded: list[str]) -> None:
+        # ORDER MATTERS: the marker must outlive every destructive step
+        # until the rename lands. Deleting the marker before the rename
+        # (the original order) left a window where a crash had already
+        # destroyed the inputs but the re-run saw "no marker, tmp
+        # exists" and discarded the fold — losing the folded history
+        # (caught by the round-9 mid-compaction pipeline crash test).
+        # Renaming tmp carries the marker INTO the base dir; underscore
+        # files are invisible to Spark reads, and the final remove is
+        # pure cleanup (a crash before it leaves an inert file).
         for d in folded:
             full = os.path.join(path, d)
             if os.path.exists(full):
                 shutil.rmtree(full)
-        os.remove(marker)
-        os.rename(tmp, os.path.join(path, PARTIAL_DIRNAME.format(n=base_batch_id)))
+        base = os.path.join(path, PARTIAL_DIRNAME.format(n=base_batch_id))
+        os.rename(tmp, base)
+        leftover = os.path.join(base, "_FOLDED.json")
+        if os.path.exists(leftover):
+            os.remove(leftover)
 
     if os.path.exists(marker):  # crashed between fold and swap: finish it
         folded = json.load(open(marker))

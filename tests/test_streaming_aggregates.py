@@ -620,3 +620,40 @@ def test_streaming_fingerprint_spectrum_equals_batch(spark, tmp_path):
         .collect()
     }
     assert merged == expected
+
+
+def test_compact_partials_before_batch_excludes_running_batch(spark, tmp_path):
+    """before_batch restricts the fold to committed batches: inside
+    foreachBatch(N) only batch_id < N may fold, else a crash-replay of
+    batch N would see its own output through the base (VERDICT r8 #2)."""
+    import os
+
+    from airbnb_pyspark_jobs_spark.streaming.aggregates import compact_partials
+
+    path = str(tmp_path / "rollup")
+    for bid, v in ((0, 1.0), (1, 2.0), (2, 4.0)):
+        write_partial_aggregate(
+            spark.createDataFrame([("a", v)], "k string, value double"),
+            bid,
+            path,
+            ["k"],
+            "value",
+        )
+    assert compact_partials(spark, path, ["k"], before_batch=2) == 2
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("batch_id=")
+    ) == ["batch_id=-1", "batch_id=2"]
+    got = read_rollup(spark, path, ["k"]).collect()[0]
+    assert (got.n_events, got.total_value) == (3, 7.0)
+    # a reader pruning to batch_id < 2 (batch 2's own replay view) sees
+    # exactly the committed history
+    import pyspark.sql.functions as F
+
+    seen = (
+        spark.read.option("basePath", path)
+        .parquet(path)
+        .filter(F.col("batch_id") < 2)
+        .agg(F.sum("total").alias("t"))
+        .first()["t"]
+    )
+    assert seen == 3.0

@@ -69,7 +69,9 @@ def _write_batch(spark, src: str, rows) -> None:
     spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(src)
 
 
-def _drain(spark, src: str, warehouse: str, ckpt: str) -> None:
+def _drain(
+    spark, src: str, warehouse: str, ckpt: str, compact_every: int | None = None
+) -> None:
     stream = (
         spark.readStream.schema(SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -88,6 +90,7 @@ def _drain(spark, src: str, warehouse: str, ckpt: str) -> None:
         source_col="source",
         cep_gap=GAP,
         cep_min_run=MIN_RUN,
+        compact_every_n_batches=compact_every,
     )
     q.awaitTermination(240)
 
@@ -475,3 +478,146 @@ def test_cep_params_persisted_and_enforced(spark, tmp_path):
             gap=9,
             min_run=2,
         )
+
+
+def _long_batches():
+    """7 batches: BATCH0, then six batches each carrying one genuinely
+    distinct doc (disjoint token sets -> accepted) plus two near-dups
+    of doc 1 on source 'flood' with CONSECUTIVE ids -> one ever-growing
+    cross-batch burst, so the CEP state is touched every batch."""
+    out = [BATCH0]
+    nid = 30
+    for i in range(1, 7):
+        uniq = " ".join(f"w{i}x{j}" for j in range(20))
+        out.append(
+            [
+                (1000 + i, uniq, "crawl", "en"),
+                (nid, _mk(f"a{i}"), "flood", "en"),
+                (nid + 1, _mk(f"b{i}"), "flood", "en"),
+            ]
+        )
+        nid += 2
+    return out
+
+
+def _state_dirs(wh: str, sub: str) -> list[str]:
+    return sorted(
+        d
+        for d in os.listdir(os.path.join(wh, sub))
+        if d.startswith("batch_id=")
+    )
+
+
+def _psi_totals(spark, wh: str):
+    return sorted(
+        (r.event_type, r.bucket, r.n)
+        for r in spark.read.option(
+            "basePath", os.path.join(wh, "psi")
+        )
+        .parquet(os.path.join(wh, "psi"))
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .collect()
+    )
+
+
+def test_pipeline_compaction_cadence_bounds_state(spark, tmp_path):
+    """VERDICT r8 #2: with compact_every_n_batches set, the running
+    pipeline folds PSI partials and CEP state every N batches — the
+    state dirs stay bounded over a long run while accepted docs, PSI
+    totals and the final burst set equal a no-compaction run's."""
+    src = str(tmp_path / "src")
+    for rows in _long_batches():
+        _write_batch(spark, src, rows)
+
+    wh_a, ckpt_a = str(tmp_path / "wh_a"), str(tmp_path / "ckpt_a")
+    _drain(spark, src, wh_a, ckpt_a)  # no compaction: one dir per batch
+    wh_b, ckpt_b = str(tmp_path / "wh_b"), str(tmp_path / "ckpt_b")
+    _drain(spark, src, wh_b, ckpt_b, compact_every=2)
+
+    # batch 0 rejects nothing (no cep dir); every batch writes psi
+    assert len(_state_dirs(wh_a, "cep_state")) == 6
+    assert len(_state_dirs(wh_a, "psi")) == 7
+    # compactions at batches 2/4/6 each fold everything below them:
+    # after batch 6 only the base and batch 6's own partial remain
+    assert _state_dirs(wh_b, "cep_state") == ["batch_id=-1", "batch_id=6"]
+    assert _state_dirs(wh_b, "psi") == ["batch_id=-1", "batch_id=6"]
+
+    acc = lambda wh: sorted(  # noqa: E731
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(wh, "accepted")).collect()
+    )
+    assert acc(wh_b) == acc(wh_a)
+    assert _psi_totals(spark, wh_b) == _psi_totals(spark, wh_a)
+    bursts = lambda wh: sorted(  # noqa: E731
+        (r.source, r.burst_start, r.n_dups)
+        for r in read_dup_bursts(spark, wh).collect()
+    )
+    assert bursts(wh_b) == bursts(wh_a)
+    # the designed long burst really spans the whole run
+    assert ("flood", 30, 12) in bursts(wh_b)
+
+
+def test_pipeline_restart_mid_compaction_converges(spark, tmp_path, monkeypatch):
+    """Kill the pipeline INSIDE a compaction's crash window (fold + 
+    manifest written, swap not) — the restart's compaction attempt must
+    finish the swap via the manifest protocol and the final warehouse
+    must equal an uninterrupted run's."""
+    import pyspark.errors
+
+    src = str(tmp_path / "src")
+    for rows in _long_batches():
+        _write_batch(spark, src, rows)
+
+    wh_a, ckpt_a = str(tmp_path / "wh_a"), str(tmp_path / "ckpt_a")
+    _drain(spark, src, wh_a, ckpt_a, compact_every=2)  # uninterrupted ref
+
+    # crash AFTER the manifest is written, BEFORE the base renames into
+    # place: fail the first rename of a __compact_tmp dir
+    real_rename = os.rename
+    state = {"crashed": False}
+
+    def crashing_rename(a, b):
+        if "__compact_tmp" in str(a) and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("injected crash mid-compaction (before swap)")
+        return real_rename(a, b)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    wh_b, ckpt_b = str(tmp_path / "wh_b"), str(tmp_path / "ckpt_b")
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = streaming_corpus_pipeline(
+        stream, wh_b, ckpt_b,
+        psi_mn_cents=0, psi_ext_cents=3000, n_buckets=10, min_tokens=5,
+        num_hashes=8, bands=4,
+        source_col="source", cep_gap=GAP, cep_min_run=MIN_RUN,
+        compact_every_n_batches=2,
+    )
+    try:
+        q.awaitTermination(240)
+    except pyspark.errors.StreamingQueryException:
+        pass
+    assert state["crashed"], "the crash must hit a compaction swap"
+    # crash-window evidence: the manifest survived under the psi tmp dir
+    assert os.path.exists(
+        os.path.join(wh_b, "psi", "__compact_tmp", "_FOLDED.json")
+    )
+
+    monkeypatch.setattr(os, "rename", real_rename)
+    _drain(spark, src, wh_b, ckpt_b, compact_every=2)  # same checkpoint
+
+    assert not os.path.exists(os.path.join(wh_b, "psi", "__compact_tmp"))
+    assert _psi_totals(spark, wh_b) == _psi_totals(spark, wh_a)
+    acc = lambda wh: sorted(  # noqa: E731
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(wh, "accepted")).collect()
+    )
+    assert acc(wh_b) == acc(wh_a)
+    bursts = lambda wh: sorted(  # noqa: E731
+        (r.source, r.burst_start, r.n_dups)
+        for r in read_dup_bursts(spark, wh).collect()
+    )
+    assert bursts(wh_b) == bursts(wh_a)
+    assert _dim_rows(spark, wh_b)  # dimension readable after recovery
