@@ -471,7 +471,7 @@ AUDIO_FP_SCHEMA = "media_id long, n_bytes long, energies array<long>"
 
 
 def audio_fingerprints(
-    df: DataFrame, n_windows: int = 8, window: int = 64
+    df: DataFrame, n_windows: int = 8, window: int = 64, decoder: str = "bytes"
 ) -> DataFrame:
     """Acoustic-fingerprint SHAPE (Haitsma-Kalker 2002: bit w = sign of
     the energy delta between consecutive windows) over binary payloads:
@@ -481,22 +481,57 @@ def audio_fingerprints(
     Python boundary ships only ``n_windows`` longs per clip and every
     downstream comparison is exact cross-engine arithmetic.
 
-    Samples here are the 1-byte/sample convention of the fake decode
-    path (byte i, cycled modulo the payload length — the q70
-    byte-payload testbed, so the DuckDB oracle replays energies
-    relationally); a production deployment swaps the sample extraction
-    for :func:`_wav_decode_samples` with the same windowing. Empty /
-    NULL payloads fingerprint to 0 via all-zero energies.
+    Two sample extractors, SAME windowing (index i of ``nw·win``
+    cycled modulo the clip length → reshape(nw, win) → squared sum):
+
+    - ``decoder="bytes"`` (default): the 1-byte/sample convention of
+      the fake decode path (the q70 byte-payload testbed, so the
+      DuckDB oracle replays energies relationally), centered at 96.
+    - ``decoder="wav"`` (production): the payload is a PCM WAV parsed
+      exactly like :func:`_wav_decode_samples` (stdlib ``wave``,
+      8/16-bit) but kept in INTEGER sample units — 16-bit raw values /
+      8-bit centered at 128, channels SUMMED (not averaged). Integer
+      energies are then ``(ch·32768)²``-scaled versions of the float
+      path's — a per-clip positive constant, so the sign-of-delta
+      bits are IDENTICAL to fingerprinting the [-1,1] floats
+      (unit-tested against a hand-computed energy ladder AND a python
+      replay of the float windowing in tests/test_multimodal.py).
+      Undecodable payloads fingerprint like empty clips (all-zero
+      energies) rather than failing the batch.
+
+    Empty / NULL payloads fingerprint to 0 via all-zero energies.
 
     Returns ``media_id, n_bytes, fingerprint`` (bigint; bit w set iff
-    energy[w+1] > energy[w]). Scale: one Arrow pass, no shuffle; the
-    spectrum/pairing consumers add one keyed aggregate.
+    energy[w+1] > energy[w]); ``n_bytes`` is the decoded sample count
+    (== payload bytes under the 1-byte convention). Scale: one Arrow
+    pass, no shuffle; the spectrum/pairing consumers add one keyed
+    aggregate.
     """
+    if decoder not in ("bytes", "wav"):
+        raise ValueError(f"decoder must be 'bytes' or 'wav' (got {decoder!r})")
     nw, win = int(n_windows), int(window)
 
     def run(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
+
+        def wav_int_samples(p: bytes):
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(p)) as w:
+                ch = w.getnchannels()
+                width = w.getsampwidth()
+                raw = w.readframes(w.getnframes())
+            if width == 2:
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+            elif width == 1:
+                s = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+            else:
+                raise ValueError(f"unsupported PCM sample width {width}")
+            if ch > 1:
+                s = s.reshape(-1, ch).sum(axis=1)
+            return s
 
         for pdf in batches:
             energies, sizes = [], []
@@ -505,9 +540,19 @@ def audio_fingerprints(
                     energies.append([0] * nw)
                     sizes.append(0)
                     continue
-                s = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                if decoder == "wav":
+                    try:
+                        s = wav_int_samples(bytes(p))
+                    except Exception:
+                        s = None
+                    if s is None or len(s) == 0:
+                        energies.append([0] * nw)
+                        sizes.append(0)
+                        continue
+                else:
+                    s = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64) - 96
                 idx = np.arange(nw * win) % len(s)
-                e = ((s[idx] - 96) ** 2).reshape(nw, win).sum(axis=1)
+                e = (s[idx] ** 2).reshape(nw, win).sum(axis=1)
                 energies.append([int(x) for x in e])
                 sizes.append(len(s))
             yield pd.DataFrame(

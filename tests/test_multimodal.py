@@ -352,3 +352,56 @@ def test_audio_frame_energy_fake_decoder_dispatch(spark):
     out = audio_frame_energy(media, decoder=_fake_decode_samples).collect()
     assert out[0].decoder == "fake"
     assert out[0].rms == 0.0  # byte 128 -> sample 0.0
+
+
+def test_audio_fingerprints_real_wav_hand_ladder(spark):
+    """VERDICT r8 #5: the production decoder='wav' path runs the real
+    PCM parse through the q322 windowing. 16 int16 samples forming a
+    hand-computable energy ladder (nw=4, win=4): windows [1×4, 2×4,
+    1×4, 3×4] -> energies [4, 16, 4, 36] -> bits (16>4, 4>16, 36>4) =
+    (1, 0, 1) -> fingerprint 5. Also asserted: the integer-unit bits
+    equal fingerprinting _wav_decode_samples' [-1,1] floats (the
+    docstring's scale-invariance claim), a stereo clip whose CHANNEL
+    SUM forms the same ladder, and an undecodable payload
+    fingerprinting like an empty clip instead of failing the batch."""
+    from airbnb_pyspark_jobs_spark.operators.multimodal import (
+        _wav_decode_samples,
+        audio_fingerprints,
+    )
+
+    ladder = [1] * 4 + [2] * 4 + [1] * 4 + [3] * 4
+    mono = _wav_bytes([v / 32768.0 for v in ladder])
+    # stereo: (L, R) = (v, 0) per frame -> channel sum == ladder
+    stereo_f = []
+    for v in ladder:
+        stereo_f += [v / 32768.0, 0.0]
+    stereo = _wav_bytes(stereo_f, ch=2)
+    media = spark.createDataFrame(
+        [
+            _audio_row(1, mono),
+            _audio_row(2, stereo),
+            _audio_row(3, b"notawav"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {
+        r.media_id: (r.n_bytes, r.fingerprint)
+        for r in audio_fingerprints(
+            media, n_windows=4, window=4, decoder="wav"
+        ).collect()
+    }
+    assert got[1] == (16, 5)
+    assert got[2] == (16, 5)  # channel-sum scaling never flips a bit
+    assert got[3] == (0, 0)   # undecodable == empty, not a batch error
+
+    # the docstring's equivalence claim, replayed on the float samples
+    floats = _wav_decode_samples(mono)
+    assert len(floats) == 16
+    fe = [sum(x * x for x in floats[w * 4 : w * 4 + 4]) for w in range(4)]
+    float_fp = sum(2**w for w in range(3) if fe[w + 1] > fe[w])
+    assert float_fp == 5
+
+    import pytest
+
+    with pytest.raises(ValueError, match="decoder"):
+        audio_fingerprints(media, decoder="mp3")
