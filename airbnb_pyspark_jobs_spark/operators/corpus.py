@@ -417,6 +417,97 @@ def pack_sequences(
     )
 
 
+def pack_sequences_bfd(
+    chunks: DataFrame,
+    budget: int = 2048,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    order_col: str = "chunk_idx",
+    token_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Best-fit-decreasing sequence packing (VERDICT r8 #6) — the
+    bin-packing alternative to :func:`pack_sequences`' concat-and-split:
+    chunks sort by (tokens DESC, doc, chunk) and each goes into the
+    FULLEST already-open bin that still fits (ties → lowest bin id;
+    none fits → open a new bin). Bins never overflow, so waste is pure
+    fragmentation — q325 measures the utilization delta vs the greedy
+    packer through the q204 report.
+
+    BFD is inherently sequential (each placement depends on every
+    prior fill), so it runs per doc-hash SHARD as one Arrow
+    ``applyInPandas`` group — the same parallelism contract as the
+    greedy packer: determinism is a pure function of (doc ids, chunk
+    order, budget, shards), and ``shards`` bounds both the sequential
+    span and the per-task memory; at corpus scale raise it so a shard
+    fits one task. Inside a shard the best-fit lookup is a
+    bisect-maintained sorted fill list — O(n log n + n·insert), not
+    the naive O(n·bins) scan.
+
+    Returns one row per pack: ``shard, pack_id, n_chunks, pack_tokens,
+    n_docs`` (same shape as :func:`pack_sequences`; ``pack_id`` is the
+    bin's opening order within its shard).
+    """
+    from airbnb_pyspark_jobs_spark.functions.text import portable_hash_int
+
+    b = int(budget)
+    sharded = chunks.withColumn(
+        "shard", F.pmod(portable_hash_int(F.col(id_col).cast("string")), F.lit(shards))
+    )
+
+    def bfd(pdf):
+        import bisect
+
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            [token_col, id_col, order_col], ascending=[False, True, True]
+        )
+        fills_sorted: list[int] = []            # fill keys, ascending
+        pairs: list[tuple[int, int]] = []       # (fill, bin_id), same order
+        n_bins = 0
+        assignments: list[int] = []
+        for t in pdf[token_col].tolist():
+            cap = b - t
+            idx = bisect.bisect_right(fills_sorted, cap) - 1
+            if idx < 0:  # nothing fits (or no bins yet): open a bin
+                bin_id, new_fill = n_bins, t
+                n_bins += 1
+            else:
+                f = fills_sorted[idx]
+                left = bisect.bisect_left(fills_sorted, f)  # lowest bin id
+                _, bin_id = pairs[left]
+                del fills_sorted[left]
+                del pairs[left]
+                new_fill = f + t
+            pos = bisect.bisect_left(pairs, (new_fill, bin_id))
+            pairs.insert(pos, (new_fill, bin_id))
+            fills_sorted.insert(pos, new_fill)
+            assignments.append(bin_id)
+        out = pdf.assign(__pack=assignments)
+        g = out.groupby(["shard", "__pack"], as_index=False).agg(
+            n_chunks=(token_col, "size"),
+            pack_tokens=(token_col, "sum"),
+            n_docs=(id_col, "nunique"),
+        )
+        return pd.DataFrame(
+            {
+                "shard": g["shard"],
+                "pack_id": g["__pack"],
+                "n_chunks": g["n_chunks"],
+                "pack_tokens": g["pack_tokens"],
+                "n_docs": g["n_docs"],
+            }
+        )
+
+    return sharded.groupBy("shard").applyInPandas(
+        bfd,
+        schema=(
+            "shard int, pack_id bigint, n_chunks bigint, "
+            "pack_tokens bigint, n_docs bigint"
+        ),
+    )
+
+
 def cdc_chunks(
     docs: DataFrame,
     k: int = 8,

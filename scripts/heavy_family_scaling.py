@@ -451,6 +451,182 @@ def main() -> None:
                     ),
                 )
             docs.unpersist()
+        if "q319" in OPS:
+            # PQ code-utilization (round 9, VERDICT r8 #4): the q319
+            # composition = q83 encode (train + scan-side projection)
+            # + the two-level code-count aggregate. Training collects
+            # m·k·sub doubles per iteration (bounded); everything else
+            # is scan- or key-bounded. Expected alpha ~ 1.
+            from airbnb_pyspark_jobs_spark.operators.similarity import (
+                pq_encode,
+                pq_train_codebooks,
+            )
+
+            spark.catalog.clearCache(); release_owned_caches()
+            emb = synthetic_embeddings(spark, n, d=64)
+
+            def q319_shape():
+                books = pq_train_codebooks(emb, m=4, k=8, iters=2, dims=64)
+                codes = pq_encode(emb, books).select("codes")
+                per = codes.select(
+                    F.explode(F.sequence(F.lit(0), F.lit(3))).alias("__s"), "codes"
+                ).select(
+                    "__s",
+                    F.element_at(F.split("codes", "-"), F.col("__s") + 1)
+                    .cast("bigint")
+                    .alias("__code"),
+                )
+                cnt = per.groupBy("__s", "__code").agg(
+                    F.count(F.lit(1)).alias("__c")
+                )
+                return cnt.groupBy("__s").agg(
+                    F.count(F.lit(1)).alias("n_used"),
+                    F.max("__c").alias("top_code_n"),
+                    F.sum("__c").alias("n"),
+                )
+
+            results.setdefault("q319_pq_utilization", {})[n] = run(
+                "q319 PQ code utilization", q319_shape
+            )
+            emb.unpersist()
+        if "q321" in OPS:
+            # Neyman allocation (round 9): one grouped DECIMAL(38,0)
+            # moment pass over token counts + a broadcast scalar total.
+            # Expected alpha ~ 1 (scan-bound; |sources| rows shuffled).
+            from airbnb_pyspark_jobs_spark.functions.text import token_count
+
+            spark.catalog.clearCache(); release_owned_caches()
+            docs = (
+                spark.read.format("synthetic_docs")
+                .option("n", n).option("partitions", 32)
+                .option("vocab_size", 5000).option("zipf_s", 1.1)
+                .load().localCheckpoint()
+            )
+
+            def q321_shape():
+                tc = F.col("__t").cast("decimal(38,0)")
+                m = (
+                    docs.select("source", token_count("text").alias("__t"))
+                    .groupBy("source")
+                    .agg(
+                        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                        F.sum(tc).cast("decimal(38,0)").alias("__s"),
+                        F.sum(tc * tc).cast("decimal(38,0)").alias("__ss"),
+                    )
+                )
+                w = m.select(
+                    "source",
+                    "n_docs",
+                    F.round(
+                        F.sqrt(
+                            (
+                                F.col("n_docs") * F.col("__ss")
+                                - F.col("__s") * F.col("__s")
+                            ).cast("double")
+                        )
+                        * 1e6
+                    )
+                    .cast("bigint")
+                    .alias("w_micro"),
+                )
+                tw = w.agg(F.sum("w_micro").cast("bigint").alias("__tw"))
+                quota = F.expr("(1000 * w_micro) div __tw")
+                return w.crossJoin(F.broadcast(tw)).select(
+                    "source",
+                    "n_docs",
+                    quota.cast("bigint").alias("quota"),
+                    F.least(quota, F.col("n_docs")).cast("bigint").alias("alloc"),
+                )
+
+            results.setdefault("q321_neyman", {})[n] = run(
+                "q321 Neyman allocation", q321_shape
+            )
+            docs.unpersist()
+        if "q322" in OPS:
+            # Audio-fingerprint collision spectrum (round 9): ONE Arrow
+            # mapInPandas pass shipping 8 longs per clip + a keyed
+            # count. Expected alpha ~ 1 (scan-bound). 256-byte
+            # deterministic payloads.
+            from airbnb_pyspark_jobs_spark.operators.multimodal import (
+                audio_fingerprints,
+            )
+
+            spark.catalog.clearCache(); release_owned_caches()
+            media = (
+                spark.range(n)
+                .repartition(32)
+                .select(
+                    F.col("id").alias("media_id"),
+                    F.encode(
+                        F.repeat(F.md5(F.col("id").cast("string")), 8), "utf-8"
+                    ).alias("payload"),
+                )
+                .localCheckpoint()
+            )
+            results.setdefault("q322_fp_spectrum", {})[n] = run(
+                "q322 audio fp spectrum",
+                lambda: audio_fingerprints(media, n_windows=8, window=64)
+                .groupBy("fingerprint")
+                .agg(F.count(F.lit(1)).alias("n_clips")),
+            )
+            media.unpersist()
+        if "q323" in OPS:
+            # Semi-Markov holding times (round 9): one user-partitioned
+            # lead window + one grouped exact-integer aggregate.
+            # Expected alpha ~ 1 (bounded events-per-user partitions).
+            from pyspark.sql.window import Window
+
+            from airbnb_pyspark_jobs_spark.functions.numeric import (
+                decimal_ratio_round,
+            )
+
+            spark.catalog.clearCache(); release_owned_caches()
+            ev = (
+                spark.range(n)
+                .repartition(32)
+                .select(
+                    F.pmod(F.hash("id"), F.lit(max(1000, n // 100)))
+                    .cast("long")
+                    .alias("user_id"),
+                    F.concat(
+                        F.lit("ev"),
+                        F.pmod(F.hash(F.col("id") + 7), F.lit(8)).cast("string"),
+                    ).alias("event_type"),
+                    (
+                        F.col("id") * 1_000_000
+                        + F.pmod(F.hash(F.col("id") + 13), F.lit(997))
+                    ).alias("us"),
+                    F.col("id").alias("event_id"),
+                )
+                .localCheckpoint()
+            )
+
+            def q323_shape():
+                w = Window.partitionBy("user_id").orderBy("us", "event_id")
+                e = ev.select(
+                    "event_type",
+                    F.col("us").alias("__us"),
+                    F.lead("us").over(w).alias("__nxt"),
+                )
+                g = e.filter(F.col("__nxt").isNotNull()).select(
+                    "event_type",
+                    (F.col("__nxt") - F.col("__us")).cast("bigint").alias("__h"),
+                )
+                return g.groupBy("event_type").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+                    decimal_ratio_round(
+                        F.sum(F.col("__h").cast("decimal(38,0)")),
+                        F.count(F.lit(1)) * F.lit(1_000_000),
+                        4,
+                    ).alias("mean_hold_sec"),
+                    F.min("__h").alias("min_hold_us"),
+                    F.max("__h").alias("max_hold_us"),
+                )
+
+            results.setdefault("q323_holding_times", {})[n] = run(
+                "q323 holding times", q323_shape
+            )
+            ev.unpersist()
         if "q38" in OPS:
             spark.catalog.clearCache(); release_owned_caches()
             docs = hot_corpus(spark, n)
