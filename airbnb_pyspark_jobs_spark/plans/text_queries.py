@@ -7813,3 +7813,200 @@ def q321_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shortfall"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q325 packing A/B (VERDICT r8 #6): best-fit-decreasing vs the q36
+# concat-and-split packer, both on the SAME id-bounded sample and the
+# SAME chunk stream, reported through the q204 readout per variant
+# (fill deciles, overall utilization, wasted vs overflowed token
+# mass). BFD bins never overflow, so its waste is pure fragmentation;
+# the greedy packer trades overflow (a pack owns its first token's
+# chunk) for zero fragmentation everywhere but the stream tail.
+#
+# Oracle: BFD is inherently sequential, but it IS SQL-expressible as a
+# WITH RECURSIVE whose working set advances every shard one item per
+# iteration carrying (fills, bins) as LIST columns — ITERATIVE, not
+# the unrolled-CTE chains the verify notes warn about (no 2^K plan
+# blowup; depth = max items/shard, bounded by the sample). The
+# per-step placement is exactly the operator's rule: fullest fitting
+# bin via list_max(list_filter(...)), lowest-id tie via
+# list_position's first match, new bin iff none fits. The sample
+# bound keeps recursion depth ~O(100) at every SF (the q52/q316 audit
+# convention); the production path is the sharded Arrow operator
+# itself, whose parallel span is the shard, not the corpus.
+# ---------------------------------------------------------------------------
+_BFD_SAMPLE = 2000
+
+
+def _q325_oracle() -> str:
+    report = """
+  SELECT variant, least((10 * pack_tokens) // {b}, 9) AS fill_decile,
+         pack_tokens
+  FROM {src}
+""".strip()
+    return f"""
+WITH RECURSIVE
+tok AS (SELECT doc_id, {_D_TOKENS} AS ts FROM documents
+        WHERE doc_id < {_BFD_SAMPLE}),
+k AS (
+  SELECT doc_id, ts,
+         UNNEST(range(0, greatest((len(ts) - {_CHUNK} + {_STRIDE - 1}) // {_STRIDE}, 0) + 1)) AS ci
+  FROM tok
+),
+ch AS (
+  SELECT doc_id, ci AS chunk_idx,
+         len(ts[ci * {_STRIDE} + 1 : ci * {_STRIDE} + {_CHUNK}]) AS n_chunk_tokens
+  FROM k
+),
+sh AS (
+  SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % {_PACK_SHARDS} AS shard
+  FROM ch
+),
+greedy_c AS (
+  SELECT shard, n_chunk_tokens,
+         SUM(n_chunk_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id, chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_chunk_tokens AS cum_excl
+  FROM sh
+),
+greedy AS (
+  SELECT 'concat' AS variant,
+         CAST(SUM(n_chunk_tokens) AS BIGINT) AS pack_tokens
+  FROM greedy_c
+  GROUP BY shard, FLOOR(CAST(cum_excl AS DOUBLE) / {_PACK_BUDGET}.0)
+),
+ord_i AS (
+  SELECT shard, doc_id, n_chunk_tokens,
+         ROW_NUMBER() OVER (PARTITION BY shard
+                            ORDER BY n_chunk_tokens DESC, doc_id, chunk_idx) AS pos
+  FROM sh
+),
+items AS (
+  SELECT shard,
+         list(CAST(n_chunk_tokens AS BIGINT) ORDER BY pos) AS toks,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM ord_i GROUP BY shard
+),
+bfd AS (
+  SELECT shard, CAST(0 AS BIGINT) AS step,
+         CAST([] AS BIGINT[]) AS fills, CAST([] AS BIGINT[]) AS bins
+  FROM items
+  UNION ALL
+  SELECT shard, step + 1,
+         CASE WHEN best IS NULL THEN list_append(fills, t)
+              ELSE list_slice(fills, 1, list_position(fills, best) - 1)
+                   || [best + t]
+                   || list_slice(fills, list_position(fills, best) + 1, len(fills))
+         END,
+         list_append(bins, CAST(CASE WHEN best IS NULL THEN len(fills) + 1
+                                     ELSE list_position(fills, best) END AS BIGINT))
+  FROM (
+    SELECT b.shard, b.step, b.fills, b.bins,
+           i.toks[CAST(b.step + 1 AS INT)] AS t,
+           list_max(list_filter(b.fills,
+             f -> f <= {_PACK_BUDGET} - i.toks[CAST(b.step + 1 AS INT)])) AS best
+    FROM bfd b JOIN items i USING (shard)
+    WHERE b.step < i.n_items
+  )
+),
+fin AS (
+  SELECT b.shard, b.fills
+  FROM bfd b JOIN items i USING (shard) WHERE b.step = i.n_items
+),
+bfd_packs AS (
+  SELECT 'bfd' AS variant, CAST(UNNEST(fills) AS BIGINT) AS pack_tokens FROM fin
+),
+allp AS (
+  {report.format(b=_PACK_BUDGET, src="greedy")}
+  UNION ALL
+  {report.format(b=_PACK_BUDGET, src="bfd_packs")}
+),
+tot AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS t_bins,
+         CAST(SUM(pack_tokens) AS BIGINT) AS packed,
+         CAST(SUM(greatest({_PACK_BUDGET} - pack_tokens, 0)) AS BIGINT) AS waste,
+         CAST(SUM(greatest(pack_tokens - {_PACK_BUDGET}, 0)) AS BIGINT) AS ovf
+  FROM allp GROUP BY variant
+)
+SELECT a.variant, CAST(a.fill_decile AS BIGINT) AS fill_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(a.pack_tokens) AS BIGINT) AS bin_tokens,
+       round(CAST(t.packed AS DOUBLE)
+             / CAST(t.t_bins * {_PACK_BUDGET} AS DOUBLE), 6)
+         AS overall_utilization,
+       t.waste AS wasted_tokens,
+       t.ovf AS overflow_tokens
+FROM allp a JOIN tot t USING (variant)
+GROUP BY a.variant, a.fill_decile, t.packed, t.t_bins, t.waste, t.ovf
+"""
+
+
+@query("q325_packing_ab", oracle=_q325_oracle())
+def q325_packing_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import (
+        chunk_documents,
+        pack_sequences,
+        pack_sequences_bfd,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < _BFD_SAMPLE
+    )
+    chunks = chunk_documents(docs, chunk_tokens=_CHUNK, overlap=_OVERLAP)
+    # one chunking, two packers (owned_persist: both variants consume it)
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    chunks = owned_persist(
+        chunks.select("doc_id", "chunk_idx", "n_chunk_tokens")
+    )
+    greedy = pack_sequences(
+        chunks, budget=_PACK_BUDGET, shards=_PACK_SHARDS
+    ).select(F.lit("concat").alias("variant"), "pack_tokens")
+    bfd = pack_sequences_bfd(
+        chunks, budget=_PACK_BUDGET, shards=_PACK_SHARDS
+    ).select(F.lit("bfd").alias("variant"), "pack_tokens")
+    allp = greedy.unionByName(bfd)
+    d = allp.select(
+        "variant",
+        "pack_tokens",
+        F.least(
+            F.floor((10 * F.col("pack_tokens")) / _PACK_BUDGET), F.lit(9)
+        )
+        .cast("bigint")
+        .alias("fill_decile"),
+    )
+    tot = d.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__t_bins"),
+        F.sum("pack_tokens").cast("bigint").alias("__packed"),
+        F.sum(F.greatest(F.lit(_PACK_BUDGET) - F.col("pack_tokens"), F.lit(0)))
+        .cast("bigint")
+        .alias("wasted_tokens"),
+        F.sum(F.greatest(F.col("pack_tokens") - F.lit(_PACK_BUDGET), F.lit(0)))
+        .cast("bigint")
+        .alias("overflow_tokens"),
+    )
+    return (
+        d.groupBy("variant", "fill_decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.sum("pack_tokens").cast("bigint").alias("bin_tokens"),
+        )
+        .join(tot, "variant")
+        .select(
+            "variant",
+            "fill_decile",
+            "n_bins",
+            "bin_tokens",
+            F.round(
+                F.col("__packed").cast("double")
+                / (F.col("__t_bins") * _PACK_BUDGET).cast("double"),
+                6,
+            ).alias("overall_utilization"),
+            "wasted_tokens",
+            "overflow_tokens",
+        )
+    )
