@@ -562,6 +562,54 @@ def run_query(spark, name: str) -> float:
     return time.perf_counter() - t0
 
 
+def family_main(families: list[str], names: list[str]) -> None:
+    """Dev-loop subset bench (VERDICT r8 #7): time only the named
+    queries and/or families (registry family tags, the same ones
+    `pytest -m <family>` selects) — a builder measuring one changed
+    family doesn't pay the full ~8.5-minute tail. Prints ONE compact
+    JSON line with metric `family_bench`; the full-run artifact
+    (docs/bench_full_latest.json and the headline schema) is NOT
+    touched, so round-over-round comparisons stay clean."""
+    from airbnb_pyspark_jobs_spark.plans.queries import QUERY_FAMILIES
+
+    unknown_f = [f for f in families if not any(f in t for t in QUERY_FAMILIES.values())]
+    unknown_q = [n for n in names if n not in QUERIES]
+    if unknown_f or unknown_q:
+        sys.exit(f"unknown families {unknown_f} / queries {unknown_q}")
+    selected = sorted(
+        set(names)
+        | {n for n, tags in QUERY_FAMILIES.items() if tags & set(families)}
+    )
+    if not selected:
+        sys.exit("selection is empty")
+    spark = get_spark(app_name="bench_family", profile="local")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        run_query(spark, selected[0])  # JVM/scan warmup, discarded
+    except Exception:
+        pass
+    times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in selected:
+        try:
+            times[name] = round(min(run_query(spark, name) for _ in range(2)), 3)
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+    payload = {
+        "metric": "family_bench",
+        "families": families,
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_from_dir(SF_DIR),
+        "n_errors": len(errors),
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
+    spark.stop()
+
+
 def main() -> None:
     load_start = _loadavg1()
     cpu0 = _cpu_snapshot()
@@ -656,4 +704,24 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--family",
+        default="",
+        help="comma-separated registry family tags (e.g. dedup,ann): "
+        "bench only those queries, print a family_bench JSON line",
+    )
+    ap.add_argument(
+        "--queries",
+        default="",
+        help="comma-separated query names to bench (combines with --family)",
+    )
+    args = ap.parse_args()
+    fams = [f for f in args.family.split(",") if f]
+    qnames = [q for q in args.queries.split(",") if q]
+    if fams or qnames:
+        family_main(fams, qnames)
+    else:
+        main()
