@@ -1122,6 +1122,141 @@ def bigram_interp_logprob_scores(
     )
 
 
+def heldout_unigram_eval(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    seed: str = "",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lp_digits: int = 6,
+    score_digits: int = 4,
+) -> DataFrame:
+    """Held-out LM evaluation — the eval-loss shape proper:
+    :func:`unigram_logprob_scores` trains and scores on the SAME
+    corpus (the filtering use), which cannot see overfitting; this
+    trains the unigram LM on the hash-split TRAIN docs only (q43's
+    split rule — membership is a pure function of (id, seed)) with
+    add-one Laplace smoothing over the train vocabulary, then scores
+    EVERY split with it: ``p(term) = (c_train + 1) / (N + V + 1)``,
+    unseen terms at ``c_train = 0``. The per-split mean token logprob
+    gap between train and val/test is the generalization readout, and
+    ``oov_tokens`` counts the val/test tokens outside the train vocab
+    (trivially 0 on the train row).
+
+    Same determinism recipe as the LM family: per-token ``ln`` rounded
+    to ``lp_digits`` → DECIMAL sums exact → :func:`exact_mean_round`.
+    Returns ``split, n_docs, n_tokens, oov_tokens, mean_logprob``.
+    Scale: one token pass to train (vocab-sized broadcast LM), one to
+    score; the split table joins on doc id.
+    """
+    from airbnb_pyspark_jobs_spark.functions.numeric import exact_mean_round
+    from airbnb_pyspark_jobs_spark.functions.text import tokens
+    from airbnb_pyspark_jobs_spark.operators.sampling import hash_split
+
+    fr = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    splits = hash_split(docs.select(F.col(id_col).alias("doc_id")), "doc_id", fr, seed=seed)
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("t")
+        )
+        .select("doc_id", F.lower("t").alias("term"))
+        .join(splits, "doc_id")
+    )
+    tf = toks.filter(F.col("split") == "train").groupBy("term").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    sc = tf.agg(
+        F.sum("__c").cast("bigint").alias("__n"),
+        F.count(F.lit(1)).cast("bigint").alias("__v"),
+    )
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("__c"), F.lit(0)) + 1).cast("double")
+            / (F.col("__n") + F.col("__v") + 1).cast("double")
+        ),
+        lp_digits,
+    ).cast(f"decimal(28,{lp_digits})")
+    scored = (
+        toks.join(F.broadcast(tf), "term", "left")
+        .crossJoin(F.broadcast(sc))
+        .select(
+            "split",
+            "doc_id",
+            lp.alias("__lp"),
+            F.when(F.col("__c").isNull(), 1).otherwise(0).alias("__oov"),
+        )
+    )
+    return scored.groupBy("split").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("__oov").cast("bigint").alias("oov_tokens"),
+        exact_mean_round(
+            F.sum("__lp"), F.count(F.lit(1)), score_digits, sum_scale=lp_digits
+        ).alias("mean_logprob"),
+    )
+
+
+def good_turing_bigram_mass(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Good-Turing unseen-mass estimate per source over BIGRAM types —
+    "how much probability mass does this source's next crawl put on
+    bigrams we have never seen?": the GT estimator is
+    ``P(unseen) ≈ N1/N`` (hapax count over token mass) and the
+    adjusted expected count of a current hapax is ``r* = 2·N2/N1``
+    (Gale & Sampson's Simple GT first step). Unigrams are useless for
+    this on a small closed vocabulary (no hapax); bigram types keep a
+    live tail at every SF. Per source: one grouped count of bigram
+    types, then exact-integer ratios (decimal_ratio_round).
+
+    Returns ``{group_col}, n_bigrams, v_bigrams, n1, n2, p_unseen,
+    r_star_singleton`` (``r_star_singleton`` NULL when N1 = 0). Scale:
+    one token-pair explode + two keyed aggregates; no collects, no
+    windows.
+    """
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+    from airbnb_pyspark_jobs_spark.functions.text import tokens
+
+    base = owned_persist(
+        docs.select(F.col(group_col).alias("__g"), tokens(text_col).alias("__tk"))
+    )
+    pair_len = F.greatest(F.size("__tk") - 1, F.lit(0))
+    cur = F.slice(F.col("__tk"), 1, pair_len)
+    nxt = F.slice(F.col("__tk"), 2, pair_len)
+    bg = base.select(
+        "__g",
+        F.explode(F.arrays_zip(cur.alias("a"), nxt.alias("b"))).alias("__e"),
+    ).select(
+        "__g",
+        F.concat_ws(" ", F.lower(F.col("__e.a")), F.lower(F.col("__e.b"))).alias(
+            "__bg"
+        ),
+    )
+    tf = bg.groupBy("__g", "__bg").agg(F.count(F.lit(1)).alias("__c"))
+    agg = tf.groupBy("__g").agg(
+        F.sum("__c").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("v_bigrams"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("__c") == 2, 1).otherwise(0)).cast("bigint").alias("n2"),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n_bigrams",
+        "v_bigrams",
+        "n1",
+        "n2",
+        decimal_ratio_round(F.col("n1"), F.col("n_bigrams"), 6).alias("p_unseen"),
+        F.when(
+            F.col("n1") > 0,
+            decimal_ratio_round(2 * F.col("n2"), F.col("n1"), 6),
+        ).alias("r_star_singleton"),
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: list[tuple[int, str]],

@@ -8010,3 +8010,169 @@ def q325_packing_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overflow_tokens",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q326 held-out LM evaluation: q96's unigram LM trained on the q43
+# hash-split TRAIN docs only (Laplace add-one over the train vocab),
+# scoring EVERY split — the eval-loss shape proper, where the
+# train-vs-val mean-logprob gap reads out generalization and
+# oov_tokens counts val/test tokens outside the train vocabulary.
+# Oracle replays the split rule, the smoothed LM and the per-split
+# exact-mean aggregate.
+# ---------------------------------------------------------------------------
+_Q326_ORACLE = rf"""
+WITH sp AS (
+  SELECT doc_id,
+         CASE WHEN bucket < 8000 THEN 'train'
+              WHEN bucket < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             % 10000 AS bucket
+    FROM documents
+  )
+),
+toks AS (
+  SELECT doc_id, lower(t) AS term
+  FROM (SELECT doc_id, UNNEST({_D_TOKENS}) AS t FROM documents)
+),
+ts AS (SELECT t.doc_id, t.term, sp.split FROM toks t JOIN sp USING (doc_id)),
+tf AS (SELECT term, COUNT(*) AS c FROM ts WHERE split = 'train' GROUP BY term),
+sc AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM tf),
+scored AS (
+  SELECT ts.split, ts.doc_id,
+         CAST(round(ln(CAST(COALESCE(tf.c, 0) + 1 AS DOUBLE)
+                       / CAST(sc.n + sc.v + 1 AS DOUBLE)), 6)
+              AS DECIMAL(28,6)) AS lp,
+         CASE WHEN tf.c IS NULL THEN 1 ELSE 0 END AS oov
+  FROM ts LEFT JOIN tf USING (term), sc
+)
+SELECT split,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS oov_tokens,
+       {exact_mean_round_sql("SUM(lp)", "COUNT(*)", 4, sum_scale=6)}
+         AS mean_logprob
+FROM scored GROUP BY split
+"""
+
+
+@query("q326_heldout_unigram_eval", oracle=_Q326_ORACLE)
+def q326_heldout_unigram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import heldout_unigram_eval
+
+    return heldout_unigram_eval(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q327 Good-Turing unseen mass per source over bigram types (Gale &
+# Sampson's Simple GT first step): P(unseen) ≈ N1/N and the adjusted
+# expected count of a hapax r* = 2·N2/N1 — "how much of this source's
+# next crawl is genuinely new text?", the coverage-saturation signal a
+# crawl scheduler reads (diminishing novelty → deprioritize). Bigrams,
+# not unigrams: the synthetic vocabulary is closed (~31 terms, zero
+# unigram hapax at any SF) while bigram types keep a live tail.
+# Exact-integer counts + two decimal ratios per source.
+# ---------------------------------------------------------------------------
+_Q327_ORACLE = rf"""
+WITH toks AS (
+  SELECT source, {_D_TOKENS} AS ts FROM documents
+),
+bi AS (
+  SELECT source, lower(ts[i]) || ' ' || lower(ts[i + 1]) AS bg
+  FROM toks, UNNEST(range(1, len(ts))) AS t(i)
+),
+tf AS (SELECT source, bg, COUNT(*) AS c FROM bi GROUP BY source, bg),
+agg AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(*) AS BIGINT) AS v_bigrams,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM tf GROUP BY source
+)
+SELECT source, n_bigrams, v_bigrams, n1, n2,
+       {decimal_ratio_round_sql("n1", "n_bigrams", 6)} AS p_unseen,
+       CASE WHEN n1 > 0
+            THEN {decimal_ratio_round_sql("2 * n2", "n1", 6)}
+            ELSE NULL END AS r_star_singleton
+FROM agg
+"""
+
+
+@query("q327_good_turing_novelty", oracle=_Q327_ORACLE)
+def q327_good_turing_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.corpus import good_turing_bigram_mass
+
+    return good_turing_bigram_mass(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q328 near-dup rediscovery decay by ingestion decile: as a crawl
+# ingests docs in id order, what fraction of each decile near-dups
+# something ALREADY ingested (a pair with a smaller id — q45's verified
+# MinHash pair list, where doc_id_a < doc_id_b by construction)? A
+# rising curve is the dedup-rate saturation every corpus hits at
+# scale; its slope prices the marginal crawl byte. Deciles come from
+# the exact global id rank — two-phase bucketed rank on the Spark
+# side (no single-partition window), plain ROW_NUMBER in the oracle,
+# decile = (rank−1)·10 div n (explicit integer formula on BOTH
+# engines: NTILE's remainder placement differs from equi-width and is
+# engine-trust we don't need).
+# ---------------------------------------------------------------------------
+def _q328_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q45 = ORACLES["q45_minhash_lsh_pairs"]
+    return f"""
+WITH pairs AS ({q45}),
+dup AS (SELECT DISTINCT doc_id_b AS doc_id FROM pairs),
+r AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rnk,
+         COUNT(*) OVER () AS n
+  FROM documents
+),
+d AS (
+  SELECT r.doc_id, (r.rnk - 1) * 10 // r.n AS decile,
+         CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END AS redup
+  FROM r LEFT JOIN dup USING (doc_id)
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(redup) AS BIGINT) AS n_redup,
+       {decimal_ratio_round_sql("SUM(redup)", "COUNT(*)", 6)} AS redup_rate
+FROM d GROUP BY decile
+"""
+
+
+@query("q328_redup_decay", oracle=_q328_oracle())
+def q328_redup_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        two_phase_numeric_rank,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = DD.minhash_lsh_pairs(docs, num_hashes=_NH, bands=_BANDS, threshold=0.5)
+    dup = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
+    ranked = two_phase_numeric_rank(
+        docs.select("doc_id"), "doc_id", "doc_id", "__rnk"
+    )
+    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    d = (
+        ranked.crossJoin(F.broadcast(n))
+        .join(dup.withColumn("__redup", F.lit(1)), "doc_id", "left")
+        .select(
+            F.expr("(__rnk - 1) * 10 div __n").cast("bigint").alias("decile"),
+            F.coalesce("__redup", F.lit(0)).alias("__redup"),
+        )
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__redup").cast("bigint").alias("n_redup"),
+        decimal_ratio_round(F.sum("__redup"), F.count(F.lit(1)), 6).alias(
+            "redup_rate"
+        ),
+    )
