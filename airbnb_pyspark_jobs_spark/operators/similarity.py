@@ -307,6 +307,70 @@ def knn_hubness_profile(
     )
 
 
+def rbo_rank_agreement(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    p: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    out_digits: int = 6,
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010), truncated at depth k,
+    between the cosine and raw-dot rankings per query — the
+    TOP-WEIGHTED complement of :func:`metric_rank_agreement`'s flat
+    overlap@k: RBO@k = Σ_{d=1..k} (1−p)·p^(d−1) · |A_d ∩ B_d| / d, so
+    disagreement at rank 1 costs more than at rank k (what a serving
+    ablation actually cares about). Truncated form, no extrapolation
+    residual — documented as RBO@k, not RBO_∞.
+
+    Cross-engine determinism: |A_d ∩ B_d| per depth is an exact
+    integer (an item is in both prefixes iff max(rn_a, rn_b) ≤ d); the
+    geometric weights are PYTHON-computed doubles injected as the SAME
+    repr literal into both engines (repr round-trips, both parse to
+    the identical double), and the k weighted terms fold left-to-right
+    in depth order on both sides before one final round. Returns
+    ``query_id, n_common, rbo`` for EVERY query (zero-overlap → 0.0).
+    """
+    w = [(1.0 - p) * p ** (d - 1) for d in range(1, k + 1)]
+    cosk = knn_bruteforce(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    ).select("query_id", "neighbor_id", F.col("rn").alias("__ra"))
+    dotk = knn_dot_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    ).select("query_id", "neighbor_id", F.col("rn").alias("__rb"))
+    both = cosk.join(dotk, ["query_id", "neighbor_id"]).select(
+        "query_id", F.greatest("__ra", "__rb").alias("__md")
+    )
+    per = both.groupBy("query_id").agg(
+        *[
+            F.sum(F.when(F.col("__md") <= d, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__o{d}")
+            for d in range(1, k + 1)
+        ]
+    )
+    rbo = None
+    for d in range(1, k + 1):
+        term = F.lit(w[d - 1]) * (
+            F.coalesce(F.col(f"__o{d}"), F.lit(0)).cast("double")
+            / F.lit(float(d))
+        )
+        rbo = term if rbo is None else rbo + term
+    return (
+        queries.select(F.col(id_col).alias("query_id"))
+        .join(per, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col(f"__o{k}"), F.lit(0)).cast("bigint").alias("n_common"),
+            F.round(rbo, out_digits).alias("rbo"),
+        )
+    )
+
+
 def ann_hubness_profile(
     corpus: DataFrame,
     k: int = 5,

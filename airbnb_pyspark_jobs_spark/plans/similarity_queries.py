@@ -3416,3 +3416,97 @@ def q324_ann_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=_NPROBE,
         train_iters=_ITERS,
     )
+
+
+# ---------------------------------------------------------------------------
+# q329 rank-biased overlap between cosine and dot rankings (Webber et
+# al. 2010), truncated at k — the TOP-WEIGHTED sequel to q317's flat
+# overlap@k: RBO@k = Σ_d (1−p)p^(d−1)·|A_d∩B_d|/d prices a rank-1
+# disagreement above a rank-k one, which is what an index-metric
+# ablation actually cares about. Same deterministic de-normalization
+# as q317 (cosine is scale-invariant; dot favors long vectors).
+# Per-depth prefix intersections are exact integers
+# (max(rn_a, rn_b) ≤ d); the geometric weights are injected as the
+# SAME repr literals into both engines and the k terms fold in depth
+# order — bitwise-identical doubles before one final round.
+# ---------------------------------------------------------------------------
+_RBO_P = 0.9
+
+
+def _q329_oracle() -> str:
+    k = _K
+    w = [(1.0 - _RBO_P) * _RBO_P ** (d - 1) for d in range(1, k + 1)]
+    o_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN md <= {d} THEN 1 ELSE 0 END) AS BIGINT) AS o{d}"
+        for d in range(1, k + 1)
+    )
+    rbo_terms = " + ".join(
+        f"{w[d - 1]!r} * (CAST(COALESCE(per.o{d}, 0) AS DOUBLE) / {float(d)!r})"
+        for d in range(1, k + 1)
+    )
+    return f"""
+WITH e2 AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x * ({_Q317_SCALE_SQL})) AS v
+  FROM embeddings
+),
+nrm2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e2),
+u2 AS (SELECT vec_id, list_transform(v, x -> x / n) AS vn FROM nrm2),
+qc AS (SELECT vec_id AS query_id, vn AS qv FROM u2 WHERE vec_id < {_NQ}),
+cosr AS (
+  SELECT query_id, neighbor_id, rn FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.qv, c.vn), 4) DESC,
+                      c.vec_id ASC) AS rn
+    FROM qc q, u2 c WHERE q.query_id != c.vec_id
+  ) WHERE rn <= {k}
+),
+qd AS (SELECT vec_id AS query_id, v AS qv FROM e2 WHERE vec_id < {_NQ}),
+dotr AS (
+  SELECT query_id, neighbor_id, rn FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.qv, c.v), 4) DESC,
+                      c.vec_id ASC) AS rn
+    FROM qd q, e2 c WHERE q.query_id != c.vec_id
+  ) WHERE rn <= {k}
+),
+bt AS (
+  SELECT c.query_id, greatest(c.rn, d.rn) AS md
+  FROM cosr c JOIN dotr d USING (query_id, neighbor_id)
+),
+per AS (
+  SELECT query_id,
+         {o_cols}
+  FROM bt GROUP BY query_id
+)
+SELECT qs.query_id,
+       CAST(COALESCE(per.o{k}, 0) AS BIGINT) AS n_common,
+       round({rbo_terms}, 6) AS rbo
+FROM (SELECT vec_id AS query_id FROM e2 WHERE vec_id < {_NQ}) qs
+LEFT JOIN per USING (query_id)
+"""
+
+
+@query("q329_rbo_rank_agreement", oracle=_q329_oracle())
+def q329_rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.vectors import to_double_array
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    scale = (
+        F.lit(1.0)
+        + F.pmod(F.col("vec_id"), F.lit(7)).cast("double") / F.lit(4.0)
+    )
+    scaled = emb.select(
+        "vec_id", to_double_array("embedding").alias("__v"), scale.alias("__s")
+    ).select(
+        "vec_id",
+        F.transform("__v", lambda x: x * F.col("__s")).alias("embedding"),
+    )
+    return SIM.rbo_rank_agreement(
+        scaled, scaled.filter(F.col("vec_id") < _NQ), k=_K, p=_RBO_P
+    )
