@@ -3510,3 +3510,74 @@ def q329_rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.rbo_rank_agreement(
         scaled, scaled.filter(F.col("vec_id") < _NQ), k=_K, p=_RBO_P
     )
+
+
+# ---------------------------------------------------------------------------
+# q330 IVF imbalance factor (the latency half of the quantizer audit;
+# q154 measures the recall half, q211 the per-cell angular quality):
+# with n vectors in k cells of sizes s_i, a query probing cells
+# uniformly at random scans E[s] = Σs_i²/n candidates, so
+# λ = k·Σs_i²/n² is the expected slowdown versus perfectly balanced
+# cells (λ = 1) — THE number a serving planner reads before raising
+# n_probe. Composes the verified q53 training + assignment; Σs² stays
+# exact in DECIMAL (s_i² overflows nothing at bench scale but the
+# discipline is free), one exact integer ratio at the end.
+# ---------------------------------------------------------------------------
+def _q330_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    lam = _drr(f"{_NCENT} * ss", "n * n", 6)
+    return f"""
+WITH {_D_UNIT},
+{_kmeans_ctes(_NCENT, _ITERS, prefix="m")},
+c_assign AS (
+  SELECT a.vec_id, a.cid FROM (
+    SELECT u.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                         ORDER BY {_ASSIGN_SIM} DESC, c.cid ASC) AS crn
+    FROM u, mcu{_ITERS} c
+  ) a WHERE a.crn = 1
+),
+sz AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS s FROM c_assign GROUP BY cid),
+agg AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(MAX(s) AS BIGINT) AS max_cell,
+         CAST(SUM(CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS ss
+  FROM sz
+)
+SELECT n, n_cells, max_cell, {lam} AS imbalance_factor FROM agg
+"""
+
+
+@query("q330_ivf_imbalance", oracle=_q330_oracle())
+def q330_ivf_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = SIM.kmeans_centroids(emb, k=_NCENT, iters=_ITERS)
+    sz = (
+        SIM.ivf_corpus_lists(emb, cents)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__s"))
+    )
+    d38 = "decimal(38,0)"
+    agg = sz.agg(
+        F.sum("__s").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.max("__s").cast("bigint").alias("max_cell"),
+        F.sum(F.col("__s").cast(d38) * F.col("__s").cast(d38))
+        .cast(d38)
+        .alias("__ss"),
+    )
+    return agg.select(
+        "n",
+        "n_cells",
+        "max_cell",
+        decimal_ratio_round(
+            F.lit(_NCENT) * F.col("__ss"), F.col("n") * F.col("n"), 6
+        ).alias("imbalance_factor"),
+    )

@@ -8176,3 +8176,104 @@ def q328_redup_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "redup_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q331 split-scheme leakage A/B: near-dup pairs (q45's verified list)
+# CROSSING train/val/test boundaries under the doc-hash split (q43's
+# rule) versus a GROUPED source-hash split (all docs of a source share
+# a split — the GroupKFold discipline). Doc-level hashing scatters a
+# near-dup cluster across splits whenever its members differ in id;
+# source-level hashing can only leak pairs that span SOURCES. The
+# cross-rate delta is the measured argument for grouped eval splits in
+# dedup-sensitive training. Same md5 bucket rule on both keys; pair
+# split lookup is two broadcast-friendly id joins per scheme.
+# ---------------------------------------------------------------------------
+def _q331_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q45 = ORACLES["q45_minhash_lsh_pairs"]
+    case = """CASE WHEN bucket < 8000 THEN 'train'
+              WHEN bucket < 9000 THEN 'val'
+              ELSE 'test' END"""
+    return f"""
+WITH pairs AS ({q45}),
+doc_sp AS (
+  SELECT doc_id, {case} AS split
+  FROM (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             % 10000 AS bucket
+    FROM documents
+  )
+),
+src_sp AS (
+  SELECT doc_id, {case} AS split
+  FROM (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(source), 1, 8) AS BIGINT) % 10000 AS bucket
+    FROM documents
+  )
+),
+schemes AS (
+  SELECT 'doc_hash' AS scheme, a.split AS sa, b.split AS sb
+  FROM pairs p JOIN doc_sp a ON p.doc_id_a = a.doc_id
+               JOIN doc_sp b ON p.doc_id_b = b.doc_id
+  UNION ALL
+  SELECT 'source_hash' AS scheme, a.split AS sa, b.split AS sb
+  FROM pairs p JOIN src_sp a ON p.doc_id_a = a.doc_id
+               JOIN src_sp b ON p.doc_id_b = b.doc_id
+)
+SELECT scheme,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN sa != sb THEN 1 ELSE 0 END) AS BIGINT) AS n_cross,
+       {decimal_ratio_round_sql("SUM(CASE WHEN sa != sb THEN 1 ELSE 0 END)", "COUNT(*)", 6)}
+         AS cross_rate
+FROM schemes GROUP BY scheme
+"""
+
+
+@query("q331_split_scheme_leakage", oracle=_q331_oracle())
+def q331_split_scheme_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+    from airbnb_pyspark_jobs_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    pairs = owned_persist(
+        DD.minhash_lsh_pairs(docs, num_hashes=_NH, bands=_BANDS, threshold=0.5)
+        .select("doc_id_a", "doc_id_b")
+    )
+    doc_sp = hash_split(docs.select("doc_id"), "doc_id", fr)
+    src_sp = hash_split(docs.select("doc_id", "source"), "source", fr).select(
+        "doc_id", "split"
+    )
+    out = None
+    for scheme, sp in (("doc_hash", doc_sp), ("source_hash", src_sp)):
+        j = (
+            pairs.join(
+                sp.withColumnsRenamed({"doc_id": "doc_id_a", "split": "__sa"}),
+                "doc_id_a",
+            )
+            .join(
+                sp.withColumnsRenamed({"doc_id": "doc_id_b", "split": "__sb"}),
+                "doc_id_b",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.sum(F.when(F.col("__sa") != F.col("__sb"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_cross"),
+            )
+            .select(
+                F.lit(scheme).alias("scheme"),
+                "n_pairs",
+                "n_cross",
+                decimal_ratio_round(F.col("n_cross"), F.col("n_pairs"), 6).alias(
+                    "cross_rate"
+                ),
+            )
+        )
+        out = j if out is None else out.unionByName(j)
+    return out
