@@ -307,6 +307,90 @@ def knn_hubness_profile(
     )
 
 
+def int8_quantized_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    ratio_digits: int = 4,
+) -> DataFrame:
+    """Retrieval recall@k of the int8-quantized similarity against the
+    exact cosine ranking — the ACCURACY half of the q56 compression
+    story (q56/q293 report reconstruction error, which does not by
+    itself say whether top-k retrieval survives 4× compression).
+    Quantized similarity = (scale_q · scale_c) · <codes_q, codes_c>:
+    the code dot is an EXACT integer (|code| ≤ 127, d-bounded — exact
+    in doubles), one fixed-order scale multiply, rounded before
+    ranking with id tie-breaks. Returns ``query_id, n_hit, k, recall``
+    per query (0-filled). Scale: same broadcast-query brute shape as
+    :func:`knn_bruteforce`; the production path runs the quantized
+    scoring inside the IVF/LSH candidate join instead.
+    """
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+    from airbnb_pyspark_jobs_spark.functions.vectors import abs_max, quantize_int8
+
+    def coded(df: DataFrame, out_id: str) -> DataFrame:
+        staged = df.select(
+            F.col(id_col).alias(out_id), to_double_array(vec_col).alias("__v")
+        ).select(out_id, "__v", abs_max(F.col("__v")).alias("__scale"))
+        return staged.select(
+            out_id,
+            F.col("__scale"),
+            quantize_int8(F.col("__v"), F.col("__scale")).alias("__codes"),
+        ).select(
+            out_id,
+            "__scale",
+            F.transform("__codes", lambda x: x.cast("double")).alias("__cd"),
+        )
+
+    c = coded(corpus, "neighbor_id")
+    q = coded(queries, "query_id").withColumnsRenamed(
+        {"__scale": "__sq", "__cd": "__qd"}
+    )
+    qsims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                (F.col("__sq") * F.col("__scale")) * dot(F.col("__qd"), F.col("__cd")),
+                round_digits,
+            ).alias("__qs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__qs").desc(), F.col("neighbor_id").asc()
+    )
+    qtop = (
+        qsims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    exact = knn_bruteforce(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    ).select("query_id", "neighbor_id")
+    hits = qtop.join(exact, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return (
+        queries.select(F.col(id_col).alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.lit(int(k)).cast("bigint").alias("k"),
+            decimal_ratio_round(
+                F.coalesce("n_hit", F.lit(0)).cast("bigint"), F.lit(int(k)),
+                ratio_digits,
+            ).alias("recall"),
+        )
+    )
+
+
 def rbo_rank_agreement(
     corpus: DataFrame,
     queries: DataFrame,

@@ -3581,3 +3581,77 @@ def q330_ivf_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_NCENT) * F.col("__ss"), F.col("n") * F.col("n"), 6
         ).alias("imbalance_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q332 int8-quantized retrieval recall@k: does top-k retrieval survive
+# the q56 4× compression? q56/q293 report reconstruction error, which
+# is a proxy; this ranks by the quantized similarity
+# (scale_q·scale_c)·<codes_q,codes_c> (exact integer code dot, one
+# fixed-order scale multiply, rounded before ranking) and measures
+# per-query overlap with the exact cosine top-k. The oracle replays
+# quantization (q56's CTEs), both rankings, and the recall ratio.
+# ---------------------------------------------------------------------------
+def _q332_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    recall = _drr("COALESCE(h.n_hit, 0)", str(_K), 4)
+    return f"""
+WITH {_D_UNIT},
+sq AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+qc AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                                     ELSE CAST(round(x / scale * 127) AS INT)
+                                END) AS codes
+  FROM sq
+),
+qq AS (SELECT vec_id AS query_id, scale AS sc_q,
+              CAST(codes AS DOUBLE[]) AS cd_q
+       FROM qc WHERE vec_id < {_NQ}),
+qsims AS (
+  SELECT qq.query_id, c.vec_id AS neighbor_id,
+         round((qq.sc_q * c.scale)
+               * list_dot_product(qq.cd_q, CAST(c.codes AS DOUBLE[])), 4) AS qs
+  FROM qq, qc c WHERE qq.query_id != c.vec_id
+),
+qtop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY qs DESC, neighbor_id ASC) AS rn
+    FROM qsims
+  ) WHERE rn <= {_K}
+),
+qx AS (SELECT vec_id AS query_id, vn AS qv FROM u WHERE vec_id < {_NQ}),
+etop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.qv, c.vn), 4) DESC,
+                      c.vec_id ASC) AS rn
+    FROM qx q, u c WHERE q.query_id != c.vec_id
+  ) WHERE rn <= {_K}
+),
+h AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM qtop JOIN etop USING (query_id, neighbor_id)
+  GROUP BY query_id
+)
+SELECT qs.query_id,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST({_K} AS BIGINT) AS k,
+       {recall} AS recall
+FROM (SELECT vec_id AS query_id FROM e WHERE vec_id < {_NQ}) qs
+LEFT JOIN h USING (query_id)
+"""
+
+
+@query("q332_int8_recall", oracle=_q332_oracle())
+def q332_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.int8_quantized_recall(
+        emb, emb.filter(F.col("vec_id") < _NQ), k=_K
+    )
