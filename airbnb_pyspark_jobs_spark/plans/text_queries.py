@@ -8277,3 +8277,145 @@ def q331_split_scheme_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = j if out is None else out.unionByName(j)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q333 temporal vocabulary drift: JSD of each ingestion decile's term
+# distribution against decile 0 — q237's pairwise-source machinery
+# pointed along the CRAWL TIME axis (q328's decile rule), the
+# distribution-shift twin of q328's dedup-saturation curve: rising
+# JSD(0, d) means the corpus the model will train on no longer looks
+# like the corpus that was profiled. Only the (0, d) pairs
+# materialize; the intersection identity, the ln-round-DECIMAL term
+# recipe and the rounded ln2 literal are exactly q237's.
+# ---------------------------------------------------------------------------
+_Q333_ORACLE = rf"""
+WITH r AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rnk,
+         COUNT(*) OVER () AS n
+  FROM documents
+),
+dec AS (SELECT doc_id, (rnk - 1) * 10 // n AS decile FROM r),
+toks AS (
+  SELECT dec.decile, lower(t) AS term
+  FROM (SELECT doc_id, UNNEST({_D_TOKENS}) AS t FROM documents) x
+  JOIN dec USING (doc_id)
+),
+st AS (SELECT decile, term, CAST(COUNT(*) AS BIGINT) AS cst
+       FROM toks GROUP BY 1, 2),
+stot AS (SELECT decile, CAST(SUM(cst) AS BIGINT) AS ns FROM st GROUP BY 1),
+pr AS (
+  SELECT b.decile AS db, a.cst AS ca, b.cst AS cb, ta.ns AS na, tb.ns AS nb
+  FROM st a
+  JOIN st b ON a.term = b.term AND a.decile = 0 AND b.decile > 0
+  JOIN stot ta ON ta.decile = 0
+  JOIN stot tb ON tb.decile = b.decile
+),
+j AS (
+  SELECT db, MAX(na) AS na, MAX(nb) AS nb,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+         CAST(SUM(ca) AS BIGINT) AS ia, CAST(SUM(cb) AS BIGINT) AS ib,
+         CAST(SUM(CAST(round(
+           (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+           * round(ln(CAST(2.0 AS DOUBLE)
+                      * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                      / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                         + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))), 6),
+           12) AS DECIMAL(32,12))) AS DECIMAL(32,12)) AS s1,
+         CAST(SUM(CAST(round(
+           (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+           * round(ln(CAST(2.0 AS DOUBLE)
+                      * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                      / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                         + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))), 6),
+           12) AS DECIMAL(32,12))) AS DECIMAL(32,12)) AS s2
+  FROM pr GROUP BY db
+)
+SELECT CAST(db AS BIGINT) AS decile, n_shared_terms,
+       round(CAST(0.5 AS DOUBLE) * CAST(s1 + s2 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)
+               * (CAST(2.0 AS DOUBLE)
+                  - CAST(ia AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(ib AS DOUBLE) / CAST(nb AS DOUBLE))
+               * CAST(0.693147 AS DOUBLE), 6)
+         + CAST(0 AS DOUBLE) AS jsd_vs_first
+FROM j
+"""
+
+
+@query("q333_temporal_vocab_drift", oracle=_Q333_ORACLE)
+def q333_temporal_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        two_phase_numeric_rank,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    ranked = two_phase_numeric_rank(
+        docs.select("doc_id"), "doc_id", "doc_id", "__rnk"
+    )
+    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    dec = ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id", F.expr("(__rnk - 1) * 10 div __n").cast("bigint").alias("__dec")
+    )
+    toks = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("__t"))
+        .join(dec, "doc_id")
+        .select("__dec", F.lower("__t").alias("term"))
+    )
+    st = owned_persist(
+        toks.groupBy("__dec", "term").agg(
+            F.count(F.lit(1)).cast("bigint").alias("__c")
+        )
+    )
+    stot = st.groupBy("__dec").agg(F.sum("__c").cast("bigint").alias("__ns"))
+    a = st.filter(F.col("__dec") == 0).select("term", F.col("__c").alias("__ca"))
+    b = st.filter(F.col("__dec") > 0).select(
+        F.col("__dec").alias("__db"), "term", F.col("__c").alias("__cb")
+    )
+    na = stot.filter(F.col("__dec") == 0).select(F.col("__ns").alias("__na"))
+    pr = (
+        a.join(b, "term")
+        .crossJoin(F.broadcast(na))
+        .join(
+            F.broadcast(
+                stot.select(F.col("__dec").alias("__db"), F.col("__ns").alias("__nb"))
+            ),
+            "__db",
+        )
+    )
+    p = F.col("__ca").cast("double") / F.col("__na").cast("double")
+    q = F.col("__cb").cast("double") / F.col("__nb").cast("double")
+    t1 = F.round(
+        p * F.round(F.log(F.lit(2.0) * p / (p + q)), 6), 12
+    ).cast("decimal(32,12)")
+    t2 = F.round(
+        q * F.round(F.log(F.lit(2.0) * q / (p + q)), 6), 12
+    ).cast("decimal(32,12)")
+    j = pr.groupBy("__db").agg(
+        F.max("__na").alias("__na"),
+        F.max("__nb").alias("__nb"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
+        F.sum("__ca").cast("bigint").alias("__ia"),
+        F.sum("__cb").cast("bigint").alias("__ib"),
+        F.sum(t1).cast("decimal(32,12)").alias("__s1"),
+        F.sum(t2).cast("decimal(32,12)").alias("__s2"),
+    )
+    return j.select(
+        F.col("__db").cast("bigint").alias("decile"),
+        "n_shared_terms",
+        (
+            F.round(
+                F.lit(0.5) * (F.col("__s1") + F.col("__s2")).cast("double")
+                + F.lit(0.5)
+                * (
+                    F.lit(2.0)
+                    - F.col("__ia").cast("double") / F.col("__na").cast("double")
+                    - F.col("__ib").cast("double") / F.col("__nb").cast("double")
+                )
+                * F.lit(0.693147),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("jsd_vs_first"),
+    )
