@@ -660,3 +660,117 @@ def materialize_fingerprint_spectrum(
     return stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Good-Turing novelty monitor (the q327 twin): per-batch
+# (source, bigram) COUNT partials — the same additive, idempotent
+# batch_id-keyed shape as the rollup sums, so retries overwrite
+# byte-identically and compact_partials' default-algebra cousin
+# applies (fold = grouped count sum). The GT statistics (N, V, N1, N2,
+# P_unseen, r*) are NOT mergeable themselves — counts-of-counts lose
+# identity under addition — which is exactly why the PARTIALS store
+# raw bigram counts and the read side re-derives the spectrum from the
+# merged counts (the sketch-family lesson: persist the mergeable
+# representation, derive the statistic at read time).
+# ---------------------------------------------------------------------------
+def write_bigram_partial(
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch → (group, bigram, c) partial under batch_id=N."""
+    from airbnb_pyspark_jobs_spark.functions.text import tokens
+
+    base = batch.select(
+        F.col(group_col).alias("g"), tokens(text_col).alias("__tk")
+    )
+    pair_len = F.greatest(F.size("__tk") - 1, F.lit(0))
+    bg = base.select(
+        "g",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("__tk"), 1, pair_len).alias("a"),
+                F.slice(F.col("__tk"), 2, pair_len).alias("b"),
+            )
+        ).alias("__e"),
+    ).select(
+        "g",
+        F.concat_ws(" ", F.lower(F.col("__e.a")), F.lower(F.col("__e.b"))).alias(
+            "bg"
+        ),
+    )
+    bg.groupBy("g", "bg").agg(F.count(F.lit(1)).cast("bigint").alias("c")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, PARTIAL_DIRNAME.format(n=batch_id)))
+
+
+def materialize_bigram_stream(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    group_col: str = "source",
+    text_col: str = "text",
+):
+    """Wire a doc stream into bigram-count partials; returns the
+    DataStreamWriter (caller picks the trigger and starts it)."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        write_bigram_partial(batch, batch_id, path, group_col, text_col)
+
+    return stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+
+
+def compact_bigram_partials(
+    spark: SparkSession, path: str, before_batch: int | None = None
+) -> int:
+    """Fold the bigram-count partials (grouped sum — the additive
+    algebra) into the batch_id=-1 base; same manifest protocol and
+    ``before_batch`` replay contract as :func:`compact_partials`."""
+    return compact_partials(
+        spark,
+        path,
+        key_cols=["g", "bg"],
+        fold=lambda c: c.groupBy("g", "bg").agg(
+            F.sum("c").cast("bigint").alias("c")
+        ),
+        before_batch=before_batch,
+    )
+
+
+def read_good_turing(spark: SparkSession, path: str) -> DataFrame:
+    """Current Good-Turing novelty per group from the merged bigram
+    counts: ``g, n_bigrams, v_bigrams, n1, n2, p_unseen,
+    r_star_singleton`` — the q327 statistics over everything ingested
+    so far (equality with the batch operator on the same docs is
+    asserted in tests/test_streaming_aggregates.py)."""
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    merged = (
+        spark.read.option("basePath", path)
+        .parquet(path)
+        .groupBy("g", "bg")
+        .agg(F.sum("c").cast("bigint").alias("__c"))
+    )
+    agg = merged.groupBy("g").agg(
+        F.sum("__c").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("v_bigrams"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("__c") == 2, 1).otherwise(0)).cast("bigint").alias("n2"),
+    )
+    return agg.select(
+        "g",
+        "n_bigrams",
+        "v_bigrams",
+        "n1",
+        "n2",
+        decimal_ratio_round(F.col("n1"), F.col("n_bigrams"), 6).alias("p_unseen"),
+        F.when(
+            F.col("n1") > 0,
+            decimal_ratio_round(2 * F.col("n2"), F.col("n1"), 6),
+        ).alias("r_star_singleton"),
+    )

@@ -657,3 +657,58 @@ def test_compact_partials_before_batch_excludes_running_batch(spark, tmp_path):
         .first()["t"]
     )
     assert seen == 3.0
+
+
+def test_streaming_good_turing_equals_batch(spark, tmp_path):
+    """q327's streaming twin: bigram-count partials written per batch
+    (idempotent batch_id dirs), read-side GT equals the batch operator
+    over the union — before AND after compaction, and after a replay."""
+    import os
+
+    from airbnb_pyspark_jobs_spark.operators.corpus import good_turing_bigram_mass
+    from airbnb_pyspark_jobs_spark.streaming.aggregates import (
+        compact_bigram_partials,
+        read_good_turing,
+        write_bigram_partial,
+    )
+
+    path = str(tmp_path / "gt")
+    batches = [
+        [(1, "a b c a b", "s1"), (2, "x y", "s2")],
+        [(3, "a b c", "s1"), (4, "x y x y z", "s2")],
+        [(5, "c a b c", "s1")],
+    ]
+    schema = "doc_id long, text string, source string"
+    for bid, rows in enumerate(batches):
+        write_bigram_partial(spark.createDataFrame(rows, schema), bid, path)
+
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    want = sorted(
+        tuple(r) for r in good_turing_bigram_mass(all_docs).collect()
+    )
+    got = lambda: sorted(  # noqa: E731
+        tuple(r) for r in read_good_turing(spark, path).collect()
+    )
+    assert got() == want
+
+    # replay batch 1 (foreachBatch retry): byte-stable, still equal
+    write_bigram_partial(spark.createDataFrame(batches[1], schema), 1, path)
+    assert got() == want
+
+    # compact: one base dir, identical read
+    assert compact_bigram_partials(spark, path) == 3
+    dirs = [d for d in os.listdir(path) if d.startswith("batch_id=")]
+    assert dirs == ["batch_id=-1"]
+    assert got() == want
+
+    # the stream continues after compaction; new hapax shifts N1
+    write_bigram_partial(
+        spark.createDataFrame([(6, "q r", "s2")], schema), 3, path
+    )
+    all2 = spark.createDataFrame(
+        [r for b in batches for r in b] + [(6, "q r", "s2")], schema
+    )
+    want2 = sorted(tuple(r) for r in good_turing_bigram_mass(all2).collect())
+    assert got() == want2
