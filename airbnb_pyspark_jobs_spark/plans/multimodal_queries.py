@@ -245,3 +245,62 @@ def q322_audio_fp_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.groupBy("fingerprint").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_media")
     )
+
+
+# ---------------------------------------------------------------------------
+# q334 image aHash collision spectrum — the IMAGE twin of q322's audio
+# spectrum, and the exact-equality complement of q146's banded
+# hamming pairs: group identical 64-bit aHashes and report the
+# multiplicity histogram (how many distinct hash values are shared by
+# m medias). A spiked spectrum means aHash-equality blocking would
+# merge unrelated images on this corpus; a flat one licenses the cheap
+# equality pre-cluster before the q146 hamming join. The signature is
+# grouped on the 8 band ints directly (assembling one bigint would
+# push band 7 into bit 56+ and overflow the signed shift); the oracle
+# reuses q146's sig CTE verbatim.
+# ---------------------------------------------------------------------------
+_Q334_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id, i,
+         ord(substr(text, ((i * length(text)) // 64) + 1, 1)) AS v
+  FROM documents, UNNEST(range(0, 64)) AS t(i)
+),
+s AS (SELECT doc_id, SUM(v) AS psum FROM px GROUP BY doc_id),
+bits AS (
+  SELECT px.doc_id, px.i,
+         CASE WHEN 64 * px.v > s.psum THEN 1 ELSE 0 END AS bit
+  FROM px JOIN s USING (doc_id)
+),
+sig AS (SELECT doc_id, {_ph_cols} FROM bits GROUP BY doc_id),
+cnt AS (
+  SELECT {_ph_all}, CAST(COUNT(*) AS BIGINT) AS c
+  FROM sig GROUP BY {_ph_all}
+)
+SELECT c AS multiplicity,
+       CAST(COUNT(*) AS BIGINT) AS n_hashes,
+       CAST(SUM(c) AS BIGINT) AS n_media
+FROM cnt GROUP BY c
+"""
+
+
+@query("q334_image_phash_spectrum", oracle=_Q334_ORACLE)
+def q334_image_phash_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.multimodal import (
+        PHASH_BANDS,
+        perceptual_hash,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    media = repartition_by_bytes(media, 4 << 20)
+    bands = [f"b{b}" for b in range(PHASH_BANDS)]
+    cnt = perceptual_hash(media).groupBy(*bands).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    return cnt.groupBy(F.col("__c").alias("multiplicity")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
+        F.sum("__c").cast("bigint").alias("n_media"),
+    )
