@@ -8419,3 +8419,74 @@ def q333_temporal_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("jsd_vs_first"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q335 corpus drift dashboard — the cover-page row for the round-9
+# drift family (the q300 readiness-dashboard pattern): the newest
+# ingestion decile's vocabulary JSD vs decile 0 (q333), its near-dup
+# rediscovery rate (q328), and the corpus-wide Good-Turing unseen mass
+# over bigram types (q327 collapsed to one stratum). Three verified
+# oracles composed into ONE row a crawl scheduler reads: rising JSD =
+# the corpus is drifting from its profile, rising redup = the crawl is
+# saturating, falling p_unseen = new text is running out.
+# ---------------------------------------------------------------------------
+def _q335_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q333 = ORACLES["q333_temporal_vocab_drift"]
+    q328 = ORACLES["q328_redup_decay"]
+    return f"""
+WITH drift AS ({q333}),
+redup AS ({q328}),
+toks AS (SELECT {_D_TOKENS} AS ts FROM documents),
+bi AS (
+  SELECT lower(ts[i]) || ' ' || lower(ts[i + 1]) AS bg
+  FROM toks, UNNEST(range(1, len(ts))) AS t(i)
+),
+tf AS (SELECT bg, COUNT(*) AS c FROM bi GROUP BY bg),
+gt AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM tf
+),
+last_drift AS (
+  SELECT jsd_vs_first FROM drift ORDER BY decile DESC LIMIT 1
+),
+last_redup AS (
+  SELECT redup_rate FROM redup ORDER BY decile DESC LIMIT 1
+)
+SELECT ld.jsd_vs_first AS newest_decile_jsd,
+       lr.redup_rate AS newest_decile_redup_rate,
+       {decimal_ratio_round_sql("gt.n1", "gt.n", 6)} AS corpus_p_unseen
+FROM last_drift ld, last_redup lr, gt
+"""
+
+
+@query("q335_corpus_drift_dashboard", oracle=_q335_oracle())
+def q335_corpus_drift_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+    from airbnb_pyspark_jobs_spark.operators.corpus import good_turing_bigram_mass
+
+    docs = load_table(spark, "documents", sf_dir)
+    drift = q333_temporal_vocab_drift(spark, sf_dir)
+    redup = q328_redup_decay(spark, sf_dir)
+    ld = (
+        drift.orderBy(F.col("decile").desc())
+        .limit(1)
+        .select(F.col("jsd_vs_first").alias("newest_decile_jsd"))
+    )
+    lr = (
+        redup.orderBy(F.col("decile").desc())
+        .limit(1)
+        .select(F.col("redup_rate").alias("newest_decile_redup_rate"))
+    )
+    gt = (
+        good_turing_bigram_mass(docs.withColumn("__all", F.lit("all")), group_col="__all")
+        .select(
+            decimal_ratio_round(F.col("n1"), F.col("n_bigrams"), 6).alias(
+                "corpus_p_unseen"
+            )
+        )
+    )
+    return ld.crossJoin(F.broadcast(lr)).crossJoin(F.broadcast(gt))
