@@ -8490,3 +8490,66 @@ def q335_corpus_drift_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ld.crossJoin(F.broadcast(lr)).crossJoin(F.broadcast(gt))
+
+
+# ---------------------------------------------------------------------------
+# q336 vocabulary-growth budget planner: given q308's per-source Heaps
+# fit ln V = a + β·ln N, project the vocabulary a 10× crawl of each
+# source would reach — the capacity number a tokenizer/vocab-size
+# decision needs BEFORE the crawl is paid for. Exactness: a is q308's
+# exact MILLI-unit intercept, β its double (both already cross-engine
+# verified); ln(10N) rounds to 6 like every ln in the family; the
+# projected ln V is reported in exact milli-units (no exp), and the
+# human-readable count goes through the q314 exp recipe (round the
+# libm exp to integer units IMMEDIATELY — the one permitted use).
+# ---------------------------------------------------------------------------
+def _q336_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q308 = ORACLES["q308_heaps_law_fit"]
+    x = (
+        "(CAST(h.heaps_intercept_milli AS DOUBLE) / 1000.0)"
+        " + h.heaps_beta * round(ln(CAST(10 * t.n_tokens AS DOUBLE)), 6)"
+    )
+    return f"""
+WITH h AS ({q308}),
+toks AS (
+  SELECT source, lower(t) AS term
+  FROM (SELECT source, UNNEST({_D_TOKENS}) AS t FROM documents)
+),
+t AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT term) AS BIGINT) AS v_terms
+  FROM toks GROUP BY source
+)
+SELECT h.source, t.n_tokens, t.v_terms, h.heaps_beta,
+       CAST(round(({x}) * 1000) AS BIGINT) AS proj_ln_v_milli_10x,
+       CAST(round(exp({x})) AS BIGINT) AS projected_v_10x
+FROM h JOIN t USING (source)
+"""
+
+
+@query("q336_vocab_budget_planner", oracle=_q336_oracle())
+def q336_vocab_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    h = q308_heaps_law_fit(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(TX.tokens("text")).alias("__t")
+    ).select("source", F.lower("__t").alias("term"))
+    t = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("term").cast("bigint").alias("v_terms"),
+    )
+    x = (
+        F.col("heaps_intercept_milli").cast("double") / F.lit(1000.0)
+        + F.col("heaps_beta")
+        * F.round(F.log((10 * F.col("n_tokens")).cast("double")), 6)
+    )
+    return h.join(t, "source").select(
+        "source",
+        "n_tokens",
+        "v_terms",
+        "heaps_beta",
+        F.round(x * 1000).cast("bigint").alias("proj_ln_v_milli_10x"),
+        F.round(F.exp(x)).cast("bigint").alias("projected_v_10x"),
+    )
