@@ -3655,3 +3655,80 @@ def q332_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.int8_quantized_recall(
         emb, emb.filter(F.col("vec_id") < _NQ), k=_K
     )
+
+
+# ---------------------------------------------------------------------------
+# q338 embedding-centroid drift by ingestion decile — the EMBEDDING
+# axis of the drift suite (q333 = vocabulary JSD, q328 = dedup
+# saturation, q337 = quality keep-rate): cosine between each vec_id
+# decile's centroid and decile 0's, via the verified q151 machinery
+# (rounded-DECIMAL per-dim means, rounded-DECIMAL dot/norm sums, one
+# sqrt/divide). A falling curve means the embedding distribution the
+# retrieval index was trained on is drifting under it. Deciles from
+# the exact two-phase global rank; only the (0, d) pairs survive.
+# ---------------------------------------------------------------------------
+_Q338_ORACLE = """
+WITH r AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rnk,
+         COUNT(*) OVER () AS n
+  FROM embeddings
+),
+dec AS (SELECT vec_id, (rnk - 1) * 10 // n AS decile FROM r),
+ex AS (
+  SELECT dec.decile, generate_subscripts(e.embedding, 1) AS dim,
+         round(CAST(unnest(e.embedding) AS DOUBLE), 9) AS v
+  FROM embeddings e JOIN dec USING (vec_id)
+),
+cen AS (
+  SELECT decile, dim,
+         round(CAST(SUM(CAST(v AS DECIMAL(30,9))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 9) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ex GROUP BY decile, dim
+),
+sizes AS (SELECT decile, MAX(n) AS n FROM cen GROUP BY decile),
+norms AS (SELECT decile, SUM(CAST(round(m * m, 12) AS DECIMAL(32,12))) AS nrm2
+          FROM cen GROUP BY decile),
+dots AS (
+  SELECT b.decile AS db,
+         SUM(CAST(round(a.m * b.m, 12) AS DECIMAL(32,12))) AS dot
+  FROM cen a JOIN cen b ON a.dim = b.dim AND a.decile = 0 AND b.decile > 0
+  GROUP BY b.decile
+)
+SELECT CAST(d.db AS BIGINT) AS decile, s0.n AS n_first, sb.n AS n_decile,
+       round(CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(n0.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE))),
+             4) AS cos_vs_first
+FROM dots d
+JOIN norms n0 ON n0.decile = 0
+JOIN norms nb ON d.db = nb.decile
+JOIN sizes s0 ON s0.decile = 0
+JOIN sizes sb ON d.db = sb.decile
+"""
+
+
+@query("q338_embedding_drift_by_decile", oracle=_Q338_ORACLE)
+def q338_embedding_drift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        two_phase_numeric_rank,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    ranked = two_phase_numeric_rank(
+        emb.select("vec_id"), "vec_id", "vec_id", "__rnk"
+    )
+    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    dec = ranked.crossJoin(F.broadcast(n)).select(
+        "vec_id", F.expr("(__rnk - 1) * 10 div __n").cast("bigint").alias("__dec")
+    )
+    pairs = SIM.label_centroid_cosines(
+        emb.join(dec, "vec_id"), label_col="__dec"
+    )
+    # label_a < label_b and decile 0 is the minimum, so (0, d) pairs
+    # are exactly the label_a == 0 rows
+    return pairs.filter(F.col("label_a") == 0).select(
+        F.col("label_b").cast("bigint").alias("decile"),
+        F.col("n_a").alias("n_first"),
+        F.col("n_b").alias("n_decile"),
+        F.col("cos_sim").alias("cos_vs_first"),
+    )

@@ -8553,3 +8553,108 @@ def q336_vocab_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(x * 1000).cast("bigint").alias("proj_ln_v_milli_10x"),
         F.round(F.exp(x)).cast("bigint").alias("projected_v_10x"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q337 quality-gate drift by ingestion decile — the QUALITY axis of
+# the drift suite (q328 = dedup saturation, q333 = vocabulary JSD):
+# per ingestion decile, the q49 gate's keep rate and the dominant drop
+# reason. A falling keep rate along the crawl means the frontier is
+# mining lower-quality strata — the number that prices continued
+# crawling next to q327's unseen mass. Composes the verified q49
+# oracle; deciles via the exact global rank (two-phase, no
+# single-partition window), mode-of-drop-reason via a deterministic
+# (count DESC, reason ASC) pick.
+# ---------------------------------------------------------------------------
+def _q337_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q49 = ORACLES["q49_quality_filter"]
+    return f"""
+WITH gate AS ({q49}),
+r AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rnk,
+         COUNT(*) OVER () AS n
+  FROM documents
+),
+d AS (
+  SELECT g.doc_id, (r.rnk - 1) * 10 // r.n AS decile, g.keep, g.drop_reason
+  FROM gate g JOIN r USING (doc_id)
+),
+agg AS (
+  SELECT CAST(decile AS BIGINT) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM d GROUP BY decile
+),
+reasons AS (
+  SELECT CAST(decile AS BIGINT) AS decile, drop_reason,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM d WHERE NOT keep GROUP BY decile, drop_reason
+),
+top_reason AS (
+  SELECT decile, drop_reason AS top_drop_reason FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY decile ORDER BY c DESC, drop_reason ASC) AS rn
+    FROM reasons
+  ) WHERE rn = 1
+)
+SELECT a.decile, a.n_docs, a.n_kept,
+       {decimal_ratio_round_sql("a.n_kept", "a.n_docs", 6)} AS keep_rate,
+       t.top_drop_reason
+FROM agg a LEFT JOIN top_reason t USING (decile)
+"""
+
+
+@query("q337_quality_drift_by_decile", oracle=_q337_oracle())
+def q337_quality_drift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+    from airbnb_pyspark_jobs_spark.operators.corpus import quality_filter
+    from airbnb_pyspark_jobs_spark.operators.sampling import (
+        two_phase_numeric_rank,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    gate = quality_filter(docs).select("doc_id", "keep", "drop_reason")
+    ranked = two_phase_numeric_rank(
+        docs.select("doc_id"), "doc_id", "doc_id", "__rnk"
+    )
+    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    d = gate.join(
+        ranked.crossJoin(F.broadcast(n)).select(
+            "doc_id",
+            F.expr("(__rnk - 1) * 10 div __n").cast("bigint").alias("decile"),
+        ),
+        "doc_id",
+    )
+    agg = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+    )
+    reasons = (
+        d.filter(~F.col("keep"))
+        .groupBy("decile", "drop_reason")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy("decile").orderBy(
+        F.col("__c").desc(), F.col("drop_reason").asc()
+    )
+    top = (
+        reasons.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("decile", F.col("drop_reason").alias("top_drop_reason"))
+    )
+    return (
+        agg.join(top, "decile", "left")
+        .select(
+            "decile",
+            "n_docs",
+            "n_kept",
+            decimal_ratio_round(F.col("n_kept"), F.col("n_docs"), 6).alias(
+                "keep_rate"
+            ),
+            "top_drop_reason",
+        )
+    )
