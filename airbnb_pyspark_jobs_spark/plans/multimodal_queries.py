@@ -304,3 +304,80 @@ def q334_image_phash_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
         F.sum("__c").cast("bigint").alias("n_media"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q340 cross-modality dedup agreement: do the TEXT near-dup pairs
+# (q45's MinHash-LSH) and the IMAGE near-dup pairs (q146's aHash
+# hamming, over payloads derived from the same documents) find the
+# same duplicate pairs? The q183 agreement shape pointed across
+# modalities — the audit a mixed-modality dedup pipeline runs before
+# trusting ONE modality's verdict to delete the other modality's
+# bytes. Full-outer over the two verified pair sets; counts + one
+# rounded pair-Jaccard.
+# ---------------------------------------------------------------------------
+def _q340_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q45 = ORACLES["q45_minhash_lsh_pairs"]
+    q146 = ORACLES["q146_media_phash_pairs"]
+    return f"""
+WITH tx AS (SELECT doc_id_a, doc_id_b FROM ({q45})),
+im AS (SELECT media_id_a AS doc_id_a, media_id_b AS doc_id_b FROM ({q146})),
+u AS (
+  SELECT (t.doc_id_a IS NOT NULL) AS in_text,
+         (i.doc_id_a IS NOT NULL) AS in_image
+  FROM tx t FULL OUTER JOIN im i
+    ON t.doc_id_a = i.doc_id_a AND t.doc_id_b = i.doc_id_b
+)
+SELECT
+  CAST(COALESCE(SUM(CASE WHEN in_text THEN 1 END), 0) AS BIGINT) AS n_text,
+  CAST(COALESCE(SUM(CASE WHEN in_image THEN 1 END), 0) AS BIGINT) AS n_image,
+  CAST(COALESCE(SUM(CASE WHEN in_text AND in_image THEN 1 END), 0) AS BIGINT)
+    AS n_both,
+  CAST(COUNT(*) AS BIGINT) AS n_union,
+  round(CAST(COALESCE(SUM(CASE WHEN in_text AND in_image THEN 1 END), 0)
+             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS pair_jaccard
+FROM u
+"""
+
+
+@query("q340_modality_dedup_agreement", oracle=_q340_oracle())
+def q340_modality_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators import dedupe as DD
+
+    docs = load_table(spark, "documents", sf_dir)
+    # same configs as the two source queries (q45 / q146)
+    from airbnb_pyspark_jobs_spark.plans.text_queries import _BANDS, _NH
+
+    tx = DD.minhash_lsh_pairs(
+        docs, num_hashes=_NH, bands=_BANDS, threshold=0.5
+    ).select("doc_id_a", "doc_id_b")
+    im = q146_media_phash_pairs(spark, sf_dir).select(
+        F.col("media_id_a").alias("doc_id_a"),
+        F.col("media_id_b").alias("doc_id_b"),
+    )
+    u = tx.withColumn("__t", F.lit(1)).join(
+        im.withColumn("__i", F.lit(1)), ["doc_id_a", "doc_id_b"], "full_outer"
+    )
+    return u.agg(
+        F.coalesce(F.sum("__t"), F.lit(0)).cast("bigint").alias("n_text"),
+        F.coalesce(F.sum("__i"), F.lit(0)).cast("bigint").alias("n_image"),
+        F.coalesce(
+            F.sum(F.when(F.col("__t").isNotNull() & F.col("__i").isNotNull(), 1)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_both"),
+        F.count(F.lit(1)).cast("bigint").alias("n_union"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("__t").isNotNull() & F.col("__i").isNotNull(), 1)
+                ),
+                F.lit(0),
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("pair_jaccard"),
+    )

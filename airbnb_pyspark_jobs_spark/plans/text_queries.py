@@ -8658,3 +8658,58 @@ def q337_quality_drift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_drop_reason",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q339 shard-balance audit: the straggler readout for q152's
+# token-balanced shards — per-shard token totals rolled up to ONE row
+# (min/max/mean tokens per shard, max/mean imbalance ratio, doc-count
+# spread). The imbalance ratio is what a training scheduler reads:
+# step time is the SLOWEST shard, so imbalance − 1 is the fraction of
+# every step spent waiting. Composes the verified q152 oracle; the
+# rollup is shards-sized (8 rows), all exact integers + one decimal
+# ratio.
+# ---------------------------------------------------------------------------
+def _q339_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q152 = ORACLES["q152_token_balanced_shards"]
+    return f"""
+WITH shards AS ({q152}),
+per AS (
+  SELECT shard, CAST(SUM(n_tok) AS BIGINT) AS tok,
+         CAST(COUNT(*) AS BIGINT) AS docs
+  FROM shards GROUP BY shard
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       CAST(MIN(tok) AS BIGINT) AS min_shard_tokens,
+       CAST(MAX(tok) AS BIGINT) AS max_shard_tokens,
+       CAST(MIN(docs) AS BIGINT) AS min_shard_docs,
+       CAST(MAX(docs) AS BIGINT) AS max_shard_docs,
+       {decimal_ratio_round_sql("MAX(tok) * COUNT(*)", "SUM(tok)", 6)}
+         AS max_over_mean
+FROM per
+"""
+
+
+@query("q339_shard_balance_audit", oracle=_q339_oracle())
+def q339_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    shards = q152_token_balanced_shards(spark, sf_dir)
+    per = shards.groupBy("shard").agg(
+        F.sum("n_tok").cast("bigint").alias("__tok"),
+        F.count(F.lit(1)).cast("bigint").alias("__docs"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.sum("__tok").cast("bigint").alias("total_tokens"),
+        F.min("__tok").cast("bigint").alias("min_shard_tokens"),
+        F.max("__tok").cast("bigint").alias("max_shard_tokens"),
+        F.min("__docs").cast("bigint").alias("min_shard_docs"),
+        F.max("__docs").cast("bigint").alias("max_shard_docs"),
+        decimal_ratio_round(
+            F.max("__tok") * F.count(F.lit(1)), F.sum("__tok"), 6
+        ).alias("max_over_mean"),
+    )
