@@ -8713,3 +8713,51 @@ def q339_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("__tok") * F.count(F.lit(1)), F.sum("__tok"), 6
         ).alias("max_over_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q341 pack-purity report: how much cross-document attention
+# contamination does q36's concat-and-split packing create? A pack
+# holding chunks from ≥2 documents lets tokens attend across document
+# boundaries unless the trainer masks them — this one-row report
+# (n_packs, pure-pack share, mean docs/pack, worst pack) is the number
+# that decides whether boundary masking is worth its attention-kernel
+# cost on this corpus. Composes the verified q36 oracle; exact
+# integers + two decimal ratios.
+# ---------------------------------------------------------------------------
+def _q341_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.plans.queries import ORACLES
+
+    q36 = ORACLES["q36_pack_sequences"]
+    return f"""
+WITH packs AS ({q36})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_packs,
+       CAST(SUM(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pure,
+       {decimal_ratio_round_sql("SUM(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END)", "COUNT(*)", 6)}
+         AS pure_rate,
+       {decimal_ratio_round_sql("SUM(n_docs)", "COUNT(*)", 6)} AS mean_docs_per_pack,
+       CAST(MAX(n_docs) AS BIGINT) AS max_docs_per_pack
+FROM packs
+"""
+
+
+@query("q341_pack_purity", oracle=_q341_oracle())
+def q341_pack_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    packs = q36_pack_sequences(spark, sf_dir)
+    return packs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_packs"),
+        F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pure"),
+        decimal_ratio_round(
+            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)),
+            F.count(F.lit(1)),
+            6,
+        ).alias("pure_rate"),
+        decimal_ratio_round(F.sum("n_docs"), F.count(F.lit(1)), 6).alias(
+            "mean_docs_per_pack"
+        ),
+        F.max("n_docs").cast("bigint").alias("max_docs_per_pack"),
+    )
