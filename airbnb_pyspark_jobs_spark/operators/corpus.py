@@ -1217,12 +1217,14 @@ def good_turing_bigram_mass(
     one token-pair explode + two keyed aggregates; no collects, no
     windows.
     """
-    from airbnb_pyspark_jobs_spark.caching import owned_persist
     from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
     from airbnb_pyspark_jobs_spark.functions.text import tokens
 
-    base = owned_persist(
-        docs.select(F.col(group_col).alias("__g"), tokens(text_col).alias("__tk"))
+    # single consumer below — no persist (caching a tokens-array
+    # projection with one reader costs executor memory for nothing;
+    # ADVICE r9)
+    base = docs.select(
+        F.col(group_col).alias("__g"), tokens(text_col).alias("__tk")
     )
     pair_len = F.greatest(F.size("__tk") - 1, F.lit(0))
     cur = F.slice(F.col("__tk"), 1, pair_len)

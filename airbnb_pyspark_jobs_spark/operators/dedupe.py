@@ -588,15 +588,22 @@ def simhash_pairs(
     if bits % bands != 0:
         raise ValueError("bands must divide bits")
     band_bits = bits // bands
-    mask = (1 << band_bits) - 1
 
     sig = simhash_signatures(docs, id_col, text_col, bits=bits, hash_fn=hash_fn)
+
+    def band_val(b: int):
+        shifted = F.shiftright(F.col("simhash"), b * band_bits)
+        if band_bits == 64:
+            # bands=1 at 64 bits (the legal exact-duplicate config
+            # max_hamming=0): (1<<64)-1 overflows a signed-64 F.lit —
+            # the band IS the whole signature, no mask needed (ADVICE r9)
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << band_bits) - 1))
+
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),
-            F.shiftright(F.col("simhash"), b * band_bits)
-            .bitwiseAND(F.lit(mask))
-            .alias("band_val"),
+            band_val(b).alias("band_val"),
         )
         for b in range(bands)
     ]

@@ -77,13 +77,37 @@ def _read_params(spark: SparkSession, warehouse: str) -> tuple[int, int] | None:
     return None if row is None else (int(row["gap"]), int(row["min_run"]))
 
 
+# params are immutable after first write, so re-reading the parquet on
+# every micro-batch adds a fixed driver-side read to the hot
+# foreachBatch path for nothing (ADVICE r9) — cache the validated
+# (gap, min_run) per warehouse after the first successful check
+_PARAMS_CACHE: dict[str, tuple[int, int]] = {}
+
+
 def _ensure_params(
     spark: SparkSession, warehouse: str, gap: int, min_run: int
 ) -> None:
     """First writer persists (gap, min_run) next to the state; later
     writers must match — CEP thresholds are warehouse-level constants,
     not per-batch knobs (ADVICE r8: a reader with a different min_run
-    silently mixed thresholds). Overwrite is idempotent under replay."""
+    silently mixed thresholds). Overwrite is idempotent under replay.
+    After one successful check the validated pair is cached per
+    warehouse path (driver-local) so later batches skip the parquet
+    read; a LOCAL warehouse whose params record disappeared (deleted /
+    recreated between runs) drops its stale cache entry and
+    re-validates from storage."""
+    cached = _PARAMS_CACHE.get(warehouse)
+    if cached is not None:
+        local = "://" not in warehouse or warehouse.startswith("file:")
+        if local and not os.path.isdir(os.path.join(warehouse, "cep_params")):
+            del _PARAMS_CACHE[warehouse]  # stale: path reused, re-check
+        elif cached != (gap, min_run):
+            raise CepParamsMismatchError(
+                f"warehouse was written with (gap, min_run)={cached}, "
+                f"got ({gap}, {min_run})"
+            )
+        else:
+            return
     stored = _read_params(spark, warehouse)
     if stored is None:
         spark.createDataFrame(
@@ -91,12 +115,12 @@ def _ensure_params(
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(warehouse, "cep_params")
         )
-        return
-    if stored != (gap, min_run):
+    elif stored != (gap, min_run):
         raise CepParamsMismatchError(
             f"warehouse was written with (gap, min_run)={stored}, "
             f"got ({gap}, {min_run})"
         )
+    _PARAMS_CACHE[warehouse] = (gap, min_run)
 
 
 def _latest_state(spark: SparkSession, state_dir: str, before_batch: int) -> DataFrame:

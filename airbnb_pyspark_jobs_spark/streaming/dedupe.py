@@ -198,6 +198,50 @@ def dedup_batch(
     return accepted
 
 
+def compact_dedup_state(
+    spark: SparkSession, warehouse: str, before_batch: int
+) -> int:
+    """Fold the dedup store's per-batch partition dirs (``accepted/``,
+    ``index/``, ``dups/``) into their ``batch_id=-1`` base partitions
+    (VERDICT r9 #1 — these three dirs previously accreted one
+    ``batch_id=N`` dir per micro-batch FOREVER; at production cadence
+    that is thousands of directories/small files per week whose listing
+    cost every ``_read_state`` pays, growing without bound).
+
+    These rows are append-only facts — accepted docs, their band rows,
+    and verified dup pairs are never updated — so the fold is pure
+    concatenation: drop the partition column and rewrite at bounded
+    parallelism (``defaultParallelism`` output files per dir instead of
+    one-plus per batch). Crash safety is :func:`compact_partials`'
+    manifest-through-rename protocol, re-run-to-converge; called from
+    ``foreachBatch`` with ``before_batch=batch_id`` so only committed
+    batches (which never replay) enter the base and a crash-replay of
+    the current batch still cannot see its own output through it.
+
+    Unlike the PSI/CEP folds this rewrite is O(committed corpus) I/O
+    per fire — the price of bounding listing fan-in on plain parquet
+    (a transactional table format's metadata layer does this
+    incrementally at true 100 TB). Choose the cadence so corpus-size ×
+    fire-rate stays acceptable; directory count between fires is at
+    most the cadence. Returns total directories folded."""
+    from airbnb_pyspark_jobs_spark.streaming.aggregates import compact_partials
+
+    n_parts = max(1, spark.sparkContext.defaultParallelism)
+    total = 0
+    for sub in ("accepted", "index", "dups"):
+        d = os.path.join(warehouse, sub)
+        if not os.path.isdir(d):
+            continue
+        total += compact_partials(
+            spark,
+            d,
+            key_cols=[],
+            fold=lambda c: c.drop("batch_id").repartition(n_parts),
+            before_batch=before_batch,
+        )
+    return total
+
+
 def streaming_minhash_dedup(
     doc_stream: DataFrame,
     warehouse: str,
@@ -208,10 +252,15 @@ def streaming_minhash_dedup(
     num_hashes: int = 8,
     bands: int = 2,
     threshold: float = 0.5,
+    compact_every_n_batches: int | None = None,
 ):
     """Start the dedup-on-ingest query. ``doc_stream`` must carry
     ``(id_col, text_col)``. Returns the started StreamingQuery; results
-    accumulate under ``{warehouse}/accepted|index|dups``.
+    accumulate under ``{warehouse}/accepted|index|dups``; with
+    ``compact_every_n_batches`` set, every N batches the head of the
+    batch folds those three dirs into their ``batch_id=-1`` base via
+    :func:`compact_dedup_state` (local warehouses only — raises up
+    front otherwise, matching the composed pipeline's contract).
 
     Batch-level flow (foreachBatch = the streaming escape hatch that
     allows the index equi-join + exact verification per micro-batch):
@@ -220,9 +269,25 @@ def streaming_minhash_dedup(
     over the new batch + only the candidate old docs (semi-join
     fetch); keeper rule keeps the first-accepted / lowest-id copy.
     """
+    if compact_every_n_batches is not None:
+        if "://" in warehouse and not warehouse.startswith("file:"):
+            raise ValueError(
+                "compact_every_n_batches uses driver-local filesystem "
+                "maintenance and supports only local or file: warehouses "
+                f"— got {warehouse!r}."
+            )
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from airbnb_pyspark_jobs_spark.caching import release_owned_caches
 
+        if (
+            compact_every_n_batches
+            and batch_id > 0
+            and batch_id % compact_every_n_batches == 0
+        ):
+            compact_dedup_state(
+                batch_df.sparkSession, warehouse, before_batch=batch_id
+            )
         dedup_batch(
             batch_df,
             warehouse,

@@ -189,6 +189,35 @@ def test_simhash_pairs_64bit_production_pigeonhole_exact(spark):
         DD.simhash_pairs(docs, max_hamming=2, bands=3, bits=64)
 
 
+def test_simhash_pairs_single_band_64bit_exact_duplicates(spark):
+    """ADVICE r9: the legal exact-duplicate config (max_hamming=0,
+    bands=1) at bits=64 used to build mask=(1<<64)-1, overflowing a
+    signed-64 F.lit at runtime. The whole signature is the band now:
+    the config must run and find exactly the signature-equal pairs."""
+    rows = [(i, " ".join(f"w{j}" for j in range(i, i + 12))) for i in range(1, 20)]
+    rows += [(101, rows[0][1]), (102, rows[3][1])]  # exact text dups
+    docs = _docs(spark, rows)
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in DD.simhash_pairs(
+            docs, max_hamming=0, bands=1, bits=64, hash_fn="xxhash64"
+        ).collect()
+    }
+    sigs = {
+        r.doc_id: r.simhash
+        for r in DD.simhash_signatures(docs, bits=64, hash_fn="xxhash64").collect()
+    }
+    ids = sorted(sigs)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if sigs[a] == sigs[b]
+    }
+    assert got == want
+    assert (1, 101) in got and (4, 102) in got
+
+
 def test_dedup_components_deep_chain_converges_in_log_rounds(spark):
     """A 60-hop path graph: neighbor-min alone needs 59 rounds (and the
     per-round nested lineage used to overflow the JVM stack before

@@ -521,11 +521,27 @@ def _psi_totals(spark, wh: str):
     )
 
 
+def _index_rows(spark, wh: str):
+    return sorted(
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in spark.read.parquet(os.path.join(wh, "index")).collect()
+    )
+
+
+def _dup_pairs(spark, wh: str):
+    return sorted(
+        (r.doc_id_a, r.doc_id_b, r.kind)
+        for r in spark.read.parquet(os.path.join(wh, "dups")).collect()
+    )
+
+
 def test_pipeline_compaction_cadence_bounds_state(spark, tmp_path):
-    """VERDICT r8 #2: with compact_every_n_batches set, the running
-    pipeline folds PSI partials and CEP state every N batches — the
-    state dirs stay bounded over a long run while accepted docs, PSI
-    totals and the final burst set equal a no-compaction run's."""
+    """VERDICT r8 #2 + r9 #1: with compact_every_n_batches set, the
+    running pipeline folds PSI partials, CEP state AND the dedup store
+    (accepted/index/dups) every N batches — ALL FIVE state dirs stay
+    bounded over a long run while accepted docs, band index, dup
+    pairs, PSI totals and the final burst set equal a no-compaction
+    run's."""
     src = str(tmp_path / "src")
     for rows in _long_batches():
         _write_batch(spark, src, rows)
@@ -535,19 +551,24 @@ def test_pipeline_compaction_cadence_bounds_state(spark, tmp_path):
     wh_b, ckpt_b = str(tmp_path / "wh_b"), str(tmp_path / "ckpt_b")
     _drain(spark, src, wh_b, ckpt_b, compact_every=2)
 
-    # batch 0 rejects nothing (no cep dir); every batch writes psi
+    # batch 0 rejects nothing (no cep dir); every batch writes psi and
+    # the three dedup-store dirs
     assert len(_state_dirs(wh_a, "cep_state")) == 6
     assert len(_state_dirs(wh_a, "psi")) == 7
+    for sub in ("accepted", "index", "dups"):
+        assert len(_state_dirs(wh_a, sub)) == 7
     # compactions at batches 2/4/6 each fold everything below them:
     # after batch 6 only the base and batch 6's own partial remain
-    assert _state_dirs(wh_b, "cep_state") == ["batch_id=-1", "batch_id=6"]
-    assert _state_dirs(wh_b, "psi") == ["batch_id=-1", "batch_id=6"]
+    for sub in ("cep_state", "psi", "accepted", "index", "dups"):
+        assert _state_dirs(wh_b, sub) == ["batch_id=-1", "batch_id=6"], sub
 
     acc = lambda wh: sorted(  # noqa: E731
         r.doc_id
         for r in spark.read.parquet(os.path.join(wh, "accepted")).collect()
     )
     assert acc(wh_b) == acc(wh_a)
+    assert _index_rows(spark, wh_b) == _index_rows(spark, wh_a)
+    assert _dup_pairs(spark, wh_b) == _dup_pairs(spark, wh_a)
     assert _psi_totals(spark, wh_b) == _psi_totals(spark, wh_a)
     bursts = lambda wh: sorted(  # noqa: E731
         (r.source, r.burst_start, r.n_dups)
@@ -621,3 +642,103 @@ def test_pipeline_restart_mid_compaction_converges(spark, tmp_path, monkeypatch)
     )
     assert bursts(wh_b) == bursts(wh_a)
     assert _dim_rows(spark, wh_b)  # dimension readable after recovery
+
+
+def test_compaction_cadence_rejects_remote_warehouse(spark):
+    """ADVICE r9: the compactors are driver-local filesystem
+    maintenance — setting compact_every_n_batches against an hdfs://
+    warehouse must raise up front, not silently never fire."""
+    import pytest
+
+    from airbnb_pyspark_jobs_spark.streaming.dedupe import streaming_minhash_dedup
+
+    with pytest.raises(ValueError, match="local"):
+        streaming_corpus_pipeline(
+            None, "hdfs://nn/wh", "/tmp/ckpt",
+            psi_mn_cents=0, psi_ext_cents=3000,
+            compact_every_n_batches=2,
+        )
+    with pytest.raises(ValueError, match="local"):
+        streaming_minhash_dedup(
+            None, "s3a://bucket/wh", "/tmp/ckpt", compact_every_n_batches=2
+        )
+
+
+def test_pipeline_restart_mid_dedup_compaction_converges(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r9 #1: crash the DEDUP STORE's compaction BETWEEN the
+    destructive steps — the folded input dirs under ``accepted/`` are
+    already rmtree'd, the base rename has not landed (the exact window
+    the r9 manifest-ordering bug lived in). The restart must finish the
+    swap via the manifest and converge to an uninterrupted run's
+    accepted/index/dups content — in particular, later batches must
+    still dedup against the FULL folded history (a lost fold here would
+    silently re-accept every stored doc's near-dups)."""
+    import pyspark.errors
+
+    src = str(tmp_path / "src")
+    for rows in _long_batches():
+        _write_batch(spark, src, rows)
+
+    wh_a, ckpt_a = str(tmp_path / "wh_a"), str(tmp_path / "ckpt_a")
+    _drain(spark, src, wh_a, ckpt_a, compact_every=2)  # uninterrupted ref
+
+    # fail the rename of accepted/'s __compact_tmp into its base: at
+    # that point finish() has already deleted the folded batch dirs
+    real_rename = os.rename
+    state = {"crashed": False}
+
+    def crashing_rename(a, b):
+        if (
+            "__compact_tmp" in str(a)
+            and f"accepted{os.sep}" in str(a) + os.sep
+            and not state["crashed"]
+        ):
+            state["crashed"] = True
+            raise RuntimeError("injected crash mid-dedup-compaction")
+        return real_rename(a, b)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    wh_b, ckpt_b = str(tmp_path / "wh_b"), str(tmp_path / "ckpt_b")
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = streaming_corpus_pipeline(
+        stream, wh_b, ckpt_b,
+        psi_mn_cents=0, psi_ext_cents=3000, n_buckets=10, min_tokens=5,
+        num_hashes=8, bands=4,
+        source_col="source", cep_gap=GAP, cep_min_run=MIN_RUN,
+        compact_every_n_batches=2,
+    )
+    try:
+        q.awaitTermination(240)
+    except pyspark.errors.StreamingQueryException:
+        pass
+    assert state["crashed"], "the crash must hit the accepted/ swap"
+    # crash-window evidence: inputs destroyed, manifest survived, base
+    # not yet in place — ONLY the manifest protocol can recover this
+    tmp = os.path.join(wh_b, "accepted", "__compact_tmp")
+    assert os.path.exists(os.path.join(tmp, "_FOLDED.json"))
+    assert not any(
+        d.startswith("batch_id=") and int(d.split("=")[1]) < 2
+        for d in os.listdir(os.path.join(wh_b, "accepted"))
+    )
+
+    monkeypatch.setattr(os, "rename", real_rename)
+    _drain(spark, src, wh_b, ckpt_b, compact_every=2)  # same checkpoint
+
+    for sub in ("accepted", "index", "dups"):
+        assert not os.path.exists(os.path.join(wh_b, sub, "__compact_tmp"))
+    acc = lambda wh: sorted(  # noqa: E731
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(wh, "accepted")).collect()
+    )
+    assert acc(wh_b) == acc(wh_a)
+    assert _index_rows(spark, wh_b) == _index_rows(spark, wh_a)
+    assert _dup_pairs(spark, wh_b) == _dup_pairs(spark, wh_a)
+    bursts = lambda wh: sorted(  # noqa: E731
+        (r.source, r.burst_start, r.n_dups)
+        for r in read_dup_bursts(spark, wh).collect()
+    )
+    assert bursts(wh_b) == bursts(wh_a)
