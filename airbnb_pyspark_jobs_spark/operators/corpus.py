@@ -370,6 +370,22 @@ def vocabulary(
     )
 
 
+def derive_pack_shards(
+    n_chunks: int, target_chunks_per_shard: int = 100_000
+) -> int:
+    """Packing-shard count that bounds the SEQUENTIAL span of the
+    per-shard packers absolutely (VERDICT r9 #5 — the fixed shards=8
+    default was documented, not derived): one shard processes
+    ~``target_chunks_per_shard`` chunks in one task whatever the corpus
+    size, when ``shards = max(8, ceil(n / target))``. Same derivation
+    shape as :func:`derive_digest_buckets` (the q38 bucket-autoscale
+    precedent); pure integer arithmetic so an oracle can replay it with
+    ``GREATEST(8, (n + target - 1) // target)``."""
+    return max(
+        8, (int(n_chunks) + target_chunks_per_shard - 1) // target_chunks_per_shard
+    )
+
+
 def pack_sequences(
     chunks: DataFrame,
     budget: int = 2048,
@@ -377,6 +393,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     order_col: str = "chunk_idx",
     token_col: str = "n_chunk_tokens",
+    count_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Concat-style sequence packing: the step after chunking that fills
     fixed token-budget training sequences. Within a shard, chunks are
@@ -393,7 +410,9 @@ def pack_sequences(
     chunk order, budget, shards).
 
     Returns one row per pack: ``shard, pack_id, n_chunks, pack_tokens,
-    n_docs``.
+    n_docs`` (plus ``n_{c}`` = distinct values of each ``count_cols``
+    column per pack — e.g. ``count_cols=("source",)`` adds
+    ``n_source`` for pack-purity reporting, q342).
     """
     from airbnb_pyspark_jobs_spark.functions.text import portable_hash_int
 
@@ -414,51 +433,88 @@ def pack_sequences(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(token_col).cast("bigint").alias("pack_tokens"),
         F.countDistinct(id_col).alias("n_docs"),
+        *[
+            F.countDistinct(c).cast("bigint").alias(f"n_{c}")
+            for c in count_cols
+        ],
     )
 
 
 def pack_sequences_bfd(
     chunks: DataFrame,
     budget: int = 2048,
-    shards: int = 8,
+    shards: int | None = None,
     id_col: str = "doc_id",
     order_col: str = "chunk_idx",
     token_col: str = "n_chunk_tokens",
+    purity_col: str | None = None,
+    count_cols: tuple[str, ...] = (),
+    target_chunks_per_shard: int = 100_000,
 ) -> DataFrame:
     """Best-fit-decreasing sequence packing (VERDICT r8 #6) — the
     bin-packing alternative to :func:`pack_sequences`' concat-and-split:
     chunks sort by (tokens DESC, doc, chunk) and each goes into the
     FULLEST already-open bin that still fits (ties → lowest bin id;
-    none fits → open a new bin). Bins never overflow, so waste is pure
-    fragmentation — q325 measures the utilization delta vs the greedy
-    packer through the q204 report.
+    none fits → open a new bin). Bins never overflow — a chunk whose
+    ``token_col`` exceeds ``budget`` cannot be placed under that
+    contract and raises ValueError (VERDICT r9 #5: it used to silently
+    open an overflowing bin, the exact silent-truncation hazard BFD
+    exists to eliminate; split oversize chunks upstream, e.g.
+    :func:`chunk_documents` with ``chunk_tokens <= budget``). q325
+    measures the utilization delta vs the greedy packer through the
+    q204 report.
 
     BFD is inherently sequential (each placement depends on every
-    prior fill), so it runs per doc-hash SHARD as one Arrow
-    ``applyInPandas`` group — the same parallelism contract as the
-    greedy packer: determinism is a pure function of (doc ids, chunk
-    order, budget, shards), and ``shards`` bounds both the sequential
-    span and the per-task memory; at corpus scale raise it so a shard
-    fits one task. Inside a shard the best-fit lookup is a
-    bisect-maintained sorted fill list — O(n log n + n·insert), not
-    the naive O(n·bins) scan.
+    prior fill), so it runs per SHARD as one Arrow ``applyInPandas``
+    group. ``shards=None`` (default) derives the count from the input
+    via :func:`derive_pack_shards` — one extra count() job buys a
+    sequential span bounded at ~``target_chunks_per_shard`` chunks per
+    task whatever the corpus size (the q38 autoscale precedent);
+    pass an explicit ``shards`` to pin it (oracle-replayed queries
+    do). Determinism is a pure function of (ids, chunk order, budget,
+    shards). Inside a shard the best-fit lookup is a bisect-maintained
+    sorted fill list — O(n log n + n·insert), not the naive O(n·bins)
+    scan.
+
+    ``purity_col`` (q342 source-pure packing): shard by THAT column's
+    hash and pack within (shard, purity_col) groups, so no bin ever
+    mixes two of its values — the standard mitigation for
+    cross-document/cross-source attention contamination. All chunks
+    of one value serialize through one group, so a value with more
+    than ~``target_chunks_per_shard`` chunks is the skew bound (the
+    derived shard count still spreads DISTINCT values).
 
     Returns one row per pack: ``shard, pack_id, n_chunks, pack_tokens,
-    n_docs`` (same shape as :func:`pack_sequences`; ``pack_id`` is the
-    bin's opening order within its shard).
+    n_docs`` plus ``n_{c}`` per ``count_cols`` entry (distinct values
+    in the pack — ``count_cols=("source",)`` makes source purity an
+    output column). ``pack_id`` is the bin's opening order within its
+    packing group; with ``purity_col``, pack identity is (shard,
+    purity value, pack_id) and ids restart per value.
     """
     from airbnb_pyspark_jobs_spark.functions.text import portable_hash_int
 
     b = int(budget)
+    if shards is None:
+        shards = derive_pack_shards(chunks.count(), target_chunks_per_shard)
+    shard_key = purity_col if purity_col is not None else id_col
     sharded = chunks.withColumn(
-        "shard", F.pmod(portable_hash_int(F.col(id_col).cast("string")), F.lit(shards))
+        "shard",
+        F.pmod(portable_hash_int(F.col(shard_key).cast("string")), F.lit(shards)),
     )
+    group_keys = ["shard"] + ([purity_col] if purity_col is not None else [])
 
     def bfd(pdf):
         import bisect
 
         import pandas as pd
 
+        if len(pdf) and int(pdf[token_col].max()) > b:
+            worst = int(pdf[token_col].max())
+            raise ValueError(
+                f"pack_sequences_bfd: chunk with {worst} tokens exceeds "
+                f"budget {b} — bins never overflow under BFD; split "
+                "oversize chunks upstream or raise the budget"
+            )
         pdf = pdf.sort_values(
             [token_col, id_col, order_col], ascending=[False, True, True]
         )
@@ -484,28 +540,34 @@ def pack_sequences_bfd(
             fills_sorted.insert(pos, new_fill)
             assignments.append(bin_id)
         out = pdf.assign(__pack=assignments)
-        g = out.groupby(["shard", "__pack"], as_index=False).agg(
+        gkeys = ["shard"] + ([purity_col] if purity_col is not None else [])
+        g = out.groupby(gkeys + ["__pack"], as_index=False).agg(
             n_chunks=(token_col, "size"),
             pack_tokens=(token_col, "sum"),
             n_docs=(id_col, "nunique"),
+            **{f"n_{c}": (c, "nunique") for c in count_cols},
         )
-        return pd.DataFrame(
+        cols = {"shard": g["shard"]}
+        if purity_col is not None:
+            cols[purity_col] = g[purity_col].astype(str)
+        cols.update(
             {
-                "shard": g["shard"],
                 "pack_id": g["__pack"],
                 "n_chunks": g["n_chunks"],
                 "pack_tokens": g["pack_tokens"],
                 "n_docs": g["n_docs"],
+                **{f"n_{c}": g[f"n_{c}"] for c in count_cols},
             }
         )
+        return pd.DataFrame(cols)
 
-    return sharded.groupBy("shard").applyInPandas(
-        bfd,
-        schema=(
-            "shard int, pack_id bigint, n_chunks bigint, "
-            "pack_tokens bigint, n_docs bigint"
-        ),
+    schema = (
+        "shard int, "
+        + (f"{purity_col} string, " if purity_col is not None else "")
+        + "pack_id bigint, n_chunks bigint, pack_tokens bigint, n_docs bigint"
+        + "".join(f", n_{c} bigint" for c in count_cols)
     )
+    return sharded.groupBy(*group_keys).applyInPandas(bfd, schema=schema)
 
 
 def cdc_chunks(

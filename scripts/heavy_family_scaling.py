@@ -627,6 +627,49 @@ def main() -> None:
                 "q323 holding times", q323_shape
             )
             ev.unpersist()
+        if "bfd" in OPS:
+            # BFD sequence packing (round 10, VERDICT r9 #5): runtime
+            # ladder for pack_sequences_bfd with AUTO-DERIVED shards
+            # (derive_pack_shards, target 20k chunks/shard here so the
+            # derivation engages at measurable sizes). Expected alpha
+            # ~ 1: per-shard span is pinned at ~target (n log target
+            # work per shard x n/target shards), so wall time tracks n
+            # while the sequential span stays FLAT — the greedy packer
+            # q36 is timed alongside as the one-shuffle baseline.
+            from airbnb_pyspark_jobs_spark.operators.corpus import (
+                derive_pack_shards,
+                pack_sequences,
+                pack_sequences_bfd,
+            )
+
+            spark.catalog.clearCache(); release_owned_caches()
+            target = 20_000
+            chunks = (
+                spark.range(n)
+                .repartition(32)
+                .select(
+                    (F.col("id") / 4).cast("long").alias("doc_id"),
+                    F.pmod(F.col("id"), F.lit(4)).alias("chunk_idx"),
+                    (
+                        64
+                        + F.pmod(F.hash(F.col("id") + 3), F.lit(193)).cast("long")
+                    ).alias("n_chunk_tokens"),
+                )
+                .localCheckpoint()
+            )
+            shards = derive_pack_shards(n, target)
+            print(f"  bfd derived shards: {shards}", flush=True)
+            results.setdefault("bfd_pack_auto_shards", {})[n] = run(
+                "pack_sequences_bfd (auto shards)",
+                lambda: pack_sequences_bfd(
+                    chunks, budget=2048, target_chunks_per_shard=target
+                ),
+            )
+            results.setdefault("concat_pack_same_shards", {})[n] = run(
+                "pack_sequences greedy (same shards)",
+                lambda: pack_sequences(chunks, budget=2048, shards=shards),
+            )
+            chunks.unpersist()
         if "q38" in OPS:
             spark.catalog.clearCache(); release_owned_caches()
             docs = hot_corpus(spark, n)

@@ -244,6 +244,94 @@ def test_pack_sequences_concat_split_semantics(spark):
     assert packs.agg(F.sum("pack_tokens")).collect()[0][0] == 600
 
 
+def test_pack_sequences_bfd_hand_example(spark):
+    """BFD semantics on a hand-traced example (budget 10, one shard):
+    tokens [7,6,4,3,2,2] sorted desc place as bin0={7,3}, bin1={6,4},
+    bin2={2,2} — best-fit picks the FULLEST fitting bin, none
+    overflows."""
+    from airbnb_pyspark_jobs_spark.operators.corpus import pack_sequences_bfd
+
+    chunks = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate([7, 6, 4, 3, 2, 2])],
+        "doc_id long, chunk_idx long, n_chunk_tokens long",
+    )
+    out = sorted(
+        (r.pack_id, r.n_chunks, r.pack_tokens)
+        for r in pack_sequences_bfd(chunks, budget=10, shards=1).collect()
+    )
+    assert out == [(0, 2, 10), (1, 2, 10), (2, 2, 4)]
+
+
+def test_pack_sequences_bfd_oversize_chunk_raises(spark):
+    """VERDICT r9 #5: a chunk wider than the budget used to silently
+    open an overflowing bin — the exact truncation hazard the BFD
+    docstring rules out. It must fail the job loudly instead."""
+    import pytest
+
+    from airbnb_pyspark_jobs_spark.operators.corpus import pack_sequences_bfd
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 5), (1, 1, 17)],
+        "doc_id long, chunk_idx long, n_chunk_tokens long",
+    )
+    with pytest.raises(Exception, match="exceeds"):
+        pack_sequences_bfd(chunks, budget=10, shards=1).collect()
+
+
+def test_pack_sequences_bfd_auto_derives_shards(spark):
+    """VERDICT r9 #5: shards=None derives the count from the input so
+    the sequential span stays ~target_chunks_per_shard without manual
+    tuning (the q38 autoscale precedent)."""
+    from airbnb_pyspark_jobs_spark.operators.corpus import (
+        derive_pack_shards,
+        pack_sequences_bfd,
+    )
+
+    assert derive_pack_shards(10, 100_000) == 8          # floor
+    assert derive_pack_shards(1_000_000, 100_000) == 10  # ceil(n/target)
+    assert derive_pack_shards(1_000_001, 100_000) == 11
+    chunks = spark.createDataFrame(
+        [(d, 0, 10) for d in range(300)],
+        "doc_id long, chunk_idx long, n_chunk_tokens long",
+    )
+    out = pack_sequences_bfd(chunks, budget=50, target_chunks_per_shard=20)
+    # 300 chunks / 20 per shard -> 15 shards; every chunk packed
+    shards_seen = {r.shard for r in out.collect()}
+    assert shards_seen <= set(range(15)) and len(shards_seen) > 8
+    assert out.agg(F.sum("pack_tokens")).collect()[0][0] == 3000
+
+
+def test_pack_sequences_bfd_purity_col_never_mixes_sources(spark):
+    """q342 mitigation path: purity_col packs within (shard, value)
+    groups — no bin mixes two sources, count_cols reports n_source=1
+    per pack, and nothing is lost."""
+    from airbnb_pyspark_jobs_spark.operators.corpus import pack_sequences_bfd
+
+    chunks = spark.createDataFrame(
+        [
+            (d, i, 30, f"src{d % 3}")
+            for d in range(12)
+            for i in range(2)
+        ],
+        "doc_id long, chunk_idx long, n_chunk_tokens long, source string",
+    )
+    out = pack_sequences_bfd(
+        chunks,
+        budget=100,
+        shards=4,
+        purity_col="source",
+        count_cols=("source",),
+    ).collect()
+    assert all(r.n_source == 1 for r in out)
+    assert {r.source for r in out} == {"src0", "src1", "src2"}
+    assert sum(r.pack_tokens for r in out) == 12 * 2 * 30
+    # same-source chunks share a shard (shard key = source hash)
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, set()).add(r.shard)
+    assert all(len(s) == 1 for s in by_src.values())
+
+
 def test_weighted_sample_probability_boundaries(spark):
     from airbnb_pyspark_jobs_spark.operators.sampling import weighted_sample
 
