@@ -8761,3 +8761,278 @@ def q341_pack_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("n_docs").cast("bigint").alias("max_docs_per_pack"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q342 source-pure packing A/B (VERDICT r9 #6): q341 showed the q36
+# packer creates cross-document attention contamination; packing
+# within a SOURCE (pack_sequences_bfd purity_col="source") is the
+# standard mitigation, and this report quantifies its price. Three
+# variants on the q325 sample and chunk stream — {concat, BFD,
+# source-pure BFD} — each reporting pack-level source purity (q341's
+# shape, by source instead of doc) next to utilization + wasted +
+# overflowed token mass (q204's shape). Source-pure BFD is pure by
+# construction (rate 1.0); the delta in wasted_tokens against plain
+# BFD is the purity-vs-waste trade the query exists to measure.
+#
+# Oracle: the q325 recursion replayed twice — once keyed by shard
+# (plain BFD), once by (shard, source) with the shard derived from the
+# SOURCE hash (purity sharding). Per-bin source counts come from the
+# recursion's bins list, which records each placed item's bin slot in
+# placement order: zip-UNNEST(bins, range) -> (pos, bin), join back to
+# the ROW_NUMBER ordering for (doc_id, source), then COUNT(DISTINCT
+# source) per (shard, bin). Slot ids are stable (placement updates a
+# bin's fill in its slot; new bins append), so slot == opening order —
+# the operator's pack_id.
+# ---------------------------------------------------------------------------
+def _q342_oracle() -> str:
+    ns = "COUNT(DISTINCT source)"
+    return f"""
+WITH RECURSIVE
+tok AS (SELECT doc_id, {_D_TOKENS} AS ts FROM documents
+        WHERE doc_id < {_BFD_SAMPLE}),
+k AS (
+  SELECT doc_id, ts,
+         UNNEST(range(0, greatest((len(ts) - {_CHUNK} + {_STRIDE - 1}) // {_STRIDE}, 0) + 1)) AS ci
+  FROM tok
+),
+ch AS (
+  SELECT doc_id, ci AS chunk_idx,
+         len(ts[ci * {_STRIDE} + 1 : ci * {_STRIDE} + {_CHUNK}]) AS n_chunk_tokens
+  FROM k
+),
+src AS (SELECT doc_id, source FROM documents WHERE doc_id < {_BFD_SAMPLE}),
+chs AS (SELECT ch.doc_id, ch.chunk_idx, ch.n_chunk_tokens, src.source
+        FROM ch JOIN src USING (doc_id)),
+sh AS (
+  SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % {_PACK_SHARDS} AS shard
+  FROM chs
+),
+greedy_c AS (
+  SELECT shard, doc_id, source, n_chunk_tokens,
+         SUM(n_chunk_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id, chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_chunk_tokens AS cum_excl
+  FROM sh
+),
+greedy AS (
+  SELECT 'concat' AS variant,
+         CAST(SUM(n_chunk_tokens) AS BIGINT) AS pack_tokens,
+         CAST({ns} AS BIGINT) AS n_source
+  FROM greedy_c
+  GROUP BY shard, FLOOR(CAST(cum_excl AS DOUBLE) / {_PACK_BUDGET}.0)
+),
+ord_i AS (
+  SELECT shard, doc_id, source, n_chunk_tokens,
+         ROW_NUMBER() OVER (PARTITION BY shard
+                            ORDER BY n_chunk_tokens DESC, doc_id, chunk_idx) AS pos
+  FROM sh
+),
+items AS (
+  SELECT shard,
+         list(CAST(n_chunk_tokens AS BIGINT) ORDER BY pos) AS toks,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM ord_i GROUP BY shard
+),
+bfd AS (
+  SELECT shard, CAST(0 AS BIGINT) AS step,
+         CAST([] AS BIGINT[]) AS fills, CAST([] AS BIGINT[]) AS bins
+  FROM items
+  UNION ALL
+  SELECT shard, step + 1,
+         CASE WHEN best IS NULL THEN list_append(fills, t)
+              ELSE list_slice(fills, 1, list_position(fills, best) - 1)
+                   || [best + t]
+                   || list_slice(fills, list_position(fills, best) + 1, len(fills))
+         END,
+         list_append(bins, CAST(CASE WHEN best IS NULL THEN len(fills) + 1
+                                     ELSE list_position(fills, best) END AS BIGINT))
+  FROM (
+    SELECT b.shard, b.step, b.fills, b.bins,
+           i.toks[CAST(b.step + 1 AS INT)] AS t,
+           list_max(list_filter(b.fills,
+             f -> f <= {_PACK_BUDGET} - i.toks[CAST(b.step + 1 AS INT)])) AS best
+    FROM bfd b JOIN items i USING (shard)
+    WHERE b.step < i.n_items
+  )
+),
+fin AS (
+  SELECT b.shard, b.bins
+  FROM bfd b JOIN items i USING (shard) WHERE b.step = i.n_items
+),
+asg AS (
+  SELECT shard,
+         UNNEST(range(1, len(bins) + 1)) AS pos,
+         UNNEST(bins) AS bin
+  FROM fin
+),
+bfd_packs AS (
+  SELECT 'bfd' AS variant,
+         CAST(SUM(o.n_chunk_tokens) AS BIGINT) AS pack_tokens,
+         CAST({ns.replace('source', 'o.source')} AS BIGINT) AS n_source
+  FROM ord_i o JOIN asg a ON o.shard = a.shard AND o.pos = a.pos
+  GROUP BY o.shard, a.bin
+),
+shp AS (
+  SELECT *, CAST('0x' || substr(md5(source), 1, 8) AS BIGINT)
+              % {_PACK_SHARDS} AS shard
+  FROM chs
+),
+ord_p AS (
+  SELECT shard, source, doc_id, n_chunk_tokens,
+         ROW_NUMBER() OVER (PARTITION BY shard, source
+                            ORDER BY n_chunk_tokens DESC, doc_id, chunk_idx) AS pos
+  FROM shp
+),
+items_p AS (
+  SELECT shard, source,
+         list(CAST(n_chunk_tokens AS BIGINT) ORDER BY pos) AS toks,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM ord_p GROUP BY shard, source
+),
+bfdp AS (
+  SELECT shard, source, CAST(0 AS BIGINT) AS step,
+         CAST([] AS BIGINT[]) AS fills, CAST([] AS BIGINT[]) AS bins
+  FROM items_p
+  UNION ALL
+  SELECT shard, source, step + 1,
+         CASE WHEN best IS NULL THEN list_append(fills, t)
+              ELSE list_slice(fills, 1, list_position(fills, best) - 1)
+                   || [best + t]
+                   || list_slice(fills, list_position(fills, best) + 1, len(fills))
+         END,
+         list_append(bins, CAST(CASE WHEN best IS NULL THEN len(fills) + 1
+                                     ELSE list_position(fills, best) END AS BIGINT))
+  FROM (
+    SELECT b.shard, b.source, b.step, b.fills, b.bins,
+           i.toks[CAST(b.step + 1 AS INT)] AS t,
+           list_max(list_filter(b.fills,
+             f -> f <= {_PACK_BUDGET} - i.toks[CAST(b.step + 1 AS INT)])) AS best
+    FROM bfdp b JOIN items_p i USING (shard, source)
+    WHERE b.step < i.n_items
+  )
+),
+fin_p AS (
+  SELECT b.shard, b.source, b.bins
+  FROM bfdp b JOIN items_p i USING (shard, source) WHERE b.step = i.n_items
+),
+asg_p AS (
+  SELECT shard, source,
+         UNNEST(range(1, len(bins) + 1)) AS pos,
+         UNNEST(bins) AS bin
+  FROM fin_p
+),
+pure_packs AS (
+  SELECT 'bfd_source_pure' AS variant,
+         CAST(SUM(o.n_chunk_tokens) AS BIGINT) AS pack_tokens,
+         CAST(1 AS BIGINT) AS n_source
+  FROM ord_p o
+  JOIN asg_p a ON o.shard = a.shard AND o.source = a.source AND o.pos = a.pos
+  GROUP BY o.shard, o.source, a.bin
+),
+allp AS (
+  SELECT * FROM greedy
+  UNION ALL SELECT * FROM bfd_packs
+  UNION ALL SELECT * FROM pure_packs
+)
+SELECT variant,
+       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       CAST(SUM(CASE WHEN n_source = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_source_pure,
+       {decimal_ratio_round_sql("SUM(CASE WHEN n_source = 1 THEN 1 ELSE 0 END)", "COUNT(*)", 6)}
+         AS source_pure_rate,
+       {decimal_ratio_round_sql("SUM(n_source)", "COUNT(*)", 6)}
+         AS mean_sources_per_pack,
+       round(CAST(SUM(pack_tokens) AS DOUBLE)
+             / CAST(COUNT(*) * {_PACK_BUDGET} AS DOUBLE), 6)
+         AS overall_utilization,
+       CAST(SUM(greatest({_PACK_BUDGET} - pack_tokens, 0)) AS BIGINT)
+         AS wasted_tokens,
+       CAST(SUM(greatest(pack_tokens - {_PACK_BUDGET}, 0)) AS BIGINT)
+         AS overflow_tokens
+FROM allp GROUP BY variant
+"""
+
+
+@query("q342_source_pure_packing_ab", oracle=_q342_oracle())
+def q342_source_pure_packing_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+    from airbnb_pyspark_jobs_spark.operators.corpus import (
+        chunk_documents,
+        pack_sequences,
+        pack_sequences_bfd,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < _BFD_SAMPLE
+    )
+    chunks = owned_persist(
+        chunk_documents(docs, chunk_tokens=_CHUNK, overlap=_OVERLAP)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "chunk_idx", "n_chunk_tokens", "source")
+    )
+    sel = lambda df, v: df.select(  # noqa: E731
+        F.lit(v).alias("variant"), "pack_tokens", "n_source"
+    )
+    allp = (
+        sel(
+            pack_sequences(
+                chunks,
+                budget=_PACK_BUDGET,
+                shards=_PACK_SHARDS,
+                count_cols=("source",),
+            ),
+            "concat",
+        )
+        .unionByName(
+            sel(
+                pack_sequences_bfd(
+                    chunks,
+                    budget=_PACK_BUDGET,
+                    shards=_PACK_SHARDS,
+                    count_cols=("source",),
+                ),
+                "bfd",
+            )
+        )
+        .unionByName(
+            sel(
+                pack_sequences_bfd(
+                    chunks,
+                    budget=_PACK_BUDGET,
+                    shards=_PACK_SHARDS,
+                    purity_col="source",
+                    count_cols=("source",),
+                ),
+                "bfd_source_pure",
+            )
+        )
+    )
+    return allp.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_packs"),
+        F.sum(F.when(F.col("n_source") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_source_pure"),
+        decimal_ratio_round(
+            F.sum(F.when(F.col("n_source") == 1, 1).otherwise(0)),
+            F.count(F.lit(1)),
+            6,
+        ).alias("source_pure_rate"),
+        decimal_ratio_round(F.sum("n_source"), F.count(F.lit(1)), 6).alias(
+            "mean_sources_per_pack"
+        ),
+        F.round(
+            F.sum("pack_tokens").cast("double")
+            / (F.count(F.lit(1)) * _PACK_BUDGET).cast("double"),
+            6,
+        ).alias("overall_utilization"),
+        F.sum(F.greatest(F.lit(_PACK_BUDGET) - F.col("pack_tokens"), F.lit(0)))
+        .cast("bigint")
+        .alias("wasted_tokens"),
+        F.sum(F.greatest(F.col("pack_tokens") - F.lit(_PACK_BUDGET), F.lit(0)))
+        .cast("bigint")
+        .alias("overflow_tokens"),
+    )
