@@ -451,6 +451,113 @@ def phash_pairs(sig: DataFrame, max_hamming: int = 7) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Frame-sequence (video) near-dup: per-frame aHash -> shingled
+# frame-hash sequences -> banded MinHash -> verified clip pairs
+# (VERDICT r9 #3 — the last missing modality composition; the video
+# analog of q155's fragment pairs, built entirely from verified parts:
+# q146's perceptual_hash per frame, q45's minhash_lsh_pairs over the
+# hash sequence).
+# ---------------------------------------------------------------------------
+
+_FRAME_ID_SPAN = 1 << 20  # composite row id: media_id * SPAN + frame_idx
+
+
+def frame_hashes(
+    df: DataFrame, resizer=None, payload_col: str = "payload"
+) -> DataFrame:
+    """Per-frame aHash for video payloads: frame k's bytes are the k-th
+    equal slice of the payload (``flen = floor(n_bytes / n_frames)`` —
+    the opaque-codec stand-in for a real frame decode; swap the slicing
+    for an actual demuxer via ``resizer`` exactly like
+    :func:`perceptual_hash`'s injectable codec), hashed by the SAME
+    aHash rule as still images — one Arrow pass over the exploded
+    frame rows. Frames ride through :func:`perceptual_hash` on a
+    composite id (``media_id * 2^20 + frame_idx``; clips must carry
+    fewer than 2^20 frames, ~9.7h at 30fps).
+
+    Returns ``media_id, frame_idx, frame_hash`` — the hash as the
+    joined band string (``b0-...-b7``; assembling one 64-bit int would
+    push band 7 into the sign bit, the q334 lesson)."""
+    vids = df.filter(F.col("meta.modality") == "video").select(
+        "media_id",
+        F.col(payload_col).alias("__p"),
+        F.col("meta.n_frames").cast("int").alias("__nf"),
+    )
+    frames = vids.select(
+        "media_id",
+        "__p",
+        (F.length("__p") / F.col("__nf")).cast("int").alias("__fl"),
+        F.explode(F.sequence(F.lit(0), F.col("__nf") - 1)).alias("frame_idx"),
+    ).select(
+        (F.col("media_id") * _FRAME_ID_SPAN + F.col("frame_idx")).alias("media_id"),
+        F.expr(
+            "substring(__p, cast(frame_idx * __fl + 1 as int), __fl)"
+        ).alias("payload"),
+    )
+    sig = perceptual_hash(frames, resizer=resizer)
+    return sig.select(
+        F.floor(F.col("media_id") / _FRAME_ID_SPAN).cast("long").alias("media_id"),
+        F.pmod(F.col("media_id"), F.lit(_FRAME_ID_SPAN)).cast("bigint").alias(
+            "frame_idx"
+        ),
+        F.concat_ws(
+            "-", *[F.col(f"b{b}") for b in range(PHASH_BANDS)]
+        ).alias("frame_hash"),
+    )
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    shingle: int = 3,
+    num_hashes: int = 8,
+    bands: int = 2,
+    threshold: float = 0.5,
+    resizer=None,
+) -> DataFrame:
+    """Near-duplicate VIDEO clip pairs: :func:`frame_hashes` per frame,
+    frame hashes assembled into one space-joined sequence per clip (in
+    frame order), then q45's MinHash-LSH machinery over the sequence —
+    its word tokens ARE the frame hashes, so its ``shingle``-grams are
+    shingled frame-hash subsequences, banding generates candidate clip
+    pairs without any all-pairs comparison, and the exact-Jaccard
+    verification runs over frame-shingle sets. Re-encoded/trimmed
+    copies share most frame hashes in order, so their shingle Jaccard
+    stays high while unrelated clips collide only by banding chance.
+
+    The per-clip sequence assembly is a ``collect_list`` keyed by
+    media_id and bounded by ``meta.n_frames`` (< 2^20 by
+    :func:`frame_hashes`' contract — a bounded collect per the
+    authoring rule; at 30fps that is a ~10-hour clip ceiling).
+
+    Returns ``media_id_a, media_id_b, jaccard``."""
+    from airbnb_pyspark_jobs_spark.operators.dedupe import minhash_lsh_pairs
+
+    hashes = frame_hashes(df, resizer=resizer)
+    seq = hashes.groupBy("media_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("frame_idx", "frame_hash"))),
+                lambda s: s["frame_hash"],
+            ),
+            " ",
+        ).alias("frame_seq")
+    )
+    return minhash_lsh_pairs(
+        seq,
+        id_col="media_id",
+        text_col="frame_seq",
+        n=shingle,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    ).select(
+        F.col("doc_id_a").alias("media_id_a"),
+        F.col("doc_id_b").alias("media_id_b"),
+        "jaccard",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Audio decode + per-window energy. Unlike the image codecs, PCM WAV
 # needs only the stdlib (wave + struct), so the REAL decode path runs
 # in this container and in CI — audio is not a stub.

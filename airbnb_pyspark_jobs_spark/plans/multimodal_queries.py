@@ -389,3 +389,128 @@ def q340_modality_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("pair_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q343 frame-sequence (video) near-dup pairs (VERDICT r9 #3 — the last
+# missing modality composition, the video analog of q155's fragment
+# pairs): per-frame aHash (q146's machinery over equal payload slices,
+# 8 frames/clip) -> frame hashes joined into one sequence doc per clip
+# -> q45's MinHash-LSH over that sequence (its word tokens ARE frame
+# hashes, so its 3-gram shingles are shingled frame subsequences) ->
+# banded candidates -> exact shingle-Jaccard verification. Clips again
+# derive from documents (payload = UTF-8 text bytes), so the oracle
+# replays the WHOLE pipeline relationally: frame slicing, the
+# above-mean bit rule per frame, band packing, sequence assembly,
+# sliced-md5 minhashing, banding, and verification. At threshold 0.5
+# the survivors are the J=1.0 clip pairs — distinct texts whose lossy
+# frame-hash sequences collide — present at every SF (13/11/124 pairs
+# at sf0.001/0.01/0.1), with banding recall exactly 1 at J=1.
+# ---------------------------------------------------------------------------
+_VN_FRAMES = 8
+_VN_NH, _VN_BANDS, _VN_RPB = 8, 2, 4
+
+_vn_mins = ",\n    ".join(
+    f"min(substr(md5(s), {1 + 4 * (j - 1)}, 4)) AS h{j}"
+    for j in range(1, _VN_NH + 1)
+)
+_vn_band_exprs = ",\n    ".join(
+    "md5("
+    + " || '|' || ".join(f"h{b * _VN_RPB + j}" for j in range(1, _VN_RPB + 1))
+    + f") AS b{b}"
+    for b in range(_VN_BANDS)
+)
+_vn_band_union = "\n  UNION ALL\n  ".join(
+    f"SELECT media_id, {b} AS band_idx, b{b} AS band_hash FROM bands"
+    for b in range(_VN_BANDS)
+)
+_vn_fh = " || '-' || ".join(f"b{b}" for b in range(_PH_BANDS))
+
+_Q343_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id AS media_id, text,
+         length(text) // {_VN_FRAMES} AS flen
+  FROM documents
+),
+fr AS (
+  SELECT media_id, fi, substr(text, fi * flen + 1, flen) AS ft
+  FROM d, UNNEST(range(0, {_VN_FRAMES})) u(fi)
+),
+px AS (
+  SELECT media_id, fi, i,
+         ord(substr(ft, ((i * length(ft)) // 64) + 1, 1)) AS v
+  FROM fr, UNNEST(range(0, 64)) t(i)
+),
+s AS (SELECT media_id, fi, SUM(v) AS psum FROM px GROUP BY media_id, fi),
+bits AS (
+  SELECT px.media_id, px.fi, px.i,
+         CASE WHEN 64 * px.v > s.psum THEN 1 ELSE 0 END AS bit
+  FROM px JOIN s USING (media_id, fi)
+),
+fsig AS (
+  SELECT media_id, fi, {_ph_cols.replace("doc_id", "media_id")}
+  FROM bits GROUP BY media_id, fi
+),
+fh AS (SELECT media_id, fi, {_vn_fh} AS h FROM fsig),
+sh AS (
+  SELECT DISTINCT a.media_id, a.h || ' ' || b.h || ' ' || c.h AS s
+  FROM fh a
+  JOIN fh b ON a.media_id = b.media_id AND b.fi = a.fi + 1
+  JOIN fh c ON a.media_id = c.media_id AND c.fi = a.fi + 2
+),
+sig AS (
+  SELECT media_id,
+    {_vn_mins}
+  FROM sh GROUP BY media_id
+),
+bands AS (
+  SELECT media_id,
+    {_vn_band_exprs}
+  FROM sig
+),
+bl AS (
+  {_vn_band_union}
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_id_a, b.media_id AS media_id_b
+  FROM bl a JOIN bl b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.media_id < b.media_id
+),
+cnt AS (SELECT media_id, COUNT(*) AS n FROM sh GROUP BY media_id),
+inter AS (
+  SELECT c.media_id_a, c.media_id_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.media_id = c.media_id_a
+  JOIN sh sb ON sb.media_id = c.media_id_b AND sb.s = sa.s
+  GROUP BY 1, 2
+)
+SELECT media_id_a, media_id_b,
+       CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN cnt ca ON media_id_a = ca.media_id
+JOIN cnt cb ON media_id_b = cb.media_id
+WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.5
+"""
+
+
+@query("q343_video_framehash_pairs", oracle=_Q343_ORACLE)
+def q343_video_framehash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.operators.multimodal import video_near_dup_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("video").alias("modality"),
+            F.lit(_VN_FRAMES).alias("n_frames"),
+        ).alias("meta"),
+    )
+    return video_near_dup_pairs(
+        media,
+        shingle=3,
+        num_hashes=_VN_NH,
+        bands=_VN_BANDS,
+        threshold=0.5,
+    )
