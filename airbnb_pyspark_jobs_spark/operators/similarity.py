@@ -971,6 +971,148 @@ def ivf_corpus_lists(
     return assigned.join(c, "neighbor_id")
 
 
+def ivf_split_hot_cells(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    hot_multiplier_tenths: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    mean_digits: int = 6,
+    corpus_lists: DataFrame | None = None,
+) -> list[tuple[int, list[float]]]:
+    """IVF hot-cell rebalance (VERDICT r9 #4 — q330 measures the skew
+    that decides probe latency; this operator is its successor): split
+    every cell whose inverted list holds more than
+    ``hot_multiplier_tenths/10`` times the balanced share
+    (``10 · s · k > tenths · n``, exact integer compare — tenths so a
+    1.5× threshold needs no float equality) into TWO sub-cells via one
+    deterministic Lloyd step seeded on the hot cell's members.
+
+    Seeding is deterministic farthest-point (the 2-means++ shape):
+    seed A is the member with the LOWEST rounded unit-dot to the hot
+    cell's own centroid (the most peripheral member; vec-id
+    tie-break), seed B the member with the lowest rounded unit-dot to
+    seed A — so when the cell is hot because a dense bundle crowded
+    into it (the drift scenario), the two seeds straddle bundle vs
+    background instead of both landing in the bundle. One assignment
+    pass (rounded unit-dot, seed-index tie-break — the q53 discipline)
+    splits the members, and the rounded per-dimension means become the
+    sub-centroids. A side that captures no members drops out (the
+    empty-cluster rule), leaving the cell unsplit-but-recentered.
+    Untouched cells keep their centroid AND cid; sub-centroids take
+    ids ``k + 2·r + side`` for the r-th hot cell in cid order — pure
+    functions of (data, centroids), so an oracle replays the whole
+    split relationally (q344), the q92 trained-once recipe with the
+    training INSIDE both engines.
+
+    Like :func:`kmeans_centroids` this is a TRAINING action: one
+    bounded collect of cell sizes (k rows), one of the seed vectors
+    (2·|hot|·d floats), one of the sub-means — never per-row state.
+    Returns the rebalanced centroid list, ready for
+    :func:`ivf_corpus_lists` / :func:`ivf_ann`'s ``centroids=``."""
+    lists = (
+        corpus_lists
+        if corpus_lists is not None
+        else ivf_corpus_lists(corpus, centroids, id_col, vec_col, round_digits)
+    )
+    sizes = {
+        r.cid: r.s
+        for r in lists.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .collect()
+    }
+    k_trained = len(centroids)
+    n = sum(sizes.values())
+    hot = sorted(
+        cid
+        for cid, s in sizes.items()
+        if 10 * s * k_trained > hot_multiplier_tenths * n
+    )
+    if not hot:
+        return list(centroids)
+    u = unit_vectors(corpus, id_col, vec_col, "neighbor_id", "vn")
+    cents_by_id = dict(centroids)
+    out: list[tuple[int, list[float]]] = [
+        (cid, vec) for cid, vec in centroids if cid not in hot
+    ]
+
+    def _farthest_from(members_u: DataFrame, ref_unit: list[float]):
+        sims = centroid_unit_sims(members_u, [(0, ref_unit)], id_alias="neighbor_id")
+        row = (
+            sims.orderBy(
+                F.round("__rsim", round_digits).asc(), F.col("neighbor_id").asc()
+            )
+            .limit(1)
+            .collect()[0]
+        )
+        return row.neighbor_id
+
+    for r, cid in enumerate(hot):
+        members = lists.filter(F.col("cid") == cid).select("neighbor_id", "__cv")
+        mu = u.join(members.select("neighbor_id"), "neighbor_id", "left_semi")
+        mu = mu.localCheckpoint()  # 3 consumers: 2 seed scans + assignment
+        id_a = _farthest_from(mu, _py_unit(cents_by_id[cid]))
+        unit_a = [
+            float(x) for x in mu.filter(F.col("neighbor_id") == id_a).first().vn
+        ]
+        id_b = _farthest_from(mu, unit_a)
+        unit_b = [
+            float(x) for x in mu.filter(F.col("neighbor_id") == id_b).first().vn
+        ]
+        seed_units = [(0, unit_a), (1, unit_b)]
+        sims = centroid_unit_sims(mu, seed_units, id_alias="neighbor_id")
+        w = Window.partitionBy("neighbor_id").orderBy(
+            F.round("__rsim", round_digits).desc(), F.col("cid").asc()
+        )
+        side = (
+            sims.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("neighbor_id", F.col("cid").alias("__side"))
+        )
+        means = (
+            side.join(members, "neighbor_id")
+            .select("__side", F.posexplode("__cv").alias("d", "x"))
+            .groupBy("__side", "d")
+            .agg(F.round(F.avg("x"), mean_digits).alias("cx"))
+        ).collect()
+        by_side: dict[int, dict[int, float]] = {}
+        for row in means:
+            by_side.setdefault(row["__side"], {})[row.d] = row.cx
+        for sidx in sorted(by_side):
+            dims = by_side[sidx]
+            out.append(
+                (k_trained + 2 * r + sidx, [dims[i] for i in range(len(dims))])
+            )
+    return sorted(out)
+
+
+def ivf_query_probes(
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """The query-side probe assignment of :func:`ivf_ann`, exposed on
+    its own: ``(query_id, cid)`` — one row per probed cell. Audits use
+    it to count the candidates a probe budget actually scans (q344's
+    before/after latency column: join against the inverted lists and
+    count), which ``ivf_ann`` itself never materializes."""
+    cents_u = [(cid, _py_unit(vec)) for cid, vec in centroids]
+    qu = unit_vectors(queries, id_col, vec_col, "query_id", "vn")
+    sims = centroid_unit_sims(qu, cents_u, id_alias="query_id")
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("__rsim", round_digits).desc(), F.col("cid").asc()
+    )
+    return (
+        sims.withColumn("__crn", F.row_number().over(w))
+        .filter(F.col("__crn") <= n_probe)
+        .select("query_id", "cid")
+    )
+
+
 def ivf_ann(
     corpus: DataFrame,
     queries: DataFrame,

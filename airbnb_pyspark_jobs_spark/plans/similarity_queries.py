@@ -3732,3 +3732,321 @@ def q338_embedding_drift_by_decile(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("n_b").alias("n_decile"),
         F.col("cos_sim").alias("cos_vs_first"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q344 IVF hot-cell rebalance audit (VERDICT r9 #4 — q330's successor):
+# the production drift event, end to end. A quantizer trained on the
+# pre-flood corpus (the q53 deterministic Lloyd, k=8 × 3 iters) indexes
+# a corpus hit by a TOPICAL FLOOD — the 50 nearest neighbors of vector
+# 0 replicated 5× under fresh ids (both engines replay the flood
+# relationally; this synthetic corpus is isotropic, so genuine hot
+# cells cannot arise without it — measured: every trained/untrained/
+# drift-trained quantizer stays within λ ≤ 1.04 on the raw corpus).
+# The flood lands in one cell (λ 1.44/1.24/1.07 at the three SFs);
+# ivf_split_hot_cells splits cells above 1.5× the balanced share via
+# one farthest-point-seeded Lloyd step, and this report compares
+# before/after at EQUAL probe budget (n_probe=2, k=3): imbalance
+# factor (q330's λ), candidates actually scanned (the latency number
+# λ predicts), and recall@3 vs the brute-force ground truth (q202's
+# machinery). Expected shape: λ ↓ toward 1, candidates scanned ↓,
+# recall flat — the split refines the hot region instead of paying
+# for it on every probe.
+# ---------------------------------------------------------------------------
+_Q344_NN, _Q344_REPS, _Q344_HOT_TENTHS = 50, 5, 15
+_Q344_ID_BASE = 10_000_000
+
+
+def _q344_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    k = _NCENT
+    asg2 = "round(list_dot_product(u2.vn, c.cnv), 4)"
+    lam = _drr("n_cells * ss", "n * n", 6)
+    return f"""
+WITH {_D_UNIT},
+{_kmeans_ctes(_NCENT, _ITERS)},
+q0 AS (SELECT vn AS v0 FROM u WHERE vec_id = 0),
+nn AS (
+  SELECT vec_id FROM (
+    SELECT c.vec_id,
+      ROW_NUMBER() OVER (ORDER BY round(list_dot_product(q0.v0, c.vn), 4) DESC,
+                         c.vec_id ASC) AS rn
+    FROM u c, q0 WHERE c.vec_id != 0
+  ) WHERE rn <= {_Q344_NN}
+),
+reps AS (
+  SELECT {_Q344_ID_BASE} + e.vec_id * 10 + r.r AS vec_id, e.v
+  FROM e JOIN nn USING (vec_id), UNNEST(range(1, {_Q344_REPS} + 1)) r(r)
+),
+e2 AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM reps),
+u2 AS (
+  SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+  FROM e2
+),
+asg_b AS (
+  SELECT a.vec_id, a.cid FROM (
+    SELECT u2.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY u2.vec_id
+                         ORDER BY {asg2} DESC, c.cid ASC) AS crn
+    FROM u2, cu{_ITERS} c
+  ) a WHERE a.crn = 1
+),
+szb AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS s FROM asg_b GROUP BY cid),
+nb AS (SELECT CAST(SUM(s) AS BIGINT) AS n FROM szb),
+hot AS (
+  SELECT cid, ROW_NUMBER() OVER (ORDER BY cid) - 1 AS hr
+  FROM szb, nb WHERE 10 * s * {k} > {_Q344_HOT_TENTHS} * n
+),
+hmem AS (
+  SELECT h.cid, h.hr, a.vec_id, u2.vn, e2.v
+  FROM hot h
+  JOIN asg_b a ON a.cid = h.cid
+  JOIN u2 ON u2.vec_id = a.vec_id
+  JOIN e2 ON e2.vec_id = a.vec_id
+),
+seed_a AS (
+  SELECT cid, hr, vec_id, vn FROM (
+    SELECT m.cid, m.hr, m.vec_id, m.vn,
+      ROW_NUMBER() OVER (PARTITION BY m.cid
+        ORDER BY round(list_dot_product(m.vn, c.cnv), 4) ASC,
+                 m.vec_id ASC) AS rn
+    FROM hmem m JOIN cu{_ITERS} c ON c.cid = m.cid
+  ) WHERE rn = 1
+),
+seed_b AS (
+  SELECT cid, vec_id, vn FROM (
+    SELECT m.cid, m.vec_id, m.vn,
+      ROW_NUMBER() OVER (PARTITION BY m.cid
+        ORDER BY round(list_dot_product(m.vn, a.vn), 4) ASC,
+                 m.vec_id ASC) AS rn
+    FROM hmem m JOIN seed_a a ON a.cid = m.cid
+  ) WHERE rn = 1
+),
+seeds AS (
+  SELECT cid, 0 AS sidx, vn FROM seed_a
+  UNION ALL
+  SELECT cid, 1 AS sidx, vn FROM seed_b
+),
+side AS (
+  SELECT cid, vec_id, sidx FROM (
+    SELECT m.cid, m.vec_id, s.sidx,
+      ROW_NUMBER() OVER (PARTITION BY m.cid, m.vec_id
+        ORDER BY round(list_dot_product(m.vn, s.vn), 4) DESC,
+                 s.sidx ASC) AS rn
+    FROM hmem m JOIN seeds s ON s.cid = m.cid
+  ) WHERE rn = 1
+),
+subm AS (
+  SELECT cid, sidx, d, round(AVG(x), 6) AS cx
+  FROM (
+    SELECT sd.cid, sd.sidx, generate_subscripts(m.v, 1) AS d, unnest(m.v) AS x
+    FROM side sd JOIN hmem m ON m.cid = sd.cid AND m.vec_id = sd.vec_id
+  )
+  GROUP BY cid, sidx, d
+),
+subc AS (
+  SELECT s.cid, s.sidx, h.hr, list(s.cx ORDER BY s.d) AS cenv
+  FROM (SELECT cid, sidx, d, cx FROM subm) s
+  JOIN hot h ON h.cid = s.cid
+  GROUP BY s.cid, s.sidx, h.hr
+),
+nc AS (
+  SELECT cid AS ncid, cenv FROM ca{_ITERS}
+  WHERE cid NOT IN (SELECT cid FROM hot)
+  UNION ALL
+  SELECT {k} + 2 * hr + sidx AS ncid, cenv FROM subc
+),
+ncu AS (
+  SELECT ncid AS cid, {_CU_NORM} AS cnv FROM nc
+),
+asg_a AS (
+  SELECT a.vec_id, a.cid FROM (
+    SELECT u2.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY u2.vec_id
+                         ORDER BY {asg2} DESC, c.cid ASC) AS crn
+    FROM u2, ncu c
+  ) a WHERE a.crn = 1
+),
+sza AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS s FROM asg_a GROUP BY cid),
+gt AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY round(list_dot_product(q.vn, c.vn), 4) DESC,
+                 c.vec_id ASC) AS rn
+    FROM u q, u2 c
+    WHERE q.vec_id < {_NQ} AND q.vec_id != c.vec_id
+  ) WHERE rn <= {_K_IVF}
+),
+gtn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gt FROM gt),
+qp_b AS (
+  SELECT a.vec_id AS query_id, a.cid, e.v AS qv FROM (
+    SELECT u.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                         ORDER BY {_ASSIGN_SIM} DESC, c.cid ASC) AS crn
+    FROM u, cu{_ITERS} c WHERE u.vec_id < {_NQ}
+  ) a JOIN e ON e.vec_id = a.vec_id WHERE a.crn <= {_NPROBE}
+),
+qp_a AS (
+  SELECT a.vec_id AS query_id, a.cid, e.v AS qv FROM (
+    SELECT u.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                         ORDER BY {_ASSIGN_SIM} DESC, c.cid ASC) AS crn
+    FROM u, ncu c WHERE u.vec_id < {_NQ}
+  ) a JOIN e ON e.vec_id = a.vec_id WHERE a.crn <= {_NPROBE}
+),
+cand_b AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id, q.qv, e2.v AS cv
+  FROM qp_b q JOIN asg_b a USING (cid) JOIN e2 ON e2.vec_id = a.vec_id
+  WHERE q.query_id != a.vec_id
+),
+cand_a AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id, q.qv, e2.v AS cv
+  FROM qp_a q JOIN asg_a a USING (cid) JOIN e2 ON e2.vec_id = a.vec_id
+  WHERE q.query_id != a.vec_id
+),
+r_b AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY {_D_COS.format(a="qv", b="cv")} DESC, neighbor_id ASC) AS rn
+    FROM cand_b
+  ) WHERE rn <= {_K_IVF}
+),
+r_a AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY {_D_COS.format(a="qv", b="cv")} DESC, neighbor_id ASC) AS rn
+    FROM cand_a
+  ) WHERE rn <= {_K_IVF}
+),
+stats_b AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(MAX(s) AS BIGINT) AS max_cell,
+         CAST(SUM(CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS ss
+  FROM szb
+),
+stats_a AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(MAX(s) AS BIGINT) AS max_cell,
+         CAST(SUM(CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS ss
+  FROM sza
+),
+hits_b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+           FROM r_b JOIN gt USING (query_id, neighbor_id)),
+hits_a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+           FROM r_a JOIN gt USING (query_id, neighbor_id)),
+nc_b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand_b),
+nc_a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand_a)
+SELECT 'before' AS variant, n, n_cells, max_cell, {lam} AS imbalance_factor,
+       n_candidates, n_hits, n_gt,
+       round(CAST(n_hits AS DOUBLE) / CAST(n_gt AS DOUBLE), 4) AS recall
+FROM stats_b, hits_b, nc_b, gtn
+UNION ALL
+SELECT 'after' AS variant, n, n_cells, max_cell, {lam} AS imbalance_factor,
+       n_candidates, n_hits, n_gt,
+       round(CAST(n_hits AS DOUBLE) / CAST(n_gt AS DOUBLE), 4) AS recall
+FROM stats_a, hits_a, nc_a, gtn
+"""
+
+
+@query("q344_ivf_rebalance_audit", oracle=_q344_oracle())
+def q344_ivf_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    # the topical flood: top-NN neighbors of vector 0, replicated under
+    # fresh ids — "today's corpus" for the stale quantizer below
+    nn = SIM.knn_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=_Q344_NN).select(
+        "neighbor_id"
+    )
+    reps = (
+        emb.join(nn, emb.vec_id == nn.neighbor_id)
+        .drop("neighbor_id")
+        .crossJoin(
+            F.broadcast(
+                spark.range(1, _Q344_REPS + 1).select(F.col("id").alias("__r"))
+            )
+        )
+        .select(
+            (F.lit(_Q344_ID_BASE) + F.col("vec_id") * 10 + F.col("__r")).alias(
+                "vec_id"
+            ),
+            "embedding",
+        )
+    )
+    corpus2 = emb.unionByName(reps)
+    # stale quantizer: trained on the PRE-flood corpus
+    cents_b = SIM.kmeans_centroids(emb, k=_NCENT, iters=_ITERS)
+    lists_b = owned_persist(SIM.ivf_corpus_lists(corpus2, cents_b))
+    cents_a = SIM.ivf_split_hot_cells(
+        corpus2, cents_b, hot_multiplier_tenths=_Q344_HOT_TENTHS, corpus_lists=lists_b
+    )
+    lists_a = owned_persist(SIM.ivf_corpus_lists(corpus2, cents_a))
+    queries = emb.filter(F.col("vec_id") < _NQ)
+    gt = SIM.knn_bruteforce(corpus2, queries, k=_K_IVF).select(
+        "query_id", "neighbor_id"
+    )
+    gtn = gt.agg(F.count(F.lit(1)).cast("bigint").alias("n_gt"))
+    d38 = "decimal(38,0)"
+
+    def variant(tag: str, cents, lists) -> DataFrame:
+        sz = lists.groupBy("cid").agg(F.count(F.lit(1)).cast("bigint").alias("__s"))
+        stats = sz.agg(
+            F.sum("__s").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.max("__s").cast("bigint").alias("max_cell"),
+            F.sum(F.col("__s").cast(d38) * F.col("__s").cast(d38))
+            .cast(d38)
+            .alias("__ss"),
+        )
+        probes = SIM.ivf_query_probes(queries, cents, n_probe=_NPROBE)
+        cand_n = (
+            probes.join(lists.select("cid", "neighbor_id"), "cid")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        )
+        ap = SIM.ivf_ann(
+            corpus2,
+            queries,
+            k=_K_IVF,
+            n_probe=_NPROBE,
+            centroids=cents,
+            corpus_lists=lists,
+        ).select("query_id", "neighbor_id")
+        hits = gt.join(ap, ["query_id", "neighbor_id"], "left_semi").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits")
+        )
+        return (
+            stats.crossJoin(F.broadcast(cand_n))
+            .crossJoin(F.broadcast(hits))
+            .crossJoin(F.broadcast(gtn))
+            .select(
+                F.lit(tag).alias("variant"),
+                "n",
+                "n_cells",
+                "max_cell",
+                decimal_ratio_round(
+                    F.col("n_cells") * F.col("__ss"), F.col("n") * F.col("n"), 6
+                ).alias("imbalance_factor"),
+                "n_candidates",
+                "n_hits",
+                "n_gt",
+                F.round(
+                    F.col("n_hits").cast("double") / F.col("n_gt").cast("double"), 4
+                ).alias("recall"),
+            )
+        )
+
+    return variant("before", cents_b, lists_b).unionByName(
+        variant("after", cents_a, lists_a)
+    )

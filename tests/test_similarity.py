@@ -434,3 +434,56 @@ def test_q241_incremental_assign_covers_both_populations(spark):
     for r in rows:
         assert 0.0 <= r.new_share <= 1.0
         assert -1.0 <= r.mean_sim_old <= 1.0
+
+
+def test_ivf_split_hot_cells_noop_when_balanced_and_splits_hot(spark):
+    """VERDICT r9 #4: on a balanced index the rebalance is an exact
+    no-op (returns the input centroids); with a planted dense bundle
+    the hot cell splits into two sub-cells (ids k+0/k+1), the original
+    centroid is retired, and every vector stays assigned somewhere."""
+    emb = load_table(spark, "embeddings", SF_DIR).select("vec_id", "embedding")
+    cents = SIM.kmeans_centroids(emb, k=4, iters=2)
+    lists = SIM.ivf_corpus_lists(emb, cents)
+    # this corpus is isotropic: no cell exceeds 1.5x the balanced share
+    assert SIM.ivf_split_hot_cells(
+        emb, cents, hot_multiplier_tenths=15, corpus_lists=lists
+    ) == list(cents)
+
+    # plant a flood: vector 0's 30 nearest neighbors replicated 7x
+    nn = SIM.knn_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=30).select(
+        "neighbor_id"
+    )
+    reps = (
+        emb.join(nn, emb.vec_id == nn.neighbor_id)
+        .drop("neighbor_id")
+        .crossJoin(
+            F.broadcast(spark.range(1, 8).select(F.col("id").alias("__r")))
+        )
+        .select(
+            (F.lit(1_000_000) + F.col("vec_id") * 10 + F.col("__r")).alias("vec_id"),
+            "embedding",
+        )
+    )
+    corpus2 = emb.unionByName(reps)
+    lists2 = SIM.ivf_corpus_lists(corpus2, cents)
+    sizes = {
+        r.cid: r.c
+        for r in lists2.groupBy("cid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n = sum(sizes.values())
+    hot = [c for c, s in sizes.items() if 10 * s * 4 > 15 * n]
+    assert len(hot) == 1, sizes
+    out = SIM.ivf_split_hot_cells(
+        corpus2, cents, hot_multiplier_tenths=15, corpus_lists=lists2
+    )
+    out_ids = [cid for cid, _ in out]
+    assert hot[0] not in out_ids  # retired
+    assert set(out_ids) - {c for c, _ in cents} == {4, 5}  # two sub-cells
+    lists3 = SIM.ivf_corpus_lists(corpus2, out)
+    assert lists3.count() == n  # nothing lost
+    sizes3 = {
+        r.cid: r.c
+        for r in lists3.groupBy("cid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    lam = lambda s: len(s) * sum(v * v for v in s.values()) / n / n  # noqa: E731
+    assert lam(sizes3) < lam(sizes)  # imbalance strictly improved
