@@ -627,6 +627,179 @@ def main() -> None:
                 "q323 holding times", q323_shape
             )
             ev.unpersist()
+        if "q324" in OPS:
+            # IVF hubness audit (round 10, VERDICT r9 #7): the exact
+            # half is the O(n²) all-pairs ranking BY DESIGN (the audit
+            # baseline), so alpha ~ 2 at growing SAMPLE n — which is
+            # exactly why the registry entry runs on the id-bounded
+            # audit sample (q52/q316 convention). The approx half
+            # (ann_hubness_estimate, the 100 TB path) is timed
+            # alongside WITH CELLS SIZED TO n (n/64 centroids): the
+            # per-list candidate volume stays ~constant, so alpha ~ 1.
+            from airbnb_pyspark_jobs_spark.operators.similarity import (
+                ann_hubness_estimate,
+                ann_hubness_profile,
+            )
+
+            spark.catalog.clearCache(); release_owned_caches()
+            hub_n = max(200, n // 200)  # exact audit sizes: n²-bounded
+            emb_s = synthetic_embeddings(spark, hub_n)
+            results.setdefault("q324_hubness_audit_exactO2", {})[hub_n] = run(
+                f"q324 hubness audit (exact+approx, n={hub_n})",
+                lambda: ann_hubness_profile(
+                    emb_s, k=5, n_centroids=8, n_probe=2, train_iters=3
+                ),
+            )
+            emb_s.unpersist()
+            spark.catalog.clearCache(); release_owned_caches()
+            emb_a = synthetic_embeddings(spark, n // 10)
+            results.setdefault("q324_hubness_approx_scaled_cells", {})[n // 10] = run(
+                f"q324 approx hubness (cells=n/64, n={n // 10})",
+                lambda: ann_hubness_estimate(
+                    emb_a,
+                    k=5,
+                    n_centroids=max(8, (n // 10) // 64),
+                    n_probe=2,
+                    train_iters=1,
+                ),
+            )
+            emb_a.unpersist()
+        if "q330" in OPS:
+            # IVF imbalance factor (round 10): trained Lloyd (k·iters
+            # corpus scans) + ONE assignment scan + a k-row aggregate.
+            # Expected alpha ~ 1.
+            from airbnb_pyspark_jobs_spark.functions.numeric import (
+                decimal_ratio_round,
+            )
+            from airbnb_pyspark_jobs_spark.operators.similarity import (
+                ivf_corpus_lists,
+                kmeans_centroids,
+            )
+
+            spark.catalog.clearCache(); release_owned_caches()
+            emb = synthetic_embeddings(spark, n)
+
+            def q330_shape():
+                cents = kmeans_centroids(emb, k=8, iters=3)
+                sz = ivf_corpus_lists(emb, cents).groupBy("cid").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("__s")
+                )
+                d38 = "decimal(38,0)"
+                agg = sz.agg(
+                    F.sum("__s").cast("bigint").alias("n"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+                    F.max("__s").cast("bigint").alias("max_cell"),
+                    F.sum(F.col("__s").cast(d38) * F.col("__s").cast(d38))
+                    .cast(d38)
+                    .alias("__ss"),
+                )
+                return agg.select(
+                    "n", "n_cells", "max_cell",
+                    decimal_ratio_round(
+                        F.lit(8) * F.col("__ss"), F.col("n") * F.col("n"), 6
+                    ).alias("imbalance_factor"),
+                )
+
+            results.setdefault("q330_ivf_imbalance", {})[n] = run(
+                "q330 IVF imbalance (train+assign+agg)", q330_shape
+            )
+            emb.unpersist()
+        if "q333" in OPS or "q335" in OPS:
+            # q333 decile vocab JSD (round 10): two-phase rank ->
+            # decile -> token explode -> (decile, term) counts ->
+            # decile-0 pair join via the intersection identity.
+            # Expected alpha ~ 1 (scan + keyed aggregates; the join
+            # materializes only (decile-0 term, decile) pairs).
+            from airbnb_pyspark_jobs_spark.functions.text import tokens
+            from airbnb_pyspark_jobs_spark.operators.sampling import (
+                two_phase_numeric_rank,
+            )
+
+            def docs_n():
+                return (
+                    spark.read.format("synthetic_docs")
+                    .option("n", n).option("partitions", 32)
+                    .option("vocab_size", 5000).option("zipf_s", 1.1)
+                    .load().localCheckpoint()
+                )
+
+            def jsd_shape(docs):
+                ranked = two_phase_numeric_rank(
+                    docs.select("doc_id"), "doc_id", "doc_id", "__rnk"
+                )
+                cnt = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+                dec = ranked.crossJoin(F.broadcast(cnt)).select(
+                    "doc_id",
+                    F.expr("(__rnk - 1) * 10 div __n").cast("bigint").alias("__dec"),
+                )
+                toks = (
+                    docs.select("doc_id", F.explode(tokens("text")).alias("__t"))
+                    .join(dec, "doc_id")
+                    .select("__dec", F.lower("__t").alias("term"))
+                )
+                st = toks.groupBy("__dec", "term").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("__c")
+                )
+                a = st.filter(F.col("__dec") == 0).select(
+                    "term", F.col("__c").alias("__ca")
+                )
+                b = st.filter(F.col("__dec") > 0).select(
+                    F.col("__dec").alias("decile"), "term", F.col("__c").alias("__cb")
+                )
+                return (
+                    a.join(b, "term")
+                    .groupBy("decile")
+                    .agg(
+                        F.count(F.lit(1)).alias("n_shared_terms"),
+                        F.sum("__ca").alias("mass_a"),
+                        F.sum("__cb").alias("mass_b"),
+                    )
+                )
+
+            if "q333" in OPS:
+                spark.catalog.clearCache(); release_owned_caches()
+                docs = docs_n()
+                results.setdefault("q333_decile_jsd_shape", {})[n] = run(
+                    "q333 decile vocab-drift shape", lambda: jsd_shape(docs)
+                )
+                docs.unpersist()
+            if "q335" in OPS:
+                # q335 dashboard = q333 drift + q328 redup (MinHash
+                # pairs + decile ranks) + corpus Good-Turing, one row.
+                # Expected alpha ~ 1 (sum of measured ~1 parts).
+                from airbnb_pyspark_jobs_spark.operators.corpus import (
+                    good_turing_bigram_mass,
+                )
+                from airbnb_pyspark_jobs_spark.operators.dedupe import (
+                    minhash_lsh_pairs,
+                )
+
+                spark.catalog.clearCache(); release_owned_caches()
+                docs = docs_n()
+
+                def dash_shape():
+                    drift = jsd_shape(docs)
+                    pairs = minhash_lsh_pairs(
+                        docs, num_hashes=8, bands=2, threshold=0.5,
+                        persist_shingles=False,
+                    )
+                    gt = good_turing_bigram_mass(
+                        docs.withColumn("__all", F.lit("all")), group_col="__all"
+                    )
+                    return (
+                        drift.agg(F.max("decile").alias("d"))
+                        .crossJoin(
+                            F.broadcast(
+                                pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+                            )
+                        )
+                        .crossJoin(F.broadcast(gt.select("p_unseen")))
+                    )
+
+                results.setdefault("q335_dashboard_shape", {})[n] = run(
+                    "q335 dashboard shape (drift+redup+GT)", dash_shape
+                )
+                docs.unpersist()
         if "bfd" in OPS:
             # BFD sequence packing (round 10, VERDICT r9 #5): runtime
             # ladder for pack_sequences_bfd with AUTO-DERIVED shards
