@@ -1087,6 +1087,312 @@ def ivf_split_hot_cells(
     return sorted(out)
 
 
+def grouped_centroid_unit_sims(
+    units: DataFrame,
+    group_col: str,
+    cents_by_group: dict[int, list[tuple[int, list[float]]]],
+    id_alias: str = "id",
+) -> DataFrame:
+    """:func:`centroid_unit_sims` restricted per group: each ``(id,
+    vn)`` row is scored ONLY against its own group's centroid matrix
+    (broadcast dict ``group → [(cid, unit_vec)]``) — the assignment
+    inner loop of the two-level quantizer, where a vector competes
+    only among its super-cell's sub-centroids. Same j-order IEEE fold
+    as the flat stage (bit-identical doubles cross-engine); per-row
+    work is |own group's centroids|, not |all centroids| — the whole
+    point of the hierarchy. Returns ``(id, group, cid, __rsim)``."""
+    import numpy as np
+
+    mats = {
+        g: (
+            np.array([cid for cid, _ in lst], dtype=np.int32),
+            np.array([v for _, v in lst], dtype=np.float64),
+        )
+        for g, lst in cents_by_group.items()
+    }
+
+    def sim_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, grps, cids_out, sims = [], [], [], []
+            for g, sub in pdf.groupby(group_col, sort=False):
+                cids, cmat = mats[int(g)]
+                v = np.stack(sub["vn"].to_numpy()).astype(np.float64)
+                acc = np.zeros((len(v), len(cids)), dtype=np.float64)
+                for j in range(v.shape[1]):  # in-order fold (cross-engine)
+                    acc += v[:, j : j + 1] * cmat[:, j][None, :]
+                ids.append(np.repeat(sub["id"].to_numpy(), len(cids)))
+                grps.append(np.repeat(int(g), len(sub) * len(cids)))
+                cids_out.append(np.tile(cids, len(v)))
+                sims.append(acc.ravel())
+            yield pd.DataFrame(
+                {
+                    "id": np.concatenate(ids),
+                    "grp": np.concatenate(grps),
+                    "cid": np.concatenate(cids_out),
+                    "__rsim": np.concatenate(sims),
+                }
+            )
+
+    out = units.select(
+        F.col(id_alias).alias("id"), F.col(group_col).alias(group_col), "vn"
+    ).mapInPandas(sim_batches, schema="id long, grp int, cid int, __rsim double")
+    return out.withColumnsRenamed({"id": id_alias, "grp": group_col})
+
+
+def kmeans_centroids_two_level(
+    corpus: DataFrame,
+    k_super: int = 8,
+    k_sub: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    mean_digits: int = 6,
+) -> tuple[list[tuple[int, list[float]]], list[tuple[int, int, list[float]]]]:
+    """Two-level (hierarchical) coarse quantizer — the 100 TB index
+    BUILD fix the q324 scaling ladder names (SCALE_NOTES round 10): a
+    flat quantizer's assignment matrix is O(n·k), α ≈ 1.3 measured
+    with cells scaled to n; training √k super-cells and k/√k
+    sub-cells within each super costs O(n·(k_super + k_sub)) =
+    O(n·√k) for the same k = k_super·k_sub total cells.
+
+    Training is the same deterministic Lloyd discipline as
+    :func:`kmeans_centroids`, applied twice: supers trained flat, the
+    corpus assigned once, then EVERY super's k_sub sub-centroids
+    trained together in one grouped Arrow pass per iteration
+    (:func:`grouped_centroid_unit_sims` — a vector competes only
+    among its own super's subs). Sub init = the k_sub lowest-id
+    members of each super (the flat init convention, per group);
+    rounded unit-dot assignment with sub-id tie-break; per-dimension
+    means rounded to ``mean_digits``; empty subs drop out. Every
+    driver collect is k_super·k_sub·d floats — bounded training
+    state, never per-row.
+
+    Returns ``(supers, subs)``: ``supers`` like
+    :func:`kmeans_centroids`; ``subs`` as ``(super_cid, sub_cid,
+    vec)`` with ``sub_cid`` local to its super — the flattened cell id
+    convention is ``super_cid * k_sub + sub_cid``."""
+    supers = kmeans_centroids(
+        corpus,
+        k=k_super,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+        mean_digits=mean_digits,
+    )
+    supers_u = [(cid, _py_unit(v)) for cid, v in supers]
+    e = corpus.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
+    u = unit_vectors(corpus, id_col, vec_col, "id", "vn")
+    ssims = centroid_unit_sims(u, supers_u)
+    w = Window.partitionBy("id").orderBy(
+        F.round("__rsim", round_digits).desc(), F.col("cid").asc()
+    )
+    s_asg = (
+        ssims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", F.col("cid").alias("__scid"))
+    )
+    members = s_asg.join(u, "id").localCheckpoint()  # iters+1 consumers
+    # sub init: the k_sub lowest-id members per super, raw vectors
+    wi = Window.partitionBy("__scid").orderBy("id")
+    init = (
+        members.withColumn("__rn", F.row_number().over(wi))
+        .filter(F.col("__rn") <= k_sub)
+        .join(e, "id")
+        .select("__scid", (F.col("__rn") - 1).alias("__sub"), "v")
+    ).collect()
+    subs: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in init:
+        subs.setdefault(r["__scid"], []).append(
+            (r["__sub"], [float(x) for x in r.v])
+        )
+    for g in subs:
+        subs[g].sort()
+    for _ in range(iters):
+        subs_u = {
+            g: [(sc, _py_unit(v)) for sc, v in lst] for g, lst in subs.items()
+        }
+        sims = grouped_centroid_unit_sims(members, "__scid", subs_u)
+        wb = Window.partitionBy("id").orderBy(
+            F.round("__rsim", round_digits).desc(), F.col("cid").asc()
+        )
+        best = (
+            sims.withColumn("__rn", F.row_number().over(wb))
+            .filter(F.col("__rn") == 1)
+            .select("id", "__scid", F.col("cid").alias("__sub"))
+        )
+        means = (
+            best.join(e, "id")
+            .select("__scid", "__sub", F.posexplode("v").alias("d", "x"))
+            .groupBy("__scid", "__sub", "d")
+            .agg(F.round(F.avg("x"), mean_digits).alias("cx"))
+        ).collect()
+        nxt: dict[int, dict[int, dict[int, float]]] = {}
+        for r in means:
+            nxt.setdefault(r["__scid"], {}).setdefault(r["__sub"], {})[r.d] = r.cx
+        subs = {
+            g: [
+                (sc, [dims[i] for i in range(len(dims))])
+                for sc, dims in sorted(by_sub.items())
+            ]
+            for g, by_sub in sorted(nxt.items())
+        }
+    flat = [
+        (g, sc, vec) for g, lst in sorted(subs.items()) for sc, vec in lst
+    ]
+    return supers, flat
+
+
+def ivf_two_level_lists(
+    corpus: DataFrame,
+    supers: list[tuple[int, list[float]]],
+    subs: list[tuple[int, int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Two-level inverted lists: each vector assigned to its nearest
+    super (flat argmax over k_super), then to its nearest sub WITHIN
+    that super (grouped argmax over k_sub) — O(n·(k_super + k_sub))
+    total, never n × all-cells. Returns ``neighbor_id, scid, sub,
+    __cv``."""
+    e = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__cv")
+    )
+    supers_u = [(cid, _py_unit(v)) for cid, v in supers]
+    subs_u: dict[int, list[tuple[int, list[float]]]] = {}
+    for g, sc, v in subs:
+        subs_u.setdefault(g, []).append((sc, _py_unit(v)))
+    u = unit_vectors(corpus, id_col, vec_col, "neighbor_id", "vn")
+    ssims = centroid_unit_sims(u, supers_u, id_alias="neighbor_id")
+    w = Window.partitionBy("neighbor_id").orderBy(
+        F.round("__rsim", round_digits).desc(), F.col("cid").asc()
+    )
+    s_asg = (
+        ssims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("neighbor_id", F.col("cid").alias("scid"))
+    )
+    mu = s_asg.join(u, "neighbor_id")
+    bsims = grouped_centroid_unit_sims(mu, "scid", subs_u, id_alias="neighbor_id")
+    wb = Window.partitionBy("neighbor_id").orderBy(
+        F.round("__rsim", round_digits).desc(), F.col("cid").asc()
+    )
+    assigned = (
+        bsims.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") == 1)
+        .select("neighbor_id", "scid", F.col("cid").alias("sub"))
+    )
+    return assigned.join(e, "neighbor_id")
+
+
+def ivf_two_level_query_probes(
+    queries: DataFrame,
+    supers: list[tuple[int, list[float]]],
+    subs: list[tuple[int, int, list[float]]],
+    n_probe_super: int = 2,
+    n_probe_sub: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """The query-side probe routing of :func:`ivf_two_level_ann`:
+    ``(query_id, scid, sub)`` — top ``n_probe_super`` supers per
+    query (flat argmax), then top ``n_probe_sub`` subs within each
+    probed super (grouped argmax). Exposed for candidate-count audits
+    (the q344/q345 latency column)."""
+    supers_u = [(cid, _py_unit(v)) for cid, v in supers]
+    subs_u: dict[int, list[tuple[int, list[float]]]] = {}
+    for g, sc, v in subs:
+        subs_u.setdefault(g, []).append((sc, _py_unit(v)))
+    qu = unit_vectors(queries, id_col, vec_col, "query_id", "vn")
+    ssims = centroid_unit_sims(qu, supers_u, id_alias="query_id")
+    ws = Window.partitionBy("query_id").orderBy(
+        F.round("__rsim", round_digits).desc(), F.col("cid").asc()
+    )
+    s_probe = (
+        ssims.withColumn("__rn", F.row_number().over(ws))
+        .filter(F.col("__rn") <= n_probe_super)
+        .select("query_id", F.col("cid").alias("scid"))
+    )
+    pu = s_probe.join(qu, "query_id")
+    bsims = grouped_centroid_unit_sims(pu, "scid", subs_u, id_alias="query_id")
+    wb = Window.partitionBy("query_id", "scid").orderBy(
+        F.round("__rsim", round_digits).desc(), F.col("cid").asc()
+    )
+    return (
+        bsims.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") <= n_probe_sub)
+        .select("query_id", "scid", F.col("cid").alias("sub"))
+    )
+
+
+def ivf_two_level_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    supers: list[tuple[int, list[float]]],
+    subs: list[tuple[int, int, list[float]]],
+    k: int = 3,
+    n_probe_super: int = 2,
+    n_probe_sub: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    corpus_lists: DataFrame | None = None,
+) -> DataFrame:
+    """Two-level IVF search: queries probe their ``n_probe_super``
+    nearest supers, then the ``n_probe_sub`` nearest subs WITHIN each
+    probed super (grouped sims again); similarity is computed only
+    against those (scid, sub) lists' members — the q53 candidate
+    shape with the probe fan-out n_probe_super × n_probe_sub. Returns
+    ``query_id, neighbor_id, cos_sim, rn`` (top-``k`` per query)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__qv")
+    )
+    supers_u = [(cid, _py_unit(v)) for cid, v in supers]
+    subs_u: dict[int, list[tuple[int, list[float]]]] = {}
+    for g, sc, v in subs:
+        subs_u.setdefault(g, []).append((sc, _py_unit(v)))
+    lists = (
+        corpus_lists
+        if corpus_lists is not None
+        else ivf_two_level_lists(corpus, supers, subs, id_col, vec_col, round_digits)
+    )
+    probes = ivf_two_level_query_probes(
+        queries,
+        supers,
+        subs,
+        n_probe_super=n_probe_super,
+        n_probe_sub=n_probe_sub,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+    ).join(q, "query_id")
+    sims = (
+        lists.join(F.broadcast(probes), on=["scid", "sub"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
+
+
 def ivf_query_probes(
     queries: DataFrame,
     centroids: list[tuple[int, list[float]]],

@@ -4050,3 +4050,295 @@ def q344_ivf_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return variant("before", cents_b, lists_b).unionByName(
         variant("after", cents_a, lists_a)
     )
+
+
+# ---------------------------------------------------------------------------
+# q345 two-level (hierarchical) coarse-quantizer audit — the 100 TB
+# index-BUILD fix the round-10 q324 ladder names (SCALE_NOTES: flat
+# assignment is O(n·k), α ≈ 1.3 with cells ∝ n; two levels make it
+# O(n·(k_super + k_sub)) = O(n·√k) for the same cell count). Flat
+# k=16 (probe 4) vs two-level 4×4 (probe 2×2) — EQUAL cells scanned —
+# reporting per variant: cell-size stats + imbalance λ (q330),
+# assign_dots (the exact n·k vs n·(k₁+k₂) arithmetic the hierarchy
+# buys), candidates scanned, and recall@3 vs the brute ground truth
+# (q202). Expected shape: assign_dots halve, recall a few hits lower —
+# the IMI routing trade, priced honestly. The oracle replays BOTH
+# trainings: the flat Lloyd chain (q53's pattern) and the grouped
+# sub-Lloyd — per-super init (k_sub lowest ids), per-iteration
+# grouped assignment (a member competes only among its own super's
+# subs) and (scid, sub, d) means — entirely relationally.
+# ---------------------------------------------------------------------------
+_Q345_KSUP, _Q345_KSUB, _Q345_ITERS = 4, 4, 2
+_Q345_KFLAT = _Q345_KSUP * _Q345_KSUB
+
+
+def _q345_sub_ctes(k_sub: int, iters: int) -> str:
+    """Grouped sub-Lloyd unrolled: needs ``smem`` (vec_id, scid, vn, v)
+    from the super assignment. Emits ``sb{iters}u`` (scid, sub, cnv)."""
+    parts = [
+        f"""sb0 AS (
+  SELECT scid, CAST(rn - 1 AS INT) AS sub, v AS cenv FROM (
+    SELECT scid, vec_id, v,
+      ROW_NUMBER() OVER (PARTITION BY scid ORDER BY vec_id) AS rn
+    FROM smem
+  ) WHERE rn <= {k_sub}
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+sb{i - 1}u AS (SELECT scid, sub, {_CU_NORM} AS cnv FROM sb{i - 1}),
+basg{i} AS (
+  SELECT vec_id, scid, sub, v FROM (
+    SELECT m.vec_id, m.scid, c.sub, m.v,
+      ROW_NUMBER() OVER (PARTITION BY m.vec_id
+        ORDER BY round(list_dot_product(m.vn, c.cnv), 4) DESC, c.sub ASC) AS rn
+    FROM smem m JOIN sb{i - 1}u c USING (scid)
+  ) WHERE rn = 1
+),
+sbm{i} AS (
+  SELECT scid, sub, d, round(AVG(x), 6) AS cx
+  FROM (SELECT scid, sub, generate_subscripts(v, 1) AS d, unnest(v) AS x
+        FROM basg{i})
+  GROUP BY scid, sub, d
+),
+sb{i} AS (SELECT scid, sub, list(cx ORDER BY d) AS cenv FROM sbm{i}
+          GROUP BY scid, sub)"""
+        )
+    parts.append(
+        f""",
+sb{iters}u AS (SELECT scid, sub, {_CU_NORM} AS cnv FROM sb{iters})"""
+    )
+    return "".join(parts)
+
+
+def _q345_oracle() -> str:
+    from airbnb_pyspark_jobs_spark.functions.numeric import (
+        decimal_ratio_round_sql as _drr,
+    )
+
+    it = _Q345_ITERS
+    lam = _drr("n_cells * ss", "n * n", 6)
+    return f"""
+WITH {_D_UNIT},
+{_kmeans_ctes(_Q345_KFLAT, it, prefix="f")},
+{_kmeans_ctes(_Q345_KSUP, it, prefix="s")},
+smem AS (
+  SELECT a.vec_id, a.scid, u.vn, e.v FROM (
+    SELECT u.vec_id, c.cid AS scid,
+      ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                         ORDER BY {_ASSIGN_SIM} DESC, c.cid ASC) AS crn
+    FROM u, scu{it} c
+  ) a JOIN u ON u.vec_id = a.vec_id JOIN e ON e.vec_id = a.vec_id
+  WHERE a.crn = 1
+),
+{_q345_sub_ctes(_Q345_KSUB, it)},
+f_assign AS (
+  SELECT a.vec_id, a.cid FROM (
+    SELECT u.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                         ORDER BY {_ASSIGN_SIM} DESC, c.cid ASC) AS crn
+    FROM u, fcu{it} c
+  ) a WHERE a.crn = 1
+),
+t_assign AS (
+  SELECT vec_id, scid, sub FROM (
+    SELECT m.vec_id, m.scid, c.sub,
+      ROW_NUMBER() OVER (PARTITION BY m.vec_id
+        ORDER BY round(list_dot_product(m.vn, c.cnv), 4) DESC, c.sub ASC) AS rn
+    FROM smem m JOIN sb{it}u c USING (scid)
+  ) WHERE rn = 1
+),
+f_sz AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS s FROM f_assign GROUP BY cid),
+t_sz AS (SELECT scid, sub, CAST(COUNT(*) AS BIGINT) AS s FROM t_assign
+         GROUP BY scid, sub),
+gt AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY round(list_dot_product(q.vn, c.vn), 4) DESC,
+                 c.vec_id ASC) AS rn
+    FROM u q, u c
+    WHERE q.vec_id < {_NQ} AND q.vec_id != c.vec_id
+  ) WHERE rn <= {_K_IVF}
+),
+gtn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gt FROM gt),
+f_probe AS (
+  SELECT a.vec_id AS query_id, a.cid, e.v AS qv FROM (
+    SELECT u.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                         ORDER BY {_ASSIGN_SIM} DESC, c.cid ASC) AS crn
+    FROM u, fcu{it} c WHERE u.vec_id < {_NQ}
+  ) a JOIN e ON e.vec_id = a.vec_id WHERE a.crn <= 4
+),
+ts_probe AS (
+  SELECT a.vec_id AS query_id, a.scid FROM (
+    SELECT u.vec_id, c.cid AS scid,
+      ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                         ORDER BY {_ASSIGN_SIM} DESC, c.cid ASC) AS crn
+    FROM u, scu{it} c WHERE u.vec_id < {_NQ}
+  ) a WHERE a.crn <= 2
+),
+t_probe AS (
+  SELECT query_id, scid, sub, qv FROM (
+    SELECT p.query_id, p.scid, c.sub, e.v AS qv,
+      ROW_NUMBER() OVER (PARTITION BY p.query_id, p.scid
+        ORDER BY round(list_dot_product(u.vn, c.cnv), 4) DESC, c.sub ASC) AS rn
+    FROM ts_probe p
+    JOIN u ON u.vec_id = p.query_id
+    JOIN e ON e.vec_id = p.query_id
+    JOIN sb{it}u c ON c.scid = p.scid
+  ) WHERE rn <= 2
+),
+f_cand AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id, q.qv, e2.v AS cv
+  FROM f_probe q JOIN f_assign a USING (cid) JOIN e e2 ON e2.vec_id = a.vec_id
+  WHERE q.query_id != a.vec_id
+),
+t_cand AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id, q.qv, e2.v AS cv
+  FROM t_probe q JOIN t_assign a USING (scid, sub)
+  JOIN e e2 ON e2.vec_id = a.vec_id
+  WHERE q.query_id != a.vec_id
+),
+f_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY {_D_COS.format(a="qv", b="cv")} DESC, neighbor_id ASC) AS rn
+    FROM f_cand
+  ) WHERE rn <= {_K_IVF}
+),
+t_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY {_D_COS.format(a="qv", b="cv")} DESC, neighbor_id ASC) AS rn
+    FROM t_cand
+  ) WHERE rn <= {_K_IVF}
+),
+f_stats AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(MAX(s) AS BIGINT) AS max_cell,
+         CAST(SUM(CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS ss
+  FROM f_sz
+),
+t_stats AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(MAX(s) AS BIGINT) AS max_cell,
+         CAST(SUM(CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS ss
+  FROM t_sz
+),
+f_hits AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+           FROM f_top JOIN gt USING (query_id, neighbor_id)),
+t_hits AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+           FROM t_top JOIN gt USING (query_id, neighbor_id)),
+f_nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM f_cand),
+t_nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM t_cand)
+SELECT 'flat' AS variant, n, n_cells, max_cell, {lam} AS imbalance_factor,
+       CAST(n * {_Q345_KFLAT} AS BIGINT) AS assign_dots,
+       n_candidates, n_hits, n_gt,
+       round(CAST(n_hits AS DOUBLE) / CAST(n_gt AS DOUBLE), 4) AS recall
+FROM f_stats, f_hits, f_nc, gtn
+UNION ALL
+SELECT 'two_level' AS variant, n, n_cells, max_cell, {lam} AS imbalance_factor,
+       CAST(n * {_Q345_KSUP + _Q345_KSUB} AS BIGINT) AS assign_dots,
+       n_candidates, n_hits, n_gt,
+       round(CAST(n_hits AS DOUBLE) / CAST(n_gt AS DOUBLE), 4) AS recall
+FROM t_stats, t_hits, t_nc, gtn
+"""
+
+
+@query("q345_two_level_ivf_audit", oracle=_q345_oracle())
+def q345_two_level_ivf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+    from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < _NQ)
+    gt = SIM.knn_bruteforce(emb, queries, k=_K_IVF).select(
+        "query_id", "neighbor_id"
+    )
+    gtn = gt.agg(F.count(F.lit(1)).cast("bigint").alias("n_gt"))
+    d38 = "decimal(38,0)"
+
+    def report(tag, cells_sz, cand, ap, dots_per_vec):
+        stats = cells_sz.agg(
+            F.sum("__s").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.max("__s").cast("bigint").alias("max_cell"),
+            F.sum(F.col("__s").cast(d38) * F.col("__s").cast(d38))
+            .cast(d38)
+            .alias("__ss"),
+        )
+        hits = gt.join(ap, ["query_id", "neighbor_id"], "left_semi").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits")
+        )
+        return (
+            stats.crossJoin(F.broadcast(cand))
+            .crossJoin(F.broadcast(hits))
+            .crossJoin(F.broadcast(gtn))
+            .select(
+                F.lit(tag).alias("variant"),
+                "n",
+                "n_cells",
+                "max_cell",
+                decimal_ratio_round(
+                    F.col("n_cells") * F.col("__ss"), F.col("n") * F.col("n"), 6
+                ).alias("imbalance_factor"),
+                (F.col("n") * dots_per_vec).cast("bigint").alias("assign_dots"),
+                "n_candidates",
+                "n_hits",
+                "n_gt",
+                F.round(
+                    F.col("n_hits").cast("double") / F.col("n_gt").cast("double"),
+                    4,
+                ).alias("recall"),
+            )
+        )
+
+    # flat k=16, probe 4
+    cf = SIM.kmeans_centroids(emb, k=_Q345_KFLAT, iters=_Q345_ITERS)
+    lf = owned_persist(SIM.ivf_corpus_lists(emb, cf))
+    f_sz = lf.groupBy("cid").agg(F.count(F.lit(1)).cast("bigint").alias("__s"))
+    f_probes = SIM.ivf_query_probes(queries, cf, n_probe=4)
+    f_cand = (
+        f_probes.join(lf.select("cid", "neighbor_id"), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    )
+    f_ap = SIM.ivf_ann(
+        emb, queries, k=_K_IVF, n_probe=4, centroids=cf, corpus_lists=lf
+    ).select("query_id", "neighbor_id")
+    flat = report("flat", f_sz, f_cand, f_ap, _Q345_KFLAT)
+
+    # two-level 4x4, probe 2 supers x 2 subs (equal cells scanned)
+    supers, subs = SIM.kmeans_centroids_two_level(
+        emb, k_super=_Q345_KSUP, k_sub=_Q345_KSUB, iters=_Q345_ITERS
+    )
+    lt = owned_persist(SIM.ivf_two_level_lists(emb, supers, subs))
+    t_sz = lt.groupBy("scid", "sub").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__s")
+    )
+    t_probes = SIM.ivf_two_level_query_probes(
+        queries, supers, subs, n_probe_super=2, n_probe_sub=2
+    )
+    t_cand = (
+        t_probes.join(lt.select("scid", "sub", "neighbor_id"), ["scid", "sub"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    )
+    t_ap = SIM.ivf_two_level_ann(
+        emb,
+        queries,
+        supers,
+        subs,
+        k=_K_IVF,
+        n_probe_super=2,
+        n_probe_sub=2,
+        corpus_lists=lt,
+    ).select("query_id", "neighbor_id")
+    two = report("two_level", t_sz, t_cand, t_ap, _Q345_KSUP + _Q345_KSUB)
+    return flat.unionByName(two)

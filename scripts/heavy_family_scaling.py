@@ -664,6 +664,45 @@ def main() -> None:
                 ),
             )
             emb_a.unpersist()
+        if "twolevel" in OPS:
+            # Two-level coarse quantizer (round 10, q345): index BUILD
+            # cost at cells ∝ n (k = n/64), flat vs hierarchical with
+            # the SAME total cell count. Flat assignment is O(n·k) =
+            # O(n²/64); two-level is O(n·2√k). Expected: flat α → 2,
+            # two-level α → 1.5, with a widening absolute gap.
+            import math as _math
+
+            from airbnb_pyspark_jobs_spark.operators.similarity import (
+                ivf_corpus_lists,
+                ivf_two_level_lists,
+                kmeans_centroids,
+                kmeans_centroids_two_level,
+            )
+
+            spark.catalog.clearCache(); release_owned_caches()
+            tn = n // 10
+            k_cells = max(16, tn // 64)
+            k_side = max(4, int(_math.isqrt(k_cells)))
+            emb = synthetic_embeddings(spark, tn)
+
+            def flat_build():
+                c = kmeans_centroids(emb, k=k_side * k_side, iters=1)
+                return ivf_corpus_lists(emb, c).groupBy("cid").count()
+
+            def two_build():
+                s, b = kmeans_centroids_two_level(
+                    emb, k_super=k_side, k_sub=k_side, iters=1
+                )
+                return ivf_two_level_lists(emb, s, b).groupBy("scid", "sub").count()
+
+            print(f"  twolevel: n={tn} cells={k_side * k_side}", flush=True)
+            results.setdefault("ivf_build_flat_cells_prop_n", {})[tn] = run(
+                f"flat IVF build (k={k_side * k_side})", flat_build
+            )
+            results.setdefault("ivf_build_two_level_same_cells", {})[tn] = run(
+                f"two-level IVF build ({k_side}x{k_side})", two_build
+            )
+            emb.unpersist()
         if "q330" in OPS:
             # IVF imbalance factor (round 10): trained Lloyd (k·iters
             # corpus scans) + ONE assignment scan + a k-row aggregate.

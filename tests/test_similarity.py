@@ -487,3 +487,49 @@ def test_ivf_split_hot_cells_noop_when_balanced_and_splits_hot(spark):
     }
     lam = lambda s: len(s) * sum(v * v for v in s.values()) / n / n  # noqa: E731
     assert lam(sizes3) < lam(sizes)  # imbalance strictly improved
+
+
+def test_two_level_quantizer_covers_corpus_and_routes_probes(spark):
+    """Two-level coarse quantizer (q345): training is deterministic
+    (same trajectory twice), the flattened (scid, sub) cells cover the
+    whole corpus exactly once, sub ids are local to their super, and
+    the probe router emits n_probe_super x n_probe_sub cells per
+    query from the trained sets only."""
+    emb = load_table(spark, "embeddings", SF_DIR).select("vec_id", "embedding")
+    s1, b1 = SIM.kmeans_centroids_two_level(emb, k_super=4, k_sub=4, iters=2)
+    s2, b2 = SIM.kmeans_centroids_two_level(emb, k_super=4, k_sub=4, iters=2)
+    assert s1 == s2 and b1 == b2  # deterministic training
+    assert len(s1) == 4 and len(b1) == 16
+    assert {g for g, _, _ in b1} == {c for c, _ in s1}
+    assert all(0 <= sc < 4 for _, sc, _ in b1)  # sub ids local
+
+    lists = SIM.ivf_two_level_lists(emb, s1, b1)
+    n = emb.count()
+    assert lists.count() == n  # every vector in exactly one cell
+    assert lists.select("neighbor_id").distinct().count() == n
+
+    q = emb.filter(F.col("vec_id") < 5)
+    probes = SIM.ivf_two_level_query_probes(
+        q, s1, b1, n_probe_super=2, n_probe_sub=2
+    ).collect()
+    per_q = {}
+    for r in probes:
+        per_q.setdefault(r.query_id, []).append((r.scid, r.sub))
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    cells = {(g, sc) for g, sc, _ in b1}
+    for qid, ps in per_q.items():
+        assert len(ps) == 4 and len(set(ps)) == 4  # 2 supers x 2 subs
+        assert len({g for g, _ in ps}) == 2
+        assert set(ps) <= cells
+
+    # search returns top-k per query drawn from probed cells only
+    ap = SIM.ivf_two_level_ann(
+        emb, q, s1, b1, k=3, n_probe_super=2, n_probe_sub=2, corpus_lists=lists
+    )
+    got = ap.collect()
+    assert all(1 <= r.rn <= 3 for r in got)
+    probed = {(r.query_id, c) for r in probes for c in [(r.scid, r.sub)]}
+    cell_of = {
+        r.neighbor_id: (r.scid, r.sub) for r in lists.select("neighbor_id", "scid", "sub").collect()
+    }
+    assert all((r.query_id, cell_of[r.neighbor_id]) in probed for r in got)
