@@ -506,6 +506,24 @@ def frame_hashes(
     )
 
 
+def frame_sequence_docs(hashes: DataFrame) -> DataFrame:
+    """One pseudo-doc per clip: frame hashes joined by spaces in frame
+    order — ``(media_id, frame_seq)``, the text-shaped handle that lets
+    every MinHash consumer (batch pairs, dedup-on-ingest) treat a video
+    as a document whose words are its frame hashes. The collect_list
+    is bounded by ``meta.n_frames`` (< 2^20, :func:`frame_hashes`'
+    contract)."""
+    return hashes.groupBy("media_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("frame_idx", "frame_hash"))),
+                lambda s: s["frame_hash"],
+            ),
+            " ",
+        ).alias("frame_seq")
+    )
+
+
 def video_near_dup_pairs(
     df: DataFrame,
     shingle: int = 3,
@@ -532,16 +550,7 @@ def video_near_dup_pairs(
     Returns ``media_id_a, media_id_b, jaccard``."""
     from airbnb_pyspark_jobs_spark.operators.dedupe import minhash_lsh_pairs
 
-    hashes = frame_hashes(df, resizer=resizer)
-    seq = hashes.groupBy("media_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("frame_idx", "frame_hash"))),
-                lambda s: s["frame_hash"],
-            ),
-            " ",
-        ).alias("frame_seq")
-    )
+    seq = frame_sequence_docs(frame_hashes(df, resizer=resizer))
     return minhash_lsh_pairs(
         seq,
         id_col="media_id",

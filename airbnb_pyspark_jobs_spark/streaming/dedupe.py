@@ -198,6 +198,85 @@ def dedup_batch(
     return accepted
 
 
+def streaming_video_dedup(
+    media_stream: DataFrame,
+    warehouse: str,
+    checkpoint: str,
+    shingle: int = 3,
+    num_hashes: int = 8,
+    bands: int = 2,
+    threshold: float = 0.5,
+    resizer=None,
+    compact_every_n_batches: int | None = None,
+):
+    """Video near-dup rejection ON INGEST — the q343 composition made
+    continuous: each micro-batch's clips are per-frame aHashed
+    (:func:`operators.multimodal.frame_hashes`, one Arrow pass) and
+    assembled into frame-sequence pseudo-docs
+    (:func:`operators.multimodal.frame_sequence_docs`), which then
+    flow through :func:`dedup_batch` UNCHANGED — the banded index join
+    against stored history, exact shingle-Jaccard verification,
+    keep-first rule, and the idempotent ``batch_id=N`` state layout
+    are all the text path's; MinHash tokens are frame hashes, so its
+    shingles are frame subsequences. A re-uploaded or re-encoded clip
+    is rejected against everything accepted so far without ever
+    re-decoding history (the index stores band rows, not frames).
+
+    ``media_stream`` carries ``(media_id, payload, meta)`` with
+    ``meta.modality = 'video'`` rows; others are ignored. The
+    ``accepted/`` store holds ``(doc_id = media_id, text =
+    frame_seq)`` — the compact sequence fingerprint, NOT payload bytes
+    (payloads stay wherever the raw store keeps them). State dirs,
+    replay semantics and ``compact_every_n_batches`` are exactly
+    :func:`streaming_minhash_dedup`'s."""
+    from airbnb_pyspark_jobs_spark.operators.multimodal import (
+        frame_hashes,
+        frame_sequence_docs,
+    )
+
+    if compact_every_n_batches is not None:
+        if "://" in warehouse and not warehouse.startswith("file:"):
+            raise ValueError(
+                "compact_every_n_batches uses driver-local filesystem "
+                "maintenance and supports only local or file: warehouses "
+                f"— got {warehouse!r}."
+            )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from airbnb_pyspark_jobs_spark.caching import release_owned_caches
+
+        if (
+            compact_every_n_batches
+            and batch_id > 0
+            and batch_id % compact_every_n_batches == 0
+        ):
+            compact_dedup_state(
+                batch_df.sparkSession, warehouse, before_batch=batch_id
+            )
+        seq = frame_sequence_docs(
+            frame_hashes(batch_df.localCheckpoint(), resizer=resizer)
+        )
+        dedup_batch(
+            seq,
+            warehouse,
+            batch_id,
+            id_col="media_id",
+            text_col="frame_seq",
+            n=shingle,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+        )
+        release_owned_caches()
+
+    return (
+        media_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def compact_dedup_state(
     spark: SparkSession, warehouse: str, before_batch: int
 ) -> int:

@@ -370,3 +370,94 @@ def test_streaming_dedup_fresh_checkpoint_over_existing_warehouse_raises(
         for r in spark.read.parquet(os.path.join(warehouse, "accepted")).collect()
     )
     assert after == before  # stored state untouched by the refused run
+
+
+def test_streaming_video_dedup_keeps_one_clip_per_group(spark, tmp_path):
+    """q343's composition on ingest: clips are frame-hashed per batch
+    and deduped against the STORED band index — one survivor per
+    duplicate clip group across batches, uniques always pass, the
+    accepted corpus holds no near-dup pair under the BATCH operator
+    (video_near_dup_pairs), every rejection audited, and the index
+    never stores frames (band rows over the sequence fingerprint)."""
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from airbnb_pyspark_jobs_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        frame_hashes,
+        frame_sequence_docs,
+        video_near_dup_pairs,
+    )
+    from airbnb_pyspark_jobs_spark.streaming.dedupe import streaming_video_dedup
+
+    t_a = "the quick brown fox jumps over a lazy dog near the still river bank at dawn"
+    t_b = "carpenters measure seasoned oak planks and join them to sturdy frames today"
+    t_c = "ancient lighthouses warn distant ships away from jagged rocks each evening"
+    t_d = "silent harbors hold many boats while gulls circle in the grey morning sky"
+
+    def clip(mid: int, text: str) -> Row:
+        return Row(
+            media_id=mid,
+            payload=text.encode(),
+            meta=Row(
+                modality="video", mime="video/mp4",
+                width=None, height=None, n_frames=8, sample_rate=None,
+            ),
+        )
+
+    src = str(tmp_path / "src")
+    batches = [
+        [clip(1, t_a), clip(2, t_b)],
+        [clip(11, t_a), clip(12, t_c), clip(13, t_c)],  # 11 dups 1; 13 dups 12
+        [clip(21, t_b), clip(22, t_d)],                  # 21 dups 2
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    wh, ckpt = str(tmp_path / "wh"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(MEDIA_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_video_dedup(stream, wh, ckpt)
+    q.awaitTermination(180)
+
+    accepted = spark.read.parquet(os.path.join(wh, "accepted"))
+    ids = {r.doc_id for r in accepted.select("doc_id").collect()}
+    assert len(ids & {1, 11}) == 1
+    assert len(ids & {12, 13}) == 1
+    assert len(ids & {2, 21}) == 1
+    assert 22 in ids
+
+    # accepted set is near-dup-free under the BATCH operator on the
+    # original payloads (stream == batch semantics)
+    all_media = spark.createDataFrame(
+        [c for rows in batches for c in rows], MEDIA_SCHEMA
+    )
+    surv = all_media.join(
+        accepted.select(F.col("doc_id").alias("media_id")), "media_id", "left_semi"
+    )
+    assert video_near_dup_pairs(surv, threshold=0.5).isEmpty()
+
+    # the stored text IS the frame-sequence fingerprint, byte-equal to
+    # recomputing it from the payloads (no drift between paths)
+    want = {
+        (r.media_id, r.frame_seq)
+        for r in frame_sequence_docs(frame_hashes(surv)).collect()
+    }
+    got = {(r.doc_id, r.text) for r in accepted.collect()}
+    assert got == want
+
+    # rejections audited with verified jaccard at the threshold
+    dups = spark.read.parquet(os.path.join(wh, "dups"))
+    logged = {r.doc_id_a for r in dups.collect()} | {
+        r.doc_id_b for r in dups.collect()
+    }
+    rejected = {1, 2, 11, 12, 13, 21, 22} - ids
+    assert rejected <= logged
+    assert dups.filter("jaccard < 0.5").isEmpty()
