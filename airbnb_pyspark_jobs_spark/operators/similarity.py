@@ -1038,28 +1038,28 @@ def ivf_split_hot_cells(
     ]
 
     def _farthest_from(members_u: DataFrame, ref_unit: list[float]):
+        """(id, unit vector) of the member with the LOWEST rounded
+        unit-dot to ``ref_unit`` (id tie-break) — seed id + vector in
+        ONE driver job (the id-then-fetch split cost a second full
+        member scan per seed)."""
         sims = centroid_unit_sims(members_u, [(0, ref_unit)], id_alias="neighbor_id")
         row = (
-            sims.orderBy(
+            sims.join(members_u, "neighbor_id")
+            .orderBy(
                 F.round("__rsim", round_digits).asc(), F.col("neighbor_id").asc()
             )
+            .select("neighbor_id", "vn")
             .limit(1)
             .collect()[0]
         )
-        return row.neighbor_id
+        return row.neighbor_id, [float(x) for x in row.vn]
 
     for r, cid in enumerate(hot):
         members = lists.filter(F.col("cid") == cid).select("neighbor_id", "__cv")
         mu = u.join(members.select("neighbor_id"), "neighbor_id", "left_semi")
         mu = mu.localCheckpoint()  # 3 consumers: 2 seed scans + assignment
-        id_a = _farthest_from(mu, _py_unit(cents_by_id[cid]))
-        unit_a = [
-            float(x) for x in mu.filter(F.col("neighbor_id") == id_a).first().vn
-        ]
-        id_b = _farthest_from(mu, unit_a)
-        unit_b = [
-            float(x) for x in mu.filter(F.col("neighbor_id") == id_b).first().vn
-        ]
+        _id_a, unit_a = _farthest_from(mu, _py_unit(cents_by_id[cid]))
+        _id_b, unit_b = _farthest_from(mu, unit_a)
         seed_units = [(0, unit_a), (1, unit_b)]
         sims = centroid_unit_sims(mu, seed_units, id_alias="neighbor_id")
         w = Window.partitionBy("neighbor_id").orderBy(

@@ -3984,7 +3984,11 @@ def q344_ivf_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
         )
     )
-    corpus2 = emb.unionByName(reps)
+    # corpus2's lineage embeds the flood's brute-force NN scan — WITHOUT
+    # a barrier every downstream job (two list builds, the split's member
+    # scans, ground truth, both probe sides) re-runs it (measured 14.3 s
+    # -> ~7 s at sf0.1 with the persist)
+    corpus2 = owned_persist(emb.unionByName(reps))
     # stale quantizer: trained on the PRE-flood corpus
     cents_b = SIM.kmeans_centroids(emb, k=_NCENT, iters=_ITERS)
     lists_b = owned_persist(SIM.ivf_corpus_lists(corpus2, cents_b))

@@ -742,3 +742,34 @@ def test_pipeline_restart_mid_dedup_compaction_converges(
         for r in read_dup_bursts(spark, wh).collect()
     )
     assert bursts(wh_b) == bursts(wh_a)
+
+
+def test_cep_params_cached_after_first_validation(spark, tmp_path, monkeypatch):
+    """ADVICE r9: after one successful check, later batches must not
+    re-read the cep_params parquet (a fixed driver-side read on the
+    hot foreachBatch path) — and a cached warehouse still raises on a
+    mismatching writer."""
+    import pytest
+
+    from airbnb_pyspark_jobs_spark.streaming import cep as CEP
+
+    wh = str(tmp_path / "wh")
+    calls = {"n": 0}
+    real = CEP._read_params
+
+    def counting(spark_, warehouse):
+        calls["n"] += 1
+        return real(spark_, warehouse)
+
+    monkeypatch.setattr(CEP, "_read_params", counting)
+    rows = lambda ids: spark.createDataFrame(  # noqa: E731
+        [("s", i) for i in ids], "source string, doc_id long"
+    )
+    CEP.dup_burst_batch(rows([1, 2]), wh, 0, gap=5, min_run=2)
+    n_after_first = calls["n"]
+    assert n_after_first >= 1
+    CEP.dup_burst_batch(rows([3]), wh, 1, gap=5, min_run=2)
+    CEP.dup_burst_batch(rows([4]), wh, 2, gap=5, min_run=2)
+    assert calls["n"] == n_after_first  # later batches: cache, no read
+    with pytest.raises(CEP.CepParamsMismatchError):
+        CEP.dup_burst_batch(rows([5]), wh, 3, gap=9, min_run=2)

@@ -461,3 +461,47 @@ def test_streaming_video_dedup_keeps_one_clip_per_group(spark, tmp_path):
     rejected = {1, 2, 11, 12, 13, 21, 22} - ids
     assert rejected <= logged
     assert dups.filter("jaccard < 0.5").isEmpty()
+
+
+def test_standalone_dedup_stream_compaction_cadence(spark, tmp_path):
+    """streaming_minhash_dedup's own compact_every_n_batches (round 10):
+    the standalone stream folds accepted/index/dups on cadence with
+    results equal to a no-compaction run — same contract as the
+    composed pipeline's."""
+    src = str(tmp_path / "src")
+    texts = [
+        (i, f"unique document number {i} with tokens w{i}a w{i}b w{i}c w{i}d w{i}e")
+        for i in range(1, 6)
+    ]
+    for i, t in texts:
+        _write_batch(spark, src, [(i, t), (100 + i, t)])  # each batch: 1 new + 1 dup
+
+    def run(wh, ckpt, compact_every=None):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_minhash_dedup(
+            stream, wh, checkpoint=ckpt, compact_every_n_batches=compact_every
+        )
+        q.awaitTermination(180)
+
+    wh_a = str(tmp_path / "wh_a")
+    run(wh_a, str(tmp_path / "ckpt_a"))
+    wh_b = str(tmp_path / "wh_b")
+    run(wh_b, str(tmp_path / "ckpt_b"), compact_every=2)
+
+    def dirs(wh, sub):
+        return sorted(
+            d
+            for d in os.listdir(os.path.join(wh, sub))
+            if d.startswith("batch_id=")
+        )
+
+    for sub in ("accepted", "index", "dups"):
+        assert len(dirs(wh_a, sub)) == 5  # one per batch, unbounded
+        assert dirs(wh_b, sub) == ["batch_id=-1", "batch_id=4"], sub
+        a = spark.read.parquet(os.path.join(wh_a, sub)).drop("batch_id")
+        b = spark.read.parquet(os.path.join(wh_b, sub)).drop("batch_id")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
