@@ -4346,3 +4346,168 @@ def q345_two_level_ivf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id")
     two = report("two_level", t_sz, t_cand, t_ap, _Q345_KSUP + _Q345_KSUB)
     return flat.unionByName(two)
+
+
+# ---------------------------------------------------------------------------
+# q346 two-level probe sweep: WHERE does q345's routing-recall loss
+# come from? At a fixed budget of 4 cells scanned, the hierarchy can
+# spend its probes on the SUPER level — (4,1): route into 4 supers,
+# best sub each — or on the SUB level — (1,4): one super, every sub —
+# or split (2,2). A q202-shaped recall curve over the three shapes
+# decomposes the loss: if (4,1) wins, the quantizer loses queries at
+# the SUPER routing step (the true neighbor's super was never
+# probed); if (1,4) wins, at the sub step. The tuning table a serving
+# planner reads before raising either knob. Shares q345's trained
+# hierarchy (same CTE chain, same constants) and the brute ground
+# truth; candidates per shape are reported next to recall because
+# equal CELL budget is not equal CANDIDATE budget under imbalance.
+# ---------------------------------------------------------------------------
+_Q346_SHAPES = ((4, 1), (2, 2), (1, 4))
+
+
+def _q346_oracle() -> str:
+    it = _Q345_ITERS
+    parts = [
+        f"""
+WITH {_D_UNIT},
+{_kmeans_ctes(_Q345_KSUP, it, prefix="s")},
+smem AS (
+  SELECT a.vec_id, a.scid, u.vn, e.v FROM (
+    SELECT u.vec_id, c.cid AS scid,
+      ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                         ORDER BY {_ASSIGN_SIM} DESC, c.cid ASC) AS crn
+    FROM u, scu{it} c
+  ) a JOIN u ON u.vec_id = a.vec_id JOIN e ON e.vec_id = a.vec_id
+  WHERE a.crn = 1
+),
+{_q345_sub_ctes(_Q345_KSUB, it)},
+t_assign AS (
+  SELECT vec_id, scid, sub FROM (
+    SELECT m.vec_id, m.scid, c.sub,
+      ROW_NUMBER() OVER (PARTITION BY m.vec_id
+        ORDER BY round(list_dot_product(m.vn, c.cnv), 4) DESC, c.sub ASC) AS rn
+    FROM smem m JOIN sb{it}u c USING (scid)
+  ) WHERE rn = 1
+),
+gt AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY round(list_dot_product(q.vn, c.vn), 4) DESC,
+                 c.vec_id ASC) AS rn
+    FROM u q, u c
+    WHERE q.vec_id < {_NQ} AND q.vec_id != c.vec_id
+  ) WHERE rn <= {_K_IVF}
+),
+gtn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gt FROM gt),
+sp_all AS (
+  SELECT a.vec_id AS query_id, a.scid, a.crn AS srn FROM (
+    SELECT u.vec_id, c.cid AS scid,
+      ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                         ORDER BY {_ASSIGN_SIM} DESC, c.cid ASC) AS crn
+    FROM u, scu{it} c WHERE u.vec_id < {_NQ}
+  ) a WHERE a.crn <= {max(s for s, _ in _Q346_SHAPES)}
+),
+sub_all AS (
+  SELECT query_id, scid, srn, sub, brn, qv FROM (
+    SELECT p.query_id, p.scid, p.srn, c.sub, e.v AS qv,
+      ROW_NUMBER() OVER (PARTITION BY p.query_id, p.scid
+        ORDER BY round(list_dot_product(u.vn, c.cnv), 4) DESC, c.sub ASC) AS brn
+    FROM sp_all p
+    JOIN u ON u.vec_id = p.query_id
+    JOIN e ON e.vec_id = p.query_id
+    JOIN sb{it}u c ON c.scid = p.scid
+  ) WHERE brn <= {max(b for _, b in _Q346_SHAPES)}
+)"""
+    ]
+    selects = []
+    for ns, nb in _Q346_SHAPES:
+        tag = f"{ns}x{nb}"
+        parts.append(
+            f""",
+cand_{ns}_{nb} AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id, q.qv, e2.v AS cv
+  FROM sub_all q JOIN t_assign a USING (scid, sub)
+  JOIN e e2 ON e2.vec_id = a.vec_id
+  WHERE q.srn <= {ns} AND q.brn <= {nb} AND q.query_id != a.vec_id
+),
+top_{ns}_{nb} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY {_D_COS.format(a="qv", b="cv")} DESC, neighbor_id ASC) AS rn
+    FROM cand_{ns}_{nb}
+  ) WHERE rn <= {_K_IVF}
+),
+h_{ns}_{nb} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+               FROM top_{ns}_{nb} JOIN gt USING (query_id, neighbor_id)),
+nc_{ns}_{nb} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates
+                 FROM cand_{ns}_{nb})"""
+        )
+        selects.append(
+            f"""SELECT '{tag}' AS probe_shape,
+       CAST({ns} AS BIGINT) AS n_probe_super,
+       CAST({nb} AS BIGINT) AS n_probe_sub,
+       n_candidates, n_hits, n_gt,
+       round(CAST(n_hits AS DOUBLE) / CAST(n_gt AS DOUBLE), 4) AS recall
+FROM h_{ns}_{nb}, nc_{ns}_{nb}, gtn"""
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
+@query("q346_two_level_probe_sweep", oracle=_q346_oracle())
+def q346_two_level_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < _NQ)
+    supers, subs = SIM.kmeans_centroids_two_level(
+        emb, k_super=_Q345_KSUP, k_sub=_Q345_KSUB, iters=_Q345_ITERS
+    )
+    lists = owned_persist(SIM.ivf_two_level_lists(emb, supers, subs))
+    gt = SIM.knn_bruteforce(emb, queries, k=_K_IVF).select(
+        "query_id", "neighbor_id"
+    )
+    gtn = gt.agg(F.count(F.lit(1)).cast("bigint").alias("n_gt"))
+    out = None
+    for ns, nb in _Q346_SHAPES:
+        probes = SIM.ivf_two_level_query_probes(
+            queries, supers, subs, n_probe_super=ns, n_probe_sub=nb
+        )
+        cand_n = (
+            probes.join(lists.select("scid", "sub", "neighbor_id"), ["scid", "sub"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        )
+        ap = SIM.ivf_two_level_ann(
+            emb,
+            queries,
+            supers,
+            subs,
+            k=_K_IVF,
+            n_probe_super=ns,
+            n_probe_sub=nb,
+            corpus_lists=lists,
+        ).select("query_id", "neighbor_id")
+        hits = gt.join(ap, ["query_id", "neighbor_id"], "left_semi").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits")
+        )
+        row = (
+            hits.crossJoin(F.broadcast(cand_n))
+            .crossJoin(F.broadcast(gtn))
+            .select(
+                F.lit(f"{ns}x{nb}").alias("probe_shape"),
+                F.lit(ns).cast("bigint").alias("n_probe_super"),
+                F.lit(nb).cast("bigint").alias("n_probe_sub"),
+                "n_candidates",
+                "n_hits",
+                "n_gt",
+                F.round(
+                    F.col("n_hits").cast("double") / F.col("n_gt").cast("double"),
+                    4,
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
