@@ -1291,6 +1291,79 @@ def ivf_two_level_lists(
     return assigned.join(e, "neighbor_id")
 
 
+def ivf_two_level_lists_spill(
+    corpus: DataFrame,
+    supers: list[tuple[int, list[float]]],
+    subs: list[tuple[int, int, list[float]]],
+    spill_margin_units: int = 500,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Two-level inverted lists with MULTI-ASSIGNMENT at the super
+    level (the IMI/FAISS spill fix — VERDICT r10 #4): q346 showed the
+    two-level router's recall loss concentrates at the SUPER level
+    (boundary vectors hard-routed into a super the query never
+    probes). During list BUILD, a vector is additionally assigned to
+    its runner-up super when that super's similarity is within
+    ``spill_margin_units`` (units of 1e-4 cosine — the margin compares
+    ``round(sim · 10⁴)`` BIGINTs so both engines decide boundaries in
+    exact integer arithmetic) of the winner's; within EACH assigned
+    super it takes its nearest sub as usual. At equal probe budget the
+    query then finds the boundary vectors hard routing lost, at a
+    storage overhead equal to the spill fraction (audited by
+    q347_two_level_spill_audit's ``n_postings`` column).
+
+    Assignment cost is O(n·(k_super + (1+spill)·k_sub)) — still the
+    O(n·√k) build the hierarchy exists for, never n × all-cells.
+    Returns ``neighbor_id, scid, sub, is_spill, __cv`` (one row per
+    assignment; spilled vectors carry 2 rows)."""
+    e = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__cv")
+    )
+    supers_u = [(cid, _py_unit(v)) for cid, v in supers]
+    subs_u: dict[int, list[tuple[int, list[float]]]] = {}
+    for g, sc, v in subs:
+        subs_u.setdefault(g, []).append((sc, _py_unit(v)))
+    u = unit_vectors(corpus, id_col, vec_col, "neighbor_id", "vn")
+    ssims = centroid_unit_sims(u, supers_u, id_alias="neighbor_id")
+    w = Window.partitionBy("neighbor_id").orderBy(
+        F.round("__rsim", round_digits).desc(), F.col("cid").asc()
+    )
+    scale = float(10**round_digits)
+    top2 = (
+        ssims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 2)
+        .withColumn(
+            "__units", F.round(F.col("__rsim") * F.lit(scale)).cast("bigint")
+        )
+    )
+    wb = Window.partitionBy("neighbor_id")
+    s_asg = (
+        top2.withColumn("__best", F.max("__units").over(wb))
+        .filter(
+            (F.col("__rn") == 1)
+            | (F.col("__best") - F.col("__units") <= F.lit(spill_margin_units))
+        )
+        .select(
+            "neighbor_id",
+            F.col("cid").alias("scid"),
+            (F.col("__rn") > 1).alias("is_spill"),
+        )
+    )
+    mu = s_asg.join(u, "neighbor_id")
+    bsims = grouped_centroid_unit_sims(mu, "scid", subs_u, id_alias="neighbor_id")
+    wsub = Window.partitionBy("neighbor_id", "scid").orderBy(
+        F.round("__rsim", round_digits).desc(), F.col("cid").asc()
+    )
+    assigned = (
+        bsims.withColumn("__srn", F.row_number().over(wsub))
+        .filter(F.col("__srn") == 1)
+        .select("neighbor_id", "scid", F.col("cid").alias("sub"))
+    )
+    return assigned.join(s_asg, ["neighbor_id", "scid"]).join(e, "neighbor_id")
+
+
 def ivf_two_level_query_probes(
     queries: DataFrame,
     supers: list[tuple[int, list[float]]],
@@ -1344,13 +1417,21 @@ def ivf_two_level_ann(
     vec_col: str = "embedding",
     round_digits: int = 4,
     corpus_lists: DataFrame | None = None,
+    dedup_candidates: bool = False,
 ) -> DataFrame:
     """Two-level IVF search: queries probe their ``n_probe_super``
     nearest supers, then the ``n_probe_sub`` nearest subs WITHIN each
     probed super (grouped sims again); similarity is computed only
     against those (scid, sub) lists' members — the q53 candidate
     shape with the probe fan-out n_probe_super × n_probe_sub. Returns
-    ``query_id, neighbor_id, cos_sim, rn`` (top-``k`` per query)."""
+    ``query_id, neighbor_id, cos_sim, rn`` (top-``k`` per query).
+
+    ``dedup_candidates=True`` collapses duplicate (query, neighbor)
+    candidate rows before ranking — required when ``corpus_lists``
+    came from :func:`ivf_two_level_lists_spill` (a spilled vector can
+    be reached through both its supers; without the dedup it would
+    occupy two top-k slots). Off by default: single-assignment lists
+    cannot produce duplicates and the extra shuffle would be waste."""
     q = queries.select(
         F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__qv")
     )
@@ -1384,6 +1465,10 @@ def ivf_two_level_ann(
             ),
         )
     )
+    if dedup_candidates:
+        # duplicate rows are exact copies (same vectors -> same rounded
+        # cosine), so any-one-survives is deterministic
+        sims = sims.dropDuplicates(["query_id", "neighbor_id"])
     wr = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -2528,6 +2613,151 @@ def sum_ip(a: list[float], b: list[float]) -> float:
     for x, y in zip(a, b):
         acc += x * y
     return acc
+
+
+def ivfpq_two_level_index(
+    corpus: DataFrame,
+    k_super: int = 4,
+    k_sub: int = 4,
+    coarse_iters: int = 2,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The full billion-vector serving layout, both halves composed
+    (VERDICT r10 #7): the TWO-LEVEL coarse quantizer (q345's O(n·√k)
+    index build — :func:`kmeans_centroids_two_level`) routes each
+    vector to a (super, sub) cell, and the vector's RESIDUAL against
+    its SUB centroid is PQ-coded (q85's IVFADC recipe — residuals
+    centered on the FINEST quantizer level, which is what keeps
+    quantization error small as cells multiply). Storage per vector =
+    m byte codes + the (scid, sub) cell id; build cost = O(n·√k)
+    routing + O(n·m·k_pq) code training — never n × all-cells.
+
+    Returns ``(coded, supers, subs, books)``: ``coded`` has
+    ``id_col (as neighbor_id), scid, sub, codes, sq_err``; ``supers``/
+    ``subs`` are the quantizer (:func:`kmeans_centroids_two_level`'s
+    shapes); ``books`` the residual PQ codebooks."""
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    spark = corpus.sparkSession
+    supers, subs = kmeans_centroids_two_level(
+        corpus,
+        k_super=k_super,
+        k_sub=k_sub,
+        iters=coarse_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    lists = ivf_two_level_lists(corpus, supers, subs, id_col, vec_col)
+    cent_df = spark.createDataFrame(
+        [(g, sc, vec) for g, sc, vec in subs],
+        "scid int, sub int, __cenv array<double>",
+    )
+    resid = owned_persist(
+        lists.join(F.broadcast(cent_df), ["scid", "sub"]).select(
+            "neighbor_id",
+            "scid",
+            "sub",
+            F.zip_with(
+                F.col("__cv"), F.col("__cenv"), lambda x, y: x - y
+            ).alias("resid"),
+        )
+    )
+    books = pq_train_codebooks(
+        resid, m=m, k=k, iters=iters, id_col="neighbor_id", vec_col="resid",
+        dims=dims,
+    )
+    coded = pq_encode(
+        resid, books, id_col="neighbor_id", vec_col="resid",
+        extra_cols=("scid", "sub"),
+    )
+    return coded, supers, subs, books
+
+
+def ivfpq_two_level_search(
+    coded: DataFrame,
+    supers: list[tuple[int, list[float]]],
+    subs: list[tuple[int, int, list[float]]],
+    books: list[list[tuple[int, list[float]]]],
+    queries: list[tuple[int, list[float]]],
+    n_probe_super: int = 2,
+    n_probe_sub: int = 1,
+    k: int = 3,
+    dist_digits: int = 4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Two-level IVFADC search: each driver-known query routes through
+    the hierarchy exactly like :func:`ivf_two_level_query_probes`
+    (rounded unit-dot, cid tie-break — top ``n_probe_super`` supers,
+    top ``n_probe_sub`` subs within each), then builds ONE ADC lookup
+    table per probed (scid, sub) from the query's residual against
+    that SUB centroid — the asymmetric half of q85's IVFADC, aimed at
+    the hierarchy's finest level. LUTs travel as a broadcast frame
+    equi-joined on (scid, sub) (BroadcastHashJoin pruning to the
+    probed lists; LUT size never touches the plan — the q85 lesson).
+    Returns ``query_id, neighbor_id, adc_dist, rn`` (top-``k``)."""
+    m = len(books)
+    sub_len = len(books[0][0][1])
+    spark = coded.sparkSession
+    supers_u = [(cid, _py_unit(v)) for cid, v in supers]
+    subs_by_g: dict[int, list[tuple[int, list[float]]]] = {}
+    for g, sc, v in subs:
+        subs_by_g.setdefault(g, []).append((sc, v))
+    probe_rows = []
+    for qid, qvec in queries:
+        qu = _py_unit(qvec)
+        top_s = sorted(
+            ((-round(sum_ip(qu, cu), round_digits), cid) for cid, cu in supers_u)
+        )[:n_probe_super]
+        for _negs, scid in top_s:
+            top_b = sorted(
+                (
+                    (-round(sum_ip(qu, _py_unit(cv)), round_digits), sc, cv)
+                    for sc, cv in subs_by_g[scid]
+                )
+            )[:n_probe_sub]
+            for _negb, sc, cvec in top_b:
+                qr = [x - y for x, y in zip(qvec, cvec)]
+                per_sub = []
+                for s in range(m):
+                    q = qr[s * sub_len : (s + 1) * sub_len]
+                    qq_s = _py_sq_norm(q)
+                    size = max(cid for cid, _ in books[s]) + 1
+                    ents = [float("inf")] * size
+                    for cid, c in books[s]:
+                        ents[cid] = round(
+                            qq_s - 2.0 * sum_ip(q, c) + _py_sq_norm(c),
+                            dist_digits,
+                        )
+                    per_sub.append(ents)
+                probe_rows.append((int(qid), int(scid), int(sc), per_sub))
+    probe_df = spark.createDataFrame(
+        probe_rows,
+        "query_id bigint, scid int, sub int, __luts array<array<double>>",
+    )
+    split = F.split(F.col("codes"), "-")
+    adc = F.lit(0.0)
+    for s in range(m):  # fixed s=0..m-1 fold order, as the oracle sums
+        adc = adc + F.element_at(
+            F.element_at("__luts", s + 1),
+            F.element_at(split, s + 1).cast("int") + 1,
+        )
+    scored = (
+        coded.join(F.broadcast(probe_df), ["scid", "sub"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
 
 
 # ---------------------------------------------------------------------------

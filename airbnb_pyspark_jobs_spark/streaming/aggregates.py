@@ -94,6 +94,20 @@ def read_rollup(
     )
 
 
+# Driver-side I/O accounting for the compaction maintenance paths:
+# bytes/files written by every compact_partials fold since reset.
+# Lets tests (and operators) ASSERT rewrite-volume claims — the r11
+# tiered dedup-store compaction exists precisely to shrink
+# bytes_written vs the naive full fold, and a counter is the only way
+# to keep that property from silently regressing.
+COMPACTION_IO = {"bytes_written": 0, "folds": 0}
+
+
+def reset_compaction_io() -> None:
+    COMPACTION_IO["bytes_written"] = 0
+    COMPACTION_IO["folds"] = 0
+
+
 def compact_partials(
     spark: SparkSession,
     path: str,
@@ -101,6 +115,7 @@ def compact_partials(
     base_batch_id: int = -1,
     fold=None,
     before_batch: int | None = None,
+    after_batch: int | None = None,
 ) -> int:
     """Fold ALL partials (including any previous base) into one base
     partial, keeping read-side merge fan-in bounded.
@@ -126,14 +141,26 @@ def compact_partials(
     batch's partial would smuggle it past the reader's
     ``batch_id < N`` pruning).
 
+    ``after_batch`` bounds the selection from BELOW (strict): only
+    partials with ``after_batch < batch_id < before_batch`` fold. The
+    tiered dedup-store compactor uses ``after_batch=-1`` to fold ONLY
+    the level-0 per-batch dirs (ids ≥ 0) into a fresh level-1 run,
+    leaving existing runs and the base in place (VERDICT r10 #1).
+    The target (``base_batch_id``) must either not exist yet or be one
+    of the folded inputs — both hold for every caller (a fresh run id,
+    or a base that is itself re-folded).
+
     Crash safety (re-run to converge): the fold is written to a temp
-    dir first, then a manifest (``_FOLDED.json``, listing exactly the
-    input dirs) marks it complete, and only then are inputs deleted and
-    the base renamed into place. A re-run after a crash either finds
-    the manifest (fold complete → finish deleting the listed inputs
-    and rename) or not (fold incomplete → discard temp and redo from
-    the untouched inputs). Returns the number of directories folded
-    (0 = nothing to do).
+    dir first, then a manifest (``_FOLDED.json``, recording exactly the
+    input dirs AND the target id — the target matters since r11: the
+    NEXT compaction call on this path may aim at a different tier, and
+    recovery must land the crashed fold where IT was going, not where
+    the new call is going) marks it complete, and only then are inputs
+    deleted and the base renamed into place. A re-run after a crash
+    either finds the manifest (fold complete → finish deleting the
+    listed inputs and rename to the RECORDED target) or not (fold
+    incomplete → discard temp and redo from the untouched inputs).
+    Returns the number of directories folded (0 = nothing to do).
     """
     import json
     import shutil
@@ -141,7 +168,7 @@ def compact_partials(
     tmp = os.path.join(path, "__compact_tmp")
     marker = os.path.join(tmp, "_FOLDED.json")
 
-    def finish(folded: list[str]) -> None:
+    def finish(folded: list[str], target: int) -> None:
         # ORDER MATTERS: the marker must outlive every destructive step
         # until the rename lands. Deleting the marker before the rename
         # (the original order) left a window where a crash had already
@@ -155,15 +182,19 @@ def compact_partials(
             full = os.path.join(path, d)
             if os.path.exists(full):
                 shutil.rmtree(full)
-        base = os.path.join(path, PARTIAL_DIRNAME.format(n=base_batch_id))
+        base = os.path.join(path, PARTIAL_DIRNAME.format(n=target))
         os.rename(tmp, base)
         leftover = os.path.join(base, "_FOLDED.json")
         if os.path.exists(leftover):
             os.remove(leftover)
 
     if os.path.exists(marker):  # crashed between fold and swap: finish it
-        folded = json.load(open(marker))
-        finish(folded)
+        recorded = json.load(open(marker))
+        if isinstance(recorded, list):  # pre-r11 manifest: dirs only
+            folded, target = recorded, base_batch_id
+        else:
+            folded, target = recorded["inputs"], recorded["target"]
+        finish(folded, target)
         return len(folded)
     if os.path.exists(tmp):  # crashed mid-fold: inputs untouched, redo
         shutil.rmtree(tmp)
@@ -173,8 +204,10 @@ def compact_partials(
         for d in os.listdir(path)
         if d.startswith("batch_id=")
         and (before_batch is None or int(d.split("=", 1)[1]) < before_batch)
+        and (after_batch is None or int(d.split("=", 1)[1]) > after_batch)
     )
-    if len(partial_dirs) <= 1:
+    target_dir = PARTIAL_DIRNAME.format(n=base_batch_id)
+    if not partial_dirs or partial_dirs == [target_dir]:
         return 0
     combined = spark.read.option("basePath", path).parquet(
         *[os.path.join(path, d) for d in partial_dirs]
@@ -186,9 +219,15 @@ def compact_partials(
     else:
         merged = fold(combined)
     merged.write.mode("overwrite").parquet(tmp)
+    COMPACTION_IO["bytes_written"] += sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(tmp)
+        for f in fs
+    )
+    COMPACTION_IO["folds"] += 1
     with open(marker, "w") as fh:
-        json.dump(partial_dirs, fh)
-    finish(partial_dirs)
+        json.dump({"inputs": partial_dirs, "target": base_batch_id}, fh)
+    finish(partial_dirs, base_batch_id)
     return len(partial_dirs)
 
 

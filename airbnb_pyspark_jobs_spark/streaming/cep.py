@@ -93,13 +93,28 @@ def _ensure_params(
     silently mixed thresholds). Overwrite is idempotent under replay.
     After one successful check the validated pair is cached per
     warehouse path (driver-local) so later batches skip the parquet
-    read; a LOCAL warehouse whose params record disappeared (deleted /
-    recreated between runs) drops its stale cache entry and
-    re-validates from storage."""
+    read; a LOCAL warehouse (plain path or ``file:`` URI — the scheme
+    is stripped before the isdir probe, ADVICE r10: probing the raw
+    ``file:/...`` string is always False, which evicted the cache
+    every batch and the optimization never took effect) whose params
+    record disappeared (deleted / recreated between runs) drops its
+    stale cache entry and re-validates from storage. REMOTE warehouses
+    have no driver-visible staleness probe, so their cache entry lives
+    for the driver's lifetime: a remote warehouse deleted and
+    recreated under the same URI within one driver run will NOT be
+    re-validated — restart the driver (or clear ``_PARAMS_CACHE``)
+    after such maintenance."""
     cached = _PARAMS_CACHE.get(warehouse)
     if cached is not None:
-        local = "://" not in warehouse or warehouse.startswith("file:")
-        if local and not os.path.isdir(os.path.join(warehouse, "cep_params")):
+        if warehouse.startswith("file:"):
+            from urllib.parse import urlparse
+
+            probe_root = urlparse(warehouse).path
+            local = True
+        else:
+            probe_root = warehouse
+            local = "://" not in warehouse
+        if local and not os.path.isdir(os.path.join(probe_root, "cep_params")):
             del _PARAMS_CACHE[warehouse]  # stale: path reused, re-check
         elif cached != (gap, min_run):
             raise CepParamsMismatchError(

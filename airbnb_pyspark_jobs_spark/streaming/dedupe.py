@@ -208,6 +208,7 @@ def streaming_video_dedup(
     threshold: float = 0.5,
     resizer=None,
     compact_every_n_batches: int | None = None,
+    compact_max_l1_runs: int | None = 4,
 ):
     """Video near-dup rejection ON INGEST — the q343 composition made
     continuous: each micro-batch's clips are per-frame aHashed
@@ -251,7 +252,10 @@ def streaming_video_dedup(
             and batch_id % compact_every_n_batches == 0
         ):
             compact_dedup_state(
-                batch_df.sparkSession, warehouse, before_batch=batch_id
+                batch_df.sparkSession,
+                warehouse,
+                before_batch=batch_id,
+                max_l1_runs=compact_max_l1_runs,
             )
         seq = frame_sequence_docs(
             frame_hashes(batch_df.localCheckpoint(), resizer=resizer)
@@ -277,32 +281,61 @@ def streaming_video_dedup(
     )
 
 
+def _committed_batch_ids(state_dir: str) -> list[int]:
+    """Batch ids present as ``batch_id=N`` partition dirs (driver-local
+    listing — compaction's supported scope is local warehouses)."""
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(state_dir)
+        if d.startswith("batch_id=")
+    )
+
+
 def compact_dedup_state(
-    spark: SparkSession, warehouse: str, before_batch: int
+    spark: SparkSession,
+    warehouse: str,
+    before_batch: int,
+    max_l1_runs: int | None = 4,
 ) -> int:
-    """Fold the dedup store's per-batch partition dirs (``accepted/``,
-    ``index/``, ``dups/``) into their ``batch_id=-1`` base partitions
-    (VERDICT r9 #1 — these three dirs previously accreted one
-    ``batch_id=N`` dir per micro-batch FOREVER; at production cadence
-    that is thousands of directories/small files per week whose listing
-    cost every ``_read_state`` pays, growing without bound).
+    """Bound the dedup store's directory fan-in (``accepted/``,
+    ``index/``, ``dups/`` — VERDICT r9 #1: one ``batch_id=N`` dir per
+    micro-batch FOREVER without maintenance) with TIERED, LSM-style
+    folds (VERDICT r10 #1 — the r10 single-level fold rewrote the
+    ENTIRE committed corpus on every cadence fire, O(corpus) I/O per
+    fire and quadratic over the run's lifetime; at 100 TB the accepted/
+    index stores ARE the corpus).
 
-    These rows are append-only facts — accepted docs, their band rows,
-    and verified dup pairs are never updated — so the fold is pure
-    concatenation: drop the partition column and rewrite at bounded
-    parallelism (``defaultParallelism`` output files per dir instead of
-    one-plus per batch). Crash safety is :func:`compact_partials`'
-    manifest-through-rename protocol, re-run-to-converge; called from
-    ``foreachBatch`` with ``before_batch=batch_id`` so only committed
-    batches (which never replay) enter the base and a crash-replay of
-    the current batch still cannot see its own output through it.
+    Two levels per fire:
 
-    Unlike the PSI/CEP folds this rewrite is O(committed corpus) I/O
-    per fire — the price of bounding listing fan-in on plain parquet
-    (a transactional table format's metadata layer does this
-    incrementally at true 100 TB). Choose the cadence so corpus-size ×
-    fire-rate stays acceptable; directory count between fires is at
-    most the cadence. Returns total directories folded."""
+    1. **L0 → L1** (small, cheap, every fire): the committed per-batch
+       dirs (``batch_id ≥ 0``, < ``before_batch``) fold into a fresh
+       level-1 RUN at the next free negative id ≤ −2. I/O is
+       O(batches since last fire) — the cadence window, never the
+       corpus.
+    2. **L1 → base** (big, rare): only when the number of level-1 runs
+       EXCEEDS ``max_l1_runs`` do the runs (and any existing base)
+       fold into the ``batch_id=-1`` base. I/O is O(corpus), but fires
+       once per ``max_l1_runs`` cadence windows — amortized rewrite
+       volume drops by ~``max_l1_runs``× vs the naive full fold while
+       directory fan-in stays ≤ cadence + max_l1_runs + 1
+       (``tests/test_streaming_cep_dim.py`` asserts both via the
+       ``COMPACTION_IO`` byte counter).
+
+    Negative ids are naturally invisible to the replay-pruning reader
+    (``_read_state`` keeps ``batch_id < N`` — committed history either
+    way) and to ``_assert_checkpoint_matches`` (max over POSITIVE ids
+    only matters). These rows are append-only facts, so both folds are
+    pure concatenation: drop the partition column and rewrite (runs at
+    small parallelism — they hold a cadence window; the base at
+    ``defaultParallelism``). Crash safety is :func:`compact_partials`'
+    manifest-through-rename protocol with the TARGET id recorded in
+    the manifest (a crash between the two folds, or inside either, is
+    finished by the next call exactly where it was going).
+
+    ``max_l1_runs=None`` restores the r10 single-level full fold.
+    Called from ``foreachBatch`` with ``before_batch=batch_id`` so only
+    committed batches (which never replay) enter any tier. Returns
+    total directories folded."""
     from airbnb_pyspark_jobs_spark.streaming.aggregates import compact_partials
 
     n_parts = max(1, spark.sparkContext.defaultParallelism)
@@ -311,13 +344,41 @@ def compact_dedup_state(
         d = os.path.join(warehouse, sub)
         if not os.path.isdir(d):
             continue
+        if max_l1_runs is None:
+            total += compact_partials(
+                spark,
+                d,
+                key_cols=[],
+                fold=lambda c: c.drop("batch_id").repartition(n_parts),
+                before_batch=before_batch,
+            )
+            continue
+        # step 1 (every fire): committed L0 batch dirs -> fresh L1 run.
+        # A run holds one cadence window, so a handful of files is
+        # plenty — defaultParallelism tiny files per run would undo
+        # the listing-cost win the fold exists for.
+        ids = _committed_batch_ids(d)
+        l1_target = min([-1, *ids]) - 1
         total += compact_partials(
             spark,
             d,
             key_cols=[],
-            fold=lambda c: c.drop("batch_id").repartition(n_parts),
+            fold=lambda c: c.drop("batch_id").repartition(4),
             before_batch=before_batch,
+            after_batch=-1,
+            base_batch_id=l1_target,
         )
+        # step 2 (rare): merge runs + base only past the threshold
+        runs = [b for b in _committed_batch_ids(d) if b <= -2]
+        if len(runs) > max_l1_runs:
+            total += compact_partials(
+                spark,
+                d,
+                key_cols=[],
+                fold=lambda c: c.drop("batch_id").repartition(n_parts),
+                before_batch=0,
+                base_batch_id=-1,
+            )
     return total
 
 
@@ -332,14 +393,17 @@ def streaming_minhash_dedup(
     bands: int = 2,
     threshold: float = 0.5,
     compact_every_n_batches: int | None = None,
+    compact_max_l1_runs: int | None = 4,
 ):
     """Start the dedup-on-ingest query. ``doc_stream`` must carry
     ``(id_col, text_col)``. Returns the started StreamingQuery; results
     accumulate under ``{warehouse}/accepted|index|dups``; with
     ``compact_every_n_batches`` set, every N batches the head of the
-    batch folds those three dirs into their ``batch_id=-1`` base via
-    :func:`compact_dedup_state` (local warehouses only — raises up
-    front otherwise, matching the composed pipeline's contract).
+    batch folds those three dirs TIERED via :func:`compact_dedup_state`
+    (cheap cadence-window folds into level-1 runs every fire, the
+    O(corpus) base merge only past ``compact_max_l1_runs`` runs; local
+    warehouses only — raises up front otherwise, matching the composed
+    pipeline's contract).
 
     Batch-level flow (foreachBatch = the streaming escape hatch that
     allows the index equi-join + exact verification per micro-batch):
@@ -365,7 +429,10 @@ def streaming_minhash_dedup(
             and batch_id % compact_every_n_batches == 0
         ):
             compact_dedup_state(
-                batch_df.sparkSession, warehouse, before_batch=batch_id
+                batch_df.sparkSession,
+                warehouse,
+                before_batch=batch_id,
+                max_l1_runs=compact_max_l1_runs,
             )
         dedup_batch(
             batch_df,

@@ -86,6 +86,7 @@ def streaming_corpus_pipeline(
     cep_gap: int = 5,
     cep_min_run: int = 3,
     compact_every_n_batches: int | None = None,
+    dedup_max_l1_runs: int | None = 4,
 ):
     """Start the composed ingest pipeline; returns the StreamingQuery.
 
@@ -107,8 +108,11 @@ def streaming_corpus_pipeline(
     own output; a crash MID-compaction is recovered by the fold's
     manifest protocol on the replay's compaction attempt. Cost shape
     differs by table: PSI/CEP folds are O(state) (bounded); the dedup
-    fold is O(committed corpus) I/O per fire — pick the cadence
-    accordingly (see :func:`streaming.dedupe.compact_dedup_state`).
+    store folds TIERED (``dedup_max_l1_runs``, r11): every fire folds
+    only the cadence window into a level-1 run, and the O(corpus) base
+    merge fires once per ``dedup_max_l1_runs`` windows — set it None
+    to restore the r10 full fold (see
+    :func:`streaming.dedupe.compact_dedup_state`).
     The ``gated/``/``shards/`` dirs are pure output sinks never read
     back by the pipeline, so they are left as append logs.
 
@@ -164,7 +168,12 @@ def streaming_corpus_pipeline(
                 compact_dedup_state,
             )
 
-            compact_dedup_state(spark, warehouse, before_batch=batch_id)
+            compact_dedup_state(
+                spark,
+                warehouse,
+                before_batch=batch_id,
+                max_l1_runs=dedup_max_l1_runs,
+            )
         meta = None
         if source_col is not None:
             # one localCheckpoint so the stream source isn't re-read by

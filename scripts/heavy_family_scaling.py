@@ -675,6 +675,7 @@ def main() -> None:
             from airbnb_pyspark_jobs_spark.operators.similarity import (
                 ivf_corpus_lists,
                 ivf_two_level_lists,
+                ivf_two_level_lists_spill,
                 kmeans_centroids,
                 kmeans_centroids_two_level,
             )
@@ -695,12 +696,29 @@ def main() -> None:
                 )
                 return ivf_two_level_lists(emb, s, b).groupBy("scid", "sub").count()
 
+            def spill_build():
+                # q347 multi-assignment: super top-2 + margin filter +
+                # grouped sub-assign over (1+spill)·n memberships —
+                # must keep the two-level α (O(n·√k)), small constant up
+                s, b = kmeans_centroids_two_level(
+                    emb, k_super=k_side, k_sub=k_side, iters=1
+                )
+                return (
+                    ivf_two_level_lists_spill(emb, s, b, spill_margin_units=500)
+                    .groupBy("scid", "sub")
+                    .count()
+                )
+
             print(f"  twolevel: n={tn} cells={k_side * k_side}", flush=True)
             results.setdefault("ivf_build_flat_cells_prop_n", {})[tn] = run(
                 f"flat IVF build (k={k_side * k_side})", flat_build
             )
             results.setdefault("ivf_build_two_level_same_cells", {})[tn] = run(
                 f"two-level IVF build ({k_side}x{k_side})", two_build
+            )
+            results.setdefault("ivf_build_two_level_spill500", {})[tn] = run(
+                f"two-level spill build ({k_side}x{k_side}, margin 500)",
+                spill_build,
             )
             emb.unpersist()
         if "q330" in OPS:

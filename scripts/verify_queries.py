@@ -61,11 +61,19 @@ def norm(v):
     return v
 
 
-def run_serial(wanted: list[str] | None) -> int:
+def run_serial(wanted: list[str] | None, lines: list[str] | None = None) -> int:
+    import builtins
     import duckdb
 
     import __spark_entry__ as E
     from airbnb_pyspark_jobs_spark.session import get_spark
+
+    _print = builtins.print
+
+    def print(*a, **kw):  # noqa: A001 - tee result lines for --record
+        _print(*a, **kw)
+        if lines is not None:
+            lines.append(" ".join(str(x) for x in a))
 
     spark = get_spark(shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -147,16 +155,74 @@ def run_parallel(workers: int, wanted: list[str] | None) -> int:
     return rc
 
 
+def record_results(lines: list[str]) -> None:
+    """Merge this run's per-query outcomes into the LATEST
+    ``docs/correctness_local_r*.json`` (VERDICT r10 #6: q346 reached
+    HEAD with zero recorded verification because registration and the
+    sweep artifact were separate manual steps —
+    ``tests/test_registry_catalog.py::test_every_registered_query_is_swept``
+    now fails pytest for any registered-but-unrecorded query, and this
+    flag makes recording a one-command step:
+    ``python scripts/verify_queries.py --record <new_query>``).
+
+    Only green outcomes are merged (MATCH, or NO-ORACLE for the
+    rows-only-by-design queries); a MISMATCH/SPARK-ERR line is NOT
+    recorded — the artifact must never claim verification that
+    failed. Counts are recomputed from the merged results."""
+    import glob
+    import json
+
+    from scripts.build_correctness_artifacts import parse as _parse
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as fh:
+        fh.write("\n".join(l for l in lines if not l.startswith(" ")))
+        tmp = fh.name
+    parsed = _parse(tmp)
+    os.unlink(tmp)
+    green = {
+        k: v
+        for k, v in parsed.items()
+        if v.get("hash_match") or v.get("rows_only")
+    }
+    dropped = sorted(set(parsed) - set(green))
+    files = sorted(glob.glob(os.path.join(REPO, "docs", "correctness_local_r*.json")))
+    if not files:
+        raise SystemExit("--record: no docs/correctness_local_r*.json to update")
+    path = files[-1]
+    art = json.load(open(path))
+    art["results"].update(green)
+    res = art["results"]
+    art["n_queries"] = len(res)
+    art["n_match"] = sum(1 for r in res.values() if r.get("hash_match"))
+    art["n_rows_only"] = sum(1 for r in res.values() if r.get("rows_only"))
+    art["n_mismatch"] = art["n_queries"] - art["n_match"] - art["n_rows_only"]
+    with open(path, "w") as fh:
+        json.dump(art, fh, indent=1)
+    print(
+        f"--record: merged {len(green)} green result(s) into {os.path.basename(path)}"
+        + (f"; NOT recorded (non-green): {dropped}" if dropped else "")
+    )
+
+
 def main() -> int:
     args = sys.argv[1:]
     workers = 0
+    record = False
+    if args and args[0] == "--record":
+        record = True
+        args = args[1:]
     if args and args[0] == "--workers":
         workers = int(args[1])
         args = args[2:]
     wanted = args or None
     if workers > 1:
         return run_parallel(workers, wanted)
-    return run_serial(wanted)
+    lines: list[str] | None = [] if record else None
+    rc = run_serial(wanted, lines)
+    if record:
+        record_results(lines)
+    return rc
 
 
 if __name__ == "__main__":

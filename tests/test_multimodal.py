@@ -570,3 +570,171 @@ def test_audio_fingerprints_unsupported_width_raises(spark):
     media = spark.createDataFrame([_audio_row(1, buf.getvalue())], MEDIA_SCHEMA)
     with pytest.raises(Exception, match="unsupported PCM sample width"):
         audio_fingerprints(media, n_windows=4, window=4, decoder="wav").collect()
+
+
+def _video_row(mid: int, payload: bytes, n_frames: int) -> Row:
+    return Row(
+        media_id=mid,
+        payload=payload,
+        meta=Row(
+            modality="video", mime="video/mp4",
+            width=None, height=None, n_frames=n_frames, sample_rate=None,
+        ),
+    )
+
+
+def test_frame_hashes_rejects_nonpositive_n_frames(spark):
+    """ADVICE r10: n_frames=0 would make F.sequence(0, -1) DESCEND and
+    emit frame_idx=-1, whose composite id media_id*2^20-1 decodes to
+    the PREVIOUS clip — a spurious frame silently attributed to the
+    wrong clip's hash set. Loud failure instead, matching the WAV/PNG
+    decode contracts."""
+    import pytest
+
+    from airbnb_pyspark_jobs_spark.operators.multimodal import frame_hashes
+
+    media = spark.createDataFrame(
+        [_video_row(7, b"x" * 64, 0)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="non-positive meta.n_frames"):
+        frame_hashes(media).collect()
+
+
+def test_frame_hashes_rejects_payload_shorter_than_n_frames(spark):
+    """ADVICE r10: payload shorter than n_frames gives flen=0 and
+    EMPTY frame slices that hash identically across clips — degenerate
+    near-dup collisions on the streaming ingest path. Loud failure."""
+    import pytest
+
+    from airbnb_pyspark_jobs_spark.operators.multimodal import frame_hashes
+
+    media = spark.createDataFrame(
+        [_video_row(8, b"xyz", 9)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="payload shorter than meta.n_frames"):
+        frame_hashes(media).collect()
+
+
+def test_frame_hashes_valid_clips_unaffected_by_guard(spark):
+    """The guards pass well-formed clips through unchanged: every
+    (media_id, frame_idx) pair present, no negatives, no cross-clip
+    leakage."""
+    from airbnb_pyspark_jobs_spark.operators.multimodal import frame_hashes
+
+    media = spark.createDataFrame(
+        [_video_row(1, bytes(range(64)), 4), _video_row(2, bytes(range(96)), 6)],
+        MEDIA_SCHEMA,
+    )
+    out = frame_hashes(media).collect()
+    got = {(r.media_id, r.frame_idx) for r in out}
+    assert got == {(1, i) for i in range(4)} | {(2, i) for i in range(6)}
+
+
+def _mpng_clip(mid: int, frame_pngs: list[bytes]) -> Row:
+    from airbnb_pyspark_jobs_spark.operators.multimodal import mpng_encode
+
+    return Row(
+        media_id=mid,
+        payload=mpng_encode(frame_pngs),
+        meta=Row(
+            modality="video", mime="video/x-mpng",
+            width=8, height=8, n_frames=len(frame_pngs), sample_rate=None,
+        ),
+    )
+
+
+def _row_pattern_png(n_hot_rows: int) -> bytes:
+    """8x8 grayscale PNG whose top ``n_hot_rows`` rows are 200 and the
+    rest 40 — the hand-ladder recipe: above-mean pixels are EXACTLY the
+    hot rows, so band b is 255 iff b < n_hot_rows (and the all-40 frame
+    hashes to all-zero bands)."""
+    return _png_gray([200] * (8 * n_hot_rows) + [40] * (8 * (8 - n_hot_rows)), 8, 8)
+
+
+def test_frame_hashes_real_mpng_hand_ladder(spark):
+    """VERDICT r10 #3 'done' criterion: the video path runs the REAL
+    stdlib PNG decode on demuxed frames, hand-computable per frame. A
+    2-frame MPNG clip of the row-pattern PNGs (2 hot rows, then 4)
+    must hash to bands 255,255,0,... and 255,255,255,255,0,... — values
+    only the zlib decode produces (the byte-slice stand-in would hash
+    compressed chunk bytes instead)."""
+    from airbnb_pyspark_jobs_spark.operators.multimodal import frame_hashes
+
+    media = spark.createDataFrame(
+        [_mpng_clip(5, [_row_pattern_png(2), _row_pattern_png(4)])], MEDIA_SCHEMA
+    )
+    out = {r.frame_idx: r.frame_hash for r in frame_hashes(media).collect()}
+    assert out == {
+        0: "255-255-0-0-0-0-0-0",
+        1: "255-255-255-255-0-0-0-0",
+    }
+
+
+def test_frame_hashes_mpng_count_mismatch_raises(spark):
+    """An MPNG whose demuxed frame count disagrees with meta.n_frames
+    is malformed metadata — loud failure, same contract as the other
+    decode paths."""
+    import pytest
+
+    from airbnb_pyspark_jobs_spark.operators.multimodal import frame_hashes
+
+    clip = _mpng_clip(6, [_row_pattern_png(1), _row_pattern_png(2)])
+    bad = Row(media_id=6, payload=clip.payload, meta=Row(
+        modality="video", mime="video/x-mpng",
+        width=8, height=8, n_frames=3, sample_rate=None,
+    ))
+    media = spark.createDataFrame([bad], MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="MPNG holds 2 frames"):
+        frame_hashes(media).collect()
+
+
+def test_video_near_dup_pairs_real_mpng_decode(spark):
+    """End-to-end video near-dup over REAL decoded frames: a clip and
+    its re-encoding (same pixels, different PNG byte streams via an
+    extra zlib level) must pair at high Jaccard — which can ONLY happen
+    through actual decode, since their raw payload bytes differ — while
+    a clip of disjoint frames pairs with neither."""
+    import zlib as _zlib
+
+    from airbnb_pyspark_jobs_spark.operators.multimodal import (
+        mpng_encode,
+        video_near_dup_pairs,
+    )
+
+    def reencode(png: bytes) -> bytes:
+        # decode + re-emit with different compression: same pixels,
+        # different bytes (the "re-encoded upload" case)
+        from airbnb_pyspark_jobs_spark.operators.multimodal import _png_decode_gray
+
+        px, w, h = _png_decode_gray(png)
+        raw = b"".join(
+            b"\x00" + px[y * w : (y + 1) * w] for y in range(h)
+        )
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", _zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zlib.compress(raw, 1))
+            + chunk(b"IEND", b"")
+        )
+
+    frames_a = [_row_pattern_png(i % 8) for i in range(8)]
+    frames_b = [
+        _png_gray([40 + i] * 32 + [200 + (i % 50)] * 32, 8, 8) for i in range(8)
+    ]
+    rows = [
+        _mpng_clip(1, frames_a),
+        _mpng_clip(2, [reencode(f) for f in frames_a]),
+        _mpng_clip(3, frames_b),
+    ]
+    assert rows[0].payload != rows[1].payload  # genuinely different bytes
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = video_near_dup_pairs(media, threshold=0.5).collect()
+    assert [(p.media_id_a, p.media_id_b) for p in pairs] == [(1, 2)]

@@ -557,10 +557,18 @@ def test_pipeline_compaction_cadence_bounds_state(spark, tmp_path):
     assert len(_state_dirs(wh_a, "psi")) == 7
     for sub in ("accepted", "index", "dups"):
         assert len(_state_dirs(wh_a, sub)) == 7
-    # compactions at batches 2/4/6 each fold everything below them:
-    # after batch 6 only the base and batch 6's own partial remain
-    for sub in ("cep_state", "psi", "accepted", "index", "dups"):
+    # compactions at batches 2/4/6: PSI/CEP fold everything below them
+    # (bounded state, full fold is cheap); the dedup store folds
+    # TIERED (r11) — each fire folds only its cadence window into a
+    # fresh level-1 run (-2, -3, -4), and the O(corpus) base merge
+    # waits until runs exceed max_l1_runs (default 4, not reached in
+    # 3 fires). Fan-in stays bounded by cadence + K + 1 either way.
+    for sub in ("cep_state", "psi"):
         assert _state_dirs(wh_b, sub) == ["batch_id=-1", "batch_id=6"], sub
+    for sub in ("accepted", "index", "dups"):
+        assert _state_dirs(wh_b, sub) == [
+            "batch_id=-2", "batch_id=-3", "batch_id=-4", "batch_id=6",
+        ], sub
 
     acc = lambda wh: sorted(  # noqa: E731
         r.doc_id
@@ -773,3 +781,40 @@ def test_cep_params_cached_after_first_validation(spark, tmp_path, monkeypatch):
     assert calls["n"] == n_after_first  # later batches: cache, no read
     with pytest.raises(CEP.CepParamsMismatchError):
         CEP.dup_burst_batch(rows([5]), wh, 3, gap=9, min_run=2)
+
+
+def test_cep_params_cache_effective_for_file_uri_warehouse(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: the staleness probe ran os.path.isdir on the RAW
+    warehouse string, which is always False for file:-prefixed URIs —
+    the cache entry was evicted and re-validated from parquet every
+    batch, so the ADVICE-r9 optimization never took effect for file:
+    warehouses. The probe now strips the scheme: later batches must
+    skip the parquet read, and a DELETED params dir must still evict."""
+    import shutil
+
+    from airbnb_pyspark_jobs_spark.streaming import cep as CEP
+
+    wh = "file:" + str(tmp_path / "wh")
+    calls = {"n": 0}
+    real = CEP._read_params
+
+    def counting(spark_, warehouse):
+        calls["n"] += 1
+        return real(spark_, warehouse)
+
+    monkeypatch.setattr(CEP, "_read_params", counting)
+    rows = lambda ids: spark.createDataFrame(  # noqa: E731
+        [("s", i) for i in ids], "source string, doc_id long"
+    )
+    CEP.dup_burst_batch(rows([1, 2]), wh, 0, gap=5, min_run=2)
+    n_after_first = calls["n"]
+    CEP.dup_burst_batch(rows([3]), wh, 1, gap=5, min_run=2)
+    CEP.dup_burst_batch(rows([4]), wh, 2, gap=5, min_run=2)
+    assert calls["n"] == n_after_first  # cache hit despite file: scheme
+    # staleness handling still works through the scheme: a deleted
+    # params record drops the cache entry and re-validates
+    shutil.rmtree(tmp_path / "wh" / "cep_params")
+    CEP.dup_burst_batch(rows([5]), wh, 3, gap=5, min_run=2)
+    assert calls["n"] == n_after_first + 1
