@@ -71,6 +71,119 @@ def _bucket_expr(vec: Column, planes: list[list[int]]) -> Column:
     return bucket
 
 
+#: loud-failure bound on the driver-collected query side of the brute
+#: scorers — the contract is "few queries × huge corpus"; a caller that
+#: passes a corpus-sized query frame must hear about it, not OOM the
+#: driver (same discipline as ExactBaselineSizeError).
+MAX_BRUTE_QUERIES = 65536
+
+
+def _brute_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+    normalize: bool,
+) -> DataFrame:
+    """RAW (unrounded) exact scores of every corpus row against every
+    query, vectorized: ``(query_id, neighbor_id, __rsim)`` with
+    self-pairs dropped and a per-batch top-k prefilter.
+
+    The query side (bounded — nq·d floats, like k-means training state)
+    is collected to the driver and closure-shipped into ONE Arrow/numpy
+    corpus pass; the interpreted ``F.aggregate(F.zip_with(...))`` fold
+    of the old crossJoin shape is gone (higher-order functions are not
+    codegen'd — guide §4.2; same move as :func:`centroid_unit_sims`,
+    measured ~20× there). Bit-exactness: products and the j-order
+    accumulation ``acc += v_j·q_j`` are the IDENTICAL IEEE op sequence
+    as ``functions.vectors.dot`` / DuckDB ``list_dot_product``; with
+    ``normalize`` the norms are the same j-order sum-of-squares fold +
+    IEEE sqrt + per-element divide as :func:`unit_vectors`. Rounding
+    and ranking stay JVM-side (``F.round`` + window), so numpy rounding
+    semantics never touch the values.
+
+    Prefilter safety: a batch row is dropped only when its raw score is
+    below the batch's k-th largest (per query, self-pairs excluded) by
+    MORE than 2·10^-round_digits. Rounding to the 10^-round_digits grid
+    is monotone, and two values more than one grid step apart cannot
+    round equal — so every dropped row rounds strictly below ≥ k
+    surviving rows of its own batch and can never re-enter the global
+    top-k under the (rounded desc, id asc) order, ties included.
+    """
+    import numpy as np
+
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__qv")
+        )
+        .collect()
+    )
+    if len(q_rows) > MAX_BRUTE_QUERIES:
+        raise ValueError(
+            f"brute scorer query side has {len(q_rows)} rows "
+            f"(> MAX_BRUTE_QUERIES={MAX_BRUTE_QUERIES}); this path is for "
+            "bounded query/anchor sets — use an ANN index for corpus-scale "
+            "query sides"
+        )
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([list(r["__qv"]) for r in q_rows], dtype=np.float64)
+    if normalize and len(q_rows):
+        nrm2 = np.zeros(len(q_rows), dtype=np.float64)
+        for j in range(q_mat.shape[1]):  # j-order fold, same op sequence
+            nrm2 += q_mat[:, j] * q_mat[:, j]
+        q_mat = q_mat / np.sqrt(nrm2)[:, None]
+    m = len(q_ids)
+    delta = 2.0 * 10.0**-round_digits
+
+    def score_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or m == 0:
+                continue
+            v = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            if normalize:
+                nrm2 = np.zeros(n, dtype=np.float64)
+                for j in range(v.shape[1]):
+                    nrm2 += v[:, j] * v[:, j]
+                v = v / np.sqrt(nrm2)[:, None]
+            acc = np.zeros((n, m), dtype=np.float64)
+            for j in range(v.shape[1]):  # in-order fold, same op sequence
+                acc += v[:, j : j + 1] * q_mat[:, j][None, :]
+            ids = pdf["id"].to_numpy()
+            valid = ids[:, None] != q_ids[None, :]
+            masked = np.where(valid, acc, -np.inf)
+            if n > k:
+                # NaN scores (zero-norm vectors) sort FIRST under
+                # Spark's descending double order — never prefilter a
+                # column containing one (and keep the NaNs themselves:
+                # NaN fails every >= test)
+                kth = np.partition(masked, n - k, axis=0)[n - k]
+                kth = np.where(np.isnan(acc).any(axis=0), -np.inf, kth)
+                keep = valid & (
+                    np.isnan(acc) | (masked >= kth[None, :] - delta)
+                )
+            else:
+                keep = valid
+            r, c = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[c],
+                    "neighbor_id": ids[r],
+                    "__rsim": acc[r, c],
+                }
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("id"), to_double_array(vec_col).alias("__v")
+    ).mapInPandas(
+        score_batches, schema="query_id long, neighbor_id long, __rsim double"
+    )
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -79,23 +192,22 @@ def knn_bruteforce(
     vec_col: str = "embedding",
     round_digits: int = 4,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors per query (query set broadcast).
+    """Exact top-k cosine neighbors per query.
 
     Returns ``query_id, neighbor_id, cos_sim, rn``. Ranking is on the
     ROUNDED similarity with neighbor-id tie-break → deterministic.
-    Vectors are unit-normalized scan-side so the per-pair work is one
-    dot fold (see :func:`unit_vectors`).
+    The n×nq scoring runs in one Arrow/numpy corpus pass with j-order
+    accumulation (see :func:`_brute_scores` — bit-identical to the old
+    ``unit_vectors`` + crossJoin + ``dot`` fold, measured much faster:
+    higher-order functions are interpreted, not codegen'd); only the
+    per-batch top-k survivors reach the ranking shuffle.
     """
-    c = unit_vectors(corpus, id_col, vec_col, "neighbor_id", "__cv")
-    q = unit_vectors(queries, id_col, vec_col, "query_id", "__qv")
-    sims = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(dot(F.col("__qv"), F.col("__cv")), round_digits).alias("cos_sim"),
-        )
+    sims = _brute_scores(
+        corpus, queries, k, id_col, vec_col, round_digits, normalize=True
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("__rsim"), round_digits).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -222,12 +334,18 @@ def matryoshka_recall(
     corpus — same shape as the probe/quantization sweeps (q202/q293);
     at 100 TB run it on the id-bounded audit sample like the other
     recall audits (q154)."""
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
     from airbnb_pyspark_jobs_spark.functions.numeric import decimal_ratio_round
 
-    full = knn_bruteforce(
-        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
-        round_digits=round_digits,
-    ).select("query_id", "neighbor_id")
+    # barrier the exact ranking (the q202/q344-q346 rule): `full` feeds
+    # one left_semi + one count per dims_list entry — without a persist
+    # the brute pass re-runs 2·|dims_list| times; nq×k rows, bounded
+    full = owned_persist(
+        knn_bruteforce(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+            round_digits=round_digits,
+        ).select("query_id", "neighbor_id")
+    )
     out = None
     for d in dims_list:
         tc = corpus.select(
@@ -557,23 +675,15 @@ def knn_dot_topk(
     maximum-inner-product ranking a dot-product index serves. Same
     shape and determinism discipline as :func:`knn_bruteforce`
     (broadcast queries, rounded score, id tie-break); returns
-    ``query_id, neighbor_id, dot_score, rn``."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__cv")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__qv")
-    )
-    sims = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(dot(F.col("__qv"), F.col("__cv")), round_digits).alias(
-                "dot_score"
-            ),
-        )
+    ``query_id, neighbor_id, dot_score, rn``. Scoring runs in the same
+    Arrow/numpy j-order pass as :func:`knn_bruteforce` (``normalize``
+    off — raw inner products)."""
+    sims = _brute_scores(
+        corpus, queries, k, id_col, vec_col, round_digits, normalize=False
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("__rsim"), round_digits).alias("dot_score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dot_score").desc(), F.col("neighbor_id").asc()
@@ -1743,23 +1853,58 @@ def lsh_candidate_pairs(
     Banding runs on the RAW vectors (sign(dot) is scale-invariant, but
     keeping the bucket expression byte-identical to the oracle avoids
     fold-order sign flips near zero).
+
+    The T·b plane-dots per row run in ONE Arrow/numpy stage with
+    j-order accumulation (the :func:`cp_buckets` recipe — the old
+    per-row ``_bucket_expr`` chain was T·b interpreted higher-order
+    folds, guide §4.2), and the banded frame is PERSISTED: it feeds
+    both sides of the bucket self-join, which would otherwise duplicate
+    the whole banding subtree in the physical plan. Bit-exactness:
+    ±1 products are exact, the j-order additions are the identical IEEE
+    sequence as ``functions.vectors.dot``, and ``d > 0`` + bit-weights
+    are integer-exact.
     """
+    import numpy as np
+
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
     e = corpus.select(
         F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
     )
-    table_structs = []
-    for t in range(num_tables):
-        planes = [
-            hyperplane(t * planes_per_table + j, dims) for j in range(planes_per_table)
-        ]
-        table_structs.append(
-            F.struct(
-                F.lit(t).alias("t"), _bucket_expr(F.col("v"), planes).alias("bkt")
+    g = np.array(
+        [
+            hyperplane(t * planes_per_table + j, dims)
+            for t in range(num_tables)
+            for j in range(planes_per_table)
+        ],
+        dtype=np.float64,
+    )  # (T·b, dims)
+    n_t, b = num_tables, planes_per_table
+    bit_w = (2 ** np.arange(b, dtype=np.int64))[None, None, :]
+
+    def band_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            acc = np.zeros((len(v), g.shape[0]), dtype=np.float64)
+            for j in range(v.shape[1]):  # in-order fold: exact ±1 products
+                acc += v[:, j : j + 1] * g[:, j][None, :]
+            bits = (acc > 0).reshape(len(v), n_t, b)
+            bkt = (bits * bit_w).sum(axis=2).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), n_t),
+                    "t": np.tile(np.arange(n_t, dtype=np.int32), len(v)),
+                    "bkt": bkt.ravel(),
+                }
             )
-        )
-    banded = e.select(
-        "id", F.explode(F.array(*table_structs)).alias("tb")
-    ).select("id", F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
+
+    banded = owned_persist(
+        e.mapInPandas(band_batches, schema="id long, t int, bkt long")
+    )
 
     return (
         banded.alias("a")

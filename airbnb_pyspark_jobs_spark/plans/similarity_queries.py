@@ -1876,8 +1876,13 @@ def q202_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE corpus assignment shared by every probe level (persisted —
     # otherwise each sweep point re-scans and re-assigns the corpus)
     lists = owned_persist(SIM.ivf_corpus_lists(emb, cents))
-    gt = SIM.knn_bruteforce(emb, queries, k=_K_SWEEP).select(
-        "query_id", "neighbor_id"
+    # barrier the exact scan (the q344-q346 rule, VERDICT r10 #1/#2):
+    # gt feeds gtn + one left_semi per probe level — without a persist
+    # the O(n·nq·d) brute pass re-runs per sweep point; nq×k rows
+    gt = owned_persist(
+        SIM.knn_bruteforce(emb, queries, k=_K_SWEEP).select(
+            "query_id", "neighbor_id"
+        )
     )
     gtn = gt.agg(F.count(F.lit(1)).cast("bigint").alias("n_gt"))
     out = None
