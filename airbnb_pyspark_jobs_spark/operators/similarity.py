@@ -982,6 +982,41 @@ def centroid_unit_sims(
     return out.withColumnRenamed("id", id_alias)
 
 
+def nearest_centroid(
+    sims: DataFrame,
+    id_cols: list[str],
+    round_digits: int = 4,
+    out_col: str = "cid",
+    keep_sim: str | None = None,
+) -> DataFrame:
+    """Per-``id_cols`` argmax of the ROUNDED similarity with cid-asc
+    tie-break — the rank-1 selection of every k-means/IVF assignment
+    step, as a ``groupBy`` + struct-max instead of a row_number window.
+
+    Identical selection to ``row_number over (partition by id order by
+    round(__rsim) desc, cid asc) = 1``: Spark orders structs
+    field-by-field, so ``max(struct(round(__rsim), -cid))`` picks the
+    highest rounded sim and, on ties, the smallest cid; NaN sims sort
+    greatest in BOTH the window's descending order and the struct max.
+    Why: the aggregate partial-aggregates map-side — the k rows per id
+    emitted by one Arrow batch collapse to one row BEFORE the exchange
+    (guide §2.3), where the window shuffled and sorted all n·k rows.
+    ``keep_sim`` additionally returns the winning rounded sim under
+    that name."""
+    agg = sims.groupBy(*id_cols).agg(
+        F.max(
+            F.struct(
+                F.round("__rsim", round_digits).alias("s"),
+                (-F.col("cid")).cast("int").alias("nc"),
+            )
+        ).alias("__m")
+    )
+    cols = [*id_cols, (-F.col("__m.nc")).cast("int").alias(out_col)]
+    if keep_sim is not None:
+        cols.append(F.col("__m.s").alias(keep_sim))
+    return agg.select(*cols)
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int = 8,
@@ -1015,26 +1050,28 @@ def kmeans_centroids(
     the given value (mirrorable in SQL with a WHERE) — or swap in MLlib
     k-means|| and pass the result to :func:`ivf_ann` via ``centroids=``.
     """
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
     e = corpus.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
     if train_limit is not None:
         e = e.filter(F.col("id") < train_limit)
     u = unit_vectors(corpus, id_col, vec_col, "id", "vn")
     if train_limit is not None:
         u = u.filter(F.col("id") < train_limit)
+    # both frames are loop-invariant and re-read every iteration (u by
+    # the Arrow sims stage, e by the means join) — persist once instead
+    # of re-scanning + re-normalizing per iteration (guide §5)
+    e = owned_persist(e)
+    u = owned_persist(u)
     init = e.orderBy("id").limit(k).collect()
     cents: list[tuple[int, list[float]]] = [
         (i, [float(x) for x in r.v]) for i, r in enumerate(init)
     ]
     for _ in range(iters):
         sims = centroid_unit_sims(u, [(cid, _py_unit(v)) for cid, v in cents])
-        w = Window.partitionBy("id").orderBy(
-            F.round("__rsim", round_digits).desc(), F.col("cid").asc()
-        )
-        best = (
-            sims.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("id", "cid")
-        )
+        # rank-1 selection as a partial-aggregable groupBy (identical
+        # rounded-desc/cid-asc choice — see nearest_centroid)
+        best = nearest_centroid(sims, ["id"], round_digits)
         means = (
             best.join(e, "id")
             .select("cid", F.posexplode("v").alias("d", "x"))
@@ -1070,14 +1107,7 @@ def ivf_corpus_lists(
     cents_u = [(cid, _py_unit(vec)) for cid, vec in centroids]
     cu = unit_vectors(corpus, id_col, vec_col, "neighbor_id", "vn")
     sims = centroid_unit_sims(cu, cents_u, id_alias="neighbor_id")
-    w = Window.partitionBy("neighbor_id").orderBy(
-        F.round("__rsim", round_digits).desc(), F.col("cid").asc()
-    )
-    assigned = (
-        sims.withColumn("__crn", F.row_number().over(w))
-        .filter(F.col("__crn") == 1)
-        .select("neighbor_id", "cid")
-    )
+    assigned = nearest_centroid(sims, ["neighbor_id"], round_digits)
     return assigned.join(c, "neighbor_id")
 
 
@@ -1172,13 +1202,8 @@ def ivf_split_hot_cells(
         _id_b, unit_b = _farthest_from(mu, unit_a)
         seed_units = [(0, unit_a), (1, unit_b)]
         sims = centroid_unit_sims(mu, seed_units, id_alias="neighbor_id")
-        w = Window.partitionBy("neighbor_id").orderBy(
-            F.round("__rsim", round_digits).desc(), F.col("cid").asc()
-        )
-        side = (
-            sims.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("neighbor_id", F.col("cid").alias("__side"))
+        side = nearest_centroid(
+            sims, ["neighbor_id"], round_digits, out_col="__side"
         )
         means = (
             side.join(members, "neighbor_id")
@@ -1299,14 +1324,7 @@ def kmeans_centroids_two_level(
     e = corpus.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
     u = unit_vectors(corpus, id_col, vec_col, "id", "vn")
     ssims = centroid_unit_sims(u, supers_u)
-    w = Window.partitionBy("id").orderBy(
-        F.round("__rsim", round_digits).desc(), F.col("cid").asc()
-    )
-    s_asg = (
-        ssims.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("id", F.col("cid").alias("__scid"))
-    )
+    s_asg = nearest_centroid(ssims, ["id"], round_digits, out_col="__scid")
     members = s_asg.join(u, "id").localCheckpoint()  # iters+1 consumers
     # sub init: the k_sub lowest-id members per super, raw vectors
     wi = Window.partitionBy("__scid").orderBy("id")
@@ -1328,13 +1346,8 @@ def kmeans_centroids_two_level(
             g: [(sc, _py_unit(v)) for sc, v in lst] for g, lst in subs.items()
         }
         sims = grouped_centroid_unit_sims(members, "__scid", subs_u)
-        wb = Window.partitionBy("id").orderBy(
-            F.round("__rsim", round_digits).desc(), F.col("cid").asc()
-        )
-        best = (
-            sims.withColumn("__rn", F.row_number().over(wb))
-            .filter(F.col("__rn") == 1)
-            .select("id", "__scid", F.col("cid").alias("__sub"))
+        best = nearest_centroid(
+            sims, ["id", "__scid"], round_digits, out_col="__sub"
         )
         means = (
             best.join(e, "id")
@@ -1380,23 +1393,13 @@ def ivf_two_level_lists(
         subs_u.setdefault(g, []).append((sc, _py_unit(v)))
     u = unit_vectors(corpus, id_col, vec_col, "neighbor_id", "vn")
     ssims = centroid_unit_sims(u, supers_u, id_alias="neighbor_id")
-    w = Window.partitionBy("neighbor_id").orderBy(
-        F.round("__rsim", round_digits).desc(), F.col("cid").asc()
-    )
-    s_asg = (
-        ssims.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("neighbor_id", F.col("cid").alias("scid"))
+    s_asg = nearest_centroid(
+        ssims, ["neighbor_id"], round_digits, out_col="scid"
     )
     mu = s_asg.join(u, "neighbor_id")
     bsims = grouped_centroid_unit_sims(mu, "scid", subs_u, id_alias="neighbor_id")
-    wb = Window.partitionBy("neighbor_id").orderBy(
-        F.round("__rsim", round_digits).desc(), F.col("cid").asc()
-    )
-    assigned = (
-        bsims.withColumn("__rn", F.row_number().over(wb))
-        .filter(F.col("__rn") == 1)
-        .select("neighbor_id", "scid", F.col("cid").alias("sub"))
+    assigned = nearest_centroid(
+        bsims, ["neighbor_id", "scid"], round_digits, out_col="sub"
     )
     return assigned.join(e, "neighbor_id")
 
@@ -3066,16 +3069,9 @@ def prototypicality_prune(
         )
     u = unit_vectors(corpus, id_col, vec_col, "id", "vn")
     sims = centroid_unit_sims(u, [(cid, _py_unit(v)) for cid, v in centroids])
-    wa = Window.partitionBy("id").orderBy(
-        F.round("__rsim", round_digits).desc(), F.col("cid").asc()
-    )
-    assigned = (
-        sims.withColumn("__crn", F.row_number().over(wa))
-        .filter(F.col("__crn") == 1)
-        .select(
-            "id", "cid", F.round("__rsim", round_digits).alias("proto_sim")
-        )
-    )
+    assigned = nearest_centroid(
+        sims, ["id"], round_digits, keep_sim="proto_sim"
+    ).select("id", "cid", "proto_sim")
     counts = assigned.groupBy("cid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_in_cluster")
     )
@@ -3340,16 +3336,9 @@ def _ivf_best_assignment(
     cents_u = [(cid, _py_unit(v)) for cid, v in centroids]
     u = unit_vectors(corpus, id_col, vec_col, "id", "vn")
     sims = centroid_unit_sims(u, cents_u)
-    w = Window.partitionBy("id").orderBy(
-        F.round("__rsim", round_digits).desc(), F.col("cid").asc()
-    )
-    return (
-        sims.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "id", "cid", F.round("__rsim", round_digits).alias("__sim")
-        )
-    )
+    return nearest_centroid(
+        sims, ["id"], round_digits, keep_sim="__sim"
+    ).select("id", "cid", "__sim")
 
 
 def ivf_cell_quality(
