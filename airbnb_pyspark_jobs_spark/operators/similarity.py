@@ -184,6 +184,54 @@ def _brute_scores(
     )
 
 
+def _pair_scores_arrow(
+    pairs: DataFrame,
+    key_schema: list[tuple[str, str]],
+    a_col: str,
+    b_col: str,
+    cosine_mode: bool = False,
+) -> DataFrame:
+    """RAW pair scores in ONE Arrow pass over a candidate-pair frame:
+    ``dot(a, b)`` with the j-order IEEE fold; ``cosine_mode``
+    additionally divides by ``norm(a)·norm(b)`` with each norm the
+    j-order sum-of-squares fold + IEEE sqrt, then the same
+    multiply-then-divide op sequence as ``functions.vectors.cosine`` —
+    bit-identical doubles either way. Replaces the interpreted
+    per-candidate higher-order-function folds on verification paths
+    (not codegen'd — guide §4.2; the measured ~20× of
+    :func:`centroid_unit_sims`). Key columns pass through; rounding
+    and thresholding stay JVM-side. Emits ``__rs`` double."""
+
+    def score_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf[a_col].to_numpy()).astype(np.float64)
+            b = np.stack(pdf[b_col].to_numpy()).astype(np.float64)
+            d = np.zeros(len(a), dtype=np.float64)
+            for j in range(a.shape[1]):  # in-order fold (cross-engine)
+                d += a[:, j] * b[:, j]
+            if cosine_mode:
+                na = np.zeros(len(a), dtype=np.float64)
+                nb = np.zeros(len(a), dtype=np.float64)
+                for j in range(a.shape[1]):
+                    na += a[:, j] * a[:, j]
+                    nb += b[:, j] * b[:, j]
+                d = d / (np.sqrt(na) * np.sqrt(nb))
+            cols = {name: pdf[name].to_numpy() for name, _ in key_schema}
+            cols["__rs"] = d
+            yield pd.DataFrame(cols)
+
+    schema = ", ".join(f"{n} {t}" for n, t in key_schema) + ", __rs double"
+    keys = [n for n, _ in key_schema]
+    return pairs.select(*keys, a_col, b_col).mapInPandas(
+        score_batches, schema=schema
+    )
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -846,14 +894,20 @@ def lsh_bucket_ann(
         F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__qv")
     ).withColumn("__bucket", _bucket_expr(F.col("__qv"), planes))
 
-    sims = (
-        c.join(F.broadcast(q), on="__bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits).alias("cos_sim"),
-        )
+    cand = c.join(F.broadcast(q), on="__bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    # Arrow-pass verification (identical IEEE cosine op sequence)
+    sims = _pair_scores_arrow(
+        cand,
+        [("query_id", "long"), ("neighbor_id", "long")],
+        "__qv",
+        "__cv",
+        cosine_mode=True,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("__rs"), round_digits).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -906,14 +960,20 @@ def lsh_multiprobe_ann(
             )
         ).alias("__bucket"),
     )
-    sims = (
-        c.join(F.broadcast(probes), on="__bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits).alias("cos_sim"),
-        )
+    cand = c.join(F.broadcast(probes), on="__bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    # Arrow-pass verification (identical IEEE cosine op sequence)
+    sims = _pair_scores_arrow(
+        cand,
+        [("query_id", "long"), ("neighbor_id", "long")],
+        "__qv",
+        "__cv",
+        cosine_mode=True,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("__rs"), round_digits).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -1017,6 +1077,223 @@ def nearest_centroid(
     return agg.select(*cols)
 
 
+def _round_half_up_py(x: float, digits: int) -> float:
+    """Exact Python twin of Spark's ``Round(double, digits)``: Java
+    rounds ``BigDecimal.valueOf(x)`` — the SHORTEST round-trip decimal
+    repr of the double, not its full binary expansion — HALF_UP.
+    Python ``repr(float)`` is the same shortest round-trip decimal, and
+    ``Decimal.quantize(..., ROUND_HALF_UP)`` the same rounding rule, so
+    this matches the JVM bit-for-bit. (``Decimal(x)`` directly would be
+    WRONG: the full binary expansion of a double whose shortest repr
+    ends exactly on a 5 can sit below the .5 boundary.) Non-finite
+    values pass through, as in Spark. Called only on bounded tie
+    contenders — never per element of a full score matrix."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if math.isnan(x) or math.isinf(x):
+        return x
+    return float(
+        Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _best_cid_rows(acc, cids, digits: int):
+    """Per-row winner of ``max(struct(round(sim, digits), -cid))`` —
+    the EXACT :func:`nearest_centroid` selection (highest rounded sim,
+    smallest-cid tie-break, NaN greatest) computed in numpy, so the
+    assignment can stay inside the Arrow scoring stage instead of
+    paying a shuffle per training pass.
+
+    Fast path: when exactly one raw score sits within
+    ``2·10^-digits`` of the row max, it wins outright — rounding to
+    the 10^-digits grid is monotone and two values more than one grid
+    step apart cannot round equal (the :func:`_brute_scores` prefilter
+    argument), so no other score can round ≥ it. Slow path (rare): the
+    contenders are rounded exactly via :func:`_round_half_up_py` and
+    compared under (rounded desc, cid asc). Rows containing a NaN
+    score resolve to the smallest cid among the NaN entries (NaN sorts
+    greatest and all NaNs compare equal in Spark's ordering).
+
+    ``acc`` is (n, k) float64, ``cids`` (k,) int — MUST be ascending
+    (asserted at the call sites building the matrices). Returns (n,)
+    int array of winning cids."""
+    import numpy as np
+
+    n, k = acc.shape
+    delta = 2.0 * 10.0 ** -digits
+    out = np.empty(n, dtype=np.int64)
+    nanrows = np.isnan(acc).any(axis=1)
+    ok = ~nanrows
+    if ok.any():
+        a = acc[ok]
+        m = a.max(axis=1)
+        cont = a >= (m[:, None] - delta)
+        ncont = cont.sum(axis=1)
+        # fast path: unique contender == raw argmax
+        win = np.argmax(a, axis=1)
+        slow = np.nonzero(ncont > 1)[0]
+        for r in slow:
+            cand = np.nonzero(cont[r])[0]
+            best = None
+            for c in cand:
+                rs = _round_half_up_py(float(a[r, c]), digits)
+                key = (rs, -int(cids[c]))
+                if best is None or key > best[0]:
+                    best = (key, c)
+            win[r] = best[1]
+        out[ok] = cids[win]
+    if nanrows.any():
+        first_nan = np.argmax(np.isnan(acc[nanrows]), axis=1)
+        out[nanrows] = cids[first_nan]
+    return out
+
+
+def _np_unit_rows(v):
+    """In-stage unit normalization of an (n, d) float64 matrix with the
+    engines' fold order: norm² accumulated j-first (the
+    :func:`_brute_scores` pattern, identical IEEE sequence to
+    ``unit_vectors``' ``sqrt(dot(v, v))`` + per-element divide)."""
+    import numpy as np
+
+    nrm2 = np.zeros(len(v), dtype=np.float64)
+    for j in range(v.shape[1]):
+        nrm2 += v[:, j] * v[:, j]
+    return v / np.sqrt(nrm2)[:, None]
+
+
+def _np_scores(vn, cmat):
+    """(n, k) raw unit-dot scores with j-order accumulation — the
+    :func:`centroid_unit_sims` inner loop, shared."""
+    import numpy as np
+
+    acc = np.zeros((len(vn), cmat.shape[0]), dtype=np.float64)
+    for j in range(vn.shape[1]):
+        acc += vn[:, j : j + 1] * cmat[:, j][None, :]
+    return acc
+
+
+def _cents_matrix(cents_unit):
+    """(ascending cid array, k×d float64 matrix) from a [(cid, unit
+    vec)] list — sorted so :func:`_best_cid_rows`' cid tie-break is
+    order-independent."""
+    import numpy as np
+
+    pairs = sorted(cents_unit)
+    cids = np.array([cid for cid, _ in pairs], dtype=np.int64)
+    cmat = np.array([v for _, v in pairs], dtype=np.float64)
+    return cids, cmat
+
+
+def assign_flat_arrow(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    id_alias: str,
+    round_digits: int = 4,
+    out_col: str = "cid",
+    keep_vec: str | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment in ONE Arrow pass over the raw
+    corpus: in-stage unit normalization + j-order scoring (bit-identical
+    doubles — see :func:`_np_unit_rows`/:func:`_np_scores`) + the exact
+    rounded argmax (:func:`_best_cid_rows`). Replaces the
+    ``unit_vectors → centroid_unit_sims → nearest_centroid →
+    join(corpus)`` chain — zero exchanges and zero joins where the old
+    shape shuffled the n·k score rows AND re-shuffled the full vector
+    corpus through the join (guide §2.3/§2.4). ``keep_vec`` passes the
+    raw double vector through under that name (the list-build shape:
+    the inverted list needs the vector anyway, and map-local Arrow
+    passthrough beats a corpus-wide join)."""
+    cids, cmat = _cents_matrix([(cid, _py_unit(v)) for cid, v in centroids])
+
+    def assign_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["__av"].to_numpy()).astype(np.float64)
+            best = _best_cid_rows(_np_scores(_np_unit_rows(v), cmat), cids, round_digits)
+            cols = {"id": pdf["id"].to_numpy(), "cid": best.astype(np.int32)}
+            if keep_vec is not None:
+                cols["__kv"] = pdf["__av"]
+            yield pd.DataFrame(cols)
+
+    schema = "id long, cid int" + (", __kv array<double>" if keep_vec else "")
+    out = corpus.select(
+        F.col(id_col).alias("id"), to_double_array(vec_col).alias("__av")
+    ).mapInPandas(assign_batches, schema=schema)
+    renames = {"id": id_alias, "cid": out_col}
+    if keep_vec is not None:
+        renames["__kv"] = keep_vec
+    return out.withColumnsRenamed(renames)
+
+
+def _mean_partials_flat(
+    corpus: DataFrame,
+    cents_unit: list[tuple[int, list[float]]],
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """Per-TASK Lloyd-update partials ``(cid, d, s, c)`` fused into the
+    assignment pass: each task assigns its rows (exact rounded argmax)
+    and accumulates per-(cid, dim) raw-coordinate sums row-by-row
+    (``np.add.at`` — in-order, unbuffered), emitting k·d partial rows
+    per task. This is the SAME two-level structure as the JVM plan it
+    replaces (HashAggregate partial avg per task, one merge after the
+    exchange): per-task row-order accumulation, partials merged once —
+    but the exchange now carries k·d rows per task instead of the n·k
+    score rows plus a full re-shuffle of the vector corpus through the
+    means join. Downstream: ``groupBy(cid, d).agg(round(sum(s)/sum(c),
+    mean_digits))`` — the identical final divide-and-round as
+    ``round(avg(x), mean_digits)``. Only the vector column enters the
+    stage (guide §4.1)."""
+    cids, cmat = _cents_matrix(cents_unit)
+
+    def part_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        sums = None
+        counts = np.zeros(len(cids), dtype=np.int64)
+        idx_of = {int(c): i for i, c in enumerate(cids)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["__av"].to_numpy()).astype(np.float64)
+            if sums is None:
+                sums = np.zeros((len(cids), v.shape[1]), dtype=np.float64)
+            best = _best_cid_rows(
+                _np_scores(_np_unit_rows(v), cmat), cids, round_digits
+            )
+            rows = np.fromiter(
+                (idx_of[int(b)] for b in best), dtype=np.int64, count=len(best)
+            )
+            np.add.at(sums, rows, v)  # row-order, unbuffered adds
+            np.add.at(counts, rows, 1)
+        if sums is None or not counts.any():
+            return
+        nz = np.nonzero(counts)[0]
+        d = sums.shape[1]
+        yield pd.DataFrame(
+            {
+                "cid": np.repeat(cids[nz].astype(np.int32), d),
+                "d": np.tile(np.arange(d, dtype=np.int32), len(nz)),
+                "s": sums[nz].ravel(),
+                "c": np.repeat(counts[nz], d),
+            }
+        )
+
+    return corpus.select(to_double_array(vec_col).alias("__av")).mapInPandas(
+        part_batches, schema="cid int, d int, s double, c long"
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int = 8,
@@ -1055,28 +1332,25 @@ def kmeans_centroids(
     e = corpus.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
     if train_limit is not None:
         e = e.filter(F.col("id") < train_limit)
-    u = unit_vectors(corpus, id_col, vec_col, "id", "vn")
-    if train_limit is not None:
-        u = u.filter(F.col("id") < train_limit)
-    # both frames are loop-invariant and re-read every iteration (u by
-    # the Arrow sims stage, e by the means join) — persist once instead
-    # of re-scanning + re-normalizing per iteration (guide §5)
+    # loop-invariant, re-read every iteration — persist once (guide §5)
     e = owned_persist(e)
-    u = owned_persist(u)
     init = e.orderBy("id").limit(k).collect()
     cents: list[tuple[int, list[float]]] = [
         (i, [float(x) for x in r.v]) for i, r in enumerate(init)
     ]
     for _ in range(iters):
-        sims = centroid_unit_sims(u, [(cid, _py_unit(v)) for cid, v in cents])
-        # rank-1 selection as a partial-aggregable groupBy (identical
-        # rounded-desc/cid-asc choice — see nearest_centroid)
-        best = nearest_centroid(sims, ["id"], round_digits)
+        # one fused Arrow pass: assign (exact rounded argmax) +
+        # per-task (cid, d) partial sums — the n·k score shuffle, the
+        # rank-1 exchange and the full-corpus means join are all gone
+        # (guide §2.3/§2.4); only k·d partial rows per task reach the
+        # final aggregation, whose divide-and-round is identical to the
+        # old round(avg(x), mean_digits)
+        parts = _mean_partials_flat(
+            e, [(cid, _py_unit(v)) for cid, v in cents], "v", round_digits
+        )
         means = (
-            best.join(e, "id")
-            .select("cid", F.posexplode("v").alias("d", "x"))
-            .groupBy("cid", "d")
-            .agg(F.round(F.avg("x"), mean_digits).alias("cx"))
+            parts.groupBy("cid", "d")
+            .agg(F.round(F.sum("s") / F.sum("c"), mean_digits).alias("cx"))
         ).collect()
         by_cid: dict[int, dict[int, float]] = {}
         for r in means:
@@ -1101,14 +1375,18 @@ def ivf_corpus_lists(
     a search knob (q202's n_probe levels) persist THIS frame and pass
     it to :func:`ivf_ann` via ``corpus_lists`` — one corpus scan
     instead of one per sweep point."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__cv")
+    # one fused Arrow pass: normalize + score + exact rounded argmax,
+    # raw vector passed through — the n·k score exchange AND the
+    # corpus-wide join that re-attached __cv are both gone (guide §2.4)
+    return assign_flat_arrow(
+        corpus,
+        centroids,
+        id_col,
+        vec_col,
+        "neighbor_id",
+        round_digits,
+        keep_vec="__cv",
     )
-    cents_u = [(cid, _py_unit(vec)) for cid, vec in centroids]
-    cu = unit_vectors(corpus, id_col, vec_col, "neighbor_id", "vn")
-    sims = centroid_unit_sims(cu, cents_u, id_alias="neighbor_id")
-    assigned = nearest_centroid(sims, ["neighbor_id"], round_digits)
-    return assigned.join(c, "neighbor_id")
 
 
 def ivf_split_hot_cells(
@@ -1278,6 +1556,132 @@ def grouped_centroid_unit_sims(
     return out.withColumnsRenamed({"id": id_alias, "grp": group_col})
 
 
+def _grouped_mats(cents_by_group):
+    """group → (ascending cid array, matrix) for the grouped stages."""
+    return {g: _cents_matrix(lst) for g, lst in cents_by_group.items()}
+
+
+def grouped_assign_arrow(
+    frame: DataFrame,
+    group_col: str,
+    cents_by_group: dict[int, list[tuple[int, list[float]]]],
+    id_alias: str,
+    vec_col: str,
+    round_digits: int = 4,
+    out_col: str = "cid",
+    keep_vec: str | None = None,
+) -> DataFrame:
+    """:func:`assign_flat_arrow` restricted per group (the two-level
+    sub-assignment): each raw-vector row is normalized in-stage and
+    argmax'd ONLY against its own group's centroid matrix — one Arrow
+    pass, no score exchange, no join. ``cents_by_group`` values are
+    (cid, UNIT vec) lists, as in :func:`grouped_centroid_unit_sims`."""
+    mats = _grouped_mats(cents_by_group)
+
+    def assign_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            outs = []
+            for g, sub in pdf.groupby(group_col, sort=False):
+                cids, cmat = mats[int(g)]
+                v = np.stack(sub["__av"].to_numpy()).astype(np.float64)
+                best = _best_cid_rows(
+                    _np_scores(_np_unit_rows(v), cmat), cids, round_digits
+                )
+                cols = {
+                    "id": sub["id"].to_numpy(),
+                    "grp": np.repeat(np.int32(g), len(sub)),
+                    "cid": best.astype(np.int32),
+                }
+                if keep_vec is not None:
+                    cols["__kv"] = sub["__av"]
+                outs.append(pd.DataFrame(cols))
+            yield pd.concat(outs, ignore_index=True)
+
+    schema = "id long, grp int, cid int" + (
+        ", __kv array<double>" if keep_vec else ""
+    )
+    out = frame.select(
+        F.col(id_alias).alias("id"),
+        F.col(group_col),
+        to_double_array(vec_col).alias("__av"),
+    ).mapInPandas(assign_batches, schema=schema)
+    renames = {"id": id_alias, "grp": group_col, "cid": out_col}
+    if keep_vec is not None:
+        renames["__kv"] = keep_vec
+    return out.withColumnsRenamed(renames)
+
+
+def _grouped_mean_partials(
+    frame: DataFrame,
+    group_col: str,
+    cents_by_group: dict[int, list[tuple[int, list[float]]]],
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """Grouped twin of :func:`_mean_partials_flat` for the two-level
+    Lloyd loop: per-task partials ``(grp, cid, d, s, c)`` accumulated
+    row-by-row (``np.add.at``) across the task's batches — the
+    sub-means aggregation sees |groups|·k_sub·d rows per task instead
+    of the n·k_sub score rows plus the full-corpus means join."""
+    mats = _grouped_mats(cents_by_group)
+
+    def part_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc: dict[int, tuple] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for g, sub in pdf.groupby(group_col, sort=False):
+                g = int(g)
+                cids, cmat = mats[g]
+                v = np.stack(sub["__av"].to_numpy()).astype(np.float64)
+                if g not in acc:
+                    acc[g] = (
+                        np.zeros((len(cids), v.shape[1]), dtype=np.float64),
+                        np.zeros(len(cids), dtype=np.int64),
+                        {int(c): i for i, c in enumerate(cids)},
+                    )
+                sums, counts, idx_of = acc[g]
+                best = _best_cid_rows(
+                    _np_scores(_np_unit_rows(v), cmat), cids, round_digits
+                )
+                rows = np.fromiter(
+                    (idx_of[int(b)] for b in best),
+                    dtype=np.int64,
+                    count=len(best),
+                )
+                np.add.at(sums, rows, v)
+                np.add.at(counts, rows, 1)
+        for g in sorted(acc):
+            sums, counts, _ = acc[g]
+            cids, _cm = mats[g]
+            nz = np.nonzero(counts)[0]
+            if not len(nz):
+                continue
+            d = sums.shape[1]
+            yield pd.DataFrame(
+                {
+                    "grp": np.repeat(np.int32(g), len(nz) * d),
+                    "cid": np.repeat(cids[nz].astype(np.int32), d),
+                    "d": np.tile(np.arange(d, dtype=np.int32), len(nz)),
+                    "s": sums[nz].ravel(),
+                    "c": np.repeat(counts[nz], d),
+                }
+            )
+
+    out = frame.select(
+        F.col(group_col), to_double_array(vec_col).alias("__av")
+    ).mapInPandas(part_batches, schema="grp int, cid int, d int, s double, c long")
+    return out.withColumnRenamed("grp", group_col)
+
+
 def kmeans_centroids_two_level(
     corpus: DataFrame,
     k_super: int = 8,
@@ -1320,18 +1724,25 @@ def kmeans_centroids_two_level(
         round_digits=round_digits,
         mean_digits=mean_digits,
     )
-    supers_u = [(cid, _py_unit(v)) for cid, v in supers]
-    e = corpus.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
-    u = unit_vectors(corpus, id_col, vec_col, "id", "vn")
-    ssims = centroid_unit_sims(u, supers_u)
-    s_asg = nearest_centroid(ssims, ["id"], round_digits, out_col="__scid")
-    members = s_asg.join(u, "id").localCheckpoint()  # iters+1 consumers
+    # one fused pass assigns every vector to its super AND carries the
+    # raw vector — the flat score exchange, the rank-1 exchange and the
+    # two corpus joins (members build + init's raw-vector re-attach)
+    # are gone (guide §2.4)
+    members = assign_flat_arrow(
+        corpus,
+        supers,
+        id_col,
+        vec_col,
+        "id",
+        round_digits,
+        out_col="__scid",
+        keep_vec="v",
+    ).localCheckpoint()  # iters+1 consumers
     # sub init: the k_sub lowest-id members per super, raw vectors
     wi = Window.partitionBy("__scid").orderBy("id")
     init = (
         members.withColumn("__rn", F.row_number().over(wi))
         .filter(F.col("__rn") <= k_sub)
-        .join(e, "id")
         .select("__scid", (F.col("__rn") - 1).alias("__sub"), "v")
     ).collect()
     subs: dict[int, list[tuple[int, list[float]]]] = {}
@@ -1345,15 +1756,15 @@ def kmeans_centroids_two_level(
         subs_u = {
             g: [(sc, _py_unit(v)) for sc, v in lst] for g, lst in subs.items()
         }
-        sims = grouped_centroid_unit_sims(members, "__scid", subs_u)
-        best = nearest_centroid(
-            sims, ["id", "__scid"], round_digits, out_col="__sub"
+        # fused grouped pass: sub-assign + per-task (scid, sub, d)
+        # partials; divide-and-round identical to round(avg, digits)
+        parts = _grouped_mean_partials(
+            members, "__scid", subs_u, "v", round_digits
         )
         means = (
-            best.join(e, "id")
-            .select("__scid", "__sub", F.posexplode("v").alias("d", "x"))
+            parts.withColumnRenamed("cid", "__sub")
             .groupBy("__scid", "__sub", "d")
-            .agg(F.round(F.avg("x"), mean_digits).alias("cx"))
+            .agg(F.round(F.sum("s") / F.sum("c"), mean_digits).alias("cx"))
         ).collect()
         nxt: dict[int, dict[int, dict[int, float]]] = {}
         for r in means:
@@ -1384,24 +1795,32 @@ def ivf_two_level_lists(
     that super (grouped argmax over k_sub) — O(n·(k_super + k_sub))
     total, never n × all-cells. Returns ``neighbor_id, scid, sub,
     __cv``."""
-    e = corpus.select(
-        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__cv")
-    )
-    supers_u = [(cid, _py_unit(v)) for cid, v in supers]
     subs_u: dict[int, list[tuple[int, list[float]]]] = {}
     for g, sc, v in subs:
         subs_u.setdefault(g, []).append((sc, _py_unit(v)))
-    u = unit_vectors(corpus, id_col, vec_col, "neighbor_id", "vn")
-    ssims = centroid_unit_sims(u, supers_u, id_alias="neighbor_id")
-    s_asg = nearest_centroid(
-        ssims, ["neighbor_id"], round_digits, out_col="scid"
+    # two chained Arrow passes (super argmax with vector passthrough,
+    # then grouped sub argmax) — the old shape's two score exchanges,
+    # two rank-1 exchanges and two corpus joins are all gone
+    s_asg = assign_flat_arrow(
+        corpus,
+        supers,
+        id_col,
+        vec_col,
+        "neighbor_id",
+        round_digits,
+        out_col="scid",
+        keep_vec="__cv",
     )
-    mu = s_asg.join(u, "neighbor_id")
-    bsims = grouped_centroid_unit_sims(mu, "scid", subs_u, id_alias="neighbor_id")
-    assigned = nearest_centroid(
-        bsims, ["neighbor_id", "scid"], round_digits, out_col="sub"
-    )
-    return assigned.join(e, "neighbor_id")
+    return grouped_assign_arrow(
+        s_asg,
+        "scid",
+        subs_u,
+        "neighbor_id",
+        "__cv",
+        round_digits,
+        out_col="sub",
+        keep_vec="__cv",
+    ).select("neighbor_id", "scid", "sub", "__cv")
 
 
 def ivf_two_level_lists_spill(
@@ -1431,50 +1850,102 @@ def ivf_two_level_lists_spill(
     O(n·√k) build the hierarchy exists for, never n × all-cells.
     Returns ``neighbor_id, scid, sub, is_spill, __cv`` (one row per
     assignment; spilled vectors carry 2 rows)."""
-    e = corpus.select(
-        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__cv")
-    )
     supers_u = [(cid, _py_unit(v)) for cid, v in supers]
     subs_u: dict[int, list[tuple[int, list[float]]]] = {}
     for g, sc, v in subs:
         subs_u.setdefault(g, []).append((sc, _py_unit(v)))
-    u = unit_vectors(corpus, id_col, vec_col, "neighbor_id", "vn")
-    ssims = centroid_unit_sims(u, supers_u, id_alias="neighbor_id")
-    w = Window.partitionBy("neighbor_id").orderBy(
-        F.round("__rsim", round_digits).desc(), F.col("cid").asc()
-    )
+    scids, smat = _cents_matrix(supers_u)
+    sub_mats = _grouped_mats(subs_u)
     scale = float(10**round_digits)
-    top2 = (
-        ssims.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= 2)
-        .withColumn(
-            "__units", F.round(F.col("__rsim") * F.lit(scale)).cast("bigint")
-        )
+    delta = 2.0 * 10.0 ** -round_digits
+
+    # one fused Arrow pass replaces: flat score exchange + top-2 window
+    # + max-units window + corpus re-join + grouped score exchange +
+    # rank-1 window + two reassembly joins. The rounded top-2 and the
+    # integer-unit margin replicate the old JVM expressions exactly:
+    # ranking compares round(sim, digits) (desc, cid asc) via
+    # _round_half_up_py on the raw-max contenders (the _best_cid_rows
+    # margin argument extended to rank 2), and the margin compares
+    # round(sim·10^digits) BIGINTs with best = max over the two kept
+    # rows (the same guard the window version carried for the
+    # round-then-scale vs scale-then-round boundary case). NaN scores
+    # cannot spill (the old path's NaN units cast would not produce a
+    # comparable integer either); assignment falls back to the
+    # smallest-cid NaN rule shared with _best_cid_rows.
+    def spill_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["__av"].to_numpy()).astype(np.float64)
+            vn = _np_unit_rows(v)
+            acc = _np_scores(vn, smat)
+            ids = pdf["id"].to_numpy()
+            out_id, out_scid, out_spill, out_vec = [], [], [], []
+            for r in range(len(v)):
+                a = acc[r]
+                if np.isnan(a).any():
+                    c = int(scids[int(np.argmax(np.isnan(a)))])
+                    picks = [(c, False)]
+                elif len(a) < 2:
+                    picks = [(int(scids[0]), False)]
+                else:
+                    r2 = np.partition(a, len(a) - 2)[len(a) - 2]
+                    cand = np.nonzero(a >= r2 - delta)[0]
+                    ranked = sorted(
+                        (
+                            (-_round_half_up_py(float(a[c]), round_digits), int(scids[c]))
+                            for c in cand
+                        ),
+                    )[:2]
+                    u1 = int(
+                        _round_half_up_py(float(a[np.nonzero(scids == ranked[0][1])[0][0]]) * scale, 0)
+                    )
+                    picks = [(ranked[0][1], False)]
+                    if len(ranked) > 1:
+                        u2 = int(
+                            _round_half_up_py(float(a[np.nonzero(scids == ranked[1][1])[0][0]]) * scale, 0)
+                        )
+                        if max(u1, u2) - u2 <= spill_margin_units:
+                            picks.append((ranked[1][1], True))
+                for scid, is_spill in picks:
+                    out_id.append(int(ids[r]))
+                    out_scid.append(scid)
+                    out_spill.append(is_spill)
+                    out_vec.append(r)
+            if not out_id:
+                continue
+            # grouped sub argmax over the (row, scid) assignments
+            scid_arr = np.array(out_scid, dtype=np.int64)
+            row_arr = np.array(out_vec, dtype=np.int64)
+            sub_out = np.empty(len(out_id), dtype=np.int64)
+            for g in np.unique(scid_arr):
+                sel = np.nonzero(scid_arr == g)[0]
+                cids_g, cmat_g = sub_mats[int(g)]
+                sub_out[sel] = _best_cid_rows(
+                    _np_scores(vn[row_arr[sel]], cmat_g), cids_g, round_digits
+                )
+            yield pd.DataFrame(
+                {
+                    "id": np.array(out_id, dtype=np.int64),
+                    "scid": scid_arr.astype(np.int32),
+                    "sub": sub_out.astype(np.int32),
+                    "is_spill": np.array(out_spill, dtype=bool),
+                    "__kv": pdf["__av"].to_numpy()[row_arr],
+                }
+            )
+
+    out = corpus.select(
+        F.col(id_col).alias("id"), to_double_array(vec_col).alias("__av")
+    ).mapInPandas(
+        spill_batches,
+        schema="id long, scid int, sub int, is_spill boolean, __kv array<double>",
     )
-    wb = Window.partitionBy("neighbor_id")
-    s_asg = (
-        top2.withColumn("__best", F.max("__units").over(wb))
-        .filter(
-            (F.col("__rn") == 1)
-            | (F.col("__best") - F.col("__units") <= F.lit(spill_margin_units))
-        )
-        .select(
-            "neighbor_id",
-            F.col("cid").alias("scid"),
-            (F.col("__rn") > 1).alias("is_spill"),
-        )
+    return out.withColumnsRenamed({"id": "neighbor_id", "__kv": "__cv"}).select(
+        "neighbor_id", "scid", "sub", "is_spill", "__cv"
     )
-    mu = s_asg.join(u, "neighbor_id")
-    bsims = grouped_centroid_unit_sims(mu, "scid", subs_u, id_alias="neighbor_id")
-    wsub = Window.partitionBy("neighbor_id", "scid").orderBy(
-        F.round("__rsim", round_digits).desc(), F.col("cid").asc()
-    )
-    assigned = (
-        bsims.withColumn("__srn", F.row_number().over(wsub))
-        .filter(F.col("__srn") == 1)
-        .select("neighbor_id", "scid", F.col("cid").alias("sub"))
-    )
-    return assigned.join(s_asg, ["neighbor_id", "scid"]).join(e, "neighbor_id")
 
 
 def ivf_two_level_query_probes(
@@ -1567,16 +2038,22 @@ def ivf_two_level_ann(
         vec_col=vec_col,
         round_digits=round_digits,
     ).join(q, "query_id")
-    sims = (
-        lists.join(F.broadcast(probes), on=["scid", "sub"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits).alias(
-                "cos_sim"
-            ),
-        )
+    cand = lists.join(F.broadcast(probes), on=["scid", "sub"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    # candidate verification as one Arrow pass (identical IEEE cosine
+    # op sequence — see _pair_scores_arrow) instead of the interpreted
+    # three-fold HOF cosine per candidate row
+    sims = _pair_scores_arrow(
+        cand,
+        [("query_id", "long"), ("neighbor_id", "long")],
+        "__qv",
+        "__cv",
+        cosine_mode=True,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("__rs"), round_digits).alias("cos_sim"),
     )
     if dedup_candidates:
         # duplicate rows are exact copies (same vectors -> same rounded
@@ -1682,16 +2159,24 @@ def ivf_ann(
         c_assigned = corpus_lists  # prebuilt by ivf_corpus_lists (same centroids!)
     q_probes = assign(qu, "query_id", n_probe).join(q, "query_id")
 
-    sims = (
-        c_assigned.join(F.broadcast(q_probes), on="cid")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits).alias("cos_sim"),
-        )
-        # no dedup needed: each corpus vector lives in exactly ONE list,
-        # so a (query, neighbor) pair can arise from at most one probe
+    cand = c_assigned.join(F.broadcast(q_probes), on="cid").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    # no dedup needed: each corpus vector lives in exactly ONE list,
+    # so a (query, neighbor) pair can arise from at most one probe.
+    # Verification runs as one Arrow pass (identical IEEE cosine op
+    # sequence — _pair_scores_arrow) instead of the interpreted
+    # three-fold HOF cosine per candidate row (guide §4.2).
+    sims = _pair_scores_arrow(
+        cand,
+        [("query_id", "long"), ("neighbor_id", "long")],
+        "__qv",
+        "__cv",
+        cosine_mode=True,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("__rs"), round_digits).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -1735,16 +2220,30 @@ def cosine_dup_pairs(
             "explicitly for an offline audit."
         )
     e = unit_vectors(corpus, id_col, vec_col, "id", "v")
-    pairs = (
+    paired = (
         e.alias("a")
         .join(e.alias("b"), on=[F.col("a.id") < F.col("b.id")])
         .select(
             F.col("a.id").alias("vec_id_a"),
             F.col("b.id").alias("vec_id_b"),
-            F.round(dot(F.col("a.v"), F.col("b.v")), round_digits).alias("cos_sim"),
+            F.col("a.v").alias("__va"),
+            F.col("b.v").alias("__vb"),
         )
     )
-    return pairs.filter(F.col("cos_sim") >= threshold)
+    # n²/2 exact verifications in one Arrow pass (same j-order dot
+    # fold — _pair_scores_arrow) instead of an interpreted HOF fold
+    # per pair (guide §4.2)
+    return (
+        _pair_scores_arrow(
+            paired, [("vec_id_a", "long"), ("vec_id_b", "long")], "__va", "__vb"
+        )
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(F.col("__rs"), round_digits).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 def lsh_banding_params(
@@ -1981,17 +2480,21 @@ def cosine_dup_pairs_lsh(
         candidates = lsh_candidate_pairs(
             corpus, num_tables, planes_per_table, dims, id_col, vec_col
         )
+    paired = candidates.join(
+        u.select(F.col("id").alias("vec_id_a"), F.col("vn").alias("__va")), "vec_id_a"
+    ).join(
+        u.select(F.col("id").alias("vec_id_b"), F.col("vn").alias("__vb")), "vec_id_b"
+    )
+    # exact verification as one Arrow pass (same j-order dot fold —
+    # _pair_scores_arrow) instead of an interpreted HOF fold per pair
     return (
-        candidates.join(
-            u.select(F.col("id").alias("vec_id_a"), F.col("vn").alias("__va")), "vec_id_a"
-        )
-        .join(
-            u.select(F.col("id").alias("vec_id_b"), F.col("vn").alias("__vb")), "vec_id_b"
+        _pair_scores_arrow(
+            paired, [("vec_id_a", "long"), ("vec_id_b", "long")], "__va", "__vb"
         )
         .select(
             "vec_id_a",
             "vec_id_b",
-            F.round(dot(F.col("__va"), F.col("__vb")), round_digits).alias("cos_sim"),
+            F.round(F.col("__rs"), round_digits).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -2176,19 +2679,22 @@ def cp_tensored_dup_pairs(
         candidates = cp_candidate_pairs(
             corpus, m_per_side, n_sides, dims_per_hash, dims, id_col, vec_col
         )
+    paired = candidates.join(
+        u.select(F.col("id").alias("vec_id_a"), F.col("vn").alias("__va")),
+        "vec_id_a",
+    ).join(
+        u.select(F.col("id").alias("vec_id_b"), F.col("vn").alias("__vb")),
+        "vec_id_b",
+    )
+    # exact verification as one Arrow pass (same j-order dot fold)
     return (
-        candidates.join(
-            u.select(F.col("id").alias("vec_id_a"), F.col("vn").alias("__va")),
-            "vec_id_a",
-        )
-        .join(
-            u.select(F.col("id").alias("vec_id_b"), F.col("vn").alias("__vb")),
-            "vec_id_b",
+        _pair_scores_arrow(
+            paired, [("vec_id_a", "long"), ("vec_id_b", "long")], "__va", "__vb"
         )
         .select(
             "vec_id_a",
             "vec_id_b",
-            F.round(dot(F.col("__va"), F.col("__vb")), round_digits).alias("cos_sim"),
+            F.round(F.col("__rs"), round_digits).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -2255,19 +2761,22 @@ def ivf_blocked_dup_pairs(
         .select(F.col("a.id").alias("vec_id_a"), F.col("b.id").alias("vec_id_b"))
         .distinct()
     )
+    paired = cand.join(
+        u.select(F.col("id").alias("vec_id_a"), F.col("vn").alias("__va")),
+        "vec_id_a",
+    ).join(
+        u.select(F.col("id").alias("vec_id_b"), F.col("vn").alias("__vb")),
+        "vec_id_b",
+    )
+    # exact verification as one Arrow pass (same j-order dot fold)
     return (
-        cand.join(
-            u.select(F.col("id").alias("vec_id_a"), F.col("vn").alias("__va")),
-            "vec_id_a",
-        )
-        .join(
-            u.select(F.col("id").alias("vec_id_b"), F.col("vn").alias("__vb")),
-            "vec_id_b",
+        _pair_scores_arrow(
+            paired, [("vec_id_a", "long"), ("vec_id_b", "long")], "__va", "__vb"
         )
         .select(
             "vec_id_a",
             "vec_id_b",
-            F.round(dot(F.col("__va"), F.col("__vb")), round_digits).alias("cos_sim"),
+            F.round(F.col("__rs"), round_digits).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -3129,18 +3638,26 @@ def hard_negatives(
         ),
         "anchor_id",
     )
-    sims = (
-        c.crossJoin(F.broadcast(q))
-        .filter(
-            (F.col("anchor_id") != F.col("neighbor_id"))
-            & (F.col("__al") != F.col("neighbor_label"))
-        )
-        .select(
-            "anchor_id",
-            "neighbor_id",
-            "neighbor_label",
-            F.round(dot(F.col("__qv"), F.col("__cv")), round_digits).alias("cos_sim"),
-        )
+    cand = c.crossJoin(F.broadcast(q)).filter(
+        (F.col("anchor_id") != F.col("neighbor_id"))
+        & (F.col("__al") != F.col("neighbor_label"))
+    )
+    # Arrow-pass scoring (same j-order dot fold); label type follows
+    # the caller's column
+    sims = _pair_scores_arrow(
+        cand,
+        [
+            ("anchor_id", "long"),
+            ("neighbor_id", "long"),
+            ("neighbor_label", dict(cand.dtypes)["neighbor_label"]),
+        ],
+        "__qv",
+        "__cv",
+    ).select(
+        "anchor_id",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(F.col("__rs"), round_digits).alias("cos_sim"),
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
