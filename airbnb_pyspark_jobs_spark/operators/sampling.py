@@ -202,11 +202,21 @@ def _two_phase_rank(
     bucket-count rows — thousands, not corpus-sized — broadcast back).
     ``order_col`` must be a hex string (md5-keyed shuffles); the
     prefix buckets then sort consistently with the full key.
+
+    The input feeds BOTH the rank window and the bucket-count branch
+    (no exchange reuse — the two branches partition the same key over
+    different child plans), so it is owned-persisted: the upstream
+    subtree runs once instead of twice per call (guide §5; the q103
+    staged-frame lesson applied to the two-phase family).
     """
     from pyspark.sql.window import Window
 
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
     gcols = list(group_cols)
-    keyed = df.withColumn("__b", F.substring(order_col, 1, bucket_hex_digits))
+    keyed = owned_persist(
+        df.withColumn("__b", F.substring(order_col, 1, bucket_hex_digits))
+    )
     w_in = Window.partitionBy(*gcols, "__b").orderBy(order_col, tie_col)
     ranked = keyed.withColumn("__rn", F.row_number().over(w_in))
     counts = keyed.groupBy(*gcols, "__b").agg(F.count(F.lit(1)).alias("__cnt"))
@@ -265,10 +275,18 @@ def two_phase_numeric_rank(
     always share a bucket, and the within-bucket window orders by the
     ORIGINAL column — bucket assignment only has to respect ordering,
     which monotone casts do. ``order_col`` must be non-null (filter
-    first). Zero driver actions: stats stay a broadcast 1-row frame."""
+    first). Zero driver actions: stats stay a broadcast 1-row frame.
+
+    The input feeds the stats scan, the rank window AND the
+    bucket-count branch (three subtree evaluations — no exchange
+    reuse), so it is owned-persisted: the upstream subtree runs once
+    per call (guide §5)."""
     _check_reserved(df)
     from pyspark.sql.window import Window
 
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    df = owned_persist(df)
     ord_d = F.col(order_col).cast("double")
     stats = df.agg(F.min(ord_d).alias("__mn"), F.max(ord_d).alias("__mx"))
     width = F.greatest(
@@ -318,10 +336,14 @@ def two_phase_numeric_cumsum_multi(
     (``order_col``, ``tie_col``) order — one stats scan, one bucket
     assignment, one window pass computing every running sum (q213's
     two CDFs previously paid the full two-phase machinery twice).
-    Semantics per column identical to :func:`two_phase_numeric_cumsum`."""
+    Semantics per column identical to :func:`two_phase_numeric_cumsum`.
+    Input owned-persisted (three subtree consumers — guide §5)."""
     from pyspark.sql.window import Window
 
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
     _check_reserved(df, out_cols)
+    df = owned_persist(df)
     if len(value_cols) != len(out_cols):
         raise ValueError("value_cols and out_cols must align")
     ord_d = F.col(order_col).cast("double")
@@ -483,10 +505,14 @@ def two_phase_numeric_cumsum(
     sum within each bucket via a bucket-partitioned window. The budget
     -cutoff primitive ("take documents in quality order until N
     tokens"). ``order_col`` must be non-null; ``value_col`` is summed
-    as bigint (cast first for decimals)."""
+    as bigint (cast first for decimals). Input owned-persisted (three
+    subtree consumers — guide §5)."""
     _check_reserved(df)
     from pyspark.sql.window import Window
 
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    df = owned_persist(df)
     ord_d = F.col(order_col).cast("double")
     stats = df.agg(F.min(ord_d).alias("__mn"), F.max(ord_d).alias("__mx"))
     width = F.greatest(
@@ -545,10 +571,15 @@ def two_phase_hash_cumsum(
     :func:`_two_phase_rank`: hex-prefix buckets sort consistently with
     the full key, per-bucket value sums roll into broadcast cumulative
     offsets, the corpus-sized window only ever partitions by the
-    prefix bucket."""
+    prefix bucket. Keyed frame owned-persisted (two subtree
+    consumers — guide §5)."""
     from pyspark.sql.window import Window
 
-    keyed = df.withColumn("__b", F.substring(order_col, 1, bucket_hex_digits))
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
+
+    keyed = owned_persist(
+        df.withColumn("__b", F.substring(order_col, 1, bucket_hex_digits))
+    )
     w_in = (
         Window.partitionBy("__b")
         .orderBy(F.col(order_col).asc(), F.col(tie_col).asc())

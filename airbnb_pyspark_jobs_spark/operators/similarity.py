@@ -2839,6 +2839,83 @@ def _py_sq_norm(vec: list[float]) -> float:
     return acc
 
 
+def _pq_mean_partials(
+    corpus: DataFrame,
+    cents: list[list[tuple[int, list[float]]]],
+    m: int,
+    sub: int,
+    vec_col: str,
+    dist_digits: int,
+) -> DataFrame:
+    """Per-TASK Lloyd partials for ALL ``m`` PQ subspaces in ONE Arrow
+    pass: ``(s, cid, d, s_sum, c)``. Each task slices every vector into
+    its m subvectors, computes the rounded squared-L2 argmin per
+    subspace (``v·v − 2·v·c + c·c`` with the identical IEEE op order as
+    the JVM expression; argmin = :func:`_best_cid_rows` on the negated
+    distances — HALF_UP is symmetric, so ``round(-x) = -round(x)`` and
+    the (rounded asc, cid asc) min is exactly the (rounded desc, cid
+    asc) max of the negation) and accumulates per-(s, cid, dim)
+    subvector sums row-by-row. Replaces the n·m explode + broadcast
+    join evaluating an interpreted dot per (row, centroid) + two
+    groupBy exchanges per iteration (guide §2.3/§4.2)."""
+    mats = []
+    for s in range(m):
+        cids, cmat = _cents_matrix(cents[s])
+        mats.append((cids, cmat))
+
+    def part_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        sums = [None] * m
+        counts = [None] * m
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["__av"].to_numpy()).astype(np.float64)
+            for s in range(m):
+                cids, cmat = mats[s]
+                sv = v[:, s * sub : (s + 1) * sub]
+                vv = np.zeros(len(sv), dtype=np.float64)
+                c2 = np.zeros(len(cids), dtype=np.float64)
+                acc = np.zeros((len(sv), len(cids)), dtype=np.float64)
+                for j in range(sub):  # in-order folds (cross-engine)
+                    vv += sv[:, j] * sv[:, j]
+                    c2 += cmat[:, j] * cmat[:, j]
+                    acc += sv[:, j : j + 1] * cmat[:, j][None, :]
+                d2 = (vv[:, None] - 2.0 * acc) + c2[None, :]
+                best = _best_cid_rows(-d2, cids, dist_digits)
+                if sums[s] is None:
+                    sums[s] = np.zeros((len(cids), sub), dtype=np.float64)
+                    counts[s] = np.zeros(len(cids), dtype=np.int64)
+                idx_of = {int(c): i for i, c in enumerate(cids)}
+                rows = np.fromiter(
+                    (idx_of[int(b)] for b in best),
+                    dtype=np.int64,
+                    count=len(best),
+                )
+                np.add.at(sums[s], rows, sv)
+                np.add.at(counts[s], rows, 1)
+        for s in range(m):
+            if counts[s] is None or not counts[s].any():
+                continue
+            cids, _cm = mats[s]
+            nz = np.nonzero(counts[s])[0]
+            yield pd.DataFrame(
+                {
+                    "s": np.repeat(np.int32(s), len(nz) * sub),
+                    "cid": np.repeat(cids[nz].astype(np.int32), sub),
+                    "d": np.tile(np.arange(sub, dtype=np.int32), len(nz)),
+                    "sm": sums[s][nz].ravel(),
+                    "c": np.repeat(counts[s][nz], sub),
+                }
+            )
+
+    return corpus.select(to_double_array(vec_col).alias("__av")).mapInPandas(
+        part_batches, schema="s int, cid int, d int, sm double, c long"
+    )
+
+
 def pq_train_codebooks(
     corpus: DataFrame,
     m: int = 4,
@@ -2872,19 +2949,12 @@ def pq_train_codebooks(
     from airbnb_pyspark_jobs_spark.caching import owned_persist
 
     sub = dims // m
-    spark = corpus.sparkSession
-    e = owned_persist(
-        corpus.select(
-            F.col(id_col).alias("id"), to_double_array(vec_col).alias("__v")
-        )
-        .select(
-            "id",
-            F.posexplode(
-                F.array(*[F.slice("__v", s * sub + 1, sub) for s in range(m)])
-            ).alias("s", "sv"),
-        )
-        .withColumn("__vv", dot(F.col("sv"), F.col("sv")))
-    )
+    # the fused pass slices subvectors in-stage — the n·m posexplode,
+    # the broadcast join evaluating an interpreted dot per (row,
+    # centroid) and the two per-iteration groupBy exchanges are gone
+    # (guide §2.3/§2.4/§4.2); the cache holds n raw vectors, not n·m
+    # exploded subvector rows
+    e = owned_persist(corpus.select(to_double_array(vec_col).alias("__av")))
     init = (
         corpus.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
         .orderBy("id")
@@ -2900,44 +2970,11 @@ def pq_train_codebooks(
         for s in range(m)
     ]
     for _ in range(iters):
-        cent_df = spark.createDataFrame(
-            [
-                (s, cid, vec, _py_sq_norm(vec))
-                for s in range(m)
-                for cid, vec in cents[s]
-            ],
-            "s int, cid int, cenv array<double>, c2 double",
-        )
-        assigned = e.join(F.broadcast(cent_df), "s").select(
-            "id",
-            "s",
-            "sv",
-            "cid",
-            F.round(
-                F.col("__vv")
-                - F.lit(2.0) * dot(F.col("sv"), F.col("cenv"))
-                + F.col("c2"),
-                dist_digits,
-            ).alias("__d2"),
-        )
-        # argmin by (rounded distance, cid tie-break) as ONE grouped
-        # min(struct(...)) — partial-aggregated map-side, where a
-        # row_number window would sort every (id, s) partition; cid is
-        # unique per group so the (d2, cid) prefix never ties
-        best = assigned.groupBy("id", "s").agg(
-            F.min(F.struct("__d2", "cid", "sv")).alias("__b")
-        )
-        means = (
-            best.select(
-                "s",
-                F.col("__b.cid").alias("cid"),
-                F.posexplode("__b.sv").alias("d", "x"),
-            )
-            .groupBy("s", "cid", "d")
-            .agg(F.round(F.avg("x"), mean_digits).alias("cx"))
-        )
+        parts = _pq_mean_partials(e, cents, m, sub, "__av", dist_digits)
         rows = (
-            means.groupBy("s", "cid")
+            parts.groupBy("s", "cid", "d")
+            .agg(F.round(F.sum("sm") / F.sum("c"), mean_digits).alias("cx"))
+            .groupBy("s", "cid")
             .agg(
                 F.array_sort(
                     F.collect_list(F.struct(F.col("d"), F.col("cx")))
@@ -2965,65 +3002,82 @@ def pq_encode(
     Returns ``id_col, *extra_cols, codes ('c0-c1-…', 0-based cids),
     sq_err`` (fixed-order sum of the per-subspace rounded minimum
     squared distances = the reconstruction error of the PQ
-    approximation). Pure scan-side projection — no shuffle, no UDFs:
-    distance arrays are STAGED columns (referenced by both the argmin
-    and the min), `array_position(d, array_min(d))` picks the lowest
-    cid on ties, matching the oracle's (dist, cid) window order.
+    approximation).
+
+    One Arrow pass (guide §4.2): the old projection evaluated m·k
+    interpreted ``dot`` folds per row (higher-order functions are not
+    codegen'd). In-stage: j-order distance folds (identical IEEE op
+    sequence as the staged-column expressions), exact rounded argmin
+    per subspace via :func:`_best_cid_rows` on the negated distances
+    (smallest-cid tie-break = the old ``array_position(d,
+    array_min(d))`` first-position rule, codebooks being cid-ascending),
+    winner distances rounded with :func:`_round_half_up_py` (the JVM
+    Round twin) and summed left-assoc in s order — bit-identical
+    ``codes`` and ``sq_err``.
     """
+    import numpy as np
+
     m = len(codebooks)
     sub = len(codebooks[0][0][1])
-    staged = corpus.select(
-        F.col(id_col),
-        *extra_cols,
-        *[
-            F.slice(to_double_array(vec_col), s * sub + 1, sub).alias(f"__sv{s}")
-            for s in range(m)
-        ],
-    ).withColumns(
-        {f"__vv{s}": dot(F.col(f"__sv{s}"), F.col(f"__sv{s}")) for s in range(m)}
-    )
-    dist_arrays = {
-        f"__d{s}": F.array(
-            *[
-                F.round(
-                    F.col(f"__vv{s}")
-                    - F.lit(2.0)
-                    * dot(F.col(f"__sv{s}"), F.array(*[F.lit(x) for x in vec]))
-                    + F.lit(_py_sq_norm(vec)),
-                    dist_digits,
+    mats = []
+    for s in range(m):
+        cids, cmat = _cents_matrix(codebooks[s])
+        mats.append((cids, cmat))
+    extra_schema = [(c, dict(corpus.dtypes)[c]) for c in extra_cols]
+    id_type = dict(corpus.dtypes)[id_col]
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            v = np.stack(pdf["__av"].to_numpy()).astype(np.float64)
+            code_cols = []
+            err = None
+            for s in range(m):
+                cids, cmat = mats[s]
+                sv = v[:, s * sub : (s + 1) * sub]
+                vv = np.zeros(n, dtype=np.float64)
+                c2 = np.zeros(len(cids), dtype=np.float64)
+                acc = np.zeros((n, len(cids)), dtype=np.float64)
+                for j in range(sub):  # in-order folds (cross-engine)
+                    vv += sv[:, j] * sv[:, j]
+                    c2 += cmat[:, j] * cmat[:, j]
+                    acc += sv[:, j : j + 1] * cmat[:, j][None, :]
+                d2 = (vv[:, None] - 2.0 * acc) + c2[None, :]
+                best = _best_cid_rows(-d2, cids, dist_digits)
+                code_cols.append(best)
+                idx_of = {int(c): i for i, c in enumerate(cids)}
+                emin = np.fromiter(
+                    (
+                        _round_half_up_py(float(d2[r, idx_of[int(best[r])]]), dist_digits)
+                        for r in range(n)
+                    ),
+                    dtype=np.float64,
+                    count=n,
                 )
-                for _cid, vec in codebooks[s]
+                err = emin if err is None else err + emin  # s-order fold
+            codes = [
+                "-".join(str(int(code_cols[s][r])) for s in range(m))
+                for r in range(n)
             ]
-        )
-        for s in range(m)
-    }
-    coded = staged.withColumns(dist_arrays).withColumns(
-        {
-            **{
-                # emit the codebook's CID at the argmin position (ties →
-                # first = lowest cid), not the list position: if training
-                # drops an empty cluster the surviving cids are no longer
-                # contiguous, and the oracle's codes are cids.
-                f"__c{s}": F.element_at(
-                    F.array(*[F.lit(int(cid)) for cid, _ in codebooks[s]]),
-                    F.array_position(
-                        F.col(f"__d{s}"), F.array_min(F.col(f"__d{s}"))
-                    ).cast("int"),
-                ).cast("int")
-                for s in range(m)
-            },
-            **{f"__e{s}": F.array_min(F.col(f"__d{s}")) for s in range(m)},
-        }
+            cols = {id_col: pdf[id_col].to_numpy()}
+            for c, _t in extra_schema:
+                cols[c] = pdf[c].to_numpy()
+            cols["codes"] = codes
+            cols["sq_err"] = err
+            yield pd.DataFrame(cols)
+
+    schema = (
+        f"{id_col} {id_type}"
+        + "".join(f", {c} {t}" for c, t in extra_schema)
+        + ", codes string, sq_err double"
     )
-    err = F.col("__e0")
-    for s in range(1, m):
-        err = err + F.col(f"__e{s}")
-    return coded.select(
-        id_col,
-        *extra_cols,
-        F.concat_ws("-", *[F.col(f"__c{s}") for s in range(m)]).alias("codes"),
-        err.alias("sq_err"),
-    )
+    return corpus.select(
+        F.col(id_col), *extra_cols, to_double_array(vec_col).alias("__av")
+    ).mapInPandas(encode_batches, schema=schema)
 
 
 def pq_adc_topk(
@@ -3518,23 +3572,44 @@ def rotate_vectors(
     flip a downstream rounded distance at the boundary and diverge the
     whole training replay — rounding here makes the training inputs
     bit-identical (the round-then-aggregate recipe)."""
-    spark = df.sparkSession
-    r_df = spark.createDataFrame(
-        [([list(map(float, row)) for row in rotation],)],
-        "__R array<array<double>>",
+    import numpy as np
+
+    rmat = np.array(rotation, dtype=np.float64)  # (d_out, d)
+    extra_schema = [(c, dict(df.dtypes)[c]) for c in extra_cols]
+    id_type = dict(df.dtypes)[id_col]
+
+    # dims² multiply-adds per row ran as interpreted HOF folds (not
+    # codegen'd — guide §4.2); one Arrow pass computes the identical
+    # j-order accumulation per output dim (the _np_scores sequence
+    # with the rotation rows as the "centroid" matrix). Rounding stays
+    # JVM-side (F.round semantics untouched) on the staged output
+    # column — d cheap ops per row, not dims².
+    def rot_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            acc = _np_scores(v, rmat)  # (n, d_out), j-order fold
+            cols = {id_col: pdf[id_col].to_numpy()}
+            for c, _t in extra_schema:
+                cols[c] = pdf[c].to_numpy()
+            cols[out_col] = list(acc)
+            yield pd.DataFrame(cols)
+
+    schema = (
+        f"{id_col} {id_type}"
+        + "".join(f", {c} {t}" for c, t in extra_schema)
+        + f", {out_col} array<double>"
     )
-    staged = df.select(
+    raw = df.select(
         F.col(id_col), *extra_cols, to_double_array(vec_col).alias("__v")
-    ).crossJoin(F.broadcast(r_df))
-
-    def comp(o: int) -> F.Column:
-        c = dot(F.col("__v"), F.element_at("__R", o + 1))
-        return F.round(c, round_digits) if round_digits is not None else c
-
-    return staged.select(
-        id_col,
-        *extra_cols,
-        F.array(*[comp(o) for o in range(len(rotation))]).alias(out_col),
+    ).mapInPandas(rot_batches, schema=schema)
+    if round_digits is None:
+        return raw
+    return raw.withColumn(
+        out_col, F.transform(out_col, lambda x: F.round(x, round_digits))
     )
 
 
