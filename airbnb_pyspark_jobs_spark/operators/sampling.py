@@ -422,12 +422,16 @@ def grouped_two_phase_cumsum_multi(
     here the order column is range-bucketed WITHIN each group, running
     sums are computed per (group, bucket) partition, and the cross-
     bucket offsets come from an ``n_buckets``-row-per-group window —
-    both bounded. Order stats (min/max) are per group, broadcast back."""
+    both bounded. Order stats (min/max) are per group, broadcast back.
+    Input owned-persisted (three subtree consumers — guide §5)."""
     from pyspark.sql.window import Window
+
+    from airbnb_pyspark_jobs_spark.caching import owned_persist
 
     _check_reserved(df, out_cols)
     if len(value_cols) != len(out_cols):
         raise ValueError("value_cols and out_cols must align")
+    df = owned_persist(df)
     ord_d = F.col(order_col).cast("double")
     stats = df.groupBy(group_col).agg(
         F.min(ord_d).alias("__mn"), F.max(ord_d).alias("__mx")

@@ -413,19 +413,22 @@ def test_q159_calibration_joins_are_equi(spark):
     release_owned_caches()
 
 
-def test_q160_cell_quality_windows_partition_by_id(spark):
-    """The cell-quality audit's assignment argmax must window per
-    vector id (bounded k rows each), never a global unpartitioned
-    window, and the centroid matrix is inlined (no join at all)."""
+def test_q160_cell_quality_assignment_is_partial_aggregating(spark):
+    """The cell-quality audit's assignment argmax must be the r11
+    groupBy + max(struct(round(sim), -cid)) shape — partial-aggregated
+    map-side (the k rows per id collapse BEFORE the exchange), never a
+    row_number window (which sorted all n·k score rows), and never an
+    unpartitioned window or cartesian product anywhere in the plan."""
     from airbnb_pyspark_jobs_spark.caching import release_owned_caches
 
     df = QUERIES["q160_ivf_cell_quality"](spark, SF_DIR)
     plan = _executed_plan(df)
+    # rank-1 selection as an aggregate, not a window sort
+    assert "max(struct(" in plan or "max(__m" in plan, plan[:2000]
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
+            # any remaining window must be key-partitioned, not global
             assert "windowspecdefinition(id" in line, line
-    # the argmax also gets the rank-limit pushdown (top-1 per id)
-    assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     release_owned_caches()
 
