@@ -44,6 +44,40 @@ def owned_persist(
     return df
 
 
+def flat_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` with constraint propagation
+    disabled around the call.
+
+    Spark 4.x builds the checkpoint's ``LogicalRDD`` via
+    ``rewriteStatsAndConstraints``, which forces the OPTIMIZED plan's
+    full constraint closure (``QueryPlanConstraints.validConstraints``).
+    That closure is exponential on self-join/union shapes with many
+    equality predicates — measured: checkpointing the q146 perceptual-
+    hash pair frame (8 equated band columns, banded self-join, union of
+    both edge orientations) hangs for >4 minutes at sf0.001 burning CPU
+    in ``Aggregate.validConstraints``, while the same checkpoint with
+    propagation off completes in milliseconds. The toggle only skips
+    constraint DERIVATION for the plan being checkpointed (the
+    resulting LogicalRDD carries no inferred constraints — same as any
+    fresh scan); session-level optimization of every other plan is
+    untouched.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.constraintPropagation.enabled"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "false")
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def release_owned_caches() -> int:
     """Unpersist every registered intermediate (non-blocking); returns
     how many were released. Safe to call at any time — a released cache

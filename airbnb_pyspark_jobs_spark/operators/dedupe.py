@@ -101,12 +101,15 @@ def ngram_jaccard_pairs(
     from airbnb_pyspark_jobs_spark.caching import owned_persist
 
     sh = shingle_table(docs, id_col, text_col, n)
-    if persist_shingles:
-        sh = owned_persist(sh)
     if max_shingle_df is not None:
-        # document frequency as a window count over s: the shuffle that
-        # partitions by s is REUSED by the self-join below (same key) —
-        # cheaper than a groupBy+semi-join which adds two extra shuffles.
+        # document frequency as a window count over s (one shuffle by s,
+        # no extra groupBy+semi-join pass). The FILTERED frame is what
+        # every consumer (sizes + both self-join sides) reads, so THAT
+        # is the frame to persist — r12 plan audit: with only the raw
+        # shingle leaf cached, the window subtree was evaluated 4× (the
+        # self-join sides and both size joins re-ran shuffle+sort+count
+        # from the cache; plans/r12/q44_..._before.txt shows 4 Window
+        # nodes, after 1 — guide §2.4/§5).
         from pyspark.sql.window import Window
 
         sh = (
@@ -114,6 +117,8 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") <= max_shingle_df)
             .drop("__df")
         )
+    if persist_shingles:
+        sh = owned_persist(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     inter = (
@@ -481,65 +486,87 @@ def dedup_components(
     an iterative algorithm, bounded by ``max_iterations``, not a lazy
     plan).
 
-    Lineage: each round's labels are ``localCheckpoint(eager=True)``,
-    not merely persisted — persist caches DATA but the logical plan
-    still nests round over round, so Catalyst re-analyzes a tree that
-    grows linearly and the JVM eventually overflows its stack just
-    printing it (measured locally: a 60-node path graph at 20
-    iterations crashes with persist-only lineage; checkpointed it runs
-    in ~4 s). On a fault-tolerant cluster run, swap localCheckpoint
-    for ``checkpoint()`` with a reliable checkpoint dir — same
-    truncation, executor-loss safe.
+    Lineage: the edge list and each round's labels are
+    ``localCheckpoint(eager=True)``, not merely persisted — persist
+    caches DATA but the logical plan still nests round over round, so
+    Catalyst re-analyzes a tree that grows linearly and the JVM
+    eventually overflows its stack just printing it (measured locally:
+    a 60-node path graph at 20 iterations crashes with persist-only
+    lineage; checkpointed it runs in ~4 s). On a fault-tolerant cluster
+    run, swap localCheckpoint for ``checkpoint()`` with a reliable
+    checkpoint dir — same truncation, executor-loss safe.
+
+    r12 shape (guide §2.3/§2.4 — shuffle the dup graph, not the
+    corpus): the loop runs over EDGE ENDPOINTS only. Isolated docs
+    (no incident pair) keep ``component_id = doc_id`` by definition —
+    the old corpus-wide labels frame re-joined and re-checkpointed
+    every document every round; now each round touches only the
+    dup-graph's nodes (≪ corpus at 100 TB) and the corpus attaches the
+    converged labels ONCE at the end (left join + coalesce). Self-loop
+    rows fold the "keep own label" branch into the neighbor min (one
+    join per round instead of two); convergence is a changed-label
+    count over the two checkpointed label frames (type-agnostic — ids
+    may be strings, q246). Identical output to the corpus-wide loop:
+    edges with an endpoint missing from ``docs`` were inert before
+    (their neighbor-min rows were dropped by the labels join) and stay
+    inert (the ``b``-side semi-join below); everything else is the
+    same min-label/pointer-jump fixpoint.
     """
-    edges = (
-        pairs.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
+    from airbnb_pyspark_jobs_spark.caching import flat_checkpoint
+
+    base = docs.select(F.col(id_col).alias("node"))
+    # materialize the caller's pair pipeline ONCE — the undirected union
+    # below references it twice, and pair generators are whole
+    # similarity joins (q146's phash pass measured ~4 s per evaluation
+    # at sf0.001)
+    p = flat_checkpoint(pairs.select("doc_id_a", "doc_id_b"))
+    edges = flat_checkpoint(
+        p.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
         .unionByName(
-            pairs.select(F.col("doc_id_b").alias("a"), F.col("doc_id_a").alias("b"))
+            p.select(F.col("doc_id_b").alias("a"), F.col("doc_id_a").alias("b"))
         )
         .distinct()
-        .persist()
+        # drop edges pointing OUTSIDE docs (inert in the old corpus-wide
+        # loop; must stay inert now that endpoints seed the label set)
+        .join(base.withColumnRenamed("node", "b"), "b", "left_semi")
     )
-    labels = (
-        docs.select(F.col(id_col).alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    # self-loops: min over N(v) ∪ {v} ≡ least(own, neighbor-min)
+    adj = edges.unionByName(
+        nodes.select(F.col("node").alias("a"), F.col("node").alias("b"))
     )
+    labels = flat_checkpoint(nodes.withColumn("label", F.col("node")))
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.b == labels.node)
+        propagated = (
+            adj.join(labels, adj.b == labels.node)
             .groupBy(F.col("a").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # carry the pre-round label through, so the convergence check is
-        # a narrow scan of the checkpointed result — NOT a per-round
-        # shuffle join of new vs old labels (measured ~25% of round cost)
-        propagated = labels.join(neighbor_min, "node", "left").select(
-            "node",
-            F.col("label").alias("__old"),
-            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            .agg(F.min("label").alias("label"))
         )
         # pointer jump: label <- label[label] (labels only shrink, and a
         # label is itself a node id in the same component)
         parent = propagated.select(
             F.col("node").alias("__pn"), F.col("label").alias("__pl")
         )
-        new_labels = (
+        new_labels = flat_checkpoint(
             propagated.join(parent, propagated.label == parent["__pn"], "left")
             .select(
                 "node",
-                "__old",
                 F.least(F.col("label"), F.coalesce("__pl", "label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter(F.col("label") != F.col("__old")).count()
-        labels = new_labels.drop("__old")
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "__old"), "node"
+            )
+            .filter(F.col("label") != F.col("__old"))
+            .count()
+        )
+        labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
-    return labels.select(
-        F.col("node").alias(id_col), F.col("label").alias("component_id")
+    return base.distinct().join(labels, "node", "left").select(
+        F.col("node").alias(id_col),
+        F.coalesce("label", "node").alias("component_id"),
     )
 
 

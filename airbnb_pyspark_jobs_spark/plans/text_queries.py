@@ -5835,10 +5835,17 @@ def q261_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q262_dup_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     pairs = DD.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=50)
-    edges = pairs.select(
-        F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
-    ).unionByName(
-        pairs.select(F.col("doc_id_b").alias("a"), F.col("doc_id_a").alias("b"))
+    # the edge list feeds degrees + BOTH endpoint-degree joins + the
+    # node count — without truncation the whole Jaccard pair join was
+    # re-analyzed AND re-executed once per reference (r12 plan audit:
+    # 176 Exchanges before, the pair subtree ~6×; guide §2.4/§5)
+    from airbnb_pyspark_jobs_spark.caching import flat_checkpoint
+
+    edges = flat_checkpoint(
+        pairs.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_id_b").alias("a"), F.col("doc_id_a").alias("b"))
+        )
     )
     deg = edges.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")

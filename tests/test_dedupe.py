@@ -120,6 +120,35 @@ def test_dedup_components_collapse_transitive_chains(spark):
     assert keepers == {1, 4, 5, 7}
 
 
+def test_dedup_components_string_ids_and_foreign_endpoints(spark):
+    """r12 endpoint-restricted loop: (a) ids may be STRINGS (q246
+    entity names — the convergence check must not cast labels to a
+    numeric type), (b) edges whose endpoint is missing from ``docs``
+    stay inert exactly as in the corpus-wide loop, (c) isolated docs
+    map to themselves without ever entering the iteration."""
+    docs = spark.createDataFrame(
+        [("bolt",), ("large bolt",), ("nut",), ("washer",)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [
+            ("large bolt", "bolt"),          # normal in-docs pair
+            ("nut", "ghost"),                # endpoint missing from docs
+            ("phantom", "specter"),          # both endpoints missing
+        ],
+        "doc_id_a string, doc_id_b string",
+    )
+    comp = {
+        r.doc_id: r.component_id
+        for r in DD.dedup_components(docs, pairs).collect()
+    }
+    assert comp == {
+        "bolt": "bolt",
+        "large bolt": "bolt",   # lexicographic min label
+        "nut": "nut",           # ghost edge inert
+        "washer": "washer",     # isolated
+    }
+
+
 def test_simhash_pairs_pigeonhole_exact(spark):
     """Banding must find EVERY pair within the hamming bound (pigeonhole
     guarantee), verified against a brute-force all-pairs check."""
